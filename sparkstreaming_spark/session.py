@@ -1,0 +1,55 @@
+"""SparkSession factory.
+
+Re-expresses the reference's session trait (SparkSessionTrait.scala:6-40 —
+lazy singleton session, overridable conf, local[*] default) as a plain
+factory function with scale-oriented defaults:
+
+- AQE + partition coalescing + skew-join handling enabled (runtime re-plan
+  replaces hand-tuned shuffle partition counts at 100 TB),
+- Arrow enabled for the Pandas-UDF slow path,
+- UTC session timezone so timestamp semantics match the DuckDB oracle,
+- shuffle partitions default to 32 for local[32] test runs; on a real
+  cluster AQE coalescing makes the initial number non-critical.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_SHUFFLE_PARTITIONS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+def get_spark(
+    app_name: str = "sparkstreaming_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or reuse) a SparkSession with engine defaults.
+
+    Mirrors SparkSessionTrait.scala:24-39 (appName/master conf then
+    getOrCreate) but parameterized instead of hard-coded.
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master or f"local[{cpus}]")
+        .config(
+            "spark.sql.shuffle.partitions",
+            str(shuffle_partitions or DEFAULT_SHUFFLE_PARTITIONS),
+        )
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

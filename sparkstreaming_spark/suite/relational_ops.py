@@ -1,0 +1,317 @@
+"""Relational capability-bar queries: filters/projections (SURVEY §2.3),
+joins (§2.5 — absent in reference, required by north star), windows/sorts/
+set ops (§2.6), grouping sets, and scalar functions (§2.7).
+
+Scale notes per query are inline; the common themes:
+- dimension joins are explicitly broadcast (`F.broadcast`) — at 100 TB the
+  fact side never shuffles for a 25-row nation table;
+- top-k is orderBy+limit → TakeOrderedAndProject (no global sort);
+- all predicates are plain column expressions so they push into the
+  parquet scan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..operators.relational import between_filter, top_k, union_all
+from ..sources.batch import read_table
+from . import QuerySpec
+
+
+def q_filter_between(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P3 — inclusive range predicate (Producer.scala:40), typed bounds,
+    pushed to the parquet scan."""
+    li = read_table(spark, sf_dir, "lineitem")
+    return (
+        between_filter(li, "l_quantity", 10, 20)
+        .groupBy("l_returnflag")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def q_project_derive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P1/P2/P4/P5/P6/P7 in one plan: drop, withColumn, when/otherwise,
+    lit, cast, alias (Consumer.scala:140-145,369,395)."""
+    o = read_table(spark, sf_dir, "orders")
+    return (
+        o.drop("o_orderpriority")
+        .withColumn("is_open", F.when(F.col("o_orderstatus") == "O", 1).otherwise(0))
+        .withColumn("src", F.lit("orders"))
+        .select(
+            F.col("o_orderkey"),
+            F.col("is_open").cast("int").alias("is_open"),
+            F.col("src"),
+            F.round(F.col("o_totalprice"), 2).alias("price_r"),
+        )
+    )
+
+
+def q_join_star_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Star join: lineitem ⋈ orders ⋈ customer ⋈ nation ⋈ region, revenue
+    per region. nation/region are broadcast (25/5 rows); orders⋈customer⋈
+    lineitem shuffle on their keys with AQE sizing. TPC-H Q5 shape."""
+    li = read_table(spark, sf_dir, "lineitem")
+    o = read_table(spark, sf_dir, "orders")
+    c = read_table(spark, sf_dir, "customer")
+    n = read_table(spark, sf_dir, "nation")
+    r = read_table(spark, sf_dir, "region")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            ),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+def q_join_semi_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-semi + left-anti joins (EXISTS / NOT EXISTS): customers with and
+    without orders, counted per market segment."""
+    c = read_table(spark, sf_dir, "customer")
+    o = read_table(spark, sf_dir, "orders")
+    with_orders = (
+        c.join(o, c.c_custkey == o.o_custkey, "left_semi")
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("with_orders"))
+    )
+    without = (
+        c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("without_orders"))
+    )
+    return with_orders.join(without, "c_mktsegment", "full_outer").select(
+        "c_mktsegment",
+        F.coalesce("with_orders", F.lit(0)).cast("bigint").alias("with_orders"),
+        F.coalesce("without_orders", F.lit(0)).cast("bigint").alias("without_orders"),
+    )
+
+
+def q_outer_join_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left outer join keeping unmatched rows: every nation with its
+    customer count (0 where none)."""
+    n = read_table(spark, sf_dir, "nation")
+    c = read_table(spark, sf_dir, "customer")
+    per_nation = c.groupBy("c_nationkey").agg(F.count(F.lit(1)).alias("n_customers"))
+    return n.join(per_nation, n.n_nationkey == per_nation.c_nationkey, "left").select(
+        "n_nationkey",
+        "n_name",
+        F.coalesce("n_customers", F.lit(0)).cast("bigint").alias("n_customers"),
+    )
+
+
+def q_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k: 10 biggest customers by order revenue; tie-broken on custkey
+    so the result is deterministic. TakeOrderedAndProject physical op."""
+    o = read_table(spark, sf_dir, "orders")
+    per_cust = o.groupBy("o_custkey").agg(
+        F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+    return top_k(per_cust, 10, F.col("revenue").desc(), F.col("o_custkey").asc())
+
+
+def q_window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W1 window functions: rank orders within each customer by totalprice;
+    keep each customer's top-3. Partitioned window → parallel by key."""
+    o = read_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    )
+    return (
+        o.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            F.round("o_totalprice", 2).alias("price_r"),
+            F.col("rk").cast("int").alias("rk"),
+        )
+    )
+
+
+def q_window_running(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Analytic frame: per-customer running order count ordered by date —
+    the batch analogue of the reference's update-mode running totals
+    (SURVEY §2.9 T2/T3)."""
+    o = read_table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.col("o_orderdate").asc(), F.col("o_orderkey").asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.count(F.lit(1)).over(w).alias("running_orders"),
+    )
+
+
+def q_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set ops: customers in BUILDING segment ∪/∩/∖ customers with an open
+    order, reported as counts of each set-op result."""
+    c = read_table(spark, sf_dir, "customer")
+    o = read_table(spark, sf_dir, "orders")
+    building = c.filter(F.col("c_mktsegment") == "BUILDING").select(
+        F.col("c_custkey").alias("k")
+    )
+    open_cust = (
+        o.filter(F.col("o_orderstatus") == "O").select(F.col("o_custkey").alias("k")).distinct()
+    )
+    rows = [
+        building.union(open_cust).distinct().agg(
+            F.lit("union").alias("op"), F.count(F.lit(1)).alias("cnt")
+        ),
+        building.intersect(open_cust).agg(
+            F.lit("intersect").alias("op"), F.count(F.lit(1)).alias("cnt")
+        ),
+        building.exceptAll(open_cust.intersect(building)).distinct().agg(
+            F.lit("except").alias("op"), F.count(F.lit(1)).alias("cnt")
+        ),
+    ]
+    return union_all(rows)
+
+
+def q_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouping sets via rollup: order counts by (status, priority),
+    (status), and grand total."""
+    o = read_table(spark, sf_dir, "orders")
+    return o.rollup("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+
+
+def q_distinct_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct aggregate: exact count-distinct of partkey/suppkey per
+    returnflag (expands to a two-phase aggregate in Spark)."""
+    li = read_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_partkey").alias("n_parts"),
+        F.countDistinct("l_suppkey").alias("n_supps"),
+    )
+
+
+def q_scalar_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.7 scalar-function surface on strings/dates/math: lower, substring,
+    length, concat, date_part extracts, abs/floor/ceil in one projection."""
+    o = read_table(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.lower(F.col("o_orderpriority")).alias("prio_lower"),
+        F.substring(F.col("o_orderstatus"), 1, 1).alias("status_c"),
+        F.length(F.col("o_orderpriority")).cast("int").alias("prio_len"),
+        F.concat_ws("-", F.col("o_orderstatus"), F.col("o_orderpriority")).alias("tag"),
+        F.year(F.col("o_orderdate")).cast("int").alias("yr"),
+        F.month(F.col("o_orderdate")).cast("int").alias("mo"),
+        F.floor(F.col("o_totalprice")).cast("bigint").alias("price_floor"),
+        F.abs(F.col("o_totalprice") - 1000.0).alias("price_dist"),
+    ).withColumn("price_dist", F.round("price_dist", 2))
+
+
+QUERIES: dict[str, QuerySpec] = {
+    "filter_between": QuerySpec(
+        q_filter_between,
+        "SELECT l_returnflag, count(*) AS cnt FROM lineitem "
+        "WHERE l_quantity BETWEEN 10 AND 20 GROUP BY l_returnflag",
+        "P3 range predicate",
+    ),
+    "project_derive": QuerySpec(
+        q_project_derive,
+        "SELECT o_orderkey, "
+        "CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END AS is_open, "
+        "'orders' AS src, round(o_totalprice, 2) AS price_r FROM orders",
+        "P1/P2/P4/P5/P6/P7 projection surface",
+    ),
+    "join_star_revenue": QuerySpec(
+        q_join_star_revenue,
+        "SELECT r_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue, "
+        "count(*) AS n_items "
+        "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
+        "JOIN customer ON o_custkey = c_custkey "
+        "JOIN nation ON c_nationkey = n_nationkey "
+        "JOIN region ON n_regionkey = r_regionkey "
+        "GROUP BY r_name",
+        "broadcast star join, TPC-H Q5 shape",
+    ),
+    "join_semi_anti": QuerySpec(
+        q_join_semi_anti,
+        "WITH w AS (SELECT c_mktsegment, count(*) AS with_orders FROM customer "
+        "WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey) GROUP BY c_mktsegment), "
+        "wo AS (SELECT c_mktsegment, count(*) AS without_orders FROM customer "
+        "WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey) GROUP BY c_mktsegment) "
+        "SELECT coalesce(w.c_mktsegment, wo.c_mktsegment) AS c_mktsegment, "
+        "coalesce(with_orders, 0) AS with_orders, coalesce(without_orders, 0) AS without_orders "
+        "FROM w FULL OUTER JOIN wo ON w.c_mktsegment = wo.c_mktsegment",
+        "left-semi/left-anti joins",
+    ),
+    "outer_join_fill": QuerySpec(
+        q_outer_join_fill,
+        "SELECT n_nationkey, n_name, "
+        "coalesce((SELECT count(*) FROM customer WHERE c_nationkey = n_nationkey), 0) AS n_customers "
+        "FROM nation",
+        "left outer join with fill",
+    ),
+    "top_customers": QuerySpec(
+        q_top_customers,
+        "SELECT o_custkey, round(sum(o_totalprice), 2) AS revenue, count(*) AS n_orders "
+        "FROM orders GROUP BY o_custkey "
+        "ORDER BY revenue DESC, o_custkey ASC LIMIT 10",
+        "top-k with deterministic tiebreak",
+    ),
+    "window_rank": QuerySpec(
+        q_window_rank,
+        "SELECT o_custkey, o_orderkey, round(o_totalprice, 2) AS price_r, cast(rk AS int) AS rk "
+        "FROM (SELECT *, row_number() OVER "
+        "(PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC) AS rk "
+        "FROM orders) WHERE rk <= 3",
+        "W1 ranking window",
+    ),
+    "window_running": QuerySpec(
+        q_window_running,
+        "SELECT o_custkey, o_orderkey, "
+        "count(*) OVER (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_orders "
+        "FROM orders",
+        "W1 analytic frame / running total",
+    ),
+    "setops": QuerySpec(
+        q_setops,
+        "WITH b AS (SELECT c_custkey AS k FROM customer WHERE c_mktsegment = 'BUILDING'), "
+        "o AS (SELECT DISTINCT o_custkey AS k FROM orders WHERE o_orderstatus = 'O') "
+        "SELECT 'union' AS op, count(*) AS cnt FROM (SELECT k FROM b UNION SELECT k FROM o) "
+        "UNION ALL SELECT 'intersect', count(*) FROM (SELECT k FROM b INTERSECT SELECT k FROM o) "
+        "UNION ALL SELECT 'except', count(*) FROM (SELECT k FROM b EXCEPT SELECT k FROM o)",
+        "U1/U2 + intersect/except",
+    ),
+    "rollup_counts": QuerySpec(
+        q_rollup,
+        "SELECT o_orderstatus, o_orderpriority, count(*) AS cnt FROM orders "
+        "GROUP BY ROLLUP (o_orderstatus, o_orderpriority)",
+        "grouping sets / rollup",
+    ),
+    "distinct_counts": QuerySpec(
+        q_distinct_counts,
+        "SELECT l_returnflag, count(DISTINCT l_partkey) AS n_parts, "
+        "count(DISTINCT l_suppkey) AS n_supps FROM lineitem GROUP BY l_returnflag",
+        "exact distinct aggregates",
+    ),
+    "scalar_functions": QuerySpec(
+        q_scalar_functions,
+        "SELECT o_orderkey, lower(o_orderpriority) AS prio_lower, "
+        "substring(o_orderstatus, 1, 1) AS status_c, "
+        "cast(length(o_orderpriority) AS int) AS prio_len, "
+        "concat_ws('-', o_orderstatus, o_orderpriority) AS tag, "
+        "cast(year(o_orderdate) AS int) AS yr, cast(month(o_orderdate) AS int) AS mo, "
+        "cast(floor(o_totalprice) AS bigint) AS price_floor, "
+        "round(abs(o_totalprice - 1000.0), 2) AS price_dist "
+        "FROM orders",
+        "§2.7 scalar function surface",
+    ),
+}

@@ -1,0 +1,40 @@
+"""Primary correctness gate (SURVEY §5.1): every suite query with an oracle
+runs on Spark AND DuckDB at sf0.01; results must match on row count, column
+names, and order-insensitive values — same contract the driver enforces."""
+
+from __future__ import annotations
+
+import pytest
+
+from sparkstreaming_spark.suite import all_queries
+from tests.conftest import SF_DIR_CORRECT
+from tests.oracle_util import assert_frames_match
+
+REGISTRY = all_queries()
+WITH_ORACLE = sorted(name for name, spec in REGISTRY.items() if spec.oracle)
+ROWS_ONLY = sorted(name for name, spec in REGISTRY.items() if not spec.oracle)
+
+
+@pytest.mark.parametrize("name", WITH_ORACLE)
+def test_query_matches_oracle(spark, duck, name):
+    spec = REGISTRY[name]
+    spark_pdf = spec.fn(spark, SF_DIR_CORRECT).toPandas()
+    duck_pdf = duck.sql(spec.oracle).df()
+    assert_frames_match(spark_pdf, duck_pdf, name)
+
+
+@pytest.mark.parametrize("name", ROWS_ONLY)
+def test_rows_only_query_runs(spark, name):
+    spec = REGISTRY[name]
+    df = spec.fn(spark, SF_DIR_CORRECT)
+    assert len(df.columns) > 0
+    assert df.count() >= 0
+
+
+def test_entry_smoke(spark):
+    import __spark_entry__ as e
+
+    df = e.entry(spark)
+    rows = df.collect()
+    assert len(rows) > 0
+    assert set(e.oracle_sql()) <= set(e.queries())
