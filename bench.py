@@ -1,0 +1,77 @@
+#!/usr/bin/env python
+"""Benchmark runner (driver contract).
+
+Runs the headline suite queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+{"metric": ..., "value": total_sec, "unit": "sec", "queries": {name: sec},
+ "sf": ...}.
+
+Timing = wall clock of plan construction + a count()-style action that
+materializes every result row (df.write to noop sink would also work;
+count() keeps it simple and still executes the full plan since aggregates/
+joins can't be pruned by count).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from sparkstreaming_spark.session import get_spark  # noqa: E402
+from sparkstreaming_spark.suite import all_queries  # noqa: E402
+
+# Headline set: one per operator family; extend as the suite grows.
+HEADLINE = [
+    "flagship_pricing_summary",
+    "join_star_revenue",
+    "join_semi_anti",
+    "top_customers",
+    "window_rank",
+    "window_running",
+    "rollup_counts",
+    "distinct_counts",
+    "kpi_feature_means",
+    "setops",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    spark = get_spark("bench")
+    registry = all_queries()
+    names = [n for n in HEADLINE if n in registry]
+    # warm-up: JVM + parquet footer caches, one light query
+    registry[names[0]].fn(spark, sf_dir).count()
+
+    timings: dict[str, float] = {}
+    for name in names:
+        runs = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            df = registry[name].fn(spark, sf_dir)
+            df.count()
+            runs.append(time.perf_counter() - t0)
+        timings[name] = round(sorted(runs)[1], 4)  # median of 3
+
+    total = round(sum(timings.values()), 4)
+    print(
+        json.dumps(
+            {
+                "metric": "suite_total_sec",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
