@@ -1,0 +1,17 @@
+from .exact import exact_dedup
+from .minhash import candidate_pairs, lsh_bands, minhash_near_dup_pairs, minhash_signatures
+from .ngram import ngram_jaccard_pairs
+from .simhash import simhash_fingerprints, simhash_near_dup_pairs
+from .embedding import embedding_near_dup_pairs
+
+__all__ = [
+    "candidate_pairs",
+    "embedding_near_dup_pairs",
+    "exact_dedup",
+    "lsh_bands",
+    "minhash_near_dup_pairs",
+    "minhash_signatures",
+    "ngram_jaccard_pairs",
+    "simhash_fingerprints",
+    "simhash_near_dup_pairs",
+]

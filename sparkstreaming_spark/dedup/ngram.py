@@ -1,0 +1,67 @@
+"""Exact n-gram Jaccard pairs via inverted-index join.
+
+explode distinct shingles → self-join on shingle → count common per pair →
+Jaccard from per-doc shingle counts. No cross join: candidate pairs only
+exist where a shingle co-occurs.
+
+Scale caveat (documented, by design): a shingle appearing in m docs
+contributes O(m²) pair rows, so boilerplate shingles blow up the join.
+`max_doc_freq` drops shingles above a document-frequency cap — the
+standard inverted-index mitigation; at production scale prefer the
+MinHash-LSH pipeline (dedup/minhash.py) and use this as the verifier.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.text import shingles
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_n: int = 2,
+    threshold: float = 0.5,
+    max_doc_freq: int | None = None,
+) -> DataFrame:
+    """(doc_a, doc_b, jaccard) for pairs with shingle-set Jaccard ≥ threshold."""
+    sh = df.select(
+        F.col(id_col).cast("bigint").alias("doc_id"),
+        F.explode(F.array_distinct(shingles(text_col, shingle_n))).alias("shingle"),
+    )
+    if max_doc_freq is not None:
+        freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+        sh = sh.join(freq.filter(F.col("df") <= max_doc_freq), "shingle").select(
+            "doc_id", "shingle"
+        )
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    common = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    sa = sizes.alias("sa")
+    sb = sizes.alias("sb")
+    return (
+        common.join(sa, common.doc_a == F.col("sa.doc_id"))
+        .join(sb, common.doc_b == F.col("sb.doc_id"))
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("common")
+                / (F.col("sa.n_sh") + F.col("sb.n_sh") - F.col("common")),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )

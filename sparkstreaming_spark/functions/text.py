@@ -1,0 +1,71 @@
+"""Text functions — all pure built-in expressions (JVM-side, codegen'd).
+
+Generalizes the reference's only text op, `Helper.removePunctuation`
+(FileReconstitution.scala:7-12: strip `[^a-zA-Z0-9\\s]`, lowercase) into
+the normalization/tokenization layer the LLM-pipeline operators build on.
+No Python UDFs here: at 100 TB every function below runs inside
+whole-stage codegen.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+PUNCT_RE = r"[^a-zA-Z0-9\s]"
+# BPE-ish word/number/punct-run segmentation (GPT-2-style classes, no \p{L}
+# unicode props so the same regex runs in DuckDB for the oracle).
+BPE_ISH_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]+"
+
+
+def _c(col: str | Column) -> Column:
+    return F.col(col) if isinstance(col, str) else col
+
+
+def normalize_text(col: str | Column) -> Column:
+    """Lowercase + strip punctuation (reference F5, FileReconstitution.scala:8-11)."""
+    return F.lower(F.regexp_replace(_c(col), PUNCT_RE, ""))
+
+
+def tokenize(col: str | Column) -> Column:
+    """Whitespace tokenization of normalized text → array<string>.
+    Empty input yields an empty array (split of '' returns [''])."""
+    trimmed = F.trim(normalize_text(col))
+    return F.when(trimmed == "", F.array().cast("array<string>")).otherwise(
+        F.split(trimmed, r"\s+")
+    )
+
+
+def token_count(col: str | Column) -> Column:
+    return F.size(tokenize(col)).cast("bigint")
+
+
+def bpe_ish_token_count(col: str | Column) -> Column:
+    """Token count under a BPE-ish regex segmentation (letters runs, digit
+    runs, punctuation runs) — the standard cheap LLM-token estimator."""
+    return F.size(F.regexp_extract_all(_c(col), F.lit(BPE_ISH_RE), 0)).cast("bigint")
+
+
+def shingles(col: str | Column, n: int) -> Column:
+    """Word n-gram shingles over the token array → array<string>.
+
+    Built from `sequence` + `transform` + `slice`, so shingling stays in
+    codegen (no explode until the caller needs rows). Documents with fewer
+    than n tokens yield an empty array.
+    """
+    toks = tokenize(col)
+    return F.when(F.size(toks) < n, F.array().cast("array<string>")).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - F.lit(n - 1)),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+        )
+    )
+
+
+def md5_64(col: str | Column) -> Column:
+    """Deterministic 60-bit integer hash: first 15 hex chars of md5.
+
+    Chosen over xxhash64 because md5 is byte-identical in DuckDB, letting
+    hash-based operators (minhash, exact-dedup keys) keep a SQL oracle.
+    """
+    return F.conv(F.substring(F.md5(_c(col)), 1, 15), 16, 10).cast("bigint")

@@ -1,0 +1,86 @@
+"""Multimodal (image/audio/video) column plumbing.
+
+Media are opaque `binary` columns with typed metadata alongside. The
+Spark-side plumbing — schemas, Arrow-batched `mapInPandas`, partition
+shape — is real and tested; the actual codec step is STUBBED because the
+image/audio libraries are not in this container:
+
+- `decode_blob_features(..., fake=True)` runs a deterministic fake
+  "decoder" (byte histogram + mean byte) so the pipeline is exercisable
+  end-to-end and reproducible.
+- `fake=False` raises NotImplementedError at the decode step, marking
+  exactly where PIL/ffmpeg/torchaudio would slot in.
+
+Scale notes: blobs ride in parquet binary columns; `mapInPandas` keeps
+them in Arrow record batches (no per-row Python), and
+`spark.sql.files.maxPartitionBytes` bounds the per-task batch footprint.
+Feature extraction is a narrow map — no shuffle until the caller
+aggregates the (small) feature output.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+N_HIST_BINS = 16
+
+FEATURE_SCHEMA = (
+    "id bigint, n_bytes bigint, mean_byte double, byte_hist array<bigint>"
+)
+
+
+def with_blob(df: DataFrame, text_col: str, blob_col: str = "blob") -> DataFrame:
+    """Materialize an opaque binary column (here: utf-8 bytes of a string
+    column — the stand-in for real media bytes)."""
+    return df.withColumn(blob_col, F.encode(F.col(text_col), "utf-8"))
+
+
+def blob_meta(blob_col: str | Column) -> dict[str, Column]:
+    """Cheap typed metadata computed JVM-side: byte length + sha256 hex."""
+    c = F.col(blob_col) if isinstance(blob_col, str) else blob_col
+    return {
+        "n_bytes": F.length(c).cast("bigint"),
+        "sha256": F.sha2(c, 256),
+    }
+
+
+def decode_blob_features(
+    df: DataFrame, id_col: str, blob_col: str = "blob", fake: bool = True
+) -> DataFrame:
+    """Arrow-batched feature extraction over binary blobs via mapInPandas.
+
+    Output: (id, n_bytes, mean_byte, byte_hist[16]). With fake=False this
+    is where a real decoder (PIL image decode, audio resample, video frame
+    sample) would run per Arrow batch.
+    """
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            if not fake:
+                raise NotImplementedError(
+                    "real media decode requires PIL/ffmpeg — not in this container; "
+                    "use fake=True for the deterministic byte-level decoder"
+                )
+            ids, sizes, means, hists = [], [], [], []
+            for i, blob in zip(pdf["__id"], pdf["__blob"]):
+                arr = np.frombuffer(bytes(blob), dtype=np.uint8)
+                ids.append(i)
+                sizes.append(int(arr.size))
+                means.append(float(arr.mean()) if arr.size else 0.0)
+                hist, _ = np.histogram(arr, bins=N_HIST_BINS, range=(0, 256))
+                hists.append(hist.astype("int64").tolist())
+            yield pd.DataFrame(
+                {"id": ids, "n_bytes": sizes, "mean_byte": means, "byte_hist": hists}
+            )
+
+    narrow = df.select(
+        F.col(id_col).cast("bigint").alias("__id"), F.col(blob_col).alias("__blob")
+    )
+    return narrow.mapInPandas(extract, schema=FEATURE_SCHEMA)

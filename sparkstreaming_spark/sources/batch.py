@@ -61,8 +61,23 @@ def read_json(spark: SparkSession, path: str, schema: StructType | str | None = 
 
 
 def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Read one driver-generated test table (TESTDATA.md) by name."""
-    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    """Read one driver-generated test table (TESTDATA.md) by name.
+
+    `events.ts` is a TIMESTAMP(NANOS) parquet column, which Spark's reader
+    rejects; we read it as long (legacy conf, settable at runtime) and
+    rebuild a timestamp at microsecond precision — truncation ≤ 999 ns,
+    below every bucket/window granularity the suite uses.
+    """
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    if name == "events":
+        from pyspark.sql import functions as F
+
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(path)
+        return df.withColumn(
+            "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
+        )
+    return spark.read.parquet(path)
 
 
 def load_tables(

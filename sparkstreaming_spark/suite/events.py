@@ -1,0 +1,164 @@
+"""Event-time queries over the `events` stream table (SURVEY §2.9 T4/T5
+extensions + §2.7 JSON functions).
+
+These are the BATCH forms; suite/streaming_suite.py runs the same
+aggregations through Structured Streaming (availableNow trigger) and the
+batch oracle here doubles as the streaming/batch-equivalence check — the
+core Structured Streaming invariant (SURVEY §5.2).
+
+Window starts are emitted as formatted strings so the value-hash compare
+is immune to pandas datetime-unit differences between engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..sources.batch import read_table
+from . import QuerySpec
+
+TS_FMT = "yyyy-MM-dd HH:mm:ss"
+
+
+def q_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T5 — tumbling 1-hour event-time window: count + rounded value sum
+    per (window, event_type)."""
+    ev = read_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(
+            F.date_format(F.col("w.start"), TS_FMT).alias("window_start"),
+            "event_type",
+            "cnt",
+            "sum_value",
+        )
+    )
+
+
+ORACLE_TUMBLING = """
+SELECT strftime(time_bucket(INTERVAL '1 hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+       event_type, count(*) AS cnt, round(sum(value), 2) AS sum_value
+FROM events GROUP BY 1, 2
+"""
+
+
+def q_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T5 — sliding window (1 hour, slide 30 min): each event lands in two
+    windows. Oracle re-creates the two bucket alignments with UNION ALL."""
+    ev = read_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(
+            F.date_format(F.col("w.start"), TS_FMT).alias("window_start"),
+            "cnt",
+        )
+    )
+
+
+ORACLE_SLIDING = """
+WITH buckets AS (
+    SELECT time_bucket(INTERVAL '1 hour', ts) AS ws FROM events
+    UNION ALL
+    SELECT time_bucket(INTERVAL '1 hour', ts - INTERVAL '30 minutes') + INTERVAL '30 minutes'
+    FROM events
+)
+SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS window_start, count(*) AS cnt
+FROM buckets GROUP BY ws
+"""
+
+
+def q_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T5 — session windows per user with a 5-minute gap: session count and
+    per-session event counts. Oracle derives sessions via lag + cumulative
+    gap-flag sum (the standard SQL sessionization idiom)."""
+    ev = read_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.session_window("ts", "5 minutes").alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.date_format(F.col("w.start"), TS_FMT).alias("session_start"),
+            "n_events",
+        )
+    )
+
+
+ORACLE_SESSION = """
+WITH flagged AS (
+    SELECT user_id, ts,
+           CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                     > INTERVAL '5 minutes' OR
+                lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                THEN 1 ELSE 0 END AS new_session
+    FROM events
+), sessions AS (
+    SELECT user_id, ts,
+           sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+    FROM flagged
+)
+SELECT user_id,
+       strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+       count(*) AS n_events
+FROM sessions GROUP BY user_id, sid
+"""
+
+
+def q_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.7 JSON surface: extract `k` from the props JSON string, bucket it,
+    count per (event_type, bucket)."""
+    ev = read_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    # floor() on both sides: DuckDB's double→int cast rounds, Spark's truncates
+    return (
+        ev.select("event_type", F.floor(k / 10).cast("int").alias("k_bucket"))
+        .groupBy("event_type", "k_bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+ORACLE_JSON = """
+SELECT event_type, cast(floor(cast(json_extract(props, '$.k') AS int) / 10) AS int) AS k_bucket,
+       count(*) AS cnt
+FROM events GROUP BY event_type, k_bucket
+"""
+
+
+def q_running_by_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch analogue of the reference's update-mode running aggregate
+    (T2/T3, Consumer.scala:61,129-145): cumulative event count per user
+    ordered by event time, tie-broken on event_id."""
+    ev = read_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").asc(), F.col("event_id").asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.count(F.lit(1)).over(w).alias("running_events"),
+    )
+
+
+ORACLE_RUNNING = """
+SELECT user_id, event_id,
+       count(*) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_events
+FROM events
+"""
+
+
+QUERIES: dict[str, QuerySpec] = {
+    "evt_tumbling_window": QuerySpec(q_tumbling_window, ORACLE_TUMBLING, "T5 tumbling window"),
+    "evt_sliding_window": QuerySpec(q_sliding_window, ORACLE_SLIDING, "T5 sliding window"),
+    "evt_session_window": QuerySpec(q_session_window, ORACLE_SESSION, "T5 session window"),
+    "evt_json_props": QuerySpec(q_json_props, ORACLE_JSON, "JSON extraction"),
+    "evt_running_by_user": QuerySpec(q_running_by_user, ORACLE_RUNNING, "T2/T3 running totals"),
+}

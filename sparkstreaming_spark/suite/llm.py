@@ -1,3 +1,317 @@
+"""LLM-data-pipeline queries over `documents` — dedup (exact, MinHash-LSH,
+SimHash, n-gram Jaccard), text analysis (lang-ID, quality, token counts,
+winnowing fingerprints), and multimodal blob plumbing.
+
+Every hash-bearing operator uses md5-derived hashes specifically so the
+DuckDB oracle below reproduces the Spark results bit-for-bit — the SQL is
+generated from the same constants the Spark operators use.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..dedup import (
+    exact_dedup,
+    minhash_near_dup_pairs,
+    ngram_jaccard_pairs,
+    simhash_near_dup_pairs,
+)
+from ..functions.text import BPE_ISH_RE
+from ..multimodal import blob_meta, decode_blob_features, with_blob
+from ..sources.batch import read_table
+from ..textstats import STOPWORDS, langid_expr, quality_score_exprs
+from ..textstats.analysis import winnow_fingerprints
 from . import QuerySpec
 
-QUERIES: dict[str, QuerySpec] = {}
+# ---- shared DuckDB SQL fragments (must mirror functions/text.py exactly) ----
+SQL_NORM = r"trim(lower(regexp_replace(text, '[^a-zA-Z0-9\s]', '', 'g')))"
+SQL_TOKS = rf"string_split_regex({SQL_NORM}, '\s+')"
+# 2-gram shingles over toks (DuckDB list slice is 1-based inclusive)
+SQL_SHINGLES2 = (
+    "[array_to_string(toks[i:i+1], ' ') for i in generate_series(1, len(toks)-1)]"
+)
+
+
+def _sql_md5_64(expr: str) -> str:
+    return f"cast(('0x' || substr(md5({expr}), 1, 15)) AS bigint)"
+
+
+# ------------------------------- queries ------------------------------------
+
+
+def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting (whitespace + BPE-ish regex) aggregated per lang."""
+    d = read_table(spark, sf_dir, "documents")
+    from ..functions.text import bpe_ish_token_count, token_count
+
+    return d.groupBy("lang").agg(
+        F.sum(token_count("text")).alias("ws_tokens"),
+        F.sum(bpe_ish_token_count("text")).alias("bpe_tokens"),
+        F.sum(F.length("text")).alias("chars"),
+        F.count(F.lit(1)).alias("n_docs"),
+    )
+
+
+ORACLE_TOKEN_STATS = rf"""
+SELECT lang,
+       cast(sum(len({SQL_TOKS})) AS bigint) AS ws_tokens,
+       cast(sum(len(regexp_extract_all(text, '{BPE_ISH_RE}'))) AS bigint) AS bpe_tokens,
+       cast(sum(length(text)) AS bigint) AS chars,
+       count(*) AS n_docs
+FROM documents GROUP BY lang
+"""
+
+
+def q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = read_table(spark, sf_dir, "documents")
+    return exact_dedup(d, "doc_id", "text")
+
+
+ORACLE_EXACT_DEDUP = rf"""
+SELECT md5({SQL_NORM}) AS content_hash,
+       min(doc_id) AS keep_id, count(*) AS n_copies
+FROM documents GROUP BY content_hash
+"""
+
+
+def q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = read_table(spark, sf_dir, "documents")
+    return minhash_near_dup_pairs(
+        d, "doc_id", "text", num_perm=16, bands=4, shingle_n=2, threshold=0.5
+    )
+
+
+def _oracle_minhash(num_perm: int = 16, bands: int = 4) -> str:
+    rows = num_perm // bands
+
+    def seeded(i: int) -> str:
+        return f"'{i}:' || shingle"
+
+    mins = ",\n       ".join(
+        f"min({_sql_md5_64(seeded(i))}) AS mh{i}" for i in range(num_perm)
+    )
+    band_rows = "\nUNION ALL\n".join(
+        f"SELECT doc_id, {b} AS band_id, md5(concat_ws(',', "
+        + ", ".join(f"mh{b * rows + i}" for i in range(rows))
+        + ")) AS band_hash FROM sig"
+        for b in range(bands)
+    )
+    return rf"""
+WITH t AS (SELECT doc_id, {SQL_TOKS} AS toks FROM documents),
+sh_sets AS (SELECT doc_id, list_distinct({SQL_SHINGLES2}) AS sh FROM t WHERE len(toks) >= 2),
+sh AS (SELECT doc_id, unnest(sh) AS shingle FROM sh_sets),
+sig AS (SELECT doc_id, {mins} FROM sh GROUP BY doc_id),
+bands AS ({band_rows}),
+cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         FROM bands a JOIN bands b
+           ON a.band_id = b.band_id AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id)
+SELECT doc_a, doc_b,
+       round(len(list_intersect(sa.sh, sb.sh)) * 1.0 /
+             (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))), 6) AS jaccard
+FROM cand JOIN sh_sets sa ON cand.doc_a = sa.doc_id
+          JOIN sh_sets sb ON cand.doc_b = sb.doc_id
+WHERE round(len(list_intersect(sa.sh, sb.sh)) * 1.0 /
+            (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))), 6) >= 0.5
+"""
+
+
+def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = read_table(spark, sf_dir, "documents")
+    return simhash_near_dup_pairs(d, "doc_id", "text", max_hamming=5, bands=6)
+
+
+def _oracle_simhash(max_hamming: int = 5, bands: int = 6, n_bits: int = 60) -> str:
+    width = n_bits // bands
+    bit_sums = ", ".join(
+        f"sum(CASE WHEN (h >> {p}) & 1 = 1 THEN 1 ELSE -1 END) AS b{p}"
+        for p in range(n_bits)
+    )
+    fp = " + ".join(
+        f"(CASE WHEN b{p} > 0 THEN {1 << p}::BIGINT ELSE 0 END)" for p in range(n_bits)
+    )
+    band_rows = "\nUNION ALL\n".join(
+        f"SELECT doc_id, simhash, {b} AS band_id, "
+        f"(simhash >> {b * width}) & {(1 << width) - 1} AS band_val FROM sig"
+        for b in range(bands)
+    )
+    return rf"""
+WITH t AS (SELECT doc_id, {SQL_TOKS} AS toks FROM documents),
+tok AS (SELECT doc_id, unnest(toks) AS w FROM t),
+h AS (SELECT doc_id, {_sql_md5_64('w')} AS h FROM tok),
+bitsums AS (SELECT doc_id, {bit_sums} FROM h GROUP BY doc_id),
+sig AS (SELECT doc_id, ({fp}) AS simhash FROM bitsums),
+banded AS ({band_rows})
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       cast(bit_count(xor(a.simhash, b.simhash)) AS int) AS hamming
+FROM banded a JOIN banded b
+  ON a.band_id = b.band_id AND a.band_val = b.band_val AND a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= {max_hamming}
+"""
+
+
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = read_table(spark, sf_dir, "documents")
+    return ngram_jaccard_pairs(d, "doc_id", "text", shingle_n=2, threshold=0.5)
+
+
+ORACLE_NGRAM_JACCARD = rf"""
+WITH t AS (SELECT doc_id, {SQL_TOKS} AS toks FROM documents),
+s AS (SELECT doc_id, list_distinct({SQL_SHINGLES2}) AS sh FROM t WHERE len(toks) >= 2)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       round(len(list_intersect(a.sh, b.sh)) * 1.0 /
+             (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 6) AS jaccard
+FROM s a JOIN s b ON a.doc_id < b.doc_id
+WHERE round(len(list_intersect(a.sh, b.sh)) * 1.0 /
+            (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 6) >= 0.5
+"""
+
+
+def q_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID heuristic vs the table's lang label, as a confusion count."""
+    d = read_table(spark, sf_dir, "documents")
+    return (
+        d.withColumn("predicted", langid_expr("text"))
+        .groupBy("lang", "predicted")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def _oracle_langid() -> str:
+    score_cols = []
+    for lang, words in STOPWORDS.items():
+        arr = "[" + ", ".join(f"'{w}'" for w in words) + "]"
+        score_cols.append(
+            f"len(list_filter(toks, t -> list_contains({arr}, t))) AS s_{lang}"
+        )
+    langs = list(STOPWORDS)
+    cases = []
+    for i, lang in enumerate(langs):
+        conds = [f"s_{lang} > 0"]
+        for j, other in enumerate(langs):
+            if i == j:
+                continue
+            op = ">" if j < i else ">="
+            conds.append(f"s_{lang} {op} s_{other}")
+        cases.append(f"WHEN {' AND '.join(conds)} THEN '{lang}'")
+    case_sql = "CASE " + " ".join(cases) + " ELSE 'und' END"
+    return rf"""
+WITH t AS (SELECT doc_id, lang, {SQL_TOKS} AS toks FROM documents),
+s AS (SELECT doc_id, lang, {', '.join(score_cols)} FROM t)
+SELECT lang, {case_sql} AS predicted, count(*) AS cnt
+FROM s GROUP BY lang, predicted
+"""
+
+
+def q_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = read_table(spark, sf_dir, "documents")
+    exprs = quality_score_exprs("text")
+    return d.select("doc_id", *[v.alias(k) for k, v in exprs.items()])
+
+
+def _oracle_quality() -> str:
+    en = "[" + ", ".join(f"'{w}'" for w in STOPWORDS["en"]) + "]"
+    return rf"""
+WITH t AS (
+  SELECT doc_id, text, {SQL_TOKS} AS toks,
+         length(text) AS n_chars,
+         len({SQL_TOKS}) AS n_tokens,
+         len(regexp_extract_all(text, '{BPE_ISH_RE}')) AS n_bpe_tokens,
+         len(regexp_extract_all(text, '[^a-zA-Z0-9\s]')) AS punct_cnt
+  FROM documents
+), r AS (
+  SELECT doc_id, n_chars, n_tokens, n_bpe_tokens,
+         CASE WHEN n_chars > 0 THEN punct_cnt * 1.0 / n_chars ELSE 0.0 END AS punct_ratio,
+         CASE WHEN n_tokens > 0
+              THEN len(list_filter(toks, t -> list_contains({en}, t))) * 1.0 / n_tokens
+              ELSE 0.0 END AS stop_ratio,
+         CASE WHEN n_tokens > 0
+              THEN list_sum(list_transform(toks, t -> length(t))) * 1.0 / n_tokens
+              ELSE 0.0 END AS mean_token_len
+  FROM t
+)
+SELECT doc_id, n_chars, n_tokens, n_bpe_tokens,
+       round(punct_ratio, 6) AS punct_ratio,
+       round(stop_ratio, 6) AS stop_ratio,
+       round(mean_token_len, 6) AS mean_token_len,
+       round(0.4 * least(n_tokens / 100.0, 1.0)
+           + 0.3 * (1.0 - least(punct_ratio * 5, 1.0))
+           + 0.3 * least(stop_ratio * 3, 1.0), 6) AS quality_score
+FROM r
+"""
+
+
+def q_winnow_fp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = read_table(spark, sf_dir, "documents")
+    return winnow_fingerprints(d, "doc_id", "text", k=3, window=4)
+
+
+def _oracle_winnow(k: int = 3, window: int = 4) -> str:
+    shingles_k = (
+        f"[array_to_string(toks[i:i+{k - 1}], ' ') "
+        f"for i in generate_series(1, len(toks)-{k - 1})]"
+    )
+    return rf"""
+WITH t AS (SELECT doc_id, {SQL_TOKS} AS toks FROM documents),
+sh AS (SELECT doc_id, {shingles_k} AS shs FROM t WHERE len(toks) >= {k}),
+h AS (SELECT doc_id, [{_sql_md5_64('s')} for s in shs] AS hs FROM sh),
+w AS (SELECT doc_id,
+             list_distinct([list_min(hs[i:i+{window - 1}])
+                            for i in generate_series(1, len(hs)-{window - 1})]) AS fps
+      FROM h WHERE len(hs) >= {window})
+SELECT doc_id, unnest(fps) AS fp FROM w
+"""
+
+
+def q_blob_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing: opaque binary column + JVM-side typed metadata."""
+    d = with_blob(read_table(spark, sf_dir, "documents"), "text")
+    meta = blob_meta("blob")
+    return d.select("doc_id", *[v.alias(k) for k, v in meta.items()])
+
+
+ORACLE_BLOB_META = """
+SELECT doc_id, octet_length(encode(text)) AS n_bytes, sha256(text) AS sha256
+FROM documents
+"""
+
+
+def q_blob_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-batched fake decode over blobs (mapInPandas), aggregated per
+    source: mean blob size + mean byte value. Rows-only check (the decode
+    step is the stubbed non-SQL path)."""
+    d = with_blob(read_table(spark, sf_dir, "documents"), "text")
+    feats = decode_blob_features(d, "doc_id", "blob", fake=True)
+    joined = feats.join(
+        d.select(F.col("doc_id").alias("id"), "source"), "id"
+    )
+    return joined.groupBy("source").agg(
+        F.round(F.avg("n_bytes"), 4).alias("avg_bytes"),
+        F.round(F.avg("mean_byte"), 4).alias("avg_byte_val"),
+        F.count(F.lit(1)).alias("n_docs"),
+    )
+
+
+QUERIES: dict[str, QuerySpec] = {
+    "doc_token_stats": QuerySpec(q_token_stats, ORACLE_TOKEN_STATS, "token counting"),
+    "doc_exact_dedup": QuerySpec(q_exact_dedup, ORACLE_EXACT_DEDUP, "exact hash dedup"),
+    "doc_minhash_pairs": QuerySpec(
+        q_minhash_pairs, _oracle_minhash(), "MinHash-LSH near-dup, verified"
+    ),
+    "doc_simhash_pairs": QuerySpec(
+        q_simhash_pairs, _oracle_simhash(), "SimHash banded near-dup"
+    ),
+    "doc_ngram_jaccard": QuerySpec(
+        q_ngram_jaccard, ORACLE_NGRAM_JACCARD, "exact 2-gram Jaccard pairs"
+    ),
+    "doc_langid": QuerySpec(q_langid, _oracle_langid(), "stopword language-ID"),
+    "doc_quality": QuerySpec(q_quality, _oracle_quality(), "quality scoring"),
+    "doc_winnow_fp": QuerySpec(
+        q_winnow_fp, _oracle_winnow(), "winnowing fingerprints"
+    ),
+    "doc_blob_meta": QuerySpec(q_blob_meta, ORACLE_BLOB_META, "binary column metadata"),
+    "doc_blob_features": QuerySpec(
+        q_blob_features, None, "mapInPandas fake decode (stubbed codec)"
+    ),
+}

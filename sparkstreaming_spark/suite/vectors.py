@@ -1,3 +1,93 @@
+"""Similarity-search queries over `embeddings` (array<float>, 64-dim).
+
+Cosine is computed in double on both engines (Spark casts the float
+arrays; the oracle casts to DOUBLE[]) and rounded to 6 dp BEFORE ranking
+or thresholding, with id tie-breaks — so ranks are reproducible across
+engines despite float accumulation differences.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..dedup.embedding import embedding_near_dup_pairs
+from ..functions.vectors import l2_norm
+from ..similarity import brute_force_knn, lsh_knn
+from ..sources.batch import read_table
 from . import QuerySpec
 
-QUERIES: dict[str, QuerySpec] = {}
+N_QUERIES = 5  # first N vec_ids act as the query set
+TOP_K = 10
+
+
+def q_knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = read_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < N_QUERIES)
+    return brute_force_knn(emb, queries, "vec_id", "embedding", k=TOP_K)
+
+
+ORACLE_KNN = f"""
+WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings
+           WHERE vec_id < {N_QUERIES}),
+scored AS (
+    SELECT q.query_id, e.vec_id AS neighbor_id,
+           round(list_cosine_similarity(e.embedding::DOUBLE[], q.qv), 6) AS cosine
+    FROM embeddings e CROSS JOIN q
+    WHERE e.vec_id != q.query_id
+), ranked AS (
+    SELECT *, row_number() OVER
+        (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rk
+    FROM scored
+)
+SELECT query_id, neighbor_id, cosine, cast(rk AS int) AS rk
+FROM ranked WHERE rk <= {TOP_K}
+"""
+
+
+def q_near_dup_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = read_table(spark, sf_dir, "embeddings")
+    return embedding_near_dup_pairs(emb, "vec_id", "embedding", threshold=0.4)
+
+
+ORACLE_NEAR_DUP = """
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS cosine
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) >= 0.4
+"""
+
+
+def q_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed ANN — approximate by construction, so no SQL oracle;
+    tests/test_similarity.py checks recall ≥ 0.6 vs brute force."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < N_QUERIES)
+    return lsh_knn(emb, queries, "vec_id", "embedding", k=TOP_K, planes=3, tables=16)
+
+
+def q_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array math surface: mean L2 norm per label."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    return emb.groupBy("label").agg(
+        F.round(F.avg(l2_norm("embedding")), 6).alias("avg_norm"),
+        F.count(F.lit(1)).alias("n_vecs"),
+    )
+
+
+ORACLE_NORM_STATS = """
+SELECT label,
+       round(avg(sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x * x)))), 6) AS avg_norm,
+       count(*) AS n_vecs
+FROM embeddings GROUP BY label
+"""
+
+
+QUERIES: dict[str, QuerySpec] = {
+    "emb_knn_bruteforce": QuerySpec(q_knn_bruteforce, ORACLE_KNN, "exact cosine top-k"),
+    "emb_near_dup_cosine": QuerySpec(
+        q_near_dup_cosine, ORACLE_NEAR_DUP, "cosine near-dup pairs"
+    ),
+    "emb_knn_lsh": QuerySpec(q_knn_lsh, None, "LSH-bucketed ANN (recall-tested)"),
+    "emb_norm_stats": QuerySpec(q_norm_stats, ORACLE_NORM_STATS, "array math stats"),
+}

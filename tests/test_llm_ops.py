@@ -1,0 +1,58 @@
+"""Behavioral tests for the approximate/stubbed LLM-pipeline operators —
+the paths the SQL oracle can't cover (SURVEY §5.4-style properties)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from sparkstreaming_spark.dedup import minhash_near_dup_pairs, ngram_jaccard_pairs
+from sparkstreaming_spark.multimodal import decode_blob_features, with_blob
+from sparkstreaming_spark.similarity import brute_force_knn, lsh_knn
+from sparkstreaming_spark.sources.batch import read_table
+from tests.conftest import SF_DIR_CORRECT
+
+
+def test_minhash_recall_vs_exact(spark):
+    """MinHash-LSH (k=16, b=4) must find every pair the exact 2-gram
+    Jaccard join finds at j >= 0.8 (catch probability ~1 at that j)."""
+    d = read_table(spark, SF_DIR_CORRECT, "documents")
+    exact = {
+        (r.doc_a, r.doc_b)
+        for r in ngram_jaccard_pairs(d, "doc_id", "text", 2, 0.8).collect()
+    }
+    mh = {
+        (r.doc_a, r.doc_b)
+        for r in minhash_near_dup_pairs(d, "doc_id", "text").collect()
+    }
+    assert exact, "fixture should contain planted near-dups"
+    assert exact <= mh, f"missed pairs: {exact - mh}"
+
+
+def test_lsh_knn_recall(spark):
+    """Multi-table LSH ANN (3 planes x 16 tables) should recover >= 80% of
+    the exact top-10 neighbors on the synthetic embeddings."""
+    emb = read_table(spark, SF_DIR_CORRECT, "embeddings")
+    q = emb.filter(F.col("vec_id") < 5)
+    exact = brute_force_knn(emb, q, "vec_id", "embedding", k=10).collect()
+    approx = lsh_knn(emb, q, "vec_id", "embedding", k=10, planes=3, tables=16).collect()
+    exact_set = {(r.query_id, r.neighbor_id) for r in exact}
+    approx_set = {(r.query_id, r.neighbor_id) for r in approx}
+    recall = len(exact_set & approx_set) / len(exact_set)
+    assert recall >= 0.8, f"LSH recall too low: {recall:.2f}"
+
+
+def test_blob_decode_stub_raises(spark):
+    d = with_blob(read_table(spark, SF_DIR_CORRECT, "documents").limit(5), "text")
+    feats = decode_blob_features(d, "doc_id", "blob", fake=False)
+    with pytest.raises(Exception, match="NotImplementedError|real media decode"):
+        feats.collect()
+
+
+def test_blob_fake_decode_deterministic(spark):
+    d = with_blob(read_table(spark, SF_DIR_CORRECT, "documents").limit(20), "text")
+    a = sorted(map(str, decode_blob_features(d, "doc_id", "blob").collect()))
+    b = sorted(map(str, decode_blob_features(d, "doc_id", "blob").collect()))
+    assert a == b
+    row = decode_blob_features(d, "doc_id", "blob").first()
+    assert row.n_bytes == sum(row.byte_hist)
