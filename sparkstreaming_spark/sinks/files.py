@@ -1,0 +1,44 @@
+"""File sinks.
+
+- `write_csv_segments`: the producer's output side (reference K3,
+  Producer.scala:47) — but ONE partitioned write instead of one job per
+  segment (anti-pattern §4 'per-segment rescan').
+- `append_text_file`: the reconstitution output (reference K4,
+  FileReconstitution.scala:55-69). The reference appends from every
+  partition concurrently — race-prone by design; here the batch is
+  ordered and written once from the driver per micro-batch, which is
+  correct because reconstitution output is a single logical file (a
+  driver-bounded op by definition; documented, not hidden).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def write_csv_segments(df_with_segment: DataFrame, out_dir: str, header: bool = True) -> None:
+    """Write one CSV directory per `segment` value in a single Spark job
+    via partitionBy — every segment is emitted in one pass over the input."""
+    (
+        df_with_segment.write.mode("overwrite")
+        .option("header", str(header).lower())
+        .partitionBy("segment")
+        .csv(out_dir)
+    )
+
+
+def append_text_file(batch_df: DataFrame, out_path: str, order_col: str | None = None) -> None:
+    """Append a micro-batch of text lines to one local file, optionally
+    ordered (reconstitution wants segment order, FileReconstitution.scala:34-36)."""
+    if order_col is not None:
+        batch_df = batch_df.orderBy(order_col)
+    lines = [r[0] for r in batch_df.select(batch_df.columns[0]).collect()]
+    if not lines:
+        return
+    os.makedirs(os.path.dirname(out_path) or ".", exist_ok=True)
+    with open(out_path, "a", encoding="utf-8") as fh:
+        for line in lines:
+            fh.write(line + "\n")

