@@ -36,6 +36,16 @@ HEADLINE = [
     "distinct_counts",
     "kpi_feature_means",
     "setops",
+    "evt_tumbling_window",
+    "evt_session_window",
+    "evt_json_props",
+    "doc_token_stats",
+    "doc_exact_dedup",
+    "doc_minhash_pairs",
+    "doc_simhash_pairs",
+    "doc_quality",
+    "emb_knn_bruteforce",
+    "emb_near_dup_cosine",
 ]
 
 

@@ -4,24 +4,30 @@ Pipeline (all built-in expressions — no Python in the hot path):
 
   shingle → minhash signature → band → bucket-join → verify
 
-1. `minhash_signatures`: explode distinct word-n-gram shingles, then ONE
-   groupBy(doc) computing k min-aggregates, where hash_i(shingle) =
-   md5("i:" + shingle) truncated to 60 bits. k independent hash functions
-   via seed-prefixing, one shuffle total, map-side partial mins.
+1. `minhash_signatures`: explode distinct word-n-gram shingles, hash each
+   ONCE (md5 → 60-bit int), then ONE groupBy(doc) computing k min-
+   aggregates over affine permutations h_i = (a_i·(h mod P) + b_i) mod P
+   (P = 2³¹−1; a_i,b_i deterministic — `minhash_params`). One shuffle,
+   map-side partial mins, one md5 per shingle instead of k.
 2. `lsh_bands`: signature → b bands of r rows; band key = md5 of the
    band's signature slice.
-3. `candidate_pairs`: self-equi-join on (band_id, band_hash). This is the
-   scale move: candidates come from hash-bucket joins, never an O(n²)
-   cross join. Skewed buckets (boilerplate-heavy corpora) are split by
-   AQE's skew-join handling.
+3. `candidate_pairs`: self-equi-join on (band_id, band_hash). The scale
+   move: candidates come from hash-bucket joins, never an O(n²) cross
+   join. Skewed buckets (boilerplate-heavy corpora) split by AQE.
 4. `minhash_near_dup_pairs`: verify candidates with exact shingle-set
-   Jaccard (array_intersect on the per-doc distinct shingle arrays).
+   Jaccard (array_intersect on per-doc distinct shingle arrays).
 
 md5 (not xxhash64) keeps every step reproducible in the DuckDB oracle
-(suite/llm.py generates the equivalent SQL with the same constants).
+(suite/llm.py generates equivalent SQL from the same constants).
+
+Small-input parallelism: a single parquet file scans as ONE partition,
+serializing the (CPU-heavy) shingling; `minhash_signatures` repartitions
+to the session default parallelism first. At real scale the input is
+already many partitions and the repartition coalesces to a no-op-sized
+shuffle of raw doc pointers.
 
 Probability a true pair with Jaccard j becomes a candidate:
-1 - (1 - j^r)^b; defaults (k=16, b=4, r=4) catch j ≳ 0.7 reliably.
+1 − (1 − j^r)^b; defaults (k=16, b=4, r=4) catch j ≳ 0.7 reliably.
 """
 
 from __future__ import annotations
@@ -31,17 +37,35 @@ from pyspark.sql import functions as F
 
 from ..functions.text import md5_64, shingles
 
+MERSENNE_P = (1 << 31) - 1  # 2^31 - 1, prime
+
+
+def minhash_params(num_perm: int) -> list[tuple[int, int]]:
+    """Deterministic affine-permutation constants (a_i, b_i), shared with
+    the SQL-oracle generator. Knuth-style multiplicative mixing keeps them
+    well spread; a_i != 0 mod P."""
+    params = []
+    for i in range(num_perm):
+        a = (2654435761 * (2 * i + 1)) % MERSENNE_P
+        b = (40503 * (i + 1) * 65537 + 17) % MERSENNE_P
+        params.append((a or 1, b))
+    return params
+
+
+def _parallel(df: DataFrame) -> DataFrame:
+    return df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+
 
 def minhash_signatures(
     df: DataFrame, id_col: str, text_col: str, num_perm: int = 16, shingle_n: int = 2
 ) -> DataFrame:
-    sh = df.select(
+    sh = _parallel(df).select(
         F.col(id_col).cast("bigint").alias("doc_id"),
         F.explode(F.array_distinct(shingles(text_col, shingle_n))).alias("shingle"),
-    )
+    ).withColumn("h", md5_64(F.col("shingle")) % F.lit(MERSENNE_P))
     aggs = [
-        F.min(md5_64(F.concat(F.lit(f"{i}:"), F.col("shingle")))).alias(f"mh{i}")
-        for i in range(num_perm)
+        F.min((F.lit(a) * F.col("h") + F.lit(b)) % F.lit(MERSENNE_P)).alias(f"mh{i}")
+        for i, (a, b) in enumerate(minhash_params(num_perm))
     ]
     return sh.groupBy("doc_id").agg(*aggs)
 
@@ -91,13 +115,16 @@ def minhash_near_dup_pairs(
     """Full pipeline: LSH candidates verified with exact Jaccard ≥ threshold.
 
     Returns (doc_a, doc_b, jaccard) with jaccard rounded to 6 dp.
+    Signatures and shingle sets are persisted: each feeds both sides of a
+    self-join, and without a persist Spark would recompute the full
+    shingling lineage once per join branch.
     """
-    sigs = minhash_signatures(df, id_col, text_col, num_perm, shingle_n)
+    sigs = minhash_signatures(df, id_col, text_col, num_perm, shingle_n).persist()
     cands = candidate_pairs(lsh_bands(sigs, num_perm, bands))
-    sets_df = df.select(
+    sets_df = _parallel(df).select(
         F.col(id_col).cast("bigint").alias("doc_id"),
         F.array_distinct(shingles(text_col, shingle_n)).alias("sh"),
-    )
+    ).persist()
     a = sets_df.alias("sa")
     b = sets_df.alias("sb")
     inter = F.size(F.array_intersect(F.col("sa.sh"), F.col("sb.sh")))

@@ -25,7 +25,13 @@ N_BITS = 60
 
 def simhash_fingerprints(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """(doc_id, simhash) — sign-of-weighted-bit-sum over token hashes.
-    Token multiplicity weights naturally (no array_distinct)."""
+    Token multiplicity weights naturally (no array_distinct).
+
+    Repartitions first: a single small parquet file scans as one
+    partition, which would serialize tokenization + 60 bit-sum aggs."""
+    from .minhash import _parallel
+
+    df = _parallel(df)
     tok = df.select(
         F.col(id_col).cast("bigint").alias("doc_id"),
         F.explode(tokenize(text_col)).alias("w"),
@@ -58,7 +64,8 @@ def simhash_near_dup_pairs(
     """
     assert max_hamming <= bands - 1, "pigeonhole guarantee requires max_hamming <= bands-1"
     width = N_BITS // bands
-    sig = simhash_fingerprints(df, id_col, text_col)
+    # persist: the fingerprint DF feeds both sides of the band self-join
+    sig = simhash_fingerprints(df, id_col, text_col).persist()
     band_structs = [
         F.struct(
             F.lit(b).alias("band_id"),

@@ -84,13 +84,12 @@ def q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _oracle_minhash(num_perm: int = 16, bands: int = 4) -> str:
+    from ..dedup.minhash import MERSENNE_P, minhash_params
+
     rows = num_perm // bands
-
-    def seeded(i: int) -> str:
-        return f"'{i}:' || shingle"
-
     mins = ",\n       ".join(
-        f"min({_sql_md5_64(seeded(i))}) AS mh{i}" for i in range(num_perm)
+        f"min(({a} * h + {b}) % {MERSENNE_P}) AS mh{i}"
+        for i, (a, b) in enumerate(minhash_params(num_perm))
     )
     band_rows = "\nUNION ALL\n".join(
         f"SELECT doc_id, {b} AS band_id, md5(concat_ws(',', "
@@ -101,7 +100,8 @@ def _oracle_minhash(num_perm: int = 16, bands: int = 4) -> str:
     return rf"""
 WITH t AS (SELECT doc_id, {SQL_TOKS} AS toks FROM documents),
 sh_sets AS (SELECT doc_id, list_distinct({SQL_SHINGLES2}) AS sh FROM t WHERE len(toks) >= 2),
-sh AS (SELECT doc_id, unnest(sh) AS shingle FROM sh_sets),
+sh AS (SELECT doc_id, {_sql_md5_64('shingle')} % {MERSENNE_P} AS h
+       FROM (SELECT doc_id, unnest(sh) AS shingle FROM sh_sets)),
 sig AS (SELECT doc_id, {mins} FROM sh GROUP BY doc_id),
 bands AS ({band_rows}),
 cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
