@@ -1,0 +1,67 @@
+"""As-of join — for each left row, the latest right row with
+right_ts <= left_ts per key. Spark has no native ASOF; this is the
+scalable composition:
+
+    union(left ⊕ right) → window last(ignorenulls) → filter left
+
+One shuffle on (key), one sort within partitions — O(n log n) per key —
+versus the naive join-then-rank which materializes every (left row ×
+earlier right row) pair before discarding all but one. At 100 TB the
+naive form explodes by the average right-rows-per-key factor; the union
+form's shuffle is exactly |left| + |right| rows.
+
+Tie semantics: right rows sort BEFORE left rows at equal timestamps, so
+an equal-timestamp right row matches (<= semantics, like DuckDB's
+`ASOF JOIN ... ON l.ts >= r.ts`, which the oracle uses). Among right
+rows sharing (key, ts) the LAST by the window's tiebreak wins — callers
+needing cross-engine determinism should emit value columns that are
+functionally dependent on (key, right_ts), as the suite query does.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    right_cols: list[str],
+) -> DataFrame:
+    """Left as-of join; right_cols arrive prefixed `asof_` (null when no
+    right row precedes the left row)."""
+    l_tagged = left.withColumn("__is_left", F.lit(1)).withColumn(
+        "__ts", F.col(left_ts)
+    )
+    r_tagged = (
+        right.select(
+            F.col(key),
+            F.col(right_ts).alias("__ts"),
+            *[F.col(c).alias(f"asof_{c}") for c in right_cols],
+        )
+        .withColumn("__is_left", F.lit(0))
+    )
+    u = l_tagged.unionByName(r_tagged, allowMissingColumns=True)
+    w = (
+        Window.partitionBy(key)
+        .orderBy(F.col("__ts").asc(), F.col("__is_left").asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    filled = u.select(
+        "*",
+        *[
+            F.last(f"asof_{c}", ignorenulls=True).over(w).alias(f"__filled_{c}")
+            for c in right_cols
+        ],
+    )
+    return (
+        filled.filter(F.col("__is_left") == 1)
+        .select(
+            *left.columns,
+            *[F.col(f"__filled_{c}").alias(f"asof_{c}") for c in right_cols],
+        )
+    )

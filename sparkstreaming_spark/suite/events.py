@@ -155,7 +155,70 @@ FROM events
 """
 
 
+def q_asof_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (operator Spark lacks; operators/asof.py composition):
+    each event matched to the customer's latest order at-or-before the
+    event, bucketed into 30-day ages. Oracle uses DuckDB's native ASOF
+    JOIN — a strong cross-engine check of the union+window composition."""
+    from ..operators.asof import asof_join
+
+    ev = read_table(spark, sf_dir, "events")
+    orders = read_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("user_id"), "o_orderdate"
+    )
+    joined = asof_join(
+        ev, orders, key="user_id", left_ts="ts", right_ts="o_orderdate",
+        right_cols=["o_orderdate"],
+    )
+    # o_orderdate is TIMESTAMP_NTZ (naive parquet ms); cast to LTZ for
+    # unix_micros — identity under the UTC session/container timezone
+    months = F.floor(
+        (
+            F.unix_micros(F.col("ts"))
+            - F.unix_micros(F.col("asof_o_orderdate").cast("timestamp"))
+        )
+        / F.lit(2592000000000)
+    )
+    return (
+        joined.filter(F.col("asof_o_orderdate").isNotNull())
+        .select("event_type", months.alias("months_since"))
+        .groupBy("event_type", "months_since")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+ORACLE_ASOF = """
+SELECT event_type,
+       cast(floor((epoch_us(e.ts) - epoch_us(o.o_orderdate)) / 2592000000000) AS bigint)
+           AS months_since,
+       count(*) AS cnt
+FROM events e ASOF JOIN orders o
+  ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
+GROUP BY 1, 2
+"""
+
+
+def q_from_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.7 JSON surface #2: schema-full from_json into a struct column."""
+    ev = read_table(spark, sf_dir, "events")
+    parsed = F.from_json("props", "k int")
+    return (
+        ev.select("event_type", (parsed["k"] % 2).alias("k_parity"))
+        .groupBy("event_type", "k_parity")
+        .agg(F.count(F.lit(1)).alias("cnt"), )
+    )
+
+
+ORACLE_FROM_JSON = """
+SELECT event_type, cast(json_extract(props, '$.k') AS int) % 2 AS k_parity,
+       count(*) AS cnt
+FROM events GROUP BY event_type, k_parity
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "evt_asof_orders": QuerySpec(q_asof_orders, ORACLE_ASOF, "as-of join composition"),
+    "evt_from_json": QuerySpec(q_from_json, ORACLE_FROM_JSON, "from_json struct parse"),
     "evt_tumbling_window": QuerySpec(q_tumbling_window, ORACLE_TUMBLING, "T5 tumbling window"),
     "evt_sliding_window": QuerySpec(q_sliding_window, ORACLE_SLIDING, "T5 sliding window"),
     "evt_session_window": QuerySpec(q_session_window, ORACLE_SESSION, "T5 session window"),

@@ -215,7 +215,40 @@ def q_scalar_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).withColumn("price_dist", F.round("price_dist", 2))
 
 
+def q_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot: linestatus columns of summed quantity per returnflag (the
+    two-phase pivot aggregate; values list pinned so the plan is static)."""
+    li = read_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["O", "F"])
+        .agg(F.round(F.sum("l_quantity"), 4))
+    )
+
+
+def q_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cube over (status, priority): all 4 grouping sets incl. grand total."""
+    o = read_table(spark, sf_dir, "orders")
+    return o.cube("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "pivot_qty": QuerySpec(
+        q_pivot,
+        "SELECT l_returnflag, "
+        "round(sum(CASE WHEN l_linestatus = 'O' THEN l_quantity END), 4) AS \"O\", "
+        "round(sum(CASE WHEN l_linestatus = 'F' THEN l_quantity END), 4) AS \"F\" "
+        "FROM lineitem GROUP BY l_returnflag",
+        "pivot via pinned value list",
+    ),
+    "cube_counts": QuerySpec(
+        q_cube,
+        "SELECT o_orderstatus, o_orderpriority, count(*) AS cnt FROM orders "
+        "GROUP BY CUBE (o_orderstatus, o_orderpriority)",
+        "cube grouping sets",
+    ),
     "filter_between": QuerySpec(
         q_filter_between,
         "SELECT l_returnflag, count(*) AS cnt FROM lineitem "

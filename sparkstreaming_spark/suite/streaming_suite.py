@@ -164,7 +164,35 @@ def q_stream_producer_consumer(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static join: streaming orders ⋈ static (broadcast) customer
+    dimension, aggregated per market segment — the standard streaming
+    enrichment topology (static side re-read per micro-batch, broadcast
+    because it's a dimension)."""
+    from ..sources.batch import read_table
+
+    cust = F.broadcast(
+        read_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    )
+    return run_available_now(
+        _orders_stream(spark, sf_dir),
+        lambda df: df.join(cust, df.o_custkey == cust.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        ),
+        output_mode="complete",
+    )
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "stream_static_join": QuerySpec(
+        q_stream_static_join,
+        "SELECT c_mktsegment, count(*) AS cnt, round(sum(o_totalprice), 2) AS revenue "
+        "FROM orders JOIN customer ON o_custkey = c_custkey GROUP BY c_mktsegment",
+        "stream-static broadcast enrichment join",
+    ),
     "stream_kpi_counts": QuerySpec(
         q_stream_kpi_counts,
         "SELECT o_orderstatus, count(*) AS cnt FROM orders GROUP BY o_orderstatus",
