@@ -36,6 +36,8 @@ HEADLINE = [
     "distinct_counts",
     "kpi_feature_means",
     "setops",
+    "sql_shipping_priority",
+    "evt_asof_orders",
     "evt_tumbling_window",
     "evt_session_window",
     "evt_json_props",

@@ -234,7 +234,41 @@ def q_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_sql_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL entry point (SURVEY §3: `spark.sql` over registered views —
+    free via Catalyst, same plan as the DataFrame form): TPC-H Q3 shape,
+    top-10 open orders by pending revenue for one market segment."""
+    from ..sources.batch import load_tables
+
+    load_tables(spark, sf_dir, ("customer", "orders", "lineitem"))
+    return spark.sql(
+        """
+        SELECT o_orderkey,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+               date_format(o_orderdate, 'yyyy-MM-dd') AS orderdate,
+               o_orderpriority
+        FROM customer JOIN orders ON c_custkey = o_custkey
+                      JOIN lineitem ON l_orderkey = o_orderkey
+        WHERE c_mktsegment = 'BUILDING' AND o_orderstatus = 'O'
+        GROUP BY o_orderkey, o_orderdate, o_orderpriority
+        ORDER BY revenue DESC, o_orderkey ASC
+        LIMIT 10
+        """
+    )
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "sql_shipping_priority": QuerySpec(
+        q_sql_shipping_priority,
+        "SELECT o_orderkey, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue, "
+        "strftime(o_orderdate, '%Y-%m-%d') AS orderdate, o_orderpriority "
+        "FROM customer JOIN orders ON c_custkey = o_custkey "
+        "JOIN lineitem ON l_orderkey = o_orderkey "
+        "WHERE c_mktsegment = 'BUILDING' AND o_orderstatus = 'O' "
+        "GROUP BY o_orderkey, o_orderdate, o_orderpriority "
+        "ORDER BY revenue DESC, o_orderkey ASC LIMIT 10",
+        "spark.sql entry point, TPC-H Q3 shape",
+    ),
     "pivot_qty": QuerySpec(
         q_pivot,
         "SELECT l_returnflag, "
