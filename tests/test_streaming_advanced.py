@@ -1,0 +1,99 @@
+"""Advanced streaming coverage: stream-stream joins with watermarks and
+the RocksDB state-store provider (the at-scale state backend named in
+SURVEY §4/§7)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from sparkstreaming_spark.streaming.pipeline import run_available_now
+
+
+def _write(spark, path, rows, schema):
+    spark.createDataFrame(rows, schema).coalesce(1).write.mode("overwrite").parquet(path)
+
+
+def test_stream_stream_join_with_watermarks(spark, tmp_path):
+    """Interval-bounded stream-stream inner join: impressions ⋈ clicks
+    within 10 minutes — both sides watermarked (required for state
+    cleanup in stream-stream joins)."""
+    imp = str(tmp_path / "imp")
+    clk = str(tmp_path / "clk")
+    _write(
+        spark, imp,
+        [("ad1", "2024-01-01 10:00:00"), ("ad2", "2024-01-01 10:05:00"),
+         ("ad3", "2024-01-01 11:00:00")],
+        "ad string, ts_s string",
+    )
+    _write(
+        spark, clk,
+        [("ad1", "2024-01-01 10:04:00"),   # within 10 min -> joins
+         ("ad3", "2024-01-01 11:30:00")],  # 30 min later -> dropped by bound
+        "ad string, ts_s string",
+    )
+    imps = (
+        spark.readStream.schema("ad string, ts_s string").parquet(imp)
+        .withColumn("imp_ts", F.to_timestamp("ts_s")).drop("ts_s")
+        .withWatermark("imp_ts", "1 minute")
+    )
+    clks = (
+        spark.readStream.schema("ad string, ts_s string").parquet(clk)
+        .withColumnRenamed("ad", "c_ad")
+        .withColumn("clk_ts", F.to_timestamp("ts_s")).drop("ts_s")
+        .withWatermark("clk_ts", "1 minute")
+    )
+    joined = imps.join(
+        clks,
+        (F.col("ad") == F.col("c_ad"))
+        & (F.col("clk_ts") >= F.col("imp_ts"))
+        & (F.col("clk_ts") <= F.col("imp_ts") + F.expr("INTERVAL 10 MINUTES")),
+    ).select("ad", "imp_ts", "clk_ts")
+    out = run_available_now(
+        joined, output_mode="append", checkpoint_base=str(tmp_path / "ck")
+    )
+    ads = sorted(r.ad for r in out.collect())
+    assert ads == ["ad1"], f"expected only ad1 within bound, got {ads}"
+
+
+def test_rocksdb_state_store_provider(spark, tmp_path):
+    """Streaming aggregation with the RocksDB state store (the 100 TB
+    state backend) produces the same result as the default provider."""
+    src = str(tmp_path / "src")
+    _write(
+        spark, src,
+        [("a", 1.0), ("b", 2.0), ("a", 3.0), ("c", 4.0)],
+        "k string, v double",
+    )
+    prev = spark.conf.get(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.HDFSBackedStateStoreProvider",
+    )
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        stream = spark.readStream.schema("k string, v double").parquet(src)
+        result = run_available_now(
+            stream,
+            lambda df: df.groupBy("k").agg(F.sum("v").alias("sv")),
+            output_mode="complete",
+            checkpoint_base=str(tmp_path / "ck"),
+        )
+        got = {r.k: r.sv for r in result.collect()}
+        assert got == {"a": 4.0, "b": 2.0, "c": 4.0}
+    finally:
+        spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+
+
+def test_json_source_roundtrip(spark, tmp_path):
+    """JSON batch source with explicit schema (sources/batch.py::read_json)."""
+    from sparkstreaming_spark.sources.batch import read_json
+
+    p = str(tmp_path / "j")
+    spark.createDataFrame(
+        [(1, "x"), (2, "y")], "id bigint, name string"
+    ).write.mode("overwrite").json(p)
+    back = read_json(spark, p, "id bigint, name string")
+    assert sorted((r.id, r.name) for r in back.collect()) == [(1, "x"), (2, "y")]
