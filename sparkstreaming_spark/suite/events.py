@@ -216,7 +216,85 @@ FROM events GROUP BY event_type, k_parity
 """
 
 
+def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range join: pairs of events from the same user within 60 seconds —
+    equi-anchor on user_id (so Spark plans a hash join, not a nested
+    loop) + interval predicate, counted per event_type pair."""
+    ev = read_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "event_type", "ts"
+    )
+    a, b = ev.alias("a"), ev.alias("b")
+    pair = a.join(
+        b,
+        (F.col("a.user_id") == F.col("b.user_id"))
+        & (F.col("a.event_id") < F.col("b.event_id"))
+        & (F.col("b.ts") >= F.col("a.ts"))
+        & (
+            F.unix_micros(F.col("b.ts")) - F.unix_micros(F.col("a.ts"))
+            <= 60_000_000
+        ),
+    )
+    return pair.groupBy(
+        F.col("a.event_type").alias("type_a"), F.col("b.event_type").alias("type_b")
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+
+
+ORACLE_RANGE_JOIN = """
+SELECT a.event_type AS type_a, b.event_type AS type_b, count(*) AS cnt
+FROM events a JOIN events b
+  ON a.user_id = b.user_id AND a.event_id < b.event_id
+ AND b.ts >= a.ts AND epoch_us(b.ts) - epoch_us(a.ts) <= 60000000
+GROUP BY 1, 2
+"""
+
+
+def q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact percentiles (continuous interpolation): median and p90 of
+    event value per type — F.percentile ≡ DuckDB quantile_cont."""
+    ev = read_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.round(F.percentile("value", F.lit(0.5)), 6).alias("p50"),
+        F.round(F.percentile("value", F.lit(0.9)), 6).alias("p90"),
+    )
+
+
+ORACLE_PERCENTILES = """
+SELECT event_type,
+       round(quantile_cont(value, 0.5), 6) AS p50,
+       round(quantile_cont(value, 0.9), 6) AS p90
+FROM events GROUP BY event_type
+"""
+
+
+def q_argmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Argmax aggregate: per user, the event_id carrying the max value
+    (max_by with event_id tiebreak folded in via struct ordering)."""
+    ev = read_table(spark, sf_dir, "events")
+    # tiebreak: among equal values take the smallest event_id, both engines
+    return ev.groupBy("user_id").agg(
+        F.max_by(
+            "event_id", F.struct(F.col("value"), (-F.col("event_id")).alias("neg"))
+        ).alias("top_event_id"),
+        F.round(F.max("value"), 2).alias("max_value"),
+    )
+
+
+ORACLE_ARGMAX = """
+SELECT user_id, event_id AS top_event_id, round(mx, 2) AS max_value
+FROM (
+    SELECT user_id, event_id,
+           max(value) OVER (PARTITION BY user_id) AS mx,
+           row_number() OVER (PARTITION BY user_id
+                              ORDER BY value DESC, event_id ASC) AS rn
+    FROM events
+) WHERE rn = 1
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "evt_range_join": QuerySpec(q_range_join, ORACLE_RANGE_JOIN, "interval range join"),
+    "evt_percentiles": QuerySpec(q_percentiles, ORACLE_PERCENTILES, "exact quantiles"),
+    "evt_argmax": QuerySpec(q_argmax, ORACLE_ARGMAX, "max_by/arg_max aggregate"),
     "evt_asof_orders": QuerySpec(q_asof_orders, ORACLE_ASOF, "as-of join composition"),
     "evt_from_json": QuerySpec(q_from_json, ORACLE_FROM_JSON, "from_json struct parse"),
     "evt_tumbling_window": QuerySpec(q_tumbling_window, ORACLE_TUMBLING, "T5 tumbling window"),

@@ -293,7 +293,38 @@ def q_blob_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end dedup RESULT: survivors (lowest doc_id per distinct
+    normalized text) joined back to recover their rows — the shape a
+    training-data pipeline actually materializes. The join carries only
+    (hash, keep_id), never text bodies."""
+    d = read_table(spark, sf_dir, "documents")
+    keep = exact_dedup(d, "doc_id", "text").select("keep_id")
+    return (
+        d.join(keep, d.doc_id == keep.keep_id, "left_semi")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.sum(F.length("text")).alias("kept_chars"),
+        )
+    )
+
+
+ORACLE_DEDUP_SURVIVORS = rf"""
+WITH keep AS (
+  SELECT min(doc_id) AS keep_id FROM documents
+  GROUP BY md5({SQL_NORM})
+)
+SELECT lang, count(*) AS n_kept, cast(sum(length(text)) AS bigint) AS kept_chars
+FROM documents WHERE doc_id IN (SELECT keep_id FROM keep)
+GROUP BY lang
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "doc_dedup_survivors": QuerySpec(
+        q_dedup_survivors, ORACLE_DEDUP_SURVIVORS, "dedup survivors materialized"
+    ),
     "doc_token_stats": QuerySpec(q_token_stats, ORACLE_TOKEN_STATS, "token counting"),
     "doc_exact_dedup": QuerySpec(q_exact_dedup, ORACLE_EXACT_DEDUP, "exact hash dedup"),
     "doc_minhash_pairs": QuerySpec(

@@ -186,7 +186,23 @@ def q_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming dropDuplicates (stateful dedup by key) drained append-mode
+    into memory, then counted per status in batch — streaming dedup's
+    output must equal the batch distinct."""
+    stream = _orders_stream(spark, sf_dir).dropDuplicates(["o_orderkey"])
+    deduped = run_available_now(stream, output_mode="append")
+    return deduped.groupBy("o_orderstatus").agg(F.count(F.lit(1)).alias("cnt"))
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "stream_dedup": QuerySpec(
+        q_stream_dedup,
+        "SELECT o_orderstatus, count(*) AS cnt FROM "
+        "(SELECT DISTINCT ON (o_orderkey) o_orderstatus FROM orders ORDER BY o_orderkey) "
+        "GROUP BY o_orderstatus",
+        "streaming stateful dedup == batch distinct",
+    ),
     "stream_static_join": QuerySpec(
         q_stream_static_join,
         "SELECT c_mktsegment, count(*) AS cnt, round(sum(o_totalprice), 2) AS revenue "
