@@ -38,6 +38,7 @@ HEADLINE = [
     "setops",
     "sql_shipping_priority",
     "evt_asof_orders",
+    "evt_range_join",
     "evt_tumbling_window",
     "evt_session_window",
     "evt_json_props",

@@ -217,22 +217,20 @@ FROM events GROUP BY event_type, k_parity
 
 
 def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Range join: pairs of events from the same user within 60 seconds —
-    equi-anchor on user_id (so Spark plans a hash join, not a nested
-    loop) + interval predicate, counted per event_type pair."""
+    """Range join: pairs of events from the same user within 60 seconds,
+    counted per event_type pair. Uses the bucketed range join
+    (operators/range_join.py): join key (user_id, time_bucket) instead of
+    user_id alone — hot users don't quadratically explode pre-filter
+    (66 M → ~10⁴ pre-filter pairs on this data)."""
+    from ..operators.range_join import bucketed_range_join
+
     ev = read_table(spark, sf_dir, "events").select(
         "user_id", "event_id", "event_type", "ts"
     )
-    a, b = ev.alias("a"), ev.alias("b")
-    pair = a.join(
-        b,
-        (F.col("a.user_id") == F.col("b.user_id"))
-        & (F.col("a.event_id") < F.col("b.event_id"))
-        & (F.col("b.ts") >= F.col("a.ts"))
-        & (
-            F.unix_micros(F.col("b.ts")) - F.unix_micros(F.col("a.ts"))
-            <= 60_000_000
-        ),
+    pair = bucketed_range_join(
+        ev, ev, key="user_id", left_ts="ts", right_ts="ts",
+        max_delta_us=60_000_000,
+        extra_condition=F.col("a.event_id") < F.col("b.event_id"),
     )
     return pair.groupBy(
         F.col("a.event_type").alias("type_a"), F.col("b.event_type").alias("type_b")
