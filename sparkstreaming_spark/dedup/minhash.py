@@ -35,9 +35,23 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.text import md5_64, shingles
+from ..functions.text import md5_64, shingles_from_tokens, tokenize
 
 MERSENNE_P = (1 << 31) - 1  # 2^31 - 1, prime
+
+
+def _shingle_sets(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
+    """(doc_id, sh: array<string>) — distinct shingle sets, with the token
+    array STAGED in its own select so interpreted lambdas read a row value
+    instead of re-running tokenization per shingle (see
+    functions/text.py::shingles_from_tokens)."""
+    toks = _parallel(df).select(
+        F.col(id_col).cast("bigint").alias("doc_id"),
+        tokenize(text_col).alias("toks"),
+    )
+    return toks.select(
+        "doc_id", F.array_distinct(shingles_from_tokens("toks", n)).alias("sh")
+    )
 
 
 def minhash_params(num_perm: int) -> list[tuple[int, int]]:
@@ -56,12 +70,25 @@ def _parallel(df: DataFrame) -> DataFrame:
     return df.repartition(df.sparkSession.sparkContext.defaultParallelism)
 
 
+def _explode_shingles(sets_df: DataFrame) -> DataFrame:
+    """explode the shingle-set column WITHOUT triggering Catalyst's
+    InferFiltersFromGenerate: plain explode makes the optimizer infer
+    `size(sh) > 0` and push it below the staging projections, inlining
+    the full tokenize+shingle expression into a per-row filter — which
+    reintroduces the quadratic re-evaluation the staging exists to avoid
+    (measured: 450 s vs 5 s at 50 k docs). explode_outer infers no such
+    filter; the null rows (empty shingle sets) are dropped by a cheap
+    attribute filter instead."""
+    return sets_df.select(
+        "doc_id", F.explode_outer("sh").alias("shingle")
+    ).filter(F.col("shingle").isNotNull())
+
+
 def minhash_signatures(
     df: DataFrame, id_col: str, text_col: str, num_perm: int = 16, shingle_n: int = 2
 ) -> DataFrame:
-    sh = _parallel(df).select(
-        F.col(id_col).cast("bigint").alias("doc_id"),
-        F.explode(F.array_distinct(shingles(text_col, shingle_n))).alias("shingle"),
+    sh = _explode_shingles(
+        _shingle_sets(df, id_col, text_col, shingle_n)
     ).withColumn("h", md5_64(F.col("shingle")) % F.lit(MERSENNE_P))
     aggs = [
         F.min((F.lit(a) * F.col("h") + F.lit(b)) % F.lit(MERSENNE_P)).alias(f"mh{i}")
@@ -121,10 +148,7 @@ def minhash_near_dup_pairs(
     """
     sigs = minhash_signatures(df, id_col, text_col, num_perm, shingle_n).persist()
     cands = candidate_pairs(lsh_bands(sigs, num_perm, bands))
-    sets_df = _parallel(df).select(
-        F.col(id_col).cast("bigint").alias("doc_id"),
-        F.array_distinct(shingles(text_col, shingle_n)).alias("sh"),
-    ).persist()
+    sets_df = _shingle_sets(df, id_col, text_col, shingle_n).persist()
     a = sets_df.alias("sa")
     b = sets_df.alias("sb")
     inter = F.size(F.array_intersect(F.col("sa.sh"), F.col("sb.sh")))

@@ -16,9 +16,6 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.text import shingles
-
-
 def ngram_jaccard_pairs(
     df: DataFrame,
     id_col: str,
@@ -28,10 +25,9 @@ def ngram_jaccard_pairs(
     max_doc_freq: int | None = None,
 ) -> DataFrame:
     """(doc_a, doc_b, jaccard) for pairs with shingle-set Jaccard ≥ threshold."""
-    sh = df.select(
-        F.col(id_col).cast("bigint").alias("doc_id"),
-        F.explode(F.array_distinct(shingles(text_col, shingle_n))).alias("shingle"),
-    )
+    from .minhash import _explode_shingles, _shingle_sets
+
+    sh = _explode_shingles(_shingle_sets(df, id_col, text_col, shingle_n))
     if max_doc_freq is not None:
         freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
         sh = sh.join(freq.filter(F.col("df") <= max_doc_freq), "shingle").select(

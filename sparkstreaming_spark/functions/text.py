@@ -46,20 +46,36 @@ def bpe_ish_token_count(col: str | Column) -> Column:
     return F.size(F.regexp_extract_all(_c(col), F.lit(BPE_ISH_RE), 0)).cast("bigint")
 
 
-def shingles(col: str | Column, n: int) -> Column:
-    """Word n-gram shingles over the token array → array<string>.
+def shingles_from_tokens(toks: str | Column, n: int) -> Column:
+    """Word n-gram shingles over an ALREADY-MATERIALIZED token-array
+    column → array<string>. Fewer than n tokens yields an empty array.
 
-    Built from `sequence` + `transform` + `slice`, so shingling stays in
-    codegen (no explode until the caller needs rows). Documents with fewer
-    than n tokens yield an empty array.
+    IMPORTANT (the lesson behind this API): `toks` must be a bound column
+    (a real attribute from a previous select), NOT a nested expression.
+    Higher-order functions run interpreted, and an expression argument is
+    RE-EVALUATED on every lambda invocation — inlining `tokenize(text)`
+    here made shingling O(tokens × text_length) regex work per document
+    (~50× wall-clock on the dedup pipelines). With a materialized column
+    the lambda reads the row value. Catalyst's CollapseProject keeps the
+    projection boundary because the attribute is referenced more than
+    once.
     """
-    toks = tokenize(col)
-    return F.when(F.size(toks) < n, F.array().cast("array<string>")).otherwise(
+    t = F.col(toks) if isinstance(toks, str) else toks
+    return F.when(F.size(t) < n, F.array().cast("array<string>")).otherwise(
         F.transform(
-            F.sequence(F.lit(1), F.size(toks) - F.lit(n - 1)),
-            lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+            F.sequence(F.lit(1), F.size(t) - F.lit(n - 1)),
+            lambda i: F.concat_ws(" ", F.slice(t, i, n)),
         )
     )
+
+
+def shingles(col: str | Column, n: int) -> Column:
+    """Word n-gram shingles straight from a text column. Convenience for
+    one-shot use on SMALL inputs — composes tokenize inline, which
+    re-evaluates per lambda call (see shingles_from_tokens). Pipelines
+    must stage `tokenize` into its own select and use
+    `shingles_from_tokens`."""
+    return shingles_from_tokens(tokenize(col), n)
 
 
 def md5_64(col: str | Column) -> Column:

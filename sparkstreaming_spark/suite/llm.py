@@ -21,7 +21,7 @@ from ..dedup import (
 from ..functions.text import BPE_ISH_RE
 from ..multimodal import blob_meta, decode_blob_features, with_blob
 from ..sources.batch import read_table
-from ..textstats import STOPWORDS, langid_expr, quality_score_exprs
+from ..textstats import STOPWORDS, add_langid, add_quality_scores
 from ..textstats.analysis import winnow_fingerprints
 from . import QuerySpec
 
@@ -172,7 +172,7 @@ def q_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Language-ID heuristic vs the table's lang label, as a confusion count."""
     d = read_table(spark, sf_dir, "documents")
     return (
-        d.withColumn("predicted", langid_expr("text"))
+        add_langid(d, "text", "predicted")
         .groupBy("lang", "predicted")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
@@ -206,8 +206,16 @@ FROM s GROUP BY lang, predicted
 
 def q_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = read_table(spark, sf_dir, "documents")
-    exprs = quality_score_exprs("text")
-    return d.select("doc_id", *[v.alias(k) for k, v in exprs.items()])
+    return add_quality_scores(d, "text").select(
+        "doc_id",
+        "n_chars",
+        "n_tokens",
+        "n_bpe_tokens",
+        "punct_ratio",
+        "stop_ratio",
+        "mean_token_len",
+        "quality_score",
+    )
 
 
 def _oracle_quality() -> str:

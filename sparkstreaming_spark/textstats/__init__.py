@@ -1,13 +1,13 @@
 from .analysis import (
     STOPWORDS,
-    langid_expr,
-    quality_score_exprs,
+    add_langid,
+    add_quality_scores,
     winnow_fingerprints,
 )
 
 __all__ = [
     "STOPWORDS",
-    "langid_expr",
-    "quality_score_exprs",
+    "add_langid",
+    "add_quality_scores",
     "winnow_fingerprints",
 ]

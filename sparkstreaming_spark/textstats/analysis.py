@@ -1,9 +1,17 @@
 """Text analysis: language-ID, quality scoring, document fingerprinting.
 
-All pure built-in expressions (codegen-resident). Generalizes the
+All pure built-in expressions (no Python UDFs). Generalizes the
 reference's single text op (Helper.removePunctuation,
 FileReconstitution.scala:7-12) into the analyzers an LLM-data pipeline
 runs before training-data selection.
+
+Structure rule (hard-won, see functions/text.py::shingles_from_tokens):
+every array that later expressions reference more than once — token
+arrays, shingle arrays, hash arrays, per-language scores — is
+materialized as a COLUMN in its own select. Interpreted higher-order
+expressions re-evaluate nested subexpressions per reference/lambda call;
+staging turns that into a row read and keeps the pipeline linear in
+input size.
 """
 
 from __future__ import annotations
@@ -14,10 +22,8 @@ from pyspark.sql import functions as F
 from ..functions.text import (
     BPE_ISH_RE,
     PUNCT_RE,
-    bpe_ish_token_count,
     md5_64,
-    shingles,
-    token_count,
+    shingles_from_tokens,
     tokenize,
 )
 
@@ -31,69 +37,92 @@ STOPWORDS: dict[str, tuple[str, ...]] = {
 }
 
 
-def _stop_hits(toks: Column, words: tuple[str, ...]) -> Column:
-    """Occurrence count of stopwords in the token array (multiplicity kept)."""
+def _stop_hits(toks: str | Column, words: tuple[str, ...]) -> Column:
+    """Occurrence count of stopwords in a token-array column."""
+    t = F.col(toks) if isinstance(toks, str) else toks
     arr = F.array(*[F.lit(w) for w in words])
-    return F.size(F.filter(toks, lambda t: F.array_contains(arr, t)))
+    return F.size(F.filter(t, lambda x: F.array_contains(arr, x)))
 
 
-def langid_expr(text_col: str | Column) -> Column:
-    """Predicted language code by max stopword-hit count; 'und' when no
-    stopword from any set appears. Deterministic tie-break: dict order."""
-    toks = tokenize(text_col)
-    scores = {lang: _stop_hits(toks, words) for lang, words in STOPWORDS.items()}
+def add_langid(df: DataFrame, text_col: str, out_col: str = "predicted") -> DataFrame:
+    """Append a predicted-language column: argmax of per-language stopword
+    hits ('und' when all zero; ties → STOPWORDS order). Three staged
+    selects: tokens → score columns → CASE over score attributes."""
+    staged = df.withColumn("__toks", tokenize(text_col))
+    for lang, words in STOPWORDS.items():
+        staged = staged.withColumn(f"__s_{lang}", _stop_hits("__toks", words))
+    langs = list(STOPWORDS)
     best = None
-    for lang in STOPWORDS:
-        cond = None
-        for other in STOPWORDS:
-            if other == lang:
+    for i, lang in enumerate(langs):
+        cond = F.col(f"__s_{lang}") > 0
+        for j, other in enumerate(langs):
+            if i == j:
                 continue
-            ge = (
-                scores[lang] > scores[other]
-                if list(STOPWORDS).index(other) < list(STOPWORDS).index(lang)
-                else scores[lang] >= scores[other]
-            )
-            cond = ge if cond is None else cond & ge
-        clause = (scores[lang] > 0) & cond
-        best = F.when(clause, F.lit(lang)) if best is None else best.when(clause, F.lit(lang))
-    return best.otherwise(F.lit("und"))
+            s, o = F.col(f"__s_{lang}"), F.col(f"__s_{other}")
+            cond = cond & ((s > o) if j < i else (s >= o))
+        best = F.when(cond, F.lit(lang)) if best is None else best.when(cond, F.lit(lang))
+    out = staged.withColumn(out_col, best.otherwise(F.lit("und")))
+    return out.drop("__toks", *[f"__s_{lang}" for lang in langs])
 
 
-def quality_score_exprs(text_col: str | Column) -> dict[str, Column]:
-    """Quality signals + composite score ∈ [0,1].
-
-    Signals: char length, whitespace tokens, BPE-ish tokens, punctuation
-    ratio, English-stopword ratio, mean token length. Composite mirrors
-    the usual heuristic filters (Gopher-style) in spirit: reward length
-    and stopword presence, penalize punctuation density.
-    """
-    c = F.col(text_col) if isinstance(text_col, str) else text_col
-    toks = tokenize(c)
-    n_chars = F.length(c).cast("bigint")
-    n_tokens = token_count(c)
-    n_bpe = bpe_ish_token_count(c)
-    punct_cnt = F.size(F.regexp_extract_all(c, F.lit(PUNCT_RE), 0))
-    punct_ratio = F.when(n_chars > 0, punct_cnt / n_chars).otherwise(F.lit(0.0))
-    stop_hits = _stop_hits(toks, STOPWORDS["en"])
-    stop_ratio = F.when(n_tokens > 0, stop_hits / n_tokens).otherwise(F.lit(0.0))
-    mean_tok_len = F.when(
-        n_tokens > 0,
-        F.aggregate(toks, F.lit(0), lambda acc, t: acc + F.length(t)) / n_tokens,
+def add_quality_scores(df: DataFrame, text_col: str) -> DataFrame:
+    """Append quality signals + composite score ∈ [0,1]: char length,
+    whitespace/BPE-ish token counts, punctuation ratio, English-stopword
+    ratio, mean token length. Composite mirrors the usual heuristic
+    filters in spirit: reward length and stopword presence, penalize
+    punctuation density."""
+    c = F.col(text_col)
+    staged = df.withColumns(
+        {
+            "__toks": tokenize(text_col),
+            "n_chars": F.length(c).cast("bigint"),
+            "n_bpe_tokens": F.size(F.regexp_extract_all(c, F.lit(BPE_ISH_RE), 0)).cast(
+                "bigint"
+            ),
+            "__punct_cnt": F.size(F.regexp_extract_all(c, F.lit(PUNCT_RE), 0)),
+        }
+    ).withColumns(
+        {
+            "n_tokens": F.size("__toks").cast("bigint"),
+            "__stop_hits": _stop_hits("__toks", STOPWORDS["en"]),
+            "__tok_len_sum": F.aggregate(
+                "__toks", F.lit(0), lambda acc, t: acc + F.length(t)
+            ),
+        }
+    ).withColumns(
+        {
+            "punct_ratio": F.round(
+                F.when(F.col("n_chars") > 0, F.col("__punct_cnt") / F.col("n_chars"))
+                .otherwise(F.lit(0.0)),
+                6,
+            ),
+            "stop_ratio": F.round(
+                F.when(F.col("n_tokens") > 0, F.col("__stop_hits") / F.col("n_tokens"))
+                .otherwise(F.lit(0.0)),
+                6,
+            ),
+            "mean_token_len": F.round(
+                F.when(
+                    F.col("n_tokens") > 0, F.col("__tok_len_sum") / F.col("n_tokens")
+                ).otherwise(F.lit(0.0)),
+                6,
+            ),
+        }
+    )
+    raw_punct = F.when(
+        F.col("n_chars") > 0, F.col("__punct_cnt") / F.col("n_chars")
+    ).otherwise(F.lit(0.0))
+    raw_stop = F.when(
+        F.col("n_tokens") > 0, F.col("__stop_hits") / F.col("n_tokens")
     ).otherwise(F.lit(0.0))
     score = (
-        0.4 * F.least(n_tokens / F.lit(100.0), F.lit(1.0))
-        + 0.3 * (F.lit(1.0) - F.least(punct_ratio * 5, F.lit(1.0)))
-        + 0.3 * F.least(stop_ratio * 3, F.lit(1.0))
+        0.4 * F.least(F.col("n_tokens") / F.lit(100.0), F.lit(1.0))
+        + 0.3 * (F.lit(1.0) - F.least(raw_punct * 5, F.lit(1.0)))
+        + 0.3 * F.least(raw_stop * 3, F.lit(1.0))
     )
-    return {
-        "n_chars": n_chars,
-        "n_tokens": n_tokens,
-        "n_bpe_tokens": n_bpe,
-        "punct_ratio": F.round(punct_ratio, 6),
-        "stop_ratio": F.round(stop_ratio, 6),
-        "mean_token_len": F.round(mean_tok_len, 6),
-        "quality_score": F.round(score, 6),
-    }
+    return staged.withColumn("quality_score", F.round(score, 6)).drop(
+        "__toks", "__punct_cnt", "__stop_hits", "__tok_len_sum"
+    )
 
 
 def winnow_fingerprints(
@@ -102,21 +131,31 @@ def winnow_fingerprints(
     """Winnowing document fingerprints (rolling-hash scheme of the MOSS
     paper): hash every k-gram shingle, take the min hash of each sliding
     window of `window` consecutive hashes, dedup → fingerprint set.
-
-    Array-expression implementation: sequence + transform + slice +
-    array_min, all codegen; one exploded row per selected fingerprint.
-    """
-    hashes = F.transform(shingles(text_col, k), lambda s: md5_64(s))
-    n_win = F.size(hashes) - F.lit(window - 1)
+    Tokens → shingles → hashes are each staged columns (the hash array is
+    referenced per sliding window)."""
+    staged = (
+        df.select(
+            F.col(id_col).cast("bigint").alias("doc_id"),
+            tokenize(text_col).alias("__toks"),
+        )
+        .select("doc_id", shingles_from_tokens("__toks", k).alias("__sh"))
+        .select(
+            "doc_id", F.transform("__sh", lambda s: md5_64(s)).alias("__hs")
+        )
+    )
+    n_win = F.size("__hs") - F.lit(window - 1)
     mins = F.when(n_win < 1, F.array().cast("array<bigint>")).otherwise(
         F.array_distinct(
             F.transform(
                 F.sequence(F.lit(1), F.greatest(n_win, F.lit(1))),
-                lambda i: F.array_min(F.slice(hashes, i, window)),
+                lambda i: F.array_min(F.slice("__hs", i, window)),
             )
         )
     )
-    return df.select(
-        F.col(id_col).cast("bigint").alias("doc_id"),
-        F.explode(mins).alias("fp"),
+    # explode_outer + null filter: plain explode makes the optimizer infer
+    # size(mins) > 0 and push the full expression chain into a per-row
+    # filter (see dedup/minhash.py::_explode_shingles)
+    return (
+        staged.select("doc_id", F.explode_outer(mins).alias("fp"))
+        .filter(F.col("fp").isNotNull())
     )
