@@ -83,7 +83,37 @@ FROM embeddings GROUP BY label
 """
 
 
+def q_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """posexplode surface: per-dimension mean/min/max over all embeddings
+    (the column-profile pass of an embedding-quality check)."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    return (
+        emb.select(F.posexplode("embedding").alias("pos", "val"))
+        .select(F.col("pos").cast("bigint").alias("pos"), "val")
+        .groupBy("pos")
+        .agg(
+            F.round(F.avg("val"), 6).alias("mean_val"),
+            F.round(F.min("val"), 6).alias("min_val"),
+            F.round(F.max("val"), 6).alias("max_val"),
+        )
+    )
+
+
+ORACLE_DIM_STATS = """
+WITH flat AS (
+    SELECT unnest(generate_series(1, len(embedding))) - 1 AS pos,
+           unnest(embedding) AS val
+    FROM embeddings
+)
+SELECT pos, round(avg(val), 6) AS mean_val,
+       round(min(val), 6) AS min_val,
+       round(max(val), 6) AS max_val
+FROM flat GROUP BY pos
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "emb_dim_stats": QuerySpec(q_dim_stats, ORACLE_DIM_STATS, "posexplode dim profile"),
     "emb_knn_bruteforce": QuerySpec(q_knn_bruteforce, ORACLE_KNN, "exact cosine top-k"),
     "emb_near_dup_cosine": QuerySpec(
         q_near_dup_cosine, ORACLE_NEAR_DUP, "cosine near-dup pairs"
