@@ -329,7 +329,27 @@ GROUP BY lang
 """
 
 
+def q_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy hitters: top-20 tokens via Misra-Gries sketch + exact verify
+    (textstats/heavy_hitters.py). Exact here (vocabulary clears the
+    N/sketch_size survival bar), so the plain frequency oracle applies."""
+    from ..textstats.heavy_hitters import top_k_tokens
+
+    d = read_table(spark, sf_dir, "documents")
+    return top_k_tokens(d, "text", k=20)
+
+
+ORACLE_TOP_TOKENS = rf"""
+WITH t AS (SELECT unnest({SQL_TOKS}) AS token FROM documents)
+SELECT token, count(*) AS cnt FROM t WHERE token != ''
+GROUP BY token ORDER BY cnt DESC, token ASC LIMIT 20
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "doc_top_tokens": QuerySpec(
+        q_top_tokens, ORACLE_TOP_TOKENS, "Misra-Gries sketch + exact verify"
+    ),
     "doc_dedup_survivors": QuerySpec(
         q_dedup_survivors, ORACLE_DEDUP_SURVIVORS, "dedup survivors materialized"
     ),

@@ -66,6 +66,16 @@ def q_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_knn(emb, queries, "vec_id", "embedding", k=TOP_K, planes=3, tables=16)
 
 
+def q_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-Flat ANN (centroid inverted lists, nprobe probing) — approximate
+    by construction, recall-tested vs brute force in tests."""
+    from ..similarity.ivf import ivf_knn
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < N_QUERIES)
+    return ivf_knn(emb, queries, "vec_id", "embedding", k=TOP_K, nlist=16, nprobe=8)
+
+
 def q_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Array math surface: mean L2 norm per label."""
     emb = read_table(spark, sf_dir, "embeddings")
@@ -119,5 +129,6 @@ QUERIES: dict[str, QuerySpec] = {
         q_near_dup_cosine, ORACLE_NEAR_DUP, "cosine near-dup pairs"
     ),
     "emb_knn_lsh": QuerySpec(q_knn_lsh, None, "LSH-bucketed ANN (recall-tested)"),
+    "emb_knn_ivf": QuerySpec(q_knn_ivf, None, "IVF-Flat ANN (recall-tested)"),
     "emb_norm_stats": QuerySpec(q_norm_stats, ORACLE_NORM_STATS, "array math stats"),
 }

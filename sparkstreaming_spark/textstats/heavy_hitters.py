@@ -1,0 +1,68 @@
+"""Heavy-hitters (frequent tokens) via a Space-Saving/Misra-Gries sketch
+with exact re-verification — the sketch-then-verify shape that makes
+top-k frequent-item queries scale without a full-vocabulary shuffle.
+
+Phase 1 (sketch, narrow): each partition streams its tokens through a
+Misra-Gries summary of `sketch_size` counters (mapInPandas — one dict,
+Arrow batches in). Output: per-partition candidate tokens. The classic
+merge guarantee: any token with global frequency > N/sketch_size
+survives in at least one partition's summary, so the union of
+candidates is a superset of the true heavy hitters.
+
+Phase 2 (verify, exact): exact counts for candidate tokens only — a
+semi-join of the token stream against the (small, broadcast) candidate
+set, then groupBy count and top-k. The final answer is EXACT whenever
+every true top-k token clears the N/sketch_size bar (always true for
+skewed distributions sized sensibly; `sketch_size` defaults to 8k).
+
+The shuffle carries only candidate tokens — bounded by
+partitions × sketch_size — instead of the full vocabulary.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.text import tokenize
+
+
+def top_k_tokens(
+    df: DataFrame, text_col: str, k: int = 20, sketch_size: int | None = None
+) -> DataFrame:
+    """(token, cnt): the k most frequent tokens, count desc / token asc."""
+    m = sketch_size or 8 * k
+    spark = df.sparkSession
+    toks = (
+        df.repartition(spark.sparkContext.defaultParallelism)
+        .select(F.explode(tokenize(text_col)).alias("token"))
+    )
+
+    def mg_sketch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        counters: dict[str, int] = {}
+        for chunk in batches:
+            for tok in chunk["token"]:
+                if tok in counters:
+                    counters[tok] += 1
+                elif len(counters) < m:
+                    counters[tok] = 1
+                else:  # Misra-Gries decrement step
+                    for key in list(counters):
+                        counters[key] -= 1
+                        if counters[key] == 0:
+                            del counters[key]
+        yield pd.DataFrame({"token": list(counters)})
+
+    candidates = F.broadcast(
+        toks.mapInPandas(mg_sketch, schema="token string").distinct()
+    )
+    exact = (
+        toks.join(candidates, "token", "left_semi")
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    return exact.orderBy(F.col("cnt").desc(), F.col("token").asc()).limit(k)

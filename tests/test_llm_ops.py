@@ -42,6 +42,21 @@ def test_lsh_knn_recall(spark):
     assert recall >= 0.8, f"LSH recall too low: {recall:.2f}"
 
 
+def test_ivf_knn_recall(spark):
+    """IVF-Flat (16 lists, nprobe=8) recovers >= 70% of exact top-10 even
+    on these cluster-free embeddings (IVF's worst case)."""
+    from sparkstreaming_spark.similarity.ivf import ivf_knn
+
+    emb = read_table(spark, SF_DIR_CORRECT, "embeddings")
+    q = emb.filter(F.col("vec_id") < 5)
+    exact = brute_force_knn(emb, q, "vec_id", "embedding", k=10).collect()
+    approx = ivf_knn(emb, q, "vec_id", "embedding", k=10, nlist=16, nprobe=8).collect()
+    exact_set = {(r.query_id, r.neighbor_id) for r in exact}
+    approx_set = {(r.query_id, r.neighbor_id) for r in approx}
+    recall = len(exact_set & approx_set) / len(exact_set)
+    assert recall >= 0.7, f"IVF recall too low: {recall:.2f}"
+
+
 def test_blob_decode_stub_raises(spark):
     d = with_blob(read_table(spark, SF_DIR_CORRECT, "documents").limit(5), "text")
     feats = decode_blob_features(d, "doc_id", "blob", fake=False)
