@@ -195,7 +195,46 @@ def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return deduped.groupBy("o_orderstatus").agg(F.count(F.lit(1)).alias("cnt"))
 
 
+def q_stream_events_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-time tumbling window over the real events stream: the
+    TIMESTAMP(NANOS) parquet column rides through the streaming source as
+    long (legacy conf) and is rebuilt to a timestamp before windowing —
+    same conversion as the batch reader (sources/batch.py::read_table)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = (
+        "event_id bigint, ts bigint, user_id bigint, event_type string, "
+        "value double, props string"
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+        .withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+    )
+    return run_available_now(
+        stream,
+        lambda df: df.groupBy(
+            F.window("ts", "1 hour").alias("w"), "event_type"
+        )
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias(
+                "window_start"
+            ),
+            "event_type",
+            "cnt",
+        ),
+        output_mode="complete",
+    )
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "stream_events_windowed": QuerySpec(
+        q_stream_events_windowed,
+        "SELECT strftime(time_bucket(INTERVAL '1 hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start, "
+        "event_type, count(*) AS cnt FROM events GROUP BY 1, 2",
+        "nanos events through a real stream + event-time window",
+    ),
     "stream_dedup": QuerySpec(
         q_stream_dedup,
         "SELECT o_orderstatus, count(*) AS cnt FROM "
