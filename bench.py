@@ -47,8 +47,13 @@ HEADLINE = [
     "doc_minhash_pairs",
     "doc_simhash_pairs",
     "doc_quality",
+    "doc_top_tokens",
+    "evt_hypertable_rollup",
     "emb_knn_bruteforce",
+    "emb_knn_lsh",
+    "emb_knn_ivf",
     "emb_near_dup_cosine",
+    "emb_dim_stats",
 ]
 
 
