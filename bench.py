@@ -37,6 +37,12 @@ HEADLINE = [
     "kpi_feature_means",
     "setops",
     "sql_shipping_priority",
+    "join_nation_volume",
+    "sub_avg_qty_threshold",
+    "tpch_q9_product_profit",
+    "tpch_q13_count_distribution",
+    "tpch_q18_large_orders",
+    "tpch_q21_waiting_supplier",
     "evt_asof_orders",
     "evt_range_join",
     "evt_tumbling_window",
