@@ -1,0 +1,131 @@
+"""Advanced analytics queries: time-series gap fill, full analytic
+window-function surface, GROUPING SETS.
+
+The reference's analytic surface is count/sum KPIs only (SURVEY §2.4);
+these cover what any OLAP/time-series engine layered on the same data
+would add. All three are oracle-checked against DuckDB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..operators.timeseries import gap_fill
+from ..sources.batch import load_tables, read_table
+from . import QuerySpec
+
+TS_FMT = "yyyy-MM-dd HH:mm:ss"
+
+
+def q_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable gap fill: 15-minute avg(value) series per user
+    (user_id < 5), densified over each user's own range and
+    forward-filled. Distributed grid generation — see
+    operators/timeseries.py for the 100 TB shuffle analysis."""
+    ev = read_table(spark, sf_dir, "events").filter(F.col("user_id") < 5)
+    filled = gap_fill(ev, key="user_id", ts="ts", value="value")
+    return filled.select(
+        "user_id",
+        F.date_format("bucket_start", TS_FMT).alias("window_start"),
+        F.round("value_ffill", 2).alias("value_ffill"),
+        "was_gap",
+    )
+
+
+ORACLE_GAP_FILL = """
+WITH agg AS (
+  SELECT user_id, time_bucket(INTERVAL '15 minutes', ts) AS bucket, avg(value) AS v
+  FROM events WHERE user_id < 5 GROUP BY 1, 2
+), rng AS (
+  SELECT user_id, min(bucket) AS b0, max(bucket) AS b1 FROM agg GROUP BY 1
+), grid AS (
+  SELECT user_id, unnest(generate_series(b0, b1, INTERVAL '15 minutes')) AS bucket
+  FROM rng
+)
+SELECT g.user_id,
+       strftime(g.bucket, '%Y-%m-%d %H:%M:%S') AS window_start,
+       round(last_value(a.v IGNORE NULLS) OVER (
+         PARTITION BY g.user_id ORDER BY g.bucket
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS value_ffill,
+       (a.v IS NULL) AS was_gap
+FROM grid g LEFT JOIN agg a ON g.user_id = a.user_id AND g.bucket = a.bucket
+"""
+
+
+def q_window_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Analytic window surface in one pass: lag/lead over event-time
+    order, ntile + nth_value over the same order, percent_rank +
+    cume_dist over value order. Both orderings are total (event_id
+    tie-break), so every column is deterministic. One sort per window
+    ordering; both partition on user_id so they share the exchange."""
+    ev = read_table(spark, sf_dir, "events").filter(F.col("user_id") < 10)
+    w_ts = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w_ts_frame = w_ts.rowsBetween(Window.unboundedPreceding, 0)
+    w_val = Window.partitionBy("user_id").orderBy("value", "event_id")
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.lag("value").over(w_ts).alias("prev_value"),
+        F.lead("value").over(w_ts).alias("next_value"),
+        F.ntile(4).over(w_ts).alias("quartile"),
+        F.nth_value("value", 3).over(w_ts_frame).alias("third_value"),
+        F.percent_rank().over(w_val).alias("value_pct_rank"),
+        F.cume_dist().over(w_val).alias("value_cume_dist"),
+    )
+
+
+ORACLE_WINDOW_ANALYTICS = """
+SELECT event_id, user_id,
+       lag(value) OVER w_ts AS prev_value,
+       lead(value) OVER w_ts AS next_value,
+       ntile(4) OVER w_ts AS quartile,
+       nth_value(value, 3) OVER (PARTITION BY user_id ORDER BY ts, event_id
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS third_value,
+       percent_rank() OVER w_val AS value_pct_rank,
+       cume_dist() OVER w_val AS value_cume_dist
+FROM events
+WHERE user_id < 10
+WINDOW w_ts AS (PARTITION BY user_id ORDER BY ts, event_id),
+       w_val AS (PARTITION BY user_id ORDER BY value, event_id)
+"""
+
+
+GROUPING_SETS_SQL = """
+SELECT coalesce(o_orderstatus, 'ALL') AS status,
+       coalesce(o_orderpriority, 'ALL') AS priority,
+       CAST(grouping(o_orderstatus) AS INT) AS g_status,
+       CAST(grouping(o_orderpriority) AS INT) AS g_priority,
+       count(*) AS cnt,
+       round(sum(o_totalprice), 2) AS total_price
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+                        (o_orderstatus), (o_orderpriority), ())
+"""
+
+
+def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPING SETS with grouping() disambiguation — the general form
+    behind rollup/cube (both already covered); Spark expands the four
+    sets in ONE aggregate (Expand node), not four scans."""
+    load_tables(spark, sf_dir, ("orders",))
+    return spark.sql(GROUPING_SETS_SQL)
+
+
+QUERIES: dict[str, QuerySpec] = {
+    "ts_gap_fill": QuerySpec(
+        q_gap_fill,
+        ORACLE_GAP_FILL,
+        "time-series densify + forward fill (distributed grid)",
+    ),
+    "evt_window_analytics": QuerySpec(
+        q_window_analytics,
+        ORACLE_WINDOW_ANALYTICS,
+        "lag/lead/ntile/nth_value/percent_rank/cume_dist surface",
+    ),
+    "grouping_sets_counts": QuerySpec(
+        q_grouping_sets,
+        GROUPING_SETS_SQL,
+        "GROUPING SETS + grouping() in one Expand aggregate",
+    ),
+}
