@@ -51,6 +51,7 @@ HEADLINE = [
     "doc_token_stats",
     "doc_exact_dedup",
     "doc_minhash_pairs",
+    "doc_dup_clusters",
     "doc_simhash_pairs",
     "doc_quality",
     "doc_top_tokens",

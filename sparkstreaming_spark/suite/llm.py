@@ -346,6 +346,42 @@ GROUP BY token ORDER BY cnt DESC, token ASC LIMIT 20
 """
 
 
+def q_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs → connected components → one survivor per cluster
+    (dedup/clusters.py). Every document gets (cluster_id, cluster_size,
+    is_survivor); filtering is_survivor yields the deduplicated corpus."""
+    from ..dedup.clusters import dup_clusters
+
+    d = read_table(spark, sf_dir, "documents")
+    pairs = minhash_near_dup_pairs(
+        d, "doc_id", "text", num_perm=16, bands=4, shingle_n=2, threshold=0.5
+    )
+    return dup_clusters(d, pairs, "doc_id")
+
+
+def _oracle_dup_clusters() -> str:
+    """Transitive-closure min-label via recursive CTE over the SAME
+    verified pair set as doc_minhash_pairs (nested WITH)."""
+    return rf"""
+WITH RECURSIVE pairs AS ({_oracle_minhash()}),
+edges AS (SELECT doc_a AS u, doc_b AS v FROM pairs
+          UNION SELECT doc_b AS u, doc_a AS v FROM pairs),
+reach(node, lbl) AS (
+  SELECT u, u FROM (SELECT DISTINCT u FROM edges)
+  UNION
+  SELECT e.u, r.lbl FROM edges e JOIN reach r ON e.v = r.node
+),
+cc AS (SELECT node, min(lbl) AS cluster_id FROM reach GROUP BY node),
+labeled AS (SELECT d.doc_id, coalesce(cc.cluster_id, d.doc_id) AS cluster_id
+            FROM documents d LEFT JOIN cc ON d.doc_id = cc.node),
+sizes AS (SELECT cluster_id, count(*) AS cluster_size
+          FROM labeled GROUP BY cluster_id)
+SELECT l.doc_id, l.cluster_id, s.cluster_size,
+       (l.doc_id = l.cluster_id) AS is_survivor
+FROM labeled l JOIN sizes s USING (cluster_id)
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "doc_top_tokens": QuerySpec(
         q_top_tokens, ORACLE_TOP_TOKENS, "Misra-Gries sketch + exact verify"
@@ -357,6 +393,11 @@ QUERIES: dict[str, QuerySpec] = {
     "doc_exact_dedup": QuerySpec(q_exact_dedup, ORACLE_EXACT_DEDUP, "exact hash dedup"),
     "doc_minhash_pairs": QuerySpec(
         q_minhash_pairs, _oracle_minhash(), "MinHash-LSH near-dup, verified"
+    ),
+    "doc_dup_clusters": QuerySpec(
+        q_dup_clusters,
+        _oracle_dup_clusters(),
+        "connected-components dup clusters + survivor per cluster",
     ),
     "doc_simhash_pairs": QuerySpec(
         q_simhash_pairs, _oracle_simhash(), "SimHash banded near-dup"

@@ -71,3 +71,37 @@ def test_blob_fake_decode_deterministic(spark):
     assert a == b
     row = decode_blob_features(d, "doc_id", "blob").first()
     assert row.n_bytes == sum(row.byte_hist)
+
+
+def test_connected_components_chain_and_islands(spark):
+    """A 5-node chain (worst case for min-label propagation: needs
+    multiple rounds), a 2-clique, and an isolated pair — labels must be
+    the component minimum regardless of edge orientation."""
+    from sparkstreaming_spark.dedup.clusters import connected_components
+
+    edges = spark.createDataFrame(
+        [(2, 1), (2, 3), (4, 3), (4, 5), (10, 11), (20, 21), (21, 20)],
+        "doc_a bigint, doc_b bigint",
+    )
+    got = {
+        r.node: r.cluster_id for r in connected_components(edges).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1, 10: 10, 11: 10, 20: 20, 21: 20}
+
+
+def test_dup_clusters_survivors_partition_corpus(spark):
+    """Survivor selection keeps exactly one doc per cluster and leaves
+    singletons untouched; cluster sizes sum back to the corpus size."""
+    from sparkstreaming_spark.dedup.clusters import dup_clusters
+
+    docs = spark.range(1, 9).withColumnRenamed("id", "doc_id")
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (5, 6)], "doc_a bigint, doc_b bigint"
+    )
+    out = dup_clusters(docs, pairs, "doc_id").collect()
+    assert len(out) == 8
+    by_id = {r.doc_id: r for r in out}
+    assert [by_id[i].cluster_id for i in range(1, 9)] == [1, 1, 1, 4, 5, 5, 7, 8]
+    survivors = sorted(r.doc_id for r in out if r.is_survivor)
+    assert survivors == [1, 4, 5, 7, 8]
+    assert sum({r.cluster_id: r.cluster_size for r in out}.values()) == 8
