@@ -41,16 +41,33 @@ def connected_components(
 ) -> DataFrame:
     """(node, cluster_id) for every node appearing in `pairs`;
     cluster_id = min node id in the component."""
+    # Symmetrize in ONE pass over `pairs` (explode of a 2-struct array)
+    # rather than union of two selects: the union form evaluates the
+    # upstream pair pipeline (e.g. the whole MinHash-LSH plan) once per
+    # branch — 2x the dominant cost at any scale.
     edges = (
-        pairs.select(F.col(src).alias("u"), F.col(dst).alias("v"))
-        .union(pairs.select(F.col(dst).alias("u"), F.col(src).alias("v")))
+        pairs.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col(src).alias("u"), F.col(dst).alias("v")),
+                    F.struct(F.col(dst).alias("u"), F.col(src).alias("v")),
+                )
+            ).alias("e")
+        )
+        .select("e.u", "e.v")
         .distinct()
         .persist()
     )
+    # Seed = round 1 fused: label(v) = min(v, min neighbors) comes out of
+    # the same aggregate that would otherwise just dedup the node list, so
+    # one whole join+checkpoint round disappears.
     labels = (
-        edges.select(F.col("u").alias("node"))
-        .distinct()
-        .withColumn("label", F.col("node"))
+        edges.groupBy("u")
+        .agg(F.min("v").alias("min_nbr"))
+        .select(
+            F.col("u").alias("node"),
+            F.least(F.col("u"), F.col("min_nbr")).alias("label"),
+        )
         .localCheckpoint()
     )
     prev_sum = labels.agg(F.sum("label")).collect()[0][0]

@@ -68,56 +68,52 @@ def ivf_knn(
     s_ids, S = _collect_matrix(sample, id_col, vec_col)
     C = _train_centroids(S, nlist)
     q_ids, Q = _collect_matrix(queries, id_col, vec_col)
-    bc = spark.sparkContext.broadcast((C, q_ids, Q))
 
-    def assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        cm, _, _ = bc.value
+    # query → its nprobe nearest lists, inverted to list → query indices.
+    # Everything a candidate needs (centroids, probing queries, query
+    # matrix) is driver-side and tiny, so the whole probe/score path fits
+    # in ONE broadcast + ONE Arrow pass: assignment, probe lookup, and
+    # exact scoring fused per batch. (The previous assign-join-score shape
+    # shipped every vector through Arrow twice and added a join stage —
+    # pure overhead, since the probe map was broadcast anyway.)
+    probe_map: dict[int, list[int]] = {}
+    for i in range(len(q_ids)):
+        for j in np.argsort(-(Q[i] @ C.T))[:nprobe]:
+            probe_map.setdefault(int(j), []).append(i)
+    inv = {j: np.asarray(v, dtype="int64") for j, v in probe_map.items()}
+    bc = spark.sparkContext.broadcast((C, q_ids, Q, inv))
+
+    def assign_score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cm, qi, qm, probes = bc.value
         for chunk in batches:
             ids = chunk["id"].to_numpy(dtype="int64")
             X = np.stack(chunk["v"].to_numpy()).astype("float64")
             Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
-            lists = np.argmax(Xn @ cm.T, axis=1).astype("int32")
-            yield pd.DataFrame({"id": ids, "list_id": lists, "v": chunk["v"]})
+            lists = np.argmax(Xn @ cm.T, axis=1)
+            out_q, out_n, out_c = [], [], []
+            for j in np.unique(lists):
+                qidx = probes.get(int(j))
+                if qidx is None:
+                    continue
+                mask = lists == j
+                sims = np.round(Xn[mask] @ qm[qidx].T, 6)  # (n_j, m_j)
+                out_q.append(np.tile(qi[qidx], mask.sum()))
+                out_n.append(np.repeat(ids[mask], len(qidx)))
+                out_c.append(sims.ravel())
+            if not out_q:
+                continue
+            yield pd.DataFrame(
+                {
+                    "query_id": np.concatenate(out_q),
+                    "neighbor_id": np.concatenate(out_n),
+                    "cosine": np.concatenate(out_c),
+                }
+            )
 
     narrowed = candidates.select(
         F.col(id_col).cast("bigint").alias("id"), F.col(vec_col).alias("v")
     ).repartition(spark.sparkContext.defaultParallelism)
-    assigned = narrowed.mapInPandas(
-        assign, schema="id bigint, list_id int, v array<float>"
-    )
-
-    # query → its nprobe nearest lists (driver-side: queries are small)
-    probe_rows = []
-    for i, qid in enumerate(q_ids):
-        top_lists = np.argsort(-(Q[i] @ C.T))[:nprobe]
-        probe_rows.extend((int(qid), int(l)) for l in top_lists)
-    probes = F.broadcast(
-        spark.createDataFrame(probe_rows, "query_id bigint, list_id int")
-    )
-
-    cand_pairs = (
-        assigned.join(probes, "list_id")
-        .filter(F.col("query_id") != F.col("id"))
-        .select("query_id", F.col("id").alias("neighbor_id"), "v")
-    )
-
-    def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        _, qi, qm = bc.value
-        qpos = {q: i for i, q in enumerate(qi)}
-        for chunk in batches:
-            X = np.stack(chunk["v"].to_numpy()).astype("float64")
-            X /= np.linalg.norm(X, axis=1, keepdims=True)
-            qidx = chunk["query_id"].map(qpos).to_numpy(dtype="int64")
-            sims = np.round(np.einsum("ij,ij->i", X, qm[qidx]), 6)
-            yield pd.DataFrame(
-                {
-                    "query_id": chunk["query_id"].to_numpy(dtype="int64"),
-                    "neighbor_id": chunk["neighbor_id"].to_numpy(dtype="int64"),
-                    "cosine": sims,
-                }
-            )
-
-    scored = cand_pairs.mapInPandas(
-        score, schema="query_id bigint, neighbor_id bigint, cosine double"
-    )
+    scored = narrowed.mapInPandas(
+        assign_score, schema="query_id bigint, neighbor_id bigint, cosine double"
+    ).filter(F.col("query_id") != F.col("neighbor_id"))
     return _ranked_topk(scored, k)
