@@ -55,6 +55,8 @@ HEADLINE = [
     "doc_simhash_pairs",
     "doc_quality",
     "doc_top_tokens",
+    "doc_bm25_topk",
+    "emb_kmeans_profile",
     "evt_hypertable_rollup",
     "emb_knn_bruteforce",
     "emb_knn_lsh",

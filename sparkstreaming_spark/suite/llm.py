@@ -382,7 +382,46 @@ FROM labeled l JOIN sizes s USING (cluster_id)
 """
 
 
+BM25_TERMS = ("spark", "join", "window")
+BM25_K1, BM25_B, BM25_TOPK = 1.2, 0.75, 10
+
+
+def q_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 top-k retrieval (textstats/ranking.py): postings
+    restricted to query terms before any shuffle, broadcast IDF."""
+    from ..textstats.ranking import bm25_topk
+
+    d = read_table(spark, sf_dir, "documents")
+    return bm25_topk(
+        d, list(BM25_TERMS), k1=BM25_K1, b=BM25_B, top_k=BM25_TOPK
+    )
+
+
+def _oracle_bm25() -> str:
+    terms = ", ".join(f"'{t}'" for t in BM25_TERMS)
+    return rf"""
+WITH toks AS (SELECT doc_id, {SQL_TOKS} AS toks, {SQL_NORM} AS norm FROM documents),
+lens AS (SELECT doc_id, CASE WHEN norm = '' THEN 0 ELSE len(toks) END AS dl FROM toks),
+stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM lens),
+exploded AS (SELECT doc_id, unnest(toks) AS token FROM toks),
+posting AS (SELECT doc_id, token, count(*) AS tf FROM exploded
+            WHERE token IN ({terms}) GROUP BY doc_id, token),
+idf AS (SELECT token, ln(1 + (s.n_docs - n + 0.5)/(n + 0.5)) AS idf
+        FROM (SELECT token, count(*) AS n FROM posting GROUP BY token), stats s),
+scored AS (SELECT p.doc_id,
+                  sum(i.idf * p.tf * ({BM25_K1} + 1)
+                      / (p.tf + {BM25_K1} * (1 - {BM25_B} + {BM25_B} * l.dl / s.avgdl))) AS score
+           FROM posting p JOIN idf i USING (token) JOIN lens l USING (doc_id), stats s
+           GROUP BY p.doc_id)
+SELECT doc_id, round(score, 6) AS bm25 FROM scored
+ORDER BY bm25 DESC, doc_id ASC LIMIT {BM25_TOPK}
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "doc_bm25_topk": QuerySpec(
+        q_bm25, _oracle_bm25(), "Okapi BM25 top-k ranked retrieval"
+    ),
     "doc_top_tokens": QuerySpec(
         q_top_tokens, ORACLE_TOP_TOKENS, "Misra-Gries sketch + exact verify"
     ),

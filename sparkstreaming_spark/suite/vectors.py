@@ -122,7 +122,21 @@ FROM flat GROUP BY pos
 """
 
 
+def q_kmeans_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed spherical k-means (similarity/kmeans.py): fit over the
+    full table (per-batch partial sums, k×dim bytes shuffled/iter),
+    assign, and report the per-cluster profile. Iterative — no SQL
+    oracle; determinism and separation are unit-tested."""
+    from ..similarity.kmeans import kmeans_cluster_profile
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    return kmeans_cluster_profile(emb, "vec_id", "embedding", k=8, iters=4)
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "emb_kmeans_profile": QuerySpec(
+        q_kmeans_profile, None, "distributed k-means cluster profile"
+    ),
     "emb_dim_stats": QuerySpec(q_dim_stats, ORACLE_DIM_STATS, "posexplode dim profile"),
     "emb_knn_bruteforce": QuerySpec(q_knn_bruteforce, ORACLE_KNN, "exact cosine top-k"),
     "emb_near_dup_cosine": QuerySpec(

@@ -105,3 +105,50 @@ def test_dup_clusters_survivors_partition_corpus(spark):
     survivors = sorted(r.doc_id for r in out if r.is_survivor)
     assert survivors == [1, 4, 5, 7, 8]
     assert sum({r.cluster_id: r.cluster_size for r in out}.values()) == 8
+
+
+def test_bm25_ranking_semantics(spark):
+    """More occurrences of a rarer term → higher score; docs with no
+    query term absent; longer doc with same tf scores lower (b>0)."""
+    from sparkstreaming_spark.textstats.ranking import bm25_topk
+
+    docs = spark.createDataFrame(
+        [
+            (1, "spark spark spark runs fast"),
+            (2, "spark runs on a cluster"),
+            (3, "spark runs on a very large and heavily loaded cluster"),
+            (4, "nothing relevant here at all"),
+        ],
+        "doc_id bigint, text string",
+    )
+    out = {r.doc_id: r.bm25 for r in bm25_topk(docs, ["spark"]).collect()}
+    assert set(out) == {1, 2, 3}
+    assert out[1] > out[2] > out[3]
+
+
+def test_kmeans_separates_blobs(spark):
+    """Three well-separated direction blobs → 3 pure clusters, and the
+    fixed-iteration fit is deterministic across runs."""
+    import numpy as np
+
+    from sparkstreaming_spark.similarity.kmeans import (
+        kmeans_assign,
+        kmeans_fit,
+    )
+
+    rng = np.random.default_rng(7)
+    base = np.eye(3)
+    rows = [
+        (int(i), (base[i % 3] + 0.05 * rng.standard_normal(3)).tolist())
+        for i in range(120)
+    ]
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+    c1 = kmeans_fit(df, "vec_id", "embedding", k=3, iters=4)
+    c2 = kmeans_fit(df, "vec_id", "embedding", k=3, iters=4)
+    assert np.allclose(c1, c2)
+    got = kmeans_assign(df, c1, "vec_id", "embedding").collect()
+    by_blob: dict[int, set[int]] = {}
+    for r in got:
+        by_blob.setdefault(r.id % 3, set()).add(r.cluster)
+    assert all(len(v) == 1 for v in by_blob.values())
+    assert len(set().union(*by_blob.values())) == 3
