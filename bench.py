@@ -56,6 +56,7 @@ HEADLINE = [
     "doc_quality",
     "doc_top_tokens",
     "doc_bm25_topk",
+    "doc_split_counts",
     "emb_kmeans_profile",
     "evt_hypertable_rollup",
     "emb_knn_bruteforce",

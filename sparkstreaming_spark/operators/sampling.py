@@ -1,0 +1,83 @@
+"""Deterministic corpus splitting & sampling — training-data pipeline ops.
+
+A training pipeline needs reproducible answers to "which split is this
+row in?" and "is this row in the p% sample?" that (a) never change when
+the corpus is re-read, re-partitioned, or grown, and (b) require no
+shuffle, no RNG state, and no coordination. The standard trick: hash the
+row's stable id with a salt and compare against fixed thresholds — a
+pure per-row projection that runs inside whole-stage codegen, scales
+embarrassingly at 100 TB, and (because we reuse the engine-wide md5
+convention, functions/text.py::md5_64) reproduces bit-for-bit in the
+DuckDB oracle.
+
+`sampleBy`/`randomSplit` exist in Spark but are seed+partition-layout
+dependent (randomSplit re-evaluates per partitioning); these are not —
+that's the point.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.text import md5_64
+
+_BUCKETS = 10_000
+
+
+def hash_bucket(id_col: str | Column, salt: str) -> Column:
+    """Stable bucket in [0, 10000) from (salt, id) — md5-derived."""
+    c = F.col(id_col) if isinstance(id_col, str) else id_col
+    return md5_64(F.concat(F.lit(salt), c.cast("string"))) % _BUCKETS
+
+
+def with_split(
+    df: DataFrame,
+    id_col: str,
+    weights: dict[str, float],
+    salt: str = "split-v1",
+    out_col: str = "split",
+) -> DataFrame:
+    """Assign every row a split label ('train'/'val'/'test'/...) by hash
+    bucket against cumulative weight thresholds. Weights must sum to 1.
+    Label assignment is independent of row order, partitioning, and
+    corpus growth (a row keeps its split when new rows arrive)."""
+    total = sum(weights.values())
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"split weights must sum to 1, got {total}")
+    bucket = hash_bucket(id_col, salt)
+    expr: Column | None = None
+    acc = 0.0
+    for name, w in weights.items():
+        acc += w
+        hi = round(acc * _BUCKETS)
+        cond = bucket < F.lit(hi)
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    # float-roundoff guard: the last threshold is exactly _BUCKETS
+    return df.withColumn(out_col, expr.otherwise(list(weights)[-1]))
+
+
+def hash_sample(
+    df: DataFrame, id_col: str, fraction: float, salt: str = "sample-v1"
+) -> DataFrame:
+    """Keep ~fraction of rows, deterministically (hash threshold)."""
+    return df.filter(hash_bucket(id_col, salt) < round(fraction * _BUCKETS))
+
+
+def stratified_hash_sample(
+    df: DataFrame,
+    id_col: str,
+    strata_col: str,
+    fractions: dict[str, float],
+    default_fraction: float = 0.0,
+    salt: str = "sample-v1",
+) -> DataFrame:
+    """Per-stratum deterministic sampling (the reproducible analogue of
+    `df.sampleBy`): each stratum keeps its own fraction. Strata absent
+    from `fractions` keep `default_fraction`. One codegen'd projection +
+    filter — no shuffle."""
+    s = F.col(strata_col)
+    thr: Column = F.lit(round(default_fraction * _BUCKETS))
+    for value, frac in fractions.items():
+        thr = F.when(s == value, round(frac * _BUCKETS)).otherwise(thr)
+    return df.filter(hash_bucket(id_col, salt) < thr)

@@ -42,3 +42,13 @@ def append_text_file(batch_df: DataFrame, out_path: str, order_col: str | None =
     with open(out_path, "a", encoding="utf-8") as fh:
         for line in lines:
             fh.write(line + "\n")
+
+
+def write_jsonl(df: DataFrame, out_dir: str, compression: str | None = None) -> None:
+    """Write a DataFrame as JSON-lines (the canonical LLM-corpus exchange
+    format) — one object per line, one file per partition, so readers and
+    writers both parallelize. Optional codec (e.g. 'gzip', 'zstd')."""
+    writer = df.write.mode("overwrite")
+    if compression:
+        writer = writer.option("compression", compression)
+    writer.json(out_dir)

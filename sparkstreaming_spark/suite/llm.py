@@ -418,9 +418,126 @@ ORDER BY bm25 DESC, doc_id ASC LIMIT {BM25_TOPK}
 """
 
 
+SPLIT_WEIGHTS = {"train": 0.8, "val": 0.1, "test": 0.1}
+SPLIT_SALT = "split-v1"
+STRATA_FRACTIONS = {"src0": 0.5, "src1": 0.25, "src2": 0.1}
+STRATA_DEFAULT = 0.05
+SAMPLE_SALT = "sample-v1"
+
+
+def q_split_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash-based train/val/test split
+    (operators/sampling.py::with_split) — per-(split, lang) counts."""
+    from ..operators.sampling import with_split
+
+    d = read_table(spark, sf_dir, "documents")
+    return (
+        with_split(d, "doc_id", SPLIT_WEIGHTS, salt=SPLIT_SALT)
+        .groupBy("split", "lang")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def _oracle_split_counts() -> str:
+    bucket = _sql_md5_64(f"'{SPLIT_SALT}' || cast(doc_id AS varchar)")
+    return rf"""
+WITH b AS (SELECT lang, {bucket} % 10000 AS bucket FROM documents)
+SELECT CASE WHEN bucket < 8000 THEN 'train'
+            WHEN bucket < 9000 THEN 'val' ELSE 'test' END AS split,
+       lang, count(*) AS cnt
+FROM b GROUP BY split, lang
+"""
+
+
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source deterministic sampling (stratified_hash_sample) —
+    surviving count + char volume per source."""
+    from ..operators.sampling import stratified_hash_sample
+
+    d = read_table(spark, sf_dir, "documents")
+    return (
+        stratified_hash_sample(
+            d,
+            "doc_id",
+            "source",
+            STRATA_FRACTIONS,
+            default_fraction=STRATA_DEFAULT,
+            salt=SAMPLE_SALT,
+        )
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("sum_chars"),
+        )
+    )
+
+
+def _oracle_stratified_sample() -> str:
+    bucket = _sql_md5_64(f"'{SAMPLE_SALT}' || cast(doc_id AS varchar)")
+    whens = " ".join(
+        f"WHEN source = '{v}' THEN {round(f * 10000)}"
+        for v, f in STRATA_FRACTIONS.items()
+    )
+    return rf"""
+WITH b AS (SELECT source, n_chars, {bucket} % 10000 AS bucket FROM documents)
+SELECT source, count(*) AS n_docs, cast(sum(n_chars) AS bigint) AS sum_chars
+FROM b
+WHERE bucket < (CASE {whens} ELSE {round(STRATA_DEFAULT * 10000)} END)
+GROUP BY source
+"""
+
+
+def q_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents → JSONL (sinks/files.py::write_jsonl) → read back with a
+    PINNED schema (inference costs an extra pass and types drift) →
+    per-lang aggregate. Oracle aggregates the original parquet, so the
+    round trip must be lossless to hash-match."""
+    import tempfile
+
+    from ..sinks.files import write_jsonl
+    from ..sources.batch import read_json
+
+    d = read_table(spark, sf_dir, "documents")
+    out = tempfile.mkdtemp(prefix="jsonl_rt_")
+    write_jsonl(d, out)
+    back = read_json(
+        spark,
+        out,
+        schema="doc_id bigint, text string, lang string, source string, n_chars bigint",
+    )
+    return back.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("sum_chars"),
+        F.sum(F.length("text")).alias("sum_text_len"),
+    )
+
+
+_ORACLE_JSONL_ROUNDTRIP = """
+SELECT lang, count(*) AS n_docs,
+       cast(sum(n_chars) AS bigint) AS sum_chars,
+       cast(sum(length(text)) AS bigint) AS sum_text_len
+FROM documents GROUP BY lang
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "doc_bm25_topk": QuerySpec(
         q_bm25, _oracle_bm25(), "Okapi BM25 top-k ranked retrieval"
+    ),
+    "doc_split_counts": QuerySpec(
+        q_split_counts,
+        _oracle_split_counts(),
+        "deterministic hash train/val/test split",
+    ),
+    "doc_stratified_sample": QuerySpec(
+        q_stratified_sample,
+        _oracle_stratified_sample(),
+        "per-stratum deterministic hash sampling",
+    ),
+    "doc_jsonl_roundtrip": QuerySpec(
+        q_jsonl_roundtrip,
+        _ORACLE_JSONL_ROUNDTRIP,
+        "JSONL write→read round trip (schema pinned)",
     ),
     "doc_top_tokens": QuerySpec(
         q_top_tokens, ORACLE_TOP_TOKENS, "Misra-Gries sketch + exact verify"

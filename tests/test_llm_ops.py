@@ -152,3 +152,42 @@ def test_kmeans_separates_blobs(spark):
         by_blob.setdefault(r.id % 3, set()).add(r.cluster)
     assert all(len(v) == 1 for v in by_blob.values())
     assert len(set().union(*by_blob.values())) == 3
+
+
+def test_hash_split_is_stable_partition(spark):
+    """Every row gets exactly one split; labels are a function of
+    (salt, id) only — unchanged under repartitioning and corpus growth."""
+    from sparkstreaming_spark.operators.sampling import with_split
+
+    w = {"train": 0.8, "val": 0.1, "test": 0.1}
+    base = spark.range(0, 500).withColumnRenamed("id", "doc_id")
+    a = {r.doc_id: r.split for r in with_split(base, "doc_id", w).collect()}
+    assert len(a) == 500 and set(a.values()) <= {"train", "val", "test"}
+    shuffled = with_split(base.repartition(13), "doc_id", w)
+    assert {r.doc_id: r.split for r in shuffled.collect()} == a
+    grown = spark.range(0, 1000).withColumnRenamed("id", "doc_id")
+    g = {r.doc_id: r.split for r in with_split(grown, "doc_id", w).collect()}
+    assert all(g[k] == v for k, v in a.items())
+    frac = sum(1 for v in a.values() if v == "train") / 500
+    assert 0.7 < frac < 0.9
+
+
+def test_stratified_hash_sample_fractions(spark):
+    """Each stratum lands near its own fraction; default applies to
+    unlisted strata; repeated runs identical."""
+    from sparkstreaming_spark.operators.sampling import stratified_hash_sample
+
+    from pyspark.sql import functions as F
+
+    df = spark.range(0, 3000).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("s"), (F.col("id") % 3).cast("string")).alias("src"),
+    )
+    out = stratified_hash_sample(
+        df, "doc_id", "src", {"s0": 0.5, "s1": 0.1}, default_fraction=0.0
+    )
+    counts = {r.src: r.cnt for r in out.groupBy("src").agg(F.count("*").alias("cnt")).collect()}
+    assert 400 < counts["s0"] < 600
+    assert 60 < counts["s1"] < 140
+    assert "s2" not in counts
+    assert out.count() == out.count()
