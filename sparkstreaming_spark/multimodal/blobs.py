@@ -84,3 +84,110 @@ def decode_blob_features(
         F.col(id_col).cast("bigint").alias("__id"), F.col(blob_col).alias("__blob")
     )
     return narrow.mapInPandas(extract, schema=FEATURE_SCHEMA)
+
+
+def sample_blob_frames(
+    df: DataFrame,
+    id_col: str,
+    blob_col: str = "blob",
+    n_frames: int = 4,
+    fake: bool = True,
+) -> DataFrame:
+    """Frame sampling: one blob row in → n_frames rows out (the video
+    shape: uniform temporal sampling). Output (id, frame_idx, n_bytes,
+    frame_md5).
+
+    fake=True: a "frame" is the i-th of n uniform byte ranges
+    (boundaries floor(i·L/n)) — deterministic and reproducible in SQL,
+    so the whole 1→N mapInPandas plumbing gets an exact DuckDB oracle.
+    fake=False marks where ffmpeg keyframe extraction would slot in.
+
+    Scale: narrow 1→N map, no shuffle; output carries hashes/lengths
+    (small), never the frame bytes, so downstream aggregation is cheap.
+    """
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        for pdf in batches:
+            if not fake:
+                raise NotImplementedError(
+                    "real frame extraction requires ffmpeg — not in this "
+                    "container; use fake=True for uniform byte-range frames"
+                )
+            ids, idxs, sizes, hashes = [], [], [], []
+            for i, blob in zip(pdf["__id"], pdf["__blob"]):
+                raw = bytes(blob)
+                L = len(raw)
+                for j in range(n_frames):
+                    lo = j * L // n_frames
+                    hi = (j + 1) * L // n_frames
+                    frame = raw[lo:hi]
+                    ids.append(i)
+                    idxs.append(j)
+                    sizes.append(len(frame))
+                    hashes.append(hashlib.md5(frame).hexdigest())
+            yield pd.DataFrame(
+                {
+                    "id": ids,
+                    "frame_idx": idxs,
+                    "n_bytes": sizes,
+                    "frame_md5": hashes,
+                }
+            )
+
+    narrow = df.select(
+        F.col(id_col).cast("bigint").alias("__id"), F.col(blob_col).alias("__blob")
+    )
+    return narrow.mapInPandas(
+        extract, schema="id bigint, frame_idx int, n_bytes bigint, frame_md5 string"
+    )
+
+
+def resize_blob(
+    df: DataFrame,
+    id_col: str,
+    blob_col: str = "blob",
+    out_len: int = 64,
+    fake: bool = True,
+) -> DataFrame:
+    """Resize: fixed-size representation per blob — (id, orig_bytes,
+    resized binary[out_len]). fake=True mean-pools the byte signal into
+    out_len buckets (the 1-D stand-in for image bilinear resize, which
+    would slot in at fake=False via PIL; shorter blobs stretch, like an
+    image upscale; empty blobs become zeros). Deterministic; unit-tested
+    (pooling is not worth a SQL twin)."""
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            if not fake:
+                raise NotImplementedError(
+                    "real image resize requires PIL — not in this container; "
+                    "use fake=True for mean-pooled byte resize"
+                )
+            ids, origs, outs = [], [], []
+            for i, blob in zip(pdf["__id"], pdf["__blob"]):
+                arr = np.frombuffer(bytes(blob), dtype=np.uint8)
+                ids.append(i)
+                origs.append(int(arr.size))
+                if arr.size == 0:
+                    outs.append(bytes(out_len))
+                    continue
+                edges = (np.arange(out_len + 1) * arr.size) // out_len
+                pooled = np.array(
+                    [
+                        arr[edges[j]: max(edges[j + 1], edges[j] + 1)].mean()
+                        for j in range(out_len)
+                    ]
+                )
+                outs.append(pooled.astype(np.uint8).tobytes())
+            yield pd.DataFrame({"id": ids, "orig_bytes": origs, "resized": outs})
+
+    narrow = df.select(
+        F.col(id_col).cast("bigint").alias("__id"), F.col(blob_col).alias("__blob")
+    )
+    return narrow.mapInPandas(
+        extract, schema="id bigint, orig_bytes bigint, resized binary"
+    )

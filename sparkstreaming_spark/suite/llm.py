@@ -520,7 +520,45 @@ FROM documents GROUP BY lang
 """
 
 
+N_FRAMES = 4
+
+
+def q_blob_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video-style frame sampling over binary blobs: 1 row → N_FRAMES
+    rows via mapInPandas (multimodal/blobs.py::sample_blob_frames).
+    Fake decode = uniform byte ranges, so exactly SQL-checkable."""
+    from ..multimodal.blobs import sample_blob_frames
+
+    d = with_blob(read_table(spark, sf_dir, "documents"), "text")
+    out = sample_blob_frames(d, "doc_id", "blob", n_frames=N_FRAMES)
+    return out.select(
+        F.col("id").alias("doc_id"), "frame_idx", "n_bytes", "frame_md5"
+    )
+
+
+def _oracle_blob_frames() -> str:
+    """Byte offsets == char offsets because the corpus is ASCII (verified:
+    octet_length(encode(text)) == length(text) for every sf0.01 row), so
+    the oracle slices the VARCHAR directly."""
+    return rf"""
+WITH f AS (
+  SELECT doc_id, i AS frame_idx,
+         substring(text,
+                   cast(i * length(text) // {N_FRAMES} AS int) + 1,
+                   cast((i + 1) * length(text) // {N_FRAMES} AS int)
+                     - cast(i * length(text) // {N_FRAMES} AS int)) AS frame
+  FROM documents, generate_series(0, {N_FRAMES - 1}) AS t(i)
+)
+SELECT doc_id, cast(frame_idx AS int) AS frame_idx,
+       cast(length(frame) AS bigint) AS n_bytes, md5(frame) AS frame_md5
+FROM f
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "doc_blob_frames": QuerySpec(
+        q_blob_frames, _oracle_blob_frames(), "1→N frame sampling over blobs"
+    ),
     "doc_bm25_topk": QuerySpec(
         q_bm25, _oracle_bm25(), "Okapi BM25 top-k ranked retrieval"
     ),

@@ -191,3 +191,44 @@ def test_stratified_hash_sample_fractions(spark):
     assert 60 < counts["s1"] < 140
     assert "s2" not in counts
     assert out.count() == out.count()
+
+
+def test_resize_blob_fixed_width_and_determinism(spark):
+    """Every output is exactly out_len bytes (stretch, pool, or zeros);
+    repeated runs byte-identical."""
+    from sparkstreaming_spark.multimodal.blobs import resize_blob, with_blob
+
+    docs = spark.createDataFrame(
+        [(1, "x" * 500), (2, "ab"), (3, "")], "doc_id bigint, text string"
+    )
+    d = with_blob(docs, "text")
+    out = {r.id: r for r in resize_blob(d, "doc_id", out_len=16).collect()}
+    assert all(len(bytes(r.resized)) == 16 for r in out.values())
+    assert out[1].orig_bytes == 500 and out[3].orig_bytes == 0
+    assert bytes(out[3].resized) == bytes(16)
+    assert bytes(out[1].resized) == bytes([ord("x")] * 16)
+    again = {r.id: bytes(r.resized) for r in resize_blob(d, "doc_id", out_len=16).collect()}
+    assert {k: bytes(v.resized) for k, v in out.items()} == again
+
+
+def test_sample_blob_frames_partitions_bytes(spark):
+    """Frames are a partition of the blob: sizes sum to blob length and
+    empty blobs yield n empty frames; real-decode path raises cleanly."""
+    import pytest as _pytest
+
+    from sparkstreaming_spark.multimodal.blobs import (
+        sample_blob_frames,
+        with_blob,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "abcdefghij"), (2, "")], "doc_id bigint, text string"
+    )
+    d = with_blob(docs, "text")
+    rows = sample_blob_frames(d, "doc_id", n_frames=3).collect()
+    sizes: dict[int, int] = {}
+    for r in rows:
+        sizes[r.id] = sizes.get(r.id, 0) + r.n_bytes
+    assert sizes == {1: 10, 2: 0}
+    with _pytest.raises(Exception, match="ffmpeg"):
+        sample_blob_frames(d, "doc_id", fake=False).collect()
