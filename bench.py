@@ -57,6 +57,8 @@ HEADLINE = [
     "doc_top_tokens",
     "doc_bm25_topk",
     "doc_split_counts",
+    "doc_repetition",
+    "doc_pii_scrub",
     "emb_kmeans_profile",
     "evt_hypertable_rollup",
     "emb_knn_bruteforce",

@@ -555,7 +555,83 @@ FROM f
 """
 
 
+def q_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition signals (textstats/analysis.py):
+    distinct-2gram ratio (in-row, no shuffle) + top-2gram share."""
+    from ..textstats.analysis import add_repetition_signals
+
+    d = read_table(spark, sf_dir, "documents")
+    return add_repetition_signals(d, "text", n=2).select(
+        "doc_id", "n_ngrams", "distinct_ngram_ratio", "top_ngram_share"
+    )
+
+
+def _oracle_repetition() -> str:
+    return rf"""
+WITH tok AS (SELECT doc_id, {SQL_TOKS} AS toks FROM documents),
+sh AS (SELECT doc_id,
+              CASE WHEN len(toks) < 2 THEN [] ELSE {SQL_SHINGLES2} END AS shs
+       FROM tok),
+base AS (SELECT doc_id, cast(len(shs) AS bigint) AS n_ngrams,
+                CASE WHEN len(shs) > 0
+                     THEN round(len(list_distinct(shs)) / len(shs), 6)
+                     ELSE 1.0 END AS distinct_ngram_ratio
+         FROM sh),
+per_gram AS (SELECT doc_id, g, count(*) AS c
+             FROM (SELECT doc_id, unnest(shs) AS g FROM sh)
+             GROUP BY doc_id, g),
+top AS (SELECT doc_id, round(max(c) / sum(c), 6) AS top_ngram_share
+        FROM per_gram GROUP BY doc_id)
+SELECT b.doc_id, b.n_ngrams, b.distinct_ngram_ratio,
+       coalesce(t.top_ngram_share, 0.0) AS top_ngram_share
+FROM base b LEFT JOIN top t USING (doc_id)
+"""
+
+
+def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub pass (textstats/cleaning.py): redact + count per type,
+    aggregated per lang. Pure codegen'd projections — no shuffle before
+    the final small aggregate."""
+    from ..textstats.cleaning import scrub
+
+    d = read_table(spark, sf_dir, "documents")
+    s = scrub(d, "text")
+    return s.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_email").alias("total_email"),
+        F.sum("n_ipv4").alias("total_ipv4"),
+        F.sum("n_phone").alias("total_phone"),
+        F.sum(
+            (F.md5("clean_text") != F.md5("text")).cast("bigint")
+        ).alias("n_changed"),
+    )
+
+
+def _oracle_pii_scrub() -> str:
+    from ..textstats.cleaning import PII_PATTERNS
+
+    clean = "text"
+    for name, pat in PII_PATTERNS.items():
+        clean = f"regexp_replace({clean}, '{pat}', '[{name.upper()}]', 'g')"
+    counts = ", ".join(
+        f"cast(sum(len(regexp_extract_all(text, '{pat}'))) AS bigint) AS total_{name}"
+        for name, pat in PII_PATTERNS.items()
+    )
+    return rf"""
+SELECT lang, count(*) AS n_docs, {counts},
+       cast(sum(CASE WHEN md5({clean}) != md5(text) THEN 1 ELSE 0 END) AS bigint)
+         AS n_changed
+FROM documents GROUP BY lang
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "doc_repetition": QuerySpec(
+        q_repetition, _oracle_repetition(), "Gopher repetition signals"
+    ),
+    "doc_pii_scrub": QuerySpec(
+        q_pii_scrub, _oracle_pii_scrub(), "PII redaction scrub pass"
+    ),
     "doc_blob_frames": QuerySpec(
         q_blob_frames, _oracle_blob_frames(), "1→N frame sampling over blobs"
     ),

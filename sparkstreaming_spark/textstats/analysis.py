@@ -159,3 +159,55 @@ def winnow_fingerprints(
         staged.select("doc_id", F.explode_outer(mins).alias("fp"))
         .filter(F.col("fp").isNotNull())
     )
+
+
+def add_repetition_signals(
+    df: DataFrame, text_col: str, n: int = 2, id_col: str = "doc_id"
+) -> DataFrame:
+    """Gopher-style repetition quality signals per document:
+
+    - `n_ngrams` / `distinct_ngram_ratio`: how much of the doc is
+      repeated word n-grams (1.0 = no repetition),
+    - `top_ngram_share`: fraction of all n-gram occurrences taken by the
+      single most frequent n-gram.
+
+    The distinct ratio is computed INSIDE the row (array_distinct on the
+    materialized shingle array — no shuffle at all); only the
+    top-n-gram mode needs an explode + two partial-aggregated groupBys,
+    keyed by doc so the shuffle is as wide as the corpus, never wider.
+    Repetition filters are the standard corpus-quality gate (Gopher §A1.3
+    heuristics) — high repeated-n-gram share ⇒ boilerplate/spam.
+    """
+    staged = df.withColumn("__toks", tokenize(text_col)).withColumn(
+        "__sh", shingles_from_tokens("__toks", n)
+    )
+    base = staged.withColumns(
+        {
+            "n_ngrams": F.size("__sh").cast("bigint"),
+            "distinct_ngram_ratio": F.round(
+                F.when(
+                    F.size("__sh") > 0,
+                    F.size(F.array_distinct("__sh")) / F.size("__sh"),
+                ).otherwise(F.lit(1.0)),
+                6,
+            ),
+        }
+    ).drop("__toks")
+
+    per_gram = (
+        base.select(id_col, F.explode_outer("__sh").alias("g"))
+        .filter(F.col("g").isNotNull())
+        .groupBy(id_col, "g")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    top_share = per_gram.groupBy(id_col).agg(
+        F.round(F.max("c") / F.sum("c"), 6).alias("top_ngram_share")
+    )
+    return (
+        base.drop("__sh")
+        .join(top_share, id_col, "left")
+        .withColumn(
+            "top_ngram_share",
+            F.coalesce("top_ngram_share", F.lit(0.0)),
+        )
+    )

@@ -1,0 +1,61 @@
+"""PII scrubbing — the redaction stage of a training-data pipeline.
+
+Pure `regexp_replace`/`regexp_extract_all` built-ins (JVM-side, inside
+whole-stage codegen — a narrow projection with zero shuffle, so it
+scales linearly to any corpus size). Patterns use only portable regex
+constructs (character classes, bounded quantifiers, word boundaries)
+that behave identically in Java regex (Spark) and RE2 (DuckDB), keeping
+the oracle exact.
+
+The reference has no cleaning surface beyond punctuation stripping
+(FileReconstitution.scala:7-12); this generalizes that single rewrite
+into the configurable scrub pass every corpus pipeline runs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Portable across Java regex and RE2 (no lookaround, no backrefs).
+PII_PATTERNS: dict[str, str] = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "ipv4": r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b",
+    "phone": r"\+?[0-9][0-9()\s.-]{6,}[0-9]",
+}
+
+
+def redact_pii(
+    col: str | Column, patterns: dict[str, str] | None = None
+) -> Column:
+    """Replace every PII match with a [TYPE] tag, applied in declaration
+    order (email before phone so digits inside an address-like token are
+    claimed by the more specific pattern first)."""
+    c = F.col(col) if isinstance(col, str) else col
+    for name, pat in (patterns or PII_PATTERNS).items():
+        c = F.regexp_replace(c, pat, f"[{name.upper()}]")
+    return c
+
+
+def pii_counts(
+    col: str | Column, patterns: dict[str, str] | None = None
+) -> dict[str, Column]:
+    """Per-row match counts, one column per PII type."""
+    c = F.col(col) if isinstance(col, str) else col
+    return {
+        f"n_{name}": F.size(F.regexp_extract_all(c, F.lit(pat), 0)).cast(
+            "bigint"
+        )
+        for name, pat in (patterns or PII_PATTERNS).items()
+    }
+
+
+def scrub(
+    df: DataFrame,
+    text_col: str,
+    out_col: str = "clean_text",
+    patterns: dict[str, str] | None = None,
+) -> DataFrame:
+    """Append redacted text + per-type match counts."""
+    out = df.withColumn(out_col, redact_pii(text_col, patterns))
+    return out.withColumns(pii_counts(text_col, patterns))

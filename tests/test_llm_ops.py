@@ -232,3 +232,49 @@ def test_sample_blob_frames_partitions_bytes(spark):
     assert sizes == {1: 10, 2: 0}
     with _pytest.raises(Exception, match="ffmpeg"):
         sample_blob_frames(d, "doc_id", fake=False).collect()
+
+
+def test_pii_scrub_redacts_and_counts(spark):
+    """Emails/IPs/phones are replaced with typed tags and counted;
+    clean text is PII-free under a rescan."""
+    from sparkstreaming_spark.textstats.cleaning import scrub
+
+    docs = spark.createDataFrame(
+        [
+            (1, "mail me at jane.doe+x@example.org or bob@test.co thanks"),
+            (2, "server at 192.168.0.1 answered"),
+            (3, "call +1 (555) 123-4567 now"),
+            (4, "no pii whatsoever"),
+        ],
+        "doc_id bigint, text string",
+    )
+    out = {r.doc_id: r for r in scrub(docs, "text").collect()}
+    assert out[1].n_email == 2 and "[EMAIL]" in out[1].clean_text
+    assert "@" not in out[1].clean_text
+    assert out[2].n_ipv4 == 1 and "[IPV4]" in out[2].clean_text
+    assert out[3].n_phone == 1 and "[PHONE]" in out[3].clean_text
+    assert out[4].clean_text == "no pii whatsoever"
+    rescan = {r.doc_id: r for r in scrub(
+        scrub(docs, "text").select("doc_id", F.col("clean_text").alias("text")), "text"
+    ).collect()}
+    assert all(r.n_email == r.n_ipv4 == r.n_phone == 0 for r in rescan.values())
+
+
+def test_repetition_signals(spark):
+    """A doc that is one phrase repeated shows low distinct ratio and high
+    top-2gram share; an all-unique doc shows ratio 1."""
+    from sparkstreaming_spark.textstats.analysis import add_repetition_signals
+
+    docs = spark.createDataFrame(
+        [
+            (1, "buy now " * 20),
+            (2, "every word here is completely different today"),
+            (3, ""),
+        ],
+        "doc_id bigint, text string",
+    )
+    out = {r.doc_id: r for r in add_repetition_signals(docs, "text").collect()}
+    assert out[1].distinct_ngram_ratio < 0.1
+    assert out[1].top_ngram_share > 0.4
+    assert out[2].distinct_ngram_ratio == 1.0
+    assert out[3].n_ngrams == 0 and out[3].top_ngram_share == 0.0
