@@ -56,8 +56,14 @@ def kmeans_fit(
     _, S = _collect_matrix(sample, id_col, vec_col)
     C = _train_centroids(S, k, iters=4)
 
-    narrowed = df.select(F.col(vec_col).alias("v")).repartition(
-        spark.sparkContext.defaultParallelism
+    # One scan + one shuffle TOTAL: the narrowed vector frame is persisted
+    # and reused by every Lloyd round (re-reading parquet per iteration
+    # costs a scan × iters; at cluster scale persist to MEMORY_AND_DISK or
+    # accept the re-scan explicitly — never silently).
+    narrowed = (
+        df.select(F.col(vec_col).alias("v"))
+        .repartition(spark.sparkContext.defaultParallelism)
+        .persist()
     )
 
     for _ in range(iters):
@@ -84,29 +90,26 @@ def kmeans_fit(
                     }
                 )
 
+        # Partials are ≤ k rows per partition — collect them raw and
+        # combine in NumPy on the driver. A groupBy here would add a
+        # full shuffle stage per iteration to merge k×n_partitions rows.
         parts = narrowed.mapInPandas(
             partial, schema="cluster int, n bigint, s array<double>"
-        )
-        combined = (
-            parts.groupBy("cluster")
-            .agg(
-                F.sum("n").alias("n"),
-                F.array(
-                    *[
-                        F.sum(F.col("s")[i]).alias(f"d{i}")
-                        for i in range(C.shape[1])
-                    ]
-                ).alias("s"),
-            )
-            .toPandas()
-        )
+        ).toPandas()
         C = C.copy()
-        for row in combined.itertuples(index=False):
-            s = np.asarray(row.s)
-            norm = np.linalg.norm(s)
-            if norm > 0:
-                C[row.cluster] = s / norm
+        if len(parts):
+            n_acc = np.zeros(len(C), dtype="int64")
+            s_acc = np.zeros_like(C)
+            np.add.at(n_acc, parts["cluster"].to_numpy(), parts["n"].to_numpy())
+            np.add.at(
+                s_acc, parts["cluster"].to_numpy(), np.stack(parts["s"].to_numpy())
+            )
+            for j in np.nonzero(n_acc)[0]:
+                norm = np.linalg.norm(s_acc[j])
+                if norm > 0:
+                    C[j] = s_acc[j] / norm
         bc.destroy()
+    narrowed.unpersist()
     return C
 
 

@@ -12,8 +12,10 @@ Scale shape (the part that matters at 100 TB):
   aggregated. Shuffle volume = matching postings only.
 - document length (dl) rides along with the postings groupBy instead of
   joining a separate per-doc length table — one shuffle, not two.
-- the IDF table is |query terms| rows — broadcast to the scoring join.
-- corpus stats (N, avgdl) are a 1-row aggregate cross-joined broadcast.
+- the IDF table is |query terms| numbers — computed driver-side from the
+  persisted postings and folded into the scoring expression as literals
+  (no join at all).
+- corpus stats (N, avgdl) are a 1-row aggregate, collected once.
 - final top-k is orderBy+limit → TakeOrderedAndProject (no full sort).
 
 Scores are float64 rounded to 6 dp before ranking, doc_id tie-break —
@@ -40,15 +42,19 @@ def bm25_topk(
     """(doc_id, bm25) — top_k documents for `query_terms` under Okapi BM25
     with idf = ln(1 + (N - n + 0.5)/(n + 0.5)) (Lucene's non-negative
     variant). Documents containing no query term are not returned."""
+    import math
+
     toks = docs.select(
         F.col(id_col).alias("doc_id"), tokenize(text_col).alias("__toks")
     )
 
-    lens = toks.select("doc_id", F.size("__toks").alias("dl"))
-    stats = F.broadcast(
-        lens.agg(
-            F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl")
-        )
+    # Corpus stats are ONE row — collect them rather than cross-joining a
+    # broadcast frame into two downstream plans (each crossJoin branch
+    # would re-evaluate its input subtree).
+    n_docs, avgdl = (
+        toks.select(F.size("__toks").alias("dl"))
+        .agg(F.count(F.lit(1)), F.avg("dl"))
+        .first()
     )
 
     terms = [t.lower() for t in query_terms]
@@ -62,39 +68,35 @@ def bm25_topk(
         )
         .groupBy("doc_id", "token")
         .agg(F.count(F.lit(1)).alias("tf"), F.max("dl").alias("dl"))
+        .persist()  # reused by the idf count AND the scoring pass; small
     )
 
-    idf = F.broadcast(
-        postings.groupBy("token")
-        .agg(F.count(F.lit(1)).alias("n"))
-        .crossJoin(stats)
-        .select(
-            "token",
-            F.log(
-                F.lit(1.0)
-                + (F.col("n_docs") - F.col("n") + 0.5) / (F.col("n") + 0.5)
-            ).alias("idf"),
+    # IDF is |query terms| numbers — compute driver-side from the persisted
+    # postings and fold into the scoring expression as literals.
+    n_t = {r.token: r.n for r in postings.groupBy("token").agg(
+        F.count(F.lit(1)).alias("n")
+    ).collect()}
+    idf_expr = None
+    for t in terms:
+        n = n_t.get(t, 0)
+        w = math.log(1.0 + (n_docs - n + 0.5) / (n + 0.5))
+        cond = F.col("token") == t
+        idf_expr = (
+            F.when(cond, w) if idf_expr is None else idf_expr.when(cond, w)
         )
-    )
 
-    contrib = (
-        postings.join(idf, "token")
-        .crossJoin(stats)
-        .select(
-            "doc_id",
-            (
-                F.col("idf")
-                * (F.col("tf") * (k1 + 1))
-                / (
-                    F.col("tf")
-                    + k1 * (1 - b + b * F.col("dl") / F.col("avgdl"))
-                )
-            ).alias("c"),
-        )
+    contrib = postings.select(
+        "doc_id",
+        (
+            idf_expr.otherwise(0.0)
+            * (F.col("tf") * (k1 + 1))
+            / (F.col("tf") + k1 * (1 - b + b * F.col("dl") / F.lit(avgdl)))
+        ).alias("c"),
     )
-    return (
+    out = (
         contrib.groupBy("doc_id")
         .agg(F.round(F.sum("c"), 6).alias("bm25"))
         .orderBy(F.col("bm25").desc(), F.col("doc_id").asc())
         .limit(top_k)
     )
+    return out
