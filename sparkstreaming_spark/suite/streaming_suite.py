@@ -195,6 +195,41 @@ def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return deduped.groupBy("o_orderstatus").agg(F.count(F.lit(1)).alias("cnt"))
 
 
+def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unbounded events table with real event time (nanos → timestamp,
+    same conversion as the batch reader, sources/batch.py::read_table)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = (
+        "event_id bigint, ts bigint, user_id bigint, event_type string, "
+        "value double, props string"
+    )
+    return (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+        .withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+    )
+
+
+def q_stream_dedup_watermarked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded-state streaming dedup: dropDuplicatesWithinWatermark keyed
+    on (user_id, event_type) over the watermarked events stream. Unlike
+    plain dropDuplicates (stream_dedup), state for a key is EVICTED once
+    the watermark passes it — the difference between state that grows
+    with distinct-keys-ever and state bounded by keys-per-watermark-
+    window; at 100 TB only the latter survives. Drained availableNow, so
+    one batch ⇒ per-key exactly one survivor ⇒ the per-type row count
+    equals the batch distinct-user count (deterministic even though
+    WHICH row survives is not)."""
+    stream = _events_stream(spark, sf_dir).withWatermark(
+        "ts", "1 hour"
+    ).dropDuplicatesWithinWatermark(["user_id", "event_type"])
+    survivors = run_available_now(stream, output_mode="append")
+    return survivors.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_users")
+    )
+
+
 def q_stream_events_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Event-time tumbling window over the real events stream: the
     TIMESTAMP(NANOS) parquet column rides through the streaming source as
@@ -241,6 +276,12 @@ QUERIES: dict[str, QuerySpec] = {
         "(SELECT DISTINCT ON (o_orderkey) o_orderstatus FROM orders ORDER BY o_orderkey) "
         "GROUP BY o_orderstatus",
         "streaming stateful dedup == batch distinct",
+    ),
+    "stream_dedup_watermarked": QuerySpec(
+        q_stream_dedup_watermarked,
+        "SELECT event_type, count(DISTINCT user_id) AS n_users "
+        "FROM events GROUP BY event_type",
+        "bounded-state dedup (dropDuplicatesWithinWatermark)",
     ),
     "stream_static_join": QuerySpec(
         q_stream_static_join,
