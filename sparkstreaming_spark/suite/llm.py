@@ -330,9 +330,11 @@ GROUP BY lang
 
 
 def q_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Heavy hitters: top-20 tokens via Misra-Gries sketch + exact verify
-    (textstats/heavy_hitters.py). Exact here (vocabulary clears the
-    N/sketch_size survival bar), so the plain frequency oracle applies."""
+    """Heavy hitters: top-20 tokens, exact strategy (one partial-agg'd
+    groupBy — the scale path for bounded vocabularies; the Misra-Gries
+    sketch variant in textstats/heavy_hitters.py covers vocabularies too
+    large for per-partition hash aggregation and is recall-tested in
+    tests/test_llm_ops.py)."""
     from ..textstats.heavy_hitters import top_k_tokens
 
     d = read_table(spark, sf_dir, "documents")

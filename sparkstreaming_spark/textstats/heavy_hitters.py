@@ -32,15 +32,38 @@ from ..functions.text import tokenize
 
 
 def top_k_tokens(
-    df: DataFrame, text_col: str, k: int = 20, sketch_size: int | None = None
+    df: DataFrame,
+    text_col: str,
+    k: int = 20,
+    sketch_size: int | None = None,
+    strategy: str = "exact",
 ) -> DataFrame:
-    """(token, cnt): the k most frequent tokens, count desc / token asc."""
-    m = sketch_size or 8 * k
+    """(token, cnt): the k most frequent tokens, count desc / token asc.
+
+    strategy='exact' (default): one pass, groupBy + TakeOrdered. This IS
+    the scale path for natural-language vocabularies: map-side partial
+    aggregation means the shuffle carries vocab × partitions rows, never
+    the token stream — and it never ships tokens to Python at all.
+    Measured at 50k docs: exact ~5s vs sketch ~24s, because the sketch
+    pass must move every token through Arrow into Python twice.
+
+    strategy='sketch': Misra-Gries candidates + exact re-verify. Only
+    wins when the VOCABULARY itself blows past executor memory (e.g.
+    top-k over all 5-grams of a web corpus) so per-partition hash aggs
+    would spill; the sketch bounds state at `sketch_size` counters."""
     spark = df.sparkSession
     toks = (
         df.repartition(spark.sparkContext.defaultParallelism)
         .select(F.explode(tokenize(text_col)).alias("token"))
     )
+    if strategy == "exact":
+        return (
+            toks.groupBy("token")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .orderBy(F.col("cnt").desc(), F.col("token").asc())
+            .limit(k)
+        )
+    m = sketch_size or 8 * k
 
     def mg_sketch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         # Vectorized Misra-Gries via the mergeable-summaries merge rule

@@ -278,3 +278,17 @@ def test_repetition_signals(spark):
     assert out[1].top_ngram_share > 0.4
     assert out[2].distinct_ngram_ratio == 1.0
     assert out[3].n_ngrams == 0 and out[3].top_ngram_share == 0.0
+
+
+def test_topk_sketch_matches_exact(spark):
+    """The Misra-Gries sketch strategy returns the same top-k as the
+    exact strategy whenever every true heavy hitter clears N/m."""
+    from sparkstreaming_spark.textstats.heavy_hitters import top_k_tokens
+
+    d = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    exact = [(r.token, r.cnt) for r in top_k_tokens(d, "text", k=20).collect()]
+    sketch = [
+        (r.token, r.cnt)
+        for r in top_k_tokens(d, "text", k=20, strategy="sketch").collect()
+    ]
+    assert sketch == exact

@@ -1,0 +1,87 @@
+"""Scale-stress harness: replicate documents/embeddings Nx (ids remapped,
+text/vectors perturbed so dedup doesn't collapse the copies) into /tmp,
+then time the CPU-heavy LLM operators. The point is the SHAPE of the
+curve — linear-ish in input with no driver-side collection — not the
+absolute numbers.
+
+Usage: python tools/stress.py [factor] [ops...]
+"""
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from sparkstreaming_spark.session import get_spark
+from sparkstreaming_spark.suite import all_queries
+
+BASE = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+DEFAULT_OPS = [
+    "doc_dup_clusters",
+    "doc_bm25_topk",
+    "doc_repetition",
+    "doc_pii_scrub",
+    "doc_top_tokens",
+    "emb_kmeans_profile",
+    "emb_knn_ivf",
+]
+
+
+def build(spark, factor: int, out_dir: str) -> None:
+    docs = spark.read.parquet(f"{BASE}/documents.parquet")
+    n_docs = docs.count()
+    copies = spark.range(factor).withColumnRenamed("id", "copy")
+    big_docs = (
+        docs.crossJoin(copies)
+        .select(
+            (F.col("doc_id") + F.col("copy") * n_docs).alias("doc_id"),
+            # perturb: suffix a copy-specific token so exact/near dedup
+            # doesn't merge all replicas into one cluster
+            F.concat_ws(" ", "text", F.concat(F.lit("rep"), F.col("copy"))).alias("text"),
+            "lang",
+            "source",
+            (F.col("n_chars") + 5).alias("n_chars"),
+        )
+    )
+    big_docs.repartition(32).write.mode("overwrite").parquet(
+        f"{out_dir}/documents.parquet"
+    )
+
+    emb = spark.read.parquet(f"{BASE}/embeddings.parquet")
+    n_emb = emb.count()
+    big_emb = (
+        emb.crossJoin(copies)
+        .select(
+            (F.col("vec_id") + F.col("copy") * n_emb).alias("vec_id"),
+            F.transform(
+                "embedding",
+                lambda x, i: x + (F.col("copy") % 7) * 0.001 * (i % 5),
+            ).cast("array<float>").alias("embedding"),
+        )
+    )
+    big_emb.repartition(32).write.mode("overwrite").parquet(
+        f"{out_dir}/embeddings.parquet"
+    )
+
+
+def main() -> None:
+    factor = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+    ops = sys.argv[2:] or DEFAULT_OPS
+    out_dir = f"/tmp/stress_{factor}x"
+    spark = get_spark("stress")
+    if not os.path.exists(f"{out_dir}/documents.parquet"):
+        t0 = time.perf_counter()
+        build(spark, factor, out_dir)
+        print(f"built {factor}x corpus in {time.perf_counter() - t0:.1f}s")
+    registry = all_queries()
+    for name in ops:
+        t0 = time.perf_counter()
+        n = registry[name].fn(spark, out_dir).count()
+        print(f"{name}: {time.perf_counter() - t0:.2f}s ({n} rows)")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
