@@ -1,0 +1,85 @@
+"""Physical-plan assertions for the training-pipeline operators added in
+this round: what matters at scale is the absence of accidental shuffles
+(sampling), top-k short-circuits (BM25), and broadcast labeling joins
+(dup clusters) — only a plan check pins those."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_DIR_SMOKE
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_hash_split_is_shuffle_free(spark):
+    """Split/sample assignment must stay a codegen'd projection+filter —
+    an Exchange here would mean the 'no coordination' promise is broken."""
+    from sparkstreaming_spark.operators.sampling import (
+        stratified_hash_sample,
+        with_split,
+    )
+
+    docs = spark.read.parquet(f"{SF_DIR_SMOKE}/documents.parquet")
+    split_plan = _plan(with_split(docs, "doc_id", {"train": 0.9, "test": 0.1}))
+    assert "Exchange" not in split_plan, split_plan[:2000]
+    assert "*(1)" in split_plan  # whole-stage codegen marker
+    sample_plan = _plan(
+        stratified_hash_sample(docs, "doc_id", "source", {"src0": 0.5})
+    )
+    assert "Exchange" not in sample_plan, sample_plan[:2000]
+
+
+def test_bm25_topk_uses_take_ordered(spark):
+    """The final top-k must compile to TakeOrderedAndProject (per-partition
+    top-k + driver merge), never a global Sort over all scored docs."""
+    from sparkstreaming_spark.textstats.ranking import bm25_topk
+
+    docs = spark.read.parquet(f"{SF_DIR_SMOKE}/documents.parquet")
+    plan = _plan(bm25_topk(docs, ["spark", "join"], top_k=5))
+    assert "TakeOrderedAndProject" in plan, plan[:2000]
+
+
+def test_dup_clusters_labels_via_broadcast(spark):
+    """Labeling the full corpus with its (small) component map and sizes
+    must be broadcast joins — shuffling the corpus to meet a frame that
+    only holds docs-with-near-dup-evidence would be backwards."""
+    from sparkstreaming_spark.dedup.clusters import dup_clusters
+
+    docs = spark.read.parquet(f"{SF_DIR_SMOKE}/documents.parquet")
+    pairs = spark.createDataFrame(
+        [(0, 1), (1, 2)], "doc_a bigint, doc_b bigint"
+    )
+    plan = _plan(dup_clusters(docs, pairs, "doc_id"))
+    assert plan.count("BroadcastHashJoin") >= 2, plan[:3000]
+
+
+def test_frame_sampling_is_narrow(spark):
+    """1→N frame sampling is a map — no Exchange before the FlatMap."""
+    from sparkstreaming_spark.multimodal.blobs import (
+        sample_blob_frames,
+        with_blob,
+    )
+
+    docs = spark.read.parquet(f"{SF_DIR_SMOKE}/documents.parquet")
+    plan = _plan(sample_blob_frames(with_blob(docs, "text"), "doc_id"))
+    assert "Exchange" not in plan, plan[:2000]
+
+
+def test_pii_scrub_prunes_scan_columns(spark):
+    """The scrub aggregate reads only (lang, text): column pruning must
+    reach the parquet scan ReadSchema."""
+    from sparkstreaming_spark.textstats.cleaning import scrub
+
+    docs = spark.read.parquet(f"{SF_DIR_SMOKE}/documents.parquet")
+    out = (
+        scrub(docs, "text")
+        .groupBy("lang")
+        .agg(F.sum("n_email").alias("e"))
+    )
+    plan = _plan(out)
+    scan = plan[plan.index("ReadSchema"):][:200]
+    assert "text" in scan and "lang" in scan
+    assert "doc_id" not in scan and "n_chars" not in scan, scan
