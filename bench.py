@@ -58,6 +58,7 @@ HEADLINE = [
     "doc_bm25_topk",
     "doc_split_counts",
     "doc_repetition",
+    "doc_curation_pipeline",
     "doc_pii_scrub",
     "emb_kmeans_profile",
     "evt_hypertable_rollup",

@@ -627,7 +627,99 @@ FROM documents GROUP BY lang
 """
 
 
+QUALITY_MIN = 0.5
+
+
+def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full curation pipeline as ONE composed plan: PII scrub →
+    quality score + filter → exact dedup (survivor = lowest doc_id per
+    normalized content) → deterministic train/val/test split → per
+    (split, lang) corpus accounting.
+
+    Dedup survivor selection is a row_number window over content_hash —
+    one shuffle — rather than exact_dedup + semi-join back, which would
+    evaluate the scrub/quality subtree twice (once per join branch).
+    Everything up to that window is a straight-line codegen'd projection
+    chain, so the whole pipeline is: scan → narrow ops → 1 shuffle
+    (window) → 1 shuffle (final small aggregate)."""
+    from pyspark.sql import Window
+
+    from ..functions.text import normalize_text
+    from ..operators.sampling import with_split
+    from ..textstats.analysis import add_quality_scores
+    from ..textstats.cleaning import redact_pii
+
+    d = read_table(spark, sf_dir, "documents")
+    scrubbed = d.select(
+        "doc_id", "lang", redact_pii("text").alias("text")
+    )
+    scored = add_quality_scores(scrubbed, "text").filter(
+        F.col("quality_score") >= QUALITY_MIN
+    )
+    w = Window.partitionBy(F.md5(normalize_text("text"))).orderBy("doc_id")
+    survivors = (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+    labeled = with_split(survivors, "doc_id", SPLIT_WEIGHTS, salt=SPLIT_SALT)
+    return labeled.groupBy("split", "lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("sum_tokens"),
+    )
+
+
+def _oracle_curation_pipeline() -> str:
+    en = "[" + ", ".join(f"'{w}'" for w in STOPWORDS["en"]) + "]"
+    clean = "text"
+    from ..textstats.cleaning import PII_PATTERNS
+
+    for name, pat in PII_PATTERNS.items():
+        clean = f"regexp_replace({clean}, '{pat}', '[{name.upper()}]', 'g')"
+    bucket = _sql_md5_64(f"'{SPLIT_SALT}' || cast(doc_id AS varchar)")
+    return rf"""
+WITH scrubbed AS (SELECT doc_id, lang, {clean} AS text FROM documents),
+t AS (
+  SELECT doc_id, lang, text, {SQL_TOKS} AS toks,
+         length(text) AS n_chars,
+         len({SQL_TOKS}) AS n_tokens,
+         len(regexp_extract_all(text, '[^a-zA-Z0-9\s]')) AS punct_cnt
+  FROM scrubbed
+), r AS (
+  SELECT doc_id, lang, text, n_tokens,
+         CASE WHEN n_chars > 0 THEN punct_cnt * 1.0 / n_chars ELSE 0.0 END AS punct_ratio,
+         CASE WHEN n_tokens > 0
+              THEN len(list_filter(toks, x -> list_contains({en}, x))) * 1.0 / n_tokens
+              ELSE 0.0 END AS stop_ratio
+  FROM t
+), scored AS (
+  SELECT doc_id, lang, text, n_tokens
+  FROM r
+  WHERE round(0.4 * least(n_tokens / 100.0, 1.0)
+            + 0.3 * (1.0 - least(punct_ratio * 5, 1.0))
+            + 0.3 * least(stop_ratio * 3, 1.0), 6) >= {QUALITY_MIN}
+), surv AS (
+  SELECT doc_id, lang, n_tokens,
+         row_number() OVER (PARTITION BY md5({SQL_NORM}) ORDER BY doc_id) AS rn
+  FROM scored
+), labeled AS (
+  SELECT lang, n_tokens,
+         CASE WHEN {bucket} % 10000 < 8000 THEN 'train'
+              WHEN {bucket} % 10000 < 9000 THEN 'val' ELSE 'test' END AS split
+  FROM surv WHERE rn = 1
+)
+SELECT split, lang, count(*) AS n_docs,
+       cast(sum(n_tokens) AS bigint) AS sum_tokens
+FROM labeled GROUP BY split, lang
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "doc_curation_pipeline": QuerySpec(
+        q_curation_pipeline,
+        _oracle_curation_pipeline(),
+        "composed scrub→quality→dedup→split pipeline",
+    ),
     "doc_repetition": QuerySpec(
         q_repetition, _oracle_repetition(), "Gopher repetition signals"
     ),
