@@ -84,17 +84,26 @@ def _explode_shingles(sets_df: DataFrame) -> DataFrame:
     ).filter(F.col("shingle").isNotNull())
 
 
-def minhash_signatures(
-    df: DataFrame, id_col: str, text_col: str, num_perm: int = 16, shingle_n: int = 2
-) -> DataFrame:
-    sh = _explode_shingles(
-        _shingle_sets(df, id_col, text_col, shingle_n)
-    ).withColumn("h", md5_64(F.col("shingle")) % F.lit(MERSENNE_P))
+def signatures_from_sets(sets_df: DataFrame, num_perm: int = 16) -> DataFrame:
+    """Signatures from an already-built (doc_id, sh) shingle-set frame —
+    lets one (persisted) shingle pass feed both the signature lineage and
+    the exact-Jaccard verify join."""
+    sh = _explode_shingles(sets_df).withColumn(
+        "h", md5_64(F.col("shingle")) % F.lit(MERSENNE_P)
+    )
     aggs = [
         F.min((F.lit(a) * F.col("h") + F.lit(b)) % F.lit(MERSENNE_P)).alias(f"mh{i}")
         for i, (a, b) in enumerate(minhash_params(num_perm))
     ]
     return sh.groupBy("doc_id").agg(*aggs)
+
+
+def minhash_signatures(
+    df: DataFrame, id_col: str, text_col: str, num_perm: int = 16, shingle_n: int = 2
+) -> DataFrame:
+    return signatures_from_sets(
+        _shingle_sets(df, id_col, text_col, shingle_n), num_perm
+    )
 
 
 def lsh_bands(sig_df: DataFrame, num_perm: int = 16, bands: int = 4) -> DataFrame:
@@ -142,13 +151,14 @@ def minhash_near_dup_pairs(
     """Full pipeline: LSH candidates verified with exact Jaccard ≥ threshold.
 
     Returns (doc_a, doc_b, jaccard) with jaccard rounded to 6 dp.
-    Signatures and shingle sets are persisted: each feeds both sides of a
-    self-join, and without a persist Spark would recompute the full
-    shingling lineage once per join branch.
+    ONE shingle pass: the shingle-set frame is persisted and feeds the
+    signature lineage, the band self-join, AND the exact-Jaccard verify
+    join — without the persist Spark would re-run tokenize+shingle once
+    per consumer (three times total).
     """
-    sigs = minhash_signatures(df, id_col, text_col, num_perm, shingle_n).persist()
-    cands = candidate_pairs(lsh_bands(sigs, num_perm, bands))
     sets_df = _shingle_sets(df, id_col, text_col, shingle_n).persist()
+    sigs = signatures_from_sets(sets_df, num_perm).persist()
+    cands = candidate_pairs(lsh_bands(sigs, num_perm, bands))
     a = sets_df.alias("sa")
     b = sets_df.alias("sb")
     inter = F.size(F.array_intersect(F.col("sa.sh"), F.col("sb.sh")))
