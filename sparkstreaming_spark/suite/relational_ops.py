@@ -257,7 +257,49 @@ def q_sql_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch MERGE (operators/merge.py): every 7th order arrives as an
+    update (status 'M', +10% price), every 91st (7×13) additionally as a
+    tombstone. Updates win by key, tombstones drop, everything else
+    passes through — verified by the post-merge status×revenue rollup."""
+    from ..operators.merge import merge_upsert
+
+    orders = read_table(spark, sf_dir, "orders")
+    updates = (
+        orders.filter(F.col("o_orderkey") % 7 == 0)
+        .withColumn("o_orderstatus", F.lit("M"))
+        .withColumn("o_totalprice", F.col("o_totalprice") * 1.1)
+        .withColumn("__del", F.col("o_orderkey") % 13 == 0)
+    )
+    merged = merge_upsert(orders, updates, ["o_orderkey"], delete_col="__del")
+    return merged.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+    )
+
+
+ORACLE_MERGE_UPSERT = """
+WITH upd AS (
+  SELECT o_orderkey, o_custkey, 'M' AS o_orderstatus,
+         o_totalprice * 1.1 AS o_totalprice, o_orderdate, o_orderpriority,
+         (o_orderkey % 13 = 0) AS del
+  FROM orders WHERE o_orderkey % 7 = 0
+),
+merged AS (
+  SELECT o_orderstatus, o_totalprice FROM orders
+  WHERE o_orderkey NOT IN (SELECT o_orderkey FROM upd)
+  UNION ALL
+  SELECT o_orderstatus, o_totalprice FROM upd WHERE NOT del
+)
+SELECT o_orderstatus, count(*) AS cnt, round(sum(o_totalprice), 2) AS revenue
+FROM merged GROUP BY o_orderstatus
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "merge_upsert": QuerySpec(
+        q_merge_upsert, ORACLE_MERGE_UPSERT, "batch MERGE: upsert + tombstone"
+    ),
     "sql_shipping_priority": QuerySpec(
         q_sql_shipping_priority,
         "SELECT o_orderkey, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue, "

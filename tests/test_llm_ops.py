@@ -292,3 +292,22 @@ def test_topk_sketch_matches_exact(spark):
         for r in top_k_tokens(d, "text", k=20, strategy="sketch").collect()
     ]
     assert sketch == exact
+
+
+def test_merge_upsert_semantics(spark):
+    """Updates replace by key, new keys insert, tombstones delete,
+    untouched rows pass through unchanged."""
+    from sparkstreaming_spark.operators.merge import merge_upsert
+
+    target = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)],
+        "k bigint, v string, amt double",
+    )
+    updates = spark.createDataFrame(
+        [(2, "B", 25.0, False), (4, "d", 40.0, False), (3, "c", 0.0, True)],
+        "k bigint, v string, amt double, del boolean",
+    )
+    got = {r.k: (r.v, r.amt) for r in merge_upsert(
+        target, updates, ["k"], delete_col="del"
+    ).collect()}
+    assert got == {1: ("a", 10.0), 2: ("B", 25.0), 4: ("d", 40.0)}
