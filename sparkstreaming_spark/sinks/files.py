@@ -52,3 +52,9 @@ def write_jsonl(df: DataFrame, out_dir: str, compression: str | None = None) -> 
     if compression:
         writer = writer.option("compression", compression)
     writer.json(out_dir)
+
+
+def write_orc(df: DataFrame, out_dir: str, compression: str = "zstd") -> None:
+    """Columnar ORC write — the exchange format when the downstream is
+    Hive/Trino-flavored; parquet stays the engine's native layout."""
+    df.write.mode("overwrite").option("compression", compression).orc(out_dir)

@@ -296,7 +296,38 @@ FROM merged GROUP BY o_orderstatus
 """
 
 
+def q_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lineitem → ORC (zstd) → read back → pricing rollup. Timestamps and
+    decimals must survive the format hop for the oracle (which reads the
+    original parquet) to hash-match."""
+    import tempfile
+
+    from ..sinks.files import write_orc
+    from ..sources.batch import read_orc
+
+    li = read_table(spark, sf_dir, "lineitem")
+    out = tempfile.mkdtemp(prefix="orc_rt_")
+    write_orc(li, out)
+    back = read_orc(spark, out)
+    return back.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        F.max("l_shipdate").alias("max_shipdate"),
+    )
+
+
+ORACLE_ORC_ROUNDTRIP = """
+SELECT l_returnflag, count(*) AS cnt,
+       round(sum(l_quantity), 2) AS sum_qty,
+       max(l_shipdate) AS max_shipdate
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "orc_roundtrip": QuerySpec(
+        q_orc_roundtrip, ORACLE_ORC_ROUNDTRIP, "ORC write→read round trip"
+    ),
     "merge_upsert": QuerySpec(
         q_merge_upsert, ORACLE_MERGE_UPSERT, "batch MERGE: upsert + tombstone"
     ),

@@ -87,3 +87,51 @@ def test_loyalty_split_sums_to_count(spark, vals):
     row = sum_flag_split(df, "k", "v", "x", "pos", "neg").first()
     assert row.pos + row.neg == len(vals)
     assert row.pos == sum(1 for v in vals if v == "x")
+
+
+@SLOW
+@given(
+    st.lists(st.integers(min_value=0, max_value=10_000), min_size=1, max_size=40, unique=True),
+    st.integers(min_value=1, max_value=9),
+)
+def test_split_partitions_any_id_set(spark, ids, w):
+    """For any id set and any train weight, with_split labels every row
+    exactly once and stays consistent with hash_sample's threshold."""
+    from sparkstreaming_spark.operators.sampling import with_split
+
+    frac = w / 10.0
+    df = spark.createDataFrame([(i,) for i in ids], "doc_id bigint")
+    out = with_split(df, "doc_id", {"train": frac, "rest": 1 - frac}).collect()
+    assert len(out) == len(ids)
+    assert {r.doc_id for r in out} == set(ids)
+    assert all(r.split in ("train", "rest") for r in out)
+
+
+@SLOW
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 50), st.integers(0, 100)),
+        min_size=0,
+        max_size=25,
+    )
+)
+def test_merge_upsert_key_partition(spark, upd_rows):
+    """Merge result keys == (target keys − deleted) ∪ inserted, for any
+    update batch with unique keys."""
+    from sparkstreaming_spark.operators.merge import merge_upsert
+
+    target_keys = set(range(0, 30))
+    target = spark.createDataFrame([(k, k) for k in target_keys], "k bigint, v bigint")
+    seen: dict[int, int] = {}
+    for k, v in upd_rows:
+        seen.setdefault(k, v)
+    updates = spark.createDataFrame(
+        [(k, v, v % 3 == 0) for k, v in seen.items()],
+        "k bigint, v bigint, del boolean",
+    )
+    got = {r.k: r.v for r in merge_upsert(target, updates, ["k"], delete_col="del").collect()}
+    expect_keys = (target_keys - set(seen)) | {k for k, v in seen.items() if v % 3 != 0}
+    assert set(got) == expect_keys
+    for k, v in seen.items():
+        if v % 3 != 0:
+            assert got[k] == v
