@@ -59,6 +59,8 @@ HEADLINE = [
     "doc_split_counts",
     "doc_repetition",
     "doc_curation_pipeline",
+    "doc_chunks",
+    "merge_upsert",
     "doc_pii_scrub",
     "emb_kmeans_profile",
     "evt_hypertable_rollup",

@@ -85,3 +85,39 @@ def md5_64(col: str | Column) -> Column:
     hash-based operators (minhash, exact-dedup keys) keep a SQL oracle.
     """
     return F.conv(F.substring(F.md5(_c(col)), 1, 15), 16, 10).cast("bigint")
+
+
+def chunk_tokens(
+    toks: str | Column, chunk_size: int, overlap: int = 0
+) -> Column:
+    """Overlapping token-window chunks over an ALREADY-MATERIALIZED token
+    array → array<struct<chunk_idx int, chunk string>> — the standard
+    pre-embedding chunking step of an LLM pipeline (stride =
+    chunk_size − overlap; the final partial window is kept).
+
+    Same staging rule as shingles_from_tokens: pass a bound column, not a
+    nested expression — interpreted lambdas re-evaluate expression
+    arguments per call.
+    """
+    if not 0 <= overlap < chunk_size:
+        raise ValueError("need 0 <= overlap < chunk_size")
+    stride = chunk_size - overlap
+    t = F.col(toks) if isinstance(toks, str) else toks
+    # windows: ceil(max(size - overlap, 1) / stride), integer arithmetic
+    # so it folds into codegen. Guard size<=0 explicitly — sequence(0, -1)
+    # would produce a DESCENDING sequence, not an empty one.
+    n_chunks = F.floor(
+        (F.greatest(F.size(t) - F.lit(overlap), F.lit(1)) + F.lit(stride - 1))
+        / F.lit(stride)
+    ).cast("int")
+    windows = F.transform(
+        F.sequence(F.lit(0), n_chunks - F.lit(1)),
+        lambda i: F.struct(
+            i.cast("int").alias("chunk_idx"),
+            F.concat_ws(
+                " ", F.slice(t, i * F.lit(stride) + F.lit(1), chunk_size)
+            ).alias("chunk"),
+        ),
+    )
+    empty = F.array().cast("array<struct<chunk_idx:int,chunk:string>>")
+    return F.when(F.size(t) <= 0, empty).otherwise(windows)

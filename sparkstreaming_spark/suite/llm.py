@@ -714,7 +714,98 @@ FROM labeled GROUP BY split, lang
 """
 
 
+CHUNK_SIZE, CHUNK_OVERLAP = 32, 8
+
+
+def q_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pre-embedding document chunking (functions/text.py::chunk_tokens):
+    overlapping token windows, stride = size − overlap, exploded to one
+    row per chunk. Pure codegen'd array ops — narrow until the caller
+    aggregates."""
+    from ..functions.text import chunk_tokens, tokenize
+
+    d = read_table(spark, sf_dir, "documents")
+    staged = d.select("doc_id", tokenize("text").alias("__toks"))
+    chunks = staged.select(
+        "doc_id",
+        F.explode_outer(
+            chunk_tokens("__toks", CHUNK_SIZE, CHUNK_OVERLAP)
+        ).alias("c"),
+    ).filter(F.col("c").isNotNull())
+    return chunks.select(
+        "doc_id",
+        F.col("c.chunk_idx").alias("chunk_idx"),
+        F.md5(F.col("c.chunk")).alias("chunk_md5"),
+        F.size(F.split(F.col("c.chunk"), " ")).cast("bigint").alias("n_tokens"),
+    )
+
+
+def _oracle_chunks() -> str:
+    stride = CHUNK_SIZE - CHUNK_OVERLAP
+    return rf"""
+WITH t AS (SELECT doc_id, {SQL_TOKS} AS toks, {SQL_NORM} AS norm FROM documents),
+sized AS (SELECT doc_id, toks,
+                 CASE WHEN norm = '' THEN 0 ELSE len(toks) END AS n FROM t),
+idx AS (SELECT doc_id, toks,
+               unnest(generate_series(0,
+                 cast(ceil(greatest(n - {CHUNK_OVERLAP}, 1) * 1.0 / {stride}) AS int) - 1
+               )) AS chunk_idx
+        FROM sized WHERE n > 0),
+c AS (SELECT doc_id, cast(chunk_idx AS int) AS chunk_idx,
+             array_to_string(toks[chunk_idx * {stride} + 1 : chunk_idx * {stride} + {CHUNK_SIZE}], ' ') AS chunk
+      FROM idx)
+SELECT doc_id, chunk_idx, md5(chunk) AS chunk_md5,
+       cast(len(string_split(chunk, ' ')) AS bigint) AS n_tokens
+FROM c
+"""
+
+
+def q_evt_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-score outliers per event_type: per-type mean/stddev are a tiny
+    aggregate broadcast back onto the fact stream (never a window over
+    the full table — the stats frame is |event types| rows). Z rounded
+    to 6 dp before thresholding so the oracle's float path agrees."""
+    e = read_table(spark, sf_dir, "events")
+    stats = F.broadcast(
+        e.groupBy("event_type").agg(
+            F.avg("value").alias("mu"),
+            F.stddev_pop("value").alias("sigma"),
+        )
+    )
+    z = F.round(F.abs(F.col("value") - F.col("mu")) / F.col("sigma"), 6)
+    return (
+        e.join(stats, "event_type")
+        .withColumn("z", z)
+        .filter(F.col("z") > 3.0)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_anomalies"),
+            F.round(F.max("z"), 6).alias("max_z"),
+        )
+    )
+
+
+_ORACLE_EVT_ANOMALIES = """
+WITH stats AS (
+  SELECT event_type, avg(value) AS mu, stddev_pop(value) AS sigma
+  FROM events GROUP BY event_type
+),
+z AS (
+  SELECT e.event_type, round(abs(e.value - s.mu) / s.sigma, 6) AS z
+  FROM events e JOIN stats s USING (event_type)
+)
+SELECT event_type, count(*) AS n_anomalies, round(max(z), 6) AS max_z
+FROM z WHERE z > 3.0 GROUP BY event_type
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "doc_chunks": QuerySpec(
+        q_chunks, _oracle_chunks(), "overlapping token-window chunking"
+    ),
+    "evt_anomalies": QuerySpec(
+        q_evt_anomalies, _ORACLE_EVT_ANOMALIES, "z-score outliers, broadcast stats"
+    ),
     "doc_curation_pipeline": QuerySpec(
         q_curation_pipeline,
         _oracle_curation_pipeline(),

@@ -311,3 +311,27 @@ def test_merge_upsert_semantics(spark):
         target, updates, ["k"], delete_col="del"
     ).collect()}
     assert got == {1: ("a", 10.0), 2: ("B", 25.0), 4: ("d", 40.0)}
+
+
+def test_chunk_tokens_windows(spark):
+    """Chunks tile the token stream: stride spacing, overlap preserved,
+    final partial kept, short/empty docs handled."""
+    from sparkstreaming_spark.functions.text import chunk_tokens, tokenize
+
+    docs = spark.createDataFrame(
+        [(1, " ".join(f"t{i}" for i in range(10))), (2, "a b"), (3, "")],
+        "doc_id bigint, text string",
+    )
+    staged = docs.select("doc_id", tokenize("text").alias("toks"))
+    out = staged.select(
+        "doc_id", chunk_tokens("toks", chunk_size=4, overlap=2).alias("c")
+    ).collect()
+    by_id = {r.doc_id: [(c.chunk_idx, c.chunk) for c in r.c] for r in out}
+    assert by_id[1] == [
+        (0, "t0 t1 t2 t3"),
+        (1, "t2 t3 t4 t5"),
+        (2, "t4 t5 t6 t7"),
+        (3, "t6 t7 t8 t9"),
+    ]
+    assert by_id[2] == [(0, "a b")]
+    assert by_id[3] == []
