@@ -62,3 +62,69 @@ def running_distinct_count(
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def streaming_topn_values(
+    stream_df: DataFrame, key_col: str, value_col: str, n: int = 5
+) -> DataFrame:
+    """Per-key running top-N values via the Spark 4 stateful-processor API
+    (`transformWithStateInPandas` + ValueState) — a streaming op the
+    built-in aggregates refuse (no collect-top-k on streams; a windowed
+    rank needs the whole partition).
+
+    State per key is EXACTLY the current top-N array (bounded, unlike a
+    naive collect_list), stored in the RocksDB-backed state store (the
+    provider transformWithState requires — also the at-scale choice).
+    Output (update mode): one row per (key, rank) each micro-batch the
+    key appears in. Order-insensitive, so availableNow over a bounded
+    input reproduces the batch per-key top-N exactly.
+
+    ENV GATE: the transformWithState protocol needs `google.protobuf`
+    (ships with real Spark clusters; absent from this test container), so
+    the op raises a clear error when unavailable and its test skips.
+    """
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+    except ImportError as e:
+        raise RuntimeError(
+            "transformWithStateInPandas requires google.protobuf (state "
+            "protocol); not installed in this environment"
+        ) from e
+
+    from pyspark.sql import functions as F
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class _TopN(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._state = handle.getValueState("topn", "vals array<double>")
+
+        def handleInputRows(self, key, rows, timer_values):
+            cur = list(self._state.get()[0]) if self._state.exists() else []
+            for pdf in rows:
+                cur.extend(float(v) for v in pdf["value"])
+            cur = sorted(cur, reverse=True)[:n]
+            self._state.update((cur,))
+            yield pd.DataFrame(
+                {
+                    "key": [key[0]] * len(cur),
+                    "rk": range(1, len(cur) + 1),
+                    "value": cur,
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    narrowed = stream_df.select(
+        F.col(key_col).cast("string").alias("key"),
+        F.col(value_col).cast("double").alias("value"),
+    )
+    return narrowed.groupBy("key").transformWithStateInPandas(
+        _TopN(),
+        outputStructType="key string, rk int, value double",
+        outputMode="Update",
+        timeMode="None",
+    )

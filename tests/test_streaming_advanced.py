@@ -97,3 +97,48 @@ def test_json_source_roundtrip(spark, tmp_path):
     ).write.mode("overwrite").json(p)
     back = read_json(spark, p, "id bigint, name string")
     assert sorted((r.id, r.name) for r in back.collect()) == [(1, "x"), (2, "y")]
+
+
+def test_streaming_topn_values_stateful_processor(spark):
+    """Spark-4 stateful processor (transformWithStateInPandas): per-key
+    running top-N equals batch top-N after an availableNow drain. Skips
+    where the protobuf-based state protocol isn't installed."""
+    import pytest
+
+    pytest.importorskip("google.protobuf.descriptor")
+    from pyspark.sql import functions as F
+
+    from sparkstreaming_spark.streaming.pipeline import run_available_now
+    from sparkstreaming_spark.streaming.stateful import streaming_topn_values
+
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    schema = (
+        "event_id bigint, ts bigint, user_id bigint, event_type string, "
+        "value double, props string"
+    )
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    stream = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet("/root/testdata/sf0.001")
+    )
+    out = run_available_now(
+        stream,
+        lambda df: streaming_topn_values(df, "event_type", "value", n=3),
+        output_mode="update",
+    ).groupBy("key", "rk").agg(F.max("value").alias("value"))
+    batch = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("event_type").orderBy(F.col("value").desc())
+    expect = (
+        batch.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select(F.col("event_type").alias("key"), "rk", "value")
+    )
+    got = {(r.key, r.rk): r.value for r in out.collect()}
+    want = {(r.key, r.rk): r.value for r in expect.collect()}
+    assert got == want
