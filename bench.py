@@ -64,6 +64,8 @@ HEADLINE = [
     "doc_pii_scrub",
     "emb_kmeans_profile",
     "evt_hypertable_rollup",
+    "evt_funnel",
+    "evt_retention",
     "emb_knn_bruteforce",
     "emb_knn_lsh",
     "emb_knn_ivf",

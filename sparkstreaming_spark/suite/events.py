@@ -342,7 +342,108 @@ GROUP BY level, bucket_start
 """
 
 
+def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Funnel: per user, first-occurrence ordering signup → click →
+    purchase. One conditional-min aggregate per stage in a single
+    groupBy(user) pass (no per-stage self-joins — the naive funnel shape
+    joins the events table once per stage), then a count rollup of how
+    far each user got."""
+    ev = read_table(spark, sf_dir, "events")
+    firsts = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "signup", F.col("ts"))).alias("t_signup"),
+        F.min(F.when(F.col("event_type") == "click", F.col("ts"))).alias("t_click"),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias("t_purchase"),
+    )
+    stage = (
+        F.when(
+            F.col("t_signup").isNotNull()
+            & F.col("t_click").isNotNull()
+            & F.col("t_purchase").isNotNull()
+            & (F.col("t_signup") < F.col("t_click"))
+            & (F.col("t_click") < F.col("t_purchase")),
+            3,
+        )
+        .when(
+            F.col("t_signup").isNotNull()
+            & F.col("t_click").isNotNull()
+            & (F.col("t_signup") < F.col("t_click")),
+            2,
+        )
+        .when(F.col("t_signup").isNotNull(), 1)
+        .otherwise(0)
+    )
+    return (
+        firsts.withColumn("funnel_stage", stage.cast("int"))
+        .groupBy("funnel_stage")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )
+
+
+ORACLE_FUNNEL = """
+WITH firsts AS (
+  SELECT user_id,
+         min(CASE WHEN event_type = 'signup' THEN ts END) AS t_signup,
+         min(CASE WHEN event_type = 'click' THEN ts END) AS t_click,
+         min(CASE WHEN event_type = 'purchase' THEN ts END) AS t_purchase
+  FROM events GROUP BY user_id
+)
+SELECT CASE
+         WHEN t_signup IS NOT NULL AND t_click IS NOT NULL
+              AND t_purchase IS NOT NULL
+              AND t_signup < t_click AND t_click < t_purchase THEN 3
+         WHEN t_signup IS NOT NULL AND t_click IS NOT NULL
+              AND t_signup < t_click THEN 2
+         WHEN t_signup IS NOT NULL THEN 1
+         ELSE 0 END AS funnel_stage,
+       count(*) AS n_users
+FROM firsts GROUP BY funnel_stage
+"""
+
+
+def q_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention: users grouped by first-active day; active-user
+    counts per (cohort_day, day_offset). Two aggregates + one join — the
+    cohort frame is |users| rows (small relative to events) and joins
+    back broadcast."""
+    ev = read_table(spark, sf_dir, "events").select(
+        "user_id", F.to_date("ts").alias("day")
+    )
+    cohort = ev.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
+    return (
+        ev.join(F.broadcast(cohort), "user_id")
+        .select(
+            "user_id",
+            "cohort_day",
+            F.datediff("day", "cohort_day").cast("int").alias("day_offset"),
+        )
+        .distinct()
+        .groupBy(
+            F.date_format("cohort_day", "yyyy-MM-dd").alias("cohort_day"),
+            "day_offset",
+        )
+        .agg(F.count(F.lit(1)).alias("active_users"))
+    )
+
+
+ORACLE_RETENTION = """
+WITH e AS (SELECT user_id, cast(ts AS date) AS day FROM events),
+cohort AS (SELECT user_id, min(day) AS cohort_day FROM e GROUP BY user_id),
+act AS (SELECT DISTINCT e.user_id, c.cohort_day,
+               cast(date_diff('day', c.cohort_day, e.day) AS int) AS day_offset
+        FROM e JOIN cohort c USING (user_id))
+SELECT strftime(cohort_day, '%Y-%m-%d') AS cohort_day, day_offset,
+       count(*) AS active_users
+FROM act GROUP BY 1, 2
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "evt_funnel": QuerySpec(
+        q_funnel, ORACLE_FUNNEL, "funnel stages, one conditional-min pass"
+    ),
+    "evt_retention": QuerySpec(
+        q_retention, ORACLE_RETENTION, "cohort retention matrix"
+    ),
     "evt_hypertable_rollup": QuerySpec(
         q_hypertable_rollup, ORACLE_HYPERTABLE, "multi-resolution rollup, one pass"
     ),
