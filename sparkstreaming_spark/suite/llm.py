@@ -650,9 +650,16 @@ def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..textstats.cleaning import redact_pii
 
     d = read_table(spark, sf_dir, "documents")
+    # persist = a hard materialization barrier: downstream quality/dedup
+    # expressions reference the redacted text ~12 times, and Catalyst's
+    # CollapseProject happily inlines the 3-regex redact chain into every
+    # consumer (measured 5× the whole pipeline; neither attribute aliasing
+    # nor an exchange stops the collapse — projects push through both).
+    # At cluster scale this is the standard persist-the-narrow-projection
+    # trade: 2 string columns, far smaller than re-running the regexes.
     scrubbed = d.select(
         "doc_id", "lang", redact_pii("text").alias("text")
-    )
+    ).persist()
     scored = add_quality_scores(scrubbed, "text").filter(
         F.col("quality_score") >= QUALITY_MIN
     )
