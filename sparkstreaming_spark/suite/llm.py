@@ -627,6 +627,27 @@ FROM documents GROUP BY lang
 """
 
 
+def q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LM-family quality score (textstats/analysis.py::add_unigram_logprob):
+    per-doc mean log p(token) under the corpus unigram model."""
+    from ..textstats.analysis import add_unigram_logprob
+
+    d = read_table(spark, sf_dir, "documents")
+    return add_unigram_logprob(d, "text")
+
+
+_ORACLE_UNIGRAM = rf"""
+WITH tok AS (SELECT doc_id, unnest({SQL_TOKS}) AS token FROM documents
+             WHERE {SQL_NORM} != ''),
+vocab AS (SELECT token, count(*) AS cnt FROM tok GROUP BY token),
+total AS (SELECT sum(cnt) AS n FROM vocab)
+SELECT doc_id, count(*) AS n_tokens,
+       round(avg(ln(cnt / n)), 6) AS avg_logprob
+FROM tok JOIN vocab USING (token), total
+GROUP BY doc_id
+"""
+
+
 QUALITY_MIN = 0.5
 
 
@@ -820,6 +841,11 @@ QUERIES: dict[str, QuerySpec] = {
     ),
     "doc_repetition": QuerySpec(
         q_repetition, _oracle_repetition(), "Gopher repetition signals"
+    ),
+    "doc_unigram_logprob": QuerySpec(
+        q_unigram_logprob,
+        _ORACLE_UNIGRAM,
+        "unigram-LM quality score (mean log p)",
     ),
     "doc_pii_scrub": QuerySpec(
         q_pii_scrub, _oracle_pii_scrub(), "PII redaction scrub pass"

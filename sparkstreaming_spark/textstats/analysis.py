@@ -211,3 +211,36 @@ def add_repetition_signals(
             F.coalesce("top_ngram_share", F.lit(0.0)),
         )
     )
+
+
+def add_unigram_logprob(
+    df: DataFrame, text_col: str, id_col: str = "doc_id"
+) -> DataFrame:
+    """CCNet-style LM quality filter, approximated with the corpus's own
+    unigram model: per-doc mean log p(token), where p = corpus frequency.
+    Gibberish / rare-token-dense docs score sharply lower; natural text
+    clusters near the corpus entropy. Complements the heuristic
+    (add_quality_scores) and repetition (add_repetition_signals) filters
+    as the third standard quality family.
+
+    Two corpus passes (vocab build, scoring join) — the vocab frame is
+    |vocabulary| rows with map-side partial counts, broadcast when it
+    fits and a plain shuffle join when a web-scale vocab doesn't.
+    Returns (doc_id, n_tokens, avg_logprob) for docs with ≥1 token.
+    """
+    toks = df.select(
+        F.col(id_col).alias("doc_id"), tokenize(text_col).alias("__toks")
+    ).select("doc_id", F.explode("__toks").alias("token"))
+    vocab = toks.groupBy("token").agg(F.count(F.lit(1)).alias("cnt"))
+    total = vocab.agg(F.sum("cnt")).first()[0]
+    probs = F.broadcast(
+        vocab.select("token", F.log(F.col("cnt") / F.lit(float(total))).alias("lp"))
+    )
+    return (
+        toks.join(probs, "token")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.round(F.avg("lp"), 6).alias("avg_logprob"),
+        )
+    )

@@ -335,3 +335,18 @@ def test_chunk_tokens_windows(spark):
     ]
     assert by_id[2] == [(0, "a b")]
     assert by_id[3] == []
+
+
+def test_unigram_logprob_ranks_gibberish_lower(spark):
+    """Docs made of rare tokens score lower mean log-prob than docs made
+    of the corpus's common tokens."""
+    from sparkstreaming_spark.textstats.analysis import add_unigram_logprob
+
+    common = "the cat sat on the mat " * 5
+    docs = spark.createDataFrame(
+        [(1, common), (2, common), (3, "zqxj vbnk wpfh grtl")],
+        "doc_id bigint, text string",
+    )
+    out = {r.doc_id: r.avg_logprob for r in add_unigram_logprob(docs, "text").collect()}
+    assert out[3] < out[1]
+    assert out[1] == out[2]
