@@ -437,7 +437,45 @@ FROM act GROUP BY 1, 2
 """
 
 
+def q_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series smoothing: hourly value averages per event_type with a
+    3-bucket trailing moving average (rows frame over the bucketed
+    series, not the raw events — the rollup shrinks the data before the
+    window sort touches it)."""
+    ev = read_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        F.date_trunc("hour", "ts").alias("bucket"), "event_type"
+    ).agg(F.avg("value").alias("avg_value"))
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("bucket")
+        .rowsBetween(-2, 0)
+    )
+    return hourly.select(
+        F.date_format("bucket", TS_FMT).alias("bucket_start"),
+        "event_type",
+        F.round("avg_value", 6).alias("avg_value"),
+        F.round(F.avg("avg_value").over(w), 6).alias("moving_avg_3h"),
+    )
+
+
+ORACLE_MOVING_AVG = """
+WITH hourly AS (
+  SELECT date_trunc('hour', ts) AS bucket, event_type, avg(value) AS avg_value
+  FROM events GROUP BY 1, 2
+)
+SELECT strftime(bucket, '%Y-%m-%d %H:%M:%S') AS bucket_start, event_type,
+       round(avg_value, 6) AS avg_value,
+       round(avg(avg_value) OVER (PARTITION BY event_type ORDER BY bucket
+             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 6) AS moving_avg_3h
+FROM hourly
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "evt_moving_avg": QuerySpec(
+        q_moving_avg, ORACLE_MOVING_AVG, "bucketed trailing moving average"
+    ),
     "evt_funnel": QuerySpec(
         q_funnel, ORACLE_FUNNEL, "funnel stages, one conditional-min pass"
     ),
