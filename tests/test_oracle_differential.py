@@ -38,3 +38,24 @@ def test_entry_smoke(spark):
     rows = df.collect()
     assert len(rows) > 0
     assert set(e.oracle_sql()) <= set(e.queries())
+
+
+def test_registry_oracles_all_parse(duck):
+    """Every registered oracle must at least EXPLAIN in DuckDB — catches
+    SQL rot in specs the slower differential tests don't all cover."""
+    from sparkstreaming_spark.suite import all_queries
+
+    specs = all_queries()
+    assert len(specs) >= 70
+    missing_oracle = [n for n, s in specs.items() if s.oracle is None]
+    # rows-only entries must stay the documented exceptions (iterative /
+    # approximate / stubbed-codec ops), never silent omissions
+    assert set(missing_oracle) <= {
+        "emb_knn_lsh",
+        "emb_knn_ivf",
+        "emb_kmeans_profile",
+        "doc_blob_features",
+    }, missing_oracle
+    for name, spec in specs.items():
+        if spec.oracle is not None:
+            duck.execute(f"EXPLAIN {spec.oracle}")
