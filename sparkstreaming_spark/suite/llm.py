@@ -788,6 +788,62 @@ FROM c
 """
 
 
+DECONTAM_MOD = 50  # doc_id % MOD == 0 → the synthetic benchmark/holdout set
+DECONTAM_N = 3
+
+
+def q_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (textstats/decontam.py): corpus docs vs
+    the synthetic holdout (doc_id % DECONTAM_MOD == 0), 3-gram overlap,
+    broadcast benchmark shingle set — aggregated per lang."""
+    from ..textstats.decontam import contamination_stats
+
+    d = read_table(spark, sf_dir, "documents")
+    bench = d.filter(F.col("doc_id") % DECONTAM_MOD == 0)
+    corpus = d.filter(F.col("doc_id") % DECONTAM_MOD != 0)
+    per_doc = contamination_stats(
+        corpus, bench, "doc_id", "text", n=DECONTAM_N, carry=["lang"]
+    )
+    return per_doc.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum((F.col("n_contaminated") > 0).cast("bigint")).alias(
+            "n_contaminated_docs"
+        ),
+        F.sum("n_shingles").alias("total_shingles"),
+        F.sum("n_contaminated").alias("total_contaminated"),
+    )
+
+
+def _oracle_decontam(mod: int = DECONTAM_MOD, n: int = DECONTAM_N) -> str:
+    shingles_n = (
+        f"[array_to_string(toks[i:i+{n - 1}], ' ') "
+        f"for i in generate_series(1, len(toks)-{n - 1})]"
+    )
+    return rf"""
+WITH bench_t AS (SELECT {SQL_TOKS} AS toks FROM documents WHERE doc_id % {mod} = 0),
+bench AS (SELECT DISTINCT {_sql_md5_64('s')} AS h
+          FROM (SELECT unnest(list_distinct({shingles_n})) AS s
+                FROM bench_t WHERE len(toks) >= {n})),
+corpus AS (SELECT doc_id, lang,
+                  CASE WHEN len(toks) < {n} THEN []
+                       ELSE list_distinct({shingles_n}) END AS shs
+           FROM (SELECT doc_id, lang, {SQL_TOKS} AS toks FROM documents
+                 WHERE doc_id % {mod} != 0)),
+exploded AS (SELECT doc_id, {_sql_md5_64('s')} AS h
+             FROM (SELECT doc_id, unnest(shs) AS s FROM corpus)),
+hits AS (SELECT e.doc_id, count(*) AS n_cont
+         FROM exploded e JOIN bench b USING (h) GROUP BY e.doc_id),
+per AS (SELECT c.doc_id, c.lang, len(c.shs) AS n_shingles,
+               coalesce(h.n_cont, 0) AS n_cont
+        FROM corpus c LEFT JOIN hits h USING (doc_id))
+SELECT lang, count(*) AS n_docs,
+       cast(sum(CASE WHEN n_cont > 0 THEN 1 ELSE 0 END) AS bigint) AS n_contaminated_docs,
+       cast(sum(n_shingles) AS bigint) AS total_shingles,
+       cast(sum(n_cont) AS bigint) AS total_contaminated
+FROM per GROUP BY lang
+"""
+
+
 def q_evt_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Z-score outliers per event_type: per-type mean/stddev are a tiny
     aggregate broadcast back onto the fact stream (never a window over
@@ -901,5 +957,10 @@ QUERIES: dict[str, QuerySpec] = {
     "doc_blob_meta": QuerySpec(q_blob_meta, ORACLE_BLOB_META, "binary column metadata"),
     "doc_blob_features": QuerySpec(
         q_blob_features, None, "mapInPandas fake decode (stubbed codec)"
+    ),
+    "doc_decontam": QuerySpec(
+        q_decontam,
+        _oracle_decontam(),
+        "benchmark decontamination (3-gram overlap vs broadcast holdout)",
     ),
 }

@@ -230,6 +230,47 @@ def q_stream_dedup_watermarked(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream inner join with watermarks on BOTH sides and a time-
+    range condition (view → purchase by the same user within 1 hour) —
+    the canonical attribution topology. The range bound plus the
+    watermarks is what makes join state evictable: without them, both
+    sides buffer forever (T4's unbounded-state hazard applied to joins).
+    Drained append-mode via availableNow, then reduced in batch to
+    per-purchase-hour pair counts. Timestamps are µs on both engines
+    (oracle casts TIMESTAMP_NS → TIMESTAMP) so boundary pairs agree."""
+    views = (
+        _events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "view")
+        .select(F.col("user_id").alias("v_user"), F.col("ts").alias("v_ts"))
+        .withWatermark("v_ts", "2 hours")
+    )
+    purchases = (
+        _events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts"))
+        .withWatermark("p_ts", "2 hours")
+    )
+    joined = views.join(
+        purchases,
+        (F.col("v_user") == F.col("p_user"))
+        & (F.col("p_ts") >= F.col("v_ts"))
+        & (F.col("p_ts") <= F.col("v_ts") + F.expr("INTERVAL 1 HOUR")),
+    )
+    drained = run_available_now(joined, output_mode="append")
+    return (
+        drained.groupBy(
+            F.date_format(F.date_trunc("hour", "p_ts"), "yyyy-MM-dd HH:mm:ss").alias(
+                "purchase_hour"
+            )
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.countDistinct("p_user").alias("n_users"),
+        )
+    )
+
+
 def q_stream_events_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Event-time tumbling window over the real events stream: the
     TIMESTAMP(NANOS) parquet column rides through the streaming source as
@@ -264,6 +305,17 @@ def q_stream_events_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES: dict[str, QuerySpec] = {
+    "stream_stream_join": QuerySpec(
+        q_stream_stream_join,
+        "SELECT strftime(date_trunc('hour', cast(p.ts AS TIMESTAMP)), '%Y-%m-%d %H:%M:%S') AS purchase_hour, "
+        "count(*) AS n_pairs, count(DISTINCT p.user_id) AS n_users "
+        "FROM events v JOIN events p ON v.user_id = p.user_id "
+        "AND v.event_type = 'view' AND p.event_type = 'purchase' "
+        "AND cast(p.ts AS TIMESTAMP) >= cast(v.ts AS TIMESTAMP) "
+        "AND cast(p.ts AS TIMESTAMP) <= cast(v.ts AS TIMESTAMP) + INTERVAL 1 HOUR "
+        "GROUP BY 1",
+        "watermarked stream-stream interval join (view→purchase attribution)",
+    ),
     "stream_events_windowed": QuerySpec(
         q_stream_events_windowed,
         "SELECT strftime(time_bucket(INTERVAL '1 hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start, "

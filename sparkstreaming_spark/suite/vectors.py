@@ -122,6 +122,56 @@ FROM flat GROUP BY pos
 """
 
 
+def q_label_cohesion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-cohesion profile with an EXACT oracle (unlike k-means):
+    per-label centroid (posexplode → per-(label,pos) avg → rebuilt array,
+    |labels|×dim rows — tiny), broadcast back onto the vectors, cosine of
+    each vector to its own label centroid, aggregated per label. The fact
+    table never shuffles: one pass for centroids, one broadcast-join pass
+    for scoring. Cosines round to 6 dp before aggregating; the mean
+    rounds to 4 so float accumulation order can't flip the hash."""
+    from ..functions.vectors import cosine_similarity
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    dims = emb.select("label", F.posexplode("embedding").alias("pos", "val"))
+    cent = dims.groupBy("label", "pos").agg(F.avg("val").alias("cval"))
+    cent_arr = cent.groupBy("label").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "cval"))),
+            lambda s: s["cval"],
+        ).alias("centroid")
+    )
+    scored = emb.join(F.broadcast(cent_arr), "label").select(
+        "label",
+        F.round(cosine_similarity("embedding", "centroid"), 6).alias("cos"),
+    )
+    return scored.groupBy("label").agg(
+        F.round(F.avg("cos"), 4).alias("avg_cohesion"),
+        F.round(F.min("cos"), 6).alias("min_cohesion"),
+        F.count(F.lit(1)).alias("n_vecs"),
+    )
+
+
+ORACLE_LABEL_COHESION = """
+WITH flat AS (
+    SELECT label, vec_id,
+           unnest(generate_series(1, len(embedding))) - 1 AS pos,
+           unnest(embedding::DOUBLE[]) AS val
+    FROM embeddings
+),
+cent AS (SELECT label, pos, avg(val) AS cval FROM flat GROUP BY label, pos),
+cent_arr AS (SELECT label, list(cval ORDER BY pos) AS centroid FROM cent GROUP BY label),
+scored AS (
+    SELECT e.label,
+           round(list_cosine_similarity(e.embedding::DOUBLE[], c.centroid), 6) AS cos
+    FROM embeddings e JOIN cent_arr c USING (label)
+)
+SELECT label, round(avg(cos), 4) AS avg_cohesion,
+       round(min(cos), 6) AS min_cohesion, count(*) AS n_vecs
+FROM scored GROUP BY label
+"""
+
+
 def q_kmeans_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed spherical k-means (similarity/kmeans.py): fit over the
     full table (per-batch partial sums, k×dim bytes shuffled/iter),
@@ -145,4 +195,9 @@ QUERIES: dict[str, QuerySpec] = {
     "emb_knn_lsh": QuerySpec(q_knn_lsh, None, "LSH-bucketed ANN (recall-tested)"),
     "emb_knn_ivf": QuerySpec(q_knn_ivf, None, "IVF-Flat ANN (recall-tested)"),
     "emb_norm_stats": QuerySpec(q_norm_stats, ORACLE_NORM_STATS, "array math stats"),
+    "emb_label_cohesion": QuerySpec(
+        q_label_cohesion,
+        ORACLE_LABEL_COHESION,
+        "per-label centroid cosine cohesion (exact, broadcast centroids)",
+    ),
 }

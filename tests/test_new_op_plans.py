@@ -83,3 +83,59 @@ def test_pii_scrub_prunes_scan_columns(spark):
     scan = plan[plan.index("ReadSchema"):][:200]
     assert "text" in scan and "lang" in scan
     assert "doc_id" not in scan and "n_chars" not in scan, scan
+
+
+def test_decontam_benchmark_side_broadcasts(spark):
+    """Decontamination must resolve membership via a BROADCAST join on the
+    benchmark shingle set — a shuffled join here would repartition the
+    entire corpus's shingle stream at 100 TB."""
+    from sparkstreaming_spark.textstats.decontam import contamination_stats
+
+    docs = spark.read.parquet(f"{SF_DIR_SMOKE}/documents.parquet")
+    bench = docs.filter(F.col("doc_id") % 50 == 0)
+    corpus = docs.filter(F.col("doc_id") % 50 != 0)
+    plan = _plan(contamination_stats(corpus, bench, "doc_id", "text", n=3))
+    assert "BroadcastHashJoin" in plan, plan[:3000]
+
+
+def test_decontam_planted_overlap(spark):
+    """A corpus doc sharing a 3-gram with the benchmark is flagged; one
+    with disjoint vocabulary is not; a doc with < n tokens reports zero
+    shingles."""
+    from sparkstreaming_spark.textstats.decontam import contamination_stats
+
+    bench = spark.createDataFrame(
+        [(100, "the quick brown fox jumps")], "doc_id long, text string"
+    )
+    corpus = spark.createDataFrame(
+        [
+            (1, "we saw the quick brown fox yesterday"),  # shares "the quick brown"
+            (2, "completely disjoint vocabulary here today"),
+            (3, "too short"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {
+        r["doc_id"]: r
+        for r in contamination_stats(corpus, bench, "doc_id", "text", n=3).collect()
+    }
+    assert rows[1]["n_contaminated"] == 2  # "the quick brown", "quick brown fox"
+    assert rows[2]["n_contaminated"] == 0 and rows[2]["n_shingles"] == 3
+    assert rows[3]["n_shingles"] == 0 and rows[3]["n_contaminated"] == 0
+
+
+def test_label_cohesion_degenerate_label(spark):
+    """All vectors identical within a label → centroid == vector →
+    cohesion exactly 1.0."""
+    from sparkstreaming_spark.suite.vectors import q_label_cohesion
+    import tempfile, os
+
+    d = tempfile.mkdtemp(prefix="cohesion_")
+    spark.createDataFrame(
+        [(i, [1.0, 2.0, 2.0], 0) for i in range(4)]
+        + [(10 + i, [float(i), 1.0, 0.0], 1) for i in range(3)],
+        "vec_id long, embedding array<float>, label int",
+    ).write.parquet(os.path.join(d, "embeddings.parquet"))
+    rows = {r["label"]: r for r in q_label_cohesion(spark, d).collect()}
+    assert rows[0]["avg_cohesion"] == 1.0 and rows[0]["min_cohesion"] == 1.0
+    assert rows[1]["n_vecs"] == 3 and rows[1]["avg_cohesion"] < 1.0
