@@ -71,6 +71,8 @@ HEADLINE = [
     "emb_knn_ivf",
     "emb_near_dup_cosine",
     "emb_dim_stats",
+    "doc_decontam",
+    "emb_label_cohesion",
 ]
 
 

@@ -32,7 +32,12 @@ def _doc_shingle_hashes(
     """(id, carry..., h) with one row per per-doc-DISTINCT shingle; docs
     with < n tokens keep one row with h NULL (explode_outer) so they
     survive into the per-doc accounting with n_shingles = 0."""
-    staged = df.select(id_col, *carry, tokenize(text_col).alias("__toks"))
+    # repartition BEFORE the CPU-heavy tokenize/shingle projections: a
+    # single-file parquet table scans as one partition, serializing all
+    # the regex/shingle work onto one core (same fix as dedup/minhash).
+    staged = df.repartition(
+        df.sparkSession.sparkContext.defaultParallelism
+    ).select(id_col, *carry, tokenize(text_col).alias("__toks"))
     sh = staged.select(
         id_col,
         *carry,
