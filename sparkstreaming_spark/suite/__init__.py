@@ -32,10 +32,32 @@ class QuerySpec:
 
 
 def all_queries() -> dict[str, QuerySpec]:
-    from . import analytics, core, events, relational_ops, llm, streaming_suite, tpch, tpch2, vectors
+    from . import (
+        analytics,
+        core,
+        events,
+        extensions,
+        relational_ops,
+        llm,
+        streaming_suite,
+        tpch,
+        tpch2,
+        vectors,
+    )
 
     registry: dict[str, QuerySpec] = {}
-    for mod in (analytics, core, events, relational_ops, llm, streaming_suite, tpch, tpch2, vectors):
+    for mod in (
+        analytics,
+        core,
+        events,
+        extensions,
+        relational_ops,
+        llm,
+        streaming_suite,
+        tpch,
+        tpch2,
+        vectors,
+    ):
         for name, spec in mod.QUERIES.items():
             if name in registry:
                 raise ValueError(f"duplicate query name: {name}")

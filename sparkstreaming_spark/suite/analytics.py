@@ -112,7 +112,38 @@ def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(GROUPING_SETS_SQL)
 
 
+def q_stat_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical-aggregate surface: per-returnflag correlation,
+    population covariance/variance, and stddev between quantity and
+    extended price — the column-profiling pass a data-quality layer
+    runs. Population (not sample) variants on both engines; rounded to
+    6 dp so accumulation order can't flip the hash."""
+    li = read_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("qty_price_corr"),
+        F.round(F.covar_pop("l_quantity", "l_extendedprice"), 4).alias("qty_price_covar"),
+        F.round(F.var_pop("l_quantity"), 6).alias("qty_var"),
+        F.round(F.stddev_pop("l_extendedprice"), 4).alias("price_stddev"),
+    )
+
+
+ORACLE_STAT_PROFILE = """
+SELECT l_returnflag, count(*) AS cnt,
+       round(corr(l_quantity, l_extendedprice), 6) AS qty_price_corr,
+       round(covar_pop(l_quantity, l_extendedprice), 4) AS qty_price_covar,
+       round(var_pop(l_quantity), 6) AS qty_var,
+       round(stddev_pop(l_extendedprice), 4) AS price_stddev
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "stat_profile": QuerySpec(
+        q_stat_profile,
+        ORACLE_STAT_PROFILE,
+        "corr/covar_pop/var_pop/stddev_pop profiling aggregates",
+    ),
     "ts_gap_fill": QuerySpec(
         q_gap_fill,
         ORACLE_GAP_FILL,

@@ -130,6 +130,37 @@ FROM events GROUP BY event_type, k_bucket
 """
 
 
+def q_variant_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured VARIANT surface (Spark 4): parse_json → open
+    VARIANT column → typed variant_get extraction. At scale VARIANT
+    beats get_json_object by parsing once into a binary encoding instead
+    of re-parsing the JSON string per extracted path."""
+    ev = read_table(spark, sf_dir, "events")
+    parsed = ev.select(
+        "event_type", F.parse_json("props").alias("v")
+    )
+    k = F.variant_get("v", "$.k", "int")
+    return (
+        parsed.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum("k").alias("sum_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+        )
+    )
+
+
+ORACLE_VARIANT = """
+SELECT event_type, count(*) AS cnt,
+       cast(sum(cast(json_extract(props, '$.k') AS int)) AS bigint) AS sum_k,
+       cast(min(cast(json_extract(props, '$.k') AS int)) AS int) AS min_k,
+       cast(max(cast(json_extract(props, '$.k') AS int)) AS int) AS max_k
+FROM events GROUP BY event_type
+"""
+
+
 def q_running_by_user(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Batch analogue of the reference's update-mode running aggregate
     (T2/T3, Consumer.scala:61,129-145): cumulative event count per user
@@ -494,5 +525,8 @@ QUERIES: dict[str, QuerySpec] = {
     "evt_sliding_window": QuerySpec(q_sliding_window, ORACLE_SLIDING, "T5 sliding window"),
     "evt_session_window": QuerySpec(q_session_window, ORACLE_SESSION, "T5 session window"),
     "evt_json_props": QuerySpec(q_json_props, ORACLE_JSON, "JSON extraction"),
+    "evt_variant_props": QuerySpec(
+        q_variant_props, ORACLE_VARIANT, "VARIANT parse_json/variant_get (Spark 4)"
+    ),
     "evt_running_by_user": QuerySpec(q_running_by_user, ORACLE_RUNNING, "T2/T3 running totals"),
 }

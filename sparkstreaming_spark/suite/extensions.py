@@ -1,0 +1,127 @@
+"""Engine extension points, differentially verified: the custom Python
+Data Source (sources/custom.py) and Python UDTFs (functions/udtfs.py).
+Both run DETERMINISTIC logic (md5 arithmetic / regex splits) so the
+DuckDB oracle checks the extension *plumbing* — partition fan-out,
+schema, lateral row fan-out — bit-exactly, not just rows>0.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.text import md5_64
+from ..sources.batch import read_table
+from . import QuerySpec
+
+SYNTH_ROWS = 2000
+SYNTH_PARTS = 8
+CHECK_MOD = 1000003
+
+
+def q_custom_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Read the registered Python data source (8 shards → 8 tasks) and
+    reduce to a per-bucket corpus checksum. sf_dir is unused — the
+    source IS the table; the oracle regenerates it with SQL md5
+    arithmetic."""
+    from ..sources.custom import DEFAULT_SEED, register_custom_sources
+
+    register_custom_sources(spark)
+    df = (
+        spark.read.format("synthetic_docs")
+        .option("n_rows", SYNTH_ROWS)
+        .option("n_parts", SYNTH_PARTS)
+        .option("seed", DEFAULT_SEED)
+        .load()
+    )
+    return (
+        df.select(
+            (F.col("doc_id") % 10).alias("bucket"),
+            F.size(F.split("text", " ")).cast("bigint").alias("n_tokens"),
+            (md5_64(F.col("text")) % CHECK_MOD).alias("h"),
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+            F.sum("h").alias("text_checksum"),
+        )
+    )
+
+
+def _oracle_custom_datasource() -> str:
+    from ..sources.custom import DEFAULT_SEED, VOCAB
+
+    vocab = "[" + ", ".join(f"'{w}'" for w in VOCAB) + "]"
+    md5i = (
+        "cast(('0x' || substr(md5('{seed}:' || doc_id || ':' || i), 1, 15)) AS bigint)"
+    ).format(seed=DEFAULT_SEED)
+    md5len = (
+        "cast(('0x' || substr(md5('{seed}:' || doc_id || ':len'), 1, 15)) AS bigint)"
+    ).format(seed=DEFAULT_SEED)
+    return rf"""
+WITH ids AS (SELECT unnest(generate_series(0, {SYNTH_ROWS - 1})) AS doc_id),
+sized AS (SELECT doc_id, 5 + {md5len} % 8 AS n FROM ids),
+texts AS (SELECT doc_id, n,
+                 array_to_string(
+                   [{vocab}[({md5i} % {len(VOCAB)}) + 1]
+                    for i in generate_series(0, n - 1)], ' ') AS text
+          FROM sized)
+SELECT doc_id % 10 AS bucket, count(*) AS n_docs,
+       cast(sum(n) AS bigint) AS total_tokens,
+       cast(sum(cast(('0x' || substr(md5(text), 1, 15)) AS bigint) % {CHECK_MOD})
+            AS bigint) AS text_checksum
+FROM texts GROUP BY bucket
+"""
+
+
+def q_sentences_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF through the SQL surface: LATERAL sentence_split over
+    documents, reduced per lang. Covers registration, lateral join, and
+    1→N fan-out of the UDTF path."""
+    from ..functions.udtfs import register_udtfs
+
+    register_udtfs(spark)
+    read_table(spark, sf_dir, "documents").createOrReplaceTempView("docs_udtf")
+    return spark.sql(
+        """
+        SELECT s.lang, count(*) AS n_sentences,
+               cast(sum(s.n_tokens) AS bigint) AS total_tokens,
+               cast(max(s.sent_idx) AS int) AS max_sent_idx
+        FROM docs_udtf d, LATERAL sentence_split(d.doc_id, d.lang, d.text) s
+        GROUP BY s.lang
+        """
+    )
+
+
+ORACLE_SENTENCES = r"""
+WITH per_doc AS (
+  SELECT doc_id, lang,
+         list_filter(
+           list_transform(string_split_regex(text, '[.!?]+'), x -> trim(x)),
+           x -> x != '') AS sents
+  FROM documents
+)
+SELECT lang,
+       cast(sum(len(sents)) AS bigint) AS n_sentences,
+       cast(sum(coalesce(list_sum(
+              list_transform(sents, x -> len(string_split_regex(x, '\s+')))), 0))
+            AS bigint) AS total_tokens,
+       cast(max(CASE WHEN len(sents) > 0 THEN len(sents) - 1 END) AS int) AS max_sent_idx
+FROM per_doc GROUP BY lang
+HAVING sum(len(sents)) > 0
+"""
+
+
+QUERIES: dict[str, QuerySpec] = {
+    "src_custom_datasource": QuerySpec(
+        q_custom_datasource,
+        _oracle_custom_datasource(),
+        "Python Data Source API (partitioned custom reader, bit-exact)",
+    ),
+    "doc_sentences_udtf": QuerySpec(
+        q_sentences_udtf,
+        ORACLE_SENTENCES,
+        "Python UDTF via LATERAL (registration + 1→N fan-out)",
+    ),
+}

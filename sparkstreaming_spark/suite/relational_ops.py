@@ -324,9 +324,43 @@ FROM lineitem GROUP BY l_returnflag
 """
 
 
+def q_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents → XML (Spark 4 built-in source, one element per row) →
+    read back with a PINNED schema → per-lang aggregate. The writer
+    escapes markup in text; the reader must unescape it losslessly for
+    the oracle (which aggregates the original parquet) to hash-match."""
+    import tempfile
+
+    d = read_table(spark, sf_dir, "documents")
+    out = tempfile.mkdtemp(prefix="xml_rt_") + "/docs"
+    d.write.format("xml").option("rootTag", "docs").option("rowTag", "doc").save(out)
+    back = (
+        spark.read.format("xml")
+        .option("rowTag", "doc")
+        .schema("doc_id bigint, text string, lang string, source string, n_chars bigint")
+        .load(out)
+    )
+    return back.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("sum_chars"),
+        F.sum(F.length("text")).alias("sum_text_len"),
+    )
+
+
+ORACLE_XML_ROUNDTRIP = """
+SELECT lang, count(*) AS n_docs,
+       cast(sum(n_chars) AS bigint) AS sum_chars,
+       cast(sum(length(text)) AS bigint) AS sum_text_len
+FROM documents GROUP BY lang
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "orc_roundtrip": QuerySpec(
         q_orc_roundtrip, ORACLE_ORC_ROUNDTRIP, "ORC write→read round trip"
+    ),
+    "xml_roundtrip": QuerySpec(
+        q_xml_roundtrip, ORACLE_XML_ROUNDTRIP, "XML write→read round trip (built-in source)"
     ),
     "merge_upsert": QuerySpec(
         q_merge_upsert, ORACLE_MERGE_UPSERT, "batch MERGE: upsert + tombstone"

@@ -142,3 +142,67 @@ def test_streaming_topn_values_stateful_processor(spark):
     got = {(r.key, r.rk): r.value for r in out.collect()}
     want = {(r.key, r.rk): r.value for r in expect.collect()}
     assert got == want
+
+
+def test_checkpoint_restart_resumes_not_reprocesses(spark, tmp_path):
+    """T7 end to end: drain files with availableNow + checkpoint, add MORE
+    files, restart the SAME query from the SAME checkpoint — the second
+    run must process only the new files, and the upserted table must
+    equal the batch aggregate over everything (exactly-once effect via
+    checkpoint replay + idempotent keyed upsert)."""
+    import os
+    import sqlite3
+
+    from pyspark.sql import functions as F
+
+    from sparkstreaming_spark.sinks.upsert import UpsertSink
+
+    src = tmp_path / "src"
+    src.mkdir()
+    db = str(tmp_path / "kpi.db")
+    ckpt = str(tmp_path / "ckpt")
+
+    sink = UpsertSink(
+        connect=lambda: sqlite3.connect(db),
+        table="counts",
+        key_cols=["k"],
+        val_cols=["cnt"],
+    )
+    con = sqlite3.connect(db)
+    con.execute(sink.create_table_sql({"k": "TEXT", "cnt": "INTEGER"}))
+    con.commit()
+    con.close()
+
+    def write_batch(name: str, rows: list[tuple[str]]):
+        with open(os.path.join(src, name), "w") as f:
+            f.write("k\n" + "\n".join(r[0] for r in rows) + "\n")
+
+    def drain():
+        stream = (
+            spark.readStream.option("header", "true")
+            .schema("k string")
+            .csv(str(src))
+        )
+        q = (
+            stream.groupBy("k")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .writeStream.outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .foreachBatch(sink)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        return sum(p["numInputRows"] for p in q.recentProgress)
+
+    write_batch("a.csv", [("x",), ("x",), ("y",)])
+    drain()
+    write_batch("b.csv", [("x",), ("z",)])
+    rows_second_run = drain()
+    # restart processed ONLY the new file's rows
+    assert rows_second_run == 2, rows_second_run
+
+    con = sqlite3.connect(db)
+    got = dict(con.execute("SELECT k, cnt FROM counts").fetchall())
+    con.close()
+    assert got == {"x": 3, "y": 1, "z": 1}

@@ -19,6 +19,8 @@ from sparkstreaming_spark.suite import all_queries
 
 BASE = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 DEFAULT_OPS = [
+    "doc_decontam",
+    "emb_label_cohesion",
     "doc_dup_clusters",
     "doc_bm25_topk",
     "doc_repetition",
