@@ -73,6 +73,10 @@ HEADLINE = [
     "emb_dim_stats",
     "doc_decontam",
     "emb_label_cohesion",
+    "evt_variant_props",
+    "doc_sentences_udtf",
+    "src_custom_datasource",
+    "stat_profile",
 ]
 
 

@@ -324,6 +324,39 @@ FROM lineitem GROUP BY l_returnflag
 """
 
 
+def q_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-mitigation pattern through the correctness gate: lineitem ⋈
+    orders salted 8 ways (operators/skew.py — left side salted by a
+    unique column, right side replicated per salt), then revenue per
+    order priority. Salting changes the PLAN (hot keys spread over 8
+    reducers), never the RESULT — the oracle is the plain join."""
+    from ..operators.skew import salted_join
+
+    li = read_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_extendedprice", "l_discount"
+    )
+    orders = read_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("l_orderkey"), "o_orderpriority"
+    )
+    joined = salted_join(
+        li, orders, "l_orderkey", salt=8, left_unique_col="l_linenumber"
+    )
+    return joined.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+            "revenue"
+        ),
+    )
+
+
+ORACLE_SALTED_JOIN = """
+SELECT o_orderpriority, count(*) AS n_lines,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY o_orderpriority
+"""
+
+
 def q_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """documents → XML (Spark 4 built-in source, one element per row) →
     read back with a PINNED schema → per-lang aggregate. The writer
@@ -361,6 +394,9 @@ QUERIES: dict[str, QuerySpec] = {
     ),
     "xml_roundtrip": QuerySpec(
         q_xml_roundtrip, ORACLE_XML_ROUNDTRIP, "XML write→read round trip (built-in source)"
+    ),
+    "join_salted_skew": QuerySpec(
+        q_salted_join, ORACLE_SALTED_JOIN, "8-way salted skew join == plain join"
     ),
     "merge_upsert": QuerySpec(
         q_merge_upsert, ORACLE_MERGE_UPSERT, "batch MERGE: upsert + tombstone"

@@ -26,6 +26,7 @@ from ..sinks.upsert import UpsertSink
 from ..streaming.pipeline import run_available_now
 from ..streaming.producer import produce_segments
 from . import QuerySpec
+from .events import ORACLE_SESSION as _ORACLE_SESSION
 
 ORDERS_SCHEMA = T.StructType(
     [
@@ -271,6 +272,30 @@ def q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T5's hardest variant through a live stream: session windows (5-min
+    gap) per user. Session-window state MERGES adjacent windows as events
+    arrive — the one windowed aggregation whose state shape changes with
+    data, not just with time. Complete mode + availableNow ⇒ the drained
+    result must equal the batch sessionization (shared oracle with
+    evt_session_window)."""
+    return run_available_now(
+        _events_stream(spark, sf_dir),
+        lambda df: df.groupBy(
+            F.session_window("ts", "5 minutes").alias("w"), "user_id"
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias(
+                "session_start"
+            ),
+            "n_events",
+        ),
+        output_mode="complete",
+    )
+
+
 def q_stream_events_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Event-time tumbling window over the real events stream: the
     TIMESTAMP(NANOS) parquet column rides through the streaming source as
@@ -315,6 +340,11 @@ QUERIES: dict[str, QuerySpec] = {
         "AND cast(p.ts AS TIMESTAMP) <= cast(v.ts AS TIMESTAMP) + INTERVAL 1 HOUR "
         "GROUP BY 1",
         "watermarked stream-stream interval join (view→purchase attribution)",
+    ),
+    "stream_session_window": QuerySpec(
+        q_stream_session_window,
+        _ORACLE_SESSION,  # shared with evt_session_window: batch equivalence
+        "streaming session windows (merging state), batch-equivalent",
     ),
     "stream_events_windowed": QuerySpec(
         q_stream_events_windowed,

@@ -61,6 +61,7 @@ def build(spark, factor: int, out_dir: str) -> None:
                 "embedding",
                 lambda x, i: x + (F.col("copy") % 7) * 0.001 * (i % 5),
             ).cast("array<float>").alias("embedding"),
+            "label",
         )
     )
     big_emb.repartition(32).write.mode("overwrite").parquet(
