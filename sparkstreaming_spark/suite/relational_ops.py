@@ -215,6 +215,52 @@ def q_scalar_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).withColumn("price_dist", F.round("price_dist", 2))
 
 
+def q_try_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANSI-safety surface (Spark 4 runs ANSI mode by default, where
+    divide-by-zero and bad casts THROW): try_divide / try_element_at /
+    try_cast return NULL instead — the contract pipelines rely on to
+    survive dirty data without a crash-loop. NULL-production parity is
+    checked exactly: the oracle reproduces each NULL case."""
+    o = read_table(spark, sf_dir, "orders")
+    parts = F.split("o_orderpriority", "-")
+    staged = o.select(
+        "o_orderstatus",
+        F.try_divide(
+            F.col("o_totalprice"), (F.col("o_orderkey") % 3).cast("double")
+        ).alias("safe_div"),
+        F.try_element_at(parts, F.lit(2)).alias("p2"),
+        F.try_element_at(parts, F.lit(9)).alias("p9"),
+        F.element_at(parts, 1).try_cast("int").alias("p1_int"),
+    )
+    return staged.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        (F.count(F.lit(1)) - F.count("safe_div")).alias("n_div_null"),
+        F.round(F.avg("safe_div"), 2).alias("avg_safe_div"),
+        F.count("p2").alias("n_p2"),
+        F.count("p9").alias("n_p9"),
+        F.sum("p1_int").alias("sum_p1"),
+    )
+
+
+ORACLE_TRY_FUNCTIONS = """
+WITH staged AS (
+  SELECT o_orderstatus,
+         CASE WHEN o_orderkey % 3 = 0 THEN NULL
+              ELSE o_totalprice / (o_orderkey % 3) END AS safe_div,
+         string_split(o_orderpriority, '-')[2] AS p2,
+         string_split(o_orderpriority, '-')[9] AS p9,
+         try_cast(string_split(o_orderpriority, '-')[1] AS int) AS p1_int
+  FROM orders
+)
+SELECT o_orderstatus, count(*) AS cnt,
+       count(*) - count(safe_div) AS n_div_null,
+       round(avg(safe_div), 2) AS avg_safe_div,
+       count(p2) AS n_p2, count(p9) AS n_p9,
+       cast(sum(p1_int) AS bigint) AS sum_p1
+FROM staged GROUP BY o_orderstatus
+"""
+
+
 def q_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pivot: linestatus columns of summed quantity per returnflag (the
     two-phase pivot aggregate; values list pinned so the plan is static)."""
@@ -397,6 +443,11 @@ QUERIES: dict[str, QuerySpec] = {
     ),
     "join_salted_skew": QuerySpec(
         q_salted_join, ORACLE_SALTED_JOIN, "8-way salted skew join == plain join"
+    ),
+    "scalar_try_functions": QuerySpec(
+        q_try_functions,
+        ORACLE_TRY_FUNCTIONS,
+        "ANSI-safe try_divide/try_element_at/try_cast NULL parity",
     ),
     "merge_upsert": QuerySpec(
         q_merge_upsert, ORACLE_MERGE_UPSERT, "batch MERGE: upsert + tombstone"

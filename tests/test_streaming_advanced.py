@@ -206,3 +206,47 @@ def test_checkpoint_restart_resumes_not_reprocesses(spark, tmp_path):
     got = dict(con.execute("SELECT k, cnt FROM counts").fetchall())
     con.close()
     assert got == {"x": 3, "y": 1, "z": 1}
+
+
+def test_observe_metrics_on_stream(spark, tmp_path):
+    """df.observe: per-batch data-quality metrics ride the
+    StreamingQueryProgress (no second scan of the stream) — the ops
+    hook for monitoring row counts / null rates in production."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    src = tmp_path / "obs_src"
+    src.mkdir()
+    with open(os.path.join(src, "a.csv"), "w") as f:
+        # blank single-column lines are dropped by the CSV reader, so the
+        # null rides a second column
+        f.write("k,v\na,1\nb,\nc,3\nd,4\n")
+
+    stream = (
+        spark.readStream.option("header", "true")
+        .schema("k string, v int")
+        .csv(str(src))
+        .observe(
+            "quality",
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.col("v").isNull().cast("long")).alias("n_null"),
+        )
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("obs_sink")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    metrics = [
+        p["observedMetrics"]["quality"]
+        for p in q.recentProgress
+        if p.get("observedMetrics") and "quality" in p["observedMetrics"]
+    ]
+    assert metrics, [p for p in q.recentProgress]
+    assert sum(m["n_rows"] for m in metrics) == 4
+    assert sum(m["n_null"] for m in metrics) == 1
