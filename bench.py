@@ -77,6 +77,7 @@ HEADLINE = [
     "doc_sentences_udtf",
     "src_custom_datasource",
     "stat_profile",
+    "doc_dup_passages",
 ]
 
 

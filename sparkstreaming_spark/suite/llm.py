@@ -844,6 +844,43 @@ FROM per GROUP BY lang
 """
 
 
+PASSAGE_W = 8
+
+
+def q_dup_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Passage-level dedup signals (dedup/passages.py): per doc, how many
+    of its distinct 8-token windows also occur in another document."""
+    from ..dedup.passages import dup_passage_stats
+
+    d = read_table(spark, sf_dir, "documents")
+    return dup_passage_stats(d, "doc_id", "text", window=PASSAGE_W)
+
+
+def _oracle_dup_passages(w: int = PASSAGE_W) -> str:
+    shingles_w = (
+        f"[array_to_string(toks[i:i+{w - 1}], ' ') "
+        f"for i in generate_series(1, len(toks)-{w - 1})]"
+    )
+    return rf"""
+WITH t AS (SELECT doc_id, {SQL_TOKS} AS toks FROM documents),
+w AS (SELECT doc_id, CASE WHEN len(toks) < {w} THEN []
+                          ELSE list_distinct({shingles_w}) END AS ws
+      FROM t),
+e AS (SELECT doc_id, {_sql_md5_64('s')} AS h
+      FROM (SELECT doc_id, unnest(ws) AS s FROM w)),
+rec AS (SELECT h FROM e GROUP BY h HAVING count(*) >= 2),
+dup AS (SELECT e.doc_id, count(*) AS n_dup FROM e JOIN rec USING (h)
+        GROUP BY e.doc_id),
+per AS (SELECT w.doc_id, len(w.ws) AS n_windows, coalesce(d.n_dup, 0) AS n_dup
+        FROM w LEFT JOIN dup d USING (doc_id))
+SELECT doc_id, cast(n_windows AS bigint) AS n_windows,
+       cast(n_dup AS bigint) AS n_dup_windows,
+       CASE WHEN n_windows > 0 THEN round(n_dup * 1.0 / n_windows, 6)
+            ELSE 0.0 END AS dup_fraction
+FROM per
+"""
+
+
 def q_evt_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Z-score outliers per event_type: per-type mean/stddev are a tiny
     aggregate broadcast back onto the fact stream (never a window over
@@ -962,5 +999,10 @@ QUERIES: dict[str, QuerySpec] = {
         q_decontam,
         _oracle_decontam(),
         "benchmark decontamination (3-gram overlap vs broadcast holdout)",
+    ),
+    "doc_dup_passages": QuerySpec(
+        q_dup_passages,
+        _oracle_dup_passages(),
+        "duplicated-passage fraction per doc (8-token windows, no self-join)",
     ),
 }

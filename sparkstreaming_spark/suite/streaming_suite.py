@@ -272,6 +272,33 @@ def q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_stream_file_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming ETL to files: stream → parquet file sink (append mode,
+    exactly-once via the sink's commit manifest + checkpoint) → read the
+    landed files back in batch and aggregate. The oracle aggregates the
+    original table, so the landed data must be complete and
+    duplicate-free — the file-sink delivery guarantee itself is what's
+    under test."""
+    import os
+    import tempfile
+
+    out_root = tempfile.mkdtemp(prefix="stream_sink_")
+    q = (
+        _orders_stream(spark, sf_dir)
+        .writeStream.format("parquet")
+        .option("path", os.path.join(out_root, "data"))
+        .option("checkpointLocation", os.path.join(out_root, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    back = spark.read.parquet(os.path.join(out_root, "data"))
+    return back.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+    )
+
+
 def q_stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T5's hardest variant through a live stream: session windows (5-min
     gap) per user. Session-window state MERGES adjacent windows as events
@@ -340,6 +367,12 @@ QUERIES: dict[str, QuerySpec] = {
         "AND cast(p.ts AS TIMESTAMP) <= cast(v.ts AS TIMESTAMP) + INTERVAL 1 HOUR "
         "GROUP BY 1",
         "watermarked stream-stream interval join (view→purchase attribution)",
+    ),
+    "stream_file_sink": QuerySpec(
+        q_stream_file_sink,
+        "SELECT o_orderstatus, count(*) AS cnt, round(sum(o_totalprice), 2) AS revenue "
+        "FROM orders GROUP BY o_orderstatus",
+        "streaming parquet file sink (exactly-once manifest), read back",
     ),
     "stream_session_window": QuerySpec(
         q_stream_session_window,

@@ -139,3 +139,32 @@ def test_label_cohesion_degenerate_label(spark):
     rows = {r["label"]: r for r in q_label_cohesion(spark, d).collect()}
     assert rows[0]["avg_cohesion"] == 1.0 and rows[0]["min_cohesion"] == 1.0
     assert rows[1]["n_vecs"] == 3 and rows[1]["avg_cohesion"] < 1.0
+
+
+def test_dup_passages_planted(spark):
+    """Two docs sharing an 8-token span are both flagged for exactly the
+    shared windows; a unique doc reports zero; a short doc reports zero
+    windows. Window hashes are per-doc DISTINCT, so a span repeated
+    inside ONE doc does not count as duplicated."""
+    from sparkstreaming_spark.dedup.passages import dup_passage_stats
+
+    shared = "alpha beta gamma delta epsilon zeta eta theta"  # exactly 8 tokens
+    docs = spark.createDataFrame(
+        [
+            (1, f"start one two {shared} tail"),
+            (2, f"{shared} different ending here"),
+            (3, "totally unrelated words in this document body continuing onward"),
+            (4, "short doc"),
+            (5, f"{shared} {shared}"),  # internal repeat, also shares with 1/2
+        ],
+        "doc_id long, text string",
+    )
+    rows = {
+        r["doc_id"]: r
+        for r in dup_passage_stats(docs, "doc_id", "text", window=8).collect()
+    }
+    assert rows[1]["n_dup_windows"] == 1  # only the shared window recurs
+    assert rows[2]["n_dup_windows"] == 1
+    assert rows[3]["n_dup_windows"] == 0
+    assert rows[4]["n_windows"] == 0 and rows[4]["dup_fraction"] == 0.0
+    assert rows[5]["n_dup_windows"] >= 1
