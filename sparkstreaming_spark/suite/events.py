@@ -161,6 +161,31 @@ FROM events GROUP BY event_type
 """
 
 
+def q_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear-regression aggregates (regr_slope/intercept/r2): trend of
+    event value over hour-of-day per type — one partial+final aggregate
+    pass, no window, no collect. The daily-drift check a monitoring
+    layer computes."""
+    ev = read_table(spark, sf_dir, "events")
+    x = F.hour("ts").cast("double")
+    return ev.groupBy("event_type").agg(
+        F.round(F.regr_slope("value", x), 6).alias("slope"),
+        F.round(F.regr_intercept("value", x), 6).alias("intercept"),
+        F.round(F.regr_r2("value", x), 6).alias("r2"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+ORACLE_REGRESSION = """
+SELECT event_type,
+       round(regr_slope(value, cast(hour(ts) AS double)), 6) AS slope,
+       round(regr_intercept(value, cast(hour(ts) AS double)), 6) AS intercept,
+       round(regr_r2(value, cast(hour(ts) AS double)), 6) AS r2,
+       count(*) AS n
+FROM events GROUP BY event_type
+"""
+
+
 def q_running_by_user(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Batch analogue of the reference's update-mode running aggregate
     (T2/T3, Consumer.scala:61,129-145): cumulative event count per user
@@ -527,6 +552,9 @@ QUERIES: dict[str, QuerySpec] = {
     "evt_json_props": QuerySpec(q_json_props, ORACLE_JSON, "JSON extraction"),
     "evt_variant_props": QuerySpec(
         q_variant_props, ORACLE_VARIANT, "VARIANT parse_json/variant_get (Spark 4)"
+    ),
+    "evt_regression": QuerySpec(
+        q_regression, ORACLE_REGRESSION, "regr_slope/intercept/r2 trend aggregates"
     ),
     "evt_running_by_user": QuerySpec(q_running_by_user, ORACLE_RUNNING, "T2/T3 running totals"),
 }

@@ -272,6 +272,39 @@ def q_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Official unpivot/melt API (vs the stack() idiom kpi_feature_means
+    uses): three lineitem measures → long form → per-(flag, measure)
+    stats. Unpivot is a narrow projection (no shuffle until the final
+    aggregate), so wide→long at 100 TB costs one pass."""
+    li = read_table(spark, sf_dir, "lineitem")
+    long = li.unpivot(
+        ["l_returnflag"],
+        ["l_quantity", "l_extendedprice", "l_discount"],
+        "measure",
+        "val",
+    )
+    return long.groupBy("l_returnflag", "measure").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.round(F.sum("val"), 2).alias("total"),
+        F.round(F.avg("val"), 6).alias("mean_val"),
+    )
+
+
+ORACLE_UNPIVOT = """
+WITH long AS (
+  SELECT l_returnflag, 'l_quantity' AS measure, l_quantity AS val FROM lineitem
+  UNION ALL
+  SELECT l_returnflag, 'l_extendedprice', l_extendedprice FROM lineitem
+  UNION ALL
+  SELECT l_returnflag, 'l_discount', l_discount FROM lineitem
+)
+SELECT l_returnflag, measure, count(*) AS cnt,
+       round(sum(val), 2) AS total, round(avg(val), 6) AS mean_val
+FROM long GROUP BY l_returnflag, measure
+"""
+
+
 def q_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cube over (status, priority): all 4 grouping sets incl. grand total."""
     o = read_table(spark, sf_dir, "orders")
@@ -448,6 +481,9 @@ QUERIES: dict[str, QuerySpec] = {
         q_try_functions,
         ORACLE_TRY_FUNCTIONS,
         "ANSI-safe try_divide/try_element_at/try_cast NULL parity",
+    ),
+    "unpivot_measures": QuerySpec(
+        q_unpivot, ORACLE_UNPIVOT, "official unpivot/melt API, wide→long"
     ),
     "merge_upsert": QuerySpec(
         q_merge_upsert, ORACLE_MERGE_UPSERT, "batch MERGE: upsert + tombstone"
