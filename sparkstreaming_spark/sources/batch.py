@@ -63,20 +63,29 @@ def read_json(spark: SparkSession, path: str, schema: StructType | str | None = 
 def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one driver-generated test table (TESTDATA.md) by name.
 
-    `events.ts` is a TIMESTAMP(NANOS) parquet column, which Spark's reader
-    rejects; we read it as long (legacy conf, settable at runtime) and
-    rebuild a timestamp at microsecond precision — truncation ≤ 999 ns,
-    below every bucket/window granularity the suite uses.
+    `events.ts` has shipped as both TIMESTAMP(MICROS) (read natively) and
+    TIMESTAMP(NANOS), which Spark's reader rejects; for the latter we read
+    it as long (legacy conf, settable at runtime) and rebuild a timestamp
+    at microsecond precision — truncation ≤ 999 ns, below every bucket/
+    window granularity the suite uses.
     """
     path = os.path.join(sf_dir, f"{name}.parquet")
     if name == "events":
         from pyspark.sql import functions as F
+        from pyspark.sql.types import LongType
 
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(path)
-        return df.withColumn(
-            "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
-        )
+        if isinstance(df.schema["ts"].dataType, LongType):
+            df = df.withColumn(
+                "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
+            )
+        else:
+            # TIMESTAMP(MICROS) infers as timestamp_ntz; normalize to
+            # session-TZ timestamp (UTC ⇒ same instant) so time functions
+            # that require TIMESTAMP (unix_micros etc.) keep working.
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+        return df
     return spark.read.parquet(path)
 
 

@@ -197,18 +197,19 @@ def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Unbounded events table with real event time (nanos → timestamp,
-    same conversion as the batch reader, sources/batch.py::read_table)."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    """Unbounded events table with real event time (TIMESTAMP(MICROS)
+    parquet; read as timestamp_ntz then normalized to session-TZ
+    timestamp — UTC ⇒ same instant — matching the batch reader,
+    sources/batch.py::read_table)."""
     schema = (
-        "event_id bigint, ts bigint, user_id bigint, event_type string, "
-        "value double, props string"
+        "event_id bigint, ts timestamp_ntz, user_id bigint, "
+        "event_type string, value double, props string"
     )
     return (
         spark.readStream.schema(schema)
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
-        .withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+        .withColumn("ts", F.col("ts").cast("timestamp"))
     )
 
 
@@ -324,21 +325,10 @@ def q_stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_stream_events_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Event-time tumbling window over the real events stream: the
-    TIMESTAMP(NANOS) parquet column rides through the streaming source as
-    long (legacy conf) and is rebuilt to a timestamp before windowing —
-    same conversion as the batch reader (sources/batch.py::read_table)."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    schema = (
-        "event_id bigint, ts bigint, user_id bigint, event_type string, "
-        "value double, props string"
-    )
-    stream = (
-        spark.readStream.schema(schema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-        .withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
-    )
+    """Event-time tumbling window over the real events stream — explicit
+    schema (streaming file sources require one), event time read natively
+    as timestamp_ntz like the batch reader (sources/batch.py::read_table)."""
+    stream = _events_stream(spark, sf_dir)
     return run_available_now(
         stream,
         lambda df: df.groupBy(

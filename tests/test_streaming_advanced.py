@@ -116,10 +116,9 @@ def test_streaming_topn_values_stateful_processor(spark):
         "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
     )
     schema = (
-        "event_id bigint, ts bigint, user_id bigint, event_type string, "
-        "value double, props string"
+        "event_id bigint, ts timestamp_ntz, user_id bigint, "
+        "event_type string, value double, props string"
     )
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     stream = (
         spark.readStream.schema(schema)
         .option("pathGlobFilter", "events.parquet")
