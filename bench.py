@@ -78,6 +78,11 @@ HEADLINE = [
     "src_custom_datasource",
     "stat_profile",
     "doc_dup_passages",
+    "cdc_apply_latest",
+    "scd2_history",
+    "evt_value_histogram",
+    "fuzzy_name_pairs",
+    "emb_pca_profile",
 ]
 
 

@@ -1,0 +1,76 @@
+"""Data-layout operators: Z-order (Morton) clustering for multi-dimensional
+data skipping.
+
+Why it matters at 100 TB: parquet scans skip row groups whose column
+min/max stats exclude the predicate. A sort on ONE column gives perfect
+skipping on that column and none on any other; interleaving the bits of
+several columns (Z-order) gives good-not-perfect skipping on ALL of them
+— the layout trick behind Delta/Iceberg OPTIMIZE ZORDER, implemented here
+with plain Spark primitives:
+
+    zval = interleave(bits(norm(a)), bits(norm(b)))
+    df.repartitionByRange(n_files, zval).sortWithinPartitions(zval).write
+
+repartitionByRange samples zval to build balanced range boundaries (one
+pass + one shuffle — the same cost as any global sort), and every output
+file then covers a compact Z-curve segment, i.e. a small rectangle in
+(a, b) space, so both columns' file-level stats become selective.
+
+The bit-mapping is a codegen'd expression (shift/and/or terms, same
+pattern as dedup/simhash.py's fingerprint assembly) — no UDF, no Python
+in the hot path. Normalization uses caller-supplied (lo, hi) bounds:
+layout jobs know their domains (or read them from table stats); sampling
+them inside the operator would add a pass without changing the plan
+shape.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+BITS = 16  # per-dimension resolution; 2 dims × 16 bits = 32-bit zval
+
+
+def _normalized_bits(col: str, lo: float, hi: float) -> Column:
+    """Map a numeric column to an integer in [0, 2^BITS)."""
+    scaled = (F.col(col).cast("double") - F.lit(float(lo))) / F.lit(
+        float(hi) - float(lo)
+    )
+    clamped = F.least(F.greatest(scaled, F.lit(0.0)), F.lit(1.0))
+    return (clamped * F.lit((1 << BITS) - 1)).cast("bigint")
+
+
+def zorder_value(cols: Sequence[tuple[str, float, float]]) -> Column:
+    """Morton code over (col, lo, hi) dimensions — bits interleaved
+    round-robin so the curve weights each dimension equally."""
+    dims = [_normalized_bits(c, lo, hi) for c, lo, hi in cols]
+    nd = len(dims)
+    terms = None
+    for d_idx, dim in enumerate(dims):
+        for bit in range(BITS):
+            t = F.shiftleft(
+                F.shiftright(dim, bit).bitwiseAND(F.lit(1)),
+                bit * nd + d_idx,
+            )
+            terms = t if terms is None else terms + t
+    return terms.cast("bigint")
+
+
+def write_zordered(
+    df: DataFrame,
+    path: str,
+    cols: Sequence[tuple[str, float, float]],
+    n_files: int = 16,
+) -> None:
+    """Write `df` as parquet clustered on the Z-curve of `cols`."""
+    (
+        df.withColumn("__z", zorder_value(cols))
+        .repartitionByRange(n_files, "__z")
+        .sortWithinPartitions("__z")
+        .drop("__z")
+        .write.mode("overwrite")
+        .parquet(path)
+    )

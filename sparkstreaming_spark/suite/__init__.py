@@ -34,6 +34,7 @@ class QuerySpec:
 def all_queries() -> dict[str, QuerySpec]:
     from . import (
         analytics,
+        changefeed,
         core,
         events,
         extensions,
@@ -48,6 +49,7 @@ def all_queries() -> dict[str, QuerySpec]:
     registry: dict[str, QuerySpec] = {}
     for mod in (
         analytics,
+        changefeed,
         core,
         events,
         extensions,

@@ -138,7 +138,95 @@ FROM lineitem GROUP BY l_returnflag
 """
 
 
+def q_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width histogram: width_bucket(value, 0, 500, 25) per
+    event_type — the profiling pass behind quality dashboards and
+    skew detection. One hash aggregate, partial map-side; the bucket
+    expression is codegen'd (no UDF). The oracle spells out the same
+    bucket arithmetic (floor(v/20)+1) since DuckDB lacks width_bucket."""
+    ev = read_table(spark, sf_dir, "events")
+    return (
+        ev.withColumn(
+            "bucket", F.width_bucket(F.col("value"), F.lit(0.0), F.lit(500.0), F.lit(25)).cast("int")
+        )
+        .groupBy("event_type", "bucket")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            # sum, not avg: the inputs are 2-decimal values, so the sum
+            # rounds unambiguously at 2 dp; an avg can land on a .00005
+            # round-half boundary where Spark and DuckDB disagree.
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+    )
+
+
+ORACLE_VALUE_HISTOGRAM = """
+SELECT event_type,
+       CAST(CASE WHEN value < 0 THEN 0
+                 WHEN value >= 500 THEN 26
+                 ELSE floor(value / 20) + 1 END AS INTEGER) AS bucket,
+       count(*) AS cnt,
+       round(sum(value), 2) AS sum_value
+FROM events
+GROUP BY 1, 2
+"""
+
+
+def q_fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy entity matching over part names: distinct names within 2
+    edits, with corpus frequency joined back per side (broadcast — the
+    pair set is vocabulary-sized). See dedup/fuzzy.py for why the
+    compared domain is distinct values, never corpus rows."""
+    from ..dedup.fuzzy import fuzzy_value_pairs
+
+    part = read_table(spark, sf_dir, "part")
+    pairs = fuzzy_value_pairs(part, "p_name", max_dist=2)
+    freq = part.groupBy(F.col("p_name").alias("v")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    return (
+        pairs.join(F.broadcast(freq).alias("fa"), pairs.val_a == F.col("fa.v"))
+        .join(F.broadcast(freq).alias("fb"), pairs.val_b == F.col("fb.v"))
+        .select(
+            "val_a",
+            "val_b",
+            F.col("dist").cast("int").alias("dist"),
+            F.col("fa.n").alias("n_parts_a"),
+            F.col("fb.n").alias("n_parts_b"),
+        )
+    )
+
+
+ORACLE_FUZZY_NAME_PAIRS = """
+WITH vals AS (SELECT DISTINCT p_name AS v FROM part),
+freq AS (SELECT p_name AS v, count(*) AS n FROM part GROUP BY 1),
+pairs AS (
+  SELECT a.v AS val_a, b.v AS val_b,
+         CAST(levenshtein(a.v, b.v) AS INTEGER) AS dist
+  FROM vals a JOIN vals b
+    ON a.v < b.v AND abs(length(a.v) - length(b.v)) <= 2
+  WHERE levenshtein(a.v, b.v) <= 2
+)
+SELECT p.val_a, p.val_b, p.dist,
+       fa.n AS n_parts_a, fb.n AS n_parts_b
+FROM pairs p
+JOIN freq fa ON p.val_a = fa.v
+JOIN freq fb ON p.val_b = fb.v
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "evt_value_histogram": QuerySpec(
+        q_value_histogram,
+        ORACLE_VALUE_HISTOGRAM,
+        "equi-width histogram via width_bucket, one partial-agg pass",
+    ),
+    "fuzzy_name_pairs": QuerySpec(
+        q_fuzzy_name_pairs,
+        ORACLE_FUZZY_NAME_PAIRS,
+        "bounded-edit-distance entity matching over the distinct-value "
+        "domain (threshold levenshtein + length-band prefilter)",
+    ),
     "stat_profile": QuerySpec(
         q_stat_profile,
         ORACLE_STAT_PROFILE,

@@ -920,7 +920,31 @@ FROM z WHERE z > 3.0 GROUP BY event_type
 """
 
 
+CMS_PROBES = ["the", "table", "spark", "value", "row", "zzz_absent"]
+
+
+def q_cms_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min-sketch token frequencies per language: sketches built by
+    the JVM-side mergeable aggregate (shuffle payload = sketch bytes per
+    group, never the token stream), probed driver-side for a fixed token
+    list. Rows-only: estimates are deterministic (fixed seed) but not
+    SQL-expressible; tests/test_llm_ops.py pins the CMS error bound
+    (exact <= est <= exact + eps*N)."""
+    from ..functions.text import tokenize
+    from ..textstats.cms import build_token_sketches, estimate_counts
+
+    d = read_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "lang", F.explode(tokenize("text")).alias("tok")
+    )
+    sk = build_token_sketches(toks, "lang", "tok", eps=0.0005)
+    return estimate_counts(spark, sk, "lang", CMS_PROBES)
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "doc_cms_counts": QuerySpec(
+        q_cms_counts, None, "count-min sketch per-group frequency estimates"
+    ),
     "doc_chunks": QuerySpec(
         q_chunks, _oracle_chunks(), "overlapping token-window chunking"
     ),

@@ -183,7 +183,21 @@ def q_kmeans_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kmeans_cluster_profile(emb, "vec_id", "embedding", k=8, iters=4)
 
 
+def q_pca_profile(spark, sf_dir: str):
+    """Distributed PCA variance profile: one Arrow pass emitting d-dim/
+    d^2 partials, driver-side d x d eigensolve. Rows-only (eigenvalues
+    are not SQL-expressible); tests/test_llm_ops.py checks against an
+    exact single-node NumPy PCA."""
+    from .. similarity.pca import pca_variance_profile
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    return pca_variance_profile(emb, "embedding", top=10)
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "emb_pca_profile": QuerySpec(
+        q_pca_profile, None, "PCA explained-variance profile (algebraic partials)"
+    ),
     "emb_kmeans_profile": QuerySpec(
         q_kmeans_profile, None, "distributed k-means cluster profile"
     ),

@@ -81,3 +81,66 @@ def test_sentence_udtf_null_and_empty(spark):
     assert {r["doc_id"] for r in rows} == {1}
     got = {(r["sent_idx"], r["n_tokens"]) for r in rows}
     assert got == {(0, 1), (1, 2), (2, 3)}
+
+
+def test_cdc_apply_semantics(spark):
+    """Latest change wins; a trailing delete removes the key; earlier
+    deletes are overridden by later upserts."""
+    from sparkstreaming_spark.operators.cdc import cdc_apply
+
+    changes = spark.createDataFrame(
+        [
+            (1, 1, "U", 10.0),
+            (1, 2, "U", 20.0),
+            (2, 1, "U", 5.0),
+            (2, 2, "D", 0.0),
+            (3, 1, "D", 0.0),
+            (3, 2, "U", 7.0),
+        ],
+        "key int, seq int, op string, val double",
+    )
+    got = {
+        r.key: (r.seq, r.val)
+        for r in cdc_apply(changes, ["key"], "seq", "op", ["val"]).collect()
+    }
+    assert got == {1: (2, 20.0), 3: (2, 7.0)}  # key 2 deleted
+
+
+def test_scd2_history_intervals(spark):
+    """Versions tile each key's timeline: half-open intervals, exactly one
+    open (is_current) version per key, valid_from/valid_to chain."""
+    import datetime as dt
+
+    from sparkstreaming_spark.operators.cdc import scd2_history
+
+    t = lambda d: dt.datetime(2024, 1, d)
+    changes = spark.createDataFrame(
+        [(1, t(1), "a"), (1, t(5), "b"), (2, t(3), "x")],
+        "key int, ts timestamp, attr string",
+    )
+    hist = scd2_history(changes, ["key"], "ts", ["attr"]).collect()
+    by_key = {}
+    for r in hist:
+        by_key.setdefault(r.key, []).append(r)
+    k1 = sorted(by_key[1], key=lambda r: r.valid_from)
+    assert k1[0].valid_to == k1[1].valid_from and not k1[0].is_current
+    assert k1[1].valid_to is None and k1[1].is_current
+    assert len(by_key[2]) == 1 and by_key[2][0].is_current
+
+
+def test_fuzzy_value_pairs_bounded_distance(spark):
+    """Finds all-and-only pairs within the edit bound; the length-band
+    prefilter must not drop qualifying pairs."""
+    from sparkstreaming_spark.dedup.fuzzy import fuzzy_value_pairs
+
+    df = spark.createDataFrame(
+        [("kitten",), ("sitten",), ("sittin",), ("apple",), ("apples",), ("kitten",)],
+        "name string",
+    )
+    got = {(r.val_a, r.val_b, r.dist) for r in fuzzy_value_pairs(df, "name", 2).collect()}
+    assert ("apple", "apples", 1) in got
+    assert ("kitten", "sitten", 1) in got
+    assert ("kitten", "sittin", 2) in got
+    assert ("sitten", "sittin", 1) in got
+    assert all(d <= 2 for _, _, d in got)
+    assert not any({a, b} == {"apple", "kitten"} for a, b, _ in got)

@@ -350,3 +350,52 @@ def test_unigram_logprob_ranks_gibberish_lower(spark):
     out = {r.doc_id: r.avg_logprob for r in add_unigram_logprob(docs, "text").collect()}
     assert out[3] < out[1]
     assert out[1] == out[2]
+
+
+def test_pca_profile_matches_exact_numpy(spark):
+    """Distributed PCA (per-partition algebraic partials) must equal the
+    exact single-node covariance eigensolve, independent of partitioning."""
+    import numpy as np
+
+    from sparkstreaming_spark.similarity.pca import pca_variance_profile
+
+    emb = read_table(spark, SF_DIR_CORRECT, "embeddings")
+    got = {
+        r.component: (r.eigenvalue, r.explained_ratio, r.cumulative_ratio)
+        for r in pca_variance_profile(emb, "embedding", top=5).collect()
+    }
+
+    X = np.stack(
+        emb.select("embedding").toPandas()["embedding"].to_numpy()
+    ).astype("float64")
+    cov = np.cov(X, rowvar=False, bias=True)
+    evals = np.clip(np.linalg.eigvalsh(cov)[::-1], 0, None)
+    ratios = evals / evals.sum()
+    cum = np.cumsum(ratios)
+    for i in range(5):
+        ev, ra, cu = got[i + 1]
+        assert abs(ev - evals[i]) < 1e-4
+        assert abs(ra - ratios[i]) < 1e-4
+        assert abs(cu - cum[i]) < 1e-4
+
+
+def test_cms_estimates_within_error_bound(spark):
+    """CMS guarantee: exact <= estimate <= exact + eps*N per group; absent
+    probes estimate near zero (<= eps*N)."""
+    from sparkstreaming_spark.functions.text import tokenize
+    from sparkstreaming_spark.suite.llm import CMS_PROBES, q_cms_counts
+
+    d = read_table(spark, SF_DIR_CORRECT, "documents")
+    toks = d.select("lang", F.explode(tokenize("text")).alias("tok"))
+    exact = {
+        (r.lang, r.tok): r.cnt
+        for r in toks.groupBy("lang", "tok")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .filter(F.col("tok").isin(CMS_PROBES))
+        .collect()
+    }
+    eps = 0.0005
+    for r in q_cms_counts(spark, SF_DIR_CORRECT).collect():
+        true = exact.get((r.lang, r.item), 0)
+        assert r.est_count >= true
+        assert r.est_count <= true + eps * r.n_items + 1

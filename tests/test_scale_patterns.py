@@ -13,7 +13,7 @@ from pyspark.sql import functions as F
 
 from sparkstreaming_spark.operators.skew import salted_join
 from sparkstreaming_spark.sources.batch import read_table
-from tests.conftest import SF_DIR_SMOKE
+from tests.conftest import SF_DIR_CORRECT, SF_DIR_SMOKE
 
 
 def test_salted_join_matches_plain_join(spark):
@@ -130,3 +130,61 @@ def test_stateful_running_distinct(spark, tmp_path):
         .collect()
     }
     assert got == want
+
+
+def test_zorder_layout_enables_two_dim_skipping(spark, tmp_path):
+    """Z-order clustering must make file-level min/max stats selective on
+    BOTH dimensions, where a one-column sort is selective on one only —
+    the property parquet row-group skipping feeds on."""
+    import glob
+
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    from sparkstreaming_spark.operators.layout import write_zordered
+    from sparkstreaming_spark.sources.batch import read_table
+
+    ev = read_table(spark, SF_DIR_CORRECT, "events").select("user_id", "value")
+    lo_u, hi_u, lo_v, hi_v = ev.agg(
+        F.min("user_id"), F.max("user_id"), F.min("value"), F.max("value")
+    ).collect()[0]
+
+    z_path = str(tmp_path / "zorder")
+    s_path = str(tmp_path / "usersort")
+    write_zordered(
+        ev, z_path, [("user_id", lo_u, hi_u), ("value", lo_v, hi_v)], n_files=8
+    )
+    (
+        ev.repartitionByRange(8, "user_id")
+        .sortWithinPartitions("user_id")
+        .write.mode("overwrite")
+        .parquet(s_path)
+    )
+
+    def avg_ranges(path):
+        spans = []
+        for f in glob.glob(path + "/*.parquet"):
+            md = pq.ParquetFile(f).metadata
+            mins = {"user_id": [], "value": []}
+            maxs = {"user_id": [], "value": []}
+            for rg in range(md.num_row_groups):
+                for ci in range(md.num_columns):
+                    col = md.row_group(rg).column(ci)
+                    name = col.path_in_schema
+                    mins[name].append(col.statistics.min)
+                    maxs[name].append(col.statistics.max)
+            u = (max(maxs["user_id"]) - min(mins["user_id"])) / (hi_u - lo_u)
+            v = (max(maxs["value"]) - min(mins["value"])) / (hi_v - lo_v)
+            spans.append((u, v))
+        nf = len(spans)
+        return sum(s[0] for s in spans) / nf, sum(s[1] for s in spans) / nf
+
+    zu, zv = avg_ranges(z_path)
+    su, sv = avg_ranges(s_path)
+    # one-column sort: near-perfect on user_id, unselective on value
+    assert su < 0.35
+    assert sv > 0.6
+    # z-order: selective on BOTH (each file covers a compact rectangle);
+    # measured ~0.41/0.35 at sf0.01 vs 0.12/0.74 for the one-column sort
+    assert zu < 0.6 and zv < 0.6, f"zorder spans too wide: {zu:.2f}, {zv:.2f}"
+    assert zv < sv - 0.1  # strictly better on the non-sorted dimension
