@@ -53,3 +53,53 @@ def bucketed_range_join(
     if extra_condition is not None:
         cond = cond & extra_condition
     return a.join(b, cond)
+
+
+def interval_overlap_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_start: str,
+    left_end: str,
+    right_start: str,
+    right_end: str,
+    bucket_us: int,
+) -> DataFrame:
+    """Inner join of same-key interval pairs that OVERLAP:
+    [left_start, left_end] ∩ [right_start, right_end] ≠ ∅ (closed ends).
+
+    Scale shape: each interval is exploded to the Δ-wide buckets it
+    covers (sequence — ceil(len/Δ)+1 rows per interval), the join runs on
+    (key, bucket), and instead of a post-join `distinct` (a full shuffle
+    of the result) each overlapping pair is claimed by EXACTLY ONE
+    bucket — the one containing max(left_start, right_start), which
+    provably lies in both intervals' bucket ranges when they overlap.
+    Callers pick `bucket_us` near the typical interval length: too small
+    explodes the build side, too large re-creates the per-key blowup
+    this exists to avoid (see bucketed_range_join).
+
+    Returns aliases "a" (left) / "b" (right) like bucketed_range_join.
+    """
+    def buckets(start: str, end: str) -> Column:
+        b0 = F.floor(F.unix_micros(F.col(start)) / F.lit(bucket_us))
+        b1 = F.floor(F.unix_micros(F.col(end)) / F.lit(bucket_us))
+        return F.explode(F.sequence(b0, b1))
+
+    l_b = left.withColumn("__bucket", buckets(left_start, left_end))
+    r_b = right.withColumn("__bucket", buckets(right_start, right_end))
+    a, b = l_b.alias("a"), r_b.alias("b")
+    owner = F.floor(
+        F.greatest(
+            F.unix_micros(F.col(f"a.{left_start}")),
+            F.unix_micros(F.col(f"b.{right_start}")),
+        )
+        / F.lit(bucket_us)
+    )
+    cond = (
+        (F.col(f"a.{key}") == F.col(f"b.{key}"))
+        & (F.col("a.__bucket") == F.col("b.__bucket"))
+        & (F.col(f"a.{left_start}") <= F.col(f"b.{right_end}"))
+        & (F.col(f"b.{right_start}") <= F.col(f"a.{left_end}"))
+        & (F.col("a.__bucket") == owner)
+    )
+    return a.join(b, cond)

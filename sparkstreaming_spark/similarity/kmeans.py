@@ -56,6 +56,23 @@ def kmeans_fit(
     _, S = _collect_matrix(sample, id_col, vec_col)
     C = _train_centroids(S, k, iters=4)
 
+    if len(S) < train_size:
+        # The limit never clipped ⇒ the sample IS the full dataset, so
+        # the distributed rounds would recompute exactly what the driver
+        # can: same normalized matrix, same assign/sum/renormalize update.
+        # Saves ~2 Spark jobs per iteration; the distributed path below is
+        # reached whenever the data can exceed the sample (the 100 TB
+        # case), and computes the identical update per round.
+        for _ in range(iters):
+            assign = S @ C.T
+            idx = assign.argmax(axis=1)
+            for j in np.unique(idx):
+                s = S[idx == j].sum(axis=0)
+                norm = np.linalg.norm(s)
+                if norm > 0:
+                    C[j] = s / norm
+        return C
+
     # One scan + one shuffle TOTAL: the narrowed vector frame is persisted
     # and reused by every Lloyd round (re-reading parquet per iteration
     # costs a scan × iters; at cluster scale persist to MEMORY_AND_DISK or

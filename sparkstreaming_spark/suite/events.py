@@ -302,6 +302,60 @@ GROUP BY 1, 2
 """
 
 
+def q_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval × interval overlap join: view-activity windows [ts, ts+30m]
+    against purchase windows [ts, ts+30m] per user, counted per purchase
+    hour. Bucketed explode + single-owner-bucket dedup (see
+    operators/range_join.py::interval_overlap_join) — no post-join
+    distinct, no per-key quadratic blowup."""
+    from ..operators.range_join import interval_overlap_join
+
+    ev = read_table(spark, sf_dir, "events")
+    views = ev.filter(F.col("event_type") == "view").select(
+        "user_id",
+        F.col("event_id").alias("v_id"),
+        F.col("ts").alias("v_start"),
+        (F.col("ts") + F.expr("INTERVAL 30 MINUTES")).alias("v_end"),
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"),
+        F.col("event_id").alias("p_id"),
+        F.col("ts").alias("p_start"),
+        (F.col("ts") + F.expr("INTERVAL 30 MINUTES")).alias("p_end"),
+    )
+    pairs = interval_overlap_join(
+        views.withColumnRenamed("user_id", "key"),
+        purchases.withColumnRenamed("p_user", "key"),
+        key="key",
+        left_start="v_start", left_end="v_end",
+        right_start="p_start", right_end="p_end",
+        bucket_us=1_800_000_000,
+    )
+    return pairs.groupBy(
+        F.date_format(F.date_trunc("hour", F.col("b.p_start")), "yyyy-MM-dd HH:mm:ss").alias("purchase_hour")
+    ).agg(
+        F.count(F.lit(1)).alias("n_overlaps"),
+        F.countDistinct(F.col("a.key")).alias("n_users"),
+    )
+
+
+ORACLE_INTERVAL_OVERLAP = """
+WITH v AS (
+  SELECT user_id, ts AS v_start, ts + INTERVAL 30 MINUTE AS v_end
+  FROM events WHERE event_type = 'view'
+), p AS (
+  SELECT user_id, ts AS p_start, ts + INTERVAL 30 MINUTE AS p_end
+  FROM events WHERE event_type = 'purchase'
+)
+SELECT strftime(date_trunc('hour', p.p_start), '%Y-%m-%d %H:%M:%S') AS purchase_hour,
+       count(*) AS n_overlaps,
+       count(DISTINCT v.user_id) AS n_users
+FROM v JOIN p ON v.user_id = p.user_id
+ AND v.v_start <= p.p_end AND p.p_start <= v.v_end
+GROUP BY 1
+"""
+
+
 def q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact percentiles (continuous interpolation): median and p90 of
     event value per type — F.percentile ≡ DuckDB quantile_cont."""
@@ -542,6 +596,11 @@ QUERIES: dict[str, QuerySpec] = {
         q_hypertable_rollup, ORACLE_HYPERTABLE, "multi-resolution rollup, one pass"
     ),
     "evt_range_join": QuerySpec(q_range_join, ORACLE_RANGE_JOIN, "interval range join"),
+    "evt_interval_overlap": QuerySpec(
+        q_interval_overlap,
+        ORACLE_INTERVAL_OVERLAP,
+        "interval-overlap join, bucketed with single-owner dedup",
+    ),
     "evt_percentiles": QuerySpec(q_percentiles, ORACLE_PERCENTILES, "exact quantiles"),
     "evt_argmax": QuerySpec(q_argmax, ORACLE_ARGMAX, "max_by/arg_max aggregate"),
     "evt_asof_orders": QuerySpec(q_asof_orders, ORACLE_ASOF, "as-of join composition"),

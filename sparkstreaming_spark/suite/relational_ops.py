@@ -336,6 +336,36 @@ def q_sql_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_sql_parameterized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parameterized SQL (Spark 4 named parameter markers): the safe
+    templating entry point — values bind as literals AFTER parsing, so a
+    caller-supplied string can never change the plan shape (injection-
+    proof by construction, and plan-cache friendly: one parse per
+    template)."""
+    from ..sources.batch import load_tables
+
+    load_tables(spark, sf_dir, ("orders",))
+    return spark.sql(
+        """
+        SELECT o_orderstatus,
+               count(*) AS cnt,
+               round(sum(o_totalprice), 2) AS revenue
+        FROM orders
+        WHERE o_totalprice BETWEEN :lo AND :hi AND o_orderpriority = :prio
+        GROUP BY o_orderstatus
+        """,
+        args={"lo": 50_000.0, "hi": 200_000.0, "prio": "1-URGENT"},
+    )
+
+
+ORACLE_SQL_PARAMETERIZED = """
+SELECT o_orderstatus, count(*) AS cnt, round(sum(o_totalprice), 2) AS revenue
+FROM orders
+WHERE o_totalprice BETWEEN 50000.0 AND 200000.0 AND o_orderpriority = '1-URGENT'
+GROUP BY o_orderstatus
+"""
+
+
 def q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Batch MERGE (operators/merge.py): every 7th order arrives as an
     update (status 'M', +10% price), every 91st (7×13) additionally as a
@@ -487,6 +517,11 @@ QUERIES: dict[str, QuerySpec] = {
     ),
     "merge_upsert": QuerySpec(
         q_merge_upsert, ORACLE_MERGE_UPSERT, "batch MERGE: upsert + tombstone"
+    ),
+    "sql_parameterized": QuerySpec(
+        q_sql_parameterized,
+        ORACLE_SQL_PARAMETERIZED,
+        "named-parameter SQL entry point (post-parse literal binding)",
     ),
     "sql_shipping_priority": QuerySpec(
         q_sql_shipping_priority,

@@ -346,7 +346,61 @@ def q_stream_events_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_stream_matview(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming materialized-view maintenance: the Producer splits orders
+    into CSV segments, the stream processes them in MULTIPLE micro-batches
+    (maxFilesPerTrigger), and each batch's update-mode aggregate rows are
+    merged into a parquet snapshot via atomic directory swap
+    (streaming/matview.py). The final snapshot must equal the batch
+    aggregate over the whole table — incremental maintenance converges to
+    the batch answer."""
+    import tempfile
+
+    from ..sources.batch import read_table
+    from ..streaming.matview import ParquetViewSink
+    from ..streaming.producer import produce_segments
+
+    seg_dir = tempfile.mkdtemp(prefix="mv_segments_")
+    orders = read_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    produce_segments(orders, "o_orderkey", seg_dir, rows_per_segment=400)
+
+    csv_schema = "o_orderkey bigint, o_orderstatus string, o_totalprice double"
+    stream = (
+        spark.readStream.option("header", "true")
+        .schema(csv_schema)
+        .option("recursiveFileLookup", "true")
+        .option("maxFilesPerTrigger", "4")
+        .csv(seg_dir)
+    )
+    agg = stream.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+    )
+    out_dir = tempfile.mkdtemp(prefix="mv_view_")
+    sink = ParquetViewSink(out_dir, ["o_orderstatus"])
+    q = (
+        agg.writeStream.outputMode("update")
+        .option(
+            "checkpointLocation",
+            os.path.join(tempfile.mkdtemp(prefix="mv_ckpt_"), "q"),
+        )
+        .foreachBatch(sink)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return sink.read(spark)
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "stream_matview": QuerySpec(
+        q_stream_matview,
+        "SELECT o_orderstatus, count(*) AS cnt, round(sum(o_totalprice), 2) AS revenue "
+        "FROM orders GROUP BY o_orderstatus",
+        "incremental parquet matview maintenance over micro-batches",
+    ),
     "stream_stream_join": QuerySpec(
         q_stream_stream_join,
         "SELECT strftime(date_trunc('hour', cast(p.ts AS TIMESTAMP)), '%Y-%m-%d %H:%M:%S') AS purchase_hour, "

@@ -144,3 +144,35 @@ def test_fuzzy_value_pairs_bounded_distance(spark):
     assert ("sitten", "sittin", 1) in got
     assert all(d <= 2 for _, _, d in got)
     assert not any({a, b} == {"apple", "kitten"} for a, b, _ in got)
+
+
+def test_interval_overlap_join_exactly_once(spark):
+    """A pair overlapping many buckets must appear EXACTLY once (owner-
+    bucket dedup, no distinct); non-overlapping and cross-key pairs never
+    appear; touching endpoints (closed intervals) do."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from sparkstreaming_spark.operators.range_join import interval_overlap_join
+
+    t = lambda m: dt.datetime(2024, 1, 1, 0, m)
+    left = spark.createDataFrame(
+        [(1, 100, t(0), t(59)), (1, 101, t(10), t(11)), (2, 102, t(0), t(59))],
+        "key int, lid int, s timestamp, e timestamp",
+    )
+    right = spark.createDataFrame(
+        [(1, 200, t(30), t(40)), (1, 201, t(59), t(59)), (1, 202, t(12), t(20))],
+        "key int, rid int, s timestamp, e timestamp",
+    )
+    got = sorted(
+        (r["lid"], r["rid"])
+        for r in interval_overlap_join(
+            left, right, "key", "s", "e", "s", "e", bucket_us=60_000_000
+        )
+        .select(F.col("a.lid").alias("lid"), F.col("b.rid").alias("rid"))
+        .collect()
+    )
+    # lid=100 spans 60 one-minute buckets yet each pair appears once;
+    # 101 misses 200/201 (no overlap) but NOT 202 (12>11); key 2 never joins
+    assert got == [(100, 200), (100, 201), (100, 202)]

@@ -399,3 +399,23 @@ def test_cms_estimates_within_error_bound(spark):
         true = exact.get((r.lang, r.item), 0)
         assert r.est_count >= true
         assert r.est_count <= true + eps * r.n_items + 1
+
+
+def test_kmeans_distributed_path_matches_driver_path(spark):
+    """The distributed Lloyd rounds (train_size < n forces them) must
+    produce the same centroids as the driver-side shortcut taken when the
+    sample covers everything — they implement the same update."""
+    import numpy as np
+
+    from sparkstreaming_spark.similarity.kmeans import kmeans_fit
+
+    rng = np.random.default_rng(11)
+    base = np.eye(4)
+    rows = [
+        (int(i), (base[i % 4] + 0.05 * rng.standard_normal(4)).tolist())
+        for i in range(200)
+    ]
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+    driver = kmeans_fit(df, "vec_id", "embedding", k=4, iters=4, train_size=2048)
+    distributed = kmeans_fit(df, "vec_id", "embedding", k=4, iters=4, train_size=200)
+    assert np.allclose(driver, distributed, atol=1e-9)
