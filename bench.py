@@ -83,6 +83,9 @@ HEADLINE = [
     "evt_value_histogram",
     "fuzzy_name_pairs",
     "emb_pca_profile",
+    "evt_ewma",
+    "evt_interval_overlap",
+    "table_profile",
 ]
 
 

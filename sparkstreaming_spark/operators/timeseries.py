@@ -63,3 +63,51 @@ def gap_fill(
         F.last("v", ignorenulls=True).over(w).alias("value_ffill"),
         F.col("v").isNull().alias("was_gap"),
     )
+
+
+def truncated_ewma(
+    value: str,
+    window: Window,
+    alpha: float = 0.2,
+    taps: int = 24,
+):
+    """Exponentially-weighted moving average as a fixed-tap FIR filter:
+
+        ewma_n = Σ_{j<taps} (1-α)^j · x_{n-j}  /  Σ_{j<taps, x_{n-j} exists} (1-α)^j
+
+    The textbook recursive EWMA is a sequential scan (unbounded IIR state
+    — hostile to distributed evaluation), and its closed prefix-sum form
+    needs (1-α)^(-i) factors that overflow doubles within a few hundred
+    rows. Truncating to `taps` lags loses only (1-α)^taps of the mass
+    (0.8²⁴ ≈ 0.5 %) and becomes a pure expression over `taps` lag()
+    columns sharing ONE window sort — whole-stage-codegen'd, shuffle =
+    the window partitioning and nothing else, and exactly reproducible
+    on any engine with lag() (the oracle spells the same taps out).
+
+    `window` must be an ORDERED window spec (partitionBy + orderBy).
+    Returns the EWMA column expression.
+    """
+    decay = 1.0 - alpha
+    num = None
+    den = None
+    for j in range(taps):
+        x_j = F.lag(F.col(value), j).over(window) if j else F.col(value)
+        w_j = F.lit(decay**j)
+        t = F.when(x_j.isNotNull(), w_j * x_j).otherwise(F.lit(0.0))
+        d = F.when(x_j.isNotNull(), w_j).otherwise(F.lit(0.0))
+        num = t if num is None else num + t
+        den = d if den is None else den + d
+    return num / den
+
+
+def ewma_oracle_terms(value: str, alpha: float = 0.2, taps: int = 24) -> tuple[str, str]:
+    """(numerator, denominator) SQL fragments matching truncated_ewma,
+    for composing the DuckDB oracle with an identical formula."""
+    decay = 1.0 - alpha
+    nums, dens = [], []
+    for j in range(taps):
+        x = value if j == 0 else f"lag({value}, {j}) OVER w"
+        w = repr(decay**j)
+        nums.append(f"CASE WHEN {x} IS NOT NULL THEN {w} * {x} ELSE 0.0 END")
+        dens.append(f"CASE WHEN {x} IS NOT NULL THEN {w} ELSE 0.0 END")
+    return " + ".join(nums), " + ".join(dens)

@@ -138,6 +138,62 @@ FROM lineitem GROUP BY l_returnflag
 """
 
 
+PROFILE_COLS = ["o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus"]
+
+
+def q_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality profiler: one row per column with row/null/distinct
+    counts and min/max (rendered as strings so mixed types share a
+    schema). ONE scan, one aggregate — every per-column metric is a
+    struct of aggregate expressions in the same groupBy-less agg, so the
+    table is read once no matter how many columns are profiled (the
+    UNION-ALL-per-column oracle shape would scan N times)."""
+    o = read_table(spark, sf_dir, "orders")
+    aggs = []
+    for c in PROFILE_COLS:
+        aggs.append(
+            F.struct(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).alias("n_null"),
+                F.countDistinct(c).alias("n_distinct"),
+                F.min(c).cast("string").alias("min_val"),
+                F.max(c).cast("string").alias("max_val"),
+            ).alias(c)
+        )
+    wide = o.agg(*aggs)
+    stacked = wide.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(c).alias("column_name"), F.col(c).alias("m"))
+                    for c in PROFILE_COLS
+                ]
+            )
+        ).alias("e")
+    )
+    return stacked.select(
+        F.col("e.column_name").alias("column_name"),
+        F.col("e.m.n_rows").alias("n_rows"),
+        F.col("e.m.n_null").alias("n_null"),
+        F.col("e.m.n_distinct").alias("n_distinct"),
+        F.col("e.m.min_val").alias("min_val"),
+        F.col("e.m.max_val").alias("max_val"),
+    )
+
+
+def _profile_oracle() -> str:
+    parts = []
+    for c in PROFILE_COLS:
+        parts.append(f"""
+  SELECT '{c}' AS column_name, count(*) AS n_rows,
+         CAST(sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+         count(DISTINCT {c}) AS n_distinct,
+         CAST(min({c}) AS VARCHAR) AS min_val,
+         CAST(max({c}) AS VARCHAR) AS max_val
+  FROM orders""")
+    return " UNION ALL ".join(parts)
+
+
 def q_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Equi-width histogram: width_bucket(value, 0, 500, 25) per
     event_type — the profiling pass behind quality dashboards and
@@ -216,6 +272,11 @@ JOIN freq fb ON p.val_b = fb.v
 
 
 QUERIES: dict[str, QuerySpec] = {
+    "table_profile": QuerySpec(
+        q_table_profile,
+        _profile_oracle(),
+        "per-column data-quality profile in ONE scan (struct aggs + explode)",
+    ),
     "evt_value_histogram": QuerySpec(
         q_value_histogram,
         ORACLE_VALUE_HISTOGRAM,

@@ -547,6 +547,65 @@ FROM act GROUP BY 1, 2
 """
 
 
+def q_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponential smoothing over the hourly rollup: truncated-FIR EWMA
+    (operators/timeseries.py::truncated_ewma) — 24 lag taps sharing one
+    window sort over the already-shrunk series; no recursion, no
+    unbounded state."""
+    from ..operators.timeseries import truncated_ewma
+
+    ev = read_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        F.date_trunc("hour", "ts").alias("bucket"), "event_type"
+    ).agg(F.round(F.sum("value"), 2).alias("hourly_total"))
+    w = Window.partitionBy("event_type").orderBy("bucket")
+    return hourly.select(
+        F.date_format("bucket", TS_FMT).alias("bucket_start"),
+        "event_type",
+        "hourly_total",
+        F.round(
+            truncated_ewma("hourly_total", w, alpha=0.2, taps=24), 6
+        ).alias("ewma"),
+    )
+
+
+def _oracle_ewma() -> str:
+    from ..operators.timeseries import ewma_oracle_terms
+
+    num, den = ewma_oracle_terms("hourly_total", alpha=0.2, taps=24)
+    return f"""
+WITH hourly AS (
+  SELECT date_trunc('hour', ts) AS bucket, event_type,
+         round(sum(value), 2) AS hourly_total
+  FROM events GROUP BY 1, 2
+)
+SELECT strftime(bucket, '%Y-%m-%d %H:%M:%S') AS bucket_start,
+       event_type, hourly_total,
+       round(({num}) / ({den}), 6) AS ewma
+FROM hourly
+WINDOW w AS (PARTITION BY event_type ORDER BY bucket)
+"""
+
+
+def q_approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable quantile sketch (approx_percentile, GK-style): p50/p90/p99
+    of value per event_type at accuracy 10000. Rows-only: the sketch's
+    merge order is partitioning-dependent, so no SQL oracle; the exact-
+    percentile entry (evt_percentiles) is the precise twin and
+    tests/test_extensions.py pins the rank-error tolerance. At 100 TB the
+    sketch is the only option — exact percentile must shuffle every value
+    per group, the sketch ships O(1/eps) summaries."""
+    ev = read_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.approx_percentile("value", F.array(F.lit(0.5), F.lit(0.9), F.lit(0.99)), 10000).alias("p"),
+    ).select(
+        "event_type",
+        F.round(F.col("p")[0], 6).alias("ap50"),
+        F.round(F.col("p")[1], 6).alias("ap90"),
+        F.round(F.col("p")[2], 6).alias("ap99"),
+    )
+
+
 def q_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Time-series smoothing: hourly value averages per event_type with a
     3-bucket trailing moving average (rows frame over the bucketed
@@ -596,6 +655,16 @@ QUERIES: dict[str, QuerySpec] = {
         q_hypertable_rollup, ORACLE_HYPERTABLE, "multi-resolution rollup, one pass"
     ),
     "evt_range_join": QuerySpec(q_range_join, ORACLE_RANGE_JOIN, "interval range join"),
+    "evt_approx_percentiles": QuerySpec(
+        q_approx_percentiles,
+        None,
+        "mergeable quantile sketch (tolerance-tested vs exact percentiles)",
+    ),
+    "evt_ewma": QuerySpec(
+        q_ewma,
+        _oracle_ewma(),
+        "truncated-FIR EWMA: 24 lag taps, one window sort, no recursion",
+    ),
     "evt_interval_overlap": QuerySpec(
         q_interval_overlap,
         ORACLE_INTERVAL_OVERLAP,

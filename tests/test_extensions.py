@@ -176,3 +176,26 @@ def test_interval_overlap_join_exactly_once(spark):
     # lid=100 spans 60 one-minute buckets yet each pair appears once;
     # 101 misses 200/201 (no overlap) but NOT 202 (12>11); key 2 never joins
     assert got == [(100, 200), (100, 201), (100, 202)]
+
+
+def test_approx_percentiles_within_tolerance(spark):
+    """approx_percentile at accuracy 10000 must land within 1% rank error
+    of the exact continuous percentiles on each group."""
+    from pyspark.sql import functions as F
+
+    from sparkstreaming_spark.sources.batch import read_table
+    from sparkstreaming_spark.suite.events import q_approx_percentiles
+    from tests.conftest import SF_DIR_CORRECT
+
+    ev = read_table(spark, SF_DIR_CORRECT, "events")
+    approx = {r.event_type: (r.ap50, r.ap90, r.ap99)
+              for r in q_approx_percentiles(spark, SF_DIR_CORRECT).collect()}
+    for row in ev.groupBy("event_type").agg(
+        F.expr("percentile(value, array(0.49, 0.51))").alias("b50"),
+        F.expr("percentile(value, array(0.89, 0.91))").alias("b90"),
+        F.expr("percentile(value, array(0.98, 1.0))").alias("b99"),
+    ).collect():
+        a50, a90, a99 = approx[row.event_type]
+        assert row.b50[0] <= a50 <= row.b50[1]
+        assert row.b90[0] <= a90 <= row.b90[1]
+        assert row.b99[0] <= a99 <= row.b99[1]

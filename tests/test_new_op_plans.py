@@ -168,3 +168,61 @@ def test_dup_passages_planted(spark):
     assert rows[3]["n_dup_windows"] == 0
     assert rows[4]["n_windows"] == 0 and rows[4]["dup_fraction"] == 0.0
     assert rows[5]["n_dup_windows"] >= 1
+
+
+def test_cdc_apply_plan_is_partial_aggregate_not_window(spark):
+    """cdc_apply's winner-per-key must plan as partial+final aggregate
+    (map-side combine bounds the shuffle) — never a window sort."""
+    from sparkstreaming_spark.operators.cdc import cdc_apply
+
+    changes = spark.createDataFrame(
+        [(1, 1, "U", 1.0)], "key int, seq int, op string, val double"
+    )
+    plan = (
+        cdc_apply(changes, ["key"], "seq", "op", ["val"])
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Window" not in plan
+    assert "partial_max_by" in plan
+
+
+def test_interval_overlap_plan_has_no_post_join_dedup(spark):
+    """Owner-bucket dedup lives in the join condition — the executed plan
+    must contain exactly one join and NO aggregate (the naive form needs
+    a distinct, i.e. an extra shuffle of the whole result)."""
+    import datetime as dt
+
+    from sparkstreaming_spark.operators.range_join import interval_overlap_join
+
+    t = lambda m: dt.datetime(2024, 1, 1, 0, m)
+    left = spark.createDataFrame([(1, t(0), t(5))], "key int, s timestamp, e timestamp")
+    right = spark.createDataFrame([(1, t(1), t(2))], "key int, s timestamp, e timestamp")
+    plan = (
+        interval_overlap_join(left, right, "key", "s", "e", "s", "e", 60_000_000)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("Join") == 1
+    assert "Aggregate" not in plan
+
+
+def test_ewma_plan_shares_one_window_sort(spark):
+    """All 24 EWMA lag taps must share a single Window node and a single
+    sort — the FIR formulation's whole point."""
+    from pyspark.sql import Window
+
+    from sparkstreaming_spark.operators.timeseries import truncated_ewma
+
+    df = spark.createDataFrame([("a", 1, 1.0)], "g string, t int, v double")
+    w = Window.partitionBy("g").orderBy("t")
+    plan = (
+        df.select(truncated_ewma("v", w).alias("e"))
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("Window ") + plan.count("RunningWindow") == 1
+    assert plan.count("Sort ") == 1

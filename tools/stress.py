@@ -28,6 +28,13 @@ DEFAULT_OPS = [
     "doc_top_tokens",
     "emb_kmeans_profile",
     "emb_knn_ivf",
+    "cdc_apply_latest",
+    "scd2_history",
+    "evt_ewma",
+    "evt_interval_overlap",
+    "evt_value_histogram",
+    "emb_pca_profile",
+    "doc_cms_counts",
 ]
 
 
@@ -66,6 +73,34 @@ def build(spark, factor: int, out_dir: str) -> None:
     )
     big_emb.repartition(32).write.mode("overwrite").parquet(
         f"{out_dir}/embeddings.parquet"
+    )
+
+    ev = spark.read.parquet(f"{BASE}/events.parquet")
+    n_ev = ev.count()
+    big_ev = ev.crossJoin(copies).select(
+        (F.col("event_id") + F.col("copy") * n_ev).alias("event_id"),
+        # shift each copy by its own hour so time-bucketed ops see a
+        # longer series, not the same instants duplicated
+        (F.col("ts") + F.make_interval(hours=F.col("copy").cast("int"))).alias("ts"),
+        (F.col("user_id") + F.col("copy") * 1000).alias("user_id"),
+        "event_type",
+        "value",
+        "props",
+    )
+    big_ev.repartition(32).write.mode("overwrite").parquet(
+        f"{out_dir}/events.parquet"
+    )
+
+    li = spark.read.parquet(f"{BASE}/lineitem.parquet")
+    n_li = li.count()
+    big_li = li.crossJoin(copies).select(
+        (F.col("l_orderkey") + F.col("copy") * n_li).alias("l_orderkey"),
+        "l_partkey", "l_suppkey", "l_linenumber", "l_quantity",
+        "l_extendedprice", "l_discount", "l_tax", "l_returnflag",
+        "l_linestatus", "l_shipdate",
+    )
+    big_li.repartition(32).write.mode("overwrite").parquet(
+        f"{out_dir}/lineitem.parquet"
     )
 
 
