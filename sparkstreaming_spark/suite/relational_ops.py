@@ -366,6 +366,38 @@ GROUP BY o_orderstatus
 """
 
 
+def q_sql_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL UDF (Spark 4 CREATE FUNCTION ... RETURN expr): declarative
+    reusable scalar logic that Catalyst INLINES into the plan — unlike a
+    Python UDF there is no serialization boundary, so the call below
+    plans identically to writing the expression out (codegen, pushdown
+    intact). The oracle inlines the same expression by hand."""
+    from ..sources.batch import load_tables
+
+    load_tables(spark, sf_dir, ("lineitem",))
+    spark.sql(
+        """
+        CREATE OR REPLACE TEMPORARY FUNCTION disc_price(p DOUBLE, d DOUBLE)
+        RETURNS DOUBLE RETURN p * (1 - d)
+        """
+    )
+    return spark.sql(
+        """
+        SELECT l_returnflag,
+               count(*) AS cnt,
+               round(sum(disc_price(l_extendedprice, l_discount)), 2) AS revenue
+        FROM lineitem GROUP BY l_returnflag
+        """
+    )
+
+
+ORACLE_SQL_UDF = """
+SELECT l_returnflag, count(*) AS cnt,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
 def q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Batch MERGE (operators/merge.py): every 7th order arrives as an
     update (status 'M', +10% price), every 91st (7×13) additionally as a
@@ -517,6 +549,11 @@ QUERIES: dict[str, QuerySpec] = {
     ),
     "merge_upsert": QuerySpec(
         q_merge_upsert, ORACLE_MERGE_UPSERT, "batch MERGE: upsert + tombstone"
+    ),
+    "sql_udf": QuerySpec(
+        q_sql_udf,
+        ORACLE_SQL_UDF,
+        "SQL UDF (CREATE FUNCTION): inlined scalar logic, no UDF boundary",
     ),
     "sql_parameterized": QuerySpec(
         q_sql_parameterized,
