@@ -188,3 +188,69 @@ def test_zorder_layout_enables_two_dim_skipping(spark, tmp_path):
     # measured ~0.41/0.35 at sf0.01 vs 0.12/0.74 for the one-column sort
     assert zu < 0.6 and zv < 0.6, f"zorder spans too wide: {zu:.2f}, {zv:.2f}"
     assert zv < sv - 0.1  # strictly better on the non-sorted dimension
+
+
+def test_aqe_splits_skewed_join_partition(spark):
+    """AQE skew-join must split a hot-key partition at runtime — the
+    no-code-change answer to join skew (salting, operators/skew.py, is
+    the fallback for aggregations and pre-AQE engines). Thresholds are
+    lowered so test-sized data exhibits 'skew' the same way a hot key
+    does at production scale."""
+    from pyspark.sql import functions as F
+
+    old = {
+        k: spark.conf.get(k, None)
+        for k in (
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+            "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+            "spark.sql.autoBroadcastJoinThreshold",
+        )
+    }
+    try:
+        spark.conf.set(
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "65536"
+        )
+        spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "32768")
+        spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2.0")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        left = (
+            spark.range(500_000)
+            .select((F.col("id") * 0).alias("k"), F.col("id").alias("v"))
+            .union(
+                spark.range(1000).select(
+                    (F.col("id") % 50 + 1).alias("k"), F.col("id").alias("v")
+                )
+            )
+        )
+        right = spark.range(51).select(F.col("id").alias("k"), F.lit("x").alias("tag"))
+        j = left.join(right, "k").select(F.sum("v").alias("s"))
+        [row] = j.collect()
+        # correctness unaffected by the split
+        assert row.s == sum(range(500_000)) + sum(range(1000))
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "isFinalPlan=true" in plan
+        assert "skew=true" in plan, plan
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+
+
+def test_join_strategy_hints_are_honored(spark):
+    """Join hints steer the physical strategy when the caller knows
+    better than the statistics: MERGE forces sort-merge where broadcast
+    would win by size; BROADCAST forces broadcast of a side the stats
+    would shuffle."""
+    from pyspark.sql import functions as F
+
+    big = spark.range(10_000).select(F.col("id").alias("k"), F.col("id").alias("v"))
+    small = spark.range(100).select(F.col("id").alias("k"), F.lit("d").alias("tag"))
+
+    merged = big.join(small.hint("merge"), "k")
+    assert "SortMergeJoin" in merged._jdf.queryExecution().executedPlan().toString()
+
+    bcast = big.join(small.hint("broadcast"), "k")
+    assert "BroadcastHashJoin" in bcast._jdf.queryExecution().executedPlan().toString()
