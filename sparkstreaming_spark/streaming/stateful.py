@@ -128,3 +128,83 @@ def streaming_topn_values(
         outputMode="Update",
         timeMode="None",
     )
+
+
+SESSION_OUTPUT = (
+    "key string, session_start timestamp, session_end timestamp, "
+    "n_events bigint, closed_by string"
+)
+SESSION_STATE = "start_us bigint, last_us bigint, n_events bigint"
+
+
+def capped_sessionize(
+    stream_df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    gap_sec: int = 300,
+    max_len_sec: int = 3600,
+) -> DataFrame:
+    """Sessionization with a MAX-DURATION cap: a session closes on a
+    `gap_sec` quiet period (what `session_window` gives) OR when it has
+    run `max_len_sec` since its start (what session_window CANNOT
+    express — its windows merge unboundedly under steady traffic, the
+    classic bot/ingest-loop pathology where one session grows forever).
+
+    Emitted rows are CLOSED sessions only (append semantics);
+    `closed_by` says which rule ended each ('gap' or 'cap'). State per
+    key is three scalars — bounded regardless of traffic. Event-time
+    ordering within a micro-batch is handled by sorting the Arrow batch;
+    cross-batch disorder follows the same contract as session_window
+    (upstream watermark).
+    """
+    from pyspark.sql import functions as F
+
+    gap_us = gap_sec * 1_000_000
+    cap_us = max_len_sec * 1_000_000
+
+    def update(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            start_us, last_us, n_events = state.get
+        else:
+            start_us = last_us = None
+            n_events = 0
+        closed: list[tuple[int, int, int, str]] = []
+        for pdf in pdfs:
+            for t in sorted(int(v) for v in pdf["ts_us"]):
+                if start_us is None:
+                    start_us, last_us, n_events = t, t, 1
+                    continue
+                if t - last_us > gap_us:
+                    closed.append((start_us, last_us, n_events, "gap"))
+                    start_us, last_us, n_events = t, t, 1
+                elif t - start_us >= cap_us:
+                    closed.append((start_us, last_us, n_events, "cap"))
+                    start_us, last_us, n_events = t, t, 1
+                else:
+                    last_us = t
+                    n_events += 1
+        state.update((start_us, last_us, n_events))
+        if closed:
+            yield pd.DataFrame(
+                {
+                    "key": [key[0]] * len(closed),
+                    "session_start": [pd.Timestamp(c[0], unit="us") for c in closed],
+                    "session_end": [pd.Timestamp(c[1], unit="us") for c in closed],
+                    "n_events": [c[2] for c in closed],
+                    "closed_by": [c[3] for c in closed],
+                }
+            )
+
+    narrowed = stream_df.select(
+        F.col(key_col).cast("string").alias("key"),
+        F.unix_micros(F.col(ts_col).cast("timestamp")).alias("ts_us"),
+    )
+    return narrowed.groupBy("key").applyInPandasWithState(
+        update,
+        outputStructType=SESSION_OUTPUT,
+        stateStructType=SESSION_STATE,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

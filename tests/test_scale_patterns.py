@@ -254,3 +254,49 @@ def test_join_strategy_hints_are_honored(spark):
 
     bcast = big.join(small.hint("broadcast"), "k")
     assert "BroadcastHashJoin" in bcast._jdf.queryExecution().executedPlan().toString()
+
+
+def test_capped_sessionize_gap_and_cap(spark, tmp_path):
+    """Custom stateful sessionization: a quiet gap closes a session; a
+    steady event stream (which session_window would merge into ONE
+    ever-growing session) is split by the max-duration cap. Only closed
+    sessions are emitted; the in-flight one stays in state."""
+    import datetime as dt
+
+    from sparkstreaming_spark.streaming.stateful import capped_sessionize
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = []
+    # user a: events at 0s,60s,120s then a 10-min gap, then 2 more
+    for s in (0, 60, 120, 900, 960):
+        rows.append(("a", t0 + dt.timedelta(seconds=s)))
+    # user b: steady every 60s for 40 min -> cap at 600s splits it
+    for i in range(40):
+        rows.append(("b", t0 + dt.timedelta(seconds=60 * i)))
+    src = str(tmp_path / "src")
+    spark.createDataFrame(rows, "k string, ts timestamp").write.parquet(src)
+
+    stream = spark.readStream.schema("k string, ts timestamp").parquet(src)
+    out = capped_sessionize(stream, "k", "ts", gap_sec=300, max_len_sec=600)
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("sessions")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    got = sorted(
+        (r.key, r.session_start.second + r.session_start.minute * 60,
+         r.n_events, r.closed_by)
+        for r in spark.table("sessions").collect()
+    )
+    # a: [0,60,120] closed by the 13-min gap; trailing [900,960] still open
+    assert ("a", 0, 3, "gap") in got
+    assert not any(k == "a" and s >= 900 for k, s, _, _ in got)
+    # b: steady stream split by the 600s cap into 10-11-event chunks
+    b_sessions = [g for g in got if g[0] == "b"]
+    assert len(b_sessions) >= 3
+    assert all(c == "cap" for _, _, _, c in b_sessions)
+    assert all(n <= 11 for _, _, n, _ in b_sessions)
