@@ -86,6 +86,8 @@ HEADLINE = [
     "evt_ewma",
     "evt_interval_overlap",
     "table_profile",
+    "emb_knn_sq8",
+    "src_file_provenance",
 ]
 
 

@@ -31,9 +31,15 @@ def asof_join(
     left_ts: str,
     right_ts: str,
     right_cols: list[str],
+    tolerance_us: int | None = None,
 ) -> DataFrame:
     """Left as-of join; right_cols arrive prefixed `asof_` (null when no
-    right row precedes the left row)."""
+    right row precedes the left row).
+
+    `tolerance_us` bounds staleness: a match older than the tolerance is
+    nulled out (pandas merge_asof's `tolerance` semantics). Implemented
+    post-fill — the matched right timestamp rides along as one more
+    forward-filled column, so tolerance costs zero extra shuffles."""
     l_tagged = left.withColumn("__is_left", F.lit(1)).withColumn(
         "__ts", F.col(left_ts)
     )
@@ -41,6 +47,7 @@ def asof_join(
         right.select(
             F.col(key),
             F.col(right_ts).alias("__ts"),
+            F.col(right_ts).alias("asof__matched_ts"),
             *[F.col(c).alias(f"asof_{c}") for c in right_cols],
         )
         .withColumn("__is_left", F.lit(0))
@@ -51,17 +58,28 @@ def asof_join(
         .orderBy(F.col("__ts").asc(), F.col("__is_left").asc())
         .rowsBetween(Window.unboundedPreceding, 0)
     )
+    fill_cols = ["_matched_ts", *right_cols]
     filled = u.select(
         "*",
         *[
             F.last(f"asof_{c}", ignorenulls=True).over(w).alias(f"__filled_{c}")
-            for c in right_cols
+            for c in fill_cols
         ],
     )
+    if tolerance_us is None:
+        in_tol = F.lit(True)
+    else:
+        in_tol = (
+            F.unix_micros(F.col(left_ts).cast("timestamp"))
+            - F.unix_micros(F.col("__filled__matched_ts").cast("timestamp"))
+        ) <= tolerance_us
     return (
         filled.filter(F.col("__is_left") == 1)
         .select(
             *left.columns,
-            *[F.col(f"__filled_{c}").alias(f"asof_{c}") for c in right_cols],
+            *[
+                F.when(in_tol, F.col(f"__filled_{c}")).alias(f"asof_{c}")
+                for c in right_cols
+            ],
         )
     )

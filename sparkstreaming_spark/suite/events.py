@@ -302,6 +302,41 @@ GROUP BY 1, 2
 """
 
 
+def q_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join with bounded staleness (pandas merge_asof `tolerance`
+    semantics): matches older than 60 days are nulled — the freshness
+    contract feature-store lookups need. Tolerance rides the same
+    union+window plan (zero extra shuffles; operators/asof.py); the
+    oracle post-filters DuckDB's native ASOF JOIN the same way."""
+    from ..operators.asof import asof_join
+
+    ev = read_table(spark, sf_dir, "events")
+    orders = read_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("user_id"), "o_orderdate"
+    )
+    tol_us = 60 * 86400 * 1_000_000
+    joined = asof_join(
+        ev, orders, key="user_id", left_ts="ts", right_ts="o_orderdate",
+        right_cols=["o_orderdate"], tolerance_us=tol_us,
+    )
+    return joined.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.count("asof_o_orderdate").alias("n_fresh_matches"),
+    )
+
+
+ORACLE_ASOF_TOLERANCE = """
+SELECT event_type, count(*) AS n_events,
+       count(CASE WHEN epoch_us(e.ts) - epoch_us(o.o_orderdate)
+                       <= CAST(5184000000000 AS BIGINT)
+                  THEN o.o_orderdate END) AS n_fresh_matches
+FROM events e
+ASOF LEFT JOIN (SELECT o_custkey AS user_id, o_orderdate FROM orders) o
+  ON e.user_id = o.user_id AND e.ts >= o.o_orderdate
+GROUP BY event_type
+"""
+
+
 def q_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Interval × interval overlap join: view-activity windows [ts, ts+30m]
     against purchase windows [ts, ts+30m] per user, counted per purchase
@@ -664,6 +699,11 @@ QUERIES: dict[str, QuerySpec] = {
         q_ewma,
         _oracle_ewma(),
         "truncated-FIR EWMA: 24 lag taps, one window sort, no recursion",
+    ),
+    "evt_asof_tolerance": QuerySpec(
+        q_asof_tolerance,
+        ORACLE_ASOF_TOLERANCE,
+        "as-of join with staleness tolerance (merge_asof semantics)",
     ),
     "evt_interval_overlap": QuerySpec(
         q_interval_overlap,

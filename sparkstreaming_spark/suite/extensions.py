@@ -113,7 +113,49 @@ HAVING sum(len(sents)) > 0
 """
 
 
+def q_file_provenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row provenance via the hidden `_metadata` scan column: write orders
+    partitioned by status, read back, and account for every row by the
+    partition directory its file lives in — the audit/lineage primitive
+    (which files contributed which rows) a curation pipeline must answer
+    at 100 TB. `_metadata.file_path` is populated by the scan itself (no
+    extra IO); the partition value is recovered from the path, so the
+    check also pins partitioned-layout round-tripping. The oracle is the
+    same accounting straight off the table."""
+    import tempfile
+
+    out = tempfile.mkdtemp(prefix="prov_") + "/orders"
+    orders = read_table(spark, sf_dir, "orders")
+    orders.write.mode("overwrite").partitionBy("o_orderstatus").parquet(out)
+    back = spark.read.parquet(out)
+    return (
+        back.select(
+            F.regexp_extract(
+                F.col("_metadata.file_path"), r"o_orderstatus=([^/]+)/", 1
+            ).alias("status_dir"),
+            "o_totalprice",
+        )
+        .groupBy("status_dir")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        )
+    )
+
+
+ORACLE_FILE_PROVENANCE = """
+SELECT o_orderstatus AS status_dir, count(*) AS cnt,
+       round(sum(o_totalprice), 2) AS revenue
+FROM orders GROUP BY 1
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "src_file_provenance": QuerySpec(
+        q_file_provenance,
+        ORACLE_FILE_PROVENANCE,
+        "row provenance via hidden _metadata column over partitioned layout",
+    ),
     "src_custom_datasource": QuerySpec(
         q_custom_datasource,
         _oracle_custom_datasource(),

@@ -194,7 +194,22 @@ def q_pca_profile(spark, sf_dir: str):
     return pca_variance_profile(emb, "embedding", top=10)
 
 
+def q_knn_sq8(spark, sf_dir: str):
+    """int8 scalar-quantized ANN (similarity/quantized.py): 4x less scan/
+    Arrow/cache traffic than float32 brute force. Rows-only (quantization
+    is approximate by design); tests/test_llm_ops.py pins recall@10 vs
+    the exact search."""
+    from ..similarity.quantized import sq8_knn
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < N_QUERIES)
+    return sq8_knn(emb, queries, "vec_id", "embedding", k=TOP_K)
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "emb_knn_sq8": QuerySpec(
+        q_knn_sq8, None, "int8 scalar-quantized ANN (recall-tested)"
+    ),
     "emb_pca_profile": QuerySpec(
         q_pca_profile, None, "PCA explained-variance profile (algebraic partials)"
     ),

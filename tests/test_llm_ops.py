@@ -419,3 +419,22 @@ def test_kmeans_distributed_path_matches_driver_path(spark):
     driver = kmeans_fit(df, "vec_id", "embedding", k=4, iters=4, train_size=2048)
     distributed = kmeans_fit(df, "vec_id", "embedding", k=4, iters=4, train_size=200)
     assert np.allclose(driver, distributed, atol=1e-9)
+
+
+def test_sq8_knn_recall_vs_exact(spark):
+    """int8 quantization must keep recall@10 >= 0.9 against the exact
+    float search (quantization noise is ~0.3% of value range per dim)."""
+    from sparkstreaming_spark.similarity.quantized import sq8_knn
+
+    emb = read_table(spark, SF_DIR_CORRECT, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in brute_force_knn(emb, queries, "vec_id", "embedding", k=10).collect()
+    }
+    approx = {
+        (r.query_id, r.neighbor_id)
+        for r in sq8_knn(emb, queries, "vec_id", "embedding", k=10).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.9, f"SQ8 recall too low: {recall:.2f}"

@@ -300,3 +300,22 @@ def test_capped_sessionize_gap_and_cap(spark, tmp_path):
     assert len(b_sessions) >= 3
     assert all(c == "cap" for _, _, _, c in b_sessions)
     assert all(n <= 11 for _, _, n, _ in b_sessions)
+
+
+def test_merge_schema_reads_evolved_layout(spark, tmp_path):
+    """Schema evolution on a file table: old files lack a column newer
+    files carry; mergeSchema reconciles the scan schema and old rows read
+    NULL for the added column — the append-only evolution contract a
+    long-lived 100 TB table relies on."""
+    out = str(tmp_path / "t")
+    spark.createDataFrame(
+        [(1, "a"), (2, "b")], "id bigint, name string"
+    ).write.parquet(out + "/batch=0")
+    spark.createDataFrame(
+        [(3, "c", 9.5)], "id bigint, name string, score double"
+    ).write.parquet(out + "/batch=1")
+
+    df = spark.read.option("mergeSchema", "true").parquet(out)
+    assert set(df.columns) == {"id", "name", "score", "batch"}
+    rows = {r.id: (r.name, r.score) for r in df.collect()}
+    assert rows == {1: ("a", None), 2: ("b", None), 3: ("c", 9.5)}
