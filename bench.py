@@ -88,6 +88,8 @@ HEADLINE = [
     "table_profile",
     "emb_knn_sq8",
     "src_file_provenance",
+    "doc_ngram_containment",
+    "evt_asof_tolerance",
 ]
 
 

@@ -61,3 +61,51 @@ def ngram_jaccard_pairs(
         .filter(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", "jaccard")
     )
+
+
+def ngram_containment_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_n: int = 2,
+    threshold: float = 0.5,
+    max_doc_freq: int | None = None,
+) -> DataFrame:
+    """(doc_a, doc_b, containment): |S(a) ∩ S(b)| / |S(a)| ≥ threshold,
+    over ORDERED pairs (a != b) — containment is asymmetric.
+
+    Catches what Jaccard structurally cannot: a short document quoted or
+    embedded inside a long one has near-1.0 containment but tiny Jaccard
+    (the union is dominated by the long side) — the quote/subset-dedup
+    case in training-data curation. Same inverted-index join shape (and
+    the same `max_doc_freq` hot-shingle cap tradeoff) as
+    ngram_jaccard_pairs above."""
+    from .minhash import _explode_shingles, _shingle_sets
+
+    sh = _explode_shingles(_shingle_sets(df, id_col, text_col, shingle_n))
+    if max_doc_freq is not None:
+        freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+        sh = sh.join(freq.filter(F.col("df") <= max_doc_freq), "shingle").select(
+            "doc_id", "shingle"
+        )
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    common = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") != F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    sa = sizes.alias("sa")
+    return (
+        common.join(sa, common.doc_a == F.col("sa.doc_id"))
+        .withColumn(
+            "containment", F.round(F.col("common") / F.col("sa.n_sh"), 6)
+        )
+        .filter(F.col("containment") >= threshold)
+        .select("doc_a", "doc_b", "containment")
+    )

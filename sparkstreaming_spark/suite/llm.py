@@ -168,6 +168,26 @@ WHERE round(len(list_intersect(a.sh, b.sh)) * 1.0 /
 """
 
 
+def q_ngram_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric containment pairs (quote/subset detection): a doc whose
+    2-gram shingles are ≥50% covered by another doc's — near-1.0 for
+    embedded quotes even when Jaccard is tiny. dedup/ngram.py."""
+    from ..dedup.ngram import ngram_containment_pairs
+
+    d = read_table(spark, sf_dir, "documents")
+    return ngram_containment_pairs(d, "doc_id", "text", shingle_n=2, threshold=0.5)
+
+
+ORACLE_NGRAM_CONTAINMENT = rf"""
+WITH t AS (SELECT doc_id, {SQL_TOKS} AS toks FROM documents),
+s AS (SELECT doc_id, list_distinct({SQL_SHINGLES2}) AS sh FROM t WHERE len(toks) >= 2)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       round(len(list_intersect(a.sh, b.sh)) * 1.0 / len(a.sh), 6) AS containment
+FROM s a JOIN s b ON a.doc_id != b.doc_id
+WHERE round(len(list_intersect(a.sh, b.sh)) * 1.0 / len(a.sh), 6) >= 0.5
+"""
+
+
 def q_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Language-ID heuristic vs the table's lang label, as a confusion count."""
     d = read_table(spark, sf_dir, "documents")
@@ -942,6 +962,11 @@ def q_cms_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES: dict[str, QuerySpec] = {
+    "doc_ngram_containment": QuerySpec(
+        q_ngram_containment,
+        ORACLE_NGRAM_CONTAINMENT,
+        "asymmetric shingle containment (quote/subset dedup)",
+    ),
     "doc_cms_counts": QuerySpec(
         q_cms_counts, None, "count-min sketch per-group frequency estimates"
     ),
