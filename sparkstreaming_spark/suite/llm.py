@@ -170,17 +170,23 @@ WHERE round(len(list_intersect(a.sh, b.sh)) * 1.0 /
 
 def q_ngram_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Asymmetric containment pairs (quote/subset detection): a doc whose
-    2-gram shingles are ≥50% covered by another doc's — near-1.0 for
-    embedded quotes even when Jaccard is tiny. dedup/ngram.py."""
+    4-gram shingles are ≥50% covered by another doc's — near-1.0 for
+    embedded quotes even when Jaccard is tiny. 4-grams, not 2-grams: on a
+    small-vocabulary corpus 2-grams are dense (avg doc-frequency ~200 at
+    sf0.1 ⇒ the inverted-index join goes quadratic); 4-grams are
+    discriminative (avg df 1.2) while every true containment pair keeps
+    its score. dedup/ngram.py."""
     from ..dedup.ngram import ngram_containment_pairs
 
     d = read_table(spark, sf_dir, "documents")
-    return ngram_containment_pairs(d, "doc_id", "text", shingle_n=2, threshold=0.5)
+    return ngram_containment_pairs(d, "doc_id", "text", shingle_n=4, threshold=0.5)
 
+
+SQL_SHINGLES4 = "[array_to_string(toks[i:i+3], ' ') for i in generate_series(1, len(toks)-3)]"
 
 ORACLE_NGRAM_CONTAINMENT = rf"""
 WITH t AS (SELECT doc_id, {SQL_TOKS} AS toks FROM documents),
-s AS (SELECT doc_id, list_distinct({SQL_SHINGLES2}) AS sh FROM t WHERE len(toks) >= 2)
+s AS (SELECT doc_id, list_distinct({SQL_SHINGLES4}) AS sh FROM t WHERE len(toks) >= 4)
 SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
        round(len(list_intersect(a.sh, b.sh)) * 1.0 / len(a.sh), 6) AS containment
 FROM s a JOIN s b ON a.doc_id != b.doc_id
