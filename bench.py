@@ -90,6 +90,7 @@ HEADLINE = [
     "src_file_provenance",
     "doc_ngram_containment",
     "evt_asof_tolerance",
+    "doc_weighted_sample",
 ]
 
 

@@ -81,3 +81,34 @@ def stratified_hash_sample(
     for value, frac in fractions.items():
         thr = F.when(s == value, round(frac * _BUCKETS)).otherwise(thr)
     return df.filter(hash_bucket(id_col, salt) < thr)
+
+
+def weighted_hash_sample(
+    df: DataFrame,
+    id_col: str,
+    weight_col: str | Column,
+    k: int,
+    salt: str = "wsample",
+) -> DataFrame:
+    """Deterministic weighted sample WITHOUT replacement: top-k rows by
+    u^(1/w), u = md5-derived uniform (Efraimidis-Spirakis A-ES keys) —
+    inclusion probability proportional to weight, the importance-sampling
+    primitive for quality-weighted training-data selection.
+
+    Spark shape: the key is a codegen'd expression; top-k is
+    orderBy+limit → TakeOrderedAndProject (per-partition partial top-k,
+    k rows per partition cross the wire — no global sort). Deterministic
+    across partitionings and engines: u is md5 arithmetic (engine-wide
+    convention), the key is rounded to 12 dp before ranking, and id
+    breaks ties."""
+    u = (md5_64(F.concat(F.lit(salt), F.col(id_col).cast("string"))) % F.lit(
+        2147483647
+    ) + 1) / F.lit(2147483647.0)
+    w = F.col(weight_col) if isinstance(weight_col, str) else weight_col
+    key = F.round(F.pow(u, 1.0 / w), 12)
+    return (
+        df.withColumn("__aes_key", key)
+        .orderBy(F.desc("__aes_key"), F.col(id_col).asc())
+        .limit(k)
+        .drop("__aes_key")
+    )

@@ -168,6 +168,35 @@ WHERE round(len(list_intersect(a.sh, b.sh)) * 1.0 /
 """
 
 
+def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted sample (A-ES keys, operators/sampling.py):
+    200 docs drawn ∝ n_chars, reduced to per-(lang, source) counts +
+    char mass. Bit-exact across engines: md5-uniform, rounded keys, id
+    tiebreak; the oracle ranks with the identical formula."""
+    from ..operators.sampling import weighted_hash_sample
+
+    d = read_table(spark, sf_dir, "documents")
+    sample = weighted_hash_sample(d, "doc_id", F.col("n_chars").cast("double"), 200)
+    return sample.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("sum_chars"),
+    )
+
+
+ORACLE_WEIGHTED_SAMPLE = """
+WITH keyed AS (
+  SELECT *,
+         round(pow(((cast(('0x' || substr(md5(concat('wsample', CAST(doc_id AS VARCHAR))), 1, 15)) AS bigint) % 2147483647 + 1) / 2147483647.0),
+                   1.0 / CAST(n_chars AS DOUBLE)), 12) AS aes_key
+  FROM documents
+), top AS (
+  SELECT * FROM keyed ORDER BY aes_key DESC, doc_id ASC LIMIT 200
+)
+SELECT lang, source, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars
+FROM top GROUP BY 1, 2
+"""
+
+
 def q_ngram_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Asymmetric containment pairs (quote/subset detection): a doc whose
     4-gram shingles are ≥50% covered by another doc's — near-1.0 for
@@ -968,6 +997,11 @@ def q_cms_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES: dict[str, QuerySpec] = {
+    "doc_weighted_sample": QuerySpec(
+        q_weighted_sample,
+        ORACLE_WEIGHTED_SAMPLE,
+        "deterministic weighted sampling (A-ES keys, TakeOrdered top-k)",
+    ),
     "doc_ngram_containment": QuerySpec(
         q_ngram_containment,
         ORACLE_NGRAM_CONTAINMENT,

@@ -438,3 +438,22 @@ def test_sq8_knn_recall_vs_exact(spark):
     }
     recall = len(exact & approx) / len(exact)
     assert recall >= 0.9, f"SQ8 recall too low: {recall:.2f}"
+
+
+def test_weighted_sample_biases_by_weight_and_plans_topk(spark):
+    """Heavier rows must be sampled at a visibly higher rate than light
+    rows (A-ES property), the sample is deterministic across calls, and
+    the plan is TakeOrdered (per-partition partial top-k, no global
+    sort)."""
+    from sparkstreaming_spark.operators.sampling import weighted_hash_sample
+
+    rows = [(i, 10.0 if i % 2 == 0 else 1.0) for i in range(2000)]
+    df = spark.createDataFrame(rows, "id bigint, w double")
+    sample = weighted_hash_sample(df, "id", "w", k=400)
+    ids1 = {r.id for r in sample.collect()}
+    ids2 = {r.id for r in weighted_hash_sample(df, "id", "w", k=400).collect()}
+    assert ids1 == ids2
+    heavy = sum(1 for i in ids1 if i % 2 == 0)
+    assert heavy > 300  # 10x weight -> heavy rows dominate the sample
+    plan = sample._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
