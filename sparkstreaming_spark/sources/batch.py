@@ -70,21 +70,26 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     window granularity the suite uses.
     """
     path = os.path.join(sf_dir, f"{name}.parquet")
-    if name == "events":
+    ts_cols = {"events": ["ts"], "orders": ["o_orderdate"], "lineitem": ["l_shipdate"]}
+    if name in ts_cols:
         from pyspark.sql import functions as F
         from pyspark.sql.types import LongType
 
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(path)
-        if isinstance(df.schema["ts"].dataType, LongType):
-            df = df.withColumn(
-                "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
-            )
-        else:
-            # TIMESTAMP(MICROS) infers as timestamp_ntz; normalize to
-            # session-TZ timestamp (UTC ⇒ same instant) so time functions
-            # that require TIMESTAMP (unix_micros etc.) keep working.
-            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+        for c in ts_cols[name]:
+            if isinstance(df.schema[c].dataType, LongType):
+                df = df.withColumn(
+                    c, F.timestamp_micros((F.col(c) / 1000).cast("long"))
+                )
+            elif c == "ts":
+                # TIMESTAMP(MICROS) infers as timestamp_ntz; normalize ts
+                # to session-TZ timestamp (UTC ⇒ same instant) so time
+                # functions that require TIMESTAMP (unix_micros etc.) keep
+                # working. o_orderdate/l_shipdate stay as read — the suite
+                # casts them where needed, and changing their type when
+                # the data is healthy would churn every consumer.
+                df = df.withColumn(c, F.col(c).cast("timestamp"))
         return df
     return spark.read.parquet(path)
 
