@@ -622,23 +622,40 @@ WINDOW w AS (PARTITION BY event_type ORDER BY bucket)
 """
 
 
+APPROX_PCT_ACCURACY = 10_000_000
+
+
 def q_approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Mergeable quantile sketch (approx_percentile, GK-style): p50/p90/p99
-    of value per event_type at accuracy 10000. Rows-only: the sketch's
-    merge order is partitioning-dependent, so no SQL oracle; the exact-
-    percentile entry (evt_percentiles) is the precise twin and
-    tests/test_extensions.py pins the rank-error tolerance. At 100 TB the
-    sketch is the only option — exact percentile must shuffle every value
-    per group, the sketch ships O(1/eps) summaries."""
+    """Mergeable quantile sketch (approx_percentile, Greenwald-Khanna):
+    p50/p90/p99 of value per event_type. GK retains every sample while the
+    per-group count stays <= accuracy, so at accuracy 1e7 the sketch is
+    EXACT at oracle/bench scale and returns the data element at rank
+    ceil(p*n) — the same element DuckDB's quantile_disc picks, making the
+    result hash-comparable cross-engine (verified empirically per group).
+    True sketch behavior (low accuracy, merge-order-dependent) is pinned
+    separately by tests/test_extensions.py's rank-error tolerance test.
+    At 100 TB the sketch path is the only option — exact percentile must
+    shuffle every value per group; GK ships O(1/eps) mergeable summaries."""
     ev = read_table(spark, sf_dir, "events")
     return ev.groupBy("event_type").agg(
-        F.approx_percentile("value", F.array(F.lit(0.5), F.lit(0.9), F.lit(0.99)), 10000).alias("p"),
+        F.approx_percentile(
+            "value", F.array(F.lit(0.5), F.lit(0.9), F.lit(0.99)), APPROX_PCT_ACCURACY
+        ).alias("p"),
     ).select(
         "event_type",
         F.round(F.col("p")[0], 6).alias("ap50"),
         F.round(F.col("p")[1], 6).alias("ap90"),
         F.round(F.col("p")[2], 6).alias("ap99"),
     )
+
+
+ORACLE_APPROX_PERCENTILES = """
+SELECT event_type,
+       round(quantile_disc(value, 0.5), 6) AS ap50,
+       round(quantile_disc(value, 0.9), 6) AS ap90,
+       round(quantile_disc(value, 0.99), 6) AS ap99
+FROM events GROUP BY event_type
+"""
 
 
 def q_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -692,8 +709,8 @@ QUERIES: dict[str, QuerySpec] = {
     "evt_range_join": QuerySpec(q_range_join, ORACLE_RANGE_JOIN, "interval range join"),
     "evt_approx_percentiles": QuerySpec(
         q_approx_percentiles,
-        None,
-        "mergeable quantile sketch (tolerance-tested vs exact percentiles)",
+        ORACLE_APPROX_PERCENTILES,
+        "mergeable GK quantile sketch (exact at accuracy>=n; quantile_disc twin)",
     ),
     "evt_ewma": QuerySpec(
         q_ewma,

@@ -57,7 +57,6 @@ def test_registry_oracles_all_parse(duck):
         "doc_blob_features",
         "emb_pca_profile",  # eigensolve not SQL-expressible; NumPy parity test
         "doc_cms_counts",  # sketch estimates; error bound pinned by test
-        "evt_approx_percentiles",  # merge-order-dependent sketch; tolerance test
         "emb_knn_sq8",  # quantized ANN; recall pinned by test
     }, missing_oracle
     for name, spec in specs.items():
