@@ -46,8 +46,15 @@ FROM ranked WHERE rk <= {TOP_K}
 
 
 def q_near_dup_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact near-dup pairs via the blocked block-pair GEMM path — the
+    scale-safe default (no corpus-sized driver collect or broadcast).
+    rows_per_block=256 forces a genuinely multi-block plan even at test
+    scale (sf0.01: 2 blocks, sf0.1: 8), so the driver oracle exercises
+    the same distributed shape a 100 TB run would use."""
     emb = read_table(spark, sf_dir, "embeddings")
-    return embedding_near_dup_pairs(emb, "vec_id", "embedding", threshold=0.4)
+    return embedding_near_dup_pairs(
+        emb, "vec_id", "embedding", threshold=0.4, rows_per_block=256
+    )
 
 
 ORACLE_NEAR_DUP = """

@@ -457,3 +457,61 @@ def test_weighted_sample_biases_by_weight_and_plans_topk(spark):
     assert heavy > 300  # 10x weight -> heavy rows dominate the sample
     plan = sample._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan
+
+
+def test_near_dup_blocked_matches_driver_path(spark):
+    """The scale-safe blocked block-pair GEMM must produce the exact same
+    pair set and cosines as the driver-broadcast path, including with a
+    block count that forces multi-block (diagonal + off-diagonal) groups."""
+    from sparkstreaming_spark.dedup.embedding import embedding_near_dup_pairs
+
+    emb = read_table(spark, SF_DIR_CORRECT, "embeddings")
+    driver = {
+        (r.id_a, r.id_b): r.cosine
+        for r in embedding_near_dup_pairs(
+            emb, "vec_id", "embedding", threshold=0.4, mode="driver"
+        ).collect()
+    }
+    blocked = {
+        (r.id_a, r.id_b): r.cosine
+        for r in embedding_near_dup_pairs(
+            emb, "vec_id", "embedding", threshold=0.4, mode="blocked", n_blocks=4
+        ).collect()
+    }
+    assert driver, "fixture should contain near-dup pairs at 0.4"
+    assert blocked == driver
+
+
+def test_near_dup_default_never_collects_corpus(spark, monkeypatch):
+    """Registry default for emb_near_dup_cosine must not move the corpus
+    through the driver: poison toPandas and run the query end-to-end."""
+    import pyspark.sql.dataframe as df_mod
+
+    from sparkstreaming_spark.suite.vectors import q_near_dup_cosine
+
+    def boom(self):  # pragma: no cover - failure path
+        raise AssertionError("driver-side toPandas() in scale-safe path")
+
+    monkeypatch.setattr(df_mod.DataFrame, "toPandas", boom)
+    n = q_near_dup_cosine(spark, SF_DIR_CORRECT).count()
+    assert n > 0
+
+
+def test_lsh_pairs_bucket_cap_drops_degenerate_bucket(spark):
+    """A bucket larger than max_bucket_size is excluded from the
+    in-bucket verify (quadratic-blowup guard); small buckets still pair."""
+    from sparkstreaming_spark.dedup.embedding import embedding_near_dup_pairs
+
+    # 30 identical vectors -> one hot bucket; 2 similar outliers elsewhere
+    rows = [(i, [1.0, 0.0, 0.0, 0.0]) for i in range(30)]
+    rows += [(100, [-1.0, -1.0, 0.0, 0.0]), (101, [-1.0, -0.9, 0.0, 0.0])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    capped = embedding_near_dup_pairs(
+        df, "vec_id", "embedding", threshold=0.4, lsh_planes=3, max_bucket_size=10
+    ).collect()
+    got = {(r.id_a, r.id_b) for r in capped}
+    assert all(a >= 100 for a, _ in got), f"hot-bucket pairs leaked: {got}"
+    uncapped = embedding_near_dup_pairs(
+        df, "vec_id", "embedding", threshold=0.4, lsh_planes=3, max_bucket_size=1000
+    ).count()
+    assert uncapped > len(got)
