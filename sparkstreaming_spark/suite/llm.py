@@ -204,22 +204,39 @@ def q_ngram_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     small-vocabulary corpus 2-grams are dense (avg doc-frequency ~200 at
     sf0.1 ⇒ the inverted-index join goes quadratic); 4-grams are
     discriminative (avg df 1.2) while every true containment pair keeps
-    its score. dedup/ngram.py."""
+    its score. max_doc_freq=1000 drops boilerplate shingles before the
+    inverted-index join — on a real web corpus a hot 4-gram with df in
+    the millions makes that join quadratic on its key; the cap bounds
+    every key at O(cap^2) pair rows. No-op on this corpus (df ~1.2), so
+    the oracle — which mirrors the cap — still proves exactness.
+    dedup/ngram.py."""
     from ..dedup.ngram import ngram_containment_pairs
 
     d = read_table(spark, sf_dir, "documents")
-    return ngram_containment_pairs(d, "doc_id", "text", shingle_n=4, threshold=0.5)
+    return ngram_containment_pairs(
+        d, "doc_id", "text", shingle_n=4, threshold=0.5, max_doc_freq=1000
+    )
 
 
 SQL_SHINGLES4 = "[array_to_string(toks[i:i+3], ' ') for i in generate_series(1, len(toks)-3)]"
 
+# mirrors the Spark plan including the df cap: shingle sizes are counted
+# AFTER the hot-shingle filter, so the containment denominator matches
 ORACLE_NGRAM_CONTAINMENT = rf"""
 WITH t AS (SELECT doc_id, {SQL_TOKS} AS toks FROM documents),
-s AS (SELECT doc_id, list_distinct({SQL_SHINGLES4}) AS sh FROM t WHERE len(toks) >= 4)
-SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-       round(len(list_intersect(a.sh, b.sh)) * 1.0 / len(a.sh), 6) AS containment
-FROM s a JOIN s b ON a.doc_id != b.doc_id
-WHERE round(len(list_intersect(a.sh, b.sh)) * 1.0 / len(a.sh), 6) >= 0.5
+s AS (SELECT doc_id, unnest(list_distinct({SQL_SHINGLES4})) AS shingle
+      FROM t WHERE len(toks) >= 4),
+f AS (SELECT shingle FROM s GROUP BY shingle HAVING count(*) <= 1000),
+sv AS (SELECT s.doc_id, s.shingle FROM s JOIN f USING (shingle)),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM sv GROUP BY doc_id),
+common AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS cmn
+  FROM sv a JOIN sv b ON a.shingle = b.shingle AND a.doc_id != b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b, round(cmn * 1.0 / n_sh, 6) AS containment
+FROM common JOIN sizes ON doc_a = sizes.doc_id
+WHERE round(cmn * 1.0 / n_sh, 6) >= 0.5
 """
 
 
