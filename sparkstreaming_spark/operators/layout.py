@@ -31,26 +31,35 @@ from collections.abc import Sequence
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-BITS = 16  # per-dimension resolution; 2 dims × 16 bits = 32-bit zval
+BITS = 16  # max per-dimension resolution; 2 dims × 16 bits = 32-bit zval
 
 
-def _normalized_bits(col: str, lo: float, hi: float) -> Column:
-    """Map a numeric column to an integer in [0, 2^BITS)."""
+def _normalized_bits(col: str, lo: float, hi: float, bits: int) -> Column:
+    """Map a numeric column to an integer in [0, 2^bits)."""
     scaled = (F.col(col).cast("double") - F.lit(float(lo))) / F.lit(
         float(hi) - float(lo)
     )
     clamped = F.least(F.greatest(scaled, F.lit(0.0)), F.lit(1.0))
-    return (clamped * F.lit((1 << BITS) - 1)).cast("bigint")
+    return (clamped * F.lit((1 << bits) - 1)).cast("bigint")
 
 
 def zorder_value(cols: Sequence[tuple[str, float, float]]) -> Column:
     """Morton code over (col, lo, hi) dimensions — bits interleaved
-    round-robin so the curve weights each dimension equally."""
-    dims = [_normalized_bits(c, lo, hi) for c, lo, hi in cols]
-    nd = len(dims)
+    round-robin so the curve weights each dimension equally.
+
+    Per-dim resolution is min(BITS, 63 // n_dims) so the interleaved code
+    never reaches bit 63 (the bigint sign bit): at 16 bits/dim, 4+ dims
+    would shift into the sign, flipping high-coordinate zvals negative and
+    scrambling the curve order. 63 // 4 = 15 bits keeps the code positive
+    at any dimensionality while losing at most 1 bit of resolution."""
+    nd = len(cols)
+    if nd == 0:
+        raise ValueError("zorder_value needs at least one dimension")
+    bits = min(BITS, 63 // nd)
+    dims = [_normalized_bits(c, lo, hi, bits) for c, lo, hi in cols]
     terms = None
     for d_idx, dim in enumerate(dims):
-        for bit in range(BITS):
+        for bit in range(bits):
             t = F.shiftleft(
                 F.shiftright(dim, bit).bitwiseAND(F.lit(1)),
                 bit * nd + d_idx,

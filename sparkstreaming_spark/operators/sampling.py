@@ -100,14 +100,21 @@ def weighted_hash_sample(
     k rows per partition cross the wire — no global sort). Deterministic
     across partitionings and engines: u is md5 arithmetic (engine-wide
     convention), the key is rounded to 12 dp before ranking, and id
-    breaks ties."""
+    breaks ties.
+
+    Rows with NULL or non-positive weight are excluded before keying:
+    pow(u, 1/0) yields NaN/Infinity, and Spark sorts NaN above every
+    real key (DuckDB doesn't), so an unguarded zero-weight row would
+    both hijack the top-k and break cross-engine determinism. A-ES is
+    only defined for w > 0; weight<=0 means "never sample"."""
     u = (md5_64(F.concat(F.lit(salt), F.col(id_col).cast("string"))) % F.lit(
         2147483647
     ) + 1) / F.lit(2147483647.0)
     w = F.col(weight_col) if isinstance(weight_col, str) else weight_col
     key = F.round(F.pow(u, 1.0 / w), 12)
     return (
-        df.withColumn("__aes_key", key)
+        df.filter(w.isNotNull() & (w > 0))
+        .withColumn("__aes_key", key)
         .orderBy(F.desc("__aes_key"), F.col(id_col).asc())
         .limit(k)
         .drop("__aes_key")

@@ -11,10 +11,14 @@ optional float re-ranking of the short list.
 
 Spark-first shape mirrors knn.py: quantization is one codegen'd column
 expression pass (array ops, no Python); scoring is one mapInPandas GEMM
-against the broadcast query matrix, done in int32 accumulation exactly
-as a SIMD kernel would. Composes with the IVF list-pruning in ivf.py
-(quantize within lists) — kept separate here so each lever is
-independently testable.
+against the broadcast QUANTIZED query matrix, accumulated in int32 (the
+int8 codes are widened to int32 before the matmul — int8×int8 products
+up to 127² with dim-many summands need 32-bit accumulators, the same
+layout a SIMD dot-product kernel uses). Per-vector scales cancel in
+cosine (cos = codes·qcodes / (|codes||qcodes|)), so normalization is the
+only float math. Composes with the IVF list-pruning in ivf.py (quantize
+within lists) — kept separate here so each lever is independently
+testable.
 """
 
 from __future__ import annotations
@@ -50,31 +54,38 @@ def sq8_knn(
     k: int = 10,
 ) -> DataFrame:
     """(query_id, neighbor_id, cosine, rk): top-k by cosine computed on
-    SQ8 codes. Query vectors stay float (they're tiny and broadcast);
-    candidate side is int8 — the GEMM is (codes @ Q.T) · scale."""
+    SQ8 codes both sides. Queries are quantized with the same symmetric
+    scheme before broadcast; the GEMM runs in int32, and the per-vector
+    scales cancel out of cosine so only the norm division is float."""
     import numpy as np
 
     from .knn import _collect_matrix
 
     spark = candidates.sparkSession
     q_ids, Q = _collect_matrix(queries, id_col, vec_col)
-    bc = spark.sparkContext.broadcast((q_ids, Q))
+    # symmetric per-query SQ8: qc = round(q / (max|q|/127)), int8
+    q_amax = np.abs(Q).max(axis=1)
+    q_amax[q_amax == 0] = 1.0
+    Qc = np.round(Q / (q_amax[:, None] / 127.0)).astype("int8")
+    bc = spark.sparkContext.broadcast((q_ids, Qc))
 
     sq = quantize_sq8(candidates, id_col, vec_col).repartition(
         spark.sparkContext.defaultParallelism
     )
 
     def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        q_ids_, Q_ = bc.value
+        q_ids_, Qc_ = bc.value
+        qi32 = Qc_.astype("int32")
+        q_norms = np.sqrt((qi32 * qi32).sum(axis=1).astype("float64"))
+        q_norms[q_norms == 0] = 1.0
         for chunk in batches:
-            codes = np.stack(chunk["codes"].to_numpy()).astype("int8")
-            scales = chunk["scale"].to_numpy(dtype="float64")
+            codes = np.stack(chunk["codes"].to_numpy()).astype("int32")
             ids = chunk["id"].to_numpy(dtype="int64")
-            # dequantized row norms for cosine; GEMM in float via int8 input
-            X = codes.astype("float64") * scales[:, None]
-            norms = np.linalg.norm(X, axis=1)
+            # int32-accumulated GEMM; scales cancel in cosine
+            dots = codes @ qi32.T
+            norms = np.sqrt((codes * codes).sum(axis=1).astype("float64"))
             norms[norms == 0] = 1.0
-            sims = (X @ Q_.T) / norms[:, None]
+            sims = dots / norms[:, None] / q_norms[None, :]
             for qi, qid in enumerate(q_ids_):
                 mask = ids != qid
                 yield pd.DataFrame(

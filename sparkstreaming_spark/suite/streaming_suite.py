@@ -197,20 +197,38 @@ def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Unbounded events table with real event time (TIMESTAMP(MICROS)
-    parquet; read as timestamp_ntz then normalized to session-TZ
-    timestamp — UTC ⇒ same instant — matching the batch reader,
-    sources/batch.py::read_table)."""
+    """Unbounded events table with real event time. The driver has shipped
+    events.ts as both TIMESTAMP(MICROS) and TIMESTAMP(NANOS) across
+    testdata regenerations; streaming needs an explicit schema, so probe
+    the parquet footer (same tolerance the batch reader gets from its
+    LongType check, sources/batch.py::read_table) and pick the matching
+    schema + conversion: MICROS reads as timestamp_ntz then normalizes to
+    session-TZ timestamp (UTC ⇒ same instant); NANOS reads as long via
+    the legacy conf and rebuilds microsecond timestamps (truncation
+    ≤ 999 ns, below every window granularity the suite uses)."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    ts_field = pq.read_schema(os.path.join(sf_dir, "events.parquet")).field("ts")
+    nanos = getattr(ts_field.type, "unit", None) == "ns"
+    ts_decl = "ts bigint" if nanos else "ts timestamp_ntz"
     schema = (
-        "event_id bigint, ts timestamp_ntz, user_id bigint, "
+        f"event_id bigint, {ts_decl}, user_id bigint, "
         "event_type string, value double, props string"
     )
-    return (
+    if nanos:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    stream = (
         spark.readStream.schema(schema)
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
-        .withColumn("ts", F.col("ts").cast("timestamp"))
     )
+    if nanos:
+        return stream.withColumn(
+            "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
+        )
+    return stream.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
 def q_stream_dedup_watermarked(spark: SparkSession, sf_dir: str) -> DataFrame:

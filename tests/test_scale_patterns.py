@@ -351,3 +351,37 @@ def test_parquet_bloom_filter_option_writes_filters(spark, tmp_path):
     assert delta > 50_000, f"bloom filter bytes missing (delta={delta})"
     # and the bloomed file reads back identically
     assert spark.read.parquet(bloomed).count() == 100_000
+
+
+def test_zorder_high_dims_stay_positive(spark):
+    """4+ dims must not interleave into the bigint sign bit: max-coordinate
+    rows keep non-negative zvals (per-dim bits shrink to 63 // n_dims)."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from sparkstreaming_spark.operators.layout import zorder_value
+
+    df = spark.range(1).select(
+        F.lit(100.0).alias("a"), F.lit(100.0).alias("b"),
+        F.lit(100.0).alias("c"), F.lit(100.0).alias("d"),
+    )
+    dims4 = [(c, 0.0, 100.0) for c in ("a", "b", "c", "d")]
+    val = df.select(zorder_value(dims4).alias("z")).first()["z"]
+    assert val > 0, f"sign-bit overflow: {val}"
+    assert val < (1 << 60)  # 4 dims x 15 bits
+    with _pytest.raises(ValueError):
+        zorder_value([])
+
+
+def test_weighted_sample_excludes_nonpositive_weights(spark):
+    """NULL/zero/negative weights must never be sampled: pow(u, 1/0) is
+    NaN/Inf and Spark sorts NaN above real keys — the guard filters them
+    out before keying so the top-k only contains w > 0 rows."""
+    from pyspark.sql import functions as F
+
+    from sparkstreaming_spark.operators.sampling import weighted_hash_sample
+
+    rows = [(1, 0.0), (2, -5.0), (3, None), (4, 10.0), (5, 1.0), (6, 2.0)]
+    df = spark.createDataFrame(rows, "id long, w double")
+    got = {r.id for r in weighted_hash_sample(df, "id", F.col("w"), 4).collect()}
+    assert got == {4, 5, 6}
