@@ -2,14 +2,17 @@
 
 Media are opaque `binary` columns with typed metadata alongside. The
 Spark-side plumbing — schemas, Arrow-batched `mapInPandas`, partition
-shape — is real and tested; the actual codec step is STUBBED because the
-image/audio libraries are not in this container:
+shape — is real and tested, and the codec step has two modes:
 
-- `decode_blob_features(..., fake=True)` runs a deterministic fake
-  "decoder" (byte histogram + mean byte) so the pipeline is exercisable
-  end-to-end and reproducible.
-- `fake=False` raises NotImplementedError at the decode step, marking
-  exactly where PIL/ffmpeg/torchaudio would slot in.
+- `fake=True`: a deterministic byte-level "decoder" (byte histogram +
+  mean byte) so the pipeline is exercisable end-to-end, reproducible,
+  and SQL-oracle-able on any blob.
+- `fake=False`: REAL image decode for PPM/BMP/PNG via the pure-Python
+  codecs in multimodal/codecs.py (features/resize over decoded pixels);
+  unsupported formats raise ValueError. Video frame extraction
+  (`sample_blob_frames(fake=False)`) still raises NotImplementedError —
+  there is no ffmpeg in this container and a pure-Python video decoder
+  is out of scope; the call site marks where it slots in.
 
 Scale notes: blobs ride in parquet binary columns; `mapInPandas` keeps
 them in Arrow record batches (no per-row Python), and
@@ -63,16 +66,19 @@ def decode_blob_features(
         import numpy as np
 
         for pdf in batches:
-            if not fake:
-                raise NotImplementedError(
-                    "real media decode requires PIL/ffmpeg — not in this container; "
-                    "use fake=True for the deterministic byte-level decoder"
-                )
             ids, sizes, means, hists = [], [], [], []
             for i, blob in zip(pdf["__id"], pdf["__blob"]):
-                arr = np.frombuffer(bytes(blob), dtype=np.uint8)
+                raw = bytes(blob)
+                if fake:
+                    arr = np.frombuffer(raw, dtype=np.uint8)
+                else:
+                    # real decode: PPM/BMP/PNG via the pure-Python codecs;
+                    # features are over decoded PIXELS, not file bytes
+                    from .codecs import decode_image
+
+                    arr = decode_image(raw).ravel()
                 ids.append(i)
-                sizes.append(int(arr.size))
+                sizes.append(len(raw))
                 means.append(float(arr.mean()) if arr.size else 0.0)
                 hist, _ = np.histogram(arr, bins=N_HIST_BINS, range=(0, 256))
                 hists.append(hist.astype("int64").tolist())
@@ -152,26 +158,32 @@ def resize_blob(
     fake: bool = True,
 ) -> DataFrame:
     """Resize: fixed-size representation per blob — (id, orig_bytes,
-    resized binary[out_len]). fake=True mean-pools the byte signal into
-    out_len buckets (the 1-D stand-in for image bilinear resize, which
-    would slot in at fake=False via PIL; shorter blobs stretch, like an
-    image upscale; empty blobs become zeros). Deterministic; unit-tested
-    (pooling is not worth a SQL twin)."""
+    resized binary). fake=True mean-pools the byte signal into out_len
+    buckets (the 1-D stand-in; shorter blobs stretch, like an image
+    upscale; empty blobs become zeros). fake=False REALLY decodes the
+    blob (PPM/BMP/PNG, multimodal/codecs.py), nearest-neighbor-resizes
+    to out_len × out_len, and re-encodes as PPM P6/P5 — a working
+    end-to-end image path with no native libraries. Deterministic;
+    unit-tested (pooling/NN-resize are not worth a SQL twin)."""
 
     def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
 
         for pdf in batches:
-            if not fake:
-                raise NotImplementedError(
-                    "real image resize requires PIL — not in this container; "
-                    "use fake=True for mean-pooled byte resize"
-                )
             ids, origs, outs = [], [], []
             for i, blob in zip(pdf["__id"], pdf["__blob"]):
-                arr = np.frombuffer(bytes(blob), dtype=np.uint8)
+                raw = bytes(blob)
                 ids.append(i)
-                origs.append(int(arr.size))
+                origs.append(len(raw))
+                if not fake:
+                    from .codecs import decode_image, encode_ppm, resize_nearest
+
+                    img = decode_image(raw)
+                    if img.shape[2] in (2, 4):  # drop alpha for PPM output
+                        img = img[:, :, : img.shape[2] - 1]
+                    outs.append(encode_ppm(resize_nearest(img, out_len, out_len)))
+                    continue
+                arr = np.frombuffer(raw, dtype=np.uint8)
                 if arr.size == 0:
                     outs.append(bytes(out_len))
                     continue

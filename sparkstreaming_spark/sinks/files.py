@@ -30,11 +30,34 @@ def write_csv_segments(df_with_segment: DataFrame, out_dir: str, header: bool = 
     )
 
 
-def append_text_file(batch_df: DataFrame, out_path: str, order_col: str | None = None) -> None:
+APPEND_TEXT_MAX_ROWS = 1_000_000
+
+
+def append_text_file(
+    batch_df: DataFrame,
+    out_path: str,
+    order_col: str | None = None,
+    max_rows: int = APPEND_TEXT_MAX_ROWS,
+) -> None:
     """Append a micro-batch of text lines to one local file, optionally
-    ordered (reconstitution wants segment order, FileReconstitution.scala:34-36)."""
+    ordered (reconstitution wants segment order, FileReconstitution.scala:34-36).
+
+    CONTRACT — single-file, DRIVER-BOUND by design: the output is one
+    logical text file with a global line order, which no distributed
+    write can produce, so every batch is collected to the driver. That
+    is the reference's K4 semantics, not an accident — and it means this
+    sink is for reconstitution-sized batches only. Batches above
+    `max_rows` fail loudly instead of silently OOMing the driver; for
+    large ordered output use a partitioned sink (write_csv_segments /
+    write_jsonl) and concatenate downstream."""
     if order_col is not None:
         batch_df = batch_df.orderBy(order_col)
+    n = batch_df.count()
+    if n > max_rows:
+        raise ValueError(
+            f"append_text_file is driver-bound by contract: batch has {n} rows "
+            f"(> max_rows={max_rows}); use a partitioned sink for data this size"
+        )
     lines = [r[0] for r in batch_df.select(batch_df.columns[0]).collect()]
     if not lines:
         return

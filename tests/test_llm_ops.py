@@ -57,10 +57,12 @@ def test_ivf_knn_recall(spark):
     assert recall >= 0.7, f"IVF recall too low: {recall:.2f}"
 
 
-def test_blob_decode_stub_raises(spark):
+def test_blob_decode_real_rejects_non_image(spark):
+    """fake=False now really decodes; a blob that isn't PPM/BMP/PNG must
+    fail loudly, not produce garbage features."""
     d = with_blob(read_table(spark, SF_DIR_CORRECT, "documents").limit(5), "text")
     feats = decode_blob_features(d, "doc_id", "blob", fake=False)
-    with pytest.raises(Exception, match="NotImplementedError|real media decode"):
+    with pytest.raises(Exception, match="unsupported image format"):
         feats.collect()
 
 
@@ -515,3 +517,66 @@ def test_lsh_pairs_bucket_cap_drops_degenerate_bucket(spark):
         df, "vec_id", "embedding", threshold=0.4, lsh_planes=3, max_bucket_size=1000
     ).count()
     assert uncapped > len(got)
+
+
+def test_pack_sequences_concat_then_chunk(spark):
+    """Packing invariants on a single shard: offsets are the exclusive
+    cumsum in doc_id order, sequence ids are offset//budget, and a doc
+    straddling a cut belongs to every sequence it touches."""
+    from sparkstreaming_spark.operators.packing import pack_sequences
+
+    rows = [(1, 100), (2, 100), (3, 50), (4, 300)]
+    df = spark.createDataFrame(rows, "doc_id long, n_tokens long")
+    got = {
+        r.doc_id: (r.start_offset, r.seq_first, r.seq_last)
+        for r in pack_sequences(df, "doc_id", "n_tokens", budget=128, n_shards=1).collect()
+    }
+    assert got[1] == (0, 0, 0)       # tokens [0,100)
+    assert got[2] == (100, 0, 1)     # [100,200) straddles the 128 cut
+    assert got[3] == (200, 1, 1)     # [200,250)
+    assert got[4] == (250, 1, 4)     # [250,550) spans sequences 1..4
+
+
+def test_pack_sequences_shards_partition_docs(spark):
+    """Multi-shard: every doc lands in exactly one shard and per-shard
+    offsets are dense (sum of tokens of earlier docs in that shard)."""
+    from sparkstreaming_spark.operators.packing import pack_sequences
+
+    d = read_table(spark, SF_DIR_CORRECT, "documents").select(
+        "doc_id", (F.col("n_chars") / 4).cast("bigint").alias("n_tokens")
+    )
+    out = pack_sequences(d, "doc_id", "n_tokens", budget=512, n_shards=4)
+    assert out.count() == d.count()
+    per_shard = out.groupBy("shard").agg(
+        F.max(F.col("start_offset") + F.col("n_tokens")).alias("stream_len"),
+        F.sum("n_tokens").alias("token_sum"),
+    )
+    for r in per_shard.collect():
+        assert r.stream_len == r.token_sum
+
+
+def test_mixture_fractions_temperature_flattens(spark):
+    """alpha=0.5 must upweight the rare source relative to proportional
+    sampling, and fractions cap at 1.0."""
+    from sparkstreaming_spark.operators.packing import mixture_fractions
+
+    rows = [("common", i) for i in range(900)] + [("rare", i) for i in range(100)]
+    df = spark.createDataFrame(rows, "source string, x long")
+    m = {r.source: r for r in mixture_fractions(df, "source", alpha=0.5, target_rows=200).collect()}
+    assert m["common"].n_rows == 900 and m["rare"].n_rows == 100
+    # n^0.5: 30 vs 10 -> rare weight 0.25 (vs 0.1 proportional)
+    assert abs(m["rare"].weight - 0.25) < 1e-9
+    assert abs(m["common"].weight - 0.75) < 1e-9
+    assert m["rare"].fraction == 0.5      # 200*0.25/100
+    assert abs(m["common"].fraction - 200 * 0.75 / 900) < 1e-9
+
+
+def test_upsample_repeats_epochs(spark):
+    from sparkstreaming_spark.operators.packing import upsample_repeats
+
+    df = spark.createDataFrame([(1, 1), (2, 3)], "doc_id long, reps int")
+    got = sorted(
+        (r.doc_id, r.epoch)
+        for r in upsample_repeats(df, "doc_id", "reps").collect()
+    )
+    assert got == [(1, 1), (2, 1), (2, 2), (2, 3)]

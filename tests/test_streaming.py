@@ -185,3 +185,19 @@ def test_watermark_drops_late_data(spark, tmp_path):
                                checkpoint_base=str(tmp_path / "ck"))
     values = {r.sv for r in result.collect()}
     assert 100.0 not in values, "late row leaked past the watermark"
+
+
+def test_append_text_file_guards_oversized_batch(spark, tmp_path):
+    """The reconstitution sink is single-file/driver-bound by contract;
+    a batch above max_rows must fail loudly, not OOM the driver."""
+    import pytest
+
+    from sparkstreaming_spark.sinks.files import append_text_file
+
+    df = spark.range(100).selectExpr("cast(id as string) AS line")
+    out = str(tmp_path / "out.txt")
+    with pytest.raises(ValueError, match="driver-bound"):
+        append_text_file(df, out, max_rows=10)
+    append_text_file(df, out, max_rows=100)
+    with open(out) as fh:
+        assert len(fh.read().splitlines()) == 100

@@ -249,3 +249,18 @@ def test_observe_metrics_on_stream(spark, tmp_path):
     assert metrics, [p for p in q.recentProgress]
     assert sum(m["n_rows"] for m in metrics) == 4
     assert sum(m["n_null"] for m in metrics) == 1
+
+
+def test_rate_source_throughput_harness(spark):
+    """Unbounded rate-micro-batch source through the KPI aggregation
+    shape: all requested batches arrive with exact per-batch row counts
+    (the source is deterministic) and the harness reports sane
+    throughput/latency numbers."""
+    from sparkstreaming_spark.streaming.rate import measure_rate_throughput
+
+    stats = measure_rate_throughput(spark, rows_per_batch=5000, n_batches=4)
+    assert stats["rows"] == 4 * 5000
+    assert stats["batches"] == 4
+    assert stats["rows_per_sec"] > 0
+    assert stats["batch_ms_max"] > 0
+    assert stats["result_keys"] == 50

@@ -35,6 +35,9 @@ DEFAULT_OPS = [
     "evt_value_histogram",
     "emb_pca_profile",
     "doc_cms_counts",
+    "doc_ngram_containment",
+    "fuzzy_name_pairs",
+    "emb_near_dup_cosine",
 ]
 
 
@@ -89,6 +92,19 @@ def build(spark, factor: int, out_dir: str) -> None:
     )
     big_ev.repartition(32).write.mode("overwrite").parquet(
         f"{out_dir}/events.parquet"
+    )
+
+    part = spark.read.parquet(f"{BASE}/part.parquet")
+    n_part = part.count()
+    big_part = part.crossJoin(copies).select(
+        (F.col("p_partkey") + F.col("copy") * n_part).alias("p_partkey"),
+        # suffix the name per copy so the DISTINCT-value domain (what the
+        # fuzzy matcher actually scales in) grows with the factor
+        F.concat_ws(" ", "p_name", F.concat(F.lit("v"), F.col("copy"))).alias("p_name"),
+        "p_brand", "p_type", "p_size", "p_retailprice",
+    )
+    big_part.repartition(32).write.mode("overwrite").parquet(
+        f"{out_dir}/part.parquet"
     )
 
     li = spark.read.parquet(f"{BASE}/lineitem.parquet")
