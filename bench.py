@@ -91,6 +91,10 @@ HEADLINE = [
     "doc_ngram_containment",
     "evt_asof_tolerance",
     "doc_weighted_sample",
+    "evt_approx_percentiles",
+    "doc_pack_sequences",
+    "doc_source_mixture",
+    "doc_upsample_epochs",
 ]
 
 

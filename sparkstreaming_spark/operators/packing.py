@@ -62,13 +62,20 @@ def pack_sequences(
     )
     w = Window.partitionBy("shard").orderBy("doc_id")
     cum = F.sum("n_tokens").over(w)
+    # integer `div`, not floor(double/…): token offsets are bigint and a
+    # 100 TB stream passes 2^53 where double division silently rounds
     return base.select(
         "shard",
         "doc_id",
         "n_tokens",
         (cum - F.col("n_tokens")).alias("start_offset"),
-        F.floor((cum - F.col("n_tokens")) / budget).cast("bigint").alias("seq_first"),
-        F.floor((cum - 1) / budget).cast("bigint").alias("seq_last"),
+    ).select(
+        "shard",
+        "doc_id",
+        "n_tokens",
+        "start_offset",
+        F.expr(f"start_offset div {int(budget)}").alias("seq_first"),
+        F.expr(f"(start_offset + n_tokens - 1) div {int(budget)}").alias("seq_last"),
     )
 
 
@@ -104,14 +111,20 @@ def mixture_fractions(
     with weight = n^alpha / sum(n^alpha) and fraction the per-row keep
     probability min(1, target*weight/n). The aggregate is tiny
     (|sources| rows) — compute once, broadcast into the sampler."""
+    from pyspark.sql import Window
+
     counts = df.groupBy(F.col(source_col).alias("source")).agg(
         F.count(F.lit(1)).alias("n_rows")
     )
-    totals = counts.agg(
-        F.sum(F.pow(F.col("n_rows").cast("double"), alpha)).alias("total_w")
+    # global window over the ALREADY-AGGREGATED counts (|sources| rows):
+    # normalizing via a second aggregate would re-scan the source column;
+    # this form reads it once and the single-partition exchange moves only
+    # the tiny count table
+    total_w = F.sum(F.pow(F.col("n_rows").cast("double"), alpha)).over(
+        Window.partitionBy()
     )
-    w = F.pow(F.col("n_rows").cast("double"), alpha) / F.col("total_w")
-    return counts.crossJoin(F.broadcast(totals)).select(
+    w = F.pow(F.col("n_rows").cast("double"), alpha) / total_w
+    return counts.select(
         "source",
         "n_rows",
         F.round(w, 9).alias("weight"),

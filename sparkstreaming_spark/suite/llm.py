@@ -1013,7 +1013,89 @@ def q_cms_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return estimate_counts(spark, sk, "lang", CMS_PROBES)
 
 
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-sequence packing (concat-then-chunk, operators/packing.py):
+    documents become positions in 8 independent shard token-streams cut
+    every 512 tokens (token proxy: n_chars div 4). One window cumsum per
+    shard — shard count is the parallelism knob; no global sort."""
+    from ..operators.packing import pack_sequences
+
+    d = read_table(spark, sf_dir, "documents")
+    base = d.select("doc_id", F.expr("n_chars div 4").alias("n_toks"))
+    return pack_sequences(base, "doc_id", "n_toks", budget=512, n_shards=8)
+
+
+def _oracle_pack_sequences() -> str:
+    from ..operators.packing import pack_sequences_oracle
+
+    return pack_sequences_oracle(budget=512, n_shards=8)
+
+
+def q_source_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-flattened source mixing (alpha=0.5): per-source
+    sampling weights and keep fractions for a 1000-doc budget. The
+    source-count aggregate is tiny; everything else is arithmetic."""
+    from ..operators.packing import mixture_fractions
+
+    d = read_table(spark, sf_dir, "documents")
+    return mixture_fractions(d, "source", alpha=0.5, target_rows=1000)
+
+
+ORACLE_SOURCE_MIXTURE = """
+WITH counts AS (SELECT source, count(*) AS n_rows FROM documents GROUP BY source),
+tot AS (SELECT sum(pow(n_rows, 0.5)) AS total_w FROM counts)
+SELECT source, n_rows,
+       round(pow(n_rows, 0.5) / total_w, 9) AS weight,
+       round(least(1.0, 1000 * (pow(n_rows, 0.5) / total_w) / n_rows), 9) AS fraction
+FROM counts CROSS JOIN tot
+"""
+
+
+def q_upsample_epochs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Low-resource repeat-upsampling: non-English docs appear twice
+    (epoch 1..2), English once; aggregated to (lang, epoch) doc + char
+    mass. The explode is a narrow 1-to-N map — no shuffle until the
+    final small aggregate."""
+    from ..operators.packing import upsample_repeats
+
+    d = read_table(spark, sf_dir, "documents")
+    reps = F.when(F.col("lang") == "en", F.lit(1)).otherwise(F.lit(2))
+    up = upsample_repeats(d.withColumn("reps", reps), "doc_id", "reps")
+    return up.groupBy("lang", "epoch").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("sum_chars"),
+    )
+
+
+ORACLE_UPSAMPLE_EPOCHS = """
+WITH reps AS (
+  SELECT *, CASE WHEN lang = 'en' THEN 1 ELSE 2 END AS reps FROM documents
+), up AS (
+  SELECT r.lang, r.n_chars, gs.epoch
+  FROM reps r, LATERAL (SELECT unnest(generate_series(1, r.reps)) AS epoch) gs
+)
+SELECT lang, CAST(epoch AS INT) AS epoch, count(*) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS sum_chars
+FROM up GROUP BY 1, 2
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "doc_pack_sequences": QuerySpec(
+        q_pack_sequences,
+        _oracle_pack_sequences(),
+        "training-sequence packing (sharded concat-then-chunk cumsum)",
+    ),
+    "doc_source_mixture": QuerySpec(
+        q_source_mixture,
+        ORACLE_SOURCE_MIXTURE,
+        "temperature mixture weights + per-source keep fractions",
+    ),
+    "doc_upsample_epochs": QuerySpec(
+        q_upsample_epochs,
+        ORACLE_UPSAMPLE_EPOCHS,
+        "epoch-repeat upsampling of low-resource languages",
+    ),
     "doc_weighted_sample": QuerySpec(
         q_weighted_sample,
         ORACLE_WEIGHTED_SAMPLE,
