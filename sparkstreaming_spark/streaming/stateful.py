@@ -79,22 +79,22 @@ def streaming_topn_values(
     key appears in. Order-insensitive, so availableNow over a bounded
     input reproduces the batch per-key top-N exactly.
 
-    ENV GATE: the transformWithState protocol needs `google.protobuf`
-    (ships with real Spark clusters; absent from this test container), so
-    the op raises a clear error when unavailable and its test skips.
-    Vendoring was evaluated and rejected: the container has no network
-    and no local protobuf wheel, and PySpark's generated StateMessage_pb2
-    needs the full descriptor-pool + wire-format runtime — a hand-written
-    shim would be a large, unverifiable protobuf reimplementation. On any
-    real cluster (protobuf present) this path runs as written.
+    DEPENDENCY: the transformWithState protocol needs `google.protobuf`.
+    Real clusters ship it; this container doesn't, so `compat
+    .ensure_protobuf()` falls back to the repo's minimal pure-Python
+    proto3 runtime (`sparkstreaming_spark/_vendor/`, clean-room from the
+    published wire spec). Every request byte it emits is parsed by the
+    JVM's real protobuf inside the state server, which makes the
+    end-to-end test a strong verifier of the shim itself.
     """
-    try:
-        from google.protobuf import descriptor  # noqa: F401
-    except ImportError as e:
+    from sparkstreaming_spark.compat import ensure_protobuf
+
+    if not ensure_protobuf():
         raise RuntimeError(
             "transformWithStateInPandas requires google.protobuf (state "
-            "protocol); not installed in this environment"
-        ) from e
+            "protocol); neither an installed protobuf nor the vendored "
+            "fallback is importable"
+        )
 
     from pyspark.sql import functions as F
     from pyspark.sql.streaming.stateful_processor import (
