@@ -95,6 +95,9 @@ HEADLINE = [
     "doc_pack_sequences",
     "doc_source_mixture",
     "doc_upsample_epochs",
+    "doc_shuffle_shards",
+    "doc_length_curriculum",
+    "doc_nfc_normalize",
 ]
 
 

@@ -68,6 +68,47 @@ def zorder_value(cols: Sequence[tuple[str, float, float]]) -> Column:
     return terms.cast("bigint")
 
 
+def shuffle_shards(
+    df: DataFrame,
+    id_col: str,
+    salt: str = "shuffle-v1",
+    n_shards: int = 32,
+) -> DataFrame:
+    """Deterministic global training-order shuffle, sharded.
+
+    A training run needs the corpus in a reproducible pseudo-random order,
+    written as shards it can stream. The scalable form is NOT a global
+    `ORDER BY rand()` (one total-order sort, seed+layout dependent) but:
+
+        key   = md5_64(salt || id)           -- stable pseudo-random rank
+        shard = key % n_shards               -- which output shard
+        pos   = row_number() over (partition by shard order by key, id)
+
+    One hash-partition shuffle + a per-shard local sort: at 100 TB with
+    n_shards sized so a shard ≈ one output file (e.g. 100k shards ⇒ ~1 GB
+    each), the sort never leaves a task, no range-boundary sampling pass,
+    and re-running on a re-partitioned or incrementally-grown corpus
+    reproduces identical (shard, pos) for existing rows' ids under the
+    same salt. The id tiebreak makes the order total even on the
+    ~2^-60-probability hash collision.
+
+    Returns df + (shard int, pos long). Reuses the engine-wide md5_64
+    convention (functions/text.py) so the DuckDB oracle is bit-exact.
+    """
+    from pyspark.sql import Window
+
+    from ..functions.text import md5_64
+
+    key = md5_64(F.concat(F.lit(salt), F.col(id_col).cast("string")))
+    w = Window.partitionBy("shard").orderBy("__key", id_col)
+    return (
+        df.withColumn("__key", key)
+        .withColumn("shard", (F.col("__key") % n_shards).cast("int"))
+        .withColumn("pos", F.row_number().over(w).cast("bigint"))
+        .drop("__key")
+    )
+
+
 def write_zordered(
     df: DataFrame,
     path: str,

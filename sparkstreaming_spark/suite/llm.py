@@ -1080,7 +1080,147 @@ FROM up GROUP BY 1, 2
 """
 
 
+def q_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global training-order shuffle, sharded
+    (operators/layout.py::shuffle_shards): md5 rank → shard = rank %
+    n_shards → per-shard position. One hash shuffle + per-shard local
+    sort — the scalable form of ORDER BY rand() for writing shuffled
+    training shards; reproducible across re-partitioning and corpus
+    growth because the order key depends only on (salt, id)."""
+    from ..operators.layout import shuffle_shards
+
+    d = read_table(spark, sf_dir, "documents")
+    return shuffle_shards(d, "doc_id", salt="shuffle-v1", n_shards=8).select(
+        "doc_id", "shard", "pos"
+    )
+
+
+ORACLE_SHUFFLE_SHARDS = f"""
+WITH keyed AS (
+  SELECT doc_id,
+         {_sql_md5_64("concat('shuffle-v1', CAST(doc_id AS VARCHAR))")} AS key
+  FROM documents
+)
+SELECT doc_id, CAST(key % 8 AS INT) AS shard,
+       CAST(row_number() OVER (PARTITION BY key % 8 ORDER BY key, doc_id) AS BIGINT) AS pos
+FROM keyed
+"""
+
+
+_DECILE_FRACS = [i / 10 for i in range(1, 10)]
+
+
+def q_length_curriculum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum/length binning without a global sort: `ntile(10)` needs
+    one total-order sort over a SINGLE partition — a non-starter at
+    100 TB — so instead (the scalable histogram-equalization pattern):
+    pass 1 computes the 9 exact decile boundaries as a tiny aggregate
+    (9 doubles to the driver), pass 2 buckets every row against the
+    broadcast boundary literals inside whole-stage codegen. Ties at a
+    boundary bucket identically in both engines because both compare
+    against the same 6-dp-rounded literals (F.percentile ≡
+    quantile_cont, same interpolation)."""
+    d = read_table(spark, sf_dir, "documents")
+    chars = F.col("n_chars").cast("double")
+    bounds = d.select(
+        F.percentile(chars, F.array(*[F.lit(p) for p in _DECILE_FRACS])).alias("b")
+    ).first()["b"]
+    bounds = [round(float(b), 6) for b in bounds]
+    bucket = F.lit(1)
+    for b in bounds:
+        bucket = bucket + F.when(chars > F.lit(b), 1).otherwise(0)
+    return (
+        d.withColumn("bucket", bucket.cast("int"))
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("n_chars").cast("bigint").alias("min_chars"),
+            F.max("n_chars").cast("bigint").alias("max_chars"),
+            F.round(F.avg(chars), 6).alias("avg_chars"),
+        )
+    )
+
+
+def _oracle_length_curriculum() -> str:
+    fracs = ", ".join(str(p) for p in _DECILE_FRACS)
+    cases = " + ".join(
+        f"(CASE WHEN CAST(d.n_chars AS DOUBLE) > round(bs[{i + 1}], 6) "
+        "THEN 1 ELSE 0 END)"
+        for i in range(9)
+    )
+    return f"""
+WITH bounds AS (
+  SELECT quantile_cont(CAST(n_chars AS DOUBLE), [{fracs}]) AS bs FROM documents
+),
+bucketed AS (
+  SELECT d.n_chars, CAST(1 + {cases} AS INT) AS bucket
+  FROM documents d, bounds
+)
+SELECT bucket, count(*) AS n_docs,
+       CAST(min(n_chars) AS BIGINT) AS min_chars,
+       CAST(max(n_chars) AS BIGINT) AS max_chars,
+       round(avg(CAST(n_chars AS DOUBLE)), 6) AS avg_chars
+FROM bucketed GROUP BY bucket
+"""
+
+
+def q_nfc_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode NFC normalization (textstats/cleaning.py::nfc_normalize —
+    Arrow-batched Pandas UDF; Spark has no built-in normalizer). The
+    corpus is ASCII, so the query first derives a decomposed variant
+    in-plan (every 'e' → 'e' + U+0301 combining acute, same expression
+    both engines) and then proves the normalizer composes it back:
+    per-lang codepoint counts before/after NFC + changed-doc count.
+    DuckDB's utf8proc `nfc_normalize` is the cross-engine twin."""
+    from ..textstats.cleaning import nfc_normalize
+
+    d = read_table(spark, sf_dir, "documents")
+    # NB: Spark's chr() is ASCII-mod-256 (chr(769) → \x01), unlike
+    # DuckDB's codepoint chr(769) = U+0301 — so build the combining
+    # acute as a unicode literal here and keep chr(769) in the SQL.
+    decomposed = F.replace(F.col("text"), F.lit("e"), F.lit("e\u0301"))
+    out = d.withColumn("deco", decomposed).withColumn(
+        "norm", nfc_normalize(F.col("deco"))
+    )
+    return out.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.length("deco")).alias("len_decomposed"),
+        F.sum(F.length("norm")).alias("len_nfc"),
+        F.sum(F.when(F.col("norm") != F.col("deco"), 1).otherwise(0)).alias(
+            "n_changed"
+        ),
+    )
+
+
+ORACLE_NFC_NORMALIZE = """
+WITH t AS (
+  SELECT lang, replace(text, 'e', 'e' || chr(769)) AS deco FROM documents
+),
+n AS (SELECT lang, deco, nfc_normalize(deco) AS norm FROM t)
+SELECT lang, count(*) AS n_docs,
+       CAST(sum(length(deco)) AS BIGINT) AS len_decomposed,
+       CAST(sum(length(norm)) AS BIGINT) AS len_nfc,
+       CAST(sum(CASE WHEN norm <> deco THEN 1 ELSE 0 END) AS BIGINT) AS n_changed
+FROM n GROUP BY lang
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "doc_shuffle_shards": QuerySpec(
+        q_shuffle_shards,
+        ORACLE_SHUFFLE_SHARDS,
+        "deterministic sharded training-order shuffle (md5 rank)",
+    ),
+    "doc_length_curriculum": QuerySpec(
+        q_length_curriculum,
+        _oracle_length_curriculum(),
+        "decile curriculum binning via broadcast boundaries (no global sort)",
+    ),
+    "doc_nfc_normalize": QuerySpec(
+        q_nfc_normalize,
+        ORACLE_NFC_NORMALIZE,
+        "unicode NFC normalization (Pandas UDF ≡ DuckDB nfc_normalize)",
+    ),
     "doc_pack_sequences": QuerySpec(
         q_pack_sequences,
         _oracle_pack_sequences(),

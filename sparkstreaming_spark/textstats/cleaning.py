@@ -59,3 +59,25 @@ def scrub(
     """Append redacted text + per-type match counts."""
     out = df.withColumn(out_col, redact_pii(text_col, patterns))
     return out.withColumns(pii_counts(text_col, patterns))
+
+
+def nfc_normalize(col: str | Column) -> Column:
+    """Unicode NFC normalization — compose decomposed sequences (e.g.
+    'e' + U+0301 combining acute → 'é' U+00E9) before hashing/dedup, so
+    byte-different but canonically-equal texts collide.
+
+    Spark has no built-in unicode-normalize expression, so this is a
+    genuine Arrow-batched Pandas-UDF case (the sanctioned slow path):
+    `pandas.Series.str.normalize` runs stdlib `unicodedata.normalize`
+    per Arrow batch — a narrow 1→1 projection, no shuffle, scales
+    linearly. DuckDB's `nfc_normalize` (utf8proc) implements the same
+    published canonical-composition tables, which keeps the differential
+    oracle bit-exact.
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    # lambda form: `from __future__ import annotations` stringifies type
+    # hints, which the pandas_udf signature inspector rejects.
+    _nfc = pandas_udf(lambda s: s.str.normalize("NFC"), "string")
+    c = F.col(col) if isinstance(col, str) else col
+    return _nfc(c)

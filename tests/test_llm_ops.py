@@ -580,3 +580,72 @@ def test_upsample_repeats_epochs(spark):
         for r in upsample_repeats(df, "doc_id", "reps").collect()
     )
     assert got == [(1, 1), (2, 1), (2, 2), (2, 3)]
+
+
+def test_shuffle_shards_deterministic_and_balanced(spark):
+    """Training-order shuffle: (shard, pos) is a function of (salt, id)
+    only — identical under repartitioning; positions are dense 1..k per
+    shard; shards are within 3x of each other on a uniform corpus; a
+    different salt produces a different order."""
+    from sparkstreaming_spark.operators.layout import shuffle_shards
+
+    base = spark.range(0, 2000).withColumnRenamed("id", "doc_id")
+    a = {
+        r.doc_id: (r.shard, r.pos)
+        for r in shuffle_shards(base, "doc_id", n_shards=8).collect()
+    }
+    b = {
+        r.doc_id: (r.shard, r.pos)
+        for r in shuffle_shards(base.repartition(13), "doc_id", n_shards=8).collect()
+    }
+    assert a == b
+    by_shard: dict[int, list[int]] = {}
+    for shard, pos in a.values():
+        by_shard.setdefault(shard, []).append(pos)
+    assert set(by_shard) == set(range(8))
+    for positions in by_shard.values():
+        assert sorted(positions) == list(range(1, len(positions) + 1))
+    sizes = sorted(len(v) for v in by_shard.values())
+    assert sizes[-1] <= 3 * sizes[0]
+    c = {
+        r.doc_id: (r.shard, r.pos)
+        for r in shuffle_shards(base, "doc_id", salt="other", n_shards=8).collect()
+    }
+    assert c != a
+
+
+def test_length_curriculum_buckets_partition_corpus(spark):
+    """Decile binning: buckets cover the corpus exactly once and are
+    ordered by length (max of bucket i <= min of bucket i+1 can be
+    violated only at ties on the boundary value — assert the weak
+    monotonicity on bucket minima instead)."""
+    from sparkstreaming_spark.suite import all_queries
+
+    rows = all_queries()["doc_length_curriculum"].fn(
+        spark, SF_DIR_CORRECT
+    ).collect()
+    total = sum(r.n_docs for r in rows)
+    docs = read_table(spark, SF_DIR_CORRECT, "documents").count()
+    assert total == docs
+    by_bucket = sorted(rows, key=lambda r: r.bucket)
+    mins = [r.min_chars for r in by_bucket]
+    assert mins == sorted(mins)
+    assert 1 <= len(by_bucket) <= 10
+
+
+def test_nfc_normalize_composes(spark):
+    """NFC over decomposed sequences: 'e'+U+0301 -> U+00E9 (one codepoint
+    shorter), ASCII unchanged, None preserved."""
+    from sparkstreaming_spark.textstats.cleaning import nfc_normalize
+
+    df = spark.createDataFrame(
+        [("a", "cafe\u0301"), ("b", "ascii only"), ("c", None)],
+        "k string, s string",
+    )
+    got = {
+        r.k: r.n
+        for r in df.select("k", nfc_normalize("s").alias("n")).collect()
+    }
+    assert got["a"] == "caf\u00e9" and len(got["a"]) == 4
+    assert got["b"] == "ascii only"
+    assert got["c"] is None
