@@ -87,9 +87,9 @@ def streaming_topn_values(
     JVM's real protobuf inside the state server, which makes the
     end-to-end test a strong verifier of the shim itself.
     """
-    from sparkstreaming_spark.compat import ensure_protobuf
+    from sparkstreaming_spark.compat import ensure_protobuf_on_workers
 
-    if not ensure_protobuf():
+    if not ensure_protobuf_on_workers(stream_df.sparkSession):
         raise RuntimeError(
             "transformWithStateInPandas requires google.protobuf (state "
             "protocol); neither an installed protobuf nor the vendored "

@@ -412,7 +412,54 @@ def q_stream_matview(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sink.read(spark)
 
 
+def q_stream_topn_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark-4 arbitrary-stateful processing (transformWithStateInPandas +
+    ValueState over the RocksDB provider, streaming/stateful.py): per-
+    event-type running top-3 values through a real availableNow drain.
+    Order-insensitive state update ⇒ the drained result equals the batch
+    window top-3; ties contribute the same VALUE at each rank in both
+    engines even when row identity differs, so the oracle is exact. The
+    state protocol needs google.protobuf on the workers — satisfied by
+    the vendored runtime (compat.ensure_protobuf_on_workers ships it via
+    addPyFile when no real wheel exists)."""
+    from ..streaming.stateful import streaming_topn_values
+
+    provider_key = "spark.sql.streaming.stateStore.providerClass"
+    old = spark.conf.get(provider_key, None)
+    spark.conf.set(
+        provider_key,
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    try:
+        out = run_available_now(
+            _events_stream(spark, sf_dir),
+            lambda df: streaming_topn_values(df, "event_type", "value", n=3),
+            output_mode="update",
+        )
+        return out.groupBy("key", "rk").agg(F.max("value").alias("value"))
+    finally:
+        if old is None:
+            spark.conf.unset(provider_key)
+        else:
+            spark.conf.set(provider_key, old)
+
+
+ORACLE_STREAM_TOPN = """
+SELECT event_type AS key, CAST(rk AS INT) AS rk, value FROM (
+  SELECT event_type, value,
+         row_number() OVER (PARTITION BY event_type ORDER BY value DESC) AS rk
+  FROM events
+) WHERE rk <= 3
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "stream_topn_stateful": QuerySpec(
+        q_stream_topn_stateful,
+        ORACLE_STREAM_TOPN,
+        "Spark-4 stateful processor (transformWithState) running top-N",
+    ),
     "stream_matview": QuerySpec(
         q_stream_matview,
         "SELECT o_orderstatus, count(*) AS cnt, round(sum(o_totalprice), 2) AS revenue "
