@@ -226,3 +226,39 @@ def test_ewma_plan_shares_one_window_sort(spark):
     )
     assert plan.count("Window ") + plan.count("RunningWindow") == 1
     assert plan.count("Sort ") == 1
+
+
+def test_shuffle_shards_single_exchange(spark):
+    """Training-order shuffle = exactly one hash Exchange (on shard) +
+    per-shard window sort. A range Exchange or a second hash Exchange
+    would mean an accidental global sort / re-shuffle crept in."""
+    from sparkstreaming_spark.operators.layout import shuffle_shards
+
+    docs = spark.read.parquet(f"{SF_DIR_SMOKE}/documents.parquet")
+    plan = _plan(shuffle_shards(docs, "doc_id", n_shards=8))
+    assert plan.count("Exchange") == 1, plan[:3000]
+    assert "rangepartitioning" not in plan.lower(), plan[:3000]
+
+
+def test_length_curriculum_bucketing_pass_has_no_sort(spark):
+    """The bucketing pass compares against broadcast boundary literals —
+    its plan must contain no Sort (ntile's global sort is exactly what
+    this pattern avoids). Only the tiny boundary aggregate and the final
+    groupBy may exchange."""
+    from sparkstreaming_spark.suite import all_queries
+    from tests.conftest import SF_DIR_SMOKE as S
+
+    df = all_queries()["doc_length_curriculum"].fn(spark, S)
+    plan = _plan(df)
+    assert "Sort" not in plan, plan[:3000]
+
+
+def test_nfc_normalize_is_arrow_eval(spark):
+    """The normalizer must run as an Arrow-batched python eval (vectorized
+    Series.str.normalize), not a row-at-a-time BatchEvalPython."""
+    from sparkstreaming_spark.textstats.cleaning import nfc_normalize
+
+    docs = spark.read.parquet(f"{SF_DIR_SMOKE}/documents.parquet")
+    plan = _plan(docs.select(nfc_normalize("text").alias("n")))
+    assert "ArrowEvalPython" in plan, plan[:2000]
+    assert "BatchEvalPython" not in plan, plan[:2000]
