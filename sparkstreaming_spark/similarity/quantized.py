@@ -109,3 +109,68 @@ def sq8_knn(
         .filter(F.col("rk") <= k)
         .select("query_id", "neighbor_id", "cosine", F.col("rk").cast("int").alias("rk"))
     )
+
+
+def sq8_rerank_knn(
+    candidates: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 10,
+    shortlist: int = 50,
+) -> DataFrame:
+    """Two-stage retrieval: SQ8 coarse shortlist -> exact full-precision
+    rerank — the standard production ANN shape.
+
+    Stage 1 (cheap, whole-corpus): sq8_knn scans int8 codes (4x less
+    bandwidth than float32) and keeps a `shortlist`-deep candidate set
+    per query. Stage 2 (exact, tiny): join the shortlist pairs back to
+    the full-precision vectors — a broadcast-able frame of
+    n_queries x shortlist rows, NOT the corpus — recompute exact cosine,
+    re-rank, keep top-k. Final scores are bit-identical to brute force
+    for every pair the shortlist retained, so rerank converts stage-1's
+    score error into (bounded) recall error only; recall@k is pinned >=
+    the sq8-only path by test.
+
+    At 100 TB: stage 1 is the only corpus scan; stage 2's join key set
+    (the shortlist ids) broadcasts, so the full-precision vectors are
+    fetched by a broadcast semi-join probe rather than a shuffle."""
+    from pyspark.sql import Window
+
+    coarse = sq8_knn(candidates, queries, id_col, vec_col, k=shortlist)
+    pairs = coarse.select("query_id", "neighbor_id")
+    vecs = candidates.select(
+        F.col(id_col).cast("bigint").alias("neighbor_id"),
+        F.col(vec_col).alias("nv"),
+    )
+    qvecs = queries.select(
+        F.col(id_col).cast("bigint").alias("query_id"),
+        F.col(vec_col).alias("qv"),
+    )
+    # exact cosine via codegen'd higher-order funcs on the tiny pair frame
+    dot = F.aggregate(
+        F.zip_with("qv", "nv", lambda a, b: a * b),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    norm = lambda c: F.sqrt(  # noqa: E731
+        F.aggregate(c, F.lit(0.0), lambda acc, x: acc + x * x)
+    )
+    exact = (
+        pairs.join(F.broadcast(qvecs), "query_id")
+        .join(vecs, "neighbor_id")
+        .withColumn(
+            "cosine", F.round(dot / (norm(F.col("qv")) * norm(F.col("nv"))), 6)
+        )
+        .drop("qv", "nv")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        exact.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select(
+            "query_id", "neighbor_id", "cosine", F.col("rk").cast("int").alias("rk")
+        )
+    )

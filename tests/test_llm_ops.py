@@ -649,3 +649,32 @@ def test_nfc_normalize_composes(spark):
     assert got["a"] == "caf\u00e9" and len(got["a"]) == 4
     assert got["b"] == "ascii only"
     assert got["c"] is None
+
+
+def test_sq8_rerank_improves_on_coarse(spark):
+    """Two-stage retrieval: shortlist-50 SQ8 then exact rerank must (a)
+    score every kept pair bit-identically to brute force, and (b) reach
+    recall@10 >= the sq8-only path (quantization error survives only as
+    shortlist misses)."""
+    from sparkstreaming_spark.similarity import brute_force_knn
+    from sparkstreaming_spark.similarity.quantized import sq8_knn, sq8_rerank_knn
+
+    emb = read_table(spark, SF_DIR_CORRECT, "embeddings")
+    q = emb.filter(F.col("vec_id") < 5)
+    exact = brute_force_knn(emb, q, "vec_id", "embedding", k=10).collect()
+    coarse = sq8_knn(emb, q, "vec_id", "embedding", k=10).collect()
+    rerank = sq8_rerank_knn(
+        emb, q, "vec_id", "embedding", k=10, shortlist=50
+    ).collect()
+
+    exact_scores = {(r.query_id, r.neighbor_id): r.cosine for r in exact}
+    for r in rerank:
+        key = (r.query_id, r.neighbor_id)
+        if key in exact_scores:
+            assert abs(r.cosine - exact_scores[key]) < 1e-9, key
+
+    exact_set = set(exact_scores)
+    recall_coarse = len(exact_set & {(r.query_id, r.neighbor_id) for r in coarse}) / len(exact_set)
+    recall_rerank = len(exact_set & {(r.query_id, r.neighbor_id) for r in rerank}) / len(exact_set)
+    assert recall_rerank >= recall_coarse, (recall_rerank, recall_coarse)
+    assert recall_rerank >= 0.9, f"rerank recall too low: {recall_rerank:.2f}"
