@@ -1125,7 +1125,8 @@ def q_length_curriculum(spark: SparkSession, sf_dir: str) -> DataFrame:
     bounds = d.select(
         F.percentile(chars, F.array(*[F.lit(p) for p in _DECILE_FRACS])).alias("b")
     ).first()["b"]
-    bounds = [round(float(b), 6) for b in bounds]
+    # empty corpus → no boundaries → everything lands in bucket 1
+    bounds = [round(float(b), 6) for b in bounds or []]
     bucket = F.lit(1)
     for b in bounds:
         bucket = bucket + F.when(chars > F.lit(b), 1).otherwise(0)

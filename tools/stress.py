@@ -38,6 +38,9 @@ DEFAULT_OPS = [
     "doc_ngram_containment",
     "fuzzy_name_pairs",
     "emb_near_dup_cosine",
+    "doc_shuffle_shards",
+    "doc_length_curriculum",
+    "doc_nfc_normalize",
 ]
 
 
