@@ -204,3 +204,41 @@ def test_packed_numeric_parse():
     back2 = cls()
     back2.ParseFromString(unpacked)
     assert list(back2.xs) == [3, 270, -1]
+
+
+def test_roundtrip_fuzz(sm):
+    """Property fuzz over the real StateMessage schema: arbitrary field
+    settings survive serialize→parse bit-exactly (values, oneof winner,
+    repeated order)."""
+    from hypothesis import given, settings, strategies as st
+
+    @settings(max_examples=200, deadline=None)
+    @given(
+        status=st.integers(min_value=-(2**31), max_value=2**31 - 1),
+        err=st.text(max_size=40),
+        vals=st.lists(st.binary(max_size=30), max_size=8),
+        fetch=st.booleans(),
+        ts=st.lists(
+            st.integers(min_value=-(2**63), max_value=2**63 - 1), max_size=5
+        ),
+    )
+    def roundtrip(status, err, vals, fetch, ts):
+        msg = sm.StateResponseWithListGet(
+            statusCode=status, errorMessage=err, value=vals,
+            requireNextFetch=fetch,
+        )
+        back = sm.StateResponseWithListGet()
+        back.ParseFromString(msg.SerializeToString())
+        assert back.statusCode == status
+        assert back.errorMessage == err
+        assert list(back.value) == vals
+        assert back.requireNextFetch == fetch
+
+        timer = sm.StateResponseWithTimer(
+            timer=[sm.TimerInfo(timestampMs=t) for t in ts]
+        )
+        back2 = sm.StateResponseWithTimer()
+        back2.ParseFromString(timer.SerializeToString())
+        assert [x.timestampMs for x in back2.timer] == ts
+
+    roundtrip()
