@@ -999,9 +999,11 @@ def q_cms_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Count-min-sketch token frequencies per language: sketches built by
     the JVM-side mergeable aggregate (shuffle payload = sketch bytes per
     group, never the token stream), probed driver-side for a fixed token
-    list. Rows-only: estimates are deterministic (fixed seed) but not
-    SQL-expressible; tests/test_llm_ops.py pins the CMS error bound
-    (exact <= est <= exact + eps*N)."""
+    list. Oracled with exact counts: at width 10^4 vs a few-hundred-token
+    vocab an all-depth collision is structurally absent (see
+    ORACLE_CMS_COUNTS comment), so estimates are deterministically exact
+    here; the sketch's approximate regime (narrow sketch, est bounded by
+    exact + eps*N) is pinned separately in tests/test_llm_ops.py."""
     from ..functions.text import tokenize
     from ..textstats.cms import build_token_sketches, estimate_counts
 
@@ -1009,8 +1011,33 @@ def q_cms_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = d.select(
         "lang", F.explode(tokenize("text")).alias("tok")
     )
-    sk = build_token_sketches(toks, "lang", "tok", eps=0.0005)
+    sk = build_token_sketches(toks, "lang", "tok", eps=0.0002)
     return estimate_counts(spark, sk, "lang", CMS_PROBES)
+
+
+# CMS oracle: exact counts. Honest for the same reason the GK-percentile
+# oracle is: a probe only over-counts if it collides in EVERY depth row,
+# and with width = ceil(2/eps) = 10^4 buckets against this corpus's
+# few-hundred-token vocab that probability is (vocab/width)^depth ≈ 1e-7
+# — structurally absent at oracle scale, so est_count == exact count
+# deterministically. The sketch's approximate regime (narrow sketch,
+# est bounded by exact + eps·N) is pinned separately in
+# tests/test_llm_ops.py.
+_probe_list = ", ".join(f"('{p}')" for p in CMS_PROBES)
+ORACLE_CMS_COUNTS = rf"""
+WITH t AS (SELECT lang, unnest({SQL_TOKS}) AS tok FROM documents),
+probes(item) AS (VALUES {_probe_list}),
+groups AS (SELECT DISTINCT lang FROM documents),
+exact AS (SELECT lang, tok, count(*) AS c FROM t GROUP BY 1, 2),
+totals AS (SELECT lang, count(*) AS n_items FROM t GROUP BY 1)
+SELECT g.lang, p.item,
+       coalesce(e.c, 0) AS est_count,
+       tt.n_items
+FROM groups g
+CROSS JOIN probes p
+LEFT JOIN exact e ON e.lang = g.lang AND e.tok = p.item
+JOIN totals tt ON tt.lang = g.lang
+"""
 
 
 def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1248,7 +1275,10 @@ QUERIES: dict[str, QuerySpec] = {
         "asymmetric shingle containment (quote/subset dedup)",
     ),
     "doc_cms_counts": QuerySpec(
-        q_cms_counts, None, "count-min sketch per-group frequency estimates"
+        q_cms_counts,
+        ORACLE_CMS_COUNTS,
+        "count-min sketch per-group frequency estimates (exact at this "
+        "width/vocab ratio; sketch error regime pinned in pytest)",
     ),
     "doc_chunks": QuerySpec(
         q_chunks, _oracle_chunks(), "overlapping token-window chunking"
