@@ -359,8 +359,12 @@ FROM documents
 
 def q_blob_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Arrow-batched fake decode over blobs (mapInPandas), aggregated per
-    source: mean blob size + mean byte value. Rows-only check (the decode
-    step is the stubbed non-SQL path)."""
+    source: mean blob size + mean byte value. Oracled: the blob is the
+    utf-8 bytes of `text` and this corpus is pure ASCII (bytes ==
+    codepoints), so the byte-level features reduce to per-char ascii()
+    aggregates in SQL — an exact check of the whole Arrow plumbing. If
+    the testdata ever gains non-ASCII text the oracle (not the operator)
+    must switch to byte-wise semantics."""
     d = with_blob(read_table(spark, sf_dir, "documents"), "text")
     feats = decode_blob_features(d, "doc_id", "blob", fake=True)
     joined = feats.join(
@@ -371,6 +375,22 @@ def q_blob_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.avg("mean_byte"), 4).alias("avg_byte_val"),
         F.count(F.lit(1)).alias("n_docs"),
     )
+
+
+ORACLE_BLOB_FEATURES = """
+WITH chars AS (
+  SELECT doc_id, source, unnest(string_split(text, '')) AS ch FROM documents
+),
+per_doc AS (
+  SELECT doc_id, source, count(*) AS n_bytes,
+         sum(ascii(ch)) * 1.0 / count(*) AS mean_byte
+  FROM chars GROUP BY 1, 2
+)
+SELECT source, round(avg(n_bytes), 4) AS avg_bytes,
+       round(avg(mean_byte), 4) AS avg_byte_val,
+       count(*) AS n_docs
+FROM per_doc GROUP BY source
+"""
 
 
 def q_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1352,7 +1372,9 @@ QUERIES: dict[str, QuerySpec] = {
     ),
     "doc_blob_meta": QuerySpec(q_blob_meta, ORACLE_BLOB_META, "binary column metadata"),
     "doc_blob_features": QuerySpec(
-        q_blob_features, None, "mapInPandas fake decode (stubbed codec)"
+        q_blob_features,
+        ORACLE_BLOB_FEATURES,
+        "mapInPandas byte-feature decode (ascii-reduction oracle)",
     ),
     "doc_decontam": QuerySpec(
         q_decontam,
