@@ -98,6 +98,7 @@ HEADLINE = [
     "doc_shuffle_shards",
     "doc_length_curriculum",
     "doc_nfc_normalize",
+    "emb_hard_negatives",
 ]
 
 

