@@ -41,6 +41,7 @@ DEFAULT_OPS = [
     "doc_shuffle_shards",
     "doc_length_curriculum",
     "doc_nfc_normalize",
+    "emb_hard_negatives",
 ]
 
 
