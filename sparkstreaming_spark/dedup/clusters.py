@@ -124,3 +124,49 @@ def dup_clusters(
         "cluster_size",
         (F.col("doc_id") == F.col("cluster_id")).alias("is_survivor"),
     )
+
+
+def quality_survivors(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    score_col: str = "quality",
+) -> DataFrame:
+    """Quality-ranked survivor per duplicate cluster.
+
+    `dup_clusters` keeps the min-id doc — fine for determinism, wrong for
+    corpus quality: when a cluster mixes a clean page and its boilerplate-
+    ridden mirror, the pipeline should keep the BEST copy. Returns one
+    row per multi-doc cluster: (cluster_id, survivor_id, cluster_size,
+    survivor_score) with survivor = argmax(score), ties broken toward the
+    smaller id (deterministic, oracle-matched).
+
+    Plan shape: the components frame (only docs with near-dup evidence)
+    broadcasts onto the corpus as an inner join, and the argmax is ONE
+    partial-aggregated max(struct(score, -id, id)) — no window sort, no
+    second shuffle of the corpus.
+    """
+    cc = connected_components(pairs)
+    labeled = docs.select(
+        F.col(id_col).cast("bigint").alias("doc_id"),
+        F.col(score_col).cast("bigint").alias("score"),
+    ).join(F.broadcast(cc), F.col("doc_id") == cc.node, "inner")
+    return (
+        labeled.groupBy("cluster_id")
+        .agg(
+            F.max(
+                F.struct(
+                    F.col("score"),
+                    (-F.col("doc_id")).alias("neg_id"),
+                    F.col("doc_id").alias("survivor_id"),
+                )
+            ).alias("m"),
+            F.count(F.lit(1)).alias("cluster_size"),
+        )
+        .select(
+            "cluster_id",
+            F.col("m.survivor_id").alias("survivor_id"),
+            "cluster_size",
+            F.col("m.score").alias("survivor_score"),
+        )
+    )

@@ -453,6 +453,48 @@ def q_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dup_clusters(d, pairs, "doc_id")
 
 
+def q_dedup_best_survivor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-ranked dedup survivors (dedup/clusters.py::
+    quality_survivors): per multi-doc near-dup cluster keep the LONGEST
+    copy (score = n_chars; ties → min id) instead of the min-id copy —
+    the selection a curation pipeline actually wants. Same verified
+    MinHash pair set as doc_dup_clusters."""
+    from ..dedup.clusters import quality_survivors
+
+    d = read_table(spark, sf_dir, "documents")
+    pairs = minhash_near_dup_pairs(
+        d, "doc_id", "text", num_perm=16, bands=4, shingle_n=2, threshold=0.5
+    )
+    return quality_survivors(d, pairs, "doc_id", "n_chars")
+
+
+def _oracle_best_survivor() -> str:
+    return rf"""
+WITH RECURSIVE pairs AS ({_oracle_minhash()}),
+edges AS (SELECT doc_a AS u, doc_b AS v FROM pairs
+          UNION SELECT doc_b AS u, doc_a AS v FROM pairs),
+reach(node, lbl) AS (
+  SELECT u, u FROM (SELECT DISTINCT u FROM edges)
+  UNION
+  SELECT e.u, r.lbl FROM edges e JOIN reach r ON e.v = r.node
+),
+cc AS (SELECT node, min(lbl) AS cluster_id FROM reach GROUP BY node),
+members AS (
+  SELECT cc.cluster_id, d.doc_id, CAST(d.n_chars AS BIGINT) AS score
+  FROM documents d JOIN cc ON d.doc_id = cc.node
+),
+ranked AS (
+  SELECT *, row_number() OVER
+    (PARTITION BY cluster_id ORDER BY score DESC, doc_id ASC) AS rk,
+    count(*) OVER (PARTITION BY cluster_id) AS cluster_size
+  FROM members
+)
+SELECT cluster_id, doc_id AS survivor_id, cluster_size,
+       score AS survivor_score
+FROM ranked WHERE rk = 1
+"""
+
+
 def _oracle_dup_clusters() -> str:
     """Transitive-closure min-label via recursive CTE over the SAME
     verified pair set as doc_minhash_pairs (nested WITH)."""
@@ -1358,6 +1400,11 @@ QUERIES: dict[str, QuerySpec] = {
         q_dup_clusters,
         _oracle_dup_clusters(),
         "connected-components dup clusters + survivor per cluster",
+    ),
+    "doc_dedup_best_survivor": QuerySpec(
+        q_dedup_best_survivor,
+        _oracle_best_survivor(),
+        "quality-ranked (longest-copy) survivor per dup cluster",
     ),
     "doc_simhash_pairs": QuerySpec(
         q_simhash_pairs, _oracle_simhash(), "SimHash banded near-dup"
