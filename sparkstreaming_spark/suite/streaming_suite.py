@@ -454,7 +454,88 @@ SELECT event_type AS key, CAST(rk AS INT) AS rk, value FROM (
 """
 
 
+def q_stream_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The LLM-curation pipeline THROUGH a live stream: PII scrub →
+    quality score + gate → stateful content dedup → per-lang corpus
+    accounting, drained availableNow in complete mode. Dedup keys on
+    (content_hash, lang) — not just the hash — so the surviving-row
+    identity (first-seen, nondeterministic under streaming) can never
+    leak into the aggregate: every output value is a function of the
+    deduped (hash, lang) set, which batch SQL reproduces exactly. At
+    scale the dedup state is bounded by distinct content hashes — the
+    same state the batch window shuffle would materialize."""
+    from ..functions.text import normalize_text
+    from ..textstats.analysis import add_quality_scores
+    from ..textstats.cleaning import redact_pii
+    from .llm import QUALITY_MIN
+
+    schema = "doc_id bigint, text string, lang string, source string, n_chars bigint"
+    stream = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+    )
+    scrubbed = stream.select("doc_id", "lang", redact_pii("text").alias("text"))
+    scored = add_quality_scores(scrubbed, "text").filter(
+        F.col("quality_score") >= QUALITY_MIN
+    )
+    deduped = scored.withColumn(
+        "__h", F.md5(normalize_text("text"))
+    ).dropDuplicates(["__h", "lang"])
+    return run_available_now(
+        deduped,
+        lambda df: df.groupBy("lang").agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("sum_tokens"),
+        ),
+        output_mode="complete",
+    )
+
+
+def _oracle_stream_curation() -> str:
+    from ..textstats.cleaning import PII_PATTERNS
+    from .llm import QUALITY_MIN, SQL_NORM, SQL_TOKS, STOPWORDS
+
+    en = "[" + ", ".join(f"'{w}'" for w in STOPWORDS["en"]) + "]"
+    clean = "text"
+    for name, pat in PII_PATTERNS.items():
+        clean = f"regexp_replace({clean}, '{pat}', '[{name.upper()}]', 'g')"
+    return rf"""
+WITH scrubbed AS (SELECT doc_id, lang, {clean} AS text FROM documents),
+t AS (
+  SELECT doc_id, lang, text, {SQL_TOKS} AS toks,
+         length(text) AS n_chars,
+         len({SQL_TOKS}) AS n_tokens,
+         len(regexp_extract_all(text, '[^a-zA-Z0-9\s]')) AS punct_cnt
+  FROM scrubbed
+), r AS (
+  SELECT doc_id, lang, text, n_tokens,
+         CASE WHEN n_chars > 0 THEN punct_cnt * 1.0 / n_chars ELSE 0.0 END AS punct_ratio,
+         CASE WHEN n_tokens > 0
+              THEN len(list_filter(toks, x -> list_contains({en}, x))) * 1.0 / n_tokens
+              ELSE 0.0 END AS stop_ratio
+  FROM t
+), scored AS (
+  SELECT doc_id, lang, text, n_tokens
+  FROM r
+  WHERE round(0.4 * least(n_tokens / 100.0, 1.0)
+            + 0.3 * (1.0 - least(punct_ratio * 5, 1.0))
+            + 0.3 * least(stop_ratio * 3, 1.0), 6) >= {QUALITY_MIN}
+), surv AS (
+  SELECT md5({SQL_NORM}) AS h, lang, max(n_tokens) AS n_tokens
+  FROM scored GROUP BY 1, 2
+)
+SELECT lang, count(*) AS n_docs, cast(sum(n_tokens) AS bigint) AS sum_tokens
+FROM surv GROUP BY lang
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "stream_curation": QuerySpec(
+        q_stream_curation,
+        _oracle_stream_curation(),
+        "streaming curation: scrub → quality gate → stateful dedup → accounting",
+    ),
     "stream_topn_stateful": QuerySpec(
         q_stream_topn_stateful,
         ORACLE_STREAM_TOPN,
