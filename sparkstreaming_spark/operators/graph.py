@@ -1,0 +1,87 @@
+"""Distributed graph centrality: fixed-iteration PageRank.
+
+Capability-bar extension (no graph ops in the reference — its analytic
+surface is count/sum KPIs, Consumer.scala:127-149). A training-data
+pipeline uses link-graph centrality for page-level quality weighting
+(OPIC / PageRank priors in CommonCrawl-style curation), so the engine
+needs a pregel-shaped iterative operator that survives 100 TB.
+
+Design (Spark-first, not a Pregel port):
+- The graph lives as a DataFrame edge list; each iteration is
+  join(ranks, edges, on=src) -> groupBy(dst) -> agg.  Catalyst handles
+  partial aggregation (map-side combine) on the rank sums, so the
+  shuffle per iteration carries at most one partial row per (dst,
+  partition), not one row per edge.
+- The edge+degree table is computed once and persisted; only the small
+  rank vector (one row per node) moves between iterations.
+- The single driver-side action is one `count()` for N (a scalar, same
+  posture as dedup/clusters.py's convergence check) — no per-row
+  collect anywhere.
+- Fixed iteration count (no convergence test) keeps the operator
+  oracle-comparable: the DuckDB twin unrolls the same iterations as
+  plain CTEs, which stays inside portable ANSI SQL (recursive CTEs
+  with grouped aggregation in the recursive member are non-standard).
+
+At 100 TB: edges hash-partition by src; each iteration re-shuffles the
+rank vector (size = |V|, orders smaller than |E|) to the edge
+partitioning.  Skewed hub nodes are handled by the partial aggregation
+— the per-edge products combine map-side before the dst shuffle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
+
+
+def pagerank(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    iterations: int = 3,
+    damping: float = 0.85,
+    directed: bool = False,
+    round_scale: int = 8,
+) -> DataFrame:
+    """PageRank over an edge-list DataFrame -> (node, rank).
+
+    `edges` rows are (src, dst) pairs (duplicates allowed — they are
+    deduplicated so edge multiplicity does not double-count mass).
+    Undirected mode (default) mirrors every edge.  Every node appearing
+    in the edge list gets a rank; isolated nodes are out of scope (they
+    would hold the uniform prior).
+
+    rank_{t+1}(v) = (1-d)/N + d * sum_{(u,v) in E} rank_t(u) / deg(u)
+
+    The returned `rank` is rounded to `round_scale` so the value is
+    hash-comparable across engines despite float summation order.
+    """
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).distinct()
+    if not directed:
+        e = e.unionAll(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    # Edge table annotated with the source degree; persisted because every
+    # iteration re-joins against it (MEMORY_AND_DISK: at 100 TB this is
+    # the big table and must be allowed to spill).
+    adj = e.join(deg, "src").persist(StorageLevel.MEMORY_AND_DISK)
+    n = adj.select("src").distinct().count()  # one scalar to the driver
+    base = (1.0 - damping) / n
+
+    ranks = deg.select(F.col("src").alias("node"), F.lit(1.0 / n).alias("rank"))
+    for _ in range(iterations):
+        ranks = (
+            adj.join(ranks, adj.src == ranks.node)
+            .groupBy("dst")
+            .agg(
+                (F.lit(base) + F.lit(damping) * F.sum(F.col("rank") / F.col("deg"))).alias(
+                    "rank"
+                )
+            )
+            .select(F.col("dst").alias("node"), "rank")
+        )
+    # NOTE: `adj` stays persisted until the returned plan is executed —
+    # unpersisting here would evict it before the first action ever reads
+    # it (the count() above materialized it, so iterations reuse the
+    # cached copy). Spark drops it with the session / under LRU pressure.
+    return ranks.select("node", F.round("rank", round_scale).alias("rank"))

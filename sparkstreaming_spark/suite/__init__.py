@@ -36,6 +36,7 @@ def all_queries() -> dict[str, QuerySpec]:
         analytics,
         changefeed,
         core,
+        enrich,
         events,
         extensions,
         relational_ops,
@@ -51,6 +52,7 @@ def all_queries() -> dict[str, QuerySpec]:
         analytics,
         changefeed,
         core,
+        enrich,
         events,
         extensions,
         relational_ops,

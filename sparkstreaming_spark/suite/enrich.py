@@ -1,0 +1,229 @@
+"""Round-3 capability additions: graph centrality, sparse lexical
+similarity, declarative data-quality gating, vocabulary encoding.
+
+None of these exist in the reference (its analytic surface is count/sum
+KPIs, Consumer.scala:127-149); they are the operations a 100 TB
+training-data pipeline layers on the same engine: centrality priors for
+quality weighting, lexical near-dup detection, batch admission checks,
+tokenizer vocabulary construction.  All four are oracle-checked
+bit-exactly against DuckDB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.constraints import (
+    Check,
+    completeness,
+    constraint_report,
+    membership,
+    uniqueness,
+)
+from ..operators.graph import pagerank
+from ..sources.batch import read_table
+from ..textstats.tfidf import tfidf_cosine_pairs
+from ..textstats.vocab import vocab_encode
+from . import QuerySpec
+from .llm import SQL_TOKS
+
+PR_ITERS = 3
+PR_DAMPING = 0.85
+
+
+def q_pagerank_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank centrality over the part<->supplier co-purchase graph
+    (edges = distinct (l_partkey, l_suppkey) pairs from lineitem,
+    undirected).  The curation analogue: link-graph centrality as a
+    document quality prior.  operators/graph.py for the per-iteration
+    shuffle analysis."""
+    li = read_table(spark, sf_dir, "lineitem")
+    edges = li.select(
+        F.concat(F.lit("p:"), F.col("l_partkey")).alias("src"),
+        F.concat(F.lit("s:"), F.col("l_suppkey")).alias("dst"),
+    )
+    return pagerank(edges, iterations=PR_ITERS, damping=PR_DAMPING)
+
+
+def _oracle_pagerank() -> str:
+    """Unrolled-iteration SQL twin of operators/graph.py::pagerank.
+
+    Plain CTE per iteration (recursive CTEs with grouped aggregation in
+    the recursive member are non-standard SQL); same update rule, same
+    rounding."""
+    d = PR_DAMPING
+    prev = "r0"
+    iters = []
+    for i in range(1, PR_ITERS + 1):
+        iters.append(
+            f"""r{i} AS (
+  SELECT u.dst AS node,
+         (1 - {d}) / (SELECT n FROM nn) + {d} * sum(p.rank / dg.deg) AS rank
+  FROM und u JOIN {prev} p ON u.src = p.node JOIN deg dg ON u.src = dg.src
+  GROUP BY u.dst
+)"""
+        )
+        prev = f"r{i}"
+    iter_sql = ",\n".join(iters)
+    return f"""
+WITH e AS (
+  SELECT DISTINCT 'p:' || l_partkey AS src, 's:' || l_suppkey AS dst FROM lineitem
+), und AS (
+  SELECT src, dst FROM e UNION ALL SELECT dst AS src, src AS dst FROM e
+), deg AS (
+  SELECT src, count(*) AS deg FROM und GROUP BY src
+), nn AS (
+  SELECT count(*) AS n FROM deg
+), r0 AS (
+  SELECT src AS node, 1.0 / (SELECT n FROM nn) AS rank FROM deg
+),
+{iter_sql}
+SELECT node, round(rank, 8) AS rank FROM {prev}
+"""
+
+
+TFIDF_SHINGLE_N = 3
+TFIDF_MAX_DF = 1000
+TFIDF_MIN_COS = 0.35
+
+
+def q_tfidf_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sparse TF-IDF cosine near-dup pairs over trigram shingle terms —
+    the weighted-lexical cousin of doc_ngram_containment (Jaccard) and
+    emb_near_dup_cosine (dense semantic).  Inverted-index join, df>max_df
+    boilerplate cap; textstats/tfidf.py for the sum(df^2) cost bound."""
+    d = read_table(spark, sf_dir, "documents")
+    return tfidf_cosine_pairs(
+        d,
+        "doc_id",
+        "text",
+        shingle_n=TFIDF_SHINGLE_N,
+        max_df=TFIDF_MAX_DF,
+        min_cosine=TFIDF_MIN_COS,
+    )
+
+
+ORACLE_TFIDF_COSINE = rf"""
+WITH toks AS (
+  SELECT doc_id, {SQL_TOKS} AS t FROM documents
+), sh AS (
+  SELECT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS term
+  FROM toks, unnest(generate_series(1, len(t) - 2)) AS g(i)
+  WHERE len(t) >= 3
+), tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM sh GROUP BY 1, 2
+), dft AS (
+  SELECT term, count(*) AS df FROM tf GROUP BY 1
+  HAVING count(*) BETWEEN 2 AND {TFIDF_MAX_DF}
+), nn AS (
+  SELECT count(*) AS n FROM documents
+), w AS (
+  SELECT tf.doc_id, tf.term,
+         tf.tf * ln((SELECT n FROM nn)::DOUBLE / dft.df) AS w
+  FROM tf JOIN dft USING (term)
+), nrm AS (
+  SELECT doc_id, sqrt(sum(w * w)) AS nrm FROM w GROUP BY 1
+), wn AS (
+  SELECT w.doc_id, w.term, w.w / nrm.nrm AS wn
+  FROM w JOIN nrm USING (doc_id) WHERE nrm.nrm > 0
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       round(sum(a.wn * b.wn), 6) AS cosine
+FROM wn a JOIN wn b ON a.term = b.term AND a.doc_id < b.doc_id
+GROUP BY 1, 2
+HAVING round(sum(a.wn * b.wn), 6) >= {TFIDF_MIN_COS}
+"""
+
+
+DQ_LANGS = ["en", "de", "fr", "es", "zh"]
+
+
+def q_constraint_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deequ-style admission report on documents: six constraints, ONE
+    table scan (operators/constraints.py)."""
+    d = read_table(spark, sf_dir, "documents")
+    checks = [
+        Check("text_complete", completeness("text"), 1.0, 1.0),
+        Check("doc_id_unique", uniqueness("doc_id"), 1.0, 1.0),
+        Check("lang_in_set", membership("lang", DQ_LANGS), 1.0, 1.0),
+        Check("n_chars_min", F.min(F.col("n_chars")).cast("double"), 1.0, 1e18),
+        Check("n_chars_mean", F.avg(F.col("n_chars")), 50.0, 5000.0),
+        Check("row_count", F.count(F.lit(1)).cast("double"), 1.0, 1e18),
+    ]
+    return constraint_report(d, checks)
+
+
+ORACLE_CONSTRAINTS = f"""
+WITH m AS (
+  SELECT avg(CASE WHEN text IS NOT NULL THEN 1.0 ELSE 0.0 END) AS text_complete,
+         count(DISTINCT doc_id)::DOUBLE / count(*) AS doc_id_unique,
+         avg(CASE WHEN lang IN ('en','de','fr','es','zh') THEN 1.0 ELSE 0.0 END)
+           AS lang_in_set,
+         min(n_chars)::DOUBLE AS n_chars_min,
+         avg(n_chars) AS n_chars_mean,
+         count(*)::DOUBLE AS row_count
+  FROM documents
+)
+SELECT 'text_complete' AS check_name, round(text_complete, 6) AS metric,
+       round(text_complete, 6) BETWEEN 1.0 AND 1.0 AS passed FROM m
+UNION ALL SELECT 'doc_id_unique', round(doc_id_unique, 6),
+       round(doc_id_unique, 6) BETWEEN 1.0 AND 1.0 FROM m
+UNION ALL SELECT 'lang_in_set', round(lang_in_set, 6),
+       round(lang_in_set, 6) BETWEEN 1.0 AND 1.0 FROM m
+UNION ALL SELECT 'n_chars_min', round(n_chars_min, 6),
+       round(n_chars_min, 6) BETWEEN 1.0 AND 1e18 FROM m
+UNION ALL SELECT 'n_chars_mean', round(n_chars_mean, 6),
+       round(n_chars_mean, 6) BETWEEN 50.0 AND 5000.0 FROM m
+UNION ALL SELECT 'row_count', round(row_count, 6),
+       round(row_count, 6) BETWEEN 1.0 AND 1e18 FROM m
+"""
+
+VOCAB_MIN_DF = 2
+
+
+def q_vocab_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequency-ranked vocabulary with stable ids (textstats/vocab.py):
+    document-frequency counted via in-row array_distinct (no
+    (doc,token) distinct shuffle), ids total-ordered by (df DESC,
+    token)."""
+    d = read_table(spark, sf_dir, "documents")
+    return vocab_encode(d, "text", min_df=VOCAB_MIN_DF)
+
+
+ORACLE_VOCAB = rf"""
+WITH per_doc AS (
+  SELECT DISTINCT doc_id, unnest({SQL_TOKS}) AS token FROM documents
+), dft AS (
+  SELECT token, count(*) AS df FROM per_doc WHERE token != ''
+  GROUP BY 1 HAVING count(*) >= {VOCAB_MIN_DF}
+)
+SELECT token,
+       row_number() OVER (ORDER BY df DESC, token ASC) AS token_id,
+       df
+FROM dft
+"""
+
+
+QUERIES: dict[str, QuerySpec] = {
+    "graph_pagerank": QuerySpec(
+        q_pagerank_suppliers,
+        _oracle_pagerank(),
+        "fixed-iteration PageRank, pregel-shaped join+agg per iteration",
+    ),
+    "doc_tfidf_cosine": QuerySpec(
+        q_tfidf_cosine,
+        ORACLE_TFIDF_COSINE,
+        "sparse TF-IDF cosine pairs, inverted-index join with df cap",
+    ),
+    "doc_constraint_report": QuerySpec(
+        q_constraint_report,
+        ORACLE_CONSTRAINTS,
+        "Deequ-style constraint report, one scan for all checks",
+    ),
+    "doc_vocab_encode": QuerySpec(
+        q_vocab_encode,
+        ORACLE_VOCAB,
+        "frequency-ranked vocabulary ids, in-row df dedup",
+    ),
+}

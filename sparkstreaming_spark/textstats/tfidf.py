@@ -1,0 +1,88 @@
+"""Sparse TF-IDF cosine similarity via an inverted-index self-join.
+
+Complements the dense-embedding near-dup path (dedup/embedding.py):
+here the vectors are term-frequency vectors over n-gram shingle terms,
+so similarity is lexical, not semantic — the standard "same article,
+different boilerplate" detector in web-corpus curation.
+
+Why not all-pairs: with L2-normalized sparse vectors, cosine(a,b) is
+the sum of weight products over SHARED terms only, so the pair search
+is an equi-join of the postings list with itself on term — cost
+sum(df_t^2) over terms, not |docs|^2.  Two prunes keep that sum
+bounded at 100 TB:
+- df_t = 1 terms cannot produce a pair -> dropped before the join;
+- df_t > max_df terms (boilerplate n-grams: headers, licence lines)
+  are dropped, exactly like dedup/ngram.py's hot-shingle cap — they
+  carry near-zero IDF weight but quadratic join cost.
+
+Everything is built-in expressions (codegen) except nothing — there is
+no Python in this pipeline at all; the one driver-side action is a
+scalar corpus count for the IDF denominator.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.text import shingles_from_tokens, tokenize
+
+
+def tfidf_cosine_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_n: int = 3,
+    max_df: int = 1000,
+    min_cosine: float = 0.2,
+    round_scale: int = 6,
+) -> DataFrame:
+    """All document pairs with TF-IDF cosine >= min_cosine.
+
+    Returns (doc_a, doc_b, cosine) with doc_a < doc_b; cosine is
+    rounded to `round_scale` BEFORE the threshold filter so the kept
+    row set is identical across engines (the DuckDB oracle mirrors the
+    same vector space: terms with 2 <= df <= max_df, idf = ln(N/df),
+    weight = tf * idf, L2-normalized per document).
+    """
+    toks = df.select(F.col(id_col).alias("doc_id"), tokenize(text_col).alias("toks"))
+    terms = toks.select(
+        "doc_id", F.explode(shingles_from_tokens("toks", shingle_n)).alias("term")
+    )
+    tf = terms.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+
+    # Document frequency per term; prune unpairable (df=1) and boilerplate
+    # (df>max_df) terms before anything expensive touches them.
+    dft = (
+        tf.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter((F.col("df") >= 2) & (F.col("df") <= max_df))
+    )
+    n_docs = df.select(id_col).count()  # one scalar to the driver
+
+    w = tf.join(dft, "term").select(
+        "doc_id",
+        "term",
+        (F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df"))).alias("w"),
+    )
+    norm = w.groupBy("doc_id").agg(F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("nrm"))
+    wn = (
+        w.join(norm, "doc_id")
+        .filter(F.col("nrm") > 0)
+        .select("doc_id", "term", (F.col("w") / F.col("nrm")).alias("wn"))
+    )
+
+    a = wn.select(
+        F.col("term"), F.col("doc_id").alias("doc_a"), F.col("wn").alias("wa")
+    )
+    b = wn.select(
+        F.col("term"), F.col("doc_id").alias("doc_b"), F.col("wn").alias("wb")
+    )
+    pairs = (
+        a.join(b, "term")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.round(F.sum(F.col("wa") * F.col("wb")), round_scale).alias("cosine"))
+        .filter(F.col("cosine") >= min_cosine)
+    )
+    return pairs

@@ -1,0 +1,228 @@
+"""Semantics + scale-posture tests for the round-3 additions: PageRank,
+sparse TF-IDF cosine, constraint report, vocabulary encoding."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_DIR_SMOKE
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+# ---------------------------------------------------------------- pagerank
+
+
+def test_pagerank_star_graph(spark):
+    """Star graph: the hub must outrank every leaf, leaves are symmetric
+    (identical rank), and total mass stays ~1 (no dangling loss on a
+    connected undirected graph)."""
+    from sparkstreaming_spark.operators.graph import pagerank
+
+    edges = spark.createDataFrame(
+        [("hub", f"leaf{i}") for i in range(5)], "src string, dst string"
+    )
+    rows = {r["node"]: r["rank"] for r in pagerank(edges, iterations=5).collect()}
+    assert len(rows) == 6
+    leaf_ranks = {v for k, v in rows.items() if k.startswith("leaf")}
+    assert len(leaf_ranks) == 1  # symmetry
+    assert rows["hub"] > max(leaf_ranks) * 2
+    assert math.isclose(sum(rows.values()), 1.0, abs_tol=1e-6)
+
+
+def test_pagerank_hand_computed_triangle(spark):
+    """Triangle (3-regular symmetric): the uniform vector is a fixed
+    point, so every node must hold exactly 1/3 after any number of
+    iterations."""
+    from sparkstreaming_spark.operators.graph import pagerank
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "a")], "src string, dst string"
+    )
+    rows = pagerank(edges, iterations=4).collect()
+    for r in rows:
+        assert math.isclose(r["rank"], 1.0 / 3.0, abs_tol=1e-8), r
+
+
+def test_pagerank_edge_multiplicity_ignored(spark):
+    """Duplicate edge rows must not double-count mass (distinct first)."""
+    from sparkstreaming_spark.operators.graph import pagerank
+
+    once = spark.createDataFrame([("a", "b"), ("b", "c")], "src string, dst string")
+    dup = once.unionAll(once)
+    r1 = {r["node"]: r["rank"] for r in pagerank(once, iterations=3).collect()}
+    r2 = {r["node"]: r["rank"] for r in pagerank(dup, iterations=3).collect()}
+    assert r1 == r2
+
+
+def test_pagerank_iteration_has_partial_aggregate(spark):
+    """Each iteration's dst-sum must partial-aggregate (map-side combine)
+    so hub nodes don't ship one row per edge through the shuffle."""
+    from sparkstreaming_spark.operators.graph import pagerank
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "a")], "src string, dst string"
+    )
+    plan = _plan(pagerank(edges, iterations=1))
+    assert "partial_sum" in plan or "HashAggregate" in plan, plan[:3000]
+
+
+# ------------------------------------------------------------ tfidf cosine
+
+
+def test_tfidf_identical_docs_cosine_one(spark):
+    """Two identical documents must score cosine 1.0; an unrelated
+    document with no shared trigrams must not pair with them."""
+    from sparkstreaming_spark.textstats.tfidf import tfidf_cosine_pairs
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "the quick brown fox jumps over the lazy dog"),
+            (3, "completely different words appear in this other sentence here"),
+            (4, "completely different words appear in this other sentence here"),
+        ],
+        "doc_id bigint, text string",
+    )
+    rows = {(r["doc_a"], r["doc_b"]): r["cosine"] for r in
+            tfidf_cosine_pairs(docs, "doc_id", "text", min_cosine=0.1).collect()}
+    assert rows == {(1, 2): 1.0, (3, 4): 1.0}
+
+
+def test_tfidf_partial_overlap_in_open_interval(spark):
+    """Docs sharing some but not all trigrams land strictly between 0,1."""
+    from sparkstreaming_spark.textstats.tfidf import tfidf_cosine_pairs
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta"),
+            (2, "alpha beta gamma delta other tail entirely"),
+            (3, "alpha beta gamma delta epsilon zeta"),
+            # 4th doc keeps df < N for the shared trigrams (idf > 0)
+            (4, "unrelated filler sentence with none shared"),
+        ],
+        "doc_id bigint, text string",
+    )
+    rows = {(r["doc_a"], r["doc_b"]): r["cosine"] for r in
+            tfidf_cosine_pairs(docs, "doc_id", "text", min_cosine=0.01).collect()}
+    assert rows[(1, 3)] == 1.0
+    assert 0.0 < rows[(1, 2)] < 1.0
+    assert rows[(1, 2)] == rows[(2, 3)]
+
+
+def test_tfidf_max_df_prunes_boilerplate(spark):
+    """A trigram present in EVERY doc (header boilerplate) must be
+    dropped by the df cap before the self-join — pairs that only share
+    the boilerplate disappear."""
+    from sparkstreaming_spark.textstats.tfidf import tfidf_cosine_pairs
+
+    header = "standard license header text"
+    docs = spark.createDataFrame(
+        [(i, f"{header} unique{i} content{i} word{i} tail{i}") for i in range(6)],
+        "doc_id bigint, text string",
+    )
+    got = tfidf_cosine_pairs(
+        docs, "doc_id", "text", max_df=5, min_cosine=0.001
+    ).collect()
+    assert got == []  # header df=6 > cap; nothing else shared
+
+
+# -------------------------------------------------------- constraint report
+
+
+def test_constraint_report_pass_fail(spark):
+    from sparkstreaming_spark.operators.constraints import (
+        Check,
+        completeness,
+        constraint_report,
+        uniqueness,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "x"), (2, None), (2, "y")], "id bigint, v string"
+    )
+    rows = {
+        r["check_name"]: (r["metric"], r["passed"])
+        for r in constraint_report(
+            df,
+            [
+                Check("v_complete", completeness("v"), 1.0, 1.0),
+                Check("id_unique", uniqueness("id"), 1.0, 1.0),
+                Check("rows", F.count(F.lit(1)).cast("double"), 1.0, 10.0),
+            ],
+        ).collect()
+    }
+    assert rows["v_complete"] == (pytest.approx(2 / 3, abs=1e-6), False)
+    assert rows["id_unique"] == (pytest.approx(2 / 3, abs=1e-6), False)
+    assert rows["rows"] == (3.0, True)
+
+
+def test_constraint_report_is_single_scan(spark):
+    """All constraints must fold into ONE aggregation over one scan —
+    the report cost must not grow with the number of checks."""
+    from sparkstreaming_spark.operators.constraints import (
+        Check,
+        completeness,
+        constraint_report,
+        membership,
+    )
+
+    docs = spark.read.parquet(f"{SF_DIR_SMOKE}/documents.parquet")
+    report = constraint_report(
+        docs,
+        [
+            Check("c1", completeness("text"), 1.0, 1.0),
+            Check("c2", membership("lang", ["en"]), 0.0, 1.0),
+            Check("c3", F.avg("n_chars"), 0.0, 1e9),
+        ],
+    )
+    plan = _plan(report)
+    assert plan.count("FileScan") == 1, plan[:3000]
+
+
+# ------------------------------------------------------------ vocab encode
+
+
+def test_vocab_encode_ids_and_df(spark):
+    from sparkstreaming_spark.textstats.vocab import vocab_encode
+
+    docs = spark.createDataFrame(
+        [(1, "apple banana apple"), (2, "apple cherry"), (3, "apple banana")],
+        "doc_id bigint, text string",
+    )
+    rows = {r["token"]: (r["token_id"], r["df"]) for r in
+            vocab_encode(docs, "text", min_df=1).collect()}
+    # df counts documents (apple in 3 docs despite 4 occurrences)
+    assert rows["apple"] == (1, 3)
+    assert rows["banana"] == (2, 2)
+    assert rows["cherry"] == (3, 1)
+
+
+def test_vocab_encode_min_df_and_max_vocab(spark):
+    from sparkstreaming_spark.textstats.vocab import vocab_encode
+
+    docs = spark.createDataFrame(
+        [(1, "a b c"), (2, "a b"), (3, "a")], "doc_id bigint, text string"
+    )
+    got = vocab_encode(docs, "text", min_df=2).collect()
+    assert {r["token"] for r in got} == {"a", "b"}
+    top1 = vocab_encode(docs, "text", min_df=1, max_vocab=1).collect()
+    assert [r["token"] for r in top1] == ["a"]
+
+
+def test_vocab_encode_no_pair_shuffle_for_df(spark):
+    """Document-frequency must come from in-row array_distinct — exactly
+    ONE Exchange (the token groupBy); a (doc,token) distinct would add a
+    second."""
+    from sparkstreaming_spark.textstats.vocab import vocab_encode
+
+    docs = spark.read.parquet(f"{SF_DIR_SMOKE}/documents.parquet")
+    plan = _plan(vocab_encode(docs, "text", min_df=2, max_vocab=100))
+    # one Exchange for the groupBy, one single-partition Exchange for the
+    # vocabulary-sized ranking window — but no third for a pairwise distinct
+    assert plan.count("Exchange") <= 2, plan[:3000]
