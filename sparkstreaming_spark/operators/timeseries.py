@@ -20,6 +20,8 @@ are bounded by range length, not input row count.
 
 from __future__ import annotations
 
+from collections.abc import Sequence
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -111,3 +113,48 @@ def ewma_oracle_terms(value: str, alpha: float = 0.2, taps: int = 24) -> tuple[s
         nums.append(f"CASE WHEN {x} IS NOT NULL THEN {w} * {x} ELSE 0.0 END")
         dens.append(f"CASE WHEN {x} IS NOT NULL THEN {w} ELSE 0.0 END")
     return " + ".join(nums), " + ".join(dens)
+
+
+def ohlc(
+    df: DataFrame,
+    ts: str,
+    value: str,
+    tiebreak: str,
+    keys: Sequence[str] = (),
+    bucket: str = "hour",
+) -> DataFrame:
+    """OHLC (open/high/low/close) downsampling — the standard financial /
+    metrics resample: per (keys, time bucket), the first, max, min, and
+    last `value` in event-time order, plus count and volume.
+
+    Open/close are first_value/last_value over ONE window ordering
+    (ts, tiebreak — a total order, so the result is deterministic and
+    engine-portable) with an unbounded frame; high/low/count/volume come
+    from the follow-up hash aggregate. One shuffle on (keys, bucket) +
+    one local sort — the same cost as any windowed rollup. At 100 TB the
+    partition key includes the bucket, so state is bounded by bucket
+    width, never by stream length; partial aggregation handles the
+    max/min/sum side map-side.
+    """
+    b = F.date_trunc(bucket, F.col(ts)).alias("__bucket")
+    part = [*keys, "__bucket"]
+    w = (
+        Window.partitionBy(*part)
+        .orderBy(ts, tiebreak)
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return (
+        df.withColumn("__bucket", b)
+        .withColumn("__open", F.first(value).over(w))
+        .withColumn("__close", F.last(value).over(w))
+        .groupBy(*part)
+        .agg(
+            F.max("__open").alias("open"),
+            F.max(value).alias("high"),
+            F.min(value).alias("low"),
+            F.max("__close").alias("close"),
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum(value), 2).alias("volume"),
+        )
+        .withColumnRenamed("__bucket", "bucket")
+    )

@@ -41,6 +41,7 @@ def all_queries() -> dict[str, QuerySpec]:
         extensions,
         relational_ops,
         llm,
+        scale_ops,
         streaming_suite,
         tpch,
         tpch2,
@@ -57,6 +58,7 @@ def all_queries() -> dict[str, QuerySpec]:
         extensions,
         relational_ops,
         llm,
+        scale_ops,
         streaming_suite,
         tpch,
         tpch2,

@@ -1,0 +1,271 @@
+"""Scale-operations queries: the tooling a 100 TB pipeline operator
+actually reaches for — deterministic per-group reservoir sampling, hot-key
+skew diagnostics, OHLC time-series downsampling, Z-order layout keys, and
+bigram-LM quality scoring.
+
+None of these exist in the reference (its analytic surface is count/sum
+KPIs — `Consumer.scala:127-149`); they extend the north-star
+training-data-pipeline suite (SURVEY §6) and every one carries a DuckDB
+oracle. Hash-bearing queries reuse the engine-wide md5_64 convention
+(`functions/text.py:81`) so results are bit-exact cross-engine.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.text import md5_64
+from ..operators.layout import zorder_value
+from ..operators.timeseries import ohlc
+from ..sources.batch import read_table
+from . import QuerySpec
+
+TS_FMT = "yyyy-MM-dd HH:mm:ss"
+
+RESERVOIR_K = 40
+RESERVOIR_SALT = "rsv1"
+
+
+def q_reservoir_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-group uniform sample (reservoir-equivalent):
+    the K documents per source with the smallest md5(salt || doc_id) —
+    the same keys on any re-run, any partitioning, any corpus growth
+    order, which is what makes audit samples reproducible.
+
+    Plan: one hash shuffle on source + a per-partition sort for the
+    row_number window. The window input is the full corpus, but the sort
+    key is a 60-bit int and the filter keeps K rows per group — at
+    cluster scale you'd add a per-partition pre-filter (local top-K via
+    the same key) if |group| >> K; at any scale there is exactly one
+    shuffle and no driver collection."""
+    d = read_table(spark, sf_dir, "documents")
+    keyed = d.select(
+        "source",
+        "doc_id",
+        md5_64(
+            F.concat(F.lit(RESERVOIR_SALT), F.col("doc_id").cast("string"))
+        ).alias("__k"),
+    )
+    w = Window.partitionBy("source").orderBy("__k", "doc_id")
+    return (
+        keyed.withColumn("sample_rank", F.row_number().over(w))
+        .filter(F.col("sample_rank") <= RESERVOIR_K)
+        .select("source", "doc_id", "sample_rank")
+    )
+
+
+ORACLE_RESERVOIR = f"""
+WITH keyed AS (
+  SELECT source, doc_id,
+         cast(('0x' || substr(md5(concat('{RESERVOIR_SALT}',
+              CAST(doc_id AS VARCHAR))), 1, 15)) AS bigint) AS k
+  FROM documents
+)
+SELECT source, doc_id, sample_rank FROM (
+  SELECT source, doc_id,
+         row_number() OVER (PARTITION BY source ORDER BY k, doc_id)
+           AS sample_rank
+  FROM keyed
+) WHERE sample_rank <= {RESERVOIR_K}
+"""
+
+
+SKEW_TOP = 10
+
+
+def q_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hot-key skew diagnostic: the {SKEW_TOP} heaviest user_ids by event
+    count with each key's share of the total — the table you read before
+    deciding whether a join needs salting (operators/skew.py) or AQE
+    skew-split suffices.
+
+    Scale posture: the per-key counts are a map-side partial aggregate
+    (|keys| rows out of the shuffle, not |events|); the top-K is
+    orderBy().limit() — Spark's TakeOrdered, a per-partition heap + a
+    K-row driver merge, NOT a global sort; the share denominator is a
+    1-row aggregate broadcast into a literal-free cross join. The only
+    full window runs on the K-row result."""
+    ev = read_table(spark, sf_dir, "events")
+    counts = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("cnt"))
+    total = counts.agg(F.sum("cnt").alias("__n"))
+    top = (
+        counts.orderBy(F.desc("cnt"), "user_id")
+        .limit(SKEW_TOP)
+        .crossJoin(F.broadcast(total))
+    )
+    w = Window.orderBy(F.desc("cnt"), "user_id")
+    return top.select(
+        F.row_number().over(w).alias("hot_rank"),
+        "user_id",
+        "cnt",
+        F.round(F.col("cnt") / F.col("__n"), 6).alias("share"),
+    )
+
+
+ORACLE_SKEW = f"""
+WITH c AS (SELECT user_id, count(*) AS cnt FROM events GROUP BY user_id),
+t AS (SELECT sum(cnt) AS n FROM c),
+top AS (
+  SELECT user_id, cnt,
+         row_number() OVER (ORDER BY cnt DESC, user_id) AS hot_rank
+  FROM c ORDER BY cnt DESC, user_id LIMIT {SKEW_TOP}
+)
+SELECT hot_rank, user_id, cnt, round(cnt / n, 6) AS share FROM top, t
+"""
+
+
+def q_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly OHLC resample of event values per event_type
+    (operators/timeseries.py::ohlc): open/close are first/last in a
+    TOTAL event-time order (ts, event_id tie-break), high/low/volume from
+    the follow-up hash aggregate. One shuffle, one local sort."""
+    ev = read_table(spark, sf_dir, "events")
+    out = ohlc(
+        ev, ts="ts", value="value", tiebreak="event_id", keys=["event_type"]
+    )
+    return out.select(
+        "event_type",
+        F.date_format("bucket", TS_FMT).alias("bucket_start"),
+        "open",
+        "high",
+        "low",
+        "close",
+        "n_events",
+        "volume",
+    )
+
+
+ORACLE_OHLC = """
+WITH w AS (
+  SELECT event_type, date_trunc('hour', ts) AS bucket, value,
+         first_value(value) OVER (
+           PARTITION BY event_type, date_trunc('hour', ts)
+           ORDER BY ts, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS o,
+         last_value(value) OVER (
+           PARTITION BY event_type, date_trunc('hour', ts)
+           ORDER BY ts, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS c
+  FROM events
+)
+SELECT event_type,
+       strftime(bucket, '%Y-%m-%d %H:%M:%S') AS bucket_start,
+       max(o) AS open, max(value) AS high, min(value) AS low,
+       max(c) AS close, count(*) AS n_events,
+       round(sum(value), 2) AS volume
+FROM w GROUP BY event_type, bucket
+"""
+
+
+# Z-order dimensions for lineitem: (column, lo, hi) domain bounds.
+ZORDER_DIMS = [
+    ("l_quantity", 1.0, 50.0),
+    ("l_extendedprice", 900.0, 105000.0),
+]
+
+
+def q_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) layout key over (l_quantity, l_extendedprice)
+    for every lineitem row (operators/layout.py::zorder_value) — the key
+    a `repartitionByRange(zval).sortWithinPartitions(zval).write` layout
+    job clusters on so BOTH columns' parquet min/max stats become
+    selective. Pure codegen'd shift/and/or bit math, no UDF; the oracle
+    re-derives the identical interleave in DuckDB integer SQL."""
+    li = read_table(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        zorder_value(ZORDER_DIMS).alias("zval"),
+    )
+
+
+def _sql_zorder(dims: list[tuple[str, float, float]]) -> str:
+    """DuckDB twin of operators/layout.py::zorder_value: identical
+    normalization (IEEE double ops, then truncation — DuckDB's bigint
+    cast ROUNDS, so floor() here mirrors Spark's truncating cast) and
+    identical round-robin bit interleave."""
+    nd = len(dims)
+    bits = min(16, 63 // nd)
+    hi_val = (1 << bits) - 1
+    terms = []
+    for d_idx, (col, lo, hi) in enumerate(dims):
+        norm = (
+            f"cast(floor(least(greatest((cast({col} AS double) - {lo!r}) /"
+            f" {hi - lo!r}, 0.0), 1.0) * {hi_val}) AS bigint)"
+        )
+        for bit in range(bits):
+            terms.append(f"((({norm} >> {bit}) & 1) << {bit * nd + d_idx})")
+    return " + ".join(terms)
+
+
+ORACLE_ZORDER = f"""
+SELECT l_orderkey, l_linenumber, ({_sql_zorder(ZORDER_DIMS)}) AS zval
+FROM lineitem
+"""
+
+
+def q_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram-LM quality score
+    (textstats/analysis.py::add_bigram_logprob): per-doc mean
+    log p(w2 | w1) under the corpus's own bigram model — the surprisal
+    filter that separates shuffled-token gibberish from natural text."""
+    from ..textstats.analysis import add_bigram_logprob
+
+    d = read_table(spark, sf_dir, "documents")
+    return add_bigram_logprob(d, "text")
+
+
+# Tokenization twins of suite/llm.py's SQL_NORM / SQL_TOKS convention.
+_SQL_NORM = r"trim(lower(regexp_replace(text, '[^a-zA-Z0-9\s]', '', 'g')))"
+_SQL_TOKS = rf"string_split_regex({_SQL_NORM}, '\s+')"
+
+ORACLE_BIGRAM = rf"""
+WITH t AS (
+  SELECT doc_id, unnest({_SQL_TOKS}) AS w,
+         unnest(generate_series(1, len({_SQL_TOKS}))) AS pos
+  FROM documents WHERE {_SQL_NORM} != ''
+),
+bg AS (
+  SELECT doc_id, w AS w1,
+         lead(w) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
+  FROM t
+),
+b AS (SELECT doc_id, w1, w1 || ' ' || w2 AS bigram FROM bg
+      WHERE w2 IS NOT NULL),
+bm AS (SELECT bigram, count(*) AS cb FROM b GROUP BY bigram),
+pm AS (SELECT w1, count(*) AS cp FROM b GROUP BY w1)
+SELECT doc_id, count(*) AS n_bigrams,
+       round(avg(ln(cb * 1.0 / cp)), 6) AS avg_logprob
+FROM b JOIN bm USING (bigram) JOIN pm USING (w1)
+GROUP BY doc_id
+"""
+
+
+QUERIES: dict[str, QuerySpec] = {
+    "doc_reservoir_sample": QuerySpec(
+        q_reservoir_per_source,
+        ORACLE_RESERVOIR,
+        "deterministic per-source reservoir sample (md5 rank, bit-exact)",
+    ),
+    "evt_skew_profile": QuerySpec(
+        q_skew_profile,
+        ORACLE_SKEW,
+        "hot-key skew diagnostic: top keys by count + share of total",
+    ),
+    "ts_ohlc": QuerySpec(
+        q_ohlc,
+        ORACLE_OHLC,
+        "hourly OHLC resample, one window sort + hash aggregate",
+    ),
+    "layout_zorder_key": QuerySpec(
+        q_zorder_key,
+        ORACLE_ZORDER,
+        "Z-order/Morton layout key, codegen'd bit interleave, SQL twin",
+    ),
+    "doc_bigram_logprob": QuerySpec(
+        q_bigram_logprob,
+        ORACLE_BIGRAM,
+        "bigram-LM surprisal quality score (MLE conditional, zip_with)",
+    ),
+}

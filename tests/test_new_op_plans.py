@@ -262,3 +262,54 @@ def test_nfc_normalize_is_arrow_eval(spark):
     plan = _plan(docs.select(nfc_normalize("text").alias("n")))
     assert "ArrowEvalPython" in plan, plan[:2000]
     assert "BatchEvalPython" not in plan, plan[:2000]
+
+
+def test_zorder_key_is_codegen_no_udf(spark):
+    """The Morton key must stay a whole-stage-codegen'd shift/and/or
+    projection — a BatchEvalPython/ArrowEval node here would put Python
+    in a per-row layout job's hot path."""
+    from sparkstreaming_spark.suite.scale_ops import ZORDER_DIMS
+    from sparkstreaming_spark.operators.layout import zorder_value
+
+    li = spark.read.parquet(f"{SF_DIR_SMOKE}/lineitem.parquet")
+    plan = _plan(li.select(zorder_value(ZORDER_DIMS).alias("zval")))
+    assert "Python" not in plan, plan[:2000]
+    assert "Exchange" not in plan, plan[:2000]
+    assert "*(1)" in plan  # whole-stage codegen
+
+
+def test_skew_profile_topk_uses_take_ordered(spark):
+    """The hot-key top-K must compile to TakeOrderedAndProject over the
+    per-key partial-aggregate counts — a global Sort over all keys would
+    not survive a billion-key corpus."""
+    from sparkstreaming_spark.suite.scale_ops import q_skew_profile
+
+    plan = _plan(q_skew_profile(spark, SF_DIR_SMOKE))
+    assert "TakeOrderedAndProject" in plan, plan[:2000]
+    # counts are partially aggregated map-side before the shuffle
+    assert "partial_count" in plan, plan[:2000]
+
+
+def test_ohlc_single_exchange(spark):
+    """OHLC = one shuffle on (keys, bucket): the window sort and the
+    follow-up hash aggregate must reuse the same exchange, and AQE must
+    not add another."""
+    from sparkstreaming_spark.suite.scale_ops import q_ohlc
+
+    plan = _plan(q_ohlc(spark, SF_DIR_SMOKE))
+    n_exchanges = plan.count("Exchange hashpartitioning")
+    assert n_exchanges == 1, f"{n_exchanges} exchanges:\n{plan[:3000]}"
+
+
+def test_bigram_pairs_stay_codegen(spark):
+    """Adjacent-pair construction must be slice/zip_with expression work
+    (codegen'd), not a posexplode self-join and not Python."""
+    from sparkstreaming_spark.textstats.analysis import add_bigram_logprob
+
+    docs = spark.read.parquet(f"{SF_DIR_SMOKE}/documents.parquet")
+    plan = _plan(add_bigram_logprob(docs, "text"))
+    assert "Python" not in plan, plan[:2000]
+    # two count models + per-doc agg; the pair build itself adds no join
+    assert plan.count("SortMergeJoin") + plan.count("BroadcastHashJoin") <= 2, (
+        plan[:3000]
+    )
