@@ -99,6 +99,16 @@ HEADLINE = [
     "doc_length_curriculum",
     "doc_nfc_normalize",
     "emb_hard_negatives",
+    "doc_reservoir_sample",
+    "evt_skew_profile",
+    "ts_ohlc",
+    "layout_zorder_key",
+    "doc_bigram_logprob",
+    "evt_sessionize",
+    "table_fingerprint_orders",
+    "snapshot_diff_orders",
+    "evt_equidepth_hist",
+    "evt_approx_distinct",
 ]
 
 

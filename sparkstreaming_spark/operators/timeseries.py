@@ -158,3 +158,36 @@ def ohlc(
         )
         .withColumnRenamed("__bucket", "bucket")
     )
+
+
+def sessionize(
+    df: DataFrame,
+    key: str,
+    ts: str,
+    tiebreak: str,
+    gap_seconds: int = 1800,
+) -> DataFrame:
+    """Batch sessionization: assign a per-key session number that
+    increments whenever the gap to the previous event exceeds
+    `gap_seconds` — the classic lag-flag-cumsum formulation, and the
+    batch twin of the streaming `session_window` aggregation.
+
+    One shuffle on the key + one local sort serves BOTH windows (lag and
+    the running sum share ordering, so Catalyst plans a single exchange
+    and sort). Gap detection compares epoch seconds, not intervals, so
+    the DuckDB oracle is expression-identical. Events sharing a
+    timestamp land in the same session regardless of tie order (the lag
+    difference is 0), so the tie-break only has to make row order total,
+    not session assignment — determinism holds even on ties.
+    """
+    w = Window.partitionBy(key).orderBy(ts, tiebreak)
+    epoch = F.col(ts).cast("long")
+    new_sess = F.when(
+        epoch - F.lag(epoch).over(w) > gap_seconds, F.lit(1)
+    ).otherwise(F.lit(0))
+    running = Window.partitionBy(key).orderBy(ts, tiebreak).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    return df.withColumn(
+        "session_num", (F.sum(new_sess).over(running) + 1).cast("int")
+    )

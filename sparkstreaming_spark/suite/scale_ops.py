@@ -269,3 +269,234 @@ QUERIES: dict[str, QuerySpec] = {
         "bigram-LM surprisal quality score (MLE conditional, zip_with)",
     ),
 }
+
+
+SESSION_GAP_S = 1800
+
+
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch sessionization (operators/timeseries.py::sessionize): 30-min
+    inactivity gap per user, rolled up to one row per session. The batch
+    twin of the streaming session_window query (evt_session_window) —
+    same gap semantics, lag-flag-cumsum formulation, one shuffle."""
+    from ..operators.timeseries import sessionize
+
+    ev = read_table(spark, sf_dir, "events")
+    s = sessionize(
+        ev, key="user_id", ts="ts", tiebreak="event_id",
+        gap_seconds=SESSION_GAP_S,
+    )
+    return s.groupBy("user_id", "session_num").agg(
+        F.date_format(F.min("ts"), TS_FMT).alias("session_start"),
+        F.date_format(F.max("ts"), TS_FMT).alias("session_end"),
+        (F.max("ts").cast("long") - F.min("ts").cast("long")).alias(
+            "duration_s"
+        ),
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 2).alias("total_value"),
+    )
+
+
+ORACLE_SESSIONIZE = f"""
+WITH flagged AS (
+  SELECT user_id, ts, event_id, value,
+         CASE WHEN cast(floor(epoch(ts)) AS bigint)
+                   - lag(cast(floor(epoch(ts)) AS bigint)) OVER w > {SESSION_GAP_S}
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+numbered AS (
+  SELECT user_id, ts, value,
+         cast(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) + 1
+              AS int) AS session_num
+  FROM flagged
+)
+SELECT user_id, session_num,
+       strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+       strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS session_end,
+       cast(floor(epoch(max(ts))) AS bigint)
+         - cast(floor(epoch(min(ts))) AS bigint) AS duration_s,
+       count(*) AS n_events,
+       round(sum(value), 2) AS total_value
+FROM numbered GROUP BY user_id, session_num
+"""
+
+
+def _orders_rendered():
+    """Portable string renderings of every orders column (doubles scaled
+    to cents — float formatting is not engine-portable)."""
+    return [
+        F.col("o_orderkey").cast("string"),
+        F.col("o_custkey").cast("string"),
+        F.col("o_orderstatus"),
+        F.round(F.col("o_totalprice") * 100).cast("bigint").cast("string"),
+        F.date_format("o_orderdate", TS_FMT),
+        F.col("o_orderpriority"),
+    ]
+
+
+_SQL_ORDERS_RENDERED = (
+    "CAST(o_orderkey AS VARCHAR), CAST(o_custkey AS VARCHAR), o_orderstatus,"
+    " CAST(CAST(round(o_totalprice * 100) AS bigint) AS VARCHAR),"
+    " strftime(o_orderdate, '%Y-%m-%d %H:%M:%S'), o_orderpriority"
+)
+
+
+def q_table_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed anti-entropy fingerprint of orders
+    (operators/integrity.py::table_fingerprint): 64 rows of
+    (bucket, n_rows, xor-of-row-md5s) that two replicas compare to
+    locate divergent key ranges without shipping data."""
+    from ..operators.integrity import table_fingerprint
+
+    o = read_table(spark, sf_dir, "orders")
+    return table_fingerprint(o, F.col("o_orderkey"), _orders_rendered())
+
+
+ORACLE_FINGERPRINT = f"""
+WITH h AS (
+  SELECT cast(cast(('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 15))
+              AS bigint) % 64 AS int) AS bucket,
+         cast(('0x' || substr(md5(concat_ws('|', {_SQL_ORDERS_RENDERED})),
+              1, 15)) AS bigint) AS rh
+  FROM orders
+)
+SELECT bucket, count(*) AS n_rows, bit_xor(rh) AS xor_hash
+FROM h GROUP BY bucket
+"""
+
+
+def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot diff (operators/integrity.py::snapshot_diff): classify
+    added / removed / changed keys between two simulated versions of
+    orders — v1 drops keys ≡0 (mod 7), v2 drops keys ≡0 (mod 5) and
+    reprices keys ≡0 (mod 3). Output is change-volume-sized; unchanged
+    rows never leave the join."""
+    from ..operators.integrity import row_fingerprint, snapshot_diff
+
+    o = read_table(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    v1 = o.filter(k % 7 != 0).withColumn(
+        "__h", row_fingerprint(_orders_rendered())
+    )
+    v2_base = o.filter(k % 5 != 0).withColumn(
+        "o_totalprice",
+        F.when(k % 3 == 0, F.col("o_totalprice") * 2).otherwise(
+            F.col("o_totalprice")
+        ),
+    )
+    v2 = v2_base.withColumn("__h", row_fingerprint(_orders_rendered()))
+    return snapshot_diff(v1, v2, "o_orderkey")
+
+
+ORACLE_SNAPSHOT_DIFF = f"""
+WITH v1 AS (
+  SELECT o_orderkey AS k,
+         cast(('0x' || substr(md5(concat_ws('|', {_SQL_ORDERS_RENDERED})),
+              1, 15)) AS bigint) AS oh
+  FROM orders WHERE o_orderkey % 7 != 0
+),
+v2src AS (
+  SELECT o_orderkey, o_custkey, o_orderstatus,
+         CASE WHEN o_orderkey % 3 = 0 THEN o_totalprice * 2
+              ELSE o_totalprice END AS o_totalprice,
+         o_orderdate, o_orderpriority
+  FROM orders WHERE o_orderkey % 5 != 0
+),
+v2 AS (
+  SELECT o_orderkey AS k,
+         cast(('0x' || substr(md5(concat_ws('|', {_SQL_ORDERS_RENDERED})),
+              1, 15)) AS bigint) AS nh
+  FROM v2src
+)
+SELECT coalesce(v1.k, v2.k) AS o_orderkey,
+       CASE WHEN oh IS NULL THEN 'added'
+            WHEN nh IS NULL THEN 'removed'
+            WHEN oh != nh THEN 'changed'
+            ELSE 'unchanged' END AS change
+FROM v1 FULL OUTER JOIN v2 ON v1.k = v2.k
+WHERE (CASE WHEN oh IS NULL THEN 'added'
+            WHEN nh IS NULL THEN 'removed'
+            WHEN oh != nh THEN 'changed'
+            ELSE 'unchanged' END) != 'unchanged'
+"""
+
+
+EQUIDEPTH_TILES = 10
+
+
+def q_equidepth_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-depth histogram of event values per event_type: ntile over a
+    TOTAL per-group order (value, event_id) → per-tile lo/hi/count — the
+    equal-mass complement of evt_value_histogram's equal-width bins, and
+    the structure query optimizers keep as column statistics. Per-group
+    window sort = one shuffle, same posture as window_rank."""
+    ev = read_table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    t = ev.withColumn("tile", F.ntile(EQUIDEPTH_TILES).over(w))
+    return t.groupBy("event_type", "tile").agg(
+        F.min("value").alias("lo"),
+        F.max("value").alias("hi"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+ORACLE_EQUIDEPTH = f"""
+WITH t AS (
+  SELECT event_type, value,
+         ntile({EQUIDEPTH_TILES}) OVER (
+           PARTITION BY event_type ORDER BY value, event_id) AS tile
+  FROM events
+)
+SELECT event_type, tile, min(value) AS lo, max(value) AS hi, count(*) AS n
+FROM t GROUP BY event_type, tile
+"""
+
+
+def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog distinct-count sketch (approx_count_distinct, rsd 1%)
+    of users per event_type, next to the exact count. Completes the
+    mergeable-sketch family (GK quantiles, count-min, HLL): at 100 TB
+    the exact count shuffles every distinct (type, user) pair once,
+    while HLL ships a fixed ~1.5 KB register block per group per
+    partition. Registered rows-only: HLL estimates are not
+    SQL-reproducible in DuckDB; the error bound is pinned by
+    tests/test_extensions.py instead."""
+    ev = read_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", 0.01).alias("approx_users"),
+        F.count_distinct("user_id").alias("exact_users"),
+    )
+
+
+QUERIES.update(
+    {
+        "evt_sessionize": QuerySpec(
+            q_sessionize,
+            ORACLE_SESSIONIZE,
+            "gap-based batch sessionization, lag-flag-cumsum, one shuffle",
+        ),
+        "table_fingerprint_orders": QuerySpec(
+            q_table_fingerprint,
+            ORACLE_FINGERPRINT,
+            "bucketed XOR anti-entropy fingerprint (Merkle-style)",
+        ),
+        "snapshot_diff_orders": QuerySpec(
+            q_snapshot_diff,
+            ORACLE_SNAPSHOT_DIFF,
+            "added/removed/changed between keyed snapshots, hash compare",
+        ),
+        "evt_equidepth_hist": QuerySpec(
+            q_equidepth_hist,
+            ORACLE_EQUIDEPTH,
+            "equi-depth histogram per group (ntile, total order)",
+        ),
+        "evt_approx_distinct": QuerySpec(
+            q_approx_distinct,
+            None,
+            "HLL distinct sketch vs exact (rows-only; bound pinned in tests)",
+        ),
+    }
+)

@@ -215,3 +215,99 @@ def test_approx_percentiles_within_tolerance(spark):
         assert row.b50[0] <= a50 <= row.b50[1]
         assert row.b90[0] <= a90 <= row.b90[1]
         assert row.b99[0] <= a99 <= row.b99[1]
+
+
+def test_approx_distinct_within_hll_bound(spark):
+    """HLL estimate must land within ~3×rsd of the exact distinct count
+    per group (rsd=0.01 registered; 3σ ≈ 3%) — the sketch-behavior pin
+    for the rows-only evt_approx_distinct registration."""
+    from sparkstreaming_spark.suite.scale_ops import q_approx_distinct
+    from tests.conftest import SF_DIR_SMOKE
+
+    rows = q_approx_distinct(spark, SF_DIR_SMOKE).collect()
+    assert rows, "no groups"
+    for r in rows:
+        assert r.exact_users > 0
+        rel_err = abs(r.approx_users - r.exact_users) / r.exact_users
+        assert rel_err <= 0.03, (
+            f"{r.event_type}: approx {r.approx_users} vs exact "
+            f"{r.exact_users} (rel_err {rel_err:.4f})"
+        )
+
+
+def test_fingerprint_detects_single_row_change(spark):
+    """Anti-entropy contract: flipping ONE row's content must flip
+    exactly one bucket's xor_hash and no bucket's n_rows."""
+    from pyspark.sql import functions as F
+
+    from sparkstreaming_spark.operators.integrity import (
+        row_fingerprint,
+        table_fingerprint,
+    )
+    from tests.conftest import SF_DIR_SMOKE
+
+    o = spark.read.parquet(f"{SF_DIR_SMOKE}/orders.parquet")
+    rendered = [
+        F.col("o_orderkey").cast("string"),
+        F.col("o_orderstatus"),
+    ]
+    base = table_fingerprint(o, F.col("o_orderkey"), rendered)
+    mutated_src = o.withColumn(
+        "o_orderstatus",
+        F.when(F.col("o_orderkey") == 1, F.lit("X")).otherwise(
+            F.col("o_orderstatus")
+        ),
+    )
+    mutated = table_fingerprint(mutated_src, F.col("o_orderkey"), rendered)
+    b = {r.bucket: (r.n_rows, r.xor_hash) for r in base.collect()}
+    m = {r.bucket: (r.n_rows, r.xor_hash) for r in mutated.collect()}
+    assert set(b) == set(m)
+    diff = [k for k in b if b[k] != m[k]]
+    assert len(diff) == 1, f"expected 1 divergent bucket, got {diff}"
+    k = diff[0]
+    assert b[k][0] == m[k][0], "row count must not change"
+    assert b[k][1] != m[k][1], "xor hash must change"
+
+
+def test_snapshot_diff_planted(spark):
+    """Planted add/remove/change triple must classify exactly."""
+    from pyspark.sql import functions as F
+
+    from sparkstreaming_spark.operators.integrity import (
+        row_fingerprint,
+        snapshot_diff,
+    )
+
+    old = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "k int, v string"
+    ).withColumn("__h", row_fingerprint([F.col("v")]))
+    new = spark.createDataFrame(
+        [(2, "b"), (3, "C"), (4, "d")], "k int, v string"
+    ).withColumn("__h", row_fingerprint([F.col("v")]))
+    got = {r.k: r.change for r in snapshot_diff(old, new, "k").collect()}
+    assert got == {1: "removed", 3: "changed", 4: "added"}
+
+
+def test_sessionize_gap_semantics(spark):
+    """Events ≤ gap apart share a session; a gap > threshold starts a
+    new one; ties in ts never split a session."""
+    import datetime as dt
+
+    from sparkstreaming_spark.operators.timeseries import sessionize
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+    rows = [
+        (1, t0, 1),
+        (1, t0, 2),  # tie with previous → same session
+        (1, t0 + dt.timedelta(seconds=1800), 3),  # exactly gap → same
+        (1, t0 + dt.timedelta(seconds=3601), 4),  # > gap from prev → new
+        (2, t0, 5),  # other key independent
+    ]
+    df = spark.createDataFrame(rows, "user_id int, ts timestamp, event_id int")
+    got = {
+        r.event_id: r.session_num
+        for r in sessionize(
+            df, key="user_id", ts="ts", tiebreak="event_id", gap_seconds=1800
+        ).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 4: 2, 5: 1}

@@ -313,3 +313,23 @@ def test_bigram_pairs_stay_codegen(spark):
     assert plan.count("SortMergeJoin") + plan.count("BroadcastHashJoin") <= 2, (
         plan[:3000]
     )
+
+
+def test_sessionize_single_exchange(spark):
+    """Lag-flag and running-sum windows share one ordering: the plan must
+    contain exactly one hash exchange (the user_id partitioning)."""
+    from sparkstreaming_spark.suite.scale_ops import q_sessionize
+
+    plan = _plan(q_sessionize(spark, SF_DIR_SMOKE))
+    n = plan.count("Exchange hashpartitioning")
+    assert n == 1, f"{n} exchanges:\n{plan[:3000]}"
+
+
+def test_fingerprint_is_partial_aggregate(spark):
+    """The XOR combine must partially aggregate map-side: the shuffle
+    carries ≤ buckets rows per partition, never row hashes."""
+    from sparkstreaming_spark.suite.scale_ops import q_table_fingerprint
+
+    plan = _plan(q_table_fingerprint(spark, SF_DIR_SMOKE))
+    assert "partial_bit_xor" in plan or "partial" in plan, plan[:3000]
+    assert "Python" not in plan, plan[:2000]

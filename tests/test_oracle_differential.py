@@ -58,6 +58,7 @@ def test_registry_oracles_all_parse(duck):
         "emb_pca_profile",  # eigensolve not SQL-expressible; NumPy parity test
         "doc_cms_counts",  # sketch estimates; error bound pinned by test
         "emb_knn_sq8",  # quantized ANN; recall pinned by test
+        "evt_approx_distinct",  # HLL estimates; 3-sigma bound pinned by test
     }, missing_oracle
     for name, spec in specs.items():
         if spec.oracle is not None:
