@@ -109,6 +109,12 @@ HEADLINE = [
     "snapshot_diff_orders",
     "evt_equidepth_hist",
     "evt_approx_distinct",
+    "evt_bitmap_distinct",
+    "evt_hll_union",
+    "evt_sampled_mean",
+    "evt_top_paths",
+    "ts_interpolate",
+    "graph_triangles",
 ]
 
 

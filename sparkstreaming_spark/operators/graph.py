@@ -85,3 +85,56 @@ def pagerank(
     # it (the count() above materialized it, so iterations reuse the
     # cached copy). Spark drops it with the session / under LRU pressure.
     return ranks.select("node", F.round("rank", round_scale).alias("rank"))
+
+
+def triangle_count(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
+    """Exact global triangle count over an undirected edge list →
+    one row (n_triangles bigint).
+
+    Degree-oriented node-iterator (the MapReduce-era standard): every
+    undirected edge is oriented from its lower-(degree, id) endpoint to
+    the higher one, then triangles = wedges (a→b, a→c with b<c in the
+    orientation order) that close with an oriented edge b→c. Counting on
+    the ORIENTED graph means each triangle is produced exactly once and
+    — the scale property — every node's out-degree is O(sqrt(|E|)), so
+    the wedge self-join never explodes on hub nodes the way an id-only
+    orientation does. Two shuffle joins on node keys; the wedge set
+    (sum of out-deg choose 2) is the working set, bounded by the
+    orientation.
+
+    The DuckDB oracle unrolls the identical orientation in plain CTEs,
+    so the count is bit-exact cross-engine.
+    """
+    e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).filter(
+        F.col("a") != F.col("b")
+    )
+    # canonical undirected edge set (one row per unordered pair)
+    und = e.select(
+        F.least("a", "b").alias("u"), F.greatest("a", "b").alias("v")
+    ).distinct()
+    both = und.unionAll(und.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    deg = both.groupBy("u").agg(F.count(F.lit(1)).alias("d"))
+    # orient: keep (x -> y) iff (deg(x), x) < (deg(y), y)
+    du = deg.select(F.col("u").alias("x"), F.col("d").alias("dx"))
+    dv = deg.select(F.col("u").alias("y"), F.col("d").alias("dy"))
+    oriented = (
+        both.select(F.col("u").alias("x"), F.col("v").alias("y"))
+        .join(du, "x")
+        .join(dv, "y")
+        .filter(
+            (F.col("dx") < F.col("dy"))
+            | ((F.col("dx") == F.col("dy")) & (F.col("x") < F.col("y")))
+        )
+        .select("x", "y")
+    )
+    w1 = oriented.select(F.col("x").alias("a"), F.col("y").alias("b"))
+    w2 = oriented.select(F.col("x").alias("a"), F.col("y").alias("c"))
+    wedges = w1.join(w2, "a").filter(F.col("b") < F.col("c"))
+    # NB: unionAll matches columns POSITIONALLY — the reversed branch must
+    # list (y as b, x as c) in that order, or it silently duplicates the
+    # forward direction instead of adding the reverse one.
+    closer = oriented.select(F.col("x").alias("b"), F.col("y").alias("c")).unionAll(
+        oriented.select(F.col("y").alias("b"), F.col("x").alias("c"))
+    )
+    tri = wedges.join(closer, ["b", "c"])
+    return tri.agg(F.count(F.lit(1)).alias("n_triangles"))

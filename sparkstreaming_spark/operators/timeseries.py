@@ -191,3 +191,69 @@ def sessionize(
     return df.withColumn(
         "session_num", (F.sum(new_sess).over(running) + 1).cast("int")
     )
+
+
+def linear_interpolate(
+    grid_df: DataFrame,
+    key: str,
+    bucket: str,
+    value: str,
+    round_scale: int = 6,
+) -> DataFrame:
+    """Linear interpolation of NULL values in a densified per-key series
+    — the standard hypertable `interpolate()` companion to gap_fill's
+    forward fill (locf).
+
+    Input: one row per (key, bucket) with `value` NULL on gap buckets
+    (the shape gap_fill's grid join produces). Each gap takes
+
+        v = v_prev + (v_next - v_prev) * (t - t_prev) / (t_next - t_prev)
+
+    where prev/next are the nearest non-NULL neighbors in bucket order.
+    Leading/trailing gaps (no anchor on one side) fall back to the one
+    available anchor (locf / next-observation-carried-backward).
+
+    Spark shape: four IGNORE NULLS window expressions — last/first of the
+    value and of the anchor timestamp — over ONE partition key with two
+    frame directions. Both frames hash on `key`, so the plan is a single
+    exchange plus one sort per direction; no joins, no driver state. At
+    100 TB a key's cost is its own bucket range, embarrassingly parallel
+    across keys — and the identical formula runs in any engine with
+    IGNORE NULLS windows, which keeps the DuckDB oracle bit-exact.
+    """
+    t = F.col(bucket).cast("double")
+    v = F.col(value)
+    anchor_t = F.when(v.isNotNull(), t)
+    back = (
+        Window.partitionBy(key)
+        .orderBy(bucket)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    fwd = (
+        Window.partitionBy(key)
+        .orderBy(bucket)
+        .rowsBetween(0, Window.unboundedFollowing)
+    )
+    pv = F.last(v, ignorenulls=True).over(back)
+    pt = F.last(anchor_t, ignorenulls=True).over(back)
+    nv = F.first(v, ignorenulls=True).over(fwd)
+    nt = F.first(anchor_t, ignorenulls=True).over(fwd)
+    interp = (
+        F.when(v.isNotNull(), v)
+        .when(pv.isNull(), nv)
+        .when(nv.isNull(), pv)
+        .otherwise(pv + (nv - pv) * (t - pt) / (nt - pt))
+    )
+    # floor-based half-up rounding, NOT round(): blends between k-dp
+    # anchors land on exact decimal halves (frac = 1/2 gaps), where
+    # engines' round() tie rules disagree. floor(x*s + 0.5) is a pure
+    # IEEE expression — identical doubles in, identical doubles out on
+    # every engine — so the oracle stays bit-exact.
+    scale = float(10**round_scale)
+    rounded = F.floor(interp * scale + F.lit(0.5)) / F.lit(scale)
+    return grid_df.select(
+        key,
+        bucket,
+        rounded.alias("value_interp"),
+        v.isNull().alias("was_gap"),
+    )

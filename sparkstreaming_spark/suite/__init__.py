@@ -34,6 +34,7 @@ class QuerySpec:
 def all_queries() -> dict[str, QuerySpec]:
     from . import (
         analytics,
+        cardinality,
         changefeed,
         core,
         enrich,
@@ -51,6 +52,7 @@ def all_queries() -> dict[str, QuerySpec]:
     registry: dict[str, QuerySpec] = {}
     for mod in (
         analytics,
+        cardinality,
         changefeed,
         core,
         enrich,

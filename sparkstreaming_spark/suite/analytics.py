@@ -309,3 +309,157 @@ QUERIES: dict[str, QuerySpec] = {
         "GROUPING SETS + grouping() in one Expand aggregate",
     ),
 }
+
+
+INTERP_SALT = "interp-v1"
+INTERP_PCT = 200  # of 10_000 → 2 % sample makes the hourly series sparse
+
+
+def q_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear interpolation over a sparse hourly series
+    (operators/timeseries.py::linear_interpolate): a deterministic 2 %
+    hash sample of events (sparse by construction — ~4 events/type/day
+    against 24 hourly buckets) is bucketed per event_type, densified
+    over each type's own range with a distributed sequence/explode grid
+    (no driver date loop), and NULL buckets take the time-weighted
+    blend of their nearest observed neighbors. One exchange on the key
+    serves the grid join and both window directions."""
+    from ..functions.text import md5_64
+    from ..operators.timeseries import linear_interpolate
+
+    ev = read_table(spark, sf_dir, "events")
+    sampled = ev.filter(
+        md5_64(F.concat(F.lit(INTERP_SALT), F.col("event_id").cast("string")))
+        % 10_000
+        < INTERP_PCT
+    )
+    # anchors rounded BEFORE interpolating: both engines then blend
+    # bit-identical doubles, so the final 6-dp round can't straddle a
+    # half-ulp boundary (unrounded avgs differ by summation order)
+    bucketed = sampled.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("bucket")
+    ).agg(F.round(F.avg("value"), 6).alias("v"))
+    ranges = bucketed.groupBy("event_type").agg(
+        F.min("bucket").alias("b0"), F.max("bucket").alias("b1")
+    )
+    grid = ranges.select(
+        "event_type",
+        F.explode(
+            F.sequence("b0", "b1", F.expr("INTERVAL 1 hour"))
+        ).alias("bucket"),
+    )
+    joined = grid.join(bucketed, ["event_type", "bucket"], "left")
+    out = linear_interpolate(joined, "event_type", "bucket", "v")
+    return out.select(
+        "event_type",
+        F.date_format("bucket", TS_FMT).alias("bucket_start"),
+        "value_interp",
+        "was_gap",
+    )
+
+
+ORACLE_INTERPOLATE = f"""
+WITH sampled AS (
+  SELECT * FROM events
+  WHERE cast(('0x' || substr(md5('{INTERP_SALT}' || CAST(event_id AS VARCHAR)),
+        1, 15)) AS bigint) % 10000 < {INTERP_PCT}
+),
+agg AS (
+  SELECT event_type, date_trunc('hour', ts) AS bucket,
+         round(avg(value), 6) AS v
+  FROM sampled GROUP BY 1, 2
+),
+rng AS (
+  SELECT event_type, min(bucket) AS b0, max(bucket) AS b1 FROM agg GROUP BY 1
+),
+grid AS (
+  SELECT event_type, unnest(generate_series(b0, b1, INTERVAL 1 HOUR)) AS bucket
+  FROM rng
+),
+j AS (
+  SELECT g.event_type, g.bucket, a.v FROM grid g
+  LEFT JOIN agg a USING (event_type, bucket)
+),
+anch AS (
+  SELECT event_type, bucket, v,
+         last_value(v IGNORE NULLS) OVER wb AS pv,
+         last_value(CASE WHEN v IS NOT NULL THEN epoch(bucket) END IGNORE NULLS)
+           OVER wb AS pt,
+         first_value(v IGNORE NULLS) OVER wf AS nv,
+         first_value(CASE WHEN v IS NOT NULL THEN epoch(bucket) END IGNORE NULLS)
+           OVER wf AS nt
+  FROM j
+  WINDOW wb AS (PARTITION BY event_type ORDER BY bucket
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+         wf AS (PARTITION BY event_type ORDER BY bucket
+                ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+)
+SELECT event_type,
+       strftime(bucket, '%Y-%m-%d %H:%M:%S') AS bucket_start,
+       floor((CASE WHEN v IS NOT NULL THEN v
+                   WHEN pv IS NULL THEN nv
+                   WHEN nv IS NULL THEN pv
+                   ELSE pv + (nv - pv) * (epoch(bucket) - pt) / (nt - pt)
+              END) * 1000000.0 + 0.5) / 1000000.0 AS value_interp,
+       v IS NULL AS was_gap
+FROM anch
+"""
+
+
+TOP_PATHS_K = 20
+
+
+def q_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequential-pattern mining: the top-20 three-step event-type paths
+    across all user journeys (lead×2 over the per-user total order →
+    concat → count). The funnel/clickstream complement of evt_funnel:
+    instead of checking ONE prescribed path, ranks all observed ones.
+    One exchange on user_id for the window; the path aggregate combines
+    map-side (≤ |types|³ = 125 keys); top-k is TakeOrdered, never a
+    global sort."""
+    ev = read_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        F.col("event_type").alias("e0"),
+        F.lead("event_type", 1).over(w).alias("e1"),
+        F.lead("event_type", 2).over(w).alias("e2"),
+    ).filter(F.col("e2").isNotNull())
+    return (
+        seq.groupBy(
+            F.concat_ws(">", "e0", "e1", "e2").alias("path")
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("path"))
+        .limit(TOP_PATHS_K)
+    )
+
+
+ORACLE_TOP_PATHS = f"""
+WITH seq AS (
+  SELECT event_type AS e0,
+         lead(event_type, 1) OVER w AS e1,
+         lead(event_type, 2) OVER w AS e2
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT e0 || '>' || e1 || '>' || e2 AS path, count(*) AS n
+FROM seq WHERE e2 IS NOT NULL
+GROUP BY 1 ORDER BY n DESC, path ASC LIMIT {TOP_PATHS_K}
+"""
+
+
+QUERIES.update(
+    {
+        "ts_interpolate": QuerySpec(
+            q_interpolate,
+            ORACLE_INTERPOLATE,
+            "linear interpolation of gap buckets (IGNORE NULLS windows, "
+            "distributed grid)",
+        ),
+        "evt_top_paths": QuerySpec(
+            q_top_paths,
+            ORACLE_TOP_PATHS,
+            "top-k 3-step event paths (sequential pattern counts)",
+        ),
+    }
+)

@@ -1,0 +1,145 @@
+"""Cardinality & approximate-query-processing suite: exact distinct via
+Roaring-style bitmaps, mergeable HLL sketch rollups, and deterministic
+hash-sample estimation with error bars.
+
+These are the three standard answers to "how many distinct / how much,
+cheaply?" at 100 TB (none exist in the reference — its analytic surface
+is count/sum KPIs, Consumer.scala:127-149):
+
+* exact distinct normally shuffles every distinct (group, id) pair;
+  the bitmap two-level aggregate ships fixed-size bitmap partials
+  instead — exact answer, sketch-sized shuffle for dense int keys;
+* HLL sketches make distinct counts MERGEABLE: pre-aggregate per
+  (group, day) once, roll up to any coarser grain without touching the
+  fact table again;
+* deterministic hash sampling (engine-wide md5 convention,
+  operators/sampling.py) gives estimate + stderr from a p% scan, and —
+  because the sample predicate is pure hash arithmetic — the DuckDB
+  oracle draws the IDENTICAL sample, so even the "approximate" path is
+  bit-exact cross-engine.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.text import md5_64
+from ..sources.batch import read_table
+from . import QuerySpec
+
+_SAMPLE_BUCKETS = 10_000
+SAMPLE_SALT = "aqp-v1"
+SAMPLE_FRACTION = 0.10
+
+
+def q_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distinct users per event_type via bitmap aggregation
+    (bitmap_bucket_number / bitmap_bit_position / bitmap_construct_agg —
+    the Snowflake/ClickHouse bitmap-index trick as Spark 3.5+ built-ins).
+
+    Plan shape: the first aggregate ORs bit positions into one bitmap
+    per (event_type, bucket) with map-side partial merge — the shuffle
+    carries ≤ one 4 KB bitmap per group per partition, never user ids;
+    the second aggregate sums popcounts. At 100 TB with dense int keys
+    this is the exact-distinct plan you want: count_distinct's expand
+    shuffles every distinct pair, this shuffles fixed-size bitmaps."""
+    ev = read_table(spark, sf_dir, "events")
+    bm = ev.groupBy(
+        "event_type", F.bitmap_bucket_number("user_id").alias("bkt")
+    ).agg(F.bitmap_construct_agg(F.bitmap_bit_position("user_id")).alias("bm"))
+    return bm.groupBy("event_type").agg(
+        F.sum(F.bitmap_count("bm")).alias("n_users")
+    )
+
+
+ORACLE_BITMAP_DISTINCT = """
+SELECT event_type, count(DISTINCT user_id) AS n_users
+FROM events GROUP BY event_type
+"""
+
+
+def q_hll_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable distinct-count rollup: one pass builds a Datasketches
+    HLL sketch per (event_type, day); the rollup UNIONS sketches per
+    event_type without re-reading events — the pre-aggregation pattern
+    that makes dashboard distinct counts O(groups), not O(fact table),
+    at every grain. Registered rows-only (sketch estimates are not
+    SQL-reproducible in DuckDB); the 3σ error bound vs the exact count
+    is pinned in tests/test_extensions.py."""
+    ev = read_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.date_trunc("day", "ts").alias("day")
+    ).agg(F.hll_sketch_agg("user_id", 14).alias("sk"))
+    return daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("approx_users"),
+    )
+
+
+def _sample_pred():
+    bucket = md5_64(
+        F.concat(F.lit(SAMPLE_SALT), F.col("event_id").cast("string"))
+    ) % F.lit(_SAMPLE_BUCKETS)
+    return bucket < int(SAMPLE_FRACTION * _SAMPLE_BUCKETS)
+
+
+def q_sampled_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate aggregation from a deterministic 10 % hash sample:
+    per event_type, sample size, estimated mean value, and the standard
+    error (stddev_samp / sqrt(n)) — the AQP pattern for interactive
+    estimates over 100 TB where the full scan is the cost ceiling.
+
+    The sample predicate is md5 arithmetic on event_id (engine-wide
+    convention), so it pushes to the scan as a codegen'd filter, never
+    needs RNG state, is stable under repartitioning/growth — and the
+    DuckDB oracle draws the SAME rows, making this "approximate" query
+    hash-comparable exactly."""
+    ev = read_table(spark, sf_dir, "events")
+    return (
+        ev.filter(_sample_pred())
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_sampled"),
+            F.round(F.avg("value"), 6).alias("est_mean"),
+            F.round(
+                F.stddev_samp("value") / F.sqrt(F.count(F.lit(1))), 6
+            ).alias("stderr"),
+        )
+    )
+
+
+_SQL_SAMPLE_PRED = (
+    f"cast(('0x' || substr(md5('{SAMPLE_SALT}' || CAST(event_id AS VARCHAR)),"
+    f" 1, 15)) AS bigint) % {_SAMPLE_BUCKETS}"
+    f" < {int(SAMPLE_FRACTION * _SAMPLE_BUCKETS)}"
+)
+
+ORACLE_SAMPLED_MEAN = f"""
+SELECT event_type,
+       count(*) AS n_sampled,
+       round(avg(value), 6) AS est_mean,
+       round(stddev_samp(value) / sqrt(count(*)), 6) AS stderr
+FROM events
+WHERE {_SQL_SAMPLE_PRED}
+GROUP BY event_type
+"""
+
+
+QUERIES: dict[str, QuerySpec] = {
+    "evt_bitmap_distinct": QuerySpec(
+        q_bitmap_distinct,
+        ORACLE_BITMAP_DISTINCT,
+        "exact distinct via two-level bitmap aggregate (sketch-sized shuffle)",
+    ),
+    "evt_hll_union": QuerySpec(
+        q_hll_union,
+        None,
+        "mergeable HLL rollup: daily sketches unioned per type (bound-tested)",
+    ),
+    "evt_sampled_mean": QuerySpec(
+        q_sampled_mean,
+        ORACLE_SAMPLED_MEAN,
+        "AQP: deterministic 10% hash sample, mean + stderr, oracle-exact",
+    ),
+}

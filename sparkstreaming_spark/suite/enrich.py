@@ -227,3 +227,63 @@ QUERIES: dict[str, QuerySpec] = {
         "frequency-ranked vocabulary ids, in-row df dedup",
     ),
 }
+
+
+def q_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle count over the part co-purchase graph: parts are linked
+    when they appear in the same order (lineitem self-join on
+    l_orderkey — per-order fanout is bounded at 7 lineitems, so the
+    pair expansion is ≤ 21 edges/order, linear in orders). The
+    clustering-coefficient numerator of graph-shaped curation signals.
+    operators/graph.py::triangle_count for the degree-oriented
+    node-iterator analysis (out-degree O(sqrt E) per node, two node-key
+    joins, never an unoriented hub explosion)."""
+    from ..operators.graph import triangle_count
+
+    li = read_table(spark, sf_dir, "lineitem")
+    a = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("p1"))
+    b = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("p2"))
+    edges = (
+        a.join(b, "ok")
+        .filter(F.col("p1") < F.col("p2"))
+        .select(F.col("p1").alias("src"), F.col("p2").alias("dst"))
+    )
+    return triangle_count(edges)
+
+
+ORACLE_TRIANGLES = """
+WITH und AS (
+  SELECT DISTINCT least(a.l_partkey, b.l_partkey) AS u,
+         greatest(a.l_partkey, b.l_partkey) AS v
+  FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+  WHERE a.l_partkey < b.l_partkey
+),
+both_dir AS (
+  SELECT u, v FROM und UNION ALL SELECT v AS u, u AS v FROM und
+),
+deg AS (SELECT u, count(*) AS d FROM both_dir GROUP BY u),
+oriented AS (
+  SELECT e.u AS x, e.v AS y FROM both_dir e
+  JOIN deg dx ON dx.u = e.u
+  JOIN deg dy ON dy.u = e.v
+  WHERE dx.d < dy.d OR (dx.d = dy.d AND e.u < e.v)
+),
+wedges AS (
+  SELECT w1.y AS b, w2.y AS c FROM oriented w1
+  JOIN oriented w2 ON w1.x = w2.x
+  WHERE w1.y < w2.y
+),
+closer AS (
+  SELECT x AS b, y AS c FROM oriented
+  UNION ALL SELECT y AS b, x AS c FROM oriented
+)
+SELECT count(*) AS n_triangles
+FROM wedges JOIN closer USING (b, c)
+"""
+
+
+QUERIES["graph_triangles"] = QuerySpec(
+    q_triangles,
+    ORACLE_TRIANGLES,
+    "degree-oriented exact triangle count over the co-purchase graph",
+)

@@ -311,3 +311,70 @@ def test_sessionize_gap_semantics(spark):
         ).collect()
     }
     assert got == {1: 1, 2: 1, 3: 1, 4: 2, 5: 1}
+
+
+def test_triangle_count_planted(spark):
+    """Planted graph: K4 on {1,2,3,4} (4 triangles) plus a pendant edge
+    and a duplicate/reversed edge — count must be exactly 4."""
+    from sparkstreaming_spark.operators.graph import triangle_count
+
+    edges = [
+        (1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4),  # K4
+        (4, 5),              # pendant — no new triangle
+        (2, 1), (3, 1),      # reversed duplicates — must not double count
+    ]
+    df = spark.createDataFrame(edges, "src int, dst int")
+    got = triangle_count(df).collect()[0].n_triangles
+    assert got == 4
+
+
+def test_linear_interpolate_semantics(spark):
+    """Interior gaps blend time-weighted between anchors; leading and
+    trailing gaps fall back to the single available anchor."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from sparkstreaming_spark.operators.timeseries import linear_interpolate
+
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    h = dt.timedelta(hours=1)
+    rows = [
+        ("k", t0, None),          # leading gap -> nocb = 10.0
+        ("k", t0 + 1 * h, 10.0),
+        ("k", t0 + 2 * h, None),  # 1/3 of the way 10 -> 40
+        ("k", t0 + 3 * h, None),  # 2/3 of the way
+        ("k", t0 + 4 * h, 40.0),
+        ("k", t0 + 5 * h, None),  # trailing gap -> locf = 40.0
+    ]
+    df = spark.createDataFrame(rows, "key string, bucket timestamp, v double")
+    out = {
+        r.bucket.hour: (r.value_interp, r.was_gap)
+        for r in linear_interpolate(df, "key", "bucket", "v").collect()
+    }
+    assert out[0] == (10.0, True)
+    assert out[1] == (10.0, False)
+    assert out[2] == (20.0, True)
+    assert out[3] == (30.0, True)
+    assert out[4] == (40.0, False)
+    assert out[5] == (40.0, True)
+
+
+def test_hll_union_within_bound(spark):
+    """Unioned daily HLL sketches (lgConfigK=14, rel err ~0.65%) must land
+    within 3% of the exact per-type distinct count."""
+    from sparkstreaming_spark.suite.cardinality import q_hll_union
+    from tests.conftest import SF_DIR_SMOKE
+
+    import duckdb
+
+    exact = {
+        t: n
+        for t, n in duckdb.sql(
+            "SELECT event_type, count(DISTINCT user_id) FROM "
+            f"read_parquet('{SF_DIR_SMOKE}/events.parquet') GROUP BY 1"
+        ).fetchall()
+    }
+    for r in q_hll_union(spark, SF_DIR_SMOKE).collect():
+        rel = abs(r.approx_users - exact[r.event_type]) / exact[r.event_type]
+        assert rel <= 0.03, (r.event_type, r.approx_users, exact[r.event_type])

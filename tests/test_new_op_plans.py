@@ -333,3 +333,45 @@ def test_fingerprint_is_partial_aggregate(spark):
     plan = _plan(q_table_fingerprint(spark, SF_DIR_SMOKE))
     assert "partial_bit_xor" in plan or "partial" in plan, plan[:3000]
     assert "Python" not in plan, plan[:2000]
+
+
+def test_bitmap_distinct_partial_aggregates(spark):
+    """Both aggregate levels must partially combine map-side (the shuffle
+    carries bitmaps, never user ids) and stay Python-free."""
+    from sparkstreaming_spark.suite.cardinality import q_bitmap_distinct
+
+    plan = _plan(q_bitmap_distinct(spark, SF_DIR_SMOKE))
+    assert "partial_bitmap_construct_agg" in plan, plan[:3000]
+    assert "Python" not in plan, plan[:2000]
+
+
+def test_sampled_mean_filter_pushed_to_scan(spark):
+    """The hash-sample predicate must reach the scan stage as a codegen'd
+    filter (one pass, no pre-shuffle materialization)."""
+    from sparkstreaming_spark.suite.cardinality import q_sampled_mean
+
+    plan = _plan(q_sampled_mean(spark, SF_DIR_SMOKE))
+    n_ex = plan.count("Exchange hashpartitioning")
+    assert n_ex == 1, f"{n_ex} exchanges:\n{plan[:3000]}"
+    assert "partial_avg" in plan or "partial" in plan, plan[:3000]
+
+
+def test_top_paths_takeordered(spark):
+    """Top-k must be TakeOrdered (per-partition partial top-k), never a
+    global sort; one exchange for the per-user window."""
+    from sparkstreaming_spark.suite.analytics import q_top_paths
+
+    plan = _plan(q_top_paths(spark, SF_DIR_SMOKE))
+    assert "TakeOrderedAndProject" in plan, plan[:3000]
+
+
+def test_interpolate_single_hash_exchange_per_key(spark):
+    """Grid join + both window directions all hash on the key; the plan
+    must not re-exchange per window direction more than once each way
+    (<= 3 hash exchanges total: aggregate, ranges, window)."""
+    from sparkstreaming_spark.suite.analytics import q_interpolate
+
+    plan = _plan(q_interpolate(spark, SF_DIR_SMOKE))
+    n = plan.count("Exchange hashpartitioning")
+    assert n <= 4, f"{n} exchanges:\n{plan[:4000]}"
+    assert "Python" not in plan, plan[:2000]

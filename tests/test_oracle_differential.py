@@ -59,6 +59,7 @@ def test_registry_oracles_all_parse(duck):
         "doc_cms_counts",  # sketch estimates; error bound pinned by test
         "emb_knn_sq8",  # quantized ANN; recall pinned by test
         "evt_approx_distinct",  # HLL estimates; 3-sigma bound pinned by test
+        "evt_hll_union",  # HLL sketch union; 3-sigma bound pinned by test
     }, missing_oracle
     for name, spec in specs.items():
         if spec.oracle is not None:
