@@ -87,7 +87,12 @@ def pagerank(
     return ranks.select("node", F.round("rank", round_scale).alias("rank"))
 
 
-def triangle_count(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
+def triangle_count(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    broadcast_degrees: bool = False,
+) -> DataFrame:
     """Exact global triangle count over an undirected edge list →
     one row (n_triangles bigint).
 
@@ -101,6 +106,15 @@ def triangle_count(edges: DataFrame, src: str = "src", dst: str = "dst") -> Data
     orientation does. Two shuffle joins on node keys; the wedge set
     (sum of out-deg choose 2) is the working set, bounded by the
     orientation.
+
+    The oriented edge list is consumed THREE times (both wedge sides and
+    the closing-edge probe), so it is persisted — without that, Spark
+    re-derives the whole edge-gen + distinct + degree join per consumer.
+    `broadcast_degrees=True` replaces the two degree annotation shuffles
+    with map-side broadcast joins; use it when |V| is dimension-sized
+    (the degree table is one (node, count) row per vertex — for a part/
+    supplier/customer-keyed graph that stays broadcastable at any fact
+    scale, while a web-graph caller leaves it False).
 
     The DuckDB oracle unrolls the identical orientation in plain CTEs,
     so the count is bit-exact cross-engine.
@@ -117,6 +131,8 @@ def triangle_count(edges: DataFrame, src: str = "src", dst: str = "dst") -> Data
     # orient: keep (x -> y) iff (deg(x), x) < (deg(y), y)
     du = deg.select(F.col("u").alias("x"), F.col("d").alias("dx"))
     dv = deg.select(F.col("u").alias("y"), F.col("d").alias("dy"))
+    if broadcast_degrees:
+        du, dv = F.broadcast(du), F.broadcast(dv)
     oriented = (
         both.select(F.col("u").alias("x"), F.col("v").alias("y"))
         .join(du, "x")
@@ -126,6 +142,7 @@ def triangle_count(edges: DataFrame, src: str = "src", dst: str = "dst") -> Data
             | ((F.col("dx") == F.col("dy")) & (F.col("x") < F.col("y")))
         )
         .select("x", "y")
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     w1 = oriented.select(F.col("x").alias("a"), F.col("y").alias("b"))
     w2 = oriented.select(F.col("x").alias("a"), F.col("y").alias("c"))

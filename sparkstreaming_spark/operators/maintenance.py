@@ -1,0 +1,75 @@
+"""Physical-layout maintenance: bucketed table writes (co-located,
+shuffle-free joins) and small-file compaction — the two table-ops levers
+that matter most at 100 TB and exist in no query plan.
+
+Bucketing: a fact table written with `bucketBy(key)` is hash-partitioned
+ON DISK; any join/aggregate on that key then reads co-located buckets
+and skips the Exchange entirely — the single biggest shuffle saving
+available to a recurring 100 TB join (pay the shuffle once at write
+time, never again at read time). Both sides must agree on key and
+bucket count; `sortBy` additionally pre-sorts within buckets so the
+sort-merge join skips its sort too.
+
+Compaction: streaming sinks and incremental loads accrete small files;
+at 100 TB scale a million 1 MB files turns every scan into a metadata
+storm (task-per-file scheduling, open/close overhead, dead columnar
+compression). `compact_parquet` rewrites a directory to ~target-sized
+files with one distributed pass — `coalesce` (no shuffle) by default.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_col: str,
+    n_buckets: int = 32,
+    sort: bool = True,
+    mode: str = "overwrite",
+) -> None:
+    """Persist `df` as a bucketed (and optionally bucket-sorted) managed
+    parquet table. Joins between tables bucketed on the same column with
+    the same `n_buckets` plan WITHOUT an Exchange on either side (see
+    tests/test_maintenance.py for the plan assertion)."""
+    w = df.write.format("parquet").mode(mode).bucketBy(n_buckets, bucket_col)
+    if sort:
+        w = w.sortBy(bucket_col)
+    w.saveAsTable(table)
+
+
+def _dir_bytes(path: str) -> int:
+    total = 0
+    for root, _dirs, files in os.walk(path):
+        for f in files:
+            if not f.startswith(("_", ".")):
+                total += os.path.getsize(os.path.join(root, f))
+    return total
+
+
+def compact_parquet(
+    spark: SparkSession,
+    in_dir: str,
+    out_dir: str,
+    target_file_mb: int = 512,
+    shuffle: bool = False,
+) -> int:
+    """Rewrite a parquet directory into ~`target_file_mb`-sized files;
+    returns the output file count.
+
+    `coalesce` (default) merges partitions without a shuffle — each
+    output task reads several input files sequentially, the right
+    default for pure compaction. `shuffle=True` switches to
+    `repartition` for when the input is skewed (a few huge files among
+    thousands of tiny ones) and balanced outputs are worth one shuffle.
+    Writes to a NEW directory: swapping it over the old one is the
+    caller's (atomic-publish) concern, matview.py-style."""
+    n_files = max(1, -(-_dir_bytes(in_dir) // (target_file_mb * 1024 * 1024)))
+    df = spark.read.parquet(in_dir)
+    df = df.repartition(n_files) if shuffle else df.coalesce(n_files)
+    df.write.mode("overwrite").parquet(out_dir)
+    return n_files

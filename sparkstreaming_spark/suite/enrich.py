@@ -248,7 +248,9 @@ def q_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("p1") < F.col("p2"))
         .select(F.col("p1").alias("src"), F.col("p2").alias("dst"))
     )
-    return triangle_count(edges)
+    # node domain = part keys (dimension-sized at any fact scale), so the
+    # degree table broadcasts and both orientation joins stay map-side
+    return triangle_count(edges, broadcast_degrees=True)
 
 
 ORACLE_TRIANGLES = """

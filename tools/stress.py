@@ -42,6 +42,11 @@ DEFAULT_OPS = [
     "doc_length_curriculum",
     "doc_nfc_normalize",
     "emb_hard_negatives",
+    "graph_triangles",
+    "evt_top_paths",
+    "evt_bitmap_distinct",
+    "evt_sessionize",
+    "ts_interpolate",
 ]
 
 
