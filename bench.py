@@ -115,6 +115,9 @@ HEADLINE = [
     "evt_top_paths",
     "ts_interpolate",
     "graph_triangles",
+    "evt_winsorized_stats",
+    "evt_mad_outliers",
+    "join_null_safe",
 ]
 
 

@@ -463,3 +463,181 @@ QUERIES.update(
         ),
     }
 )
+
+
+WINSOR_LO, WINSOR_HI = 0.05, 0.95
+WINSOR_ACCURACY = 10_000_000  # >= group rows at oracle/bench scale -> GK exact
+
+
+def q_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized robust statistics per event_type: clip value to the
+    [p05, p95] range and report raw vs clipped mean/stddev — the
+    outlier-robust feature-scaling step of an ML pipeline.
+
+    Shape: thresholds are a per-type aggregate (5 rows) computed with
+    the GK sketch (exact at this accuracy, same convention as
+    evt_approx_percentiles) and BROADCAST back onto the fact scan — the
+    big table is read twice but never shuffled beyond the final
+    per-type partial agg. At 100 TB the threshold table stays
+    group-count-sized no matter the fact volume."""
+    ev = read_table(spark, sf_dir, "events")
+    thr = ev.groupBy("event_type").agg(
+        F.approx_percentile(
+            "value", F.array(F.lit(WINSOR_LO), F.lit(WINSOR_HI)), WINSOR_ACCURACY
+        ).alias("p")
+    ).select(
+        "event_type", F.col("p")[0].alias("lo"), F.col("p")[1].alias("hi")
+    )
+    clipped = ev.join(F.broadcast(thr), "event_type").withColumn(
+        "cv", F.least(F.greatest(F.col("value"), F.col("lo")), F.col("hi"))
+    )
+    return clipped.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.avg("value"), 6).alias("mean_raw"),
+        F.round(F.avg("cv"), 6).alias("mean_winsor"),
+        F.round(F.stddev_samp("cv"), 6).alias("stddev_winsor"),
+        F.round(F.min("lo"), 6).alias("p_lo"),
+        F.round(F.max("hi"), 6).alias("p_hi"),
+    )
+
+
+ORACLE_WINSORIZED = f"""
+WITH thr AS (
+  SELECT event_type,
+         quantile_disc(value, {WINSOR_LO}) AS lo,
+         quantile_disc(value, {WINSOR_HI}) AS hi
+  FROM events GROUP BY event_type
+),
+clipped AS (
+  SELECT e.event_type, e.value,
+         least(greatest(e.value, t.lo), t.hi) AS cv, t.lo, t.hi
+  FROM events e JOIN thr t USING (event_type)
+)
+SELECT event_type, count(*) AS n,
+       round(avg(value), 6) AS mean_raw,
+       round(avg(cv), 6) AS mean_winsor,
+       round(stddev_samp(cv), 6) AS stddev_winsor,
+       round(min(lo), 6) AS p_lo,
+       round(max(hi), 6) AS p_hi
+FROM clipped GROUP BY event_type
+"""
+
+
+QUERIES.update(
+    {
+        "evt_winsorized_stats": QuerySpec(
+            q_winsorized_stats,
+            ORACLE_WINSORIZED,
+            "winsorized robust stats (GK-exact thresholds, broadcast clip)",
+        ),
+    }
+)
+
+
+MAD_K = 1.4826  # consistency constant: MAD * 1.4826 ~ sigma for normal data
+
+
+def q_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median-absolute-deviation robust outlier profile per event_type —
+    the winsorize companion (evt_winsorized_stats) using rank statistics
+    end-to-end: med = p50(value), mad = p50(|value - med|), outliers =
+    |value - med| > 3 * 1.4826 * mad. Three fact scans but zero fact
+    shuffles beyond per-type partial aggs: both medians are GK sketches
+    (exact at this accuracy, evt_approx_percentiles convention) and come
+    back as broadcast threshold tables."""
+    ev = read_table(spark, sf_dir, "events")
+    med = ev.groupBy("event_type").agg(
+        F.approx_percentile("value", 0.5, 10_000_000).alias("med")
+    )
+    with_med = ev.join(F.broadcast(med), "event_type")
+    mad = (
+        with_med.withColumn("adev", F.abs(F.col("value") - F.col("med")))
+        .groupBy("event_type")
+        .agg(F.approx_percentile("adev", 0.5, 10_000_000).alias("mad"))
+    )
+    scored = with_med.join(F.broadcast(mad), "event_type")
+    return scored.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.min("med"), 6).alias("med"),
+        F.round(F.min("mad"), 6).alias("mad"),
+        F.sum(
+            (
+                F.abs(F.col("value") - F.col("med"))
+                > F.lit(3 * MAD_K) * F.col("mad")
+            ).cast("bigint")
+        ).alias("n_outliers"),
+    )
+
+
+ORACLE_MAD = f"""
+WITH med AS (
+  SELECT event_type, quantile_disc(value, 0.5) AS med
+  FROM events GROUP BY event_type
+),
+wm AS (
+  SELECT e.event_type, e.value, m.med FROM events e JOIN med m USING (event_type)
+),
+mad AS (
+  SELECT event_type, quantile_disc(abs(value - med), 0.5) AS mad
+  FROM wm GROUP BY event_type
+)
+SELECT w.event_type, count(*) AS n,
+       round(min(w.med), 6) AS med,
+       round(min(d.mad), 6) AS mad,
+       cast(sum(CASE WHEN abs(w.value - w.med) > 3 * {MAD_K} * d.mad
+                THEN 1 ELSE 0 END) AS bigint) AS n_outliers
+FROM wm w JOIN mad d USING (event_type)
+GROUP BY w.event_type
+"""
+
+
+def q_null_safe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equality join (<=>): per-status order counts joined to
+    per-status total prices on a key where 'O' is mapped to NULL —
+    plain = drops the NULL partition on both sides, eqNullSafe keeps it
+    matched (NULL <=> NULL is TRUE). The output proves the semantics:
+    the NULL row carries counts from both sides."""
+    o = read_table(spark, sf_dir, "orders")
+    k = F.nullif(F.col("o_orderstatus"), F.lit("O"))
+    a = o.groupBy(k.alias("k")).agg(F.count(F.lit(1)).alias("n_orders"))
+    b = o.groupBy(k.alias("k")).agg(
+        F.round(F.sum("o_totalprice"), 2).alias("total_price")
+    )
+    j = a.alias("a").join(
+        b.alias("b"), F.col("a.k").eqNullSafe(F.col("b.k"))
+    )
+    return j.select(
+        F.coalesce(F.col("a.k"), F.lit("NULL")).alias("status_key"),
+        "n_orders",
+        "total_price",
+    )
+
+
+ORACLE_NULL_SAFE_JOIN = """
+WITH a AS (
+  SELECT nullif(o_orderstatus, 'O') AS k, count(*) AS n_orders
+  FROM orders GROUP BY 1
+),
+b AS (
+  SELECT nullif(o_orderstatus, 'O') AS k, round(sum(o_totalprice), 2) AS total_price
+  FROM orders GROUP BY 1
+)
+SELECT coalesce(a.k, 'NULL') AS status_key, n_orders, total_price
+FROM a JOIN b ON a.k IS NOT DISTINCT FROM b.k
+"""
+
+
+QUERIES.update(
+    {
+        "evt_mad_outliers": QuerySpec(
+            q_mad_outliers,
+            ORACLE_MAD,
+            "MAD robust outlier profile (rank stats, broadcast thresholds)",
+        ),
+        "join_null_safe": QuerySpec(
+            q_null_safe_join,
+            ORACLE_NULL_SAFE_JOIN,
+            "null-safe equality join (<=> / IS NOT DISTINCT FROM)",
+        ),
+    }
+)

@@ -289,3 +289,26 @@ QUERIES["graph_triangles"] = QuerySpec(
     ORACLE_TRIANGLES,
     "degree-oriented exact triangle count over the co-purchase graph",
 )
+
+
+BPE_MERGES = 10
+
+
+def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BPE tokenizer training (textstats/bpe.py): 10 merge
+    rounds over the documents word-frequency table — one corpus pass,
+    then vocab-sized aggregates with a single driver scalar per round.
+    Iterative/order-dependent → rows-only; the merge sequence is pinned
+    against a pure-Python reference BPE in tests/test_bpe.py."""
+    from ..textstats.bpe import bpe_merge_table
+
+    d = read_table(spark, sf_dir, "documents")
+    return bpe_merge_table(d, "text", n_merges=BPE_MERGES)
+
+
+QUERIES["doc_bpe_merges"] = QuerySpec(
+    q_bpe_merges,
+    None,
+    "BPE vocabulary learning: greedy pair merges over word-freq table "
+    "(rows-only; reference-parity tested)",
+)

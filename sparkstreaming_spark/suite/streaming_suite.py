@@ -626,3 +626,99 @@ QUERIES: dict[str, QuerySpec] = {
         "Producer→Consumer topology end to end",
     ),
 }
+
+
+def q_stream_stream_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream LEFT OUTER join with watermarks: every view is
+    attributed to a purchase by the same user within 1 hour, and views
+    with NO purchase emit with NULLs once the watermark passes their
+    join range — the outer-join state-eviction semantics inner joins
+    never exercise.
+
+    Determinism note: Spark only emits an unmatched left row after the
+    GLOBAL watermark (min over both streams' max-event-time − 2 h)
+    passes v_ts + 1 h. Rows near the end of a bounded drain are
+    therefore emission-ambiguous, so BOTH this query and the batch twin
+    restrict to v_ts ≤ min(max view ts, max purchase ts) − 4 h — one
+    hour inside the guaranteed-emitted region; inside it, streamed
+    output ≡ batch left join exactly. The bound is computed as a 1-row
+    broadcast, not a driver collect."""
+    views = (
+        _events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "view")
+        .select(F.col("user_id").alias("v_user"), F.col("ts").alias("v_ts"))
+        .withWatermark("v_ts", "2 hours")
+    )
+    purchases = (
+        _events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts"))
+        .withWatermark("p_ts", "2 hours")
+    )
+    joined = views.join(
+        purchases,
+        (F.col("v_user") == F.col("p_user"))
+        & (F.col("p_ts") >= F.col("v_ts"))
+        & (F.col("p_ts") <= F.col("v_ts") + F.expr("INTERVAL 1 HOUR")),
+        "left_outer",
+    )
+    drained = run_available_now(joined, output_mode="append")
+    from ..sources.batch import read_table
+
+    ev = read_table(spark, sf_dir, "events")
+    bound = (
+        ev.filter(F.col("event_type").isin("view", "purchase"))
+        .groupBy()
+        .agg(
+            (
+                F.least(
+                    F.max(F.when(F.col("event_type") == "view", F.col("ts"))),
+                    F.max(F.when(F.col("event_type") == "purchase", F.col("ts"))),
+                )
+                - F.expr("INTERVAL 4 HOURS")
+            ).alias("cutoff")
+        )
+    )
+    safe = drained.crossJoin(F.broadcast(bound)).filter(
+        F.col("v_ts") <= F.col("cutoff")
+    )
+    return safe.groupBy(F.col("p_user").isNotNull().alias("matched")).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count_distinct("v_user").alias("n_view_users"),
+    )
+
+
+ORACLE_STREAM_STREAM_LEFT = """
+WITH v AS (
+  SELECT user_id AS v_user, ts AS v_ts FROM events WHERE event_type = 'view'
+),
+p AS (
+  SELECT user_id AS p_user, ts AS p_ts FROM events WHERE event_type = 'purchase'
+),
+bound AS (
+  SELECT least(
+           (SELECT max(ts) FROM events WHERE event_type = 'view'),
+           (SELECT max(ts) FROM events WHERE event_type = 'purchase')
+         ) - INTERVAL 4 HOUR AS cutoff
+),
+j AS (
+  SELECT v.v_user, v.v_ts, p.p_user
+  FROM v LEFT JOIN p
+    ON v.v_user = p.p_user
+   AND p.p_ts >= v.v_ts
+   AND p.p_ts <= v.v_ts + INTERVAL 1 HOUR
+)
+SELECT (p_user IS NOT NULL) AS matched,
+       count(*) AS n_rows,
+       count(DISTINCT v_user) AS n_view_users
+FROM j, bound WHERE v_ts <= bound.cutoff
+GROUP BY 1
+"""
+
+
+QUERIES["stream_stream_left_join"] = QuerySpec(
+    q_stream_stream_left_join,
+    ORACLE_STREAM_STREAM_LEFT,
+    "LEFT OUTER stream-stream join: watermark eviction emits unmatched "
+    "views (batch-twin oracle inside the guaranteed-emitted region)",
+)

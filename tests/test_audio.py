@@ -1,0 +1,71 @@
+"""WAV decode / resample / Spark audio-feature pass
+(multimodal/audio.py)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from sparkstreaming_spark.multimodal.audio import (
+    decode_wav,
+    encode_wav,
+    resample_linear,
+)
+
+
+def _sine(rate: int, seconds: float, hz: float = 440.0) -> np.ndarray:
+    t = np.arange(int(rate * seconds)) / rate
+    return np.sin(2 * np.pi * hz * t)
+
+
+def test_wav_roundtrip_16bit():
+    rate = 8000
+    x = _sine(rate, 0.1)
+    data = encode_wav((x * 32767).astype("int16"), rate)
+    y, got_rate = decode_wav(data)
+    assert got_rate == rate
+    assert len(y) == len(x)
+    assert float(np.max(np.abs(y - x))) < 1e-3  # 16-bit quantization
+
+
+def test_resample_halves_and_doubles():
+    rate = 8000
+    x = _sine(rate, 0.05)
+    down = resample_linear(x, rate, 4000)
+    up = resample_linear(x, rate, 16000)
+    assert len(down) == len(x) // 2
+    assert len(up) == len(x) * 2
+    # linear resample preserves a smooth signal closely
+    back = resample_linear(down, 4000, 8000)
+    assert float(np.mean(np.abs(back[: len(x)] - x))) < 0.05
+
+
+def test_decode_wav_rejects_unsupported_width():
+    with pytest.raises(Exception):
+        decode_wav(b"RIFF....WAVE")
+
+
+def test_audio_features_on_spark(spark):
+    """End-to-end: WAV blobs through the Arrow decode pass — exact
+    sample counts, rates, and resample lengths per row."""
+    from sparkstreaming_spark.multimodal.audio import audio_features
+
+    rows = []
+    for i, (rate, secs) in enumerate([(8000, 0.10), (16000, 0.05), (44100, 0.02)]):
+        x = (_sine(rate, secs) * 32767).astype("int16")
+        rows.append((i, bytearray(encode_wav(x, rate))))
+    df = spark.createDataFrame(rows, "id bigint, blob binary")
+    got = {
+        r.id: r
+        for r in audio_features(df, "id", "blob", target_rate=16000).collect()
+    }
+    assert got[0].sample_rate == 8000
+    assert got[0].n_samples == 800
+    assert got[0].n_resampled == 1600
+    assert got[1].sample_rate == 16000
+    assert got[1].n_resampled == got[1].n_samples  # already at target
+    assert got[2].sample_rate == 44100
+    assert abs(got[2].duration_s - 0.02) < 1e-3
+    for r in got.values():
+        assert 0.5 < r.rms < 0.8  # sine RMS ≈ 0.707
+        assert 0.9 < r.peak <= 1.0

@@ -1,0 +1,74 @@
+"""Distributed BPE learner vs a pure-Python reference implementation
+(textstats/bpe.py)."""
+
+from __future__ import annotations
+
+from collections import Counter
+
+
+def _reference_bpe(word_counts: dict[str, int], n_merges: int):
+    """Clean-room textbook BPE: count adjacent pairs weighted by word
+    frequency, merge the most frequent greedily leftmost, repeat.
+    Ties: count desc, then (a, b) lexicographic asc."""
+    vocab = {tuple(list(w) + ["</w>"]): c for w, c in word_counts.items()}
+    merges = []
+    for _ in range(n_merges):
+        pairs: Counter = Counter()
+        for syms, c in vocab.items():
+            for i in range(len(syms) - 1):
+                pairs[(syms[i], syms[i + 1])] += c
+        if not pairs:
+            break
+        (a, b), cnt = min(
+            pairs.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        if cnt < 2:
+            break
+        merges.append((a, b, cnt))
+        new_vocab = {}
+        for syms, c in vocab.items():
+            out, fused = [], False
+            for s in syms:
+                if s == b and out and out[-1] == a and not fused:
+                    out[-1] = a + b
+                    fused = True
+                else:
+                    out.append(s)
+                    fused = False
+            new_vocab[tuple(out)] = new_vocab.get(tuple(out), 0) + c
+        vocab = new_vocab
+    return merges
+
+
+def test_bpe_matches_reference_on_classic_corpus(spark):
+    word_counts = {"low": 5, "lower": 2, "newest": 6, "widest": 3}
+    rows = [(w + " ") * c for w, c in word_counts.items()]
+    df = spark.createDataFrame([(t,) for t in rows], "text string")
+
+    from sparkstreaming_spark.textstats.bpe import learn_bpe
+
+    got = learn_bpe(df, "text", n_merges=8)
+    want = _reference_bpe(word_counts, 8)
+    assert got == want, f"\ngot:  {got}\nwant: {want}"
+    # sanity: the classic first merge for this corpus is e+s (count 9)
+    assert got[0][:2] == ("e", "s") and got[0][2] == 9
+
+
+def test_bpe_repeated_symbol_greedy_leftmost(spark):
+    """'aaaa' must merge greedily left-to-right: (a,a)x2 per word, and
+    the produced 'aa' must not chain-fuse with the next single 'a' in
+    the same round."""
+    df = spark.createDataFrame([("aaaa aaaa aaaa",)], "text string")
+
+    from sparkstreaming_spark.textstats.bpe import learn_bpe
+
+    got = learn_bpe(df, "text", n_merges=2)
+    want = _reference_bpe({"aaaa": 3}, 2)
+    assert got == want
+    # counting is over OVERLAPPING adjacent positions (3 per word x 3
+    # words), the textbook behavior; merging is non-overlapping greedy
+    assert got[0] == ("a", "a", 9)
+    # round 2: words are now [aa, aa, </w>]; (aa,aa) and (aa,</w>) tie
+    # at 3 and '<' sorts before 'a', so the deterministic winner is
+    # (aa, </w>)
+    assert got[1][:2] == ("aa", "</w>")

@@ -375,3 +375,23 @@ def test_interpolate_single_hash_exchange_per_key(spark):
     n = plan.count("Exchange hashpartitioning")
     assert n <= 4, f"{n} exchanges:\n{plan[:4000]}"
     assert "Python" not in plan, plan[:2000]
+
+
+def test_join_strategy_hints_are_honored(spark):
+    """The full join-hint surface: broadcast / shuffle_hash / merge /
+    shuffle_replicate_nl each force their physical strategy — the manual
+    override lever when stats mislead the optimizer at scale."""
+    o = spark.read.parquet(f"{SF_DIR_SMOKE}/orders.parquet")
+    c = spark.read.parquet(f"{SF_DIR_SMOKE}/customer.parquet")
+    cases = [
+        ("broadcast", "BroadcastHashJoin"),
+        ("shuffle_hash", "ShuffledHashJoin"),
+        ("merge", "SortMergeJoin"),
+    ]
+    for hint, node in cases:
+        plan = _plan(o.join(c.hint(hint), o.o_custkey == c.c_custkey))
+        assert node in plan, f"{hint}: expected {node}\n{plan[:2000]}"
+    nl = _plan(
+        o.limit(10).join(c.limit(10).hint("shuffle_replicate_nl"))
+    )
+    assert "CartesianProduct" in nl, nl[:2000]

@@ -60,6 +60,7 @@ def test_registry_oracles_all_parse(duck):
         "emb_knn_sq8",  # quantized ANN; recall pinned by test
         "evt_approx_distinct",  # HLL estimates; 3-sigma bound pinned by test
         "evt_hll_union",  # HLL sketch union; 3-sigma bound pinned by test
+        "doc_bpe_merges",  # iterative BPE; pure-Python reference parity test
     }, missing_oracle
     for name, spec in specs.items():
         if spec.oracle is not None:
