@@ -69,3 +69,21 @@ def constraint_report(df: DataFrame, checks: list[Check], round_scale: int = 6) 
         ]
     )
     return row.select(F.explode(structs).alias("c")).select("c.*")
+
+
+def route_quarantine(
+    df: DataFrame,
+    rules: list[tuple[str, Column]],
+    reason_col: str = "quarantine_reason",
+) -> DataFrame:
+    """Row-level admission routing: tag every row with the FIRST failed
+    rule's name (rules are (name, pass_predicate) pairs, priority
+    order), NULL when all pass. Callers split with
+    `filter(col(reason_col).isNull())` / `.isNotNull()` — both branches
+    come from one codegen'd projection over one scan, no shuffle, so the
+    good/bad split adds zero cost to a 100 TB ingest (the row-level
+    complement of constraint_report's table-level gate)."""
+    expr: Column = F.lit(None).cast("string")
+    for name, pred in reversed(rules):
+        expr = F.when(~F.coalesce(pred, F.lit(False)), F.lit(name)).otherwise(expr)
+    return df.withColumn(reason_col, expr)

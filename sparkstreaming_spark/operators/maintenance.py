@@ -73,3 +73,27 @@ def compact_parquet(
     df = df.repartition(n_files) if shuffle else df.coalesce(n_files)
     df.write.mode("overwrite").parquet(out_dir)
     return n_files
+
+
+def overwrite_partitions(
+    df: DataFrame, out_dir: str, partition_cols: list[str]
+) -> None:
+    """Dynamic partition overwrite: replace ONLY the hive partitions
+    present in `df`, leaving every other partition untouched — the
+    idempotent daily-reload primitive (re-running a day's load rewrites
+    that day, never truncates the table). Static overwrite mode (the
+    default) would drop ALL partitions first; the dynamic conf scopes
+    the delete to partitions the job actually emits. The conf is set
+    per-call and restored, so other writers in the session keep the
+    default semantics."""
+    spark = df.sparkSession
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "STATIC")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        (
+            df.write.mode("overwrite")
+            .partitionBy(*partition_cols)
+            .parquet(out_dir)
+        )
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)

@@ -327,3 +327,53 @@ QUERIES["doc_bpe_merges"] = QuerySpec(
     "BPE vocabulary learning: greedy pair merges over word-freq table "
     "(rows-only; reference-parity tested)",
 )
+
+
+QUAR_MIN_CHARS = 200
+QUAR_LANGS = ["en", "de", "fr"]
+
+
+def q_quarantine_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level admission routing (operators/constraints.py::
+    route_quarantine): every document tagged with its first failed rule
+    (priority: null text → too short → lang not allowed), then the
+    accounting rollup per disposition. One scan, one codegen'd
+    projection, one tiny aggregate — the good/bad split itself is free."""
+    from ..operators.constraints import route_quarantine
+
+    d = read_table(spark, sf_dir, "documents")
+    routed = route_quarantine(
+        d,
+        [
+            ("null_text", F.col("text").isNotNull()),
+            ("too_short", F.col("n_chars") >= QUAR_MIN_CHARS),
+            ("lang_not_allowed", F.col("lang").isin(QUAR_LANGS)),
+        ],
+    )
+    return routed.groupBy(
+        F.coalesce(F.col("quarantine_reason"), F.lit("admitted")).alias(
+            "disposition"
+        )
+    ).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.avg("n_chars"), 2).alias("avg_chars"),
+    )
+
+
+ORACLE_QUARANTINE = f"""
+SELECT coalesce(
+         CASE WHEN text IS NULL THEN 'null_text'
+              WHEN NOT (n_chars >= {QUAR_MIN_CHARS}) THEN 'too_short'
+              WHEN NOT (lang IN ('en','de','fr')) THEN 'lang_not_allowed'
+         END, 'admitted') AS disposition,
+       count(*) AS n_docs,
+       round(avg(n_chars), 2) AS avg_chars
+FROM documents GROUP BY 1
+"""
+
+
+QUERIES["doc_quarantine_split"] = QuerySpec(
+    q_quarantine_split,
+    ORACLE_QUARANTINE,
+    "row-level DQ quarantine routing (first-failed-rule tag, one scan)",
+)

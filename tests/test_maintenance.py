@@ -83,3 +83,45 @@ def test_compact_parquet(spark, tmp_path):
     assert len(files) == n_out
     assert n_out < n_in
     assert spark.read.parquet(dst).count() == ev.count()
+
+
+def test_dynamic_partition_overwrite(spark, tmp_path):
+    """Rewriting one event_type partition must leave the others
+    byte-for-byte (row-for-row) intact and fully replace the target."""
+    from pyspark.sql import functions as F
+
+    from sparkstreaming_spark.operators.maintenance import (
+        overwrite_partitions,
+    )
+
+    out = str(tmp_path / "t")
+    ev = spark.read.parquet(f"{SF_DIR_SMOKE}/events.parquet")
+    ev.write.partitionBy("event_type").parquet(out)
+    before = {
+        r.event_type: r.n
+        for r in spark.read.parquet(out)
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    # reload 'click' only, halved
+    reload_df = ev.filter(F.col("event_type") == "click").limit(
+        before["click"] // 2
+    )
+    overwrite_partitions(reload_df, out, ["event_type"])
+    after = {
+        r.event_type: r.n
+        for r in spark.read.parquet(out)
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert after["click"] == before["click"] // 2
+    for k in before:
+        if k != "click":
+            assert after[k] == before[k], k
+    # conf restored
+    assert (
+        spark.conf.get("spark.sql.sources.partitionOverwriteMode").upper()
+        == "STATIC"
+    )
