@@ -30,11 +30,23 @@ from ..functions.text import md5_64
 FP_BUCKETS = 64
 
 
+NULL_SENTINEL = "<NULL>"
+
+
 def row_fingerprint(cols: Sequence[Column]) -> Column:
-    """60-bit md5 hash of the '|'-joined rendered columns. Callers must
-    pre-render every column to a portable string (ints/strings/dates are
-    portable; doubles must be scaled to integers first)."""
-    return md5_64(F.concat_ws("|", *cols))
+    """60-bit md5 hash of the '|'-joined rendered columns.
+
+    Callers must pre-render every column to a portable string
+    (ints/strings/dates are portable; doubles must be scaled to
+    integers first). NULLs are mapped to an explicit sentinel BEFORE
+    joining — concat_ws silently skips NULL arguments, which would
+    make (x, NULL, y) and (x, y, NULL) hash identically (an
+    anti-entropy false negative). Remaining precondition: rendered
+    strings must not contain the '|' delimiter or the sentinel (true
+    for numeric/date/code renderings; free-text columns should be
+    hashed individually first)."""
+    guarded = [F.coalesce(c, F.lit(NULL_SENTINEL)) for c in cols]
+    return md5_64(F.concat_ws("|", *guarded))
 
 
 def table_fingerprint(

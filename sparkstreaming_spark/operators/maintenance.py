@@ -67,12 +67,20 @@ def compact_parquet(
     `repartition` for when the input is skewed (a few huge files among
     thousands of tiny ones) and balanced outputs are worth one shuffle.
     Writes to a NEW directory: swapping it over the old one is the
-    caller's (atomic-publish) concern, matview.py-style."""
-    n_files = max(1, -(-_dir_bytes(in_dir) // (target_file_mb * 1024 * 1024)))
+    caller's (atomic-publish) concern, matview.py-style.
+
+    Returns the ACTUAL written file count — it can be lower than the
+    size-derived target because coalesce never increases the partition
+    count of the input scan."""
+    n_target = max(1, -(-_dir_bytes(in_dir) // (target_file_mb * 1024 * 1024)))
     df = spark.read.parquet(in_dir)
-    df = df.repartition(n_files) if shuffle else df.coalesce(n_files)
+    df = df.repartition(n_target) if shuffle else df.coalesce(n_target)
     df.write.mode("overwrite").parquet(out_dir)
-    return n_files
+    return sum(
+        1
+        for f in os.listdir(out_dir)
+        if f.endswith(".parquet") and not f.startswith(("_", "."))
+    )
 
 
 def overwrite_partitions(

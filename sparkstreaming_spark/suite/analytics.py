@@ -324,15 +324,11 @@ def q_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
     (no driver date loop), and NULL buckets take the time-weighted
     blend of their nearest observed neighbors. One exchange on the key
     serves the grid join and both window directions."""
-    from ..functions.text import md5_64
+    from ..operators.sampling import hash_bucket
     from ..operators.timeseries import linear_interpolate
 
     ev = read_table(spark, sf_dir, "events")
-    sampled = ev.filter(
-        md5_64(F.concat(F.lit(INTERP_SALT), F.col("event_id").cast("string")))
-        % 10_000
-        < INTERP_PCT
-    )
+    sampled = ev.filter(hash_bucket("event_id", INTERP_SALT) < INTERP_PCT)
     # anchors rounded BEFORE interpolating: both engines then blend
     # bit-identical doubles, so the final 6-dp round can't straddle a
     # half-ulp boundary (unrounded avgs differ by summation order)

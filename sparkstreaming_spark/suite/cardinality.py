@@ -24,11 +24,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..functions.text import md5_64
+from ..operators.sampling import _BUCKETS as _SAMPLE_BUCKETS
+from ..operators.sampling import hash_bucket
 from ..sources.batch import read_table
 from . import QuerySpec
 
-_SAMPLE_BUCKETS = 10_000
 SAMPLE_SALT = "aqp-v1"
 SAMPLE_FRACTION = 0.10
 
@@ -78,10 +78,11 @@ def q_hll_union(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _sample_pred():
-    bucket = md5_64(
-        F.concat(F.lit(SAMPLE_SALT), F.col("event_id").cast("string"))
-    ) % F.lit(_SAMPLE_BUCKETS)
-    return bucket < int(SAMPLE_FRACTION * _SAMPLE_BUCKETS)
+    # the engine-wide deterministic-sampling convention, reused —
+    # operators/sampling.py::hash_bucket IS the definition
+    return hash_bucket("event_id", SAMPLE_SALT) < int(
+        SAMPLE_FRACTION * _SAMPLE_BUCKETS
+    )
 
 
 def q_sampled_mean(spark: SparkSession, sf_dir: str) -> DataFrame:

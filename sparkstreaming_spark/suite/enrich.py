@@ -363,8 +363,8 @@ def q_quarantine_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE_QUARANTINE = f"""
 SELECT coalesce(
          CASE WHEN text IS NULL THEN 'null_text'
-              WHEN NOT (n_chars >= {QUAR_MIN_CHARS}) THEN 'too_short'
-              WHEN NOT (lang IN ('en','de','fr')) THEN 'lang_not_allowed'
+              WHEN (n_chars >= {QUAR_MIN_CHARS}) IS NOT TRUE THEN 'too_short'
+              WHEN (lang IN ('en','de','fr')) IS NOT TRUE THEN 'lang_not_allowed'
          END, 'admitted') AS disposition,
        count(*) AS n_docs,
        round(avg(n_chars), 2) AS avg_chars

@@ -337,10 +337,15 @@ def _orders_rendered():
     ]
 
 
+# each rendering coalesced to the same NULL sentinel row_fingerprint
+# applies (concat_ws skips NULLs, which would collide distinct rows)
 _SQL_ORDERS_RENDERED = (
-    "CAST(o_orderkey AS VARCHAR), CAST(o_custkey AS VARCHAR), o_orderstatus,"
-    " CAST(CAST(round(o_totalprice * 100) AS bigint) AS VARCHAR),"
-    " strftime(o_orderdate, '%Y-%m-%d %H:%M:%S'), o_orderpriority"
+    "coalesce(CAST(o_orderkey AS VARCHAR), '<NULL>'),"
+    " coalesce(CAST(o_custkey AS VARCHAR), '<NULL>'),"
+    " coalesce(o_orderstatus, '<NULL>'),"
+    " coalesce(CAST(CAST(round(o_totalprice * 100) AS bigint) AS VARCHAR), '<NULL>'),"
+    " coalesce(strftime(o_orderdate, '%Y-%m-%d %H:%M:%S'), '<NULL>'),"
+    " coalesce(o_orderpriority, '<NULL>')"
 )
 
 

@@ -366,14 +366,15 @@ def test_top_paths_takeordered(spark):
 
 
 def test_interpolate_single_hash_exchange_per_key(spark):
-    """Grid join + both window directions all hash on the key; the plan
-    must not re-exchange per window direction more than once each way
-    (<= 3 hash exchanges total: aggregate, ranges, window)."""
+    """The grid join and BOTH window directions share the event_type
+    partitioning: the whole query plans exactly 2 hash exchanges (the
+    bucket aggregate, then the key partitioning everything downstream
+    reuses) — a third would mean a window direction re-shuffled."""
     from sparkstreaming_spark.suite.analytics import q_interpolate
 
     plan = _plan(q_interpolate(spark, SF_DIR_SMOKE))
     n = plan.count("Exchange hashpartitioning")
-    assert n <= 4, f"{n} exchanges:\n{plan[:4000]}"
+    assert n == 2, f"{n} exchanges:\n{plan[:4000]}"
     assert "Python" not in plan, plan[:2000]
 
 
