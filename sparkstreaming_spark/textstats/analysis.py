@@ -258,14 +258,20 @@ def add_bigram_logprob(
     identically.
 
     Plan shape: one tokenize pass → adjacent-pair zip (codegen'd
-    slice/zip_with, no explode-then-self-join) → two vocabulary-sized
-    partial-agg count tables → two joins back. Model tables are
+    slice/zip_with, no explode-then-self-join), PERSISTED because it
+    feeds both the model build and the scoring join. The bigram count
+    table is the only pair-sized aggregate; the prefix denominator is
+    derived FROM it (cp(w1) = Σ cb over w1's bigrams — a vocab-sized
+    aggregate, never a second pass over the pairs), and the two model
+    columns come back as ONE join on the bigram key. Model tables are
     |bigram vocab| rows; broadcast when they fit, hash join when a
     web-scale vocab doesn't (Spark picks by size — no hint pinned here on
     purpose). Returns (doc_id, n_bigrams, avg_logprob) for docs with >= 2
     tokens; round(…, 6) in BOTH engines absorbs double accumulation-order
     differences per the suite convention.
     """
+    from pyspark.storagelevel import StorageLevel
+
     toks = df.select(
         F.col(id_col).alias("doc_id"), tokenize(text_col).alias("__toks")
     )
@@ -281,12 +287,15 @@ def add_bigram_logprob(
                 ),
             )
         ).alias("p"),
-    ).select("doc_id", "p.w1", "p.bigram")
-    bigram_cnt = pairs.groupBy("bigram").agg(F.count(F.lit(1)).alias("cb"))
-    prefix_cnt = pairs.groupBy("w1").agg(F.count(F.lit(1)).alias("cp"))
+    ).select("doc_id", "p.w1", "p.bigram").persist(StorageLevel.MEMORY_AND_DISK)
+    bigram_cnt = pairs.groupBy("bigram").agg(
+        F.count(F.lit(1)).alias("cb"),
+        F.first("w1").alias("w1"),  # every row of a bigram shares its prefix
+    )
+    prefix_cnt = bigram_cnt.groupBy("w1").agg(F.sum("cb").alias("cp"))
+    model = bigram_cnt.join(prefix_cnt, "w1").select("bigram", "cb", "cp")
     return (
-        pairs.join(bigram_cnt, "bigram")
-        .join(prefix_cnt, "w1")
+        pairs.join(model, "bigram")
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_bigrams"),

@@ -135,3 +135,116 @@ def test_merge_upsert_key_partition(spark, upd_rows):
     for k, v in seen.items():
         if v % 3 != 0:
             assert got[k] == v
+
+
+@settings(max_examples=12, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=1, max_value=3),        # key
+            st.integers(min_value=0, max_value=20_000),   # offset seconds
+        ),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_sessionize_matches_reference(spark, rows):
+    """Distributed sessionize == single-threaded reference on arbitrary
+    event sets (ties included)."""
+    import datetime as dt
+
+    from sparkstreaming_spark.operators.timeseries import sessionize
+
+    t0 = dt.datetime(2024, 1, 1)
+    data = [
+        (k, t0 + dt.timedelta(seconds=s), i) for i, (k, s) in enumerate(rows)
+    ]
+    df = spark.createDataFrame(data, "user_id int, ts timestamp, event_id int")
+    got = {
+        r.event_id: (r.user_id, r.session_num)
+        for r in sessionize(
+            df, key="user_id", ts="ts", tiebreak="event_id", gap_seconds=600
+        ).collect()
+    }
+    # reference: sort per key by (ts, event_id), gap > 600 starts session
+    from collections import defaultdict
+
+    per_key = defaultdict(list)
+    for k, ts, i in data:
+        per_key[k].append((ts, i))
+    want = {}
+    for k, evts in per_key.items():
+        evts.sort()
+        sess, prev = 1, None
+        for ts, i in evts:
+            if prev is not None and (ts - prev).total_seconds() > 600:
+                sess += 1
+            want[i] = (k, sess)
+            prev = ts
+    assert got == want
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.booleans(), st.booleans(), st.booleans()),
+        min_size=1,
+        max_size=30,
+    )
+)
+def test_route_quarantine_first_failure_wins(spark, flags):
+    """The reason is always the FIRST rule (priority order) whose
+    predicate is false, independent of the others."""
+    from pyspark.sql import functions as F
+
+    from sparkstreaming_spark.operators.constraints import route_quarantine
+
+    df = spark.createDataFrame(
+        [(i, a, b, c) for i, (a, b, c) in enumerate(flags)],
+        "id int, p1 boolean, p2 boolean, p3 boolean",
+    )
+    routed = route_quarantine(
+        df, [("r1", F.col("p1")), ("r2", F.col("p2")), ("r3", F.col("p3"))]
+    )
+    got = {r.id: r.quarantine_reason for r in routed.collect()}
+    for i, (a, b, c) in enumerate(flags):
+        want = None if (a and b and c) else ("r1" if not a else "r2" if not b else "r3")
+        assert got[i] == want, (i, a, b, c)
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.lists(
+        st.one_of(st.none(), st.floats(min_value=-100, max_value=100)),
+        min_size=2,
+        max_size=24,
+    )
+)
+def test_interpolate_stays_within_anchor_bounds(spark, vals):
+    """Every interpolated value lies within [min, max] of the observed
+    values (linear blending never extrapolates), and observed rows pass
+    through unchanged up to rounding."""
+    import datetime as dt
+    import math
+
+    from hypothesis import assume
+
+    from sparkstreaming_spark.operators.timeseries import linear_interpolate
+
+    observed = [v for v in vals if v is not None]
+    assume(len(observed) >= 1)
+    t0 = dt.datetime(2024, 1, 1)
+    data = [
+        ("k", t0 + dt.timedelta(hours=i), v) for i, v in enumerate(vals)
+    ]
+    df = spark.createDataFrame(data, "key string, bucket timestamp, v double")
+    out = linear_interpolate(df, "key", "bucket", "v").collect()
+    lo, hi = min(observed), max(observed)
+    for r in out:
+        assert r.value_interp is not None
+        assert lo - 1e-6 <= r.value_interp <= hi + 1e-6
+    by_bucket = {r.bucket: r.value_interp for r in out}
+    for i, v in enumerate(vals):
+        if v is not None:
+            got = by_bucket[t0 + dt.timedelta(hours=i)]
+            assert math.isclose(got, v, abs_tol=1e-6)
