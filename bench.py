@@ -118,6 +118,10 @@ HEADLINE = [
     "evt_winsorized_stats",
     "evt_mad_outliers",
     "join_null_safe",
+    "doc_incremental_dedup",
+    "evt_psi_drift",
+    "emb_semantic_dedup",
+    "doc_markup_strip",
 ]
 
 

@@ -637,3 +637,109 @@ QUERIES.update(
         ),
     }
 )
+
+
+PSI_BINS = 10  # equal-width bins over [0, 500); width_bucket adds 0/11 overflow
+PSI_EPS = 0.5  # Laplace smoothing per bin so empty bins stay log-safe
+
+
+def q_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population-stability-index drift monitor: per event_type, compare
+    the `value` distribution between a reference slice (even epoch-week,
+    floor(epoch_day/7) % 2 = 0) and a current slice (odd epoch-week) —
+    the pre-deployment check every feature/training pipeline runs before
+    trusting a new data drop. PSI = sum_bins (p-q)*ln(p/q), Laplace-
+    smoothed over the FULL bin spine (including 0/11 overflow bins) so
+    bins observed on only one side still contribute.
+
+    Scale plan: the only data-sized shuffle is the (type, bucket) partial
+    aggregate — everything after runs on ~|types|*12 rows (the spine
+    cross-join and window are on the tiny aggregate, not the events
+    scan). No UDFs; width_bucket/ln are codegen'd."""
+    ev = read_table(spark, sf_dir, "events")
+    binned = ev.select(
+        "event_type",
+        F.width_bucket(F.col("value"), F.lit(0.0), F.lit(500.0), F.lit(PSI_BINS))
+        .cast("int")
+        .alias("bucket"),
+        (
+            (F.floor(F.unix_timestamp("ts") / 86400 / 7) % 2 == 0).cast("bigint")
+        ).alias("is_ref"),
+    )
+    counts = binned.groupBy("event_type", "bucket").agg(
+        F.sum("is_ref").alias("ref_cnt"),
+        F.sum(1 - F.col("is_ref")).alias("cur_cnt"),
+    )
+    spine = (
+        ev.select("event_type")
+        .distinct()
+        .crossJoin(
+            spark.range(0, PSI_BINS + 2).select(F.col("id").cast("int").alias("bucket"))
+        )
+    )
+    full = (
+        spine.join(counts, ["event_type", "bucket"], "left")
+        .fillna(0, subset=["ref_cnt", "cur_cnt"])
+    )
+    w = Window.partitionBy("event_type")
+    n_bins = PSI_BINS + 2
+    p = (F.col("ref_cnt") + PSI_EPS) / (F.sum("ref_cnt").over(w) + PSI_EPS * n_bins)
+    q = (F.col("cur_cnt") + PSI_EPS) / (F.sum("cur_cnt").over(w) + PSI_EPS * n_bins)
+    term = (p - q) * F.log(p / q)
+    return (
+        full.withColumn("term", term)
+        .groupBy("event_type")
+        .agg(
+            F.sum("ref_cnt").alias("n_ref"),
+            F.sum("cur_cnt").alias("n_cur"),
+            F.round(F.sum("term"), 6).alias("psi"),
+        )
+    )
+
+
+ORACLE_PSI_DRIFT = f"""
+WITH binned AS (
+  SELECT event_type,
+         CAST(CASE WHEN value < 0 THEN 0
+                   WHEN value >= 500 THEN {PSI_BINS + 1}
+                   ELSE floor(value / {500.0 / PSI_BINS}) + 1 END AS INTEGER) AS bucket,
+         CASE WHEN CAST(floor(epoch(ts) / 86400 / 7) AS bigint) % 2 = 0
+              THEN 1 ELSE 0 END AS is_ref
+  FROM events
+), counts AS (
+  SELECT event_type, bucket, sum(is_ref) AS ref_cnt,
+         sum(1 - is_ref) AS cur_cnt
+  FROM binned GROUP BY 1, 2
+), spine AS (
+  SELECT event_type, CAST(r.range AS INTEGER) AS bucket
+  FROM (SELECT DISTINCT event_type FROM events)
+  CROSS JOIN range(0, {PSI_BINS + 2}) r
+), full_spine AS (
+  SELECT s.event_type, s.bucket,
+         coalesce(c.ref_cnt, 0) AS ref_cnt, coalesce(c.cur_cnt, 0) AS cur_cnt
+  FROM spine s LEFT JOIN counts c USING (event_type, bucket)
+), terms AS (
+  SELECT event_type, ref_cnt, cur_cnt,
+         ((ref_cnt + {PSI_EPS}) / (sum(ref_cnt) OVER w + {PSI_EPS * (PSI_BINS + 2)})
+          - (cur_cnt + {PSI_EPS}) / (sum(cur_cnt) OVER w + {PSI_EPS * (PSI_BINS + 2)}))
+         * ln(((ref_cnt + {PSI_EPS}) / (sum(ref_cnt) OVER w + {PSI_EPS * (PSI_BINS + 2)}))
+              / ((cur_cnt + {PSI_EPS}) / (sum(cur_cnt) OVER w + {PSI_EPS * (PSI_BINS + 2)}))) AS term
+  FROM full_spine
+  WINDOW w AS (PARTITION BY event_type)
+)
+SELECT event_type, CAST(sum(ref_cnt) AS bigint) AS n_ref,
+       CAST(sum(cur_cnt) AS bigint) AS n_cur,
+       round(sum(term), 6) AS psi
+FROM terms GROUP BY 1
+"""
+
+
+QUERIES.update(
+    {
+        "evt_psi_drift": QuerySpec(
+            q_psi_drift,
+            ORACLE_PSI_DRIFT,
+            "PSI distribution-drift monitor (spine-smoothed, tiny-agg window)",
+        ),
+    }
+)

@@ -377,3 +377,27 @@ QUERIES["doc_quarantine_split"] = QuerySpec(
     ORACLE_QUARANTINE,
     "row-level DQ quarantine routing (first-failed-rule tag, one scan)",
 )
+
+
+def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer application (textstats/bpe.py::bpe_encode_counts): learn
+    BPE_MERGES merges, then encode every document — per-doc word and
+    BPE-token counts. The encode cost is paid per DISTINCT word (the
+    dictionary join shape), not per occurrence. Learning is iterative →
+    rows-only; encode parity (expression fold == Arrow UDF == pure-Python
+    reference) is pinned in tests/test_bpe.py."""
+    from ..textstats.bpe import bpe_encode_counts, learn_bpe
+
+    d = read_table(spark, sf_dir, "documents")
+    merges = [(a, b) for a, b, _n in learn_bpe(d, "text", n_merges=BPE_MERGES)]
+    return bpe_encode_counts(d, "doc_id", "text", merges).select(
+        F.col("id").alias("doc_id"), "n_words", "n_bpe_tokens"
+    )
+
+
+QUERIES["doc_bpe_encode"] = QuerySpec(
+    q_bpe_encode,
+    None,
+    "BPE encoding via distinct-word dictionary join "
+    "(rows-only; path-parity tested)",
+)

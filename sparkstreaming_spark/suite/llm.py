@@ -1295,7 +1295,150 @@ FROM n GROUP BY lang
 """
 
 
+def q_markup_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTML boilerplate removal (textstats/cleaning.py::strip_markup).
+    The corpus is plain text, so BOTH engines first synthesize the same
+    deterministic markup (wrap each doc in a div/p shell, bold every
+    'table', entity-encode quotes around every 'value') and then strip
+    it — a genuine differential test of tag-removal + entity-decode +
+    whitespace-collapse semantics, not an identity pass. Narrow codegen'd
+    projection, zero shuffle, linear at any corpus size."""
+    from ..textstats.cleaning import MARKUP_TAG_RE, strip_markup
+
+    d = read_table(spark, sf_dir, "documents")
+    marked = F.concat(
+        F.lit('<div id="'),
+        F.col("doc_id").cast("string"),
+        F.lit('"><p>'),
+        F.regexp_replace(
+            F.regexp_replace(F.col("text"), "table", "<b>table</b>"),
+            "value",
+            "&quot;value&quot;",
+        ),
+        F.lit("</p></div>"),
+    )
+    return d.select(
+        "doc_id",
+        F.size(F.regexp_extract_all(marked, F.lit(MARKUP_TAG_RE), 0))
+        .cast("bigint")
+        .alias("n_tags"),
+        F.length(strip_markup(marked)).cast("bigint").alias("clean_len"),
+        F.md5(strip_markup(marked)).alias("clean_md5"),
+    )
+
+
+ORACLE_MARKUP_STRIP = r"""
+WITH marked AS (
+  SELECT doc_id,
+         '<div id="' || CAST(doc_id AS VARCHAR) || '"><p>' ||
+         regexp_replace(regexp_replace(text, 'table', '<b>table</b>', 'g'),
+                        'value', '&quot;value&quot;', 'g') ||
+         '</p></div>' AS html
+  FROM documents
+), stripped AS (
+  SELECT doc_id, html,
+         trim(regexp_replace(
+           regexp_replace(
+           regexp_replace(
+           regexp_replace(
+           regexp_replace(
+           regexp_replace(
+           regexp_replace(
+           regexp_replace(html, '<[^>]+>', ' ', 'g'),
+                          '&lt;', '<', 'g'),
+                          '&gt;', '>', 'g'),
+                          '&quot;', '"', 'g'),
+                          '&#39;', '''', 'g'),
+                          '&apos;', '''', 'g'),
+                          '&nbsp;', ' ', 'g'),
+                          '&amp;', '&', 'g')) AS clean0
+  FROM marked
+)
+SELECT doc_id,
+       CAST(len(regexp_extract_all(html, '<[^>]+>')) AS bigint) AS n_tags,
+       CAST(length(regexp_replace(clean0, '\s+', ' ', 'g')) AS bigint) AS clean_len,
+       md5(regexp_replace(clean0, '\s+', ' ', 'g')) AS clean_md5
+FROM stripped
+"""
+
+
+INCR_MOD = 10  # doc_id % MOD == 0 → the synthetic "incoming batch"
+INCR_N = 5
+INCR_THRESHOLD = 0.5
+
+
+def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental ingestion gate (dedup/incremental.py): classify the
+    synthetic incoming batch (doc_id % INCR_MOD == 0) against the rest of
+    the corpus as exact / near (>=50% 5-shingle containment) / new.
+    Corpus hash sets are shuffle-joined, never broadcast — the batch-vs-
+    100 TB-corpus shape."""
+    from ..dedup.incremental import incremental_dedup
+
+    d = read_table(spark, sf_dir, "documents")
+    incoming = d.filter(F.col("doc_id") % INCR_MOD == 0)
+    corpus = d.filter(F.col("doc_id") % INCR_MOD != 0)
+    return incremental_dedup(
+        corpus, incoming, "doc_id", "text", n=INCR_N, near_threshold=INCR_THRESHOLD
+    )
+
+
+def _oracle_incremental_dedup(
+    mod: int = INCR_MOD, n: int = INCR_N, thr: float = INCR_THRESHOLD
+) -> str:
+    shingles_n = (
+        f"[array_to_string(toks[i:i+{n - 1}], ' ') "
+        f"for i in generate_series(1, len(toks)-{n - 1})]"
+    )
+    return rf"""
+WITH inc AS (SELECT doc_id, md5({SQL_NORM}) AS ch, {SQL_TOKS} AS toks
+             FROM documents WHERE doc_id % {mod} = 0),
+corp_ch AS (SELECT DISTINCT md5({SQL_NORM}) AS ch
+            FROM documents WHERE doc_id % {mod} != 0),
+exacts AS (SELECT doc_id FROM inc JOIN corp_ch USING (ch)),
+rem_sh AS (SELECT doc_id,
+                  CASE WHEN len(toks) < {n} THEN []
+                       ELSE list_distinct({shingles_n}) END AS shs
+           FROM inc WHERE doc_id NOT IN (SELECT doc_id FROM exacts)),
+expl AS (SELECT doc_id, {_sql_md5_64('s')} AS h
+         FROM (SELECT doc_id, unnest(shs) AS s FROM rem_sh)),
+corp_sh AS (SELECT DISTINCT {_sql_md5_64('s')} AS h
+            FROM (SELECT unnest(list_distinct({shingles_n})) AS s
+                  FROM (SELECT {SQL_TOKS} AS toks FROM documents
+                        WHERE doc_id % {mod} != 0)
+                  WHERE len(toks) >= {n})),
+hits AS (SELECT e.doc_id, count(*) AS n_overlap
+         FROM expl e JOIN corp_sh USING (h) GROUP BY 1),
+per AS (SELECT r.doc_id, len(r.shs) AS n_shingles,
+               coalesce(h.n_overlap, 0) AS n_overlap
+        FROM rem_sh r LEFT JOIN hits h USING (doc_id))
+SELECT doc_id AS id, 'exact' AS status,
+       CAST(0 AS bigint) AS n_shingles, CAST(0 AS bigint) AS n_overlap,
+       0.0 AS containment
+FROM exacts
+UNION ALL
+SELECT doc_id AS id,
+       CASE WHEN n_shingles > 0 AND n_overlap * 1.0 / n_shingles >= {thr}
+            THEN 'near' ELSE 'new' END AS status,
+       CAST(n_shingles AS bigint) AS n_shingles,
+       CAST(n_overlap AS bigint) AS n_overlap,
+       floor(CASE WHEN n_shingles > 0 THEN n_overlap * 1.0 / n_shingles
+                  ELSE 0.0 END * 1e6 + 0.5) / 1e6 AS containment
+FROM per
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "doc_incremental_dedup": QuerySpec(
+        q_incremental_dedup,
+        _oracle_incremental_dedup(),
+        "incremental batch-vs-corpus dedup gate (exact + shingle containment)",
+    ),
+    "doc_markup_strip": QuerySpec(
+        q_markup_strip,
+        ORACLE_MARKUP_STRIP,
+        "HTML strip + entity decode + whitespace collapse (codegen'd)",
+    ),
     "doc_shuffle_shards": QuerySpec(
         q_shuffle_shards,
         ORACLE_SHUFFLE_SHARDS,

@@ -244,7 +244,47 @@ def q_knn_sq8(spark, sf_dir: str):
     return sq8_knn(emb, queries, "vec_id", "embedding", k=TOP_K)
 
 
+SEMDEDUP_THRESHOLD = 0.3  # synthetic vectors are near-orthogonal; real
+# sentence embeddings would use ~0.95 (SemDeDup paper) — the operator is
+# threshold-agnostic, the query pins a value that exercises it on this data
+
+
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup pruning (dedup/semdedup.py): `label` stands in for the
+    k-means cluster id; emit the dropped set with each drop's best
+    smaller-id cosine. One cluster-keyed shuffle, per-cluster GEMM."""
+    from ..dedup.semdedup import semantic_dedup_dropped
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    return semantic_dedup_dropped(
+        emb, "vec_id", "embedding", "label", threshold=SEMDEDUP_THRESHOLD
+    ).select(
+        F.col("id").alias("vec_id"),
+        F.col("cluster").alias("label"),
+        F.round("best_dup_cos", 6).alias("best_dup_cos"),
+    )
+
+
+ORACLE_SEMDEDUP = f"""
+WITH pairs AS (
+  SELECT b.vec_id AS vec_id, b.label AS label,
+         round(list_cosine_similarity(a.embedding::DOUBLE[],
+                                      b.embedding::DOUBLE[]), 6) AS c
+  FROM embeddings a JOIN embeddings b
+    ON a.label = b.label AND a.vec_id < b.vec_id
+)
+SELECT vec_id, label, max(c) AS best_dup_cos
+FROM pairs WHERE c >= {SEMDEDUP_THRESHOLD}
+GROUP BY 1, 2
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "emb_semantic_dedup": QuerySpec(
+        q_semantic_dedup,
+        ORACLE_SEMDEDUP,
+        "SemDeDup in-cluster semantic pruning (per-cluster GEMM)",
+    ),
     "emb_knn_sq8": QuerySpec(
         q_knn_sq8, None, "int8 scalar-quantized ANN (recall-tested)"
     ),

@@ -26,6 +26,8 @@ pinned by the classic planted-corpus unit test (known merge sequence).
 
 from __future__ import annotations
 
+import pandas as pd  # module-level so pandas_udf can resolve deferred hints
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -148,4 +150,99 @@ def bpe_merge_table(
     ]
     return spark.createDataFrame(
         rows, "rank int, left string, right string, merged string, pair_count bigint"
+    )
+
+
+def _encode_word_py(word: str, ranks: dict[tuple[str, str], int]) -> list[str]:
+    """Reference encoder: apply merges in rank order, greedy leftmost —
+    identical semantics to _merge_pair_expr, used by the Arrow path."""
+    symbols = list(word) + [END]
+    for (a, b), _rank in sorted(ranks.items(), key=lambda kv: kv[1]):
+        out: list[str] = []
+        fused = False
+        for s in symbols:
+            if s == b and out and out[-1] == a and not fused:
+                out[-1] = a + b
+                fused = True
+            else:
+                out.append(s)
+                fused = False
+        symbols = out
+    return symbols
+
+
+def bpe_encode_words(
+    vocab: DataFrame,
+    merges: list[tuple[str, str]],
+    word_col: str = "word",
+    use_arrow: bool | None = None,
+) -> DataFrame:
+    """vocab + (symbols array<string>) with the learned merges applied.
+
+    Encoding runs over the DISTINCT-WORD table only (vocab-sized — the
+    corpus-wide memoization real tokenizers rely on), never per corpus
+    row. Two equivalent paths:
+    - expression: n_merges nested codegen'd folds — zero Python, right
+      for bounded merge lists (plan depth grows with the list);
+    - Arrow (`use_arrow=True`, default when len(merges) > 32): one
+      mapInPandas-style pandas UDF over the vocab table with the merge
+      ranks broadcast — right for real 30k+ merge vocabularies.
+    """
+    if use_arrow is None:
+        use_arrow = len(merges) > 32
+    if not use_arrow:
+        chars = F.split(F.col(word_col), "")
+        sym = F.concat(
+            F.filter(chars, lambda c: c != F.lit("")), F.array(F.lit(END))
+        )
+        for a, b in merges:
+            sym = _merge_pair_expr(sym, a, b)
+        return vocab.withColumn("symbols", sym)
+
+    from pyspark.sql.functions import pandas_udf
+
+    ranks = {(a, b): i for i, (a, b) in enumerate(merges)}
+
+    @pandas_udf("array<string>")
+    def encode(words: pd.Series) -> pd.Series:
+        cache: dict[str, list[str]] = {}
+        out = []
+        for w in words:
+            if w not in cache:
+                cache[w] = _encode_word_py(w, ranks)
+            out.append(cache[w])
+        return pd.Series(out)
+
+    return vocab.withColumn("symbols", encode(F.col(word_col)))
+
+
+def bpe_encode_counts(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    merges: list[tuple[str, str]],
+    use_arrow: bool | None = None,
+) -> DataFrame:
+    """(id, n_words, n_bpe_tokens) per document under the learned merges.
+
+    Shape: explode words (narrow) → distinct-word dictionary encoded once
+    (bpe_encode_words) → hash join words→dictionary (AQE broadcasts when
+    the vocab is small; at web scale both sides hash-partition on the
+    8-byte-ish word key) → one groupBy(id) partial agg. The corpus text
+    is scanned once; the O(|word| * n_merges) encode cost is paid
+    per DISTINCT word, not per occurrence."""
+    words = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(tokenize(F.col(text_col))).alias("word"),
+    ).filter(F.length("word") > 0)
+    enc = bpe_encode_words(
+        words.select("word").distinct(), merges, use_arrow=use_arrow
+    ).select("word", F.size("symbols").cast("bigint").alias("n_sym"))
+    return (
+        words.join(enc, "word")
+        .groupBy("id")
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum("n_sym").alias("n_bpe_tokens"),
+        )
     )

@@ -81,3 +81,33 @@ def nfc_normalize(col: str | Column) -> Column:
     _nfc = pandas_udf(lambda s: s.str.normalize("NFC"), "string")
     c = F.col(col) if isinstance(col, str) else col
     return _nfc(c)
+
+
+# HTML/markup stripping — the boilerplate-removal stage that precedes
+# quality scoring when the corpus arrives as web extracts. Same design
+# contract as the PII pass: pure regexp built-ins, codegen'd, zero
+# shuffle, patterns portable across Java regex and RE2.
+MARKUP_TAG_RE = r"<[^>]+>"
+# decode order matters: &amp; LAST, so double-encoded text ("&amp;lt;")
+# decodes one level per pass exactly like an HTML parser's first pass
+MARKUP_ENTITIES: list[tuple[str, str]] = [
+    ("&lt;", "<"),
+    ("&gt;", ">"),
+    ("&quot;", '"'),
+    ("&#39;", "'"),
+    ("&apos;", "'"),
+    ("&nbsp;", " "),
+    ("&amp;", "&"),
+]
+
+
+def strip_markup(col: str | Column) -> Column:
+    """Markup → plain text: drop tags, decode the common entities,
+    collapse whitespace. Numeric entities other than &#39; are left
+    as-is (decoding arbitrary codepoints needs chr(), not a rewrite —
+    callers who need it add an Arrow-batched pass)."""
+    c = F.col(col) if isinstance(col, str) else col
+    c = F.regexp_replace(c, MARKUP_TAG_RE, " ")
+    for ent, plain in MARKUP_ENTITIES:
+        c = F.regexp_replace(c, ent, plain)
+    return F.trim(F.regexp_replace(c, r"\s+", " "))

@@ -703,3 +703,93 @@ def test_hard_negatives_blocked_equals_single_block(spark):
     labels = {r.vec_id: r.label for r in emb.select("vec_id", "label").collect()}
     for q, (n, _c) in multi.items():
         assert labels[q] != labels[n], (q, n)
+
+
+def test_incremental_dedup_plants_all_three_verdicts(spark):
+    """Planted corpus/incoming: an exact copy (normalization-insensitive),
+    a near-dup sharing >=50% of its 3-shingles, and a fresh doc."""
+    from sparkstreaming_spark.dedup.incremental import incremental_dedup
+
+    corpus = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "pack my box with five dozen liquor jugs"),
+        ],
+        ["doc_id", "text"],
+    )
+    incoming = spark.createDataFrame(
+        [
+            (10, "The quick brown fox jumps over the lazy dog!"),  # exact
+            (11, "a quick brown fox jumps over the lazy dog"),  # near
+            (12, "completely unrelated text about spark internals"),  # new
+            (13, "hi"),  # too short to shingle -> new
+        ],
+        ["doc_id", "text"],
+    )
+    out = {
+        r.id: (r.status, r.n_shingles, r.n_overlap, r.containment)
+        for r in incremental_dedup(
+            corpus, incoming, "doc_id", "text", n=3, near_threshold=0.5
+        ).collect()
+    }
+    assert out[10][0] == "exact"
+    assert out[11][0] == "near" and out[11][2] > 0
+    assert out[12][0] == "new" and out[12][2] == 0
+    assert out[13] == ("new", 0, 0, 0.0)
+
+
+def test_semantic_dedup_min_id_domination(spark):
+    """Planted chain a~b, b~c, a!~c (same cluster): min-id domination
+    drops BOTH b and c (each has a smaller-id above-threshold neighbor);
+    an unrelated cluster and a singleton survive untouched."""
+    from sparkstreaming_spark.dedup.semdedup import semantic_dedup_dropped
+
+    rows = [
+        (1, 0, [1.0, 0.0, 0.0]),
+        (2, 0, [0.9, 0.436, 0.0]),   # cos(1,2) ~ 0.9
+        (3, 0, [0.62, 0.785, 0.0]),  # cos(2,3) ~ 0.9, cos(1,3) ~ 0.62
+        (4, 1, [1.0, 0.0, 0.0]),     # other cluster: alone, kept
+        (5, 0, [0.0, 0.0, 1.0]),     # orthogonal: kept
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "label", "embedding"])
+    dropped = {
+        r.id: r.best_dup_cos
+        for r in semantic_dedup_dropped(
+            df, "vec_id", "embedding", "label", threshold=0.8
+        ).collect()
+    }
+    assert set(dropped) == {2, 3}
+    assert dropped[2] >= 0.8 and dropped[3] >= 0.8
+
+
+def test_semantic_dedup_cluster_size_guard(spark):
+    from sparkstreaming_spark.dedup.semdedup import semantic_dedup_dropped
+
+    df = spark.createDataFrame(
+        [(i, 0, [float(i), 1.0]) for i in range(5)], ["vec_id", "label", "embedding"]
+    )
+    import pytest as _pytest
+
+    with _pytest.raises(Exception, match="max_cluster_size"):
+        semantic_dedup_dropped(
+            df, "vec_id", "embedding", "label", threshold=0.99, max_cluster_size=2
+        ).collect()
+
+
+def test_strip_markup_semantics(spark):
+    from sparkstreaming_spark.textstats.cleaning import strip_markup
+
+    rows = [
+        (1, '<a href="x">link</a> text'),
+        (2, "a &amp;&nbsp;b &lt;tag&gt; &quot;q&quot; &#39;s&#39;"),
+        (3, "&amp;lt;"),          # double-encoded: one decode level only
+        (4, "<br/><br/>  "),      # collapses to empty
+        (5, "plain"),
+    ]
+    df = spark.createDataFrame(rows, ["i", "t"])
+    out = {r.i: r.c for r in df.select("i", strip_markup("t").alias("c")).collect()}
+    assert out[1] == "link text"
+    assert out[2] == 'a & b <tag> "q" \'s\''
+    assert out[3] == "&lt;"
+    assert out[4] == ""
+    assert out[5] == "plain"
