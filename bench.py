@@ -122,6 +122,14 @@ HEADLINE = [
     "evt_psi_drift",
     "emb_semantic_dedup",
     "doc_markup_strip",
+    "sql_recursive_chain",
+    "evt_ks_test",
+    "evt_autocorr",
+    "doc_token_entropy",
+    "doc_bpe_encode",
+    "evt_trend_slopes",
+    "evt_chi_square",
+    "stream_incremental_dedup",
 ]
 
 

@@ -743,3 +743,254 @@ QUERIES.update(
         ),
     }
 )
+
+
+def q_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact two-sample Kolmogorov-Smirnov statistic per event_type,
+    comparing the same even/odd epoch-week slices as evt_psi_drift:
+    KS = max over observed values of |ECDF_ref - ECDF_cur| — the
+    distribution-shift test you run when PSI flags a feature.
+
+    Scale plan: values are pre-aggregated per (type, value) BEFORE the
+    window (the classic rank-stats trick — the ECDF window sorts
+    |distinct values| rows, not |events| rows); one hash-agg shuffle +
+    one per-type window sort on the reduced table. At 100 TB you'd also
+    bucket values to a grid first (the events values are already 2 dp)."""
+    ev = read_table(spark, sf_dir, "events")
+    base = ev.select(
+        "event_type",
+        "value",
+        (
+            (F.floor(F.unix_timestamp("ts") / 86400 / 7) % 2 == 0).cast("bigint")
+        ).alias("is_ref"),
+    )
+    per_value = base.groupBy("event_type", "value").agg(
+        F.sum("is_ref").alias("n_ref"),
+        F.sum(1 - F.col("is_ref")).alias("n_cur"),
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("value")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wt = Window.partitionBy("event_type")
+    ecdf = per_value.select(
+        "event_type",
+        (F.sum("n_ref").over(w) / F.sum("n_ref").over(wt)).alias("f_ref"),
+        (F.sum("n_cur").over(w) / F.sum("n_cur").over(wt)).alias("f_cur"),
+        F.sum("n_ref").over(wt).alias("tot_ref"),
+        F.sum("n_cur").over(wt).alias("tot_cur"),
+    )
+    return ecdf.groupBy("event_type").agg(
+        F.max("tot_ref").alias("n_ref"),
+        F.max("tot_cur").alias("n_cur"),
+        (
+            F.floor(F.max(F.abs(F.col("f_ref") - F.col("f_cur"))) * 1e6 + 0.5) / 1e6
+        ).alias("ks"),
+    )
+
+
+ORACLE_KS_TEST = """
+WITH base AS (
+  SELECT event_type, value,
+         CASE WHEN CAST(floor(epoch(ts) / 86400 / 7) AS bigint) % 2 = 0
+              THEN 1 ELSE 0 END AS is_ref
+  FROM events
+), per_value AS (
+  SELECT event_type, value, sum(is_ref) AS n_ref, sum(1 - is_ref) AS n_cur
+  FROM base GROUP BY 1, 2
+), ecdf AS (
+  SELECT event_type,
+         sum(n_ref) OVER (PARTITION BY event_type ORDER BY value
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           * 1.0 / sum(n_ref) OVER (PARTITION BY event_type) AS f_ref,
+         sum(n_cur) OVER (PARTITION BY event_type ORDER BY value
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           * 1.0 / sum(n_cur) OVER (PARTITION BY event_type) AS f_cur,
+         sum(n_ref) OVER (PARTITION BY event_type) AS tot_ref,
+         sum(n_cur) OVER (PARTITION BY event_type) AS tot_cur
+  FROM per_value
+)
+SELECT event_type, CAST(max(tot_ref) AS bigint) AS n_ref,
+       CAST(max(tot_cur) AS bigint) AS n_cur,
+       floor(max(abs(f_ref - f_cur)) * 1e6 + 0.5) / 1e6 AS ks
+FROM ecdf GROUP BY 1
+"""
+
+
+ACF_LAGS = 3
+
+
+def q_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Autocorrelation function: corr(x_t, x_{t-k}) for k = 1..3 over the
+    hourly avg(value) series per event_type — the seasonality probe that
+    decides window sizes for forecasting features. The lag windows and
+    corr aggregates run on the HOURLY rollup (tiny), not raw events; the
+    only data-sized shuffle is the rollup itself."""
+    ev = read_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        F.date_trunc("hour", "ts").alias("bucket"), "event_type"
+    ).agg(F.avg("value").alias("x"))
+    w = Window.partitionBy("event_type").orderBy("bucket")
+    lagged = hourly.select(
+        "event_type",
+        "x",
+        *[F.lag("x", k).over(w).alias(f"x{k}") for k in range(1, ACF_LAGS + 1)],
+    )
+    per_lag = [
+        lagged.groupBy("event_type").agg(
+            F.lit(k).cast("int").alias("lag"),
+            F.round(F.corr("x", f"x{k}"), 6).alias("acf"),
+            F.count(f"x{k}").alias("n_pairs"),
+        )
+        for k in range(1, ACF_LAGS + 1)
+    ]
+    out = per_lag[0]
+    for df in per_lag[1:]:
+        out = out.unionByName(df)
+    return out
+
+
+ORACLE_AUTOCORR = f"""
+WITH hourly AS (
+  SELECT date_trunc('hour', ts) AS bucket, event_type, avg(value) AS x
+  FROM events GROUP BY 1, 2
+), lagged AS (
+  SELECT event_type, x,
+         lag(x, 1) OVER w AS x1, lag(x, 2) OVER w AS x2, lag(x, 3) OVER w AS x3
+  FROM hourly
+  WINDOW w AS (PARTITION BY event_type ORDER BY bucket)
+)
+SELECT event_type, CAST(k.lag AS INT) AS lag,
+       round(CASE k.lag WHEN 1 THEN corr(x, x1)
+                        WHEN 2 THEN corr(x, x2)
+                        ELSE corr(x, x3) END, 6) AS acf,
+       CASE k.lag WHEN 1 THEN count(x1) WHEN 2 THEN count(x2)
+                  ELSE count(x3) END AS n_pairs
+FROM lagged CROSS JOIN (SELECT unnest(range(1, {ACF_LAGS + 1})) AS lag) k
+GROUP BY event_type, k.lag
+"""
+
+
+QUERIES.update(
+    {
+        "evt_ks_test": QuerySpec(
+            q_ks_test,
+            ORACLE_KS_TEST,
+            "exact two-sample KS statistic (ECDF on value-aggregated table)",
+        ),
+        "evt_autocorr": QuerySpec(
+            q_autocorr,
+            ORACLE_AUTOCORR,
+            "autocorrelation function over hourly rollup (lags 1..3)",
+        ),
+    }
+)
+
+
+TREND_EPOCH = 1767225600  # 2026-01-01 00:00 UTC
+
+
+def q_trend_slopes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type linear trend: OLS slope/intercept/R2 of value against
+    event time (hours since epoch) via the built-in regression aggregates
+    (regr_slope & co are single-pass partial aggregates — the co-moment
+    partials merge associatively, so one hash-agg shuffle of 6 doubles
+    per type serves any corpus size; this is the drift-DIRECTION probe
+    next to evt_psi_drift's magnitude)."""
+    ev = read_table(spark, sf_dir, "events")
+    # center x on a fixed reference epoch (2026-01-01): with x measured
+    # from epoch 0 the intercept extrapolates ~5e5 hours back, amplifying
+    # the engines' co-moment accumulation differences past the rounding
+    # grain; centered, both engines agree to 6 dp
+    xy = ev.select(
+        "event_type",
+        ((F.unix_timestamp("ts") - F.lit(TREND_EPOCH)) / 3600.0).alias("x"),
+        F.col("value").alias("y"),
+    )
+    return xy.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        (F.floor(F.regr_slope("y", "x") * 1e6 + 0.5) / 1e6).alias("slope"),
+        (F.floor(F.regr_intercept("y", "x") * 1e4 + 0.5) / 1e4).alias("intercept"),
+        (F.floor(F.regr_r2("y", "x") * 1e6 + 0.5) / 1e6).alias("r2"),
+    )
+
+
+ORACLE_TREND_SLOPES = f"""
+SELECT event_type, count(*) AS n,
+       floor(regr_slope(value, (epoch(ts) - {TREND_EPOCH}) / 3600.0) * 1e6 + 0.5) / 1e6 AS slope,
+       floor(regr_intercept(value, (epoch(ts) - {TREND_EPOCH}) / 3600.0) * 1e4 + 0.5) / 1e4 AS intercept,
+       floor(regr_r2(value, (epoch(ts) - {TREND_EPOCH}) / 3600.0) * 1e6 + 0.5) / 1e6 AS r2
+FROM events GROUP BY 1
+"""
+
+
+def q_chi_square(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square independence test: is event_type independent of
+    day-of-week? One (type, dow) partial-agg pass; expected counts and
+    the statistic are computed with windows over the CONTINGENCY TABLE
+    (|types| x 7 rows), so nothing data-sized moves after the first
+    aggregate. Output: per-type chi2 contribution + dof — the
+    categorical-drift sibling of the numeric KS/PSI monitors."""
+    ev = read_table(spark, sf_dir, "events")
+    obs = ev.groupBy(
+        "event_type", F.dayofweek("ts").cast("int").alias("dow")
+    ).agg(F.count(F.lit(1)).alias("o"))
+    w_all = Window.partitionBy()
+    w_type = Window.partitionBy("event_type")
+    w_dow = Window.partitionBy("dow")
+    with_exp = obs.select(
+        "event_type",
+        "dow",
+        "o",
+        (
+            F.sum("o").over(w_type)
+            * F.sum("o").over(w_dow)
+            / F.sum("o").over(w_all)
+        ).alias("e"),
+    )
+    return with_exp.groupBy("event_type").agg(
+        F.sum("o").alias("n_events"),
+        F.count(F.lit(1)).cast("int").alias("n_cells"),
+        (
+            F.floor(
+                F.sum((F.col("o") - F.col("e")) * (F.col("o") - F.col("e")) / F.col("e"))
+                * 1e6
+                + 0.5
+            )
+            / 1e6
+        ).alias("chi2_contrib"),
+    )
+
+
+ORACLE_CHI_SQUARE = """
+WITH obs AS (
+  SELECT event_type, CAST(dayofweek(ts) AS INT) AS dow, count(*) AS o
+  FROM events GROUP BY 1, 2
+), with_exp AS (
+  SELECT event_type, dow, o,
+         sum(o) OVER (PARTITION BY event_type) * sum(o) OVER (PARTITION BY dow)
+           * 1.0 / sum(o) OVER () AS e
+  FROM obs
+)
+SELECT event_type, CAST(sum(o) AS bigint) AS n_events,
+       CAST(count(*) AS INT) AS n_cells,
+       floor(sum((o - e) * (o - e) / e) * 1e6 + 0.5) / 1e6 AS chi2_contrib
+FROM with_exp GROUP BY 1
+"""
+
+
+QUERIES.update(
+    {
+        "evt_trend_slopes": QuerySpec(
+            q_trend_slopes,
+            ORACLE_TREND_SLOPES,
+            "per-type OLS trend via regression aggregates (one pass)",
+        ),
+        "evt_chi_square": QuerySpec(
+            q_chi_square,
+            ORACLE_CHI_SQUARE,
+            "chi-square independence: event_type x day-of-week",
+        ),
+    }
+)

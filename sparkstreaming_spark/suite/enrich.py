@@ -379,18 +379,31 @@ QUERIES["doc_quarantine_split"] = QuerySpec(
 )
 
 
+# a FROZEN tokenizer: encoding always runs against a fixed merge list
+# (training is a separate, rarer job — doc_bpe_merges demonstrates it);
+# these merges build up the corpus's frequent stems so the encode path
+# exercises multi-level fusions
+BPE_FROZEN_MERGES: list[tuple[str, str]] = [
+    ("t", "a"), ("ta", "b"), ("tab", "l"), ("tabl", "e"), ("table", "</w>"),
+    ("v", "a"), ("va", "l"), ("val", "u"), ("valu", "e"), ("value", "</w>"),
+    ("e", "</w>"), ("s", "t"), ("r", "e"), ("a", "n"), ("o", "r"),
+    ("q", "u"), ("qu", "e"), ("que", "r"), ("quer", "y"),
+]
+
+
 def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Tokenizer application (textstats/bpe.py::bpe_encode_counts): learn
-    BPE_MERGES merges, then encode every document — per-doc word and
-    BPE-token counts. The encode cost is paid per DISTINCT word (the
-    dictionary join shape), not per occurrence. Learning is iterative →
-    rows-only; encode parity (expression fold == Arrow UDF == pure-Python
-    reference) is pinned in tests/test_bpe.py."""
-    from ..textstats.bpe import bpe_encode_counts, learn_bpe
+    """Tokenizer application (textstats/bpe.py::bpe_encode_counts):
+    encode every document with the FROZEN merge list above — per-doc
+    word and BPE-token counts. The encode cost is paid per DISTINCT word
+    (the dictionary join shape), not per occurrence; with <=32 merges the
+    expression-fold path runs (pure codegen, zero Python). Fold-order
+    semantics aren't SQL-expressible → rows-only; encode parity
+    (expression fold == Arrow UDF == pure-Python reference) is pinned in
+    tests/test_bpe.py."""
+    from ..textstats.bpe import bpe_encode_counts
 
     d = read_table(spark, sf_dir, "documents")
-    merges = [(a, b) for a, b, _n in learn_bpe(d, "text", n_merges=BPE_MERGES)]
-    return bpe_encode_counts(d, "doc_id", "text", merges).select(
+    return bpe_encode_counts(d, "doc_id", "text", BPE_FROZEN_MERGES).select(
         F.col("id").alias("doc_id"), "n_words", "n_bpe_tokens"
     )
 

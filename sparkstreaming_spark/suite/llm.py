@@ -1362,6 +1362,64 @@ FROM stripped
 """
 
 
+def q_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document unigram (token) Shannon entropy — the lexical-
+    diversity quality signal (repetitive/boilerplate docs score low,
+    used alongside the Gopher repetition gates). Computed IN-ROW with
+    codegen'd/higher-order array ops: entropy = log2(n) - sum(c*log2(c))/n
+    over per-token counts, no explode, no shuffle — a narrow projection
+    that scales linearly. The count array is sorted before the fold so
+    the float summation order is engine-independent (same convention as
+    the oracle's list_sort)."""
+    from ..functions.text import tokenize
+
+    d = read_table(spark, sf_dir, "documents")
+    staged = d.repartition(
+        spark.sparkContext.defaultParallelism
+    ).select("doc_id", tokenize("text").alias("__toks"))
+    # materialize __dis as a bound column: HOF expression args are
+    # re-evaluated per lambda invocation (see functions/text.py lesson)
+    staged = staged.select(
+        "doc_id", "__toks", F.array_distinct("__toks").alias("__dis")
+    )
+    counts = F.array_sort(
+        F.transform(
+            F.col("__dis"),
+            lambda t: F.size(F.filter(F.col("__toks"), lambda x: x == t)),
+        )
+    )
+    n = F.size("__toks")
+    sum_clogc = F.aggregate(
+        counts,
+        F.lit(0.0),
+        lambda acc, c: acc + c.cast("double") * F.log2(c.cast("double")),
+    )
+    ent = F.when(n > 0, F.log2(n.cast("double")) - sum_clogc / n).otherwise(
+        F.lit(0.0)
+    )
+    return staged.select(
+        "doc_id",
+        n.cast("bigint").alias("n_tokens"),
+        F.size("__dis").cast("bigint").alias("n_distinct"),
+        (F.floor(ent * 1e6 + F.lit(0.5)) / 1e6).alias("token_entropy"),
+    )
+
+
+ORACLE_TOKEN_ENTROPY = rf"""
+WITH t AS (SELECT doc_id, {SQL_TOKS} AS toks FROM documents),
+s AS (SELECT doc_id, len(toks) AS n,
+             list_sort([len(list_filter(toks, x -> x = u))
+                        for u in list_distinct(toks)]) AS cnts
+      FROM t)
+SELECT doc_id, CAST(n AS bigint) AS n_tokens,
+       CAST(len(cnts) AS bigint) AS n_distinct,
+       floor((CASE WHEN n > 0
+                   THEN log2(n) - coalesce(list_sum([c * log2(c) for c in cnts]), 0) / n
+                   ELSE 0.0 END) * 1e6 + 0.5) / 1e6 AS token_entropy
+FROM s
+"""
+
+
 INCR_MOD = 10  # doc_id % MOD == 0 → the synthetic "incoming batch"
 INCR_N = 5
 INCR_THRESHOLD = 0.5
@@ -1438,6 +1496,11 @@ QUERIES: dict[str, QuerySpec] = {
         q_markup_strip,
         ORACLE_MARKUP_STRIP,
         "HTML strip + entity decode + whitespace collapse (codegen'd)",
+    ),
+    "doc_token_entropy": QuerySpec(
+        q_token_entropy,
+        ORACLE_TOKEN_ENTROPY,
+        "in-row unigram Shannon entropy (no explode, order-pinned fold)",
     ),
     "doc_shuffle_shards": QuerySpec(
         q_shuffle_shards,

@@ -684,3 +684,45 @@ QUERIES: dict[str, QuerySpec] = {
         "§2.7 scalar function surface",
     ),
 }
+
+
+def q_recursive_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive CTE (Spark 4 WITH RECURSIVE): walk each doc_id < 200 up
+    its binary-ancestor chain (node -> node DIV 2 until 1) emitting every
+    intermediate (doc_id, node, depth) row — the hierarchy/graph-walk SQL
+    surface (org charts, thread reply chains, BOM explosions). The oracle
+    hash-compares the FULL chain, so the recursion itself is verified
+    step by step, not just a closed-form final answer. Iteration depth is
+    log2(max id); each step is a narrow self-union, no driver loop."""
+    from ..sources.batch import load_tables
+
+    load_tables(spark, sf_dir, ("documents",))
+    return spark.sql(
+        """
+        WITH RECURSIVE chain(doc_id, node, depth) AS (
+          SELECT doc_id, doc_id AS node, CAST(0 AS INT) AS depth
+          FROM documents WHERE doc_id < 200
+          UNION ALL
+          SELECT doc_id, node DIV 2, depth + 1 FROM chain WHERE node > 1
+        )
+        SELECT doc_id, node, depth FROM chain
+        """
+    )
+
+
+ORACLE_RECURSIVE_CHAIN = """
+WITH RECURSIVE chain(doc_id, node, depth) AS (
+  SELECT doc_id, doc_id AS node, CAST(0 AS INT) AS depth
+  FROM documents WHERE doc_id < 200
+  UNION ALL
+  SELECT doc_id, node // 2, depth + 1 FROM chain WHERE node > 1
+)
+SELECT doc_id, node, depth FROM chain
+"""
+
+
+QUERIES["sql_recursive_chain"] = QuerySpec(
+    q_recursive_chain,
+    ORACLE_RECURSIVE_CHAIN,
+    "WITH RECURSIVE ancestor-chain walk (full chain hash-verified)",
+)

@@ -722,3 +722,75 @@ QUERIES["stream_stream_left_join"] = QuerySpec(
     "LEFT OUTER stream-stream join: watermark eviction emits unmatched "
     "views (batch-twin oracle inside the guaranteed-emitted region)",
 )
+
+
+def q_stream_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The incremental ingestion gate THROUGH a live stream (streaming
+    twin of doc_incremental_dedup's exact level): incoming docs
+    (doc_id % 10 == 0) stream in, are content-hashed, deduped WITHIN the
+    stream (stateful dropDuplicates on (hash, lang) — bounded by distinct
+    content), then classified against the STATIC corpus hash set via a
+    stream-static left join, and accounted per (lang, status). The
+    static side is a distinct-reduced batch table — Spark re-plans the
+    join per micro-batch, so at scale it stays a hash join keyed on the
+    32-byte hash, never a corpus broadcast. The shingle 'near' level
+    stays in the batch gate (dedup/incremental.py) — streaming state for
+    shingle sets would be unbounded per doc."""
+    from ..functions.text import normalize_text
+    from ..sources.batch import read_table
+
+    schema = "doc_id bigint, text string, lang string, source string, n_chars bigint"
+    stream = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+    )
+    incoming = (
+        stream.filter(F.col("doc_id") % 10 == 0)
+        .select("lang", F.md5(normalize_text("text")).alias("ch"))
+        .dropDuplicates(["ch", "lang"])
+    )
+    corpus_hashes = (
+        read_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 10 != 0)
+        .select(F.md5(normalize_text("text")).alias("ch"))
+        .distinct()
+        .withColumn("__hit", F.lit(1))
+    )
+    classified = incoming.join(corpus_hashes, "ch", "left").select(
+        "lang",
+        F.when(F.col("__hit").isNotNull(), F.lit("exact"))
+        .otherwise(F.lit("new"))
+        .alias("status"),
+    )
+    return run_available_now(
+        classified,
+        lambda df: df.groupBy("lang", "status").agg(
+            F.count(F.lit(1)).alias("n_docs")
+        ),
+        output_mode="complete",
+    )
+
+
+def _oracle_stream_incremental_dedup() -> str:
+    from .llm import SQL_NORM
+
+    return f"""
+WITH inc AS (SELECT DISTINCT md5({SQL_NORM}) AS ch, lang
+             FROM documents WHERE doc_id % 10 = 0),
+corp AS (SELECT DISTINCT md5({SQL_NORM}) AS ch
+         FROM documents WHERE doc_id % 10 != 0)
+SELECT inc.lang,
+       CASE WHEN corp.ch IS NOT NULL THEN 'exact' ELSE 'new' END AS status,
+       count(*) AS n_docs
+FROM inc LEFT JOIN corp ON inc.ch = corp.ch
+GROUP BY 1, 2
+"""
+
+
+QUERIES["stream_incremental_dedup"] = QuerySpec(
+    q_stream_incremental_dedup,
+    _oracle_stream_incremental_dedup(),
+    "streaming ingestion dedup gate: stateful in-stream dedup + "
+    "stream-static hash join vs the corpus (batch-twin oracle)",
+)

@@ -226,3 +226,86 @@ def test_vocab_encode_no_pair_shuffle_for_df(spark):
     # one Exchange for the groupBy, one single-partition Exchange for the
     # vocabulary-sized ranking window — but no third for a pairwise distinct
     assert plan.count("Exchange") <= 2, plan[:3000]
+
+
+def test_psi_formula_pinned_on_planted_counts(spark):
+    """PSI on hand-computable data: one type, 6 ref rows in bucket 1 and
+    6 cur rows in bucket 2 — maximal separation for the bin layout, so
+    each side concentrates exactly where the other is empty. Expected
+    value computed from the Laplace-smoothed formula by hand."""
+    import datetime as dt
+    import math
+
+    from sparkstreaming_spark.suite.analytics import PSI_BINS, PSI_EPS, q_psi_drift
+
+    # epoch-week parity: 2026-01-01 is epoch day 20454 -> week 2922 (even
+    # -> ref); +7 days flips parity (cur)
+    ref_ts = dt.datetime(2026, 1, 1)
+    cur_ts = dt.datetime(2026, 1, 8)
+    rows = [(ref_ts, "t", 10.0)] * 6 + [(cur_ts, "t", 60.0)] * 6
+    df = spark.createDataFrame(rows, ["ts", "event_type", "value"])
+
+    import os
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        df.write.parquet(os.path.join(d, "events.parquet"))
+        out = q_psi_drift(spark, d).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r.n_ref, r.n_cur) == (6, 6)
+    n_bins = PSI_BINS + 2
+    tot = 6 + PSI_EPS * n_bins
+
+    def term(o_ref, o_cur):
+        p = (o_ref + PSI_EPS) / tot
+        q = (o_cur + PSI_EPS) / tot
+        return (p - q) * math.log(p / q)
+
+    expected = term(6, 0) + term(0, 6) + (n_bins - 2) * term(0, 0)
+    assert abs(r.psi - round(expected, 6)) < 1e-9, (r.psi, expected)
+
+
+def test_ks_statistic_pinned_on_disjoint_samples(spark):
+    """Fully-disjoint supports must give KS = 1.0; identical samples give
+    KS = 0.0 — the two analytic anchors of the statistic."""
+    import datetime as dt
+    import os
+    import tempfile
+
+    from sparkstreaming_spark.suite.analytics import q_ks_test
+
+    ref_ts = dt.datetime(2026, 1, 1)
+    cur_ts = dt.datetime(2026, 1, 8)
+    disjoint = [(ref_ts, "a", float(v)) for v in (1, 2, 3)] + [
+        (cur_ts, "a", float(v)) for v in (10, 11, 12)
+    ]
+    same = [(ref_ts, "b", float(v)) for v in (5, 6)] + [
+        (cur_ts, "b", float(v)) for v in (5, 6)
+    ]
+    df = spark.createDataFrame(disjoint + same, ["ts", "event_type", "value"])
+    with tempfile.TemporaryDirectory() as d:
+        df.write.parquet(os.path.join(d, "events.parquet"))
+        out = {r.event_type: r.ks for r in q_ks_test(spark, d).collect()}
+    assert out["a"] == 1.0
+    assert out["b"] == 0.0
+
+
+def test_chi_square_zero_for_independent_counts(spark):
+    """A perfectly-independent contingency table (same dow profile for
+    every type) must yield chi2 contribution 0 for each type."""
+    import datetime as dt
+    import os
+    import tempfile
+
+    from sparkstreaming_spark.suite.analytics import q_chi_square
+
+    rows = []
+    for t in ("a", "b"):
+        for day, n in ((dt.datetime(2026, 1, 5), 4), (dt.datetime(2026, 1, 6), 2)):
+            rows += [(day, t, 1.0)] * n
+    df = spark.createDataFrame(rows, ["ts", "event_type", "value"])
+    with tempfile.TemporaryDirectory() as d:
+        df.write.parquet(os.path.join(d, "events.parquet"))
+        out = {r.event_type: r.chi2_contrib for r in q_chi_square(spark, d).collect()}
+    assert out == {"a": 0.0, "b": 0.0}

@@ -385,3 +385,59 @@ def test_weighted_sample_excludes_nonpositive_weights(spark):
     df = spark.createDataFrame(rows, "id long, w double")
     got = {r.id for r in weighted_hash_sample(df, "id", F.col("w"), 4).collect()}
     assert got == {4, 5, 6}
+
+
+def test_runtime_bloom_filter_prunes_probe_side(spark):
+    """Runtime row-level filtering: a selective build side must inject a
+    bloom_filter_might_contain predicate into the probe-side scan — at
+    100 TB this is the difference between shuffling the whole fact table
+    and shuffling only rows that can possibly join. Size thresholds are
+    lowered so test-sized tables qualify the same way a selective dim
+    does at production scale."""
+    from pyspark.sql import functions as F
+
+    keys = (
+        "spark.sql.optimizer.runtime.bloomFilter.enabled",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+        "spark.sql.autoBroadcastJoinThreshold",
+    )
+    old = {k: spark.conf.get(k, None) for k in keys}
+    try:
+        spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "100MB"
+        )
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter."
+            "applicationSideScanSizeThreshold",
+            "0",
+        )
+        # force a shuffle join: bloom pruning only applies off-broadcast
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        import os
+        import tempfile
+
+        with tempfile.TemporaryDirectory() as d:
+            fact_p = os.path.join(d, "fact")
+            dim_p = os.path.join(d, "dim")
+            spark.range(200_000).select(
+                F.col("id").alias("k"), (F.col("id") % 97).alias("v")
+            ).write.parquet(fact_p)
+            spark.range(200_000).select(
+                F.col("id").alias("k"), (F.col("id") % 1000).alias("sel")
+            ).write.parquet(dim_p)
+            fact = spark.read.parquet(fact_p)
+            # the injection rule wants a LIKELY-SELECTIVE filter on the
+            # creation side in the query plan itself (not pre-filtered data)
+            dim = spark.read.parquet(dim_p).filter(F.col("sel") == 0)
+            joined = fact.join(dim, "k").agg(F.sum("v").alias("s"))
+            plan = joined._jdf.queryExecution().executedPlan().toString()
+            assert "bloom_filter" in plan.lower() or "BloomFilter" in plan, plan[:3000]
+            joined.collect()  # and it still computes
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)

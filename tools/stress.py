@@ -47,6 +47,10 @@ DEFAULT_OPS = [
     "evt_bitmap_distinct",
     "evt_sessionize",
     "ts_interpolate",
+    "doc_incremental_dedup",
+    "emb_semantic_dedup",
+    "doc_token_entropy",
+    "evt_ks_test",
 ]
 
 
