@@ -130,6 +130,9 @@ HEADLINE = [
     "evt_trend_slopes",
     "evt_chi_square",
     "stream_incremental_dedup",
+    "udf_grouped_agg",
+    "src_arrow_batches",
+    "emb_standardize",
 ]
 
 

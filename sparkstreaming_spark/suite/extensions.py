@@ -7,6 +7,8 @@ schema, lateral row fan-out — bit-exactly, not just rows>0.
 
 from __future__ import annotations
 
+import pandas as pd  # module-level so pandas_udf can resolve deferred hints
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -167,3 +169,116 @@ QUERIES: dict[str, QuerySpec] = {
         "Python UDTF via LATERAL (registration + 1→N fan-out)",
     ),
 }
+
+
+def q_grouped_agg_udaf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom aggregate via a GROUPED_AGG pandas UDF (the UDAF extension
+    point): per event_type, the value-weighted mean hour-of-day — an
+    aggregate Spark has no builtin for in this weighted form. Arrow ships
+    each group's columns as one batch; the UDF is a two-reduction
+    vectorized kernel (sum(w*x)/sum(w)), so the only shuffle is the
+    groupBy hash exchange — same plan shape as a native aggregate.
+    (For 100 TB note: GROUPED_AGG is not partial-aggregated — each
+    group's rows all reach one task. Fine for bounded groups like
+    event_type; for high-cardinality skewless aggs prefer expressing the
+    kernel as built-in sums, which THIS kernel deliberately mirrors so
+    the DuckDB oracle can verify the plumbing bit-exactly.)"""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def weighted_mean(x: pd.Series, w: pd.Series) -> float:
+        sw = int(w.sum())
+        return float(int((x * w).sum()) / sw) if sw else 0.0
+
+    # GROUPED_AGG UDFs can't mix with native aggregates in one agg()
+    # (INVALID_PANDAS_UDF_PLACEMENT) — so the row count is a UDF too
+    @pandas_udf("long")
+    def group_count(x: pd.Series) -> int:
+        return len(x)
+
+    ev = read_table(spark, sf_dir, "events")
+    # integer weights (value in cents): the weighted sums are then exact
+    # int64 arithmetic in BOTH engines — no float accumulation-order risk
+    keyed = ev.select(
+        "event_type",
+        F.hour("ts").cast("long").alias("hr"),
+        F.round(F.col("value") * 100, 0).cast("long").alias("w"),
+    )
+    return keyed.groupBy("event_type").agg(
+        (F.floor(weighted_mean("hr", "w") * 1e6 + F.lit(0.5)) / 1e6).alias(
+            "w_mean_hour"
+        ),
+        group_count("hr").alias("n"),
+    )
+
+
+ORACLE_GROUPED_AGG_UDAF = """
+WITH keyed AS (
+  SELECT event_type, hour(ts) AS hr,
+         CAST(round(value * 100, 0) AS bigint) AS w
+  FROM events
+)
+SELECT event_type,
+       floor(sum(hr * w) * 1.0 / sum(w) * 1e6 + 0.5) / 1e6 AS w_mean_hour,
+       count(*) AS n
+FROM keyed GROUP BY 1
+"""
+
+
+def q_arrow_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mapInArrow extension point (one level below mapInPandas: raw
+    RecordBatches, no pandas conversion): per-vector L2 norm computed by
+    a NumPy kernel reading the Arrow list column zero-copy (flatten +
+    offsets reshape). Oracle recomputes the same norm in SQL — verifying
+    the Arrow batch plumbing bit-exactly. Narrow map, no shuffle."""
+    import pyarrow as pa
+    import numpy as np
+
+    def norms(batches):
+        for batch in batches:
+            ids = batch.column("vec_id")
+            emb = batch.column("embedding")
+            flat = emb.flatten().to_numpy(zero_copy_only=False).astype("float64")
+            offs = np.asarray(emb.offsets)
+            lens = np.diff(offs)
+            # vectors are fixed-dim; reshape via the common length
+            dim = int(lens[0]) if len(lens) else 0
+            if dim and (lens == dim).all():
+                n = np.sqrt((flat.reshape(-1, dim) ** 2).sum(axis=1))
+            else:  # ragged fallback
+                n = np.array(
+                    [np.sqrt((flat[a:b] ** 2).sum()) for a, b in zip(offs, offs[1:])]
+                )
+            n = np.floor(n * 1e6 + 0.5) / 1e6
+            yield pa.RecordBatch.from_arrays(
+                [ids, pa.array(n, type=pa.float64())], ["vec_id", "l2_norm"]
+            )
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    return emb.select("vec_id", "embedding").mapInArrow(
+        norms, schema="vec_id bigint, l2_norm double"
+    )
+
+
+ORACLE_ARROW_NORMS = """
+SELECT vec_id,
+       floor(sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x * x)))
+             * 1e6 + 0.5) / 1e6 AS l2_norm
+FROM embeddings
+"""
+
+
+QUERIES.update(
+    {
+        "udf_grouped_agg": QuerySpec(
+            q_grouped_agg_udaf,
+            ORACLE_GROUPED_AGG_UDAF,
+            "GROUPED_AGG pandas UDF (UDAF surface): exact-int weighted mean",
+        ),
+        "src_arrow_batches": QuerySpec(
+            q_arrow_norms,
+            ORACLE_ARROW_NORMS,
+            "mapInArrow zero-copy batch kernel (L2 norms, oracle-exact)",
+        ),
+    }
+)

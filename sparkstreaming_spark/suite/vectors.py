@@ -313,3 +313,59 @@ QUERIES: dict[str, QuerySpec] = {
         "per-label centroid cosine cohesion (exact, broadcast centroids)",
     ),
 }
+
+
+STD_SAMPLE_IDS = 50  # bound the verified output; stats still use ALL rows
+
+
+def q_standardize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature scaling (the pre-training normalization pass): per-dim
+    z-score standardization. Per-dimension mean/stddev_pop come from ONE
+    posexplode aggregate over the whole corpus (64 rows out), get rounded
+    to 9 dp (pinning the intermediate so both engines divide identical
+    doubles), and are BROADCAST back onto the vectors — the stats table
+    is dim-sized no matter the corpus, so the normalize pass is a narrow
+    broadcast join + projection, one shuffle total. Output bounded to
+    vec_id < 50 for the oracle; the aggregate is corpus-wide."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    flat = emb.select(
+        "vec_id", F.posexplode("embedding").alias("pos", "val")
+    ).select("vec_id", F.col("pos").cast("bigint").alias("pos"), F.col("val").cast("double").alias("val"))
+    stats = flat.groupBy("pos").agg(
+        F.round(F.avg("val"), 9).alias("mu"),
+        F.round(F.stddev_pop("val"), 9).alias("sd"),
+    )
+    z = (
+        flat.filter(F.col("vec_id") < STD_SAMPLE_IDS)
+        .join(F.broadcast(stats), "pos")
+        .select(
+            "vec_id",
+            "pos",
+            (
+                F.floor((F.col("val") - F.col("mu")) / F.col("sd") * 1e6 + 0.5) / 1e6
+            ).alias("z"),
+        )
+    )
+    return z
+
+
+ORACLE_STANDARDIZE = f"""
+WITH flat AS (
+  SELECT vec_id, unnest(generate_series(1, len(embedding))) - 1 AS pos,
+         unnest(embedding::DOUBLE[]) AS val
+  FROM embeddings
+), stats AS (
+  SELECT pos, round(avg(val), 9) AS mu, round(stddev_pop(val), 9) AS sd
+  FROM flat GROUP BY pos
+)
+SELECT f.vec_id, f.pos, floor((f.val - s.mu) / s.sd * 1e6 + 0.5) / 1e6 AS z
+FROM flat f JOIN stats s USING (pos)
+WHERE f.vec_id < {STD_SAMPLE_IDS}
+"""
+
+
+QUERIES["emb_standardize"] = QuerySpec(
+    q_standardize,
+    ORACLE_STANDARDIZE,
+    "per-dim z-score scaling (corpus stats broadcast, pinned intermediates)",
+)
