@@ -133,6 +133,8 @@ HEADLINE = [
     "udf_grouped_agg",
     "src_arrow_batches",
     "emb_standardize",
+    "evt_ivm_refresh",
+    "layout_hilbert_key",
 ]
 
 

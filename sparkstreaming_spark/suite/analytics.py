@@ -994,3 +994,44 @@ QUERIES.update(
         ),
     }
 )
+
+
+IVM_MOD = 10  # event_id % MOD == 0 → the synthetic "today's delta"
+
+
+def q_ivm_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental view maintenance (operators/ivm.py): the per-type
+    stats view refreshed by MERGING the delta batch's partial state into
+    the base state — no base-data rescan. The oracle aggregates the FULL
+    table directly, proving merged-incremental == recomputed-from-scratch
+    (the IVM correctness property). Refresh cost is O(|delta| + groups)."""
+    from ..operators.ivm import aggregate_state, merge_states, read_view
+
+    ev = read_table(spark, sf_dir, "events")
+    base = ev.filter(F.col("event_id") % IVM_MOD != 0)
+    delta = ev.filter(F.col("event_id") % IVM_MOD == 0)
+    merged = merge_states(
+        aggregate_state(base, ["event_type"], "value"),
+        aggregate_state(delta, ["event_type"], "value"),
+        ["event_type"],
+    )
+    return read_view(merged)
+
+
+ORACLE_IVM_REFRESH = """
+SELECT event_type, count(*) AS n, round(sum(value), 2) AS sum_v,
+       round(sum(value) / count(*), 6) AS avg_v,
+       min(value) AS min_v, max(value) AS max_v
+FROM events GROUP BY 1
+"""
+
+
+QUERIES.update(
+    {
+        "evt_ivm_refresh": QuerySpec(
+            q_ivm_refresh,
+            ORACLE_IVM_REFRESH,
+            "incremental view maintenance: delta state merge == full recompute",
+        ),
+    }
+)

@@ -505,3 +505,27 @@ QUERIES.update(
         ),
     }
 )
+
+
+def q_hilbert_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hilbert layout key over the same (l_quantity, l_extendedprice)
+    dims as layout_zorder_key (operators/layout.py::hilbert_value) — the
+    higher-locality clustering curve. The iterative bit-rotation fold is
+    not SQL-expressible in one pass → rows-only here; exactness is pinned
+    by the pure-Python xy2d parity test and the file-stats locality test
+    (tests/test_scale_patterns.py)."""
+    from ..operators.layout import hilbert_value
+
+    li = read_table(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        hilbert_value(ZORDER_DIMS).alias("hval"),
+    )
+
+
+QUERIES["layout_hilbert_key"] = QuerySpec(
+    q_hilbert_key,
+    None,
+    "Hilbert layout key (expression fold; Python-reference parity tested)",
+)

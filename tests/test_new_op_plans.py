@@ -396,3 +396,73 @@ def test_join_strategy_hints_are_honored(spark):
         o.limit(10).join(c.limit(10).hint("shuffle_replicate_nl"))
     )
     assert "CartesianProduct" in nl, nl[:2000]
+
+
+def test_incremental_dedup_never_broadcasts_corpus(spark):
+    """The corpus hash sets must join as hash-shuffle joins (the corpus
+    side is corpus-sized at 100 TB) — a BroadcastHashJoin of the corpus
+    side here would OOM the driver at scale. The exact-hash and shingle
+    joins both carry distinct-reduced corpus sides, so the plan should
+    show partial aggregates feeding non-broadcast joins."""
+    from sparkstreaming_spark.dedup.incremental import incremental_dedup
+
+    docs = spark.read.parquet(f"{SF_DIR_SMOKE}/documents.parquet")
+    corpus = docs.filter(F.col("doc_id") % 10 != 0)
+    incoming = docs.filter(F.col("doc_id") % 10 == 0)
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", None)
+    try:
+        # the corpus sides are tiny at test scale and AQE would broadcast
+        # them; disable so the plan shows the AT-SCALE (shuffle) shape
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        plan = _plan(
+            incremental_dedup(corpus, incoming, "doc_id", "text", n=3)
+        )
+    finally:
+        if old is None:
+            spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        else:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    assert "BroadcastHashJoin" not in plan, plan[:3000]
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+
+
+def test_psi_drift_single_data_shuffle(spark):
+    """Everything after the (type, bucket) partial aggregate runs on the
+    tiny contingency table: the events scan must feed exactly one
+    data-sized Exchange (partial_sum markers), and the window/spine work
+    shuffles only aggregate-sized rows."""
+    from sparkstreaming_spark.suite.analytics import q_psi_drift
+
+    plan = _plan(q_psi_drift(spark, SF_DIR_SMOKE))
+    # partial aggregation must be map-side (partial_ markers before the
+    # first Exchange)
+    assert "partial_sum" in plan or "partial_count" in plan, plan[:3000]
+    # the raw events scan appears exactly twice (counts + distinct types);
+    # no self-join of raw events anywhere
+    assert plan.count("parquet") <= 4, plan[:3000]
+
+
+def test_semantic_dedup_one_cluster_exchange(spark):
+    """SemDeDup = one shuffle keyed by cluster feeding the per-cluster
+    GEMM (applyInPandas) — extra exchanges would mean the grouping isn't
+    being reused."""
+    from sparkstreaming_spark.dedup.semdedup import semantic_dedup_dropped
+
+    emb = spark.read.parquet(f"{SF_DIR_SMOKE}/embeddings.parquet")
+    plan = _plan(
+        semantic_dedup_dropped(emb, "vec_id", "embedding", "label", 0.5)
+    )
+    assert plan.count("Exchange") == 1, plan[:3000]
+    assert "FlatMapGroupsInPandas" in plan or "FlatMapGroupsIn" in plan, plan[:2000]
+
+
+def test_markup_strip_is_codegen_projection(spark):
+    """strip_markup must stay one whole-stage-codegen'd projection: no
+    Exchange, no Python execution."""
+    from sparkstreaming_spark.textstats.cleaning import strip_markup
+
+    docs = spark.read.parquet(f"{SF_DIR_SMOKE}/documents.parquet")
+    plan = _plan(docs.select(strip_markup("text").alias("c")))
+    assert "Exchange" not in plan, plan[:2000]
+    assert "Python" not in plan, plan[:2000]
+    assert "*(1)" in plan

@@ -62,6 +62,7 @@ def test_registry_oracles_all_parse(duck):
         "evt_hll_union",  # HLL sketch union; 3-sigma bound pinned by test
         "doc_bpe_merges",  # iterative BPE; pure-Python reference parity test
         "doc_bpe_encode",  # encodes with learned merges; path-parity test
+        "layout_hilbert_key",  # iterative bit rotation; xy2d parity test
     }, missing_oracle
     for name, spec in specs.items():
         if spec.oracle is not None:

@@ -441,3 +441,76 @@ def test_runtime_bloom_filter_prunes_probe_side(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_hilbert_value_matches_python_reference(spark):
+    """The expression-fold Hilbert index must equal the classic xy2d
+    reference on random and corner points (16-bit resolution)."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from sparkstreaming_spark.operators.layout import (
+        BITS,
+        hilbert_value,
+        hilbert_xy2d_py,
+    )
+
+    random.seed(11)
+    hi = (1 << BITS) - 1
+    pts = [(random.randint(0, hi), random.randint(0, hi)) for _ in range(300)]
+    pts += [(0, 0), (hi, hi), (0, hi), (hi, 0), (1, 0), (0, 1)]
+    df = spark.createDataFrame(pts, ["x", "y"])
+    out = df.select(
+        "x", "y", hilbert_value([("x", 0, hi), ("y", 0, hi)]).alias("h")
+    ).collect()
+    for r in out:
+        assert r.h == hilbert_xy2d_py(BITS, r.x, r.y), (r.x, r.y)
+    # adjacent curve positions are adjacent grid cells (|dx|+|dy| == 1):
+    # the locality property Z-order lacks
+    by_h = {hilbert_xy2d_py(BITS, x, y): (x, y) for x, y in pts}
+    ds = sorted(by_h)
+    for a, b in zip(ds, ds[1:]):
+        if b == a + 1:
+            (xa, ya), (xb, yb) = by_h[a], by_h[b]
+            assert abs(xa - xb) + abs(ya - yb) == 1
+
+
+def test_hilbert_layout_two_dim_skipping(spark, tmp_path):
+    """Hilbert-clustered files must be selective on BOTH dimensions, like
+    Z-order (same file-stats measurement as the zorder test)."""
+    import glob
+
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    from sparkstreaming_spark.operators.layout import write_hilbert
+    from sparkstreaming_spark.sources.batch import read_table
+
+    ev = read_table(spark, SF_DIR_CORRECT, "events").select("user_id", "value")
+    lo_u, hi_u, lo_v, hi_v = ev.agg(
+        F.min("user_id"), F.max("user_id"), F.min("value"), F.max("value")
+    ).collect()[0]
+    h_path = str(tmp_path / "hilbert")
+    write_hilbert(
+        ev, h_path, [("user_id", lo_u, hi_u), ("value", lo_v, hi_v)], n_files=8
+    )
+    spans = []
+    for f in glob.glob(h_path + "/*.parquet"):
+        md = pq.ParquetFile(f).metadata
+        mins = {"user_id": [], "value": []}
+        maxs = {"user_id": [], "value": []}
+        for rg in range(md.num_row_groups):
+            for ci in range(md.num_columns):
+                col = md.row_group(rg).column(ci)
+                mins[col.path_in_schema].append(col.statistics.min)
+                maxs[col.path_in_schema].append(col.statistics.max)
+        spans.append(
+            (
+                (max(maxs["user_id"]) - min(mins["user_id"])) / (hi_u - lo_u),
+                (max(maxs["value"]) - min(mins["value"])) / (hi_v - lo_v),
+            )
+        )
+    hu = sum(s[0] for s in spans) / len(spans)
+    hv = sum(s[1] for s in spans) / len(spans)
+    assert hu < 0.6 and hv < 0.6, f"hilbert spans too wide: {hu:.2f}, {hv:.2f}"

@@ -47,3 +47,33 @@ def test_gap_fill_custom_agg(spark):
     ).orderBy("bucket_start")
     vals = [r.value_ffill for r in out.collect()]
     assert vals == [9.0, 9.0, 2.0]
+
+
+def test_ivm_merge_semantics(spark):
+    """Merged state must equal full recompute on planted data, including
+    groups present on only one side and min/max folding across sides."""
+    from sparkstreaming_spark.operators.ivm import (
+        aggregate_state,
+        merge_states,
+        read_view,
+    )
+
+    base = spark.createDataFrame(
+        [("a", 1.0), ("a", 3.0), ("b", 5.0)], ["k", "v"]
+    )
+    delta = spark.createDataFrame(
+        [("a", -2.0), ("c", 7.0)], ["k", "v"]
+    )
+    merged = read_view(
+        merge_states(
+            aggregate_state(base, ["k"], "v"),
+            aggregate_state(delta, ["k"], "v"),
+            ["k"],
+        )
+    )
+    full = read_view(aggregate_state(base.unionByName(delta), ["k"], "v"))
+    m = {r.k: (r.n, r.sum_v, r.avg_v, r.min_v, r.max_v) for r in merged.collect()}
+    f = {r.k: (r.n, r.sum_v, r.avg_v, r.min_v, r.max_v) for r in full.collect()}
+    assert m == f
+    assert m["a"] == (3, 2.0, 0.666667, -2.0, 3.0)
+    assert m["c"] == (1, 7.0, 7.0, 7.0, 7.0)
