@@ -135,6 +135,9 @@ HEADLINE = [
     "emb_standardize",
     "evt_ivm_refresh",
     "layout_hilbert_key",
+    "evt_range_frame",
+    "window_ranking_surface",
+    "sql_lateral_topn",
 ]
 
 

@@ -1035,3 +1035,86 @@ QUERIES.update(
         ),
     }
 )
+
+
+def q_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE-frame window (value-based, not row-based): per event, the
+    count and sum of the SAME USER's events in the trailing hour —
+    the rate-limiter / velocity-check primitive. RANGE frames include
+    all peers of the boundary values, so the result is deterministic
+    under any tie order (unlike a ROWS frame on a non-unique sort key).
+    One window sort per user partition; the frame is evaluated with a
+    sliding aggregate over the sorted run, not a self-join."""
+    ev = read_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_timestamp("ts"))
+        .rangeBetween(-3600, 0)
+    )
+    return ev.filter(F.col("user_id") < 40).select(
+        "event_id",
+        "user_id",
+        F.count(F.lit(1)).over(w).alias("n_trailing_hour"),
+        F.round(F.sum("value").over(w), 2).alias("sum_trailing_hour"),
+    )
+
+
+ORACLE_RANGE_FRAME = """
+SELECT event_id, user_id,
+       count(*) OVER w AS n_trailing_hour,
+       round(sum(value) OVER w, 2) AS sum_trailing_hour
+FROM events WHERE user_id < 40
+WINDOW w AS (PARTITION BY user_id ORDER BY epoch(ts)
+             RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+"""
+
+
+def q_ranking_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full ranking-function surface in ONE window pass: rank,
+    dense_rank, percent_rank, cume_dist, ntile(4) of each order within
+    its priority class by totalprice (orderkey tiebreak so every
+    function is deterministic). One sort per partition serves all five
+    functions — Spark evaluates them over the same sorted run."""
+    o = read_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    )
+    return o.filter(F.col("o_orderkey") % 7 == 0).select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.rank().over(w).cast("bigint").alias("rk"),
+        F.dense_rank().over(w).cast("bigint").alias("drk"),
+        (F.floor(F.percent_rank().over(w) * 1e6 + 0.5) / 1e6).alias("prk"),
+        (F.floor(F.cume_dist().over(w) * 1e6 + 0.5) / 1e6).alias("cd"),
+        F.ntile(4).over(w).cast("int").alias("quartile"),
+    )
+
+
+ORACLE_RANKING_SURFACE = """
+WITH f AS (SELECT * FROM orders WHERE o_orderkey % 7 = 0)
+SELECT o_orderkey, o_orderpriority,
+       rank() OVER w AS rk,
+       dense_rank() OVER w AS drk,
+       floor(percent_rank() OVER w * 1e6 + 0.5) / 1e6 AS prk,
+       floor(cume_dist() OVER w * 1e6 + 0.5) / 1e6 AS cd,
+       CAST(ntile(4) OVER w AS INT) AS quartile
+FROM f
+WINDOW w AS (PARTITION BY o_orderpriority
+             ORDER BY o_totalprice DESC, o_orderkey ASC)
+"""
+
+
+QUERIES.update(
+    {
+        "evt_range_frame": QuerySpec(
+            q_range_frame,
+            ORACLE_RANGE_FRAME,
+            "trailing-hour RANGE window frame (tie-safe velocity check)",
+        ),
+        "window_ranking_surface": QuerySpec(
+            q_ranking_surface,
+            ORACLE_RANKING_SURFACE,
+            "rank/dense_rank/percent_rank/cume_dist/ntile in one window pass",
+        ),
+    }
+)

@@ -726,3 +726,45 @@ QUERIES["sql_recursive_chain"] = QuerySpec(
     ORACLE_RECURSIVE_CHAIN,
     "WITH RECURSIVE ancestor-chain walk (full chain hash-verified)",
 )
+
+
+def q_lateral_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL subquery (Spark 4 SQL surface): each customer's
+    top-2 orders by price — the per-row dependent subquery form users
+    write; Catalyst decorrelates it into a ranked window join rather than
+    executing per-customer (the point of declaring it rather than
+    looping). Deterministic via the (price DESC, orderkey) tiebreak."""
+    from ..sources.batch import load_tables
+
+    load_tables(spark, sf_dir, ("customer", "orders"))
+    return spark.sql(
+        """
+        SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+        FROM customer c,
+        LATERAL (
+          SELECT o_orderkey, o_totalprice FROM orders o
+          WHERE o.o_custkey = c.c_custkey
+          ORDER BY o_totalprice DESC, o_orderkey LIMIT 2
+        ) t
+        WHERE c.c_custkey < 200
+        """
+    )
+
+
+ORACLE_LATERAL_TOPN = """
+SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+FROM customer c,
+LATERAL (
+  SELECT o_orderkey, o_totalprice FROM orders o
+  WHERE o.o_custkey = c.c_custkey
+  ORDER BY o_totalprice DESC, o_orderkey LIMIT 2
+) t
+WHERE c.c_custkey < 200
+"""
+
+
+QUERIES["sql_lateral_topn"] = QuerySpec(
+    q_lateral_topn,
+    ORACLE_LATERAL_TOPN,
+    "correlated LATERAL top-n subquery (Catalyst-decorrelated)",
+)

@@ -51,6 +51,8 @@ DEFAULT_OPS = [
     "emb_semantic_dedup",
     "doc_token_entropy",
     "evt_ks_test",
+    "doc_bpe_encode",
+    "evt_ivm_refresh",
 ]
 
 
