@@ -255,7 +255,12 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     smaller-id cosine. One cluster-keyed shuffle, per-cluster GEMM."""
     from ..dedup.semdedup import semantic_dedup_dropped
 
-    emb = read_table(spark, sf_dir, "embeddings")
+    # NULL labels are excluded on BOTH engines: the oracle's equi-join
+    # drops them silently, while groupBy would form a NULL cluster —
+    # filtering keeps the semantics identical if testdata ever ships nulls
+    emb = read_table(spark, sf_dir, "embeddings").filter(
+        F.col("label").isNotNull()
+    )
     return semantic_dedup_dropped(
         emb, "vec_id", "embedding", "label", threshold=SEMDEDUP_THRESHOLD
     ).select(
