@@ -138,6 +138,8 @@ HEADLINE = [
     "evt_range_frame",
     "window_ranking_surface",
     "sql_lateral_topn",
+    "evt_map_surface",
+    "doc_ngram_jaccard",
 ]
 
 

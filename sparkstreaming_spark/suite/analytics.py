@@ -1118,3 +1118,53 @@ QUERIES.update(
         ),
     }
 )
+
+
+def q_map_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map-typed column surface in one plan: build a per-user
+    event_type -> count map (map_from_entries over collect_list),
+    map_filter (keep types seen >= 2x), transform_values (log2 bucket),
+    then explode back to rows so the oracle hash-verifies every entry
+    that survived the map pipeline. The collect_list map per user is
+    bounded by |event types| (5), not events — the per-key aggregate
+    runs first, so no unbounded row is ever collected."""
+    ev = read_table(spark, sf_dir, "events")
+    per = (
+        ev.filter(F.col("user_id") < 30)
+        .groupBy("user_id", "event_type")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    m = per.groupBy("user_id").agg(
+        F.map_from_entries(
+            F.collect_list(F.struct("event_type", "cnt"))
+        ).alias("m")
+    )
+    piped = m.select(
+        "user_id",
+        F.transform_values(
+            F.map_filter(F.col("m"), lambda _k, v: v >= 2),
+            lambda _k, v: F.floor(F.log2(v)).cast("bigint"),
+        ).alias("m2"),
+    )
+    return piped.select(
+        "user_id", F.explode("m2").alias("event_type", "cnt_bucket")
+    )
+
+
+ORACLE_MAP_SURFACE = """
+SELECT user_id, event_type,
+       CAST(floor(log2(count(*))) AS bigint) AS cnt_bucket
+FROM events WHERE user_id < 30
+GROUP BY 1, 2 HAVING count(*) >= 2
+"""
+
+
+QUERIES.update(
+    {
+        "evt_map_surface": QuerySpec(
+            q_map_surface,
+            ORACLE_MAP_SURFACE,
+            "map_from_entries -> map_filter -> transform_values -> explode",
+        ),
+    }
+)
