@@ -140,6 +140,9 @@ HEADLINE = [
     "sql_lateral_topn",
     "evt_map_surface",
     "doc_ngram_jaccard",
+    "setops_all",
+    "sql_unpivot",
+    "window_navigation_surface",
 ]
 
 

@@ -768,3 +768,121 @@ QUERIES["sql_lateral_topn"] = QuerySpec(
     ORACLE_LATERAL_TOPN,
     "correlated LATERAL top-n subquery (Catalyst-decorrelated)",
 )
+
+
+def q_setops_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiplicity-preserving set ops (the ALL variants §2.6 lacks
+    elsewhere): order-priority bags of two status slices combined with
+    INTERSECT ALL / EXCEPT ALL semantics via intersectAll/exceptAll,
+    reduced to per-priority multiplicities. Bag semantics matter when
+    rows are legitimately duplicated (event feeds) — DISTINCT set ops
+    silently change counts."""
+    o = read_table(spark, sf_dir, "orders")
+    a = o.filter(F.col("o_orderstatus") != "F").select("o_orderpriority")
+    b = o.filter(F.col("o_totalprice") > 100_000).select("o_orderpriority")
+    inter = (
+        a.intersectAll(b)
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .withColumn("op", F.lit("intersect_all"))
+    )
+    exc = (
+        a.exceptAll(b)
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .withColumn("op", F.lit("except_all"))
+    )
+    return inter.unionByName(exc).select("op", "o_orderpriority", "cnt")
+
+
+ORACLE_SETOPS_ALL = """
+WITH a AS (SELECT o_orderpriority FROM orders WHERE o_orderstatus != 'F'),
+b AS (SELECT o_orderpriority FROM orders WHERE o_totalprice > 100000),
+ia AS (SELECT o_orderpriority FROM a INTERSECT ALL SELECT o_orderpriority FROM b),
+ea AS (SELECT o_orderpriority FROM a EXCEPT ALL SELECT o_orderpriority FROM b)
+SELECT 'intersect_all' AS op, o_orderpriority, count(*) AS cnt FROM ia GROUP BY 2
+UNION ALL
+SELECT 'except_all' AS op, o_orderpriority, count(*) AS cnt FROM ea GROUP BY 2
+"""
+
+
+def q_sql_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL UNPIVOT surface (Spark 3.4+ keyword, the inverse of PIVOT):
+    melt four lineitem measures into (measure, val) rows and profile each
+    — the narrow wide-to-long reshape; Catalyst expands it to the same
+    Expand node as stack(), so it stays one scan + one partial agg."""
+    from ..sources.batch import load_tables
+
+    load_tables(spark, sf_dir, ("lineitem",))
+    return spark.sql(
+        """
+        SELECT measure, count(*) AS n, round(avg(val), 6) AS avg_val,
+               round(max(val), 2) AS max_val
+        FROM lineitem
+        UNPIVOT (val FOR measure IN (
+          l_quantity, l_extendedprice, l_discount, l_tax))
+        GROUP BY measure
+        """
+    )
+
+
+ORACLE_SQL_UNPIVOT = """
+WITH m AS (
+  SELECT 'l_quantity' AS measure, l_quantity AS val FROM lineitem
+  UNION ALL SELECT 'l_extendedprice', l_extendedprice FROM lineitem
+  UNION ALL SELECT 'l_discount', l_discount FROM lineitem
+  UNION ALL SELECT 'l_tax', l_tax FROM lineitem
+)
+SELECT measure, count(*) AS n, round(avg(val), 6) AS avg_val,
+       round(max(val), 2) AS max_val
+FROM m GROUP BY 1
+"""
+
+
+def q_window_navigation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Navigation window functions in one pass: lag, lead, first_value,
+    last_value (bounded frame), nth_value — per-user event timelines
+    (user_id < 20). The unbounded-following last_value uses an explicit
+    full-partition frame on BOTH engines (default frames differ:
+    RANGE..CURRENT ROW would return the current row itself)."""
+    ev = read_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w_full = w.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    return ev.filter(F.col("user_id") < 20).select(
+        "event_id",
+        "user_id",
+        F.lag("event_type", 1).over(w).alias("prev_type"),
+        F.lead("event_type", 1).over(w).alias("next_type"),
+        F.first("event_type").over(w_full).alias("first_type"),
+        F.last("event_type").over(w_full).alias("last_type"),
+        F.nth_value("event_type", 3).over(w_full).alias("third_type"),
+    )
+
+
+ORACLE_WINDOW_NAVIGATION = """
+SELECT event_id, user_id,
+       lag(event_type, 1) OVER w AS prev_type,
+       lead(event_type, 1) OVER w AS next_type,
+       first_value(event_type) OVER wf AS first_type,
+       last_value(event_type) OVER wf AS last_type,
+       nth_value(event_type, 3) OVER wf AS third_type
+FROM events WHERE user_id < 20
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id),
+       wf AS (PARTITION BY user_id ORDER BY ts, event_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+"""
+
+
+QUERIES["setops_all"] = QuerySpec(
+    q_setops_all, ORACLE_SETOPS_ALL, "INTERSECT ALL / EXCEPT ALL bag semantics"
+)
+QUERIES["sql_unpivot"] = QuerySpec(
+    q_sql_unpivot, ORACLE_SQL_UNPIVOT, "SQL UNPIVOT wide-to-long reshape"
+)
+QUERIES["window_navigation_surface"] = QuerySpec(
+    q_window_navigation,
+    ORACLE_WINDOW_NAVIGATION,
+    "lag/lead/first/last/nth_value in one window pass",
+)
