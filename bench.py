@@ -143,6 +143,7 @@ HEADLINE = [
     "setops_all",
     "sql_unpivot",
     "window_navigation_surface",
+    "evt_asof_forward",
 ]
 
 

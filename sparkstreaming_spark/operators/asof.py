@@ -32,14 +32,25 @@ def asof_join(
     right_ts: str,
     right_cols: list[str],
     tolerance_us: int | None = None,
+    direction: str = "backward",
 ) -> DataFrame:
     """Left as-of join; right_cols arrive prefixed `asof_` (null when no
-    right row precedes the left row).
+    right row precedes — or, with direction='forward', follows — the
+    left row).
 
-    `tolerance_us` bounds staleness: a match older than the tolerance is
-    nulled out (pandas merge_asof's `tolerance` semantics). Implemented
-    post-fill — the matched right timestamp rides along as one more
-    forward-filled column, so tolerance costs zero extra shuffles."""
+    `direction='backward'` (default) matches the LATEST right row with
+    right_ts <= left_ts; `'forward'` matches the EARLIEST right row with
+    right_ts >= left_ts (pandas merge_asof directions). Forward is the
+    same one-shuffle union-window plan with the sort reversed — no extra
+    pass.
+
+    `tolerance_us` bounds staleness: a match older (or, forward, farther
+    in the future) than the tolerance is nulled out (pandas merge_asof's
+    `tolerance` semantics). Implemented post-fill — the matched right
+    timestamp rides along as one more filled column, so tolerance costs
+    zero extra shuffles."""
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward, got {direction!r}")
     l_tagged = left.withColumn("__is_left", F.lit(1)).withColumn(
         "__ts", F.col(left_ts)
     )
@@ -53,9 +64,14 @@ def asof_join(
         .withColumn("__is_left", F.lit(0))
     )
     u = l_tagged.unionByName(r_tagged, allowMissingColumns=True)
+    ts_order = (
+        F.col("__ts").asc() if direction == "backward" else F.col("__ts").desc()
+    )
+    # right rows (__is_left=0) sort before left at equal __ts in BOTH
+    # directions, so an equal-timestamp right row always matches
     w = (
         Window.partitionBy(key)
-        .orderBy(F.col("__ts").asc(), F.col("__is_left").asc())
+        .orderBy(ts_order, F.col("__is_left").asc())
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     fill_cols = ["_matched_ts", *right_cols]
@@ -69,10 +85,10 @@ def asof_join(
     if tolerance_us is None:
         in_tol = F.lit(True)
     else:
-        in_tol = (
-            F.unix_micros(F.col(left_ts).cast("timestamp"))
-            - F.unix_micros(F.col("__filled__matched_ts").cast("timestamp"))
-        ) <= tolerance_us
+        gap = F.unix_micros(F.col(left_ts).cast("timestamp")) - F.unix_micros(
+            F.col("__filled__matched_ts").cast("timestamp")
+        )
+        in_tol = (gap if direction == "backward" else -gap) <= tolerance_us
     return (
         filled.filter(F.col("__is_left") == 1)
         .select(

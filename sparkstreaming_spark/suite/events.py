@@ -743,3 +743,56 @@ QUERIES: dict[str, QuerySpec] = {
     ),
     "evt_running_by_user": QuerySpec(q_running_by_user, ORACLE_RUNNING, "T2/T3 running totals"),
 }
+
+
+def q_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FORWARD as-of join (operators/asof.py direction='forward'):
+    each signup event matched to the same user's EARLIEST purchase
+    at-or-after it — the time-to-conversion metric — bucketed into
+    6-hour latency bands. Same one-shuffle union+window plan as the
+    backward join with the sort reversed; the oracle uses DuckDB's
+    native forward ASOF (ts <= ts), a strong cross-engine check."""
+    from ..operators.asof import asof_join
+
+    ev = read_table(spark, sf_dir, "events")
+    signups = ev.filter(F.col("event_type") == "signup")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").alias("p_ts")
+    )
+    joined = asof_join(
+        signups,
+        purchases,
+        key="user_id",
+        left_ts="ts",
+        right_ts="p_ts",
+        right_cols=["p_ts"],
+        direction="forward",
+    )
+    bands = F.floor(
+        (F.unix_micros(F.col("asof_p_ts").cast("timestamp")) - F.unix_micros("ts"))
+        / F.lit(21_600_000_000)
+    )
+    return (
+        joined.filter(F.col("asof_p_ts").isNotNull())
+        .select(bands.alias("band_6h"))
+        .groupBy("band_6h")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+ORACLE_ASOF_FORWARD = """
+SELECT cast(floor((epoch_us(p.ts) - epoch_us(s.ts)) / 21600000000) AS bigint)
+         AS band_6h,
+       count(*) AS cnt
+FROM (SELECT * FROM events WHERE event_type = 'signup') s
+ASOF JOIN (SELECT user_id, ts FROM events WHERE event_type = 'purchase') p
+  ON s.user_id = p.user_id AND s.ts <= p.ts
+GROUP BY 1
+"""
+
+
+QUERIES["evt_asof_forward"] = QuerySpec(
+    q_asof_forward,
+    ORACLE_ASOF_FORWARD,
+    "forward as-of join: time-to-conversion bands (native ASOF oracle)",
+)

@@ -77,3 +77,40 @@ def test_ivm_merge_semantics(spark):
     assert m == f
     assert m["a"] == (3, 2.0, 0.666667, -2.0, 3.0)
     assert m["c"] == (1, 7.0, 7.0, 7.0, 7.0)
+
+
+def test_asof_forward_direction_and_tolerance(spark):
+    """Forward as-of: earliest right at-or-after left; equal timestamps
+    match; tolerance nulls matches farther than the bound."""
+    import datetime as dt
+
+    from sparkstreaming_spark.operators.asof import asof_join
+
+    t = lambda m: dt.datetime(2026, 1, 1, 0, m)
+    left = spark.createDataFrame(
+        [(1, t(10)), (1, t(30)), (2, t(5))], ["k", "ts"]
+    )
+    right = spark.createDataFrame(
+        [(1, t(10), "a"), (1, t(25), "b"), (1, t(50), "c")],
+        ["k", "rts", "v"],
+    )
+    out = {
+        (r.k, r.ts.minute): r.asof_v
+        for r in asof_join(
+            left, right, key="k", left_ts="ts", right_ts="rts",
+            right_cols=["v"], direction="forward",
+        ).collect()
+    }
+    assert out[(1, 10)] == "a"   # equal ts matches
+    assert out[(1, 30)] == "c"   # next future row
+    assert out[(2, 5)] is None   # no right rows for key
+    tol = {
+        (r.k, r.ts.minute): r.asof_v
+        for r in asof_join(
+            left, right, key="k", left_ts="ts", right_ts="rts",
+            right_cols=["v"], direction="forward",
+            tolerance_us=10 * 60 * 1_000_000,
+        ).collect()
+    }
+    assert tol[(1, 10)] == "a"
+    assert tol[(1, 30)] is None  # 20 min away > 10 min tolerance
