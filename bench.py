@@ -144,6 +144,7 @@ HEADLINE = [
     "sql_unpivot",
     "window_navigation_surface",
     "evt_asof_forward",
+    "evt_merge_intervals",
 ]
 
 

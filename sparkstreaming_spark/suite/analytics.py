@@ -1064,7 +1064,7 @@ SELECT event_id, user_id,
        count(*) OVER w AS n_trailing_hour,
        round(sum(value) OVER w, 2) AS sum_trailing_hour
 FROM events WHERE user_id < 40
-WINDOW w AS (PARTITION BY user_id ORDER BY epoch(ts)
+WINDOW w AS (PARTITION BY user_id ORDER BY CAST(floor(epoch(ts)) AS bigint)
              RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
 """
 
@@ -1165,6 +1165,86 @@ QUERIES.update(
             q_map_surface,
             ORACLE_MAP_SURFACE,
             "map_from_entries -> map_filter -> transform_values -> explode",
+        ),
+    }
+)
+
+
+MERGE_IV_MIN = 30  # each event opens a 30-minute activity interval
+
+
+def q_merge_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval union (gaps-and-islands): each event opens a 30-minute
+    activity interval; overllapping intervals per user merge into islands
+    via the running-max-end trick — new island iff this start exceeds the
+    max end seen so far. Output per user: island count and total covered
+    seconds (exact integer arithmetic). One window sort per user; no
+    self-join — the naive interval-overlap self-join is O(n^2) per user
+    and this is the scalable replacement. Distinct from evt_sessionize
+    (which clusters POINTS by gaps; this unions INTERVALS)."""
+    ev = read_table(spark, sf_dir, "events")
+    iv = ev.filter(F.col("user_id") < 50).select(
+        "user_id",
+        F.unix_timestamp("ts").alias("s"),
+        (F.unix_timestamp("ts") + MERGE_IV_MIN * 60).alias("e"),
+    )
+    w = Window.partitionBy("user_id").orderBy("s", "e")
+    prev_max_end = F.max("e").over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    islanded = iv.withColumn(
+        "island",
+        F.sum(
+            F.when(
+                prev_max_end.isNull() | (F.col("s") > prev_max_end), 1
+            ).otherwise(0)
+        ).over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    islands = islanded.groupBy("user_id", "island").agg(
+        F.min("s").alias("is_start"), F.max("e").alias("is_end")
+    )
+    return islands.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_islands"),
+        F.sum(F.col("is_end") - F.col("is_start")).alias("covered_sec"),
+    )
+
+
+ORACLE_MERGE_INTERVALS = f"""
+WITH iv AS (
+  SELECT user_id, CAST(floor(epoch(ts)) AS bigint) AS s,
+         CAST(floor(epoch(ts)) AS bigint) + {MERGE_IV_MIN * 60} AS e
+  FROM events WHERE user_id < 50
+), flagged AS (
+  SELECT user_id, s, e,
+         CASE WHEN max(e) OVER (PARTITION BY user_id ORDER BY s, e
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                   IS NULL
+               OR s > max(e) OVER (PARTITION BY user_id ORDER BY s, e
+                                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+              THEN 1 ELSE 0 END AS new_island
+  FROM iv
+), islanded AS (
+  SELECT user_id, s, e,
+         sum(new_island) OVER (PARTITION BY user_id ORDER BY s, e
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS island
+  FROM flagged
+), islands AS (
+  SELECT user_id, island, min(s) AS is_start, max(e) AS is_end
+  FROM islanded GROUP BY 1, 2
+)
+SELECT user_id, count(*) AS n_islands,
+       CAST(sum(is_end - is_start) AS bigint) AS covered_sec
+FROM islands GROUP BY 1
+"""
+
+
+QUERIES.update(
+    {
+        "evt_merge_intervals": QuerySpec(
+            q_merge_intervals,
+            ORACLE_MERGE_INTERVALS,
+            "interval union via running-max-end islands (no self-join)",
         ),
     }
 )
