@@ -145,6 +145,8 @@ HEADLINE = [
     "window_navigation_surface",
     "evt_asof_forward",
     "evt_merge_intervals",
+    "evt_stickiness",
+    "evt_decayed_engagement",
 ]
 
 

@@ -1248,3 +1248,107 @@ QUERIES.update(
         ),
     }
 )
+
+
+def q_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Engagement stickiness (DAU/MAU): per calendar month, the average
+    daily-active count over the month's days divided by the month's
+    distinct actives. Both levels are partial-agg distinct counts over
+    (day, user) / (month, user) — no distinct-over-window, which Spark
+    (and any engine at 100 TB) cannot do exactly without a bitmap union;
+    the calendar-month framing keeps it exact AND mergeable."""
+    ev = read_table(spark, sf_dir, "events")
+    day_user = ev.select(
+        F.date_trunc("month", "ts").alias("month"),
+        F.date_trunc("day", "ts").alias("day"),
+        "user_id",
+    ).distinct()
+    dau = day_user.groupBy("month", "day").agg(
+        F.count(F.lit(1)).alias("dau")
+    )
+    mau = day_user.select("month", "user_id").distinct().groupBy("month").agg(
+        F.count(F.lit(1)).alias("mau")
+    )
+    per_month = dau.groupBy("month").agg(F.avg("dau").alias("avg_dau"))
+    return (
+        per_month.join(mau, "month")
+        .select(
+            F.date_format("month", "yyyy-MM").alias("month"),
+            (F.floor(F.col("avg_dau") * 1e6 + 0.5) / 1e6).alias("avg_dau"),
+            "mau",
+            (
+                F.floor(F.col("avg_dau") / F.col("mau") * 1e6 + 0.5) / 1e6
+            ).alias("stickiness"),
+        )
+    )
+
+
+ORACLE_STICKINESS = """
+WITH du AS (
+  SELECT DISTINCT date_trunc('month', ts) AS month,
+                  date_trunc('day', ts) AS day, user_id
+  FROM events
+), dau AS (
+  SELECT month, day, count(*) AS dau FROM du GROUP BY 1, 2
+), mau AS (
+  SELECT month, count(DISTINCT user_id) AS mau FROM du GROUP BY 1
+), pm AS (
+  SELECT month, avg(dau) AS avg_dau FROM dau GROUP BY 1
+)
+SELECT strftime(pm.month, '%Y-%m') AS month,
+       floor(avg_dau * 1e6 + 0.5) / 1e6 AS avg_dau,
+       mau,
+       floor(avg_dau / mau * 1e6 + 0.5) / 1e6 AS stickiness
+FROM pm JOIN mau USING (month)
+"""
+
+
+DECAY_HALFLIFE_DAYS = 30.0
+DECAY_REF_EPOCH = 1767225600  # 2026-01-01 00:00 UTC (shared with TREND_EPOCH)
+
+
+def q_decayed_engagement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-decayed engagement score (the feature-store recency-weighted
+    aggregate): per user (user_id < 40), sum of value * 0.5^(age_days /
+    halflife) with age measured back from a FIXED reference instant —
+    fixed, not now(), so the feature is reproducible and the oracle
+    deterministic. One partial-agg pass; the decay weight is a codegen'd
+    pow() on the scan, so the shuffle carries one double per user."""
+    ev = read_table(spark, sf_dir, "events")
+    age_days = (F.lit(DECAY_REF_EPOCH) - F.unix_timestamp("ts")) / 86400.0
+    w = F.pow(F.lit(0.5), age_days / DECAY_HALFLIFE_DAYS)
+    return (
+        ev.filter(F.col("user_id") < 40)
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            (F.floor(F.sum(F.col("value") * w) * 1e4 + 0.5) / 1e4).alias(
+                "decayed_score"
+            ),
+        )
+    )
+
+
+ORACLE_DECAYED_ENGAGEMENT = f"""
+SELECT user_id, count(*) AS n_events,
+       floor(sum(value * pow(0.5, ({DECAY_REF_EPOCH} - floor(epoch(ts))) / 86400.0
+                                   / {DECAY_HALFLIFE_DAYS})) * 1e4 + 0.5) / 1e4
+         AS decayed_score
+FROM events WHERE user_id < 40 GROUP BY 1
+"""
+
+
+QUERIES.update(
+    {
+        "evt_stickiness": QuerySpec(
+            q_stickiness,
+            ORACLE_STICKINESS,
+            "DAU/MAU stickiness (exact, partial-agg distinct at two grains)",
+        ),
+        "evt_decayed_engagement": QuerySpec(
+            q_decayed_engagement,
+            ORACLE_DECAYED_ENGAGEMENT,
+            "half-life-decayed engagement score (fixed reference instant)",
+        ),
+    }
+)
