@@ -147,6 +147,7 @@ HEADLINE = [
     "evt_merge_intervals",
     "evt_stickiness",
     "evt_decayed_engagement",
+    "evt_rfm_segments",
 ]
 
 

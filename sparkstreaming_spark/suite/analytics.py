@@ -1352,3 +1352,66 @@ QUERIES.update(
         ),
     }
 )
+
+
+def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation (recency / frequency / monetary): per user,
+    days-since-last-event against the fixed reference instant, event
+    count, and value sum — each quartiled by ntile(4) with a user_id
+    tiebreak so the segment code ('r-f-m') is deterministic on any
+    engine. One partial-agg pass builds the per-user triple (bounded:
+    one row per user); the three ntile windows then run on that
+    user-sized table, not the event scan."""
+    ev = read_table(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.floor(
+            (F.lit(DECAY_REF_EPOCH) - F.max(F.unix_timestamp("ts"))) / 86400
+        ).alias("recency_days"),
+        F.count(F.lit(1)).alias("frequency"),
+        F.round(F.sum("value"), 2).alias("monetary"),
+    )
+    wr = Window.orderBy(F.col("recency_days").asc(), F.col("user_id").asc())
+    wf = Window.orderBy(F.col("frequency").desc(), F.col("user_id").asc())
+    wm = Window.orderBy(F.col("monetary").desc(), F.col("user_id").asc())
+    return per_user.select(
+        "user_id",
+        "recency_days",
+        "frequency",
+        "monetary",
+        F.concat_ws(
+            "-",
+            F.ntile(4).over(wr).cast("string"),
+            F.ntile(4).over(wf).cast("string"),
+            F.ntile(4).over(wm).cast("string"),
+        ).alias("rfm_segment"),
+    )
+
+
+ORACLE_RFM = f"""
+WITH per_user AS (
+  SELECT user_id,
+         CAST(floor(({DECAY_REF_EPOCH} - max(floor(epoch(ts)))) / 86400) AS bigint)
+           AS recency_days,
+         count(*) AS frequency,
+         round(sum(value), 2) AS monetary
+  FROM events GROUP BY 1
+)
+SELECT user_id, recency_days, frequency, monetary,
+       concat_ws('-',
+         CAST(ntile(4) OVER (ORDER BY recency_days ASC, user_id ASC) AS VARCHAR),
+         CAST(ntile(4) OVER (ORDER BY frequency DESC, user_id ASC) AS VARCHAR),
+         CAST(ntile(4) OVER (ORDER BY monetary DESC, user_id ASC) AS VARCHAR)
+       ) AS rfm_segment
+FROM per_user
+"""
+
+
+QUERIES.update(
+    {
+        "evt_rfm_segments": QuerySpec(
+            q_rfm_segments,
+            ORACLE_RFM,
+            "RFM quartile segmentation (windows on the user-sized table)",
+        ),
+    }
+)
