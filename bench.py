@@ -149,6 +149,15 @@ HEADLINE = [
     "evt_decayed_engagement",
     "evt_rfm_segments",
     "doc_mime_sniff",
+    "evt_markov_transitions",
+    "basket_brand_lift",
+    "evt_ab_test",
+    "doc_token_pmi",
+    "geo_radius_pairs",
+    "evt_sliding_distinct",
+    "doc_readability",
+    "doc_tfidf_keywords",
+    "stream_chained_windows",
 ]
 
 

@@ -34,6 +34,7 @@ class QuerySpec:
 def all_queries() -> dict[str, QuerySpec]:
     from . import (
         analytics,
+        behavior,
         cardinality,
         changefeed,
         core,
@@ -43,7 +44,9 @@ def all_queries() -> dict[str, QuerySpec]:
         relational_ops,
         llm,
         scale_ops,
+        spatial,
         streaming_suite,
+        textmining,
         tpch,
         tpch2,
         vectors,
@@ -52,6 +55,7 @@ def all_queries() -> dict[str, QuerySpec]:
     registry: dict[str, QuerySpec] = {}
     for mod in (
         analytics,
+        behavior,
         cardinality,
         changefeed,
         core,
@@ -61,7 +65,9 @@ def all_queries() -> dict[str, QuerySpec]:
         relational_ops,
         llm,
         scale_ops,
+        spatial,
         streaming_suite,
+        textmining,
         tpch,
         tpch2,
         vectors,

@@ -144,3 +144,46 @@ QUERIES: dict[str, QuerySpec] = {
         "AQP: deterministic 10% hash sample, mean + stderr, oracle-exact",
     ),
 }
+
+
+def q_sliding_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distinct users over SLIDING windows (1 h window, 15 min
+    slide): the overlap means each event belongs to 4 windows — Spark's
+    window() generator expands in-row (Expand node, narrow) before ONE
+    hash aggregate on (window, distinct user). At 100 TB the expansion
+    factor is window/slide (4x here), a constant; the aggregate state is
+    bounded by windows x users-per-window, and count_distinct partial
+    aggregation dedupes map-side before the shuffle."""
+    ev = read_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour", "15 minutes").alias("w"))
+        .agg(F.count_distinct("user_id").alias("n_users"))
+        .select(
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias(
+                "window_start"
+            ),
+            "n_users",
+        )
+    )
+
+
+# each event belongs to the 4 slide-grid windows whose start is within
+# (ts - 1h, ts]; DuckDB mirrors the in-row expansion with a series join
+ORACLE_SLIDING_DISTINCT = """
+WITH x AS (
+  SELECT user_id,
+         time_bucket(INTERVAL '15 minutes', ts) - k * INTERVAL '15 minutes'
+           AS wstart
+  FROM events, generate_series(0, 3) AS g(k)
+)
+SELECT strftime(wstart, '%Y-%m-%d %H:%M:%S') AS window_start,
+       count(DISTINCT user_id) AS n_users
+FROM x GROUP BY wstart
+"""
+
+
+QUERIES["evt_sliding_distinct"] = QuerySpec(
+    q_sliding_distinct,
+    ORACLE_SLIDING_DISTINCT,
+    "exact distinct over sliding windows (in-row Expand, one aggregate)",
+)

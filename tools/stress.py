@@ -53,6 +53,14 @@ DEFAULT_OPS = [
     "evt_ks_test",
     "doc_bpe_encode",
     "evt_ivm_refresh",
+    "evt_markov_transitions",
+    "basket_brand_lift",
+    "evt_ab_test",
+    "doc_token_pmi",
+    "geo_radius_pairs",
+    "evt_sliding_distinct",
+    "doc_readability",
+    "doc_tfidf_keywords",
 ]
 
 
