@@ -158,6 +158,16 @@ HEADLINE = [
     "doc_readability",
     "doc_tfidf_keywords",
     "stream_chained_windows",
+    "evt_cusum_changepoint",
+    "evt_bootstrap_ci",
+    "doc_cross_source_dups",
+    "doc_rrf_fusion",
+    "rev_gini_by_nation",
+    "evt_benford",
+    "doc_audio_bands",
+    "evt_anova_f",
+    "udf_scalar_pandas",
+    "src_file_skipping_stats",
 ]
 
 

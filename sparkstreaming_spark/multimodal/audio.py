@@ -121,3 +121,64 @@ def audio_features(
             " rms double, peak double, n_resampled bigint"
         ),
     )
+
+
+def audio_band_energy(
+    df: DataFrame,
+    id_col: str,
+    blob_col: str = "blob",
+    n_fft: int = 256,
+    n_bands: int = 8,
+    target_rate: int = 16_000,
+    fake: bool = False,
+) -> DataFrame:
+    """Per-blob spectral profile: frame the signal into `n_fft`-sample
+    windows, rfft each frame, average |X|^2 over frames, then collapse
+    the spectrum into `n_bands` contiguous bands reported as
+    log10-energy — the canonical "cheap spectrogram" feature for audio
+    corpus triage (speech/music/noise separation, silence detection).
+
+    Output: (id, n_frames, band0..band{n_bands-1}).
+
+    Spark shape: identical to audio_features — one Arrow mapInPandas
+    pass, NumPy FFT per batch (vectorized over frames), fixed-width
+    output. Decode+FFT is embarrassingly parallel; a 100 TB corpus
+    scales by input splits with zero shuffle. `fake=True` reads raw
+    bytes as u8 samples (deterministic stand-in when the corpus has no
+    real WAV column)."""
+    n_bins = n_fft // 2 + 1
+    edges = [round(i * n_bins / n_bands) for i in range(n_bands + 1)]
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for i, blob in zip(pdf["__id"], pdf["__blob"]):
+                raw = bytes(blob)
+                if fake:
+                    samples = (
+                        np.frombuffer(raw, dtype="u1").astype("float64") - 128.0
+                    ) / 128.0
+                else:
+                    samples, _rate = decode_wav(raw)
+                n_frames = len(samples) // n_fft
+                row = {"id": i, "n_frames": n_frames}
+                if n_frames == 0:
+                    for b in range(n_bands):
+                        row[f"band{b}"] = 0.0
+                else:
+                    frames = samples[: n_frames * n_fft].reshape(n_frames, n_fft)
+                    spec = np.abs(np.fft.rfft(frames, axis=1)) ** 2
+                    mean_spec = spec.mean(axis=0)
+                    for b in range(n_bands):
+                        e = float(mean_spec[edges[b]:edges[b + 1]].mean())
+                        row[f"band{b}"] = round(float(np.log10(e + 1e-12)), 6)
+                rows.append(row)
+            yield pd.DataFrame(rows)
+
+    narrowed = df.select(
+        F.col(id_col).alias("__id"), F.col(blob_col).alias("__blob")
+    )
+    bands = ", ".join(f"band{b} double" for b in range(n_bands))
+    return narrowed.mapInPandas(
+        extract, schema=f"id long, n_frames long, {bands}"
+    )

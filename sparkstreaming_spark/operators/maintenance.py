@@ -105,3 +105,74 @@ def overwrite_partitions(
         )
     finally:
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+
+
+def surgical_delete(
+    spark: SparkSession,
+    table_dir: str,
+    key_col: str,
+    keys: list,
+) -> dict:
+    """GDPR-style targeted delete: rewrite ONLY the parquet files that
+    contain the target keys; every other file is untouched (bytes and
+    mtime identical).
+
+    The 100 TB pattern: a naive DELETE rewrites the whole table; the
+    surgical form first locates affected files via the hidden
+    `_metadata.file_path` column (a filter+distinct whose result is
+    bounded by the number of AFFECTED files, not rows), then rewrites
+    each affected file in place with the targets filtered out. With
+    key-clustered layout (write_zordered / bucketed), affected-file
+    count ≈ keys × files-per-key — a vanishing fraction of the table.
+    Each file swap is a single os.replace (atomic on POSIX); readers see
+    the old or new file, never a partial one.
+
+    Returns {"files_total", "files_rewritten", "rows_deleted"}.
+    """
+    import glob as _glob
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    df = spark.read.parquet(table_dir)
+    all_files = [
+        r.f
+        for r in df.select(F.col("_metadata.file_path").alias("f"))
+        .distinct()
+        .collect()
+    ]
+    hit = (
+        df.filter(F.col(key_col).isin(keys))
+        .select(F.col("_metadata.file_path").alias("f"))
+        .groupBy("f")
+        .count()
+        .collect()
+    )
+    rows_deleted = 0
+    for r in hit:
+        local = r.f.removeprefix("file:")
+        rows_deleted += r["count"]
+        kept = spark.read.parquet(local).filter(~F.col(key_col).isin(keys))
+        tmp = local + ".rewrite"
+        kept.coalesce(1).write.mode("overwrite").parquet(tmp)
+        part = _glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
+        os.replace(part, local)
+        # Hadoop's local FS writes .crc sidecars; swap the new one in (or
+        # drop the stale one) or checksummed reads fail on length mismatch
+        stale_crc = os.path.join(
+            os.path.dirname(local), f".{os.path.basename(local)}.crc"
+        )
+        new_crc = os.path.join(tmp, f".{os.path.basename(part)}.crc")
+        if os.path.exists(new_crc):
+            os.replace(new_crc, stale_crc)
+        elif os.path.exists(stale_crc):
+            os.remove(stale_crc)
+        shutil.rmtree(tmp, ignore_errors=True)
+    # Spark caches file listings (size + mtime) per path; the in-place
+    # swaps invalidate that cache or subsequent scans read stale lengths
+    spark.catalog.refreshByPath(table_dir)
+    return {
+        "files_total": len(all_files),
+        "files_rewritten": len(hit),
+        "rows_deleted": rows_deleted,
+    }

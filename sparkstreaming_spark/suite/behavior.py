@@ -241,3 +241,253 @@ QUERIES: dict[str, QuerySpec] = {
         "deterministic-split Welch z-test, one conditional-stats pass",
     ),
 }
+
+
+def q_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mean-shift change-point per event_type: cumulative sum of
+    (hourly mean − series mean) peaks exactly where the level changes;
+    the argmax of |CUSUM| is the classic single-change-point estimate.
+
+    Scale shape: events collapse to an hourly rollup FIRST (one hash
+    aggregate), so every window below runs on the bucketed series —
+    |types| × hours rows, not raw events. The series mean is a window
+    aggregate over that tiny table; the cumulative sum is an ordered
+    window (deterministic addition order ⇒ cross-engine identical); the
+    argmax is max_by on the rounded magnitude with a timestamp
+    tie-break, no second sort."""
+    ev = read_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        F.date_trunc("hour", "ts").alias("bucket"), "event_type"
+    ).agg(F.avg("value").alias("v"))
+    wt = Window.partitionBy("event_type")
+    wc = (
+        Window.partitionBy("event_type")
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    dev = hourly.select(
+        "event_type",
+        "bucket",
+        (F.col("v") - F.avg("v").over(wt)).alias("d"),
+    )
+    cusum = dev.select(
+        "event_type",
+        "bucket",
+        F.round(F.abs(F.sum("d").over(wc)), 6).alias("mag"),
+    )
+    return cusum.groupBy("event_type").agg(
+        F.max_by(
+            F.date_format("bucket", "yyyy-MM-dd HH:mm:ss"),
+            F.struct(F.col("mag"), (-F.unix_timestamp("bucket")).alias("tb")),
+        ).alias("change_ts"),
+        F.round(F.max("mag"), 6).alias("max_cusum"),
+        F.count(F.lit(1)).alias("n_buckets"),
+    )
+
+
+ORACLE_CUSUM = """
+WITH hourly AS (
+  SELECT date_trunc('hour', ts) AS bucket, event_type, avg(value) AS v
+  FROM events GROUP BY 1, 2
+),
+dev AS (
+  SELECT event_type, bucket,
+         v - avg(v) OVER (PARTITION BY event_type) AS d
+  FROM hourly
+),
+cusum AS (
+  SELECT event_type, bucket,
+         round(abs(sum(d) OVER (PARTITION BY event_type ORDER BY bucket
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)), 6) AS mag
+  FROM dev
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY event_type
+            ORDER BY mag DESC, bucket ASC) AS rk
+  FROM cusum
+)
+SELECT r.event_type, strftime(r.bucket, '%Y-%m-%d %H:%M:%S') AS change_ts,
+       (SELECT max(mag) FROM cusum c WHERE c.event_type = r.event_type)
+         AS max_cusum,
+       (SELECT count(*) FROM cusum c WHERE c.event_type = r.event_type)
+         AS n_buckets
+FROM ranked r WHERE r.rk = 1
+"""
+
+
+QUERIES["evt_cusum_changepoint"] = QuerySpec(
+    q_cusum_changepoint,
+    ORACLE_CUSUM,
+    "CUSUM mean-shift change-point per type (windows on the hourly rollup)",
+)
+
+
+def q_revenue_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue concentration per nation: Gini coefficient and top-decile
+    share of per-customer revenue — the inequality profile that drives
+    "whales vs long tail" product decisions.
+
+    Scale shape: orders collapse to one row per customer FIRST (hash
+    aggregate with map-side partials); the ranking window then sorts
+    customers WITHIN nations — the per-nation slice, never a global
+    sort. Revenue is rounded to 4 dp before ranking so the rank frontier
+    (and therefore Gini) is cross-engine deterministic."""
+    orders = read_table(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    cust = read_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nation = read_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    rev = orders.groupBy("o_custkey").agg(
+        F.round(F.sum("o_totalprice"), 4).alias("rev")
+    )
+    tagged = rev.join(
+        F.broadcast(cust), rev.o_custkey == cust.c_custkey
+    ).join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+    w = Window.partitionBy("n_name").orderBy("rev", "o_custkey")
+    wn = Window.partitionBy("n_name")
+    ranked = tagged.select(
+        "n_name",
+        "rev",
+        F.row_number().over(w).alias("i"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+    # G = 2*sum(i*rev) / (n*sum(rev)) - (n+1)/n   (ascending-rank form)
+    top_flag = F.when(F.col("i") > F.col("n") - F.ceil(F.col("n") / 10), F.col("rev"))
+    return ranked.groupBy("n_name").agg(
+        F.max("n").alias("n_customers"),
+        F.round(
+            2 * F.sum(F.col("i") * F.col("rev")) / (F.max("n") * F.sum("rev"))
+            - (F.max("n") + 1) / F.max("n"),
+            6,
+        ).alias("gini"),
+        F.round(F.sum(top_flag) / F.sum("rev"), 6).alias("top_decile_share"),
+    )
+
+
+ORACLE_REVENUE_GINI = """
+WITH rev AS (
+  SELECT o_custkey, round(sum(o_totalprice), 4) AS rev
+  FROM orders GROUP BY 1
+),
+tagged AS (
+  SELECT n.n_name, r.rev, r.o_custkey
+  FROM rev r
+  JOIN customer c ON r.o_custkey = c.c_custkey
+  JOIN nation n ON c.c_nationkey = n.n_nationkey
+),
+ranked AS (
+  SELECT n_name, rev,
+         row_number() OVER (PARTITION BY n_name ORDER BY rev, o_custkey) AS i,
+         count(*) OVER (PARTITION BY n_name) AS n
+  FROM tagged
+)
+SELECT n_name, max(n) AS n_customers,
+       round(2.0 * sum(i * rev) / (max(n) * sum(rev))
+             - (max(n) + 1.0) / max(n), 6) AS gini,
+       round(sum(CASE WHEN i > n - ceil(n / 10.0) THEN rev END) / sum(rev), 6)
+         AS top_decile_share
+FROM ranked GROUP BY n_name
+"""
+
+
+def q_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford first-digit audit of event values — the classic fraud /
+    synthetic-data detector. The leading digit comes from exact integer
+    arithmetic (floor(value*100) stringified), never log10 of a double,
+    so both engines bucket identically. One conditional aggregate pass;
+    the output is 9 rows regardless of input size."""
+    ev = read_table(spark, sf_dir, "events")
+    cents = F.floor(F.col("value") * 100).cast("bigint")
+    digit = F.substring(cents.cast("string"), 1, 1).cast("int")
+    base = ev.filter(F.col("value") >= 0.01).select(digit.alias("digit"))
+    wn = Window.partitionBy()
+    return (
+        base.groupBy("digit")
+        .agg(F.count(F.lit(1)).alias("n_obs"))
+        .select(
+            "digit",
+            "n_obs",
+            F.round(F.col("n_obs") / F.sum("n_obs").over(wn), 6).alias("obs_share"),
+            F.round(F.log10(1 + 1 / F.col("digit")), 6).alias("benford_share"),
+        )
+    )
+
+
+ORACLE_BENFORD = """
+WITH d AS (
+  SELECT cast(substr(cast(cast(floor(value * 100) AS BIGINT) AS varchar), 1, 1)
+              AS int) AS digit
+  FROM events WHERE value >= 0.01
+),
+c AS (SELECT digit, count(*) AS n_obs FROM d GROUP BY 1)
+SELECT digit, n_obs,
+       round(n_obs * 1.0 / sum(n_obs) OVER (), 6) AS obs_share,
+       round(log10(1 + 1.0 / digit), 6) AS benford_share
+FROM c
+"""
+
+
+QUERIES["rev_gini_by_nation"] = QuerySpec(
+    q_revenue_gini,
+    ORACLE_REVENUE_GINI,
+    "Gini + top-decile revenue concentration (per-nation window on the "
+    "customer rollup)",
+)
+QUERIES["evt_benford"] = QuerySpec(
+    q_benford,
+    ORACLE_BENFORD,
+    "Benford first-digit audit (exact integer bucketing, one pass)",
+)
+
+
+def q_anova_f(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-way ANOVA across event types: does mean(value) differ by
+    type? F = between-group mean square / within-group mean square.
+    ONE partial-aggregable pass reduces the corpus to (n, mean, var) per
+    type; every remaining term is arithmetic over that k-row table (k =
+    |types|), so the query ships k×3 doubles regardless of input size —
+    the textbook "sufficient statistics" shape for distributed stats."""
+    ev = read_table(spark, sf_dir, "events")
+    g = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.avg("value").alias("m"),
+        F.var_samp("value").alias("s2"),
+    )
+    return g.agg(
+        F.count(F.lit(1)).alias("k"),
+        F.sum("n").alias("n_total"),
+        F.round(
+            (
+                (
+                    F.sum(F.col("n") * F.col("m") * F.col("m"))
+                    - F.sum(F.col("n") * F.col("m")) * F.sum(F.col("n") * F.col("m"))
+                    / F.sum("n")
+                )
+                / (F.count(F.lit(1)) - 1)
+            )
+            / (
+                F.sum((F.col("n") - 1) * F.col("s2"))
+                / (F.sum("n") - F.count(F.lit(1)))
+            ),
+            6,
+        ).alias("f_stat"),
+    )
+
+
+ORACLE_ANOVA = """
+WITH g AS (
+  SELECT event_type, count(*) AS n, avg(value) AS m, var_samp(value) AS s2
+  FROM events GROUP BY 1
+)
+SELECT count(*) AS k, cast(sum(n) AS BIGINT) AS n_total,
+       round(
+         ((sum(n * m * m) - sum(n * m) * sum(n * m) / sum(n))
+          / (count(*) - 1))
+         / (sum((n - 1) * s2) / (sum(n) - count(*))), 6) AS f_stat
+FROM g
+"""
+
+
+QUERIES["evt_anova_f"] = QuerySpec(
+    q_anova_f,
+    ORACLE_ANOVA,
+    "one-way ANOVA F via sufficient statistics (k x 3 doubles shuffled)",
+)

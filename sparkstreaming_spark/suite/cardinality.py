@@ -187,3 +187,101 @@ QUERIES["evt_sliding_distinct"] = QuerySpec(
     ORACLE_SLIDING_DISTINCT,
     "exact distinct over sliding windows (in-row Expand, one aggregate)",
 )
+
+
+BOOT_REPS = 32
+# cumulative CDF of Poisson(1): a hash-uniform u maps to the replica
+# weight by inverse transform — the standard "Poisson bootstrap" that
+# needs no global row numbering and no sampling coordination
+_POISSON_CDF = (
+    0.36787944117144233,
+    0.7357588823428847,
+    0.9196986029286058,
+    0.9810118431238462,
+    0.9963401531726563,
+    0.9994058151824183,
+)
+
+
+def q_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poisson-bootstrap confidence interval for mean(value) per
+    event_type: 32 replicas, each row's per-replica multiplicity drawn
+    by inverse-CDF from a deterministic hash (so the whole resampling
+    plan is a pure projection — no state, no shuffle beyond the final
+    aggregate, reproducible across engines AND partitionings). This is
+    the one-pass bootstrap used at warehouse scale: fan-out is a narrow
+    in-row explode (x32), replica means are one hash aggregate, and the
+    CI is an exact percentile over the 32-value replica distribution."""
+    from ..functions.text import md5_64
+
+    ev = read_table(spark, sf_dir, "events")
+    reps = ev.select(
+        "event_type",
+        "value",
+        "event_id",
+        F.explode(F.expr(f"sequence(0, {BOOT_REPS - 1})")).alias("b"),
+    )
+    u = (
+        md5_64(
+            F.concat(
+                F.lit("boot:"),
+                F.col("event_id").cast("string"),
+                F.lit(":"),
+                F.col("b").cast("string"),
+            )
+        )
+        % 2147483647
+        + 1
+    ) / 2147483647.0
+    w = F.lit(6)
+    for k in range(len(_POISSON_CDF) - 1, -1, -1):
+        w = F.when(u < _POISSON_CDF[k], k).otherwise(w)
+    rm = (
+        reps.select("event_type", "b", F.col("value").alias("v"), w.alias("w"))
+        .groupBy("event_type", "b")
+        .agg(F.round(F.sum(F.col("w") * F.col("v")) / F.sum("w"), 9).alias("m"))
+    )
+    return rm.groupBy("event_type").agg(
+        F.round(F.avg("m"), 6).alias("boot_mean"),
+        F.round(F.percentile("m", F.lit(0.025)), 6).alias("ci_lo"),
+        F.round(F.percentile("m", F.lit(0.975)), 6).alias("ci_hi"),
+    )
+
+
+def _oracle_bootstrap() -> str:
+    cases = " ".join(
+        f"WHEN u < {t} THEN {k}" for k, t in enumerate(_POISSON_CDF)
+    )
+    return f"""
+WITH reps AS (
+  SELECT event_type, value, event_id, k AS b
+  FROM events, generate_series(0, {BOOT_REPS - 1}) AS g(k)
+),
+weighted AS (
+  SELECT event_type, b, value AS v,
+         (CASE {cases} ELSE 6 END) AS w
+  FROM (
+    SELECT *,
+           (cast(('0x' || substr(md5('boot:' || cast(event_id AS varchar)
+                || ':' || cast(b AS varchar)), 1, 15)) AS bigint)
+            % 2147483647 + 1) / 2147483647.0 AS u
+    FROM reps
+  )
+),
+rm AS (
+  SELECT event_type, b, round(sum(w * v) / sum(w), 9) AS m
+  FROM weighted GROUP BY 1, 2
+)
+SELECT event_type,
+       round(avg(m), 6) AS boot_mean,
+       round(quantile_cont(m, 0.025), 6) AS ci_lo,
+       round(quantile_cont(m, 0.975), 6) AS ci_hi
+FROM rm GROUP BY event_type
+"""
+
+
+QUERIES["evt_bootstrap_ci"] = QuerySpec(
+    q_bootstrap_ci,
+    _oracle_bootstrap(),
+    "Poisson-bootstrap CI for the mean (deterministic hash weights, one pass)",
+)

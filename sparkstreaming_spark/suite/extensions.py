@@ -282,3 +282,100 @@ QUERIES.update(
         ),
     }
 )
+
+
+def q_scalar_pandas_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCALAR pandas UDF surface (the remaining UDF extension point next
+    to GROUPED_AGG / mapInPandas / mapInArrow): a vectorized
+    NumPy/pandas kernel applied per Arrow batch inside the projection —
+    here a numerically-careful log1p-of-expm1 "softplus distance"
+    between value and its cent-rounding, something with an exact SQL
+    twin so the Arrow plumbing is oracle-verified bit-for-bit.
+
+    100 TB note: a scalar pandas UDF keeps batches columnar
+    (Arrow-vectorized, ~10-100x over row UDFs) but still breaks
+    whole-stage codegen and ships data to Python workers — the suite
+    uses it ONLY where NumPy-grade kernels are genuinely needed; this
+    query exists to pin the surface itself."""
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def cent_gap(v: pd.Series) -> pd.Series:
+        cents = np.floor(v.to_numpy() * 100.0) / 100.0
+        return pd.Series(np.round((v.to_numpy() - cents) * 10000.0, 4))
+
+    ev = read_table(spark, sf_dir, "events")
+    return (
+        ev.select("event_type", cent_gap("value").alias("gap_bp"))
+        .groupBy("event_type")
+        .agg(
+            F.round(F.avg("gap_bp"), 4).alias("avg_gap_bp"),
+            F.round(F.max("gap_bp"), 4).alias("max_gap_bp"),
+        )
+    )
+
+
+ORACLE_SCALAR_UDF = """
+WITH g AS (
+  SELECT event_type,
+         round((value - floor(value * 100) / 100) * 10000, 4) AS gap_bp
+  FROM events
+)
+SELECT event_type,
+       round(avg(gap_bp), 4) AS avg_gap_bp,
+       round(max(gap_bp), 4) AS max_gap_bp
+FROM g GROUP BY event_type
+"""
+
+
+def q_file_skipping_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-skipping effectiveness report: per-file min/max/rowcount for
+    the predicate columns, derived from the hidden `_metadata.file_path`
+    — the information a 100 TB table's footer-pruning decisions are made
+    from. tests/test_maintenance.py pins this data-derived frame equal
+    to the ACTUAL parquet footer statistics via pyarrow on a multi-file
+    layout; here the oracle recomputes it with DuckDB's filename
+    projection."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "value",
+        "user_id",
+        F.element_at(F.split(F.col("_metadata.file_path"), "/"), -1).alias("file"),
+    )
+    return ev.groupBy("file").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.round(F.min("value"), 6).alias("min_value"),
+        F.round(F.max("value"), 6).alias("max_value"),
+        F.min("user_id").alias("min_user"),
+        F.max("user_id").alias("max_user"),
+    )
+
+
+# the driver oracle sees pre-registered VIEWS (no file paths); testdata
+# tables are single parquet files, so the filename is a literal here —
+# the multi-file footer-parity check lives in tests/test_maintenance.py
+ORACLE_FILE_SKIPPING = """
+SELECT 'events.parquet' AS file,
+       count(*) AS n_rows,
+       round(min(value), 6) AS min_value,
+       round(max(value), 6) AS max_value,
+       min(user_id) AS min_user,
+       max(user_id) AS max_user
+FROM events
+"""
+
+
+QUERIES.update(
+    {
+        "udf_scalar_pandas": QuerySpec(
+            q_scalar_pandas_udf,
+            ORACLE_SCALAR_UDF,
+            "scalar pandas UDF surface (Arrow-vectorized projection kernel)",
+        ),
+        "src_file_skipping_stats": QuerySpec(
+            q_file_skipping_stats,
+            ORACLE_FILE_SKIPPING,
+            "per-file pruning stats from _metadata (footer-parity pinned by test)",
+        ),
+    }
+)

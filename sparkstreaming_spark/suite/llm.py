@@ -533,7 +533,7 @@ def q_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _oracle_bm25() -> str:
+def _oracle_bm25(top_k: int = BM25_TOPK) -> str:
     terms = ", ".join(f"'{t}'" for t in BM25_TERMS)
     return rf"""
 WITH toks AS (SELECT doc_id, {SQL_TOKS} AS toks, {SQL_NORM} AS norm FROM documents),
@@ -550,7 +550,7 @@ scored AS (SELECT p.doc_id,
            FROM posting p JOIN idf i USING (token) JOIN lens l USING (doc_id), stats s
            GROUP BY p.doc_id)
 SELECT doc_id, round(score, 6) AS bm25 FROM scored
-ORDER BY bm25 DESC, doc_id ASC LIMIT {BM25_TOPK}
+ORDER BY bm25 DESC, doc_id ASC LIMIT {top_k}
 """
 
 
@@ -1696,4 +1696,158 @@ QUERIES["doc_mime_sniff"] = QuerySpec(
     q_mime_sniff,
     ORACLE_MIME_SNIFF,
     "magic-byte content-type dispatch over binary blobs",
+)
+
+
+def q_cross_source_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source contamination matrix: the verified MinHash near-dup
+    pairs (same parameters as doc_minhash_pairs) rolled up to (source,
+    source) — which corpora duplicate each other, and how hard. The pair
+    table is tiny relative to the corpus, so the two provenance joins
+    broadcast the doc→source projection onto it; sources are canonical-
+    ordered (least/greatest) so A→B and B→A land in one cell."""
+    d = read_table(spark, sf_dir, "documents")
+    pairs = minhash_near_dup_pairs(
+        d, "doc_id", "text", num_perm=16, bands=4, shingle_n=2, threshold=0.5
+    )
+    src = d.select("doc_id", "source")
+    sa = src.select(F.col("doc_id").alias("doc_a"), F.col("source").alias("sa"))
+    sb = src.select(F.col("doc_id").alias("doc_b"), F.col("source").alias("sb"))
+    tagged = pairs.join(F.broadcast(sa), "doc_a").join(F.broadcast(sb), "doc_b")
+    return (
+        tagged.select(
+            F.least("sa", "sb").alias("source_a"),
+            F.greatest("sa", "sb").alias("source_b"),
+            "jaccard",
+        )
+        .groupBy("source_a", "source_b")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.round(F.avg("jaccard"), 6).alias("avg_jaccard"),
+        )
+    )
+
+
+def _oracle_cross_source_dups() -> str:
+    """Source rollup over the SAME verified pair set as
+    doc_minhash_pairs (nested WITH)."""
+    return f"""
+WITH pairs AS ({_oracle_minhash()}),
+tagged AS (
+  SELECT least(da.source, db.source) AS source_a,
+         greatest(da.source, db.source) AS source_b,
+         p.jaccard
+  FROM pairs p
+  JOIN documents da ON p.doc_a = da.doc_id
+  JOIN documents db ON p.doc_b = db.doc_id
+)
+SELECT source_a, source_b, count(*) AS n_pairs,
+       round(avg(jaccard), 6) AS avg_jaccard
+FROM tagged GROUP BY 1, 2
+"""
+
+
+QUERIES["doc_cross_source_dups"] = QuerySpec(
+    q_cross_source_dups,
+    _oracle_cross_source_dups(),
+    "cross-source duplicate contamination matrix over verified MinHash pairs",
+)
+
+
+RRF_K = 60
+RRF_DEPTH = 50
+RRF_TOPK = 10
+
+
+def q_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval via Reciprocal Rank Fusion: the BM25 lexical
+    ranking (textstats/ranking.py) fused with a document-length prior,
+    score = Σ 1/(60 + rank). RRF is the standard way to combine rankers
+    with incomparable score scales (lexical + vector + prior) without
+    tuning weights.
+
+    Scale shape: each ranker is already top-`RRF_DEPTH` (TakeOrdered /
+    inverted-index short lists), so the fusion join and the global
+    row_number windows run on ≤2·depth rows — driver-trivial no matter
+    the corpus size. Ranks come from ROUNDED scores with doc_id
+    tie-break, so the fused frontier is cross-engine deterministic."""
+    from ..textstats.ranking import bm25_topk
+    from pyspark.sql import Window
+
+    d = read_table(spark, sf_dir, "documents")
+    bm = bm25_topk(d, list(BM25_TERMS), top_k=RRF_DEPTH)
+    wa = Window.orderBy(F.desc("bm25"), "doc_id")
+    ra = bm.select("doc_id", F.row_number().over(wa).alias("ra"))
+    prior = (
+        d.select("doc_id", "n_chars")
+        .orderBy(F.desc("n_chars"), "doc_id")
+        .limit(RRF_DEPTH)
+    )
+    wb = Window.orderBy(F.desc("n_chars"), "doc_id")
+    rb = prior.select("doc_id", F.row_number().over(wb).alias("rb"))
+    fused = ra.join(rb, "doc_id", "full_outer").select(
+        "doc_id",
+        F.round(
+            F.coalesce(1.0 / (F.lit(RRF_K) + F.col("ra")), F.lit(0.0))
+            + F.coalesce(1.0 / (F.lit(RRF_K) + F.col("rb")), F.lit(0.0)),
+            9,
+        ).alias("rrf"),
+    )
+    return fused.orderBy(F.desc("rrf"), "doc_id").limit(RRF_TOPK)
+
+
+def _oracle_rrf() -> str:
+    return f"""
+WITH bm AS ({_oracle_bm25(top_k=RRF_DEPTH)}),
+ra AS (SELECT doc_id, row_number() OVER (ORDER BY bm25 DESC, doc_id) AS ra
+       FROM bm),
+rb AS (SELECT doc_id, row_number() OVER (ORDER BY n_chars DESC, doc_id) AS rb
+       FROM documents
+       QUALIFY rb <= {RRF_DEPTH}),
+fused AS (
+  SELECT coalesce(ra.doc_id, rb.doc_id) AS doc_id,
+         round(coalesce(1.0 / ({RRF_K} + ra.ra), 0)
+               + coalesce(1.0 / ({RRF_K} + rb.rb), 0), 9) AS rrf
+  FROM ra FULL OUTER JOIN rb ON ra.doc_id = rb.doc_id
+)
+SELECT doc_id, rrf FROM fused ORDER BY rrf DESC, doc_id LIMIT {RRF_TOPK}
+"""
+
+
+QUERIES["doc_rrf_fusion"] = QuerySpec(
+    q_rrf_fusion,
+    _oracle_rrf(),
+    "reciprocal-rank fusion of BM25 + length prior (short-list-only joins)",
+)
+
+
+def q_audio_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spectral band-energy triage over blobs (multimodal/audio.py::
+    audio_band_energy): text bytes stand in as u8 samples (the testdata
+    has no WAV column; the REAL decode path is exercised in
+    tests/test_audio.py), framed + FFT'd in one Arrow pass, then
+    averaged per lang. Rows-only: FFT isn't SQL-expressible; NumPy
+    parity is pinned by test_audio.py::test_band_energy_matches_numpy."""
+    from ..multimodal.audio import audio_band_energy
+    from ..multimodal.blobs import with_blob as _wb
+
+    d = _wb(read_table(spark, sf_dir, "documents"), "text")
+    feats = audio_band_energy(d, "doc_id", fake=True)
+    langs = read_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    return (
+        feats.join(langs, feats.id == langs.doc_id)
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.avg("band0"), 4).alias("avg_band_lo"),
+            F.round(F.avg("band7"), 4).alias("avg_band_hi"),
+            F.round(F.avg("n_frames"), 4).alias("avg_frames"),
+        )
+    )
+
+
+QUERIES["doc_audio_bands"] = QuerySpec(
+    q_audio_bands,
+    None,  # FFT band energies are not SQL-expressible; NumPy parity test
+    "FFT band-energy spectral triage (Arrow mapInPandas; rows-only)",
 )

@@ -69,3 +69,48 @@ def test_audio_features_on_spark(spark):
     for r in got.values():
         assert 0.5 < r.rms < 0.8  # sine RMS ≈ 0.707
         assert 0.9 < r.peak <= 1.0
+
+
+def test_band_energy_matches_numpy(spark):
+    """The Spark mapInPandas band energies must equal a direct NumPy
+    computation on the same samples — and a pure low-frequency sine must
+    concentrate its energy in the bottom band."""
+    import numpy as np
+
+    from sparkstreaming_spark.multimodal.audio import (
+        audio_band_energy,
+        encode_wav,
+    )
+
+    rate, n_fft, n_bands = 16000, 256, 8
+    t = np.arange(rate // 2, dtype="float64") / rate
+    x = np.sin(2 * np.pi * 220.0 * t)  # bin ~3.5 of 129 → band 0
+    pcm = (x * 32767).astype("int16")
+    df = spark.createDataFrame(
+        [(0, bytearray(encode_wav(pcm, rate)))], "id bigint, blob binary"
+    )
+    row = audio_band_energy(df, "id", "blob", n_fft=n_fft, n_bands=n_bands).collect()[0]
+
+    samples = pcm.astype("float64") / 32768.0
+    n_frames = len(samples) // n_fft
+    frames = samples[: n_frames * n_fft].reshape(n_frames, n_fft)
+    spec = (np.abs(np.fft.rfft(frames, axis=1)) ** 2).mean(axis=0)
+    n_bins = n_fft // 2 + 1
+    edges = [round(i * n_bins / n_bands) for i in range(n_bands + 1)]
+    expect = [
+        round(float(np.log10(spec[edges[b]:edges[b + 1]].mean() + 1e-12)), 6)
+        for b in range(n_bands)
+    ]
+    got = [getattr(row, f"band{b}") for b in range(n_bands)]
+    assert got == expect
+    assert row.n_frames == n_frames
+    assert got[0] == max(got)  # 220 Hz lives in the bottom band
+
+
+def test_band_energy_empty_blob_is_zero_frames(spark):
+    df = spark.createDataFrame([(0, bytearray(b""))], "id bigint, blob binary")
+    from sparkstreaming_spark.multimodal.audio import audio_band_energy
+
+    row = audio_band_energy(df, "id", "blob", fake=True).collect()[0]
+    assert row.n_frames == 0
+    assert row.band0 == 0.0

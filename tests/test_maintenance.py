@@ -125,3 +125,103 @@ def test_dynamic_partition_overwrite(spark, tmp_path):
         spark.conf.get("spark.sql.sources.partitionOverwriteMode").upper()
         == "STATIC"
     )
+
+
+def test_surgical_delete_rewrites_only_affected_files(spark, tmp_path):
+    """Deleting two users must rewrite exactly the files holding them —
+    every other file keeps identical bytes — and the surviving rows must
+    equal the original minus the targets."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from sparkstreaming_spark.operators.maintenance import surgical_delete
+
+    src = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    table = str(tmp_path / "events_sharded")
+    # user-clustered layout: repartitionByRange puts each user in few files
+    src.repartitionByRange(8, "user_id").write.parquet(table)
+
+    files = sorted(
+        f for f in os.listdir(table) if f.endswith(".parquet")
+    )
+    before = {f: open(os.path.join(table, f), "rb").read() for f in files}
+    targets = [3, 7]
+    expect = src.filter(~F.col("user_id").isin(targets))
+    n_expect = expect.count()
+    n_target = src.count() - n_expect
+    assert n_target > 0
+
+    stats = surgical_delete(spark, table, "user_id", targets)
+    assert stats["rows_deleted"] == n_target
+    assert 0 < stats["files_rewritten"] < stats["files_total"]
+
+    changed = 0
+    for f in files:
+        after = open(os.path.join(table, f), "rb").read()
+        if after != before[f]:
+            changed += 1
+    assert changed == stats["files_rewritten"]
+
+    got = spark.read.parquet(table)
+    assert got.count() == n_expect
+    assert got.filter(F.col("user_id").isin(targets)).count() == 0
+    assert (
+        got.exceptAll(expect.select(*got.columns)).count() == 0
+    )
+
+
+def test_file_stats_match_parquet_footer(spark, tmp_path):
+    """The _metadata-derived per-file min/max (src_file_skipping_stats
+    shape) must equal the ACTUAL parquet footer statistics — proving the
+    skipping report reflects what a pruning scan would see."""
+    import os
+
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    src = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    table = str(tmp_path / "events_multi")
+    src.repartitionByRange(4, "user_id").write.parquet(table)
+
+    derived = {
+        r.file: r
+        for r in spark.read.parquet(table)
+        .select(
+            "user_id",
+            F.element_at(
+                F.split(F.col("_metadata.file_path"), "/"), -1
+            ).alias("file"),
+        )
+        .groupBy("file")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("user_id").alias("min_user"),
+            F.max("user_id").alias("max_user"),
+        )
+        .collect()
+    }
+    checked = 0
+    for f in os.listdir(table):
+        if not f.endswith(".parquet"):
+            continue
+        meta = pq.ParquetFile(os.path.join(table, f)).metadata
+        idx = next(
+            i
+            for i in range(len(meta.schema))
+            if meta.schema.column(i).name == "user_id"
+        )
+        fmin = min(
+            meta.row_group(g).column(idx).statistics.min
+            for g in range(meta.num_row_groups)
+        )
+        fmax = max(
+            meta.row_group(g).column(idx).statistics.max
+            for g in range(meta.num_row_groups)
+        )
+        n = sum(meta.row_group(g).num_rows for g in range(meta.num_row_groups))
+        assert derived[f].min_user == fmin
+        assert derived[f].max_user == fmax
+        assert derived[f].n_rows == n
+        checked += 1
+    assert checked >= 2

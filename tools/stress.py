@@ -61,6 +61,16 @@ DEFAULT_OPS = [
     "evt_sliding_distinct",
     "doc_readability",
     "doc_tfidf_keywords",
+    "evt_cusum_changepoint",
+    "evt_bootstrap_ci",
+    "doc_cross_source_dups",
+    "doc_rrf_fusion",
+    "rev_gini_by_nation",
+    "evt_benford",
+    "doc_audio_bands",
+    "evt_anova_f",
+    "udf_scalar_pandas",
+    "src_file_skipping_stats",
 ]
 
 
@@ -142,13 +152,31 @@ def build(spark, factor: int, out_dir: str) -> None:
         f"{out_dir}/lineitem.parquet"
     )
 
+    # orders replicated (same custkeys: per-customer rollups see 10x
+    # input rows, the scale-relevant part of revenue-concentration ops);
+    # dims copied as-is
+    od = spark.read.parquet(f"{BASE}/orders.parquet")
+    n_od = od.count()
+    big_od = od.crossJoin(copies).select(
+        (F.col("o_orderkey") + F.col("copy") * n_od).alias("o_orderkey"),
+        "o_custkey", "o_orderstatus", "o_totalprice", "o_orderdate",
+        "o_orderpriority",
+    )
+    big_od.repartition(32).write.mode("overwrite").parquet(
+        f"{out_dir}/orders.parquet"
+    )
+    for dim in ("customer", "nation", "region", "supplier"):
+        spark.read.parquet(f"{BASE}/{dim}.parquet").write.mode(
+            "overwrite"
+        ).parquet(f"{out_dir}/{dim}.parquet")
+
 
 def main() -> None:
     factor = int(sys.argv[1]) if len(sys.argv) > 1 else 10
     ops = sys.argv[2:] or DEFAULT_OPS
     out_dir = f"/tmp/stress_{factor}x"
     spark = get_spark("stress")
-    if not os.path.exists(f"{out_dir}/documents.parquet"):
+    if not os.path.exists(f"{out_dir}/orders.parquet"):
         t0 = time.perf_counter()
         build(spark, factor, out_dir)
         print(f"built {factor}x corpus in {time.perf_counter() - t0:.1f}s")
