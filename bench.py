@@ -168,6 +168,15 @@ HEADLINE = [
     "evt_anova_f",
     "udf_scalar_pandas",
     "src_file_skipping_stats",
+    "evt_lift_curve",
+    "evt_auc",
+    "graph_kcore",
+    "src_binary_files",
+    "evt_backtest_mae",
+    "doc_k_anonymity",
+    "evt_skyline",
+    "scd2_pit_lookup",
+    "evt_attribution",
 ]
 
 

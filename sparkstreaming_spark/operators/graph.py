@@ -164,3 +164,53 @@ def triangle_count(
     return probed.agg(
         F.coalesce(F.sum(per_edge), F.lit(0)).cast("bigint").alias("n_triangles")
     )
+
+
+def kcore_nodes(
+    edges: DataFrame,
+    k: int,
+    src: str = "src",
+    dst: str = "dst",
+    max_iter: int = 50,
+) -> DataFrame:
+    """Nodes of the k-core: the maximal subgraph where every node keeps
+    degree ≥ k after iteratively peeling lower-degree nodes. The
+    standard graph-density filter (community kernels, spam-farm
+    detection, robust-seed selection).
+
+    Spark shape (same discipline as the CC loop, clusters.py): each
+    round is ONE degree aggregate + two semi-joins on the surviving
+    node set; `localCheckpoint` truncates lineage so round N doesn't
+    re-run rounds 1..N-1; the driver reads ONE scalar (edge count) per
+    round for the fixpoint test. Rounds are bounded by the graph's
+    degeneracy, small for real co-occurrence graphs.
+
+    Returns (node, core_degree) for the surviving nodes.
+    """
+    e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).filter(
+        F.col("a") != F.col("b")
+    )
+    und = e.select(
+        F.least("a", "b").alias("u"), F.greatest("a", "b").alias("v")
+    ).distinct()
+    both = und.unionAll(
+        und.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    ).localCheckpoint()
+    n_edges = both.count()
+    for _ in range(max_iter):
+        deg = both.groupBy("u").agg(F.count(F.lit(1)).alias("d"))
+        keep = deg.filter(F.col("d") >= k).select("u")
+        pruned = (
+            both.join(keep, "u", "left_semi")
+            .join(keep.select(F.col("u").alias("v")), "v", "left_semi")
+            .select("u", "v")
+            .localCheckpoint()
+        )
+        n_new = pruned.count()
+        both = pruned
+        if n_new == n_edges:
+            break
+        n_edges = n_new
+    return both.groupBy("u").agg(F.count(F.lit(1)).alias("core_degree")).select(
+        F.col("u").alias("node"), "core_degree"
+    )

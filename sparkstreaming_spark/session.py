@@ -52,6 +52,10 @@ def get_spark(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # Python UDTFs otherwise run row-at-a-time (BatchEvalPythonUDTF);
+        # with this on they compile to ArrowEvalPythonUDTF like every
+        # other Python extension point in the engine
+        .config("spark.sql.execution.pythonUDTF.arrow.enabled", "true")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
     )

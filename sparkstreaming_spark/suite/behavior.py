@@ -491,3 +491,353 @@ QUERIES["evt_anova_f"] = QuerySpec(
     ORACLE_ANOVA,
     "one-way ANOVA F via sufficient statistics (k x 3 doubles shuffled)",
 )
+
+
+def q_lift_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decile lift table — the standard model-eval artifact: score events
+    by `value`, label = purchase, bucket into score deciles, report
+    per-decile response rate and cumulative lift vs the base rate.
+
+    Scale shape: the ntile window is ONE global sort of (score, id) —
+    the price of exact deciles (the engine's broadcast-quantile
+    alternative is q_length_curriculum); everything after runs on the
+    10-row decile table. Base rate rides in as a window aggregate over
+    that tiny table, not a second corpus pass."""
+    ev = read_table(spark, sf_dir, "events")
+    w = Window.orderBy(F.desc("value"), "event_id")
+    scored = ev.select(
+        (F.col("event_type") == "purchase").cast("int").alias("label"),
+        F.ntile(10).over(w).alias("decile"),
+    )
+    per = scored.groupBy("decile").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("label").alias("n_pos"),
+    )
+    wall = Window.partitionBy()
+    wcum = Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, 0)
+    return per.select(
+        "decile",
+        "n",
+        "n_pos",
+        F.round(F.col("n_pos") / F.col("n"), 6).alias("response_rate"),
+        F.round(
+            (F.sum("n_pos").over(wcum) / F.sum("n").over(wcum))
+            / (F.sum("n_pos").over(wall) / F.sum("n").over(wall)),
+            6,
+        ).alias("cum_lift"),
+    )
+
+
+ORACLE_LIFT = """
+WITH scored AS (
+  SELECT CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS label,
+         ntile(10) OVER (ORDER BY value DESC, event_id) AS decile
+  FROM events
+),
+per AS (
+  SELECT decile, count(*) AS n, cast(sum(label) AS BIGINT) AS n_pos
+  FROM scored GROUP BY 1
+)
+SELECT decile, n, n_pos,
+       round(n_pos * 1.0 / n, 6) AS response_rate,
+       round((sum(n_pos) OVER (ORDER BY decile ROWS BETWEEN UNBOUNDED
+              PRECEDING AND CURRENT ROW) * 1.0 /
+              sum(n) OVER (ORDER BY decile ROWS BETWEEN UNBOUNDED
+              PRECEDING AND CURRENT ROW))
+             / (sum(n_pos) OVER () * 1.0 / sum(n) OVER ()), 6) AS cum_lift
+FROM per
+"""
+
+
+def q_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact ROC AUC via the Mann-Whitney rank-sum identity:
+    AUC = (Σ midranks(positives) − n⁺(n⁺+1)/2) / (n⁺ n⁻), with midranks
+    handling score ties exactly. One global rank window over the score
+    (exact AUC requires a total order — same cost profile as any exact
+    quantile), one tie-group aggregate join, then a 3-number reduce."""
+    ev = read_table(spark, sf_dir, "events")
+    scored = ev.select(
+        F.col("value").alias("s"),
+        (F.col("event_type") == "purchase").cast("int").alias("label"),
+    )
+    wr = Window.orderBy("s")
+    ranked = scored.select(
+        "s", "label", F.rank().over(wr).alias("r")
+    )
+    # midrank for a tie group starting at rank r with c members:
+    # (r + (r + c - 1)) / 2 = r + (c - 1)/2
+    wt = Window.partitionBy("s")
+    mid = ranked.select(
+        "label",
+        (F.col("r") + (F.count(F.lit(1)).over(wt) - 1) / 2).alias("mr"),
+    )
+    return mid.agg(
+        F.sum("label").alias("n_pos"),
+        (F.count(F.lit(1)) - F.sum("label")).alias("n_neg"),
+        F.round(
+            (
+                F.sum(F.when(F.col("label") == 1, F.col("mr")))
+                - F.sum("label") * (F.sum("label") + 1) / 2
+            )
+            / (F.sum("label") * (F.count(F.lit(1)) - F.sum("label"))),
+            6,
+        ).alias("auc"),
+    )
+
+
+ORACLE_AUC = """
+WITH scored AS (
+  SELECT value AS s,
+         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS label
+  FROM events
+),
+ranked AS (
+  SELECT label,
+         rank() OVER (ORDER BY s)
+           + (count(*) OVER (PARTITION BY s) - 1) / 2.0 AS mr
+  FROM scored
+)
+SELECT cast(sum(label) AS BIGINT) AS n_pos,
+       cast(count(*) - sum(label) AS BIGINT) AS n_neg,
+       round((sum(CASE WHEN label = 1 THEN mr END)
+              - sum(label) * (sum(label) + 1) / 2.0)
+             / (sum(label) * (count(*) - sum(label))), 6) AS auc
+FROM ranked
+"""
+
+
+QUERIES["evt_lift_curve"] = QuerySpec(
+    q_lift_curve,
+    ORACLE_LIFT,
+    "decile lift table (one exact-decile sort; tiny-table windows after)",
+)
+QUERIES["evt_auc"] = QuerySpec(
+    q_auc,
+    ORACLE_AUC,
+    "exact ROC AUC via Mann-Whitney midranks (tie-exact)",
+)
+
+
+def q_backtest_mae(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forecast backtest: the seasonal-naive predictor (this hour =
+    same hour yesterday) scored per event_type with MAE and MAPE — the
+    baseline every real forecaster must beat, and the standard shape of
+    a backtest harness (align lag-k predictions, aggregate errors).
+    Windows run on the hourly rollup (one lag-24 per type), never the
+    raw events."""
+    ev = read_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        F.date_trunc("hour", "ts").alias("bucket"), "event_type"
+    ).agg(F.avg("value").alias("v"))
+    w = Window.partitionBy("event_type").orderBy("bucket")
+    paired = hourly.select(
+        "event_type",
+        "v",
+        F.lag("v", 24).over(w).alias("pred"),
+    ).filter(F.col("pred").isNotNull())
+    return paired.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_hours"),
+        F.round(F.avg(F.abs(F.col("v") - F.col("pred"))), 6).alias("mae"),
+        F.round(
+            F.avg(F.abs(F.col("v") - F.col("pred")) / F.abs("v")), 6
+        ).alias("mape"),
+    )
+
+
+ORACLE_BACKTEST = """
+WITH hourly AS (
+  SELECT date_trunc('hour', ts) AS bucket, event_type, avg(value) AS v
+  FROM events GROUP BY 1, 2
+),
+paired AS (
+  SELECT event_type, v,
+         lag(v, 24) OVER (PARTITION BY event_type ORDER BY bucket) AS pred
+  FROM hourly
+)
+SELECT event_type, count(*) AS n_hours,
+       round(avg(abs(v - pred)), 6) AS mae,
+       round(avg(abs(v - pred) / abs(v)), 6) AS mape
+FROM paired WHERE pred IS NOT NULL
+GROUP BY event_type
+"""
+
+
+K_ANON = 5
+
+
+def q_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit over quasi-identifiers (lang, source,
+    length-bucket): how many documents sit in equivalence classes
+    smaller than k — the re-identification risk measure a privacy
+    review runs before release. One hash aggregate to the class table,
+    one conditional rollup; output is 2 rows (at-risk / safe) with
+    class and doc counts."""
+    d = read_table(spark, sf_dir, "documents")
+    classes = d.select(
+        "lang",
+        "source",
+        F.floor(F.col("n_chars") / 100).alias("len_bucket"),
+    ).groupBy("lang", "source", "len_bucket").agg(
+        F.count(F.lit(1)).alias("class_size")
+    )
+    return (
+        classes.select(
+            F.when(F.col("class_size") < K_ANON, "at_risk")
+            .otherwise("safe")
+            .alias("status"),
+            "class_size",
+        )
+        .groupBy("status")
+        .agg(
+            F.count(F.lit(1)).alias("n_classes"),
+            F.sum("class_size").alias("n_docs"),
+            F.min("class_size").alias("min_class"),
+            F.max("class_size").alias("max_class"),
+        )
+    )
+
+
+ORACLE_K_ANON = f"""
+WITH classes AS (
+  SELECT lang, source, floor(n_chars / 100) AS len_bucket,
+         count(*) AS class_size
+  FROM documents GROUP BY 1, 2, 3
+)
+SELECT CASE WHEN class_size < {K_ANON} THEN 'at_risk' ELSE 'safe' END AS status,
+       count(*) AS n_classes,
+       cast(sum(class_size) AS BIGINT) AS n_docs,
+       min(class_size) AS min_class,
+       max(class_size) AS max_class
+FROM classes GROUP BY 1
+"""
+
+
+def q_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-D skyline (Pareto frontier): events not dominated on
+    (value high, recency high) — the multi-objective shortlist pattern
+    (price-vs-quality, score-vs-freshness) without the O(n^2)
+    dominance self-join: sort by value desc, keep rows whose timestamp
+    strictly exceeds the running max of everything above them. ONE
+    window over a total order (value desc, ts desc, event_id) replaces
+    the pairwise comparison; ties on value are resolved by the same
+    total order both engines share."""
+    ev = read_table(spark, sf_dir, "events")
+    w = Window.orderBy(
+        F.desc("value"), F.desc("ts"), "event_id"
+    ).rowsBetween(Window.unboundedPreceding, -1)
+    ranked = ev.select(
+        "event_id",
+        "value",
+        "ts",
+        F.max("ts").over(w).alias("best_ts_above"),
+    )
+    return (
+        ranked.filter(
+            F.col("best_ts_above").isNull()
+            | (F.col("ts") > F.col("best_ts_above"))
+        )
+        .select(
+            "event_id",
+            F.round("value", 6).alias("value"),
+            F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts"),
+        )
+    )
+
+
+ORACLE_SKYLINE = """
+WITH ranked AS (
+  SELECT event_id, value, ts,
+         max(ts) OVER (ORDER BY value DESC, ts DESC, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           AS best_ts_above
+  FROM events
+)
+SELECT event_id, round(value, 6) AS value,
+       strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts
+FROM ranked
+WHERE best_ts_above IS NULL OR ts > best_ts_above
+"""
+
+
+QUERIES["evt_backtest_mae"] = QuerySpec(
+    q_backtest_mae,
+    ORACLE_BACKTEST,
+    "seasonal-naive forecast backtest (lag-24 on the hourly rollup)",
+)
+QUERIES["doc_k_anonymity"] = QuerySpec(
+    q_k_anonymity,
+    ORACLE_K_ANON,
+    "k-anonymity privacy audit (quasi-identifier class rollup)",
+)
+QUERIES["evt_skyline"] = QuerySpec(
+    q_skyline,
+    ORACLE_SKYLINE,
+    "2-D Pareto skyline via one running-max window (no dominance self-join)",
+)
+
+
+ATTR_WINDOW_H = 24
+
+
+def q_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear multi-touch attribution: every purchase splits one unit of
+    credit equally across the user's view/click touchpoints in the
+    prior 24 h; output is total credit and reached conversions per
+    channel. The touch join is a per-user equi join with a time-window
+    residual (per-user activity bounds the fan-out); the credit split
+    is a count window over each conversion's touch set — conversation-
+    sized partitions, shuffled once on the conversion id."""
+    ev = read_table(spark, sf_dir, "events")
+    conv = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("cu"),
+        F.col("ts").alias("p_ts"),
+        F.col("event_id").alias("conv_id"),
+    )
+    touch = ev.filter(F.col("event_type").isin("view", "click")).select(
+        F.col("user_id").alias("tu"),
+        F.col("ts").alias("t_ts"),
+        F.col("event_type").alias("channel"),
+    )
+    j = conv.join(touch, conv.cu == touch.tu).filter(
+        (F.col("t_ts") <= F.col("p_ts"))
+        & (F.col("t_ts") > F.col("p_ts") - F.expr(f"INTERVAL {ATTR_WINDOW_H} HOURS"))
+    )
+    wc = Window.partitionBy("conv_id")
+    credited = j.select(
+        "conv_id",
+        "channel",
+        (F.lit(1.0) / F.count(F.lit(1)).over(wc)).alias("credit"),
+    )
+    return credited.groupBy("channel").agg(
+        F.round(F.sum("credit"), 6).alias("total_credit"),
+        F.count_distinct("conv_id").alias("n_conversions"),
+    )
+
+
+ORACLE_ATTRIBUTION = f"""
+WITH conv AS (
+  SELECT user_id AS cu, ts AS p_ts, event_id AS conv_id
+  FROM events WHERE event_type = 'purchase'
+),
+touch AS (
+  SELECT user_id AS tu, ts AS t_ts, event_type AS channel
+  FROM events WHERE event_type IN ('view', 'click')
+),
+j AS (
+  SELECT conv_id, channel,
+         1.0 / count(*) OVER (PARTITION BY conv_id) AS credit
+  FROM conv JOIN touch ON cu = tu
+  WHERE t_ts <= p_ts AND t_ts > p_ts - INTERVAL {ATTR_WINDOW_H} HOUR
+)
+SELECT channel, round(sum(credit), 6) AS total_credit,
+       count(DISTINCT conv_id) AS n_conversions
+FROM j GROUP BY channel
+"""
+
+
+QUERIES["evt_attribution"] = QuerySpec(
+    q_attribution,
+    ORACLE_ATTRIBUTION,
+    "linear multi-touch attribution (per-user window join, per-conversion "
+    "credit split)",
+)

@@ -148,3 +148,73 @@ QUERIES = {
         "SCD type-2: changelog → validity intervals (lead window)",
     ),
 }
+
+
+def q_scd2_pit_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time (PIT) lookup against the SCD2 history — the
+    temporal-join half of SCD2 that q_scd2_history builds: each order
+    probes the quantity version valid at (o_orderdate + 90 days):
+    valid_from <= probe < valid_to (open version = NULL valid_to).
+    The join is a plain equi hash join on the key; the validity
+    predicate is a post-join filter Catalyst keeps beside it — per-key
+    version chains are short, so the non-equi residual is cheap (the
+    degenerate hot-key case is the range-join bucketing in
+    operators/range_join.py). Aggregated per o_orderstatus."""
+    li = read_table(spark, sf_dir, "lineitem")
+    changes = li.select(
+        F.col("l_orderkey").alias("key"),
+        F.col("l_shipdate").cast("timestamp").alias("changed_at"),
+        F.col("l_quantity").alias("qty"),
+    ).groupBy("key", "changed_at").agg(F.round(F.sum("qty"), 2).alias("qty"))
+    hist = scd2_history(changes, ["key"], "changed_at", ["qty"])
+    orders = read_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("key"),
+        "o_orderstatus",
+        (F.col("o_orderdate").cast("timestamp") + F.expr("INTERVAL 90 DAYS")).alias(
+            "probe"
+        ),
+    )
+    j = orders.join(hist, "key").filter(
+        (F.col("valid_from") <= F.col("probe"))
+        & (F.col("valid_to").isNull() | (F.col("probe") < F.col("valid_to")))
+    )
+    return j.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_lookups"),
+        F.round(F.sum("qty"), 2).alias("sum_qty"),
+        F.sum(F.col("is_current").cast("int")).alias("n_open_versions"),
+    )
+
+
+ORACLE_SCD2_PIT = """
+WITH changes AS (
+  SELECT l_orderkey AS key, l_shipdate AS changed_at,
+         round(sum(l_quantity), 2) AS qty
+  FROM lineitem GROUP BY 1, 2
+),
+hist AS (
+  SELECT key, qty, changed_at AS valid_from,
+         lead(changed_at) OVER (PARTITION BY key ORDER BY changed_at)
+           AS valid_to
+  FROM changes
+),
+probes AS (
+  SELECT o_orderkey AS key, o_orderstatus,
+         o_orderdate + INTERVAL 90 DAY AS probe
+  FROM orders
+)
+SELECT o_orderstatus,
+       count(*) AS n_lookups,
+       round(sum(qty), 2) AS sum_qty,
+       cast(sum(CASE WHEN valid_to IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_open_versions
+FROM probes JOIN hist USING (key)
+WHERE valid_from <= probe AND (valid_to IS NULL OR probe < valid_to)
+GROUP BY 1
+"""
+
+
+QUERIES["scd2_pit_lookup"] = QuerySpec(
+    q_scd2_pit_lookup,
+    ORACLE_SCD2_PIT,
+    "SCD2 point-in-time temporal lookup (equi join + validity residual)",
+)

@@ -414,3 +414,49 @@ QUERIES["doc_bpe_encode"] = QuerySpec(
     "BPE encoding via distinct-word dictionary join "
     "(rows-only; path-parity tested)",
 )
+
+
+KCORE_K = 12
+
+
+def q_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense-kernel profile of the part co-purchase graph: the k-core
+    (operators/graph.py::kcore_nodes) summarized as node count, edge
+    count, and min/max surviving degree. Iterative peeling is not
+    SQL-expressible (per-round aggregates inside the fixpoint), so this
+    is rows-only; the peeling semantics are pinned by the planted
+    K6-vs-chain test in tests/test_graph_quality_ops.py."""
+    from ..operators.graph import kcore_nodes
+
+    li = read_table(spark, sf_dir, "lineitem")
+    sets = li.groupBy("l_orderkey").agg(F.collect_set("l_partkey").alias("ps"))
+    edges = sets.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    "ps",
+                    lambda x, i: F.transform(
+                        F.slice(F.col("ps"), i + F.lit(2), F.size("ps")),
+                        lambda y: F.struct(
+                            F.least(x, y).alias("src"),
+                            F.greatest(x, y).alias("dst"),
+                        ),
+                    ),
+                )
+            )
+        ).alias("e")
+    ).select("e.src", "e.dst")
+    core = kcore_nodes(edges, KCORE_K)
+    return core.agg(
+        F.count(F.lit(1)).alias("n_core_nodes"),
+        (F.sum("core_degree") / 2).cast("bigint").alias("n_core_edges"),
+        F.min("core_degree").alias("min_degree"),
+        F.max("core_degree").alias("max_degree"),
+    )
+
+
+QUERIES["graph_kcore"] = QuerySpec(
+    q_kcore,
+    None,
+    "k-core dense kernel (iterative peel; planted-structure tested)",
+)

@@ -379,3 +379,60 @@ QUERIES.update(
         ),
     }
 )
+
+
+BINARY_FILE_DOCS = 50
+
+
+def q_binary_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`binaryFile` source — the multimodal ingest path: raw files on
+    disk become (path, length, content) rows that feed the blob
+    operators. The query materializes a deterministic file tree from the
+    first 50 documents (tiny, driver-written test fixture), ingests it
+    back via format("binaryFile"), and emits (doc_id, n_bytes, md5) —
+    which the oracle recomputes straight from the documents table, so
+    the ingest path is verified byte-for-byte.
+
+    100 TB note: binaryFile scales by files (each file one row/split;
+    maxPartitionBytes groups small ones); the driver-side write here is
+    fixture setup, not the operator."""
+    import os
+    import tempfile
+
+    d = read_table(spark, sf_dir, "documents")
+    rows = (
+        d.select("doc_id", "text")
+        .filter(F.col("doc_id") < BINARY_FILE_DOCS)
+        .collect()
+    )
+    out = tempfile.mkdtemp(prefix="binfiles_")
+    for r in rows:
+        with open(os.path.join(out, f"doc_{r.doc_id}.bin"), "wb") as fh:
+            fh.write(r.text.encode("utf-8"))
+    blobs = spark.read.format("binaryFile").load(out)
+    return blobs.select(
+        F.regexp_extract(
+            F.element_at(F.split("path", "/"), -1), r"doc_(\d+)\.bin", 1
+        )
+        .cast("bigint")
+        .alias("doc_id"),
+        F.col("length").alias("n_bytes"),
+        F.md5("content").alias("md5"),
+    )
+
+
+ORACLE_BINARY_FILES = f"""
+SELECT doc_id, octet_length(encode(text)) AS n_bytes, md5(text) AS md5
+FROM documents WHERE doc_id < {BINARY_FILE_DOCS}
+"""
+
+
+QUERIES.update(
+    {
+        "src_binary_files": QuerySpec(
+            q_binary_files,
+            ORACLE_BINARY_FILES,
+            "binaryFile multimodal ingest (round-trip md5-verified)",
+        ),
+    }
+)

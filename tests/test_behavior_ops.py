@@ -127,3 +127,77 @@ def test_chained_windows_bucket_count_bounded(spark):
     for r in rows:
         assert 1 <= r.n_buckets <= 4
         assert r.sum_cnt >= r.max_cnt
+
+
+def test_skyline_is_exact_pareto_frontier(spark):
+    """The window-based skyline must equal the O(n^2) dominance
+    definition on the smoke data: no returned point is dominated, and
+    every non-returned point is dominated by some returned point."""
+    from sparkstreaming_spark.suite.behavior import q_skyline
+
+    ev = spark.read.parquet(f"{SF_DIR_SMOKE}/events.parquet")
+    pts = [(r.event_id, r.value, r.ts) for r in ev.collect()]
+    sky = {r.event_id for r in q_skyline(spark, SF_DIR_SMOKE).collect()}
+
+    def dominated(p, q):  # q dominates p: >= on both, > on one
+        return (
+            q[1] >= p[1]
+            and q[2] >= p[2]
+            and (q[1] > p[1] or q[2] > p[2])
+        )
+
+    for p in pts:
+        is_dom = any(dominated(p, q) for q in pts if q[0] != p[0])
+        assert (p[0] in sky) == (not is_dom), p
+
+
+def test_attribution_credit_conserved(spark):
+    """Every attributed conversion distributes exactly one unit of
+    credit — total credit across channels equals reached conversions."""
+    from sparkstreaming_spark.suite.behavior import q_attribution
+
+    rows = q_attribution(spark, SF_DIR_SMOKE).collect()
+    assert rows
+    total_credit = sum(r.total_credit for r in rows)
+    # conversions reached by ≥1 channel; a conversion touched by both
+    # channels is counted in each n_conversions, so recompute reached
+    from pyspark.sql import functions as F
+
+    ev = spark.read.parquet(f"{SF_DIR_SMOKE}/events.parquet")
+    conv = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("cu"), F.col("ts").alias("p_ts"),
+        F.col("event_id").alias("conv_id"),
+    )
+    touch = ev.filter(F.col("event_type").isin("view", "click")).select(
+        F.col("user_id").alias("tu"), F.col("ts").alias("t_ts"),
+    )
+    reached = (
+        conv.join(touch, conv.cu == touch.tu)
+        .filter(
+            (F.col("t_ts") <= F.col("p_ts"))
+            & (F.col("t_ts") > F.col("p_ts") - F.expr("INTERVAL 24 HOURS"))
+        )
+        .select("conv_id")
+        .distinct()
+        .count()
+    )
+    assert abs(total_credit - reached) < 1e-3
+
+
+def test_bootstrap_ci_brackets_mean(spark):
+    """The bootstrap CI must bracket the replica mean, and the replica
+    mean must sit near the plain sample mean."""
+    from pyspark.sql import functions as F
+
+    from sparkstreaming_spark.suite.cardinality import q_bootstrap_ci
+
+    rows = {r.event_type: r for r in q_bootstrap_ci(spark, SF_DIR_SMOKE).collect()}
+    ev = spark.read.parquet(f"{SF_DIR_SMOKE}/events.parquet")
+    means = {
+        r.event_type: r.m
+        for r in ev.groupBy("event_type").agg(F.avg("value").alias("m")).collect()
+    }
+    for t, r in rows.items():
+        assert r.ci_lo <= r.boot_mean <= r.ci_hi
+        spread = max(r.ci_hi - r.ci_lo, 1e-9)
+        assert abs(r.boot_mean - means[t]) < 5 * spread

@@ -309,3 +309,29 @@ def test_chi_square_zero_for_independent_counts(spark):
         df.write.parquet(os.path.join(d, "events.parquet"))
         out = {r.event_type: r.chi2_contrib for r in q_chi_square(spark, d).collect()}
     assert out == {"a": 0.0, "b": 0.0}
+
+
+def test_kcore_keeps_clique_drops_chain(spark):
+    """K6 ∪ a long chain hanging off it: the 5-core must be exactly the
+    K6 (every clique node keeps degree 5; every chain node has ≤ 2)."""
+    from sparkstreaming_spark.operators.graph import kcore_nodes
+
+    clique = [(a, b) for a in range(6) for b in range(6) if a < b]
+    chain = [(5, 10), (10, 11), (11, 12), (12, 13)]
+    edges = spark.createDataFrame(clique + chain, "src int, dst int")
+    core = {r.node: r.core_degree for r in kcore_nodes(edges, 5).collect()}
+    assert set(core) == {0, 1, 2, 3, 4, 5}
+    assert all(d == 5 for d in core.values())
+
+
+def test_kcore_cascading_peel(spark):
+    """Peeling must CASCADE: a pendant chain into a triangle collapses
+    entirely under k=2 only after repeated rounds remove it link by
+    link — the triangle survives."""
+    from sparkstreaming_spark.operators.graph import kcore_nodes
+
+    tri = [(0, 1), (1, 2), (0, 2)]
+    chain = [(2, 3), (3, 4), (4, 5), (5, 6)]
+    edges = spark.createDataFrame(tri + chain, "src int, dst int")
+    core = {r.node for r in kcore_nodes(edges, 2).collect()}
+    assert core == {0, 1, 2}
