@@ -177,6 +177,13 @@ HEADLINE = [
     "evt_skyline",
     "scd2_pit_lookup",
     "evt_attribution",
+    "agg_modern_surface",
+    "hof_surface",
+    "evt_path_entropy",
+    "evt_outage_gaps",
+    "stream_running_stats",
+    "gen_synthetic_profile",
+    "doc_feature_hashing",
 ]
 
 

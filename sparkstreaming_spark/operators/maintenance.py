@@ -155,7 +155,19 @@ def surgical_delete(
         kept = spark.read.parquet(local).filter(~F.col(key_col).isin(keys))
         tmp = local + ".rewrite"
         kept.coalesce(1).write.mode("overwrite").parquet(tmp)
-        part = _glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
+        parts = _glob.glob(os.path.join(tmp, "part-*.parquet"))
+        if not parts or kept.count() == 0:
+            # every row in this file matched — drop the file rather than
+            # leaving a 0-row parquet shard behind
+            os.remove(local)
+            stale = os.path.join(
+                os.path.dirname(local), f".{os.path.basename(local)}.crc"
+            )
+            if os.path.exists(stale):
+                os.remove(stale)
+            shutil.rmtree(tmp, ignore_errors=True)
+            continue
+        part = parts[0]
         os.replace(part, local)
         # Hadoop's local FS writes .crc sidecars; swap the new one in (or
         # drop the stale one) or checksummed reads fail on length mismatch

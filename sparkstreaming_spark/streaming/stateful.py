@@ -213,3 +213,57 @@ def capped_sessionize(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+WELFORD_STATE = "n long, mean double, m2 double"
+WELFORD_OUT = "key string, n long, mean double, variance double"
+
+
+def running_stats(stream_df: DataFrame, key_col: str, value_col: str) -> DataFrame:
+    """Per-key ONLINE mean/variance over an unbounded stream via
+    Welford's algorithm in applyInPandasWithState — O(1) state per key
+    (n, mean, M2), numerically stable where a naive sum-of-squares
+    cancels catastrophically. Each micro-batch folds its values into the
+    state with the vectorized pairwise-merge form (batch stats computed
+    in NumPy, merged once), so Python cost is per-batch, not per-row.
+    Update mode: one row per touched key per batch."""
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql import functions as F
+
+    def update(key, pdf_iter, state: GroupState):
+        if state.exists:
+            n, mean, m2 = state.get
+        else:
+            n, mean, m2 = 0, 0.0, 0.0
+        for pdf in pdf_iter:
+            v = pdf["value"].to_numpy(dtype="float64")
+            bn = len(v)
+            if bn == 0:
+                continue
+            bmean = float(v.mean())
+            bm2 = float(((v - bmean) ** 2).sum())
+            # Chan/Welford pairwise merge of (n, mean, m2) with the batch
+            delta = bmean - mean
+            tot = n + bn
+            mean = mean + delta * bn / tot
+            m2 = m2 + bm2 + delta * delta * n * bn / tot
+            n = tot
+        state.update((n, mean, m2))
+        var = m2 / (n - 1) if n > 1 else 0.0
+        yield pd.DataFrame(
+            [{"key": key[0], "n": n, "mean": mean, "variance": var}]
+        )
+
+    narrowed = stream_df.select(
+        F.col(key_col).cast("string").alias("key"),
+        F.col(value_col).cast("double").alias("value"),
+    )
+    return narrowed.groupBy("key").applyInPandasWithState(
+        update,
+        outputStructType=WELFORD_OUT,
+        stateStructType=WELFORD_STATE,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

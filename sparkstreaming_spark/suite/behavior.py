@@ -720,7 +720,9 @@ def q_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
     strictly exceeds the running max of everything above them. ONE
     window over a total order (value desc, ts desc, event_id) replaces
     the pairwise comparison; ties on value are resolved by the same
-    total order both engines share."""
+    total order both engines share. Exact (value, ts) duplicates
+    collapse to the first by event_id (skyline-distinct semantics) —
+    deterministic and mirrored in the oracle."""
     ev = read_table(spark, sf_dir, "events")
     w = Window.orderBy(
         F.desc("value"), F.desc("ts"), "event_id"
@@ -777,6 +779,7 @@ QUERIES["evt_skyline"] = QuerySpec(
 
 
 ATTR_WINDOW_H = 24
+ATTR_MAX_TOUCHES = 100
 
 
 def q_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -786,7 +789,15 @@ def q_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     channel. The touch join is a per-user equi join with a time-window
     residual (per-user activity bounds the fan-out); the credit split
     is a count window over each conversion's touch set — conversation-
-    sized partitions, shuffled once on the conversion id."""
+    sized partitions, shuffled once on the conversion id.
+
+    Skew guard: a bot user with millions of touches would make its
+    conversions' credit windows quadratic-ish; credit is computed over
+    the LAST `ATTR_MAX_TOUCHES` touchpoints per conversion (row_number
+    in the same conv-id window — no extra shuffle), which is also the
+    standard attribution-tool semantics. The cap is mirrored in the
+    oracle; it is a no-op on this corpus (max touches/conversion well
+    under 100), so exactness still holds."""
     ev = read_table(spark, sf_dir, "events")
     conv = ev.filter(F.col("event_type") == "purchase").select(
         F.col("user_id").alias("cu"),
@@ -802,8 +813,14 @@ def q_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("t_ts") <= F.col("p_ts"))
         & (F.col("t_ts") > F.col("p_ts") - F.expr(f"INTERVAL {ATTR_WINDOW_H} HOURS"))
     )
+    wr = Window.partitionBy("conv_id").orderBy(
+        F.desc("t_ts"), "channel"
+    )
+    recent = j.select(
+        "conv_id", "channel", F.row_number().over(wr).alias("rn")
+    ).filter(F.col("rn") <= ATTR_MAX_TOUCHES)
     wc = Window.partitionBy("conv_id")
-    credited = j.select(
+    credited = recent.select(
         "conv_id",
         "channel",
         (F.lit(1.0) / F.count(F.lit(1)).over(wc)).alias("credit"),
@@ -823,11 +840,17 @@ touch AS (
   SELECT user_id AS tu, ts AS t_ts, event_type AS channel
   FROM events WHERE event_type IN ('view', 'click')
 ),
+matched AS (
+  SELECT conv_id, channel,
+         row_number() OVER (PARTITION BY conv_id
+                            ORDER BY t_ts DESC, channel) AS rn
+  FROM conv JOIN touch ON cu = tu
+  WHERE t_ts <= p_ts AND t_ts > p_ts - INTERVAL {ATTR_WINDOW_H} HOUR
+),
 j AS (
   SELECT conv_id, channel,
          1.0 / count(*) OVER (PARTITION BY conv_id) AS credit
-  FROM conv JOIN touch ON cu = tu
-  WHERE t_ts <= p_ts AND t_ts > p_ts - INTERVAL {ATTR_WINDOW_H} HOUR
+  FROM matched WHERE rn <= {ATTR_MAX_TOUCHES}
 )
 SELECT channel, round(sum(credit), 6) AS total_credit,
        count(DISTINCT conv_id) AS n_conversions
@@ -840,4 +863,110 @@ QUERIES["evt_attribution"] = QuerySpec(
     ORACLE_ATTRIBUTION,
     "linear multi-touch attribution (per-user window join, per-conversion "
     "credit split)",
+)
+
+
+def q_path_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Behavioral diversity: Shannon entropy of each user's event-type
+    mix, rolled up by how many distinct types the user touches. Two
+    hash aggregates (user×type counts → per-user entropy) and a tiny
+    rollup — no windows, no joins; entropy folds as Σ -p·ln p from the
+    per-user partials."""
+    ev = read_table(spark, sf_dir, "events")
+    ut = ev.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    wu = Window.partitionBy("user_id")
+    per_user = (
+        ut.select(
+            "user_id",
+            (F.col("c") / F.sum("c").over(wu)).alias("p"),
+        )
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_types"),
+            F.round(-F.sum(F.col("p") * F.log("p")), 6).alias("entropy"),
+        )
+    )
+    return per_user.groupBy("n_types").agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.round(F.avg("entropy"), 6).alias("avg_entropy"),
+        F.round(F.max("entropy"), 6).alias("max_entropy"),
+    )
+
+
+ORACLE_PATH_ENTROPY = """
+WITH ut AS (
+  SELECT user_id, event_type, count(*) AS c
+  FROM events GROUP BY 1, 2
+),
+pu AS (
+  SELECT user_id, count(*) AS n_types,
+         round(-sum(p * ln(p)), 6) AS entropy
+  FROM (
+    SELECT user_id,
+           c * 1.0 / sum(c) OVER (PARTITION BY user_id) AS p
+    FROM ut
+  ) GROUP BY user_id
+)
+SELECT n_types, count(*) AS n_users,
+       round(avg(entropy), 6) AS avg_entropy,
+       round(max(entropy), 6) AS max_entropy
+FROM pu GROUP BY n_types
+"""
+
+
+OUTAGE_GAP_S = 300
+
+
+def q_outage_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feed-health monitor: inter-arrival gaps per event_type (lag over
+    event-time order), reporting gaps above the outage threshold and the
+    worst gap — the freshness/completeness check every ingestion SLA
+    dashboard runs. One window sort per type; integer-second gap
+    arithmetic is exact in both engines."""
+    ev = read_table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    gaps = ev.select(
+        "event_type",
+        (
+            F.unix_timestamp("ts")
+            - F.unix_timestamp(F.lag("ts").over(w))
+        ).alias("gap_s"),
+    ).filter(F.col("gap_s").isNotNull())
+    return gaps.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_gaps"),
+        F.sum((F.col("gap_s") > OUTAGE_GAP_S).cast("int")).alias("n_outages"),
+        F.max("gap_s").alias("max_gap_s"),
+        F.round(F.avg("gap_s"), 4).alias("avg_gap_s"),
+    )
+
+
+ORACLE_OUTAGE = f"""
+WITH gaps AS (
+  SELECT event_type,
+         cast(floor(epoch(ts)) - floor(epoch(lag(ts) OVER
+              (PARTITION BY event_type ORDER BY ts, event_id))) AS BIGINT)
+           AS gap_s
+  FROM events
+)
+SELECT event_type, count(*) AS n_gaps,
+       cast(sum(CASE WHEN gap_s > {OUTAGE_GAP_S} THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_outages,
+       max(gap_s) AS max_gap_s,
+       round(avg(gap_s), 4) AS avg_gap_s
+FROM gaps WHERE gap_s IS NOT NULL
+GROUP BY event_type
+"""
+
+
+QUERIES["evt_path_entropy"] = QuerySpec(
+    q_path_entropy,
+    ORACLE_PATH_ENTROPY,
+    "per-user behavior-mix entropy rollup (two hash aggregates)",
+)
+QUERIES["evt_outage_gaps"] = QuerySpec(
+    q_outage_gaps,
+    ORACLE_OUTAGE,
+    "inter-arrival gap / outage monitor (one window sort per type)",
 )

@@ -436,3 +436,60 @@ QUERIES.update(
         ),
     }
 )
+
+
+GEN_N = 100_000
+GEN_CATS = 10
+
+
+def q_synthetic_generator(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalable synthetic-data generation — the dbgen pattern:
+    spark.range(N) is a parallel, shuffle-free source (each task emits
+    its id slice), and every column derives from the id by the
+    engine-wide md5 convention, so ANY scale factor is reproducible
+    bit-for-bit with zero coordination (this is how you fabricate a
+    100 TB test table without moving one). Output is the per-category
+    profile so the oracle verifies the whole derivation."""
+    from ..functions.text import md5_64
+
+    ids = spark.range(GEN_N)
+    cat = (md5_64(F.concat(F.lit("gen-cat:"), F.col("id").cast("string")))
+           % GEN_CATS)
+    val = (
+        md5_64(F.concat(F.lit("gen-val:"), F.col("id").cast("string")))
+        % 1_000_000
+    ) / 1_000_000.0
+    rows = ids.select(cat.alias("cat"), val.alias("val"))
+    return rows.groupBy("cat").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.avg("val"), 6).alias("avg_val"),
+        F.round(F.min("val"), 6).alias("min_val"),
+        F.round(F.max("val"), 6).alias("max_val"),
+    )
+
+
+ORACLE_SYNTHETIC = f"""
+WITH g AS (
+  SELECT cast(('0x' || substr(md5('gen-cat:' || cast(id AS varchar)), 1, 15))
+              AS bigint) % {GEN_CATS} AS cat,
+         (cast(('0x' || substr(md5('gen-val:' || cast(id AS varchar)), 1, 15))
+               AS bigint) % 1000000) / 1000000.0 AS val
+  FROM range({GEN_N}) AS t(id)
+)
+SELECT cat, count(*) AS n,
+       round(avg(val), 6) AS avg_val,
+       round(min(val), 6) AS min_val,
+       round(max(val), 6) AS max_val
+FROM g GROUP BY cat
+"""
+
+
+QUERIES.update(
+    {
+        "gen_synthetic_profile": QuerySpec(
+            q_synthetic_generator,
+            ORACLE_SYNTHETIC,
+            "shuffle-free deterministic data generation (range + hash columns)",
+        ),
+    }
+)

@@ -886,3 +886,105 @@ QUERIES["window_navigation_surface"] = QuerySpec(
     ORACLE_WINDOW_NAVIGATION,
     "lag/lead/first/last/nth_value in one window pass",
 )
+
+
+def q_agg_modern_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Modern aggregate surface in one pass: median(), count_if(),
+    bool_and/bool_or, and ordered LISTAGG (Spark 4 WITHIN GROUP) — the
+    SQL-2023-era aggregates a migrating warehouse workload expects.
+    LISTAGG aggregates the DISTINCT priority set with an explicit order,
+    so the string is deterministic in both engines."""
+    o = read_table(spark, sf_dir, "orders")
+    o.createOrReplaceTempView("__orders_mod")
+    return spark.sql(
+        """
+        SELECT o_orderstatus,
+               round(median(o_totalprice), 6) AS med_price,
+               count_if(o_totalprice > 1000) AS n_big,
+               bool_and(o_totalprice > 0) AS all_positive,
+               bool_or(o_orderpriority = '1-URGENT') AS any_urgent,
+               listagg(DISTINCT o_orderpriority, ',')
+                 WITHIN GROUP (ORDER BY o_orderpriority) AS priorities
+        FROM __orders_mod
+        GROUP BY o_orderstatus
+        """
+    )
+
+
+ORACLE_AGG_MODERN = """
+SELECT o_orderstatus,
+       round(median(o_totalprice), 6) AS med_price,
+       count(*) FILTER (WHERE o_totalprice > 1000) AS n_big,
+       bool_and(o_totalprice > 0) AS all_positive,
+       bool_or(o_orderpriority = '1-URGENT') AS any_urgent,
+       string_agg(DISTINCT o_orderpriority, ',' ORDER BY o_orderpriority)
+         AS priorities
+FROM orders
+GROUP BY o_orderstatus
+"""
+
+
+def q_hof_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher-order-function surface over per-order quantity arrays:
+    aggregate (fold), zip_with, filter, forall, exists — the lambda
+    family that keeps array logic inside Catalyst instead of Python.
+    Arrays are sorted on build so every lambda sees the same element
+    order in both engines."""
+    li = read_table(spark, sf_dir, "lineitem")
+    arrs = li.groupBy("l_orderkey").agg(
+        F.sort_array(F.collect_list(F.round("l_quantity", 2))).alias("q")
+    )
+    return arrs.select(
+        "l_orderkey",
+        F.round(
+            F.aggregate("q", F.lit(0.0), lambda acc, x: acc + x), 2
+        ).alias("folded_sum"),
+        F.round(
+            F.aggregate(
+                F.zip_with("q", F.reverse("q"), lambda a, b: a * b),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ),
+            2,
+        ).alias("palindrome_dot"),
+        F.size(F.filter("q", lambda x: x >= 30)).alias("n_ge30"),
+        F.forall("q", lambda x: x > 0).alias("all_pos"),
+        F.exists("q", lambda x: x == 40.0).alias("has_40"),
+    )
+
+
+ORACLE_HOF = """
+WITH arrs AS (
+  SELECT l_orderkey,
+         list(round(l_quantity, 2) ORDER BY round(l_quantity, 2)) AS q
+  FROM lineitem GROUP BY 1
+)
+SELECT l_orderkey,
+       round(list_reduce(list_prepend(0.0, q), (acc, x) -> acc + x), 2)
+         AS folded_sum,
+       round(list_reduce(
+               list_prepend(0.0,
+                 list_transform(list_zip(q, list_reverse(q)),
+                                t -> t[1] * t[2])),
+               (acc, x) -> acc + x), 2) AS palindrome_dot,
+       len(list_filter(q, x -> x >= 30)) AS n_ge30,
+       len(list_filter(q, x -> NOT (x > 0))) = 0 AS all_pos,
+       len(list_filter(q, x -> x = 40.0)) > 0 AS has_40
+FROM arrs
+"""
+
+
+QUERIES.update(
+    {
+        "agg_modern_surface": QuerySpec(
+            q_agg_modern_surface,
+            ORACLE_AGG_MODERN,
+            "median/count_if/bool_and/bool_or/ordered LISTAGG in one pass",
+        ),
+        "hof_surface": QuerySpec(
+            q_hof_surface,
+            ORACLE_HOF,
+            "higher-order-function family (fold/zip_with/filter/forall/exists)",
+        ),
+    }
+)

@@ -866,3 +866,45 @@ QUERIES["stream_chained_windows"] = QuerySpec(
     "chained stateful aggs: 15-min window rolled to hourly in one query "
     "(Spark 4 multiple stateful operators; batch-twin oracle)",
 )
+
+
+def q_stream_running_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful streaming statistics: per-type online
+    mean/variance via Welford state (streaming/stateful.py::
+    running_stats) — O(1) state per key where the built-in streaming agg
+    would be fine for mean but this also carries the numerically-stable
+    M2. Drained update-mode output keeps each key's LAST emission (the
+    one with the full count), which must equal the batch avg/var_samp
+    exactly (oracle)."""
+    from ..streaming.stateful import running_stats
+
+    drained = run_available_now(
+        running_stats(_events_stream(spark, sf_dir), "event_type", "value"),
+        output_mode="update",
+    )
+    final = drained.groupBy("key").agg(
+        F.max_by(F.struct("n", "mean", "variance"), "n").alias("s")
+    )
+    return final.select(
+        "key",
+        F.col("s.n").alias("n"),
+        F.round("s.mean", 4).alias("mean"),
+        F.round("s.variance", 4).alias("variance"),
+    )
+
+
+ORACLE_STREAM_RUNNING_STATS = """
+SELECT event_type AS key, count(value) AS n,
+       round(avg(value), 4) AS mean,
+       round(var_samp(value), 4) AS variance
+FROM events
+GROUP BY event_type
+"""
+
+
+QUERIES["stream_running_stats"] = QuerySpec(
+    q_stream_running_stats,
+    ORACLE_STREAM_RUNNING_STATS,
+    "Welford online mean/variance per key (applyInPandasWithState; "
+    "batch-exact after drain)",
+)

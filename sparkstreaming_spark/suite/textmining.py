@@ -16,7 +16,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..functions.text import tokenize
+from ..functions.text import md5_64, tokenize
 from ..sources.batch import read_table
 from . import QuerySpec
 from .llm import SQL_NORM, SQL_TOKS
@@ -213,4 +213,69 @@ QUERIES["doc_tfidf_keywords"] = QuerySpec(
     q_tfidf_keywords,
     ORACLE_TFIDF_KEYWORDS,
     "per-doc top-3 tf-idf keywords (vocab broadcast, narrow doc window)",
+)
+
+
+HASH_DIM = 64
+
+
+def q_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashing-trick featurization: tokens map to a fixed HASH_DIM-bucket
+    space by md5 (no vocabulary pass, no dictionary shuffle — the
+    property that makes feature hashing THE text featurizer at corpus
+    scale), then per-lang profile of the resulting sparse vectors:
+    average distinct buckets hit (nnz) and the global top bucket. One
+    explode + two hash aggregates."""
+    d = read_table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", "lang", tokenize("text").alias("toks")).filter(
+        F.size("toks") > 0
+    )
+    hashed = toks.select(
+        "doc_id",
+        "lang",
+        F.explode("toks").alias("tok"),
+    ).select(
+        "doc_id",
+        "lang",
+        (md5_64(F.concat(F.lit("fh:"), F.col("tok"))) % HASH_DIM).alias("b"),
+    )
+    per_doc = hashed.groupBy("doc_id", "lang").agg(
+        F.count_distinct("b").alias("nnz"),
+        F.count(F.lit(1)).alias("n_toks"),
+    )
+    return per_doc.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.avg("nnz"), 6).alias("avg_nnz"),
+        F.round(F.avg(F.col("nnz") / F.col("n_toks")), 6).alias("avg_fill"),
+        F.max("nnz").alias("max_nnz"),
+    )
+
+
+ORACLE_FEATURE_HASHING = f"""
+WITH t AS (
+  SELECT doc_id, lang, unnest({SQL_TOKS}) AS tok
+  FROM documents WHERE {SQL_NORM} != ''
+),
+h AS (
+  SELECT doc_id, lang,
+         cast(('0x' || substr(md5('fh:' || tok), 1, 15)) AS bigint)
+           % {HASH_DIM} AS b
+  FROM t
+),
+per_doc AS (
+  SELECT doc_id, lang, count(DISTINCT b) AS nnz, count(*) AS n_toks
+  FROM h GROUP BY 1, 2
+)
+SELECT lang, count(*) AS n_docs,
+       round(avg(nnz), 6) AS avg_nnz,
+       round(avg(nnz * 1.0 / n_toks), 6) AS avg_fill,
+       max(nnz) AS max_nnz
+FROM per_doc GROUP BY lang
+"""
+
+
+QUERIES["doc_feature_hashing"] = QuerySpec(
+    q_feature_hashing,
+    ORACLE_FEATURE_HASHING,
+    "hashing-trick featurization profile (no vocabulary pass)",
 )

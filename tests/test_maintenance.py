@@ -225,3 +225,44 @@ def test_file_stats_match_parquet_footer(spark, tmp_path):
         assert derived[f].n_rows == n
         checked += 1
     assert checked >= 2
+
+
+def test_surgical_delete_handles_fully_deleted_file(spark, tmp_path):
+    """A file whose every row matches the delete set must be REMOVED
+    (an empty rewrite emits no part file), and the table must stay
+    readable with only the other files' rows."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from sparkstreaming_spark.operators.maintenance import surgical_delete
+
+    src = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    users = sorted(r.user_id for r in src.select("user_id").distinct().collect())
+    table = str(tmp_path / "events_by_user")
+    # one file per user-range: deleting every user in the first range
+    # empties that file completely
+    src.repartitionByRange(4, "user_id").write.parquet(table)
+    per_file = (
+        spark.read.parquet(table)
+        .select("user_id", F.col("_metadata.file_path").alias("f"))
+        .groupBy("f")
+        .agg(F.collect_set("user_id").alias("us"))
+        .collect()
+    )
+    victim = min(per_file, key=lambda r: min(r.us))
+    targets = list(victim.us)
+    n_before = src.count()
+    n_files_before = len(per_file)
+
+    stats = surgical_delete(spark, table, "user_id", targets)
+    assert stats["files_rewritten"] >= 1
+    got = spark.read.parquet(table)
+    assert got.filter(F.col("user_id").isin(targets)).count() == 0
+    assert got.count() == n_before - src.filter(
+        F.col("user_id").isin(targets)
+    ).count()
+    n_files_after = len(
+        [f for f in os.listdir(table) if f.endswith(".parquet")]
+    )
+    assert n_files_after == n_files_before - 1

@@ -514,3 +514,21 @@ def test_hilbert_layout_two_dim_skipping(spark, tmp_path):
     hu = sum(s[0] for s in spans) / len(spans)
     hv = sum(s[1] for s in spans) / len(spans)
     assert hu < 0.6 and hv < 0.6, f"hilbert spans too wide: {hu:.2f}, {hv:.2f}"
+
+
+def test_auto_broadcast_below_threshold(spark):
+    """A dim table under spark.sql.autoBroadcastJoinThreshold must
+    broadcast WITHOUT an explicit hint — the planner-side half of the
+    broadcast-star pattern the suite otherwise pins via F.broadcast."""
+    from tests.conftest import SF_DIR_SMOKE
+
+    orders = spark.read.parquet(f"{SF_DIR_SMOKE}/orders.parquet")
+    nation = spark.read.parquet(f"{SF_DIR_SMOKE}/nation.parquet")
+    cust = spark.read.parquet(f"{SF_DIR_SMOKE}/customer.parquet")
+    j = (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .join(nation, cust.c_nationkey == nation.n_nationkey)
+    )
+    plan = j._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("BroadcastHashJoin") >= 2, plan[:2000]
+    assert "SortMergeJoin" not in plan, plan[:2000]

@@ -264,3 +264,54 @@ def test_rate_source_throughput_harness(spark):
     assert stats["rows_per_sec"] > 0
     assert stats["batch_ms_max"] > 0
     assert stats["result_keys"] == 50
+
+
+def test_welford_state_merges_across_micro_batches(spark, tmp_path):
+    """Split the source into 4 files and force one file per micro-batch:
+    the final per-key (n, mean, variance) must equal the batch
+    aggregate, proving the Chan/Welford merge is associative across
+    batch boundaries (not just a one-shot computation)."""
+    from pyspark.sql import functions as F
+
+    from sparkstreaming_spark.streaming.pipeline import run_available_now
+    from sparkstreaming_spark.streaming.stateful import running_stats
+
+    src = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    d = str(tmp_path / "ev4")
+    src.repartition(4).write.parquet(d)
+
+    stream = (
+        spark.readStream.schema(src.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(d)
+    )
+    drained = run_available_now(
+        running_stats(stream, "event_type", "value"), output_mode="update"
+    )
+    # update mode emits one row per touched key per batch → 4 per key;
+    # the final emission carries the full count
+    final = {
+        r.key: r
+        for r in drained.groupBy("key")
+        .agg(F.max_by(F.struct("n", "mean", "variance"), "n").alias("s"))
+        .select("key", "s.n", "s.mean", "s.variance")
+        .collect()
+    }
+    batch = {
+        r.event_type: r
+        for r in src.groupBy("event_type")
+        .agg(
+            F.count("value").alias("n"),
+            F.avg("value").alias("mean"),
+            F.var_samp("value").alias("variance"),
+        )
+        .collect()
+    }
+    assert set(final) == set(batch)
+    n_updates = drained.count()
+    assert n_updates > len(batch), "expected multiple update emissions"
+    for k, b in batch.items():
+        f = final[k]
+        assert f.n == b.n
+        assert abs(f.mean - b.mean) < 1e-9
+        assert abs(f.variance - b.variance) < 1e-6

@@ -80,6 +80,11 @@ DEFAULT_OPS = [
     "evt_skyline",
     "scd2_pit_lookup",
     "evt_attribution",
+    "agg_modern_surface",
+    "hof_surface",
+    "evt_path_entropy",
+    "evt_outage_gaps",
+    "doc_feature_hashing",
 ]
 
 
