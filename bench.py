@@ -184,6 +184,9 @@ HEADLINE = [
     "stream_running_stats",
     "gen_synthetic_profile",
     "doc_feature_hashing",
+    "emb_knn_pq",
+    "evt_debounce",
+    "evt_activity_matrix",
 ]
 
 

@@ -970,3 +970,104 @@ QUERIES["evt_outage_gaps"] = QuerySpec(
     ORACLE_OUTAGE,
     "inter-arrival gap / outage monitor (one window sort per type)",
 )
+
+
+DEBOUNCE_GAP_S = 5
+
+
+def q_debounce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Debounce dedup: within each (user, type) stream, a burst CHAIN —
+    consecutive events each < 5 s from the previous — collapses to its
+    FIRST event (the duplicate-click / retry-storm filter). Chain
+    semantics are exactly gap-sessionization: lag-flag islands, first
+    row per island, ONE window sort per (user, type). (A fixed-rate
+    THROTTLE — gap measured from the last KEPT event — is inherently
+    sequential; the streaming side of that is capped_sessionize in
+    streaming/stateful.py.) Reported as kept/dropped counts per type."""
+    ev = read_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    flagged = ev.select(
+        "event_type",
+        (
+            (
+                F.unix_timestamp("ts")
+                - F.unix_timestamp(F.lag("ts").over(w))
+            ).isNull()
+            | (
+                F.unix_timestamp("ts")
+                - F.unix_timestamp(F.lag("ts").over(w))
+                >= DEBOUNCE_GAP_S
+            )
+        )
+        .cast("int")
+        .alias("new_burst"),
+    )
+    return flagged.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum("new_burst").alias("n_kept"),
+        (F.count(F.lit(1)) - F.sum("new_burst")).alias("n_debounced"),
+    )
+
+
+ORACLE_DEBOUNCE = f"""
+WITH flagged AS (
+  SELECT event_type,
+         CASE WHEN lag(ts) OVER (PARTITION BY user_id, event_type
+                                 ORDER BY ts, event_id) IS NULL
+                OR floor(epoch(ts)) - floor(epoch(lag(ts) OVER
+                   (PARTITION BY user_id, event_type ORDER BY ts, event_id)))
+                   >= {DEBOUNCE_GAP_S}
+              THEN 1 ELSE 0 END AS new_burst
+  FROM events
+)
+SELECT event_type, count(*) AS n_events,
+       cast(sum(new_burst) AS BIGINT) AS n_kept,
+       cast(count(*) - sum(new_burst) AS BIGINT) AS n_debounced
+FROM flagged GROUP BY event_type
+"""
+
+
+QUERIES["evt_debounce"] = QuerySpec(
+    q_debounce,
+    ORACLE_DEBOUNCE,
+    "debounce/throttle dedup via burst islands (one window sort)",
+)
+
+
+def q_activity_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hour-of-day × day-of-week activity heatmap with within-day share —
+    the load-profile matrix behind capacity planning. One partial-agg
+    pass; the share window runs over the 168-row matrix."""
+    ev = read_table(spark, sf_dir, "events")
+    cells = ev.groupBy(
+        F.dayofweek("ts").cast("int").alias("dow"),
+        F.hour("ts").cast("int").alias("hod"),
+    ).agg(F.count(F.lit(1)).alias("n"))
+    wd = Window.partitionBy("dow")
+    return cells.select(
+        "dow",
+        "hod",
+        "n",
+        F.round(F.col("n") / F.sum("n").over(wd), 6).alias("day_share"),
+    )
+
+
+# DuckDB dayofweek: 0=Sunday; Spark dayofweek: 1=Sunday — shift to match
+ORACLE_ACTIVITY_MATRIX = """
+WITH cells AS (
+  SELECT cast(dayofweek(ts) + 1 AS INT) AS dow,
+         cast(hour(ts) AS INT) AS hod,
+         count(*) AS n
+  FROM events GROUP BY 1, 2
+)
+SELECT dow, hod, n,
+       round(n * 1.0 / sum(n) OVER (PARTITION BY dow), 6) AS day_share
+FROM cells
+"""
+
+
+QUERIES["evt_activity_matrix"] = QuerySpec(
+    q_activity_matrix,
+    ORACLE_ACTIVITY_MATRIX,
+    "hour x day-of-week load matrix (one pass; share window on 168 rows)",
+)

@@ -374,3 +374,19 @@ QUERIES["emb_standardize"] = QuerySpec(
     ORACLE_STANDARDIZE,
     "per-dim z-score scaling (corpus stats broadcast, pinned intermediates)",
 )
+
+
+def q_knn_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ADC ANN (similarity/pq.py) — approximate by
+    construction, recall-tested vs brute force (these isotropic synthetic
+    vectors are PQ's worst case, hence the fine m=32/ksub=64 config)."""
+    from ..similarity.pq import pq_knn
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < N_QUERIES)
+    return pq_knn(emb, queries, "vec_id", "embedding", k=TOP_K)
+
+
+QUERIES["emb_knn_pq"] = QuerySpec(
+    q_knn_pq, None, "PQ/ADC ANN (m-byte codes; recall-tested)"
+)

@@ -201,3 +201,29 @@ def test_bootstrap_ci_brackets_mean(spark):
         assert r.ci_lo <= r.boot_mean <= r.ci_hi
         spread = max(r.ci_hi - r.ci_lo, 1e-9)
         assert abs(r.boot_mean - means[t]) < 5 * spread
+
+
+def test_debounce_collapses_planted_burst_chain(spark):
+    """A chain 0s,3s,6s,9s (each gap < 5s) collapses to ONE kept event
+    even though it spans 9s; an isolated event 30s later is kept."""
+    import datetime as dt
+
+    from pyspark.sql import Window, functions as F
+
+    base = dt.datetime(2024, 1, 1, 12, 0, 0)
+    rows = [
+        (i, base + dt.timedelta(seconds=s), 1, "click", 1.0, "")
+        for i, s in enumerate([0, 3, 6, 9, 39])
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, "
+        "event_type string, value double, props string"
+    )
+    from sparkstreaming_spark.suite.behavior import DEBOUNCE_GAP_S
+
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+    kept = df.select(
+        (gap.isNull() | (gap >= DEBOUNCE_GAP_S)).cast("int").alias("k")
+    )
+    assert [r.k for r in kept.collect()] == [1, 0, 0, 0, 1]

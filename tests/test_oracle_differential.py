@@ -65,6 +65,7 @@ def test_registry_oracles_all_parse(duck):
         "layout_hilbert_key",  # iterative bit rotation; xy2d parity test
         "doc_audio_bands",  # FFT band energies; NumPy parity test (test_audio.py)
         "graph_kcore",  # iterative peel; planted K6-vs-chain test
+        "emb_knn_pq",  # PQ/ADC quantized ANN; recall pinned by test
     }, missing_oracle
     for name, spec in specs.items():
         if spec.oracle is not None:

@@ -85,6 +85,9 @@ DEFAULT_OPS = [
     "evt_path_entropy",
     "evt_outage_gaps",
     "doc_feature_hashing",
+    "emb_knn_pq",
+    "evt_debounce",
+    "evt_activity_matrix",
 ]
 
 
