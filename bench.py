@@ -187,6 +187,9 @@ HEADLINE = [
     "emb_knn_pq",
     "evt_debounce",
     "evt_activity_matrix",
+    "doc_zipf_fit",
+    "evt_peak_detection",
+    "doc_dedup_eval",
 ]
 
 

@@ -1071,3 +1071,73 @@ QUERIES["evt_activity_matrix"] = QuerySpec(
     ORACLE_ACTIVITY_MATRIX,
     "hour x day-of-week load matrix (one pass; share window on 168 rows)",
 )
+
+
+def q_peak_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local-peak detection on the hourly series per event_type: a peak
+    is a bucket strictly above BOTH neighbors and above the series mean
+    + 1 stddev — the alerting primitive behind traffic-spike monitors.
+    All windows run on the hourly rollup; per-type stats ride in as
+    window aggregates over the same tiny table."""
+    ev = read_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        F.date_trunc("hour", "ts").alias("bucket"), "event_type"
+    ).agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("event_type").orderBy("bucket")
+    wt = Window.partitionBy("event_type")
+    flagged = hourly.select(
+        "event_type",
+        "bucket",
+        "n",
+        (
+            (F.col("n") > F.lag("n").over(w))
+            & (F.col("n") > F.lead("n").over(w))
+            & (
+                F.col("n")
+                > F.avg("n").over(wt) + F.stddev_samp("n").over(wt)
+            )
+        ).alias("is_peak"),
+    )
+    return flagged.filter("is_peak").groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_peaks"),
+        F.max("n").alias("tallest_peak"),
+        F.date_format(F.max_by("bucket", F.struct("n", "bucket")), "yyyy-MM-dd HH:mm:ss").alias(
+            "tallest_peak_at"
+        ),
+    )
+
+
+ORACLE_PEAKS = """
+WITH hourly AS (
+  SELECT date_trunc('hour', ts) AS bucket, event_type, count(*) AS n
+  FROM events GROUP BY 1, 2
+),
+flagged AS (
+  SELECT event_type, bucket, n,
+         n > lag(n) OVER (PARTITION BY event_type ORDER BY bucket)
+         AND n > lead(n) OVER (PARTITION BY event_type ORDER BY bucket)
+         AND n > avg(n) OVER (PARTITION BY event_type)
+               + stddev_samp(n) OVER (PARTITION BY event_type) AS is_peak
+  FROM hourly
+),
+peaks AS (SELECT * FROM flagged WHERE is_peak),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY event_type
+            ORDER BY n DESC, bucket DESC) AS rk
+  FROM peaks
+)
+SELECT p.event_type, count(*) AS n_peaks,
+       max(p.n) AS tallest_peak,
+       strftime(max(CASE WHEN r.rk = 1 THEN r.bucket END),
+                '%Y-%m-%d %H:%M:%S') AS tallest_peak_at
+FROM peaks p LEFT JOIN ranked r
+  ON p.event_type = r.event_type AND p.bucket = r.bucket AND r.rk = 1
+GROUP BY p.event_type
+"""
+
+
+QUERIES["evt_peak_detection"] = QuerySpec(
+    q_peak_detection,
+    ORACLE_PEAKS,
+    "local-peak alerting on the hourly rollup (neighbor + sigma test)",
+)

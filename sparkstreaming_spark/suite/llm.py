@@ -1851,3 +1851,98 @@ QUERIES["doc_audio_bands"] = QuerySpec(
     None,  # FFT band energies are not SQL-expressible; NumPy parity test
     "FFT band-energy spectral triage (Arrow mapInPandas; rows-only)",
 )
+
+
+EVAL_SAMPLE_MOD = 2
+EVAL_SAMPLE_SALT = "eval:"
+
+
+def _sql_expr_md5_mod(id_col: str):
+    """md5-parity doc sample (engine-wide md5_64 convention): unlike id
+    parity, a HASH sample decorrelates near-duplicate clusters (replica
+    ids differ), so the sampled ground truth stays tractable even on
+    replica-dense corpora."""
+    from ..functions.text import md5_64
+
+    return md5_64(
+        F.concat(F.lit(EVAL_SAMPLE_SALT), F.col(id_col).cast("string"))
+    ) % EVAL_SAMPLE_MOD
+
+
+def q_dedup_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The engine evaluating its own dedup: SimHash candidate pairs
+    (hamming ≤ 5, banded) scored against ground truth = exact 2-gram
+    Jaccard ≥ 0.5 pairs (the inverted-index exact op). Output is ONE
+    row: tp/fp/fn + precision + recall — the quality dashboard a
+    production dedup pipeline publishes next to its results.
+
+    Protocol note: evaluation runs on a DETERMINISTIC md5-hash doc sample (the
+    standard protocol — ground truth over the sampled sub-corpus is
+    still exact for pairs within it). This bounds the exact-Jaccard
+    ground-truth cost on replica-dense corpora, where the full-corpus
+    posting join is the known quadratic-ish hot spot (that cost is the
+    whole reason the production dedup path is MinHash-LSH; measured:
+    the FULL-corpus exact op takes 243 s at 10x replica stress).
+    Both pair queries are independently oracle-checked; here the
+    COMPOSITION on the identical sample is oracled too."""
+    d = read_table(spark, sf_dir, "documents").filter(
+        _sql_expr_md5_mod("doc_id") == 0
+    )
+    truth = ngram_jaccard_pairs(
+        d, "doc_id", "text", shingle_n=2, threshold=0.5
+    ).select("doc_a", "doc_b", F.lit(1).alias("t"))
+    pred = simhash_near_dup_pairs(
+        d, "doc_id", "text", max_hamming=5, bands=6
+    ).select("doc_a", "doc_b", F.lit(1).alias("p"))
+    j = truth.join(pred, ["doc_a", "doc_b"], "full_outer")
+    return j.agg(
+        F.sum(F.when(F.col("t").isNotNull() & F.col("p").isNotNull(), 1)).alias("tp"),
+        F.sum(F.when(F.col("t").isNull() & F.col("p").isNotNull(), 1)).alias("fp"),
+        F.sum(F.when(F.col("t").isNotNull() & F.col("p").isNull(), 1)).alias("fn"),
+        F.round(
+            F.sum(F.when(F.col("t").isNotNull() & F.col("p").isNotNull(), 1))
+            / F.sum(F.when(F.col("p").isNotNull(), 1)),
+            6,
+        ).alias("precision"),
+        F.round(
+            F.sum(F.when(F.col("t").isNotNull() & F.col("p").isNotNull(), 1))
+            / F.sum(F.when(F.col("t").isNotNull(), 1)),
+            6,
+        ).alias("recall"),
+    )
+
+
+def _oracle_dedup_eval() -> str:
+    pred = (
+        f"cast(('0x' || substr(md5('{EVAL_SAMPLE_SALT}' || "
+        f"cast(doc_id AS varchar)), 1, 15)) AS bigint) % {EVAL_SAMPLE_MOD} = 0"
+    )
+    sample = f"documents WHERE {pred}"
+    truth_sql = ORACLE_NGRAM_JACCARD.replace("FROM documents", f"FROM {sample}")
+    pred_sql = _oracle_simhash().replace("FROM documents", f"FROM {sample}")
+    return f"""
+WITH truth AS ({truth_sql}),
+pred AS ({pred_sql}),
+j AS (
+  SELECT coalesce(t.doc_a, p.doc_a) AS doc_a,
+         t.doc_a IS NOT NULL AS has_t, p.doc_a IS NOT NULL AS has_p
+  FROM truth t FULL OUTER JOIN pred p
+    ON t.doc_a = p.doc_a AND t.doc_b = p.doc_b
+)
+SELECT cast(sum(CASE WHEN has_t AND has_p THEN 1 END) AS BIGINT) AS tp,
+       cast(sum(CASE WHEN NOT has_t AND has_p THEN 1 END) AS BIGINT) AS fp,
+       cast(sum(CASE WHEN has_t AND NOT has_p THEN 1 END) AS BIGINT) AS fn,
+       round(sum(CASE WHEN has_t AND has_p THEN 1 END) * 1.0
+             / sum(CASE WHEN has_p THEN 1 END), 6) AS precision,
+       round(sum(CASE WHEN has_t AND has_p THEN 1 END) * 1.0
+             / sum(CASE WHEN has_t THEN 1 END), 6) AS recall
+FROM j
+"""
+
+
+QUERIES["doc_dedup_eval"] = QuerySpec(
+    q_dedup_eval,
+    _oracle_dedup_eval(),
+    "dedup self-evaluation: SimHash candidates vs exact-Jaccard truth "
+    "(precision/recall, composition oracled)",
+)

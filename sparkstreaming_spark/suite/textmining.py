@@ -279,3 +279,60 @@ QUERIES["doc_feature_hashing"] = QuerySpec(
     ORACLE_FEATURE_HASHING,
     "hashing-trick featurization profile (no vocabulary pass)",
 )
+
+
+ZIPF_TOP = 500
+
+
+def q_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law fit: OLS slope of log(freq) on log(rank) over the top
+    500 vocabulary terms (natural corpora sit near slope −1; synthetic /
+    templated corpora deviate — a cheap corpus-health fingerprint).
+    Vocabulary aggregate → rank window on the vocab-sized table →
+    regr_slope/intercept/r2 as one aggregate."""
+    d = read_table(spark, sf_dir, "documents")
+    vocab = (
+        d.select(F.explode(tokenize("text")).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.desc("freq"), "tok")
+    ranked = vocab.select(
+        F.log(F.row_number().over(w).cast("double")).alias("lr"),
+        F.log(F.col("freq").cast("double")).alias("lf"),
+        F.row_number().over(w).alias("rk"),
+    ).filter(F.col("rk") <= ZIPF_TOP)
+    return ranked.agg(
+        F.count(F.lit(1)).alias("n_terms"),
+        F.round(F.regr_slope("lf", "lr"), 6).alias("zipf_slope"),
+        F.round(F.regr_intercept("lf", "lr"), 6).alias("zipf_intercept"),
+        F.round(F.regr_r2("lf", "lr"), 6).alias("r2"),
+    )
+
+
+ORACLE_ZIPF = f"""
+WITH t AS (
+  SELECT unnest({SQL_TOKS}) AS tok FROM documents WHERE {SQL_NORM} != ''
+),
+vocab AS (SELECT tok, count(*) AS freq FROM t GROUP BY tok),
+ranked AS (
+  SELECT ln(row_number() OVER (ORDER BY freq DESC, tok) * 1.0) AS lr,
+         ln(freq * 1.0) AS lf,
+         row_number() OVER (ORDER BY freq DESC, tok) AS rk
+  FROM vocab
+)
+SELECT count(*) AS n_terms,
+       round(regr_slope(lf, lr), 6) AS zipf_slope,
+       round(regr_intercept(lf, lr), 6) AS zipf_intercept,
+       round(regr_r2(lf, lr), 6) AS r2
+FROM ranked WHERE rk <= {ZIPF_TOP}
+"""
+
+
+QUERIES["doc_zipf_fit"] = QuerySpec(
+    q_zipf_fit,
+    ORACLE_ZIPF,
+    "Zipf rank-frequency OLS fit (vocab aggregate; tiny rank window)",
+)

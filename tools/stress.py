@@ -88,6 +88,9 @@ DEFAULT_OPS = [
     "emb_knn_pq",
     "evt_debounce",
     "evt_activity_matrix",
+    "doc_zipf_fit",
+    "evt_peak_detection",
+    "doc_dedup_eval",
 ]
 
 
