@@ -52,9 +52,11 @@ def get_spark(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        # Python UDTFs otherwise run row-at-a-time (BatchEvalPythonUDTF);
-        # with this on they compile to ArrowEvalPythonUDTF like every
-        # other Python extension point in the engine
+        # Python UDTFs on the Arrow path (ArrowEvalPythonUDTF) like every
+        # other Python extension point: clean A/B at sf0.1 measures
+        # 0.49s vs 0.66s median for doc_sentences_udtf (arrow vs pickle),
+        # with a higher one-off first-call compile cost that makes naive
+        # single-run comparisons misleading
         .config("spark.sql.execution.pythonUDTF.arrow.enabled", "true")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))

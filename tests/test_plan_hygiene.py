@@ -7,7 +7,7 @@ that silently kill 100 TB runs never appear:
   BroadcastNestedLoopJoin instead);
 - BatchEvalPython / row-at-a-time PythonUDF in a non-Arrow node (the
   engine-wide rule is Arrow-vectorized Python only: ArrowEvalPython,
-  mapInPandas/FlatMapGroupsInPandas, mapInArrow).
+  ArrowEvalPythonUDTF, mapInPandas / FlatMapGroupsInPandas, mapInArrow).
 
 Streaming queries are excluded: their fn() drains a real stream, which
 is exercised (and oracle-checked) elsewhere.
