@@ -190,6 +190,9 @@ HEADLINE = [
     "doc_zipf_fit",
     "evt_peak_detection",
     "doc_dedup_eval",
+    "ord_ship_latency",
+    "evt_inactive_users",
+    "emb_centroid_drift",
 ]
 
 

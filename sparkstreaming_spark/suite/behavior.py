@@ -1141,3 +1141,102 @@ QUERIES["evt_peak_detection"] = QuerySpec(
     ORACLE_PEAKS,
     "local-peak alerting on the hourly rollup (neighbor + sigma test)",
 )
+
+
+def q_ship_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Operational latency profile: order→ship days per order priority
+    (avg / p50 / p90 / max). One broadcast-joined scan of lineitem; the
+    percentiles are exact (integer day latencies)."""
+    li = read_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    o = read_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    lat = li.join(o, li.l_orderkey == o.o_orderkey).select(
+        "o_orderpriority",
+        F.datediff("l_shipdate", "o_orderdate").alias("days"),
+    )
+    return lat.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.round(F.avg("days"), 4).alias("avg_days"),
+        F.round(F.percentile("days", F.lit(0.5)), 4).alias("p50_days"),
+        F.round(F.percentile("days", F.lit(0.9)), 4).alias("p90_days"),
+        F.max("days").alias("max_days"),
+    )
+
+
+ORACLE_SHIP_LATENCY = """
+WITH lat AS (
+  SELECT o_orderpriority, date_diff('day', o_orderdate, l_shipdate) AS days
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+)
+SELECT o_orderpriority, count(*) AS n_lines,
+       round(avg(days), 4) AS avg_days,
+       round(quantile_cont(days, 0.5), 4) AS p50_days,
+       round(quantile_cont(days, 0.9), 4) AS p90_days,
+       max(days) AS max_days
+FROM lat GROUP BY o_orderpriority
+"""
+
+
+CHURN_DAYS = 7
+
+
+def q_inactive_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Churn detector: users whose LAST event is > 7 days before the
+    feed's max timestamp, vs active users — with average staleness per
+    group. Two tiny aggregates (per-user max ts, then the split); the
+    corpus-wide max rides in as a broadcast scalar. Integer-day
+    arithmetic keeps both engines exact."""
+    ev = read_table(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(F.max("ts").alias("last_ts"))
+    mx = ev.agg(F.max("ts").alias("max_ts"))
+    staleness = F.floor(
+        (F.unix_timestamp("max_ts") - F.unix_timestamp("last_ts")) / 86400
+    )
+    return (
+        per_user.crossJoin(F.broadcast(mx))
+        .select(
+            F.when(staleness > CHURN_DAYS, "inactive")
+            .otherwise("active")
+            .alias("status"),
+            staleness.alias("stale_days"),
+        )
+        .groupBy("status")
+        .agg(
+            F.count(F.lit(1)).alias("n_users"),
+            F.round(F.avg("stale_days"), 4).alias("avg_stale_days"),
+            F.max("stale_days").alias("max_stale_days"),
+        )
+    )
+
+
+ORACLE_INACTIVE = f"""
+WITH per_user AS (
+  SELECT user_id, max(ts) AS last_ts FROM events GROUP BY 1
+),
+mx AS (SELECT max(ts) AS max_ts FROM events),
+tagged AS (
+  SELECT CASE WHEN floor((floor(epoch(max_ts)) - floor(epoch(last_ts)))
+                    / 86400) > {CHURN_DAYS}
+              THEN 'inactive' ELSE 'active' END AS status,
+         floor((floor(epoch(max_ts)) - floor(epoch(last_ts))) / 86400)
+           AS stale_days
+  FROM per_user CROSS JOIN mx
+)
+SELECT status, count(*) AS n_users,
+       round(avg(stale_days), 4) AS avg_stale_days,
+       cast(max(stale_days) AS BIGINT) AS max_stale_days
+FROM tagged GROUP BY status
+"""
+
+
+QUERIES["ord_ship_latency"] = QuerySpec(
+    q_ship_latency,
+    ORACLE_SHIP_LATENCY,
+    "order→ship latency profile per priority (exact integer percentiles)",
+)
+QUERIES["evt_inactive_users"] = QuerySpec(
+    q_inactive_users,
+    ORACLE_INACTIVE,
+    "churn/staleness split (two tiny aggregates + broadcast scalar)",
+)

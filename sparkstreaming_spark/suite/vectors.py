@@ -390,3 +390,72 @@ def q_knn_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES["emb_knn_pq"] = QuerySpec(
     q_knn_pq, None, "PQ/ADC ANN (m-byte codes; recall-tested)"
 )
+
+
+def q_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space drift monitor: split the corpus into two cohorts
+    (vec_id parity — stand-in for yesterday/today snapshots) and report
+    the cosine between each label's per-cohort centroid. The shuffle
+    carries (label, cohort, dim) partial sums — d rows per label per
+    cohort, independent of corpus size; the cosine combine runs on the
+    labels x d table. The production alarm for silent embedding-model
+    or upstream-distribution changes."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    dims = emb.select(
+        "label",
+        (F.col("vec_id") % 2).alias("cohort"),
+        F.posexplode("embedding").alias("dim", "val"),
+    )
+    cent = dims.groupBy("label", "cohort", "dim").agg(
+        F.avg("val").alias("c"), F.count(F.lit(1)).alias("n")
+    )
+    a = cent.filter(F.col("cohort") == 0).select(
+        "label", "dim", F.col("c").alias("ca"), F.col("n").alias("na")
+    )
+    b = cent.filter(F.col("cohort") == 1).select(
+        "label", "dim", F.col("c").alias("cb"), F.col("n").alias("nb")
+    )
+    j = a.join(b, ["label", "dim"])
+    return j.groupBy("label").agg(
+        F.max("na").alias("n_a"),
+        F.max("nb").alias("n_b"),
+        F.round(
+            F.sum(F.col("ca") * F.col("cb"))
+            / (
+                F.sqrt(F.sum(F.col("ca") * F.col("ca")))
+                * F.sqrt(F.sum(F.col("cb") * F.col("cb")))
+            ),
+            6,
+        ).alias("centroid_cosine"),
+    )
+
+
+ORACLE_CENTROID_DRIFT = """
+WITH dims AS (
+  SELECT label, vec_id % 2 AS cohort,
+         unnest(generate_series(1, len(embedding))) - 1 AS dim,
+         unnest(embedding) AS val
+  FROM embeddings
+),
+cent AS (
+  SELECT label, cohort, dim, avg(val) AS c, count(*) AS n
+  FROM dims GROUP BY 1, 2, 3
+),
+j AS (
+  SELECT a.label, a.dim, a.c AS ca, b.c AS cb, a.n AS na, b.n AS nb
+  FROM cent a JOIN cent b
+    ON a.label = b.label AND a.dim = b.dim
+   AND a.cohort = 0 AND b.cohort = 1
+)
+SELECT label, max(na) AS n_a, max(nb) AS n_b,
+       round(sum(ca * cb) / (sqrt(sum(ca * ca)) * sqrt(sum(cb * cb))), 6)
+         AS centroid_cosine
+FROM j GROUP BY label
+"""
+
+
+QUERIES["emb_centroid_drift"] = QuerySpec(
+    q_centroid_drift,
+    ORACLE_CENTROID_DRIFT,
+    "per-label cohort centroid cosine (d-rows-per-label shuffle)",
+)

@@ -227,3 +227,36 @@ def test_debounce_collapses_planted_burst_chain(spark):
         (gap.isNull() | (gap >= DEBOUNCE_GAP_S)).cast("int").alias("k")
     )
     assert [r.k for r in kept.collect()] == [1, 0, 0, 0, 1]
+
+
+def test_centroid_drift_identical_cohorts_is_one(spark):
+    """Duplicating every vector into both cohorts must give centroid
+    cosine exactly 1.0 for every label."""
+    from pyspark.sql import functions as F
+
+    emb = spark.read.parquet(f"{SF_DIR_SMOKE}/embeddings.parquet")
+    # same vectors in both cohorts: vec_id parity differs, payload same
+    both = emb.select((F.col("vec_id") * 2).alias("vec_id"), "embedding", "label").unionAll(
+        emb.select((F.col("vec_id") * 2 + 1).alias("vec_id"), "embedding", "label")
+    )
+    dims = both.select(
+        "label", (F.col("vec_id") % 2).alias("cohort"),
+        F.posexplode("embedding").alias("dim", "val"),
+    )
+    cent = dims.groupBy("label", "cohort", "dim").agg(F.avg("val").alias("c"))
+    a = cent.filter("cohort = 0").select("label", "dim", F.col("c").alias("ca"))
+    b = cent.filter("cohort = 1").select("label", "dim", F.col("c").alias("cb"))
+    out = (
+        a.join(b, ["label", "dim"])
+        .groupBy("label")
+        .agg(
+            (
+                F.sum(F.col("ca") * F.col("cb"))
+                / (F.sqrt(F.sum(F.col("ca") ** 2)) * F.sqrt(F.sum(F.col("cb") ** 2)))
+            ).alias("cos")
+        )
+        .collect()
+    )
+    assert out
+    for r in out:
+        assert abs(r.cos - 1.0) < 1e-12

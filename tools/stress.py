@@ -91,6 +91,9 @@ DEFAULT_OPS = [
     "doc_zipf_fit",
     "evt_peak_detection",
     "doc_dedup_eval",
+    "ord_ship_latency",
+    "evt_inactive_users",
+    "emb_centroid_drift",
 ]
 
 
