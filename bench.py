@@ -193,6 +193,8 @@ HEADLINE = [
     "ord_ship_latency",
     "evt_inactive_users",
     "emb_centroid_drift",
+    "evt_mom_change",
+    "doc_dup_rate_by_source",
 ]
 
 

@@ -1240,3 +1240,42 @@ QUERIES["evt_inactive_users"] = QuerySpec(
     ORACLE_INACTIVE,
     "churn/staleness split (two tiny aggregates + broadcast scalar)",
 )
+
+
+def q_mom_change(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Month-over-month growth per event_type: volume + % change vs the
+    previous month (lag window on the monthly rollup — the executive
+    trend table). NULL change for each type's first month."""
+    ev = read_table(spark, sf_dir, "events")
+    monthly = ev.groupBy(
+        F.date_trunc("month", "ts").alias("month"), "event_type"
+    ).agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("event_type").orderBy("month")
+    return monthly.select(
+        F.date_format("month", "yyyy-MM").alias("month"),
+        "event_type",
+        "n",
+        F.round(
+            (F.col("n") - F.lag("n").over(w)) * 100.0 / F.lag("n").over(w), 4
+        ).alias("pct_change"),
+    )
+
+
+ORACLE_MOM = """
+WITH monthly AS (
+  SELECT date_trunc('month', ts) AS month, event_type, count(*) AS n
+  FROM events GROUP BY 1, 2
+)
+SELECT strftime(month, '%Y-%m') AS month, event_type, n,
+       round((n - lag(n) OVER (PARTITION BY event_type ORDER BY month))
+             * 100.0 / lag(n) OVER (PARTITION BY event_type ORDER BY month),
+             4) AS pct_change
+FROM monthly
+"""
+
+
+QUERIES["evt_mom_change"] = QuerySpec(
+    q_mom_change,
+    ORACLE_MOM,
+    "month-over-month growth per type (lag on the monthly rollup)",
+)

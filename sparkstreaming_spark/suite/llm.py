@@ -9,7 +9,7 @@ generated from the same constants the Spark operators use.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..dedup import (
@@ -1945,4 +1945,49 @@ QUERIES["doc_dedup_eval"] = QuerySpec(
     _oracle_dedup_eval(),
     "dedup self-evaluation: SimHash candidates vs exact-Jaccard truth "
     "(precision/recall, composition oracled)",
+)
+
+
+def q_dup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-duplicate pressure per source: share of documents whose
+    normalized content hash appears more than once ANYWHERE in the
+    corpus, attributed to each source — the first dashboard a curation
+    pipeline ships (which feeds are echoing which). The hash-count table
+    is corpus-sized, so it is NOT broadcast: per-hash multiplicity comes
+    from one count window over the hash shuffle (same exchange a groupBy
+    would pay, no join at all), then the source rollup is a tiny second
+    aggregate."""
+    from ..functions.text import normalize_text
+
+    d = read_table(spark, sf_dir, "documents")
+    hashed = d.select("source", F.md5(normalize_text("text")).alias("h"))
+    wc = Window.partitionBy("h")
+    tagged = hashed.select(
+        "source", (F.count(F.lit(1)).over(wc) > 1).cast("int").alias("dup")
+    )
+    return tagged.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("dup").alias("n_dup_docs"),
+        F.round(F.sum("dup") / F.count(F.lit(1)), 6).alias("dup_rate"),
+    )
+
+
+ORACLE_DUP_RATE = f"""
+WITH hashed AS (
+  SELECT source, md5({SQL_NORM}) AS h FROM documents
+),
+counts AS (SELECT h, count(*) AS c FROM hashed GROUP BY h)
+SELECT source, count(*) AS n_docs,
+       cast(sum(CASE WHEN c > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_docs,
+       round(sum(CASE WHEN c > 1 THEN 1 ELSE 0 END) * 1.0 / count(*), 6)
+         AS dup_rate
+FROM hashed JOIN counts USING (h)
+GROUP BY source
+"""
+
+
+QUERIES["doc_dup_rate_by_source"] = QuerySpec(
+    q_dup_rate_by_source,
+    ORACLE_DUP_RATE,
+    "exact-duplicate pressure per source (corpus hash counts broadcast)",
 )
