@@ -195,6 +195,7 @@ HEADLINE = [
     "emb_centroid_drift",
     "evt_mom_change",
     "doc_dup_rate_by_source",
+    "evt_user_growth",
 ]
 
 

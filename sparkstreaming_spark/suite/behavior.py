@@ -1279,3 +1279,41 @@ QUERIES["evt_mom_change"] = QuerySpec(
     ORACLE_MOM,
     "month-over-month growth per type (lag on the monthly rollup)",
 )
+
+
+def q_user_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """New-user growth curve: daily first-seen counts and the cumulative
+    user total. Exact cumulative DISTINCT is not window-expressible, but
+    first-seen reduces it exactly: min(ts) per user (one aggregate),
+    then a day rollup and a running sum over the day-sized table."""
+    ev = read_table(spark, sf_dir, "events")
+    first_seen = ev.groupBy("user_id").agg(
+        F.date_trunc("day", F.min("ts")).alias("day")
+    )
+    daily = first_seen.groupBy("day").agg(F.count(F.lit(1)).alias("n_new"))
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    return daily.select(
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        "n_new",
+        F.sum("n_new").over(w).alias("cum_users"),
+    )
+
+
+ORACLE_USER_GROWTH = """
+WITH first_seen AS (
+  SELECT user_id, date_trunc('day', min(ts)) AS day
+  FROM events GROUP BY user_id
+),
+daily AS (SELECT day, count(*) AS n_new FROM first_seen GROUP BY day)
+SELECT strftime(day, '%Y-%m-%d') AS day, n_new,
+       cast(sum(n_new) OVER (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING
+            AND CURRENT ROW) AS BIGINT) AS cum_users
+FROM daily
+"""
+
+
+QUERIES["evt_user_growth"] = QuerySpec(
+    q_user_growth,
+    ORACLE_USER_GROWTH,
+    "new-user growth curve (first-seen reduction, day-table running sum)",
+)

@@ -96,6 +96,7 @@ DEFAULT_OPS = [
     "emb_centroid_drift",
     "evt_mom_change",
     "doc_dup_rate_by_source",
+    "evt_user_growth",
 ]
 
 
