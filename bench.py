@@ -6,6 +6,12 @@ Runs the headline suite queries at $SPARK_GRAFT_SF_DIR (default
 {"metric": ..., "value": total_sec, "unit": "sec", "queries": {name: sec},
  "sf": ...}.
 
+The printed line keeps `queries` to a fixed CORE subset so the line stays
+well under the driver's stdout-tail capture (round 3's 164-query line was
+truncated to `parsed: null`); the full per-query map is written to
+BENCH_DETAIL.json next to this script, and the line carries `n_queries` +
+`detail` so nothing is lost.
+
 Timing = wall clock of plan construction + a count()-style action that
 materializes every result row (df.write to noop sink would also work;
 count() keeps it simple and still executes the full plan since aggregates/
@@ -199,6 +205,52 @@ HEADLINE = [
 ]
 
 
+# Fixed subset whose timings ride inline in the printed JSON line (one per
+# operator family, stable across rounds so BENCH_r{N} files stay comparable).
+CORE = [
+    "flagship_pricing_summary",
+    "join_star_revenue",
+    "tpch_q9_product_profit",
+    "tpch_q21_waiting_supplier",
+    "top_customers",
+    "window_rank",
+    "rollup_counts",
+    "evt_asof_orders",
+    "evt_range_join",
+    "evt_tumbling_window",
+    "evt_session_window",
+    "evt_hypertable_rollup",
+    "evt_funnel",
+    "evt_sessionize",
+    "doc_token_stats",
+    "doc_exact_dedup",
+    "doc_minhash_pairs",
+    "doc_dup_clusters",
+    "doc_ngram_jaccard",
+    "doc_quality",
+    "doc_bm25_topk",
+    "doc_curation_pipeline",
+    "doc_decontam",
+    "doc_bpe_encode",
+    "doc_pii_scrub",
+    "emb_knn_bruteforce",
+    "emb_knn_ivf",
+    "emb_knn_pq",
+    "emb_near_dup_cosine",
+    "emb_kmeans_profile",
+    "emb_semantic_dedup",
+    "cdc_apply_latest",
+    "scd2_history",
+    "graph_kcore",
+    "evt_lift_curve",
+    "evt_auc",
+    "evt_skyline",
+    "stream_incremental_dedup",
+    "stream_chained_windows",
+    "doc_dedup_eval",
+]
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -219,14 +271,34 @@ def main() -> None:
         timings[name] = round(sorted(runs)[1], 4)  # median of 3
 
     total = round(sum(timings.values()), 4)
+    sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
+    detail_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
+    )
+    with open(detail_path, "w") as fh:
+        json.dump(
+            {
+                "metric": "suite_total_sec",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf_val,
+            },
+            fh,
+            indent=1,
+        )
+        fh.write("\n")
+    core = {n: timings[n] for n in CORE if n in timings}
     print(
         json.dumps(
             {
                 "metric": "suite_total_sec",
                 "value": total,
                 "unit": "sec",
-                "queries": timings,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "queries": core,
+                "n_queries": len(timings),
+                "detail": "BENCH_DETAIL.json",
+                "sf": sf_val,
             }
         )
     )

@@ -498,16 +498,31 @@ def q_lift_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     by `value`, label = purchase, bucket into score deciles, report
     per-decile response rate and cumulative lift vs the base rate.
 
-    Scale shape: the ntile window is ONE global sort of (score, id) —
-    the price of exact deciles (the engine's broadcast-quantile
-    alternative is q_length_curriculum); everything after runs on the
-    10-row decile table. Base rate rides in as a window aggregate over
-    that tiny table, not a second corpus pass."""
+    Scale shape (the q_length_curriculum pattern): pass 1 computes the 9
+    exact decile boundaries of the score as a tiny percentile aggregate
+    (9 doubles to the driver), pass 2 buckets every event against the
+    broadcast boundary literals inside whole-stage codegen — NO global
+    ntile sort, so no single-task WindowExec over the fact table (the
+    round-3 version's scale ceiling). Ties at a boundary go to the
+    higher decile (`value < bound` test) identically in both engines
+    because both compare against the same 6-dp-rounded literals;
+    everything after runs on the ≤10-row decile table, where the
+    cumulative/base-rate windows are free."""
     ev = read_table(spark, sf_dir, "events")
-    w = Window.orderBy(F.desc("value"), "event_id")
+    val = F.col("value").cast("double")
+    # descending deciles: bounds[0] = 0.9-quantile … bounds[8] = 0.1-quantile
+    bounds = ev.select(
+        F.percentile(
+            val, F.array(*[F.lit(p / 10) for p in range(9, 0, -1)])
+        ).alias("b")
+    ).first()["b"]
+    bounds = [round(float(b), 6) for b in bounds or []]
+    bucket = F.lit(1)
+    for b in bounds:
+        bucket = bucket + F.when(val < F.lit(b), 1).otherwise(0)
     scored = ev.select(
         (F.col("event_type") == "purchase").cast("int").alias("label"),
-        F.ntile(10).over(w).alias("decile"),
+        bucket.cast("int").alias("decile"),
     )
     per = scored.groupBy("decile").agg(
         F.count(F.lit(1)).alias("n"),
@@ -528,11 +543,22 @@ def q_lift_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-ORACLE_LIFT = """
-WITH scored AS (
-  SELECT CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS label,
-         ntile(10) OVER (ORDER BY value DESC, event_id) AS decile
+_LIFT_BUCKET_CASES = " + ".join(
+    f"(CASE WHEN CAST(value AS DOUBLE) < round(bs[{i + 1}], 6) "
+    "THEN 1 ELSE 0 END)"
+    for i in range(9)
+)
+
+ORACLE_LIFT = f"""
+WITH bounds AS (
+  SELECT quantile_cont(CAST(value AS DOUBLE),
+                       [0.9, 0.8, 0.7, 0.6, 0.5, 0.4, 0.3, 0.2, 0.1]) AS bs
   FROM events
+),
+scored AS (
+  SELECT CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS label,
+         CAST(1 + {_LIFT_BUCKET_CASES} AS INT) AS decile
+  FROM events, bounds
 ),
 per AS (
   SELECT decile, count(*) AS n, cast(sum(label) AS BIGINT) AS n_pos
@@ -552,34 +578,44 @@ FROM per
 def q_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact ROC AUC via the Mann-Whitney rank-sum identity:
     AUC = (Σ midranks(positives) − n⁺(n⁺+1)/2) / (n⁺ n⁻), with midranks
-    handling score ties exactly. One global rank window over the score
-    (exact AUC requires a total order — same cost profile as any exact
-    quantile), one tie-group aggregate join, then a 3-number reduce."""
+    handling score ties exactly.
+
+    Scale shape: the fact table is first reduced to per-distinct-score
+    label counts (one hash-partitioned aggregate — scores are 2-dp
+    doubles, so the distinct-score table is bounded by the score RANGE,
+    not the event count, and plateaus as data grows). Only that
+    aggregate flows through the rank window, so the single-task sort
+    the round-3 version ran over every event now touches |distinct
+    scores| rows. Midrank math is unchanged and exact: a tie group of
+    c rows with cumulative count `cum` has midrank cum − (c−1)/2, and
+    the group contributes pos·midrank to the positive rank sum."""
     ev = read_table(spark, sf_dir, "events")
-    scored = ev.select(
-        F.col("value").alias("s"),
-        (F.col("event_type") == "purchase").cast("int").alias("label"),
+    g = (
+        ev.select(
+            F.col("value").alias("s"),
+            (F.col("event_type") == "purchase").cast("int").alias("label"),
+        )
+        .groupBy("s")
+        .agg(
+            F.count(F.lit(1)).alias("c"),
+            F.sum("label").alias("pos"),
+        )
     )
-    wr = Window.orderBy("s")
-    ranked = scored.select(
-        "s", "label", F.rank().over(wr).alias("r")
-    )
-    # midrank for a tie group starting at rank r with c members:
-    # (r + (r + c - 1)) / 2 = r + (c - 1)/2
-    wt = Window.partitionBy("s")
-    mid = ranked.select(
-        "label",
-        (F.col("r") + (F.count(F.lit(1)).over(wt) - 1) / 2).alias("mr"),
+    wc = Window.orderBy("s").rowsBetween(Window.unboundedPreceding, 0)
+    mid = g.select(
+        "c",
+        "pos",
+        (F.sum("c").over(wc) - (F.col("c") - 1) / 2).alias("mr"),
     )
     return mid.agg(
-        F.sum("label").alias("n_pos"),
-        (F.count(F.lit(1)) - F.sum("label")).alias("n_neg"),
+        F.sum("pos").alias("n_pos"),
+        (F.sum("c") - F.sum("pos")).alias("n_neg"),
         F.round(
             (
-                F.sum(F.when(F.col("label") == 1, F.col("mr")))
-                - F.sum("label") * (F.sum("label") + 1) / 2
+                F.sum(F.col("pos") * F.col("mr"))
+                - F.sum("pos") * (F.sum("pos") + 1) / 2
             )
-            / (F.sum("label") * (F.count(F.lit(1)) - F.sum("label"))),
+            / (F.sum("pos") * (F.sum("c") - F.sum("pos"))),
             6,
         ).alias("auc"),
     )
@@ -716,33 +752,66 @@ def q_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """2-D skyline (Pareto frontier): events not dominated on
     (value high, recency high) — the multi-objective shortlist pattern
     (price-vs-quality, score-vs-freshness) without the O(n^2)
-    dominance self-join: sort by value desc, keep rows whose timestamp
-    strictly exceeds the running max of everything above them. ONE
-    window over a total order (value desc, ts desc, event_id) replaces
-    the pairwise comparison; ties on value are resolved by the same
-    total order both engines share. Exact (value, ts) duplicates
-    collapse to the first by event_id (skyline-distinct semantics) —
-    deterministic and mirrored in the oracle."""
-    ev = read_table(spark, sf_dir, "events")
-    w = Window.orderBy(
-        F.desc("value"), F.desc("ts"), "event_id"
-    ).rowsBetween(Window.unboundedPreceding, -1)
-    ranked = ev.select(
-        "event_id",
-        "value",
-        "ts",
-        F.max("ts").over(w).alias("best_ts_above"),
+    dominance self-join: in the total order (value desc, ts desc,
+    event_id), keep rows whose timestamp strictly exceeds the running
+    max of everything above them.
+
+    Scale shape — the classic DISTRIBUTED prefix scan, replacing the
+    round-3 single-task global window: (1) `repartitionByRange` on the
+    total order splits the sort across tasks with partition p holding
+    strictly-earlier rows than partition p+1; (2) a per-partition max(ts)
+    aggregate ships ≤ #partitions rows to the driver, whose prefix-max
+    gives each partition the running max of everything before it;
+    (3) one Arrow `mapInPandas` pass over the range-sorted partitions
+    folds that broadcast prefix into a vectorized cumulative max and
+    filters locally. No stage ever holds more than one partition of the
+    fact table; the only driver collect is #partitions scalars."""
+    import numpy as np
+
+    ev = read_table(spark, sf_dir, "events").select("event_id", "value", "ts")
+    npart = max(int(spark.sparkContext.defaultParallelism), 2)
+    parted = (
+        ev.repartitionByRange(
+            npart, F.desc("value"), F.desc("ts"), F.asc("event_id")
+        )
+        .withColumn("pid", F.spark_partition_id())
+        .persist()
     )
+    # bounded driver collect: one (pid, max_ts) row per partition
+    maxima = {
+        int(r["pid"]): r["m"]
+        for r in parted.groupBy("pid").agg(F.max("ts").alias("m")).collect()
+    }
+    prefix_ns: dict[int, int] = {}
+    best = None
+    for pid in sorted(maxima):
+        prefix_ns[pid] = -(2**62) if best is None else int(best)
+        m_ns = int(np.datetime64(maxima[pid], "ns").astype("int64"))
+        best = m_ns if best is None else max(best, m_ns)
+
+    def _scan(batches):
+        run = None  # int64-ns running max of all rows strictly above
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            if run is None:
+                run = prefix_ns.get(int(pdf["pid"].iloc[0]), -(2**62))
+            ts_ns = pdf["ts"].to_numpy(dtype="datetime64[ns]").astype("int64")
+            above = np.empty_like(ts_ns)
+            above[0] = run
+            np.maximum(np.maximum.accumulate(ts_ns)[:-1], run, out=above[1:])
+            keep = ts_ns > above
+            run = max(run, int(ts_ns.max()))
+            out = pdf.loc[keep, ["event_id", "value", "ts"]].copy()
+            out["value"] = out["value"].round(6)
+            out["ts"] = out["ts"].dt.strftime("%Y-%m-%d %H:%M:%S")
+            yield out
+
     return (
-        ranked.filter(
-            F.col("best_ts_above").isNull()
-            | (F.col("ts") > F.col("best_ts_above"))
+        parted.sortWithinPartitions(
+            F.desc("value"), F.desc("ts"), F.asc("event_id")
         )
-        .select(
-            "event_id",
-            F.round("value", 6).alias("value"),
-            F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts"),
-        )
+        .mapInPandas(_scan, "event_id bigint, value double, ts string")
     )
 
 
