@@ -59,22 +59,53 @@ FROM events GROUP BY event_type
 """
 
 
+# lgK=14 HLL relative standard error = 1.04 / sqrt(2^14) ≈ 0.81 %
+_HLL_RSD_LG14 = 1.04 / (2**14) ** 0.5
+
+
 def q_hll_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mergeable distinct-count rollup: one pass builds a Datasketches
     HLL sketch per (event_type, day); the rollup UNIONS sketches per
     event_type without re-reading events — the pre-aggregation pattern
     that makes dashboard distinct counts O(groups), not O(fact table),
-    at every grain. Registered rows-only (sketch estimates are not
-    SQL-reproducible in DuckDB); the 3σ error bound vs the exact count
-    is pinned in tests/test_extensions.py."""
+    at every grain.
+
+    Oracle contract (the evt_approx_percentiles pattern): the verified
+    OUTPUT is the exact distinct count (DuckDB-computable) plus a
+    `within_3sigma` boolean derived FROM the sketch union — the sketch
+    path stays load-bearing (a broken union/estimate flips the boolean
+    and the hash mismatches), while every emitted value is
+    deterministic. The exact column doubles as the error denominator;
+    at 100 TB you'd drop it and ship the estimate alone."""
     ev = read_table(spark, sf_dir, "events")
     daily = ev.groupBy(
         "event_type", F.date_trunc("day", "ts").alias("day")
     ).agg(F.hll_sketch_agg("user_id", 14).alias("sk"))
-    return daily.groupBy("event_type").agg(
+    approx = daily.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n_days"),
         F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("approx_users"),
     )
+    exact = ev.groupBy("event_type").agg(
+        F.count_distinct("user_id").alias("exact_users")
+    )
+    return approx.join(exact, "event_type").select(
+        "event_type",
+        "n_days",
+        "exact_users",
+        (
+            F.abs(F.col("approx_users") - F.col("exact_users"))
+            <= 3 * _HLL_RSD_LG14 * F.col("exact_users")
+        ).alias("within_3sigma"),
+    )
+
+
+ORACLE_HLL_UNION = """
+SELECT event_type,
+       count(DISTINCT date_trunc('day', ts)) AS n_days,
+       count(DISTINCT user_id) AS exact_users,
+       TRUE AS within_3sigma
+FROM events GROUP BY event_type
+"""
 
 
 def _sample_pred():
@@ -135,8 +166,8 @@ QUERIES: dict[str, QuerySpec] = {
     ),
     "evt_hll_union": QuerySpec(
         q_hll_union,
-        None,
-        "mergeable HLL rollup: daily sketches unioned per type (bound-tested)",
+        ORACLE_HLL_UNION,
+        "mergeable HLL rollup: exact count + sketch-derived 3-sigma bound",
     ),
     "evt_sampled_mean": QuerySpec(
         q_sampled_mean,

@@ -466,14 +466,31 @@ def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     mergeable-sketch family (GK quantiles, count-min, HLL): at 100 TB
     the exact count shuffles every distinct (type, user) pair once,
     while HLL ships a fixed ~1.5 KB register block per group per
-    partition. Registered rows-only: HLL estimates are not
-    SQL-reproducible in DuckDB; the error bound is pinned by
-    tests/test_extensions.py instead."""
+    partition.
+
+    Oracle contract: the verified output is the exact count (DuckDB
+    twin computes it) plus a `within_3sigma` boolean derived FROM the
+    sketch — the sketch stays load-bearing (a broken estimate flips the
+    boolean → hash mismatch) while every emitted value is deterministic.
+    rsd 0.01 → 3σ relative error bound 3 %."""
     ev = read_table(spark, sf_dir, "events")
     return ev.groupBy("event_type").agg(
-        F.approx_count_distinct("user_id", 0.01).alias("approx_users"),
         F.count_distinct("user_id").alias("exact_users"),
+        (
+            F.abs(
+                F.approx_count_distinct("user_id", 0.01)
+                - F.count_distinct("user_id")
+            )
+            <= 0.03 * F.count_distinct("user_id")
+        ).alias("within_3sigma"),
     )
+
+
+ORACLE_APPROX_DISTINCT = """
+SELECT event_type, count(DISTINCT user_id) AS exact_users,
+       TRUE AS within_3sigma
+FROM events GROUP BY event_type
+"""
 
 
 QUERIES.update(
@@ -500,8 +517,8 @@ QUERIES.update(
         ),
         "evt_approx_distinct": QuerySpec(
             q_approx_distinct,
-            None,
-            "HLL distinct sketch vs exact (rows-only; bound pinned in tests)",
+            ORACLE_APPROX_DISTINCT,
+            "HLL distinct sketch: exact count + sketch-derived 3-sigma bound",
         ),
     }
 )

@@ -51,21 +51,15 @@ def test_registry_oracles_all_parse(duck):
     # rows-only entries must stay the documented exceptions (iterative /
     # approximate / stubbed-codec ops), never silent omissions
     assert set(missing_oracle) <= {
-        "emb_knn_lsh",
-        "emb_knn_ivf",
         "emb_kmeans_profile",
         "doc_blob_features",
         "emb_pca_profile",  # eigensolve not SQL-expressible; NumPy parity test
         "doc_cms_counts",  # sketch estimates; error bound pinned by test
-        "emb_knn_sq8",  # quantized ANN; recall pinned by test
-        "evt_approx_distinct",  # HLL estimates; 3-sigma bound pinned by test
-        "evt_hll_union",  # HLL sketch union; 3-sigma bound pinned by test
         "doc_bpe_merges",  # iterative BPE; pure-Python reference parity test
         "doc_bpe_encode",  # encodes with learned merges; path-parity test
         "layout_hilbert_key",  # iterative bit rotation; xy2d parity test
         "doc_audio_bands",  # FFT band energies; NumPy parity test (test_audio.py)
         "graph_kcore",  # iterative peel; planted K6-vs-chain test
-        "emb_knn_pq",  # PQ/ADC quantized ANN; recall pinned by test
     }, missing_oracle
     for name, spec in specs.items():
         if spec.oracle is not None:
