@@ -2,11 +2,13 @@
 resampling over Arrow batches — the audio leg of the multimodal surface
 (images: codecs.py; video frame sampling: blobs.py).
 
-WAV/PCM is decoded with the stdlib `wave` module + NumPy frombuffer —
-a REAL codec with zero external dependencies, so unlike the compressed
-audio slot (mp3/opus need ffmpeg-class libs, marked NotImplementedError)
-this path is fully exercised in tests. Resampling is deterministic
-linear interpolation at fixed float64 precision.
+WAV/PCM is decoded with the stdlib `wave` module + NumPy frombuffer,
+and COMPRESSED audio is covered by a pure-Python IMA-ADPCM codec (WAV
+fmt tag 0x11, 4:1, encoder + decoder below) — both REAL codecs with
+zero external dependencies, fully exercised in tests. Only
+transform-coded formats (mp3/opus, which need ffmpeg-class stacks
+absent from this container) remain documented stubs. Resampling is
+deterministic linear interpolation at fixed float64 precision.
 
 Spark shape: mapInPandas over (id, blob) — Arrow moves the bytes in
 batches, one Python worker pass, no row-at-a-time UDF. Feature rows are
@@ -40,7 +42,17 @@ def encode_wav(samples: np.ndarray, sample_rate: int) -> bytes:
 
 def decode_wav(data: bytes) -> tuple[np.ndarray, int]:
     """WAV bytes → (float64 mono samples in [-1, 1], sample_rate).
-    Supports 8/16/32-bit PCM; multi-channel input is averaged to mono."""
+    Supports 8/16/32-bit PCM (stdlib `wave` + NumPy) and IMA-ADPCM
+    compressed WAVs (fmt tag 0x11 — the pure-Python codec below);
+    multi-channel PCM input is averaged to mono."""
+    try:
+        return _decode_wav_pcm(data)
+    except wave.Error:
+        # non-PCM container: the stdlib module refuses compressed WAVs
+        return decode_wav_ima_adpcm(data)
+
+
+def _decode_wav_pcm(data: bytes) -> tuple[np.ndarray, int]:
     with wave.open(io.BytesIO(data), "rb") as w:
         n = w.getnframes()
         rate = w.getframerate()
@@ -182,3 +194,174 @@ def audio_band_energy(
     return narrowed.mapInPandas(
         extract, schema=f"id long, n_frames long, {bands}"
     )
+
+
+# ---------------------------------------------------------------------------
+# IMA ADPCM (DVI/IMA, WAV format tag 0x11) — a real COMPRESSED audio codec
+# in pure Python/NumPy, closing the compressed-audio slot the way the
+# pure-Python PNG decoder closed the image slot. The algorithm is public
+# (IMA Digital Audio Focus Group, "Recommended Practices for Enhancing
+# Digital Audio Compatibility", 1992; same tables ship in every open
+# implementation). 4 bits/sample → 4:1 compression vs int16 PCM, lossy
+# (~2 % step quantization), block-independent so decode parallelizes by
+# block. mp3/opus remain documented stubs: they need ffmpeg-class
+# entropy/transform stacks absent from this container.
+# ---------------------------------------------------------------------------
+
+_IMA_STEP_TABLE = [
+    7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31, 34, 37,
+    41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143, 157, 173,
+    190, 209, 230, 253, 279, 307, 337, 371, 408, 449, 494, 544, 598, 658,
+    724, 796, 876, 963, 1060, 1166, 1282, 1411, 1552, 1707, 1878, 2066,
+    2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428, 4871, 5358, 5894,
+    6484, 7132, 7845, 8630, 9493, 10442, 11487, 12635, 13899, 15289,
+    16818, 18500, 20350, 22385, 24623, 27086, 29794, 32767,
+]
+_IMA_INDEX_TABLE = [-1, -1, -1, -1, 2, 4, 6, 8]
+
+
+def _ima_decode_nibbles(nibbles, predictor: int, index: int):
+    """Decode a sequence of 4-bit IMA codes given the block's seed
+    predictor/step-index. Inherently sequential (each step depends on the
+    previous sample) — but blocks are independent, so corpus decode
+    parallelizes at block granularity."""
+    out = []
+    pred = predictor
+    idx = index
+    for nib in nibbles:
+        step = _IMA_STEP_TABLE[idx]
+        delta = step >> 3
+        if nib & 1:
+            delta += step >> 2
+        if nib & 2:
+            delta += step >> 1
+        if nib & 4:
+            delta += step
+        if nib & 8:
+            pred -= delta
+        else:
+            pred += delta
+        pred = max(-32768, min(32767, pred))
+        idx = max(0, min(88, idx + _IMA_INDEX_TABLE[nib & 7]))
+        out.append(pred)
+    return out, pred, idx
+
+
+def _ima_encode_sample(sample: int, pred: int, idx: int):
+    """Quantize one sample against the current predictor state; returns
+    (nibble, new_pred, new_idx) — the encoder mirrors the decoder's
+    reconstruction so the state never drifts."""
+    step = _IMA_STEP_TABLE[idx]
+    diff = sample - pred
+    nib = 0
+    if diff < 0:
+        nib = 8
+        diff = -diff
+    if diff >= step:
+        nib |= 4
+        diff -= step
+    if diff >= step >> 1:
+        nib |= 2
+        diff -= step >> 1
+    if diff >= step >> 2:
+        nib |= 1
+    # reconstruct exactly as the decoder will
+    delta = step >> 3
+    if nib & 1:
+        delta += step >> 2
+    if nib & 2:
+        delta += step >> 1
+    if nib & 4:
+        delta += step
+    pred = pred - delta if nib & 8 else pred + delta
+    pred = max(-32768, min(32767, pred))
+    idx = max(0, min(88, idx + _IMA_INDEX_TABLE[nib & 7]))
+    return nib, pred, idx
+
+
+def encode_wav_ima_adpcm(
+    samples: np.ndarray, sample_rate: int, block_align: int = 256
+) -> bytes:
+    """int16 mono samples → WAV bytes with fmt tag 0x11 (IMA ADPCM).
+    Block layout (mono): 4-byte header (int16 predictor = first sample,
+    u8 step index, reserved) + (block_align-4) nibble bytes, low nibble
+    first → samples_per_block = (block_align-4)*2 + 1."""
+    import struct
+
+    samples = np.asarray(samples, dtype="int64")
+    spb = (block_align - 4) * 2 + 1
+    blocks = []
+    idx = 0  # step index carries across blocks (re-seeded in each header)
+    for start in range(0, len(samples), spb):
+        chunk = samples[start : start + spb]
+        pred = int(chunk[0])
+        blocks.append(struct.pack("<hBB", pred, idx, 0))
+        nibbles = []
+        for s in chunk[1:]:
+            nib, pred, idx = _ima_encode_sample(int(s), pred, idx)
+            nibbles.append(nib)
+        nibbles += [0] * ((block_align - 4) * 2 - len(nibbles))  # pad tail
+        packed = bytes(
+            (nibbles[i] & 0xF) | ((nibbles[i + 1] & 0xF) << 4)
+            for i in range(0, len(nibbles), 2)
+        )
+        blocks.append(packed)
+    data = b"".join(blocks)
+    byte_rate = sample_rate * block_align // spb
+    fmt = struct.pack(
+        "<HHIIHHHH", 0x11, 1, sample_rate, byte_rate, block_align, 4, 2, spb
+    )
+    riff = (
+        b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"fact" + struct.pack("<II", 4, len(samples))
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+    return b"RIFF" + struct.pack("<I", len(riff)) + riff
+
+
+def _parse_riff_chunks(data: bytes) -> dict[bytes, bytes]:
+    import struct
+
+    if data[:4] != b"RIFF" or data[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE stream")
+    chunks: dict[bytes, bytes] = {}
+    off = 12
+    while off + 8 <= len(data):
+        cid, size = data[off : off + 4], struct.unpack(
+            "<I", data[off + 4 : off + 8]
+        )[0]
+        chunks[cid] = data[off + 8 : off + 8 + size]
+        off += 8 + size + (size & 1)  # chunks are word-aligned
+    return chunks
+
+
+def decode_wav_ima_adpcm(data: bytes) -> tuple[np.ndarray, int]:
+    """WAV (fmt tag 0x11, mono) → (float64 samples in [-1, 1], rate)."""
+    import struct
+
+    chunks = _parse_riff_chunks(data)
+    fmt = chunks[b"fmt "]
+    tag, channels, rate, _br, block_align = struct.unpack("<HHIIH", fmt[:14])
+    if tag != 0x11:
+        raise NotImplementedError(f"fmt tag {tag:#x} is not IMA ADPCM")
+    if channels != 1:
+        raise NotImplementedError("only mono IMA ADPCM supported")
+    n_total = None
+    if b"fact" in chunks and len(chunks[b"fact"]) >= 4:
+        n_total = struct.unpack("<I", chunks[b"fact"][:4])[0]
+    raw = chunks[b"data"]
+    out: list[int] = []
+    for boff in range(0, len(raw) - 3, block_align):
+        block = raw[boff : boff + block_align]
+        pred, idx, _r = struct.unpack("<hBB", block[:4])
+        out.append(pred)
+        nibbles = []
+        for byte in block[4:]:
+            nibbles.append(byte & 0xF)
+            nibbles.append(byte >> 4)
+        decoded, _p, _i = _ima_decode_nibbles(nibbles, pred, idx)
+        out.extend(decoded)
+    if n_total is not None:
+        out = out[:n_total]
+    return np.asarray(out, dtype="float64") / 32768.0, rate

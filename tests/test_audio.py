@@ -114,3 +114,77 @@ def test_band_energy_empty_blob_is_zero_frames(spark):
     row = audio_band_energy(df, "id", "blob", fake=True).collect()[0]
     assert row.n_frames == 0
     assert row.band0 == 0.0
+
+
+def test_ima_adpcm_roundtrip_snr():
+    """The compressed-audio codec contract (the PNG-closes-the-image-slot
+    pattern): encode a sine to IMA-ADPCM WAV (fmt 0x11), decode it back —
+    exact length/rate, ~4:1 size vs PCM, and SNR well above the ~25 dB
+    a correct IMA implementation yields on a tonal signal."""
+    from sparkstreaming_spark.multimodal.audio import (
+        decode_wav_ima_adpcm,
+        encode_wav_ima_adpcm,
+    )
+
+    rate = 16000
+    x = _sine(rate, 0.5)
+    pcm16 = (x * 10000).astype("int64")
+    wav = encode_wav_ima_adpcm(pcm16, rate)
+    assert len(wav) < 2 * len(pcm16) / 3.5  # genuinely compressed
+    y, got_rate = decode_wav_ima_adpcm(wav)
+    assert got_rate == rate
+    assert len(y) == len(pcm16)
+    orig = pcm16 / 32768.0
+    err = y - orig
+    snr = 10 * np.log10(float((orig**2).mean()) / float((err**2).mean()))
+    assert snr > 25.0, f"IMA-ADPCM SNR too low: {snr:.1f} dB"
+
+
+def test_decode_wav_dispatches_adpcm():
+    """decode_wav must fall through to the ADPCM path for fmt-0x11 WAVs
+    (the stdlib wave module refuses compressed containers)."""
+    from sparkstreaming_spark.multimodal.audio import encode_wav_ima_adpcm
+
+    rate = 8000
+    pcm16 = (_sine(rate, 0.1) * 12000).astype("int64")
+    y, got_rate = decode_wav(encode_wav_ima_adpcm(pcm16, rate))
+    assert got_rate == rate
+    assert len(y) == len(pcm16)
+
+
+def test_adpcm_block_boundary_lengths():
+    """Lengths that are off-by-one around the 505-samples-per-block
+    boundary must roundtrip exactly (header sample + nibble padding)."""
+    from sparkstreaming_spark.multimodal.audio import (
+        decode_wav_ima_adpcm,
+        encode_wav_ima_adpcm,
+    )
+
+    spb = (256 - 4) * 2 + 1
+    for n in (1, spb - 1, spb, spb + 1, 2 * spb):
+        pcm = (np.arange(n) % 200 * 50 - 5000).astype("int64")
+        y, _ = decode_wav_ima_adpcm(encode_wav_ima_adpcm(pcm, 8000))
+        assert len(y) == n, (n, len(y))
+
+
+def test_audio_features_on_adpcm_blobs(spark):
+    """End-to-end Spark pass over COMPRESSED blobs: audio_features
+    decodes fmt-0x11 WAVs through the same Arrow mapInPandas path."""
+    from sparkstreaming_spark.multimodal.audio import (
+        audio_features,
+        encode_wav_ima_adpcm,
+    )
+
+    rate = 8000
+    rows = [
+        (1, bytearray(encode_wav_ima_adpcm(
+            (_sine(rate, 0.2) * 9000).astype("int64"), rate))),
+        (2, bytearray(encode_wav_ima_adpcm(
+            (_sine(rate, 0.1, hz=880.0) * 6000).astype("int64"), rate))),
+    ]
+    df = spark.createDataFrame(rows, "id bigint, blob binary")
+    got = {r.id: r for r in audio_features(df, "id", target_rate=rate).collect()}
+    assert got[1].sample_rate == rate
+    assert got[1].n_samples == int(rate * 0.2)
+    assert got[2].n_samples == int(rate * 0.1)
+    assert 0.1 < got[1].rms < 0.3  # ~9000/32768 sine rms ≈ 0.194
