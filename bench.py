@@ -202,6 +202,12 @@ HEADLINE = [
     "evt_mom_change",
     "doc_dup_rate_by_source",
     "evt_user_growth",
+    "emb_knn_rerank",
+    "evt_seasonal_decompose",
+    "evt_session_corpus",
+    "doc_ngram_novelty",
+    "stream_broker_topic",
+    "ent_resolve_parts",
 ]
 
 

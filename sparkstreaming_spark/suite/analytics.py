@@ -1361,7 +1361,16 @@ def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     tiebreak so the segment code ('r-f-m') is deterministic on any
     engine. One partial-agg pass builds the per-user triple (bounded:
     one row per user); the three ntile windows then run on that
-    user-sized table, not the event scan."""
+    user-sized table, not the event scan.
+
+    Scale ceiling (documented by design): the ntile windows single-task
+    sort the USER dimension — fine to ~10^8 users (three sorts of a
+    3-number-per-user rollup), the right exactness trade for a marketing
+    segmentation. Past that, swap ntile for broadcast quartile
+    thresholds (the evt_lift_curve / q_length_curriculum pattern) at the
+    cost of exact equal-size quartiles under ties — the per-metric
+    percentile aggregate is already the plan's partial-agg shape, so the
+    swap is local."""
     ev = read_table(spark, sf_dir, "events")
     per_user = ev.groupBy("user_id").agg(
         F.floor(
@@ -1412,6 +1421,98 @@ QUERIES.update(
             q_rfm_segments,
             ORACLE_RFM,
             "RFM quartile segmentation (windows on the user-sized table)",
+        ),
+    }
+)
+
+
+def q_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity resolution end to end — the record-linkage pipeline:
+    length-blocked fuzzy candidate pairs over DISTINCT part names
+    (dedup/fuzzy.py, ≤2 edits), transitive closure into entities
+    (dedup/clusters.py::connected_components — iterative min-label,
+    localCheckpoint per round), then one profile row per resolved
+    entity: canonical name (lexicographic min), member count, the
+    sorted member list, and total source rows covered.
+
+    Scale shape: matching runs on the distinct-value domain (vocabulary-
+    sized), never corpus rows; closure labels are md5_64 ids so the
+    numeric min-label machinery applies; the row-count join back to the
+    corpus is a broadcast of the vocabulary-sized frequency table. The
+    oracle replays the same closure as a recursive CTE on the name
+    strings — connectivity is identical, and the canonical min-name is
+    label-scheme-independent."""
+    from ..dedup.clusters import connected_components
+    from ..dedup.fuzzy import fuzzy_value_pairs
+    from ..functions.text import md5_64
+
+    part = read_table(spark, sf_dir, "part")
+    pairs = fuzzy_value_pairs(part, "p_name", max_dist=2)
+    idp = pairs.select(
+        md5_64(F.col("val_a")).alias("id_a"),
+        md5_64(F.col("val_b")).alias("id_b"),
+        "val_a",
+        "val_b",
+    ).persist()
+    cc = connected_components(idp, "id_a", "id_b")
+    names = (
+        idp.select(F.col("id_a").alias("node"), F.col("val_a").alias("name"))
+        .unionByName(
+            idp.select(
+                F.col("id_b").alias("node"), F.col("val_b").alias("name")
+            )
+        )
+        .distinct()
+    )
+    freq = part.groupBy(F.col("p_name").alias("name")).agg(
+        F.count(F.lit(1)).alias("n_rows")
+    )
+    members = cc.join(names, "node").join(F.broadcast(freq), "name")
+    return (
+        members.groupBy("cluster_id")
+        .agg(
+            F.min("name").alias("entity"),
+            F.count(F.lit(1)).alias("n_names"),
+            F.array_join(F.array_sort(F.collect_list("name")), "|").alias(
+                "members"
+            ),
+            F.sum("n_rows").alias("n_rows"),
+        )
+        .drop("cluster_id")
+    )
+
+
+ORACLE_ENTITY_RESOLUTION = """
+WITH RECURSIVE vals AS (SELECT DISTINCT p_name AS v FROM part),
+pairs AS (
+  SELECT a.v AS val_a, b.v AS val_b
+  FROM vals a JOIN vals b
+    ON a.v < b.v AND abs(length(a.v) - length(b.v)) <= 2
+  WHERE levenshtein(a.v, b.v) <= 2
+),
+edges AS (SELECT val_a AS u, val_b AS v FROM pairs
+          UNION SELECT val_b AS u, val_a AS v FROM pairs),
+reach(node, lbl) AS (
+  SELECT u, u FROM (SELECT DISTINCT u FROM edges)
+  UNION
+  SELECT e.u, r.lbl FROM edges e JOIN reach r ON e.v = r.node
+),
+cc AS (SELECT node, min(lbl) AS entity_key FROM reach GROUP BY node),
+freq AS (SELECT p_name AS name, count(*) AS n_rows FROM part GROUP BY 1)
+SELECT min(cc.node) AS entity, count(*) AS n_names,
+       string_agg(cc.node, '|' ORDER BY cc.node) AS members,
+       cast(sum(f.n_rows) AS BIGINT) AS n_rows
+FROM cc JOIN freq f ON cc.node = f.name
+GROUP BY cc.entity_key
+"""
+
+
+QUERIES.update(
+    {
+        "ent_resolve_parts": QuerySpec(
+            q_entity_resolution,
+            ORACLE_ENTITY_RESOLUTION,
+            "entity resolution: blocked fuzzy match -> closure -> canonical profile",
         ),
     }
 )

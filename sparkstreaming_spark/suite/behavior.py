@@ -1386,3 +1386,137 @@ QUERIES["evt_user_growth"] = QuerySpec(
     ORACLE_USER_GROWTH,
     "new-user growth curve (first-seen reduction, day-table running sum)",
 )
+
+
+def q_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Additive seasonal decomposition of the hourly value series: the
+    hour-of-day seasonal component (hod mean − grand mean) plus the
+    per-hod residual magnitude after the seasonal fit — the corpus-health
+    profile behind "is this metric's daily shape stable?".
+
+    Scale shape: ONE hash aggregate reduces the fact table to the hourly
+    rollup (bounded by the time span, not the event count); the grand
+    mean / hod mean windows and the final aggregate all run on that
+    bounded rollup. Intermediates round to 6 dp so both engines subtract
+    identical doubles."""
+    ev = read_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(F.date_trunc("hour", "ts").alias("h")).agg(
+        F.round(F.avg("value"), 6).alias("hv")
+    )
+    w_all = Window.partitionBy()
+    w_hod = Window.partitionBy(F.hour("h"))
+    t = hourly.select(
+        F.hour("h").alias("hod"),
+        "hv",
+        F.round(F.avg("hv").over(w_all), 6).alias("mu"),
+        F.round(F.avg("hv").over(w_hod), 6).alias("hm"),
+    )
+    return t.groupBy("hod").agg(
+        F.count(F.lit(1)).alias("n_hours"),
+        F.round(F.first("hm") - F.first("mu"), 6).alias("seasonal"),
+        F.round(F.avg(F.abs(F.col("hv") - F.col("hm"))), 6).alias(
+            "avg_abs_resid"
+        ),
+    )
+
+
+ORACLE_SEASONAL = """
+WITH hourly AS (
+  SELECT date_trunc('hour', ts) AS h, round(avg(value), 6) AS hv
+  FROM events GROUP BY 1
+),
+t AS (
+  SELECT CAST(extract(hour FROM h) AS INT) AS hod, hv,
+         round(avg(hv) OVER (), 6) AS mu,
+         round(avg(hv) OVER (PARTITION BY extract(hour FROM h)), 6) AS hm
+  FROM hourly
+)
+SELECT hod, count(*) AS n_hours,
+       round(max(hm) - max(mu), 6) AS seasonal,
+       round(avg(abs(hv - hm)), 6) AS avg_abs_resid
+FROM t GROUP BY hod
+"""
+
+
+def q_session_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversation/session assembly — the events-to-training-documents
+    op of an LLM data pipeline: sessionize the event stream (30-min gap,
+    operators/timeseries.py::sessionize), then render each session as
+    one training line (the '>'-joined event-type trajectory) with its
+    size stats, ready for tokenize-and-pack downstream.
+
+    Scale shape: one user-partitioned window (the sessionize) + one
+    grouped aggregate; the in-group ordering comes from array_sort over
+    collect_list structs — per-session state, never a global sort. Ties
+    are (ts, event_id)-total-ordered identically in the oracle."""
+    from ..operators.timeseries import sessionize
+    from .scale_ops import SESSION_GAP_S, TS_FMT
+
+    ev = read_table(spark, sf_dir, "events")
+    s = sessionize(
+        ev, key="user_id", ts="ts", tiebreak="event_id",
+        gap_seconds=SESSION_GAP_S,
+    )
+    per = s.groupBy("user_id", "session_num").agg(
+        F.date_format(F.min("ts"), TS_FMT).alias("session_start"),
+        F.count(F.lit(1)).alias("n_events"),
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("ts", "event_id", "event_type"))
+                ),
+                lambda x: x["event_type"],
+            ),
+            ">",
+        ).alias("trajectory"),
+    )
+    return per.select(
+        "user_id",
+        "session_num",
+        "session_start",
+        "n_events",
+        "trajectory",
+        F.length("trajectory").alias("n_chars"),
+    )
+
+
+def _oracle_session_corpus() -> str:
+    from .scale_ops import SESSION_GAP_S
+
+    return f"""
+WITH flagged AS (
+  SELECT user_id, ts, event_id, event_type,
+         CASE WHEN cast(floor(epoch(ts)) AS bigint)
+                   - lag(cast(floor(epoch(ts)) AS bigint)) OVER w > {SESSION_GAP_S}
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+numbered AS (
+  SELECT user_id, ts, event_id, event_type,
+         cast(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) + 1
+              AS int) AS session_num
+  FROM flagged
+)
+SELECT user_id, session_num,
+       strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+       count(*) AS n_events,
+       string_agg(event_type, '>' ORDER BY ts, event_id) AS trajectory,
+       cast(length(string_agg(event_type, '>' ORDER BY ts, event_id))
+            AS bigint) AS n_chars
+FROM numbered
+GROUP BY user_id, session_num
+"""
+
+
+QUERIES["evt_seasonal_decompose"] = QuerySpec(
+    q_seasonal_decompose,
+    ORACLE_SEASONAL,
+    "additive hour-of-day seasonal decomposition on the bounded rollup",
+)
+QUERIES["evt_session_corpus"] = QuerySpec(
+    q_session_corpus,
+    _oracle_session_corpus(),
+    "session-to-training-document assembly (trajectory render per session)",
+)

@@ -1991,3 +1991,74 @@ QUERIES["doc_dup_rate_by_source"] = QuerySpec(
     ORACLE_DUP_RATE,
     "exact-duplicate pressure per source (corpus hash counts broadcast)",
 )
+
+
+def q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document n-gram novelty, rolled up per lang: the share of a
+    doc's distinct 2-gram shingles that occur in NO other document —
+    the inverse of the containment signal, used to rank training docs by
+    how much genuinely new text they contribute (templated/boilerplate
+    corpora score low).
+
+    Scale shape: the exploded distinct (doc, shingle) frame gets its
+    document frequency from ONE count-window over the shingle-keyed
+    shuffle (the doc_dup_rate_by_source pattern — no corpus-sized
+    broadcast, no self-join), then reduces back to per-doc and per-lang
+    aggregates. Per-doc ratios round to 6 dp before averaging (4 dp) so
+    accumulation order can't flip the hash."""
+    from ..dedup.minhash import _explode_shingles, _shingle_sets
+
+    d = read_table(spark, sf_dir, "documents")
+    sh = _explode_shingles(_shingle_sets(d, "doc_id", "text", 2))
+    w_sh = Window.partitionBy("shingle")
+    flagged = sh.select(
+        "doc_id",
+        (F.count(F.lit(1)).over(w_sh) == 1).cast("int").alias("uniq"),
+    )
+    per_doc = flagged.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_sh"),
+        F.sum("uniq").alias("n_uniq"),
+    )
+    langs = d.select("doc_id", "lang")
+    return (
+        per_doc.join(langs, "doc_id")
+        .select(
+            "lang",
+            F.round(F.col("n_uniq") / F.col("n_sh"), 6).alias("novelty"),
+        )
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.avg("novelty"), 4).alias("avg_novelty"),
+            F.round(F.min("novelty"), 6).alias("min_novelty"),
+        )
+    )
+
+
+ORACLE_NGRAM_NOVELTY = f"""
+WITH t AS (SELECT doc_id, lang, {SQL_TOKS} AS toks FROM documents),
+s AS (SELECT doc_id, lang, unnest(list_distinct({SQL_SHINGLES2})) AS shingle
+      FROM t WHERE len(toks) >= 2),
+flagged AS (
+  SELECT doc_id, lang,
+         CASE WHEN count(*) OVER (PARTITION BY shingle) = 1
+              THEN 1 ELSE 0 END AS uniq
+  FROM s
+),
+per_doc AS (
+  SELECT doc_id, lang, count(*) AS n_sh,
+         cast(sum(uniq) AS BIGINT) AS n_uniq
+  FROM flagged GROUP BY 1, 2
+)
+SELECT lang, count(*) AS n_docs,
+       round(avg(round(n_uniq * 1.0 / n_sh, 6)), 4) AS avg_novelty,
+       round(min(round(n_uniq * 1.0 / n_sh, 6)), 6) AS min_novelty
+FROM per_doc GROUP BY lang
+"""
+
+
+QUERIES["doc_ngram_novelty"] = QuerySpec(
+    q_ngram_novelty,
+    ORACLE_NGRAM_NOVELTY,
+    "per-doc unique-shingle novelty share per lang (count-window, no self-join)",
+)

@@ -908,3 +908,80 @@ QUERIES["stream_running_stats"] = QuerySpec(
     "Welford online mean/variance per key (applyInPandasWithState; "
     "batch-exact after drain)",
 )
+
+
+_BROKER_PARTS = 4
+
+
+def _broker_topic_fixture(spark: SparkSession, sf_dir: str) -> str:
+    """Publish the events table as a 4-partition topic once per sf_dir
+    (keyed by user_id, offsets from the (ts, event_id) total order);
+    reused across runs via the _SUCCESS marker."""
+    import os
+
+    from ..sources.broker import publish_topic
+
+    base = os.path.basename(sf_dir.rstrip("/")) or "sf"
+    topic = f"/tmp/broker_topic_{base}"
+    if not os.path.exists(os.path.join(topic, "_SUCCESS")):
+        ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+        publish_topic(
+            ev, topic, key_col="user_id", n_partitions=_BROKER_PARTS,
+            order_cols=["ts", "event_id"],
+        )
+    return topic
+
+
+def q_stream_broker_topic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kafka-class consumption end to end (sources/broker.py): publish
+    events as a keyed 4-partition topic, then CONSUME it as a stream —
+    checkpointed file source, availableNow drain — and account each
+    partition's log: record count, max offset, distinct offsets, and
+    distinct keys. The offset columns make the publish contract
+    load-bearing: dense per-partition offsets mean max_offset =
+    n_records − 1 and n_offsets = n_records, which the DuckDB oracle
+    reproduces from the raw events with the same pmod/total-order
+    arithmetic."""
+    from ..sources.broker import read_topic_stream
+    from ..streaming.pipeline import run_available_now
+
+    topic = _broker_topic_fixture(spark, sf_dir)
+    st = read_topic_stream(
+        spark,
+        topic,
+        schema=(
+            "event_id bigint, ts timestamp, user_id bigint,"
+            " event_type string, value double, props string,"
+            " offset bigint"
+        ),
+    )
+    return run_available_now(
+        st,
+        lambda df: df.groupBy(F.col("part_id").cast("int").alias("part_id")).agg(
+            F.count(F.lit(1)).alias("n_records"),
+            F.max("offset").alias("max_offset"),
+            F.sum("offset").alias("sum_offset"),
+            F.bit_xor("user_id").alias("xor_keys"),
+        ),
+        output_mode="complete",
+    )
+
+
+ORACLE_BROKER_TOPIC = f"""
+WITH t AS (
+  SELECT CAST(user_id % {_BROKER_PARTS} AS INT) AS part_id, user_id
+  FROM events
+)
+SELECT part_id, count(*) AS n_records,
+       count(*) - 1 AS max_offset,
+       count(*) * (count(*) - 1) // 2 AS sum_offset,
+       bit_xor(user_id) AS xor_keys
+FROM t GROUP BY part_id
+"""
+
+
+QUERIES["stream_broker_topic"] = QuerySpec(
+    q_stream_broker_topic,
+    ORACLE_BROKER_TOPIC,
+    "partitioned-topic broker source: keyed publish, offset-dense consume",
+)

@@ -288,8 +288,11 @@ def q_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Zipf's-law fit: OLS slope of log(freq) on log(rank) over the top
     500 vocabulary terms (natural corpora sit near slope −1; synthetic /
     templated corpora deviate — a cheap corpus-health fingerprint).
-    Vocabulary aggregate → rank window on the vocab-sized table →
-    regr_slope/intercept/r2 as one aggregate."""
+    Vocabulary aggregate → distributed top-500 (`orderBy().limit()`
+    compiles to TakeOrderedAndProject: per-partition partial top-k, one
+    500-row merge — the full vocab table never single-task sorts) →
+    rank window on those 500 rows → regr_slope/intercept/r2 as one
+    aggregate."""
     d = read_table(spark, sf_dir, "documents")
     vocab = (
         d.select(F.explode(tokenize("text")).alias("tok"))
@@ -298,12 +301,12 @@ def q_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from pyspark.sql import Window
 
+    top = vocab.orderBy(F.desc("freq"), "tok").limit(ZIPF_TOP)
     w = Window.orderBy(F.desc("freq"), "tok")
-    ranked = vocab.select(
+    ranked = top.select(
         F.log(F.row_number().over(w).cast("double")).alias("lr"),
         F.log(F.col("freq").cast("double")).alias("lf"),
-        F.row_number().over(w).alias("rk"),
-    ).filter(F.col("rk") <= ZIPF_TOP)
+    )
     return ranked.agg(
         F.count(F.lit(1)).alias("n_terms"),
         F.round(F.regr_slope("lf", "lr"), 6).alias("zipf_slope"),

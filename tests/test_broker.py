@@ -1,0 +1,116 @@
+"""Partitioned-topic broker source (sources/broker.py): keyed publish,
+dense offsets, append continuation, partition pruning, and incremental
+checkpointed consumption."""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from sparkstreaming_spark.sources.broker import (
+    publish_topic,
+    read_topic_batch,
+    read_topic_stream,
+)
+
+SCHEMA = "k bigint, v string, offset bigint"
+
+
+def _batch(spark, lo: int, hi: int):
+    return spark.range(lo, hi).select(
+        F.col("id").alias("k"), F.concat(F.lit("v"), F.col("id")).alias("v")
+    )
+
+
+def test_publish_assigns_dense_offsets_per_partition(spark):
+    topic = os.path.join(tempfile.mkdtemp(prefix="broker_"), "t")
+    publish_topic(_batch(spark, 0, 100), topic, key_col="k", n_partitions=4)
+    got = (
+        read_topic_batch(spark, topic)
+        .groupBy("part_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("offset").alias("lo"),
+            F.max("offset").alias("hi"),
+            F.sum("offset").alias("s"),
+        )
+        .collect()
+    )
+    assert len(got) == 4
+    for r in got:
+        assert r.lo == 0 and r.hi == r.n - 1
+        assert r.s == r.n * (r.n - 1) // 2  # dense 0..n-1
+    # keyed placement: same key -> same partition (pmod)
+    rows = read_topic_batch(spark, topic).select("k", "part_id").collect()
+    assert all(r.k % 4 == r.part_id for r in rows)
+
+
+def test_append_continues_the_log(spark):
+    topic = os.path.join(tempfile.mkdtemp(prefix="broker_"), "t")
+    publish_topic(_batch(spark, 0, 40), topic, key_col="k", n_partitions=2)
+    publish_topic(
+        _batch(spark, 40, 60), topic, key_col="k", n_partitions=2, append=True
+    )
+    got = (
+        read_topic_batch(spark, topic)
+        .groupBy("part_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.max("offset").alias("hi"),
+            F.count_distinct("offset").alias("n_off"),
+        )
+        .collect()
+    )
+    for r in got:
+        assert r.n == 30
+        assert r.hi == 29 and r.n_off == 30  # still dense after append
+
+
+def test_batch_read_prunes_partitions(spark):
+    topic = os.path.join(tempfile.mkdtemp(prefix="broker_"), "t")
+    publish_topic(_batch(spark, 0, 50), topic, key_col="k", n_partitions=4)
+    df = read_topic_batch(spark, topic).filter(F.col("part_id") == 3)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "part_id" in plan and "PartitionFilters: [" in plan
+    assert df.count() == len([k for k in range(50) if k % 4 == 3])
+
+
+def test_stream_consumes_appended_segments_exactly_once(spark):
+    """The consumer-group contract: a checkpointed stream drains the
+    initial log, then a later run with the SAME checkpoint consumes only
+    the appended segments."""
+    from pyspark.sql.streaming import StreamingQuery  # noqa: F401
+
+    root = tempfile.mkdtemp(prefix="broker_stream_")
+    topic = os.path.join(root, "t")
+    ckpt = os.path.join(root, "ckpt")
+    out = os.path.join(root, "out")
+    publish_topic(_batch(spark, 0, 30), topic, key_col="k", n_partitions=2)
+
+    def drain():
+        q = (
+            read_topic_stream(spark, topic, SCHEMA)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        if q.isActive:  # pragma: no cover
+            q.stop()
+            pytest.fail("stream did not drain")
+
+    drain()
+    assert spark.read.parquet(out).count() == 30
+    publish_topic(
+        _batch(spark, 30, 45), topic, key_col="k", n_partitions=2, append=True
+    )
+    drain()
+    sunk = spark.read.parquet(out)
+    assert sunk.count() == 45  # appended 15 consumed once, old 30 not re-read
+    assert sunk.select("k").distinct().count() == 45

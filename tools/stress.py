@@ -73,6 +73,9 @@ DEFAULT_OPS = [
     "src_file_skipping_stats",
     "evt_lift_curve",
     "evt_auc",
+    "evt_seasonal_decompose",
+    "evt_session_corpus",
+    "doc_ngram_novelty",
     "graph_kcore",
     "src_binary_files",
     "evt_backtest_mae",
