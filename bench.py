@@ -208,6 +208,14 @@ HEADLINE = [
     "doc_ngram_novelty",
     "stream_broker_topic",
     "ent_resolve_parts",
+    "ord_cohort_ltv",
+    "evt_survival_km",
+    "evt_forecast_linear",
+    "ivm_join_delta",
+    "doc_png_features",
+    "evt_theil_sen",
+    "evt_seasonal_anomalies",
+    "src_partition_pruned_join",
 ]
 
 

@@ -1516,3 +1516,181 @@ QUERIES.update(
         ),
     }
 )
+
+
+def q_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer cohort lifetime-value curve: cohort = first-order month,
+    then cumulative revenue per cohort member by month offset — the
+    standard growth-accounting artifact.
+
+    Scale shape: one per-customer min reduction (customer-sized), one
+    broadcast join of that cohort frame back onto orders, one
+    (cohort × offset) aggregate; the cumulative window runs on that
+    bounded matrix (months², not orders). Revenue rounds to 2 dp before
+    the running sum, LTV to 6 after — identical in the oracle."""
+    o = read_table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.date_trunc("month", "o_orderdate").alias("m"),
+        "o_totalprice",
+    )
+    cohort = o.groupBy("o_custkey").agg(F.min("m").alias("cm"))
+    sizes = cohort.groupBy("cm").agg(
+        F.count(F.lit(1)).alias("cohort_customers")
+    )
+    cells = (
+        o.join(F.broadcast(cohort), "o_custkey")
+        .groupBy(
+            "cm",
+            (
+                (F.year("m") - F.year("cm")) * 12
+                + (F.month("m") - F.month("cm"))
+            ).cast("int").alias("month_offset"),
+        )
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("revenue"))
+    )
+    w = (
+        Window.partitionBy("cm")
+        .orderBy("month_offset")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        cells.withColumn("cum_revenue", F.round(F.sum("revenue").over(w), 2))
+        .join(F.broadcast(sizes), "cm")
+        .select(
+            F.date_format("cm", "yyyy-MM").alias("cohort_month"),
+            "month_offset",
+            "revenue",
+            "cum_revenue",
+            "cohort_customers",
+            F.round(
+                F.col("cum_revenue") / F.col("cohort_customers"), 6
+            ).alias("ltv_per_customer"),
+        )
+    )
+
+
+ORACLE_COHORT_LTV = """
+WITH o AS (
+  SELECT o_custkey, date_trunc('month', o_orderdate) AS m, o_totalprice
+  FROM orders
+),
+cohort AS (SELECT o_custkey, min(m) AS cm FROM o GROUP BY 1),
+sizes AS (SELECT cm, count(*) AS cohort_customers FROM cohort GROUP BY 1),
+cells AS (
+  SELECT c.cm,
+         CAST((extract(year FROM o.m) - extract(year FROM c.cm)) * 12
+              + (extract(month FROM o.m) - extract(month FROM c.cm)) AS INT)
+           AS month_offset,
+         round(sum(o.o_totalprice), 2) AS revenue
+  FROM o JOIN cohort c USING (o_custkey)
+  GROUP BY 1, 2
+),
+cum AS (
+  SELECT cm, month_offset, revenue,
+         round(sum(revenue) OVER (PARTITION BY cm ORDER BY month_offset
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2)
+           AS cum_revenue
+  FROM cells
+)
+SELECT strftime(c.cm, '%Y-%m') AS cohort_month, c.month_offset, c.revenue,
+       c.cum_revenue, s.cohort_customers,
+       round(c.cum_revenue / s.cohort_customers, 6) AS ltv_per_customer
+FROM cum c JOIN sizes s USING (cm)
+"""
+
+
+QUERIES.update(
+    {
+        "ord_cohort_ltv": QuerySpec(
+            q_cohort_ltv,
+            ORACLE_COHORT_LTV,
+            "cohort LTV curve (broadcast cohort join; windows on the bounded matrix)",
+        ),
+    }
+)
+
+
+def q_ivm_join_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental view maintenance for a JOIN view (the companion to
+    evt_ivm_refresh's aggregate case): the materialized view is revenue
+    per nation over orders ⋈ customer ⋈ nation; a late-arriving delta
+    batch (o_orderkey % 10 == 0 stands in for the new partition) is
+    joined against the dimensions ALONE and its partial aggregate is
+    ADDED to the base view — the classic ΔA⋈B maintenance identity,
+    which touches |Δ| rows instead of re-scanning the fact table.
+
+    The emitted `consistent` boolean is load-bearing: the query also
+    recomputes the view from scratch and compares per nation (2-dp
+    exact), so a broken merge path flips the hash. Dimensions broadcast;
+    both fact passes are partial-aggregated before their joins."""
+    o = read_table(spark, sf_dir, "orders")
+    c = read_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = read_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+
+    def view(orders):
+        return (
+            orders.join(F.broadcast(c), orders.o_custkey == c.c_custkey)
+            .join(F.broadcast(n), F.col("c_nationkey") == n.n_nationkey)
+            .groupBy("n_name")
+            .agg(F.round(F.sum("o_totalprice"), 2).alias("rev"))
+        )
+
+    base = view(o.filter(F.col("o_orderkey") % 10 != 0)).withColumnRenamed(
+        "rev", "base_rev"
+    )
+    delta = view(o.filter(F.col("o_orderkey") % 10 == 0)).withColumnRenamed(
+        "rev", "delta_rev"
+    )
+    full = view(o).withColumnRenamed("rev", "full_rev")
+    merged = (
+        base.join(delta, "n_name", "full")
+        .select(
+            "n_name",
+            F.coalesce("base_rev", F.lit(0.0)).alias("base_rev"),
+            F.coalesce("delta_rev", F.lit(0.0)).alias("delta_rev"),
+        )
+        .withColumn(
+            "total_rev", F.round(F.col("base_rev") + F.col("delta_rev"), 2)
+        )
+    )
+    return merged.join(full, "n_name").select(
+        "n_name",
+        "base_rev",
+        "delta_rev",
+        "total_rev",
+        (F.abs(F.col("total_rev") - F.col("full_rev")) < 0.011).alias(
+            "consistent"
+        ),
+    )
+
+
+ORACLE_IVM_JOIN_DELTA = """
+WITH j AS (
+  SELECT n.n_name, o.o_orderkey, o.o_totalprice
+  FROM orders o
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN nation n ON c.c_nationkey = n.n_nationkey
+),
+base AS (SELECT n_name, round(sum(o_totalprice), 2) AS base_rev
+         FROM j WHERE o_orderkey % 10 != 0 GROUP BY 1),
+delta AS (SELECT n_name, round(sum(o_totalprice), 2) AS delta_rev
+          FROM j WHERE o_orderkey % 10 = 0 GROUP BY 1)
+SELECT coalesce(b.n_name, d.n_name) AS n_name,
+       coalesce(b.base_rev, 0.0) AS base_rev,
+       coalesce(d.delta_rev, 0.0) AS delta_rev,
+       round(coalesce(b.base_rev, 0.0) + coalesce(d.delta_rev, 0.0), 2)
+         AS total_rev,
+       TRUE AS consistent
+FROM base b FULL OUTER JOIN delta d USING (n_name)
+"""
+
+
+QUERIES.update(
+    {
+        "ivm_join_delta": QuerySpec(
+            q_ivm_join_delta,
+            ORACLE_IVM_JOIN_DELTA,
+            "join-view incremental maintenance (delta partial + base merge, self-verified)",
+        ),
+    }
+)

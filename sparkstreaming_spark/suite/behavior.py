@@ -1520,3 +1520,337 @@ QUERIES["evt_session_corpus"] = QuerySpec(
     _oracle_session_corpus(),
     "session-to-training-document assembly (trajectory render per session)",
 )
+
+
+KM_CENSOR_DAYS = 7  # users seen within this many days of corpus end are censored
+
+
+def q_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier survival curve of user lifetime (days between first
+    and last activity). Users still active within KM_CENSOR_DAYS of the
+    corpus end are right-CENSORED (they leave the risk set without an
+    event) — the estimator's whole point vs a naive lifetime histogram.
+
+    Scale shape: one per-user min/max reduction (user-sized), one scalar
+    broadcast (corpus end), then every KM quantity — risk set, deaths,
+    hazard, survival — comes from windows over the DISTINCT-lifetime
+    table (bounded by the day span, not users). The survival product is
+    exp(Σ ln(1−d/n)) with the hazard ratio rounded to 6 dp first, so
+    both engines exponentiate identical sums; survival rounds to 4 dp."""
+    ev = read_table(spark, sf_dir, "events").select(
+        "user_id", F.to_date("ts").alias("day")
+    )
+    per_user = ev.groupBy("user_id").agg(
+        F.min("day").alias("first_day"), F.max("day").alias("last_day")
+    )
+    end = per_user.agg(F.max("last_day").alias("corpus_end"))
+    lives = per_user.crossJoin(F.broadcast(end)).select(
+        F.datediff("last_day", "first_day").cast("int").alias("t"),
+        (
+            F.datediff("corpus_end", "last_day") >= KM_CENSOR_DAYS
+        ).cast("int").alias("died"),
+    )
+    per_t = lives.groupBy("t").agg(
+        F.count(F.lit(1)).alias("n_t"),
+        F.sum("died").alias("d_t"),
+    )
+    w_ord = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, 0)
+    w_all = Window.partitionBy()
+    curve = per_t.select(
+        "t",
+        "d_t",
+        (
+            F.sum("n_t").over(w_all) - F.sum("n_t").over(w_ord) + F.col("n_t")
+        ).alias("n_at_risk"),
+    ).withColumn(
+        "hazard", F.round(F.col("d_t") / F.col("n_at_risk"), 6)
+    )
+    w_surv = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, 0)
+    return curve.select(
+        "t",
+        "n_at_risk",
+        "d_t",
+        "hazard",
+        F.round(
+            F.exp(F.sum(F.log(1 - F.col("hazard"))).over(w_surv)), 4
+        ).alias("survival"),
+    )
+
+
+ORACLE_SURVIVAL_KM = f"""
+WITH ev AS (SELECT user_id, CAST(ts AS DATE) AS day FROM events),
+per_user AS (
+  SELECT user_id, min(day) AS first_day, max(day) AS last_day
+  FROM ev GROUP BY 1
+),
+endd AS (SELECT max(last_day) AS corpus_end FROM per_user),
+lives AS (
+  SELECT CAST(date_diff('day', first_day, last_day) AS INT) AS t,
+         CASE WHEN date_diff('day', last_day, corpus_end)
+                   >= {KM_CENSOR_DAYS} THEN 1 ELSE 0 END AS died
+  FROM per_user, endd
+),
+per_t AS (
+  SELECT t, count(*) AS n_t, cast(sum(died) AS BIGINT) AS d_t
+  FROM lives GROUP BY t
+),
+curve AS (
+  SELECT t, d_t,
+         sum(n_t) OVER () - sum(n_t) OVER (ORDER BY t
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) + n_t
+           AS n_at_risk
+  FROM per_t
+),
+hz AS (SELECT t, n_at_risk, d_t,
+              round(d_t * 1.0 / n_at_risk, 6) AS hazard FROM curve)
+SELECT t, cast(n_at_risk AS BIGINT) AS n_at_risk, d_t, hazard,
+       round(exp(sum(ln(1 - hazard)) OVER (ORDER BY t
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)), 4)
+         AS survival
+FROM hz
+"""
+
+
+QUERIES["evt_survival_km"] = QuerySpec(
+    q_survival_km,
+    ORACLE_SURVIVAL_KM,
+    "Kaplan-Meier survival with right-censoring (windows on distinct lifetimes)",
+)
+
+
+FORECAST_H = 24  # forecast horizon: hours past the end of the series
+
+
+def q_forecast_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type linear trend forecast WITH a 95 % prediction interval —
+    trend + uncertainty in one pass, the honest version of
+    evt_trend_slopes: OLS on the hourly count series, forecast at
+    (last hour + 24), PI from the regression standard error
+    s·sqrt(1 + 1/n + (x₀−x̄)²/Sxx) with the normal 1.96 critical value.
+
+    Scale shape: the fact table reduces to the per-(type, hour) rollup
+    once; every regression sufficient statistic (regr_slope/intercept/
+    count/avg/Sxx and the residual SSE via regr_r2·Syy) is one
+    partial-aggregable pass over that bounded rollup. Intermediates
+    round to 6 dp so both engines do identical arithmetic."""
+    ev = read_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("h")
+    ).agg(F.count(F.lit(1)).cast("double").alias("y"))
+    # x = hours since epoch (integer, exact on both engines)
+    xy = hourly.select(
+        "event_type",
+        (F.unix_timestamp("h") / 3600).cast("double").alias("x"),
+        "y",
+    )
+    g = xy.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.regr_slope("y", "x"), 6).alias("slope"),
+        F.round(F.regr_intercept("y", "x"), 6).alias("intercept"),
+        F.round(F.regr_sxx("y", "x"), 6).alias("sxx"),
+        F.round(F.regr_syy("y", "x"), 6).alias("syy"),
+        F.round(F.regr_r2("y", "x"), 6).alias("r2"),
+        F.round(F.avg("x"), 6).alias("xbar"),
+        F.max("x").alias("xmax"),
+    )
+    x0 = F.col("xmax") + FORECAST_H
+    sse = F.col("syy") * (1 - F.col("r2"))
+    s2 = sse / (F.col("n") - 2)
+    pi_half = 1.96 * F.sqrt(
+        s2 * (1 + 1 / F.col("n") + (x0 - F.col("xbar")) ** 2 / F.col("sxx"))
+    )
+    yhat = F.col("intercept") + F.col("slope") * x0
+    return g.select(
+        "event_type",
+        "n",
+        "slope",
+        "r2",
+        F.round(yhat, 4).alias("forecast"),
+        F.round(yhat - pi_half, 4).alias("pi_lo"),
+        F.round(yhat + pi_half, 4).alias("pi_hi"),
+    )
+
+
+ORACLE_FORECAST_LINEAR = f"""
+WITH hourly AS (
+  SELECT event_type, date_trunc('hour', ts) AS h,
+         CAST(count(*) AS DOUBLE) AS y
+  FROM events GROUP BY 1, 2
+),
+xy AS (
+  SELECT event_type, CAST(floor(epoch(h)) / 3600 AS DOUBLE) AS x, y
+  FROM hourly
+),
+g AS (
+  SELECT event_type, count(*) AS n,
+         round(regr_slope(y, x), 6) AS slope,
+         round(regr_intercept(y, x), 6) AS intercept,
+         round(regr_sxx(y, x), 6) AS sxx,
+         round(regr_syy(y, x), 6) AS syy,
+         round(regr_r2(y, x), 6) AS r2,
+         round(avg(x), 6) AS xbar,
+         max(x) AS xmax
+  FROM xy GROUP BY 1
+)
+SELECT event_type, n, slope, r2,
+       round(intercept + slope * (xmax + {FORECAST_H}), 4) AS forecast,
+       round(intercept + slope * (xmax + {FORECAST_H})
+             - 1.96 * sqrt((syy * (1 - r2)) / (n - 2)
+               * (1 + 1.0 / n
+                  + (xmax + {FORECAST_H} - xbar) ^ 2 / sxx)), 4) AS pi_lo,
+       round(intercept + slope * (xmax + {FORECAST_H})
+             + 1.96 * sqrt((syy * (1 - r2)) / (n - 2)
+               * (1 + 1.0 / n
+                  + (xmax + {FORECAST_H} - xbar) ^ 2 / sxx)), 4) AS pi_hi
+FROM g
+"""
+
+
+QUERIES["evt_forecast_linear"] = QuerySpec(
+    q_forecast_linear,
+    ORACLE_FORECAST_LINEAR,
+    "linear forecast + 95% prediction interval from regression partials",
+)
+
+
+def q_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust trend per event type: the Theil-Sen estimator (median of
+    all pairwise slopes) over the hourly count series — outlier-immune
+    where OLS (evt_forecast_linear) is not; the pair the two queries
+    make is the standard robust-vs-efficient trend dashboard.
+
+    Scale shape: Theil-Sen is O(m²) in SERIES LENGTH, which is why it
+    runs on the hourly ROLLUP — m is bounded by the time span, so the
+    per-type pair fan-out (m²/2 tiny rows of two doubles) is constant in
+    corpus size; the only fact-table pass is the rollup aggregate.
+    Slopes round to 6 dp before the median (both engines interpolate
+    identically on identical doubles)."""
+    ev = read_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("h")
+    ).agg(F.count(F.lit(1)).cast("double").alias("y"))
+    xy = hourly.select(
+        "event_type",
+        (F.unix_timestamp("h") / 3600).cast("double").alias("x"),
+        "y",
+    )
+    a, b = xy.alias("a"), xy.alias("b")
+    slopes = a.join(
+        b,
+        (F.col("a.event_type") == F.col("b.event_type"))
+        & (F.col("a.x") < F.col("b.x")),
+    ).select(
+        F.col("a.event_type").alias("event_type"),
+        F.round(
+            (F.col("b.y") - F.col("a.y")) / (F.col("b.x") - F.col("a.x")), 6
+        ).alias("s"),
+    )
+    return slopes.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.round(F.percentile("s", F.lit(0.5)), 6).alias("theil_sen_slope"),
+    )
+
+
+ORACLE_THEIL_SEN = """
+WITH hourly AS (
+  SELECT event_type, date_trunc('hour', ts) AS h,
+         CAST(count(*) AS DOUBLE) AS y
+  FROM events GROUP BY 1, 2
+),
+xy AS (
+  SELECT event_type, CAST(floor(epoch(h)) / 3600 AS DOUBLE) AS x, y
+  FROM hourly
+),
+slopes AS (
+  SELECT a.event_type, round((b.y - a.y) / (b.x - a.x), 6) AS s
+  FROM xy a JOIN xy b ON a.event_type = b.event_type AND a.x < b.x
+)
+SELECT event_type, count(*) AS n_pairs,
+       round(quantile_cont(s, 0.5), 6) AS theil_sen_slope
+FROM slopes GROUP BY event_type
+"""
+
+
+def q_seasonal_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonality-aware anomaly detection — the operational layer on
+    top of q_seasonal_decompose: an hour is anomalous when its value
+    deviates from its hour-of-day mean by more than 3 robust sigmas
+    (1.4826·MAD of the deseasonalized residuals). Plain z-score flags
+    every rush hour; deseasonalizing first is what makes the alert
+    meaningful.
+
+    Scale shape: one fact-table rollup to (hour, avg); residual, MAD,
+    and flags all on that bounded series. MAD via two percentile
+    aggregates (median, then median |resid − median|)."""
+    ev = read_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(F.date_trunc("hour", "ts").alias("h")).agg(
+        F.round(F.avg("value"), 6).alias("hv")
+    )
+    w_hod = Window.partitionBy(F.hour("h"))
+    resid = hourly.select(
+        "h",
+        "hv",
+        F.round(F.col("hv") - F.round(F.avg("hv").over(w_hod), 6), 6).alias(
+            "r"
+        ),
+    )
+    stats = resid.agg(
+        F.round(F.percentile("r", F.lit(0.5)), 6).alias("med")
+    )
+    mad = (
+        resid.crossJoin(F.broadcast(stats))
+        .agg(
+            F.round(
+                F.percentile(F.abs(F.col("r") - F.col("med")), F.lit(0.5)), 6
+            ).alias("mad"),
+            F.round(F.first("med"), 6).alias("med"),
+        )
+    )
+    flagged = resid.crossJoin(F.broadcast(mad)).filter(
+        F.abs(F.col("r") - F.col("med"))
+        > 3 * 1.4826 * F.col("mad")
+    )
+    return flagged.select(
+        F.date_format("h", "yyyy-MM-dd HH:mm:ss").alias("hour"),
+        "hv",
+        "r",
+        F.round(
+            (F.col("r") - F.col("med")) / (1.4826 * F.col("mad")), 4
+        ).alias("robust_z"),
+    )
+
+
+ORACLE_SEASONAL_ANOMALIES = """
+WITH hourly AS (
+  SELECT date_trunc('hour', ts) AS h, round(avg(value), 6) AS hv
+  FROM events GROUP BY 1
+),
+resid AS (
+  SELECT h, hv,
+         round(hv - round(avg(hv) OVER (
+             PARTITION BY extract(hour FROM h)), 6), 6) AS r
+  FROM hourly
+),
+med AS (SELECT round(quantile_cont(r, 0.5), 6) AS med FROM resid),
+mad AS (
+  SELECT round(quantile_cont(abs(r - med), 0.5), 6) AS mad,
+         round(max(med), 6) AS med
+  FROM resid, med
+)
+SELECT strftime(resid.h, '%Y-%m-%d %H:%M:%S') AS hour, resid.hv, resid.r,
+       round((resid.r - mad.med) / (1.4826 * mad.mad), 4) AS robust_z
+FROM resid, mad
+WHERE abs(resid.r - mad.med) > 3 * 1.4826 * mad.mad
+"""
+
+
+QUERIES["evt_theil_sen"] = QuerySpec(
+    q_theil_sen,
+    ORACLE_THEIL_SEN,
+    "Theil-Sen robust trend (pairwise slopes on the bounded rollup)",
+)
+QUERIES["evt_seasonal_anomalies"] = QuerySpec(
+    q_seasonal_anomalies,
+    ORACLE_SEASONAL_ANOMALIES,
+    "deseasonalized robust-z anomaly hours (MAD on the bounded series)",
+)

@@ -493,3 +493,75 @@ QUERIES.update(
         ),
     }
 )
+
+
+def _dpp_fixture(spark: SparkSession, sf_dir: str) -> str:
+    """Write events hive-partitioned by event_type once per sf_dir —
+    the layout dynamic partition pruning needs."""
+    import os
+
+    base = os.path.basename(sf_dir.rstrip("/")) or "sf"
+    out = f"/tmp/dpp_events_{base}"
+    if not os.path.exists(os.path.join(out, "_SUCCESS")):
+        (
+            spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+            .write.mode("overwrite")
+            .partitionBy("event_type")
+            .parquet(out)
+        )
+    return out
+
+
+DPP_VALUE_THRESHOLD = 50.0
+
+
+def q_partition_pruned_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic partition pruning end to end — THE 100 TB fact-dim join
+    optimization: the fact table is stored hive-partitioned by
+    event_type; the dimension side (per-type engagement profile) carries
+    a selective literal filter whose SURVIVING KEYS are only known at
+    runtime, and Catalyst injects a dynamicpruning subquery into the
+    fact SCAN, so only the surviving types' directories are read at all.
+
+    Catalyst caveat worth the docstring: PartitionPruning only fires
+    when the dim-side filter `isLikelySelective` — a comparison against
+    a LITERAL. An attribute-vs-attribute predicate (e.g. type_avg >
+    overall_avg via a scalar cross join) is never classified selective
+    and silently gets no DPP; keep runtime-dim thresholds literal. The
+    plan assertion lives in tests/test_scale_patterns.py; the oracle
+    checks the values."""
+    part_dir = _dpp_fixture(spark, sf_dir)
+    fact = spark.read.parquet(part_dir)
+    ev = read_table(spark, sf_dir, "events")
+    profile = ev.groupBy("event_type").agg(
+        F.avg("value").alias("type_avg")
+    )
+    dim = profile.filter(F.col("type_avg") > DPP_VALUE_THRESHOLD)
+    return (
+        fact.join(F.broadcast(dim), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+    )
+
+
+ORACLE_PARTITION_PRUNED_JOIN = f"""
+WITH profile AS (
+  SELECT event_type, avg(value) AS type_avg FROM events GROUP BY 1
+),
+dim AS (SELECT event_type FROM profile
+        WHERE type_avg > {DPP_VALUE_THRESHOLD})
+SELECT e.event_type, count(*) AS n_events,
+       round(sum(e.value), 2) AS total_value
+FROM events e JOIN dim USING (event_type)
+GROUP BY e.event_type
+"""
+
+
+QUERIES["src_partition_pruned_join"] = QuerySpec(
+    q_partition_pruned_join,
+    ORACLE_PARTITION_PRUNED_JOIN,
+    "dynamic partition pruning: runtime dim filter prunes fact directories",
+)

@@ -2062,3 +2062,82 @@ QUERIES["doc_ngram_novelty"] = QuerySpec(
     ORACLE_NGRAM_NOVELTY,
     "per-doc unique-shingle novelty share per lang (count-window, no self-join)",
 )
+
+
+PNG_FEAT_IDS = 300  # bound the verified image set
+
+
+def q_png_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image-codec pass, oracled: per doc (doc_id < 300) the query
+    synthesizes a deterministic RGB image (pixel = (doc_id+3i+7j) mod
+    256), round-trips it through the clean-room PNG codec
+    (multimodal/codecs.py — zlib + all five scanline filters), and
+    emits features computed from the DECODED array. PNG is lossless, so
+    the DuckDB oracle can state the expected stats directly from the
+    pixel formula — any bug in the filter/deflate path changes the
+    decoded bytes and flips the hash. This is the image twin of the
+    ADPCM audio contract.
+
+    Spark shape: one Arrow mapInPandas pass, embarrassingly parallel;
+    the id filter prunes at the scan."""
+    import numpy as np
+    import pandas as pd
+
+    from ..multimodal.codecs import decode_png, encode_png
+
+    d = read_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") < PNG_FEAT_IDS
+    ).select("doc_id")
+
+    def work(batches):
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                h, w = 6 + did % 5, 8 + did % 8
+                i = np.arange(h).reshape(-1, 1)
+                j = np.arange(w).reshape(1, -1)
+                gray = ((did + 3 * i + 7 * j) % 256).astype("uint8")
+                arr = np.repeat(gray[:, :, None], 3, axis=2)
+                dec = decode_png(encode_png(arr))  # lossless roundtrip
+                rows.append(
+                    {
+                        "doc_id": did,
+                        "width": int(dec.shape[1]),
+                        "height": int(dec.shape[0]),
+                        "px_mean": round(float(dec[:, :, 0].astype("float64").mean()), 6),
+                        "px_min": int(dec.min()),
+                        "px_max": int(dec.max()),
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return d.mapInPandas(
+        work,
+        "doc_id bigint, width int, height int, px_mean double,"
+        " px_min int, px_max int",
+    )
+
+
+ORACLE_PNG_FEATURES = f"""
+WITH d AS (SELECT doc_id FROM documents WHERE doc_id < {PNG_FEAT_IDS}),
+px AS (
+  SELECT d.doc_id,
+         8 + d.doc_id % 8 AS w, 6 + d.doc_id % 5 AS h,
+         (d.doc_id + 3 * i.i + 7 * j.j) % 256 AS v
+  FROM d
+  JOIN generate_series(0, 10) AS i(i) ON i.i < 6 + d.doc_id % 5
+  JOIN generate_series(0, 15) AS j(j) ON j.j < 8 + d.doc_id % 8
+)
+SELECT doc_id, CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+       round(avg(v), 6) AS px_mean,
+       CAST(min(v) AS INT) AS px_min, CAST(max(v) AS INT) AS px_max
+FROM px GROUP BY doc_id, w, h
+"""
+
+
+QUERIES["doc_png_features"] = QuerySpec(
+    q_png_features,
+    ORACLE_PNG_FEATURES,
+    "PNG codec roundtrip features, oracled against the pixel formula",
+)

@@ -532,3 +532,16 @@ def test_auto_broadcast_below_threshold(spark):
     plan = j._jdf.queryExecution().executedPlan().toString()
     assert plan.count("BroadcastHashJoin") >= 2, plan[:2000]
     assert "SortMergeJoin" not in plan, plan[:2000]
+
+
+def test_dpp_plan_prunes_fact_partitions(spark):
+    """src_partition_pruned_join must compile with a dynamicpruning
+    subquery on the partitioned fact scan (the literal-threshold dim
+    filter is what qualifies as isLikelySelective — see the query
+    docstring); losing it silently reverts to a full fact read."""
+    from sparkstreaming_spark.suite.extensions import q_partition_pruned_join
+    from tests.conftest import SF_DIR_SMOKE
+
+    df = q_partition_pruned_join(spark, SF_DIR_SMOKE)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower(), plan[:2000]

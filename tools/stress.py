@@ -76,6 +76,8 @@ DEFAULT_OPS = [
     "evt_seasonal_decompose",
     "evt_session_corpus",
     "doc_ngram_novelty",
+    "evt_survival_km",
+    "ord_cohort_ltv",
     "graph_kcore",
     "src_binary_files",
     "evt_backtest_mae",
