@@ -216,6 +216,12 @@ HEADLINE = [
     "evt_theil_sen",
     "evt_seasonal_anomalies",
     "src_partition_pruned_join",
+    "src_schema_evolution",
+    "maint_compact_small_files",
+    "evt_user_typicality",
+    "doc_audio_tone_detect",
+    "layout_bucketed_join",
+    "doc_dp_histogram",
 ]
 
 

@@ -43,6 +43,7 @@ def all_queries() -> dict[str, QuerySpec]:
         extensions,
         relational_ops,
         llm,
+        platform_ops,
         scale_ops,
         spatial,
         streaming_suite,
@@ -64,6 +65,7 @@ def all_queries() -> dict[str, QuerySpec]:
         extensions,
         relational_ops,
         llm,
+        platform_ops,
         scale_ops,
         spatial,
         streaming_suite,

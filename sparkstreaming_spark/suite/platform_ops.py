@@ -1,0 +1,475 @@
+"""Data-platform operations suite: schema evolution across batches,
+small-file compaction, behavioral typicality scoring, and a codec+FFT
+verification probe. These are the table-maintenance / data-reliability
+ops a 100 TB lakehouse runs daily; none exist in the reference (its
+whole persistence story is overwrite-a-CSV, Producer.scala:44-49).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.batch import read_table
+from . import QuerySpec
+
+QUERIES: dict[str, QuerySpec] = {}
+
+
+# ---------------------------------------------------------------------------
+# schema evolution
+# ---------------------------------------------------------------------------
+
+
+def _evolution_fixture(spark: SparkSession, sf_dir: str) -> str:
+    """Two order batches with EVOLVED schemas in one dataset dir:
+    batch=1 lacks the o_clerk-derived priority_flag column that batch=2
+    adds — the additive-column migration every long-lived table hits."""
+    base = os.path.basename(sf_dir.rstrip("/")) or "sf"
+    out = f"/tmp/schema_evolution_{base}"
+    if not os.path.exists(os.path.join(out, "batch=2", "_SUCCESS")):
+        o = spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
+        old = o.filter(F.col("o_orderkey") % 2 == 0).select(
+            "o_orderkey", "o_custkey", "o_totalprice"
+        )
+        new = o.filter(F.col("o_orderkey") % 2 == 1).select(
+            "o_orderkey",
+            "o_custkey",
+            "o_totalprice",
+            (F.col("o_orderpriority") == "1-URGENT").alias("urgent_flag"),
+        )
+        old.write.mode("overwrite").parquet(os.path.join(out, "batch=1"))
+        new.write.mode("overwrite").parquet(os.path.join(out, "batch=2"))
+    return out
+
+
+def q_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Additive schema evolution read: two parquet batches written with
+    different schemas (the second adds `urgent_flag`) are unioned by ONE
+    `mergeSchema` scan; rows from the pre-migration batch surface the
+    new column as NULL. The profile aggregates per batch: row count,
+    revenue, nulls and trues of the evolved column — exactly what a
+    migration-verification job asserts before flipping readers over.
+
+    At 100 TB: mergeSchema's footer reconciliation is a metadata
+    operation (per-file schemas union in the driver); the data read
+    stays columnar and pruned. The batch column is hive-partitioned, so
+    per-batch profiles partition-prune."""
+    path = _evolution_fixture(spark, sf_dir)
+    df = spark.read.option("mergeSchema", "true").parquet(path)
+    return df.groupBy(F.col("batch").cast("int").alias("batch")).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        F.sum(F.col("urgent_flag").isNull().cast("int")).alias("n_null_flag"),
+        F.coalesce(
+            F.sum((F.col("urgent_flag") == True).cast("int")),  # noqa: E712
+            F.lit(0),
+        ).alias("n_urgent"),
+    )
+
+
+ORACLE_SCHEMA_EVOLUTION = """
+SELECT 1 AS batch, count(*) AS n_rows,
+       round(sum(o_totalprice), 2) AS revenue,
+       count(*) AS n_null_flag, 0 AS n_urgent
+FROM orders WHERE o_orderkey % 2 = 0
+UNION ALL
+SELECT 2 AS batch, count(*) AS n_rows,
+       round(sum(o_totalprice), 2) AS revenue,
+       0 AS n_null_flag,
+       cast(sum(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_urgent
+FROM orders WHERE o_orderkey % 2 = 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# small-file compaction
+# ---------------------------------------------------------------------------
+
+COMPACT_SMALL_FILES = 64
+COMPACT_TARGET_FILES = 4
+
+
+def q_compact_small_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OPTIMIZE-style small-file compaction with a self-verifying
+    report — the daily hygiene job that keeps a streaming-ingested
+    table scannable (64 tiny files → 4 right-sized ones; at 100 TB the
+    small-file tax is listing latency + per-file open cost + starved
+    scan parallelism granularity).
+
+    The report row carries the before/after file counts from the
+    `_metadata` hidden column (no filesystem listing in the query path)
+    and two load-bearing booleans: `rows_preserved` (count equality) and
+    `content_preserved` (order-independent XOR fingerprint equality —
+    the same anti-entropy check as table_fingerprint_orders). The
+    oracle states the expected counts and TRUE/TRUE."""
+    base = os.path.basename(sf_dir.rstrip("/")) or "sf"
+    small_dir = f"/tmp/compact_small_{base}"
+    compact_dir = f"/tmp/compact_out_{base}"
+    ev = read_table(spark, sf_dir, "events")
+    if not os.path.exists(os.path.join(small_dir, "_SUCCESS")):
+        ev.repartition(COMPACT_SMALL_FILES).write.mode("overwrite").parquet(
+            small_dir
+        )
+    small = spark.read.parquet(small_dir)
+    # the compaction itself: one shuffle down to the target file count
+    small.repartition(COMPACT_TARGET_FILES).write.mode("overwrite").parquet(
+        compact_dir
+    )
+    compacted = spark.read.parquet(compact_dir)
+
+    def profile(df: DataFrame, tag: str) -> DataFrame:
+        return df.agg(
+            F.lit(tag).alias("stage"),
+            F.count_distinct(F.col("_metadata.file_path")).alias("n_files"),
+            F.count(F.lit(1)).alias("n_rows"),
+            F.bit_xor(F.xxhash64("event_id", "user_id", "event_type")).alias(
+                "fp"
+            ),
+        )
+
+    b = profile(small, "before")
+    a = profile(compacted, "after")
+    return (
+        b.crossJoin(
+            a.select(
+                F.col("n_files").alias("files_after"),
+                F.col("n_rows").alias("rows_after"),
+                F.col("fp").alias("fp_after"),
+            )
+        )
+        .select(
+            F.col("n_files").alias("files_before"),
+            "files_after",
+            F.col("n_rows").alias("n_rows"),
+            (F.col("n_rows") == F.col("rows_after")).alias("rows_preserved"),
+            (F.col("fp") == F.col("fp_after")).alias("content_preserved"),
+        )
+    )
+
+
+ORACLE_COMPACT = f"""
+SELECT {COMPACT_SMALL_FILES} AS files_before,
+       {COMPACT_TARGET_FILES} AS files_after,
+       count(*) AS n_rows,
+       TRUE AS rows_preserved,
+       TRUE AS content_preserved
+FROM events
+"""
+
+
+# ---------------------------------------------------------------------------
+# behavioral typicality
+# ---------------------------------------------------------------------------
+
+TYPICALITY_SAMPLE_IDS = 200  # bound the verified output; stats use ALL rows
+
+
+def q_user_typicality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Behavioral typicality: cosine between each user's event-type
+    count vector and the global type profile — the cheap "is this user
+    shaped like the population?" score behind bot/outlier triage.
+
+    Scale shape: one (user, type) aggregate (the only fact-table pass),
+    the |types|-row global profile broadcast onto it, then per-user
+    sums. No pivot, no dense vectors — the cosine decomposes into
+    Σ c_ut·g_t / (‖c_u‖·‖g‖) over the sparse count frame. Intermediates
+    round to 6 dp; output bounded to user_id < 200 for the oracle while
+    the profile stays corpus-wide."""
+    ev = read_table(spark, sf_dir, "events")
+    ut = ev.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).cast("double").alias("c")
+    )
+    g = ut.groupBy("event_type").agg(F.sum("c").alias("gt"))
+    gnorm = g.agg(F.sqrt(F.sum(F.col("gt") ** 2)).alias("gn"))
+    scored = (
+        ut.join(F.broadcast(g), "event_type")
+        .groupBy("user_id")
+        .agg(
+            F.sum("c").cast("bigint").alias("n_events"),
+            F.sum(F.col("c") * F.col("gt")).alias("dot"),
+            F.sqrt(F.sum(F.col("c") ** 2)).alias("un"),
+        )
+        .crossJoin(F.broadcast(gnorm))
+    )
+    return scored.filter(F.col("user_id") < TYPICALITY_SAMPLE_IDS).select(
+        "user_id",
+        "n_events",
+        F.round(
+            F.col("dot") / (F.col("un") * F.col("gn")), 6
+        ).alias("typicality"),
+    )
+
+
+ORACLE_TYPICALITY = f"""
+WITH ut AS (
+  SELECT user_id, event_type, CAST(count(*) AS DOUBLE) AS c
+  FROM events GROUP BY 1, 2
+),
+g AS (SELECT event_type, sum(c) AS gt FROM ut GROUP BY 1),
+gn AS (SELECT sqrt(sum(gt * gt)) AS gn FROM g),
+scored AS (
+  SELECT ut.user_id,
+         CAST(sum(ut.c) AS BIGINT) AS n_events,
+         sum(ut.c * g.gt) AS dot,
+         sqrt(sum(ut.c * ut.c)) AS un
+  FROM ut JOIN g USING (event_type)
+  GROUP BY 1
+)
+SELECT user_id, n_events, round(dot / (un * gn.gn), 6) AS typicality
+FROM scored, gn
+WHERE user_id < {TYPICALITY_SAMPLE_IDS}
+"""
+
+
+# ---------------------------------------------------------------------------
+# codec + FFT verification probe
+# ---------------------------------------------------------------------------
+
+TONE_IDS = 64
+TONE_RATE = 16_000
+TONE_N_FFT = 256
+TONE_FRAMES = 4
+TONE_BANDS = 8
+
+
+def q_audio_tone_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end compressed-audio verification, ORACLED (the audio twin
+    of doc_png_features): per doc (doc_id < 64) the query synthesizes a
+    pure tone centered in spectral band (doc_id mod 8), compresses it
+    through the IMA-ADPCM codec, decodes it back, FFTs the decoded
+    signal (multimodal/audio.py::audio_band_energy math), and reports
+    which band dominates. ADPCM is lossy (~30 dB SNR) but a 30 dB-down
+    error floor cannot move a tone's dominant band, so the DuckDB
+    oracle states `dominant_band = doc_id % 8` outright — codec AND FFT
+    are both load-bearing in the hash. One Arrow mapInPandas pass."""
+    import numpy as np
+    import pandas as pd
+
+    from ..multimodal.audio import (
+        decode_wav_ima_adpcm,
+        encode_wav_ima_adpcm,
+    )
+
+    n_bins = TONE_N_FFT // 2 + 1
+    edges = [round(i * n_bins / TONE_BANDS) for i in range(TONE_BANDS + 1)]
+    d = read_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") < TONE_IDS
+    ).select("doc_id")
+
+    def work(batches):
+        n = TONE_N_FFT * TONE_FRAMES
+        t = np.arange(n)
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                band = did % TONE_BANDS
+                k = (edges[band] + edges[band + 1]) // 2  # center bin
+                sig = (10000 * np.sin(2 * np.pi * k * t / TONE_N_FFT)).astype(
+                    "int64"
+                )
+                dec, _rate = decode_wav_ima_adpcm(
+                    encode_wav_ima_adpcm(sig, TONE_RATE)
+                )
+                frames = dec[:n].reshape(TONE_FRAMES, TONE_N_FFT)
+                spec = (np.abs(np.fft.rfft(frames, axis=1)) ** 2).mean(axis=0)
+                bands = [
+                    float(spec[edges[b] : edges[b + 1]].mean())
+                    for b in range(TONE_BANDS)
+                ]
+                rows.append(
+                    {
+                        "doc_id": did,
+                        "n_samples": int(len(dec)),
+                        "dominant_band": int(np.argmax(bands)),
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return d.mapInPandas(
+        work, "doc_id bigint, n_samples bigint, dominant_band int"
+    )
+
+
+ORACLE_TONE_DETECT = f"""
+SELECT doc_id,
+       CAST({TONE_N_FFT * TONE_FRAMES} AS BIGINT) AS n_samples,
+       CAST(doc_id % {TONE_BANDS} AS INT) AS dominant_band
+FROM documents WHERE doc_id < {TONE_IDS}
+"""
+
+
+QUERIES.update(
+    {
+        "src_schema_evolution": QuerySpec(
+            q_schema_evolution,
+            ORACLE_SCHEMA_EVOLUTION,
+            "additive schema evolution via one mergeSchema scan, per-batch profile",
+        ),
+        "maint_compact_small_files": QuerySpec(
+            q_compact_small_files,
+            ORACLE_COMPACT,
+            "small-file compaction with self-verified row/content preservation",
+        ),
+        "evt_user_typicality": QuerySpec(
+            q_user_typicality,
+            ORACLE_TYPICALITY,
+            "cosine typicality of user behavior vs the global type profile",
+        ),
+        "doc_audio_tone_detect": QuerySpec(
+            q_audio_tone_detect,
+            ORACLE_TONE_DETECT,
+            "ADPCM + FFT tone detection, oracled against the synthesis formula",
+        ),
+    }
+)
+
+
+# ---------------------------------------------------------------------------
+# bucketed co-located join
+# ---------------------------------------------------------------------------
+
+BUCKETS = 8
+
+
+def _bucketed_fixture(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
+    """Orders + lineitem saved as BUCKETED tables on the join key (8
+    buckets, bucket-sorted). Bucketing is the ahead-of-time half of the
+    shuffle bargain: pay one clustering write, then every future join or
+    aggregate on the key reads co-located buckets with NO exchange."""
+    import shutil
+
+    base = (os.path.basename(sf_dir.rstrip("/")) or "sf").replace(".", "_")
+    to_name, tl_name = f"orders_bkt_{base}", f"lineitem_bkt_{base}"
+    existing = {t.name for t in spark.catalog.listTables()}
+    warehouse = spark.conf.get(
+        "spark.sql.warehouse.dir", "spark-warehouse"
+    ).removeprefix("file:")
+    for name, src, key in (
+        (to_name, "orders.parquet", "o_orderkey"),
+        (tl_name, "lineitem.parquet", "l_orderkey"),
+    ):
+        if name in existing:
+            continue
+        # the in-memory catalog forgets tables across sessions while the
+        # warehouse dir persists — clear the stale location and rebuild
+        # (content is deterministic)
+        shutil.rmtree(os.path.join(warehouse, name), ignore_errors=True)
+        (
+            spark.read.parquet(os.path.join(sf_dir, src))
+            .write.bucketBy(BUCKETS, key)
+            .sortBy(key)
+            .mode("overwrite")
+            .saveAsTable(name)
+        )
+    return to_name, tl_name
+
+
+def q_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle-free fact-fact join via bucketing — the co-location
+    pattern for the joins too big to broadcast either side: both tables
+    are bucketed on the join key, so the SortMergeJoin consumes the
+    bucketed scans DIRECTLY (zero Exchange on either input — pinned by
+    tests/test_scale_patterns.py::test_bucketed_join_no_exchange). At
+    100 TB this converts the dominant repeated-join shuffle into a
+    one-time layout cost; the autoBroadcastJoinThreshold is disabled
+    for this plan so the small test scale exercises the same
+    SortMergeJoin shape production would."""
+    to_name, tl_name = _bucketed_fixture(spark, sf_dir)
+    o = spark.table(to_name).hint("merge")
+    li = spark.table(tl_name).hint("merge")
+    j = o.join(li, o.o_orderkey == li.l_orderkey)
+    return j.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.round(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+        ).alias("revenue"),
+    )
+
+
+ORACLE_BUCKETED_JOIN = """
+SELECT o.o_orderpriority, count(*) AS n_lines,
+       round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# differentially-private-style histogram release
+# ---------------------------------------------------------------------------
+
+DP_EPS = 1.0
+DP_SALT = "dp-v1"
+
+
+def q_dp_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Laplace-mechanism histogram release (the privacy layer a shared
+    corpus-stats dashboard publishes): per-lang doc counts plus
+    Laplace(1/ε) noise, ε=1, via the inverse-CDF transform
+    noise = −(1/ε)·sign(u−½)·ln(1−2|u−½|).
+
+    The uniform draw u is NOT an RNG: it's the engine-wide deterministic
+    md5 convention on (salt, lang) — so the release is reproducible,
+    auditable, and the DuckDB oracle draws the IDENTICAL noise, making
+    the mechanism itself hash-verified. (Production DP would use a
+    sealed RNG; the mechanism arithmetic — sensitivity-1 counts, the
+    Laplace transform — is exactly this.) One aggregate; noise math is
+    per-group scalar arithmetic."""
+    from ..functions.text import md5_64
+
+    d = read_table(spark, sf_dir, "documents")
+    per = d.groupBy("lang").agg(F.count(F.lit(1)).alias("true_count"))
+    u = (
+        F.pmod(md5_64(F.concat(F.lit(DP_SALT), F.col("lang"))), F.lit(10**9))
+        / 1e9
+    )
+    noise = (
+        -(1.0 / DP_EPS)
+        * F.signum(u - 0.5)
+        * F.log(1 - 2 * F.abs(u - 0.5))
+    )
+    return per.select(
+        "lang",
+        "true_count",
+        F.round(noise, 6).alias("noise"),
+        F.round(F.col("true_count") + noise, 4).alias("released_count"),
+    )
+
+
+ORACLE_DP_HISTOGRAM = f"""
+WITH per AS (SELECT lang, count(*) AS true_count FROM documents GROUP BY 1),
+n AS (
+  SELECT lang, true_count,
+         (cast(('0x' || substr(md5('{DP_SALT}' || lang), 1, 15)) AS bigint)
+          % 1000000000) / 1e9 AS u
+  FROM per
+)
+SELECT lang, true_count,
+       round(-(1.0 / {DP_EPS}) * sign(u - 0.5) * ln(1 - 2 * abs(u - 0.5)), 6)
+         AS noise,
+       round(true_count
+             + (-(1.0 / {DP_EPS}) * sign(u - 0.5) * ln(1 - 2 * abs(u - 0.5))),
+             4) AS released_count
+FROM n
+"""
+
+
+QUERIES.update(
+    {
+        "layout_bucketed_join": QuerySpec(
+            q_bucketed_join,
+            ORACLE_BUCKETED_JOIN,
+            "shuffle-free fact-fact join via bucketed tables (zero-Exchange, plan-pinned)",
+        ),
+        "doc_dp_histogram": QuerySpec(
+            q_dp_histogram,
+            ORACLE_DP_HISTOGRAM,
+            "Laplace-mechanism histogram release with deterministic auditable noise",
+        ),
+    }
+)

@@ -545,3 +545,21 @@ def test_dpp_plan_prunes_fact_partitions(spark):
     df = q_partition_pruned_join(spark, SF_DIR_SMOKE)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "dynamicpruning" in plan.lower(), plan[:2000]
+
+
+def test_bucketed_join_no_exchange(spark):
+    """layout_bucketed_join's SortMergeJoin must consume the bucketed
+    scans directly: the ONLY Exchange in the plan is the final
+    aggregation's (on o_orderpriority) — zero shuffles feed the join."""
+    import re
+
+    from sparkstreaming_spark.suite.platform_ops import q_bucketed_join
+    from tests.conftest import SF_DIR_SMOKE
+
+    df = q_bucketed_join(spark, SF_DIR_SMOKE)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" in plan, plan[:1500]
+    exchanges = [
+        ln for ln in plan.splitlines() if re.search(r"\bExchange\b", ln)
+    ]
+    assert len(exchanges) == 1 and "o_orderpriority" in exchanges[0], exchanges
