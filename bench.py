@@ -222,6 +222,9 @@ HEADLINE = [
     "doc_audio_tone_detect",
     "layout_bucketed_join",
     "doc_dp_histogram",
+    "stream_broker_enriched",
+    "emb_pca_contract",
+    "emb_kmeans_contract",
 ]
 
 

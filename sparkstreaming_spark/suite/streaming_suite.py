@@ -985,3 +985,72 @@ QUERIES["stream_broker_topic"] = QuerySpec(
     ORACLE_BROKER_TOPIC,
     "partitioned-topic broker source: keyed publish, offset-dense consume",
 )
+
+
+def q_stream_broker_enriched(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full ingestion composition a production topic feeds: broker
+    partitioned-topic stream (sources/broker.py) → stream-static
+    broadcast enrichment (user cohort from the events table's first-seen
+    reduction — re-planned per micro-batch, broadcast because it's
+    user-sized) → event-time tumbling daily window per cohort. One
+    streaming aggregate; the static side never shuffles the stream."""
+    from ..sources.broker import read_topic_stream
+    from ..streaming.pipeline import run_available_now
+
+    topic = _broker_topic_fixture(spark, sf_dir)
+    st = read_topic_stream(
+        spark,
+        topic,
+        schema=(
+            "event_id bigint, ts timestamp, user_id bigint,"
+            " event_type string, value double, props string,"
+            " offset bigint"
+        ),
+    )
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    cohort = ev.groupBy("user_id").agg(
+        F.date_format(F.date_trunc("month", F.min("ts")), "yyyy-MM").alias(
+            "cohort_month"
+        )
+    )
+
+    def xform(df: DataFrame) -> DataFrame:
+        return (
+            df.join(F.broadcast(cohort), "user_id")
+            .groupBy(
+                "cohort_month",
+                F.window("ts", "1 day").alias("w"),
+            )
+            .agg(
+                F.count(F.lit(1)).alias("n_events"),
+                F.round(F.sum("value"), 2).alias("total_value"),
+            )
+            .select(
+                "cohort_month",
+                F.date_format(F.col("w.start"), "yyyy-MM-dd").alias("day"),
+                "n_events",
+                "total_value",
+            )
+        )
+
+    return run_available_now(st, xform, output_mode="complete")
+
+
+ORACLE_BROKER_ENRICHED = """
+WITH cohort AS (
+  SELECT user_id, strftime(date_trunc('month', min(ts)), '%Y-%m')
+           AS cohort_month
+  FROM events GROUP BY 1
+)
+SELECT c.cohort_month, strftime(date_trunc('day', e.ts), '%Y-%m-%d') AS day,
+       count(*) AS n_events, round(sum(e.value), 2) AS total_value
+FROM events e JOIN cohort c USING (user_id)
+GROUP BY 1, 2
+"""
+
+
+QUERIES["stream_broker_enriched"] = QuerySpec(
+    q_stream_broker_enriched,
+    ORACLE_BROKER_ENRICHED,
+    "broker stream -> broadcast cohort enrichment -> daily windows per cohort",
+)

@@ -568,3 +568,158 @@ QUERIES["emb_knn_rerank"] = QuerySpec(
     _oracle_ann_recall(),
     "two-stage SQ8-shortlist + exact-rerank ANN: recall contract",
 )
+
+
+def q_pca_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-oracled verification contract for the distributed PCA (the
+    profile itself stays rows-only — eigenvalues aren't SQL): the TRACE
+    IDENTITY Σλᵢ = Σ per-dim variance ties the driver-side eigensolve to
+    a quantity DuckDB computes exactly from the raw vectors, and two
+    structural booleans (eigenvalues descending, explained ratios
+    summing to 1) pin the spectrum's shape. A broken covariance
+    assembly, eigensolve, or partial-sum merge breaks the trace match
+    and flips the hash. Costs one extra posexplode aggregate next to the
+    PCA's single Arrow pass."""
+    from ..similarity.pca import pca_variance_profile
+
+    from pyspark.sql import Window
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    dim = len(emb.select("embedding").first()["embedding"])
+    spectrum = pca_variance_profile(emb, "embedding", top=dim)
+    # the spectrum is a dim-row local frame; the ordering window is free
+    w = Window.orderBy("component")
+    stepped = spectrum.select(
+        "eigenvalue",
+        "explained_ratio",
+        (F.col("eigenvalue") < F.lead("eigenvalue").over(w) - 1e-6)
+        .cast("int")
+        .alias("increases"),
+    )
+    eig = stepped.agg(
+        F.sum("eigenvalue").alias("eig_total"),
+        (F.coalesce(F.sum("increases"), F.lit(0)) == 0).alias(
+            "eigs_descending"
+        ),
+        (F.abs(F.sum("explained_ratio") - 1.0) < 1e-3).alias("ratios_sum_1"),
+    )
+    flat = emb.select(F.posexplode("embedding").alias("pos", "val")).select(
+        "pos", F.col("val").cast("double").alias("val")
+    )
+    trace = flat.groupBy("pos").agg(F.var_pop("val").alias("v")).agg(
+        F.count(F.lit(1)).alias("n_dims"),
+        F.round(F.sum("v"), 4).alias("trace_var"),
+    )
+    n = emb.agg(F.count(F.lit(1)).alias("n_vecs"))
+    return (
+        n.crossJoin(F.broadcast(trace))
+        .crossJoin(F.broadcast(eig))
+        .select(
+            "n_vecs",
+            "n_dims",
+            "trace_var",
+            (
+                F.abs(F.col("eig_total") - F.col("trace_var"))
+                < 1e-3 * F.col("trace_var")
+            ).alias("trace_match"),
+            "eigs_descending",
+            "ratios_sum_1",
+        )
+    )
+
+
+ORACLE_PCA_CONTRACT = """
+WITH flat AS (
+  SELECT unnest(generate_series(1, len(embedding))) - 1 AS pos,
+         unnest(embedding::DOUBLE[]) AS val
+  FROM embeddings
+),
+pv AS (SELECT pos, var_pop(val) AS v FROM flat GROUP BY pos)
+SELECT (SELECT count(*) FROM embeddings) AS n_vecs,
+       count(*) AS n_dims,
+       round(sum(v), 4) AS trace_var,
+       TRUE AS trace_match,
+       TRUE AS eigs_descending,
+       TRUE AS ratios_sum_1
+FROM pv
+"""
+
+
+KMEANS_K = 8
+
+
+def q_kmeans_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-oracled verification contract for the distributed k-means
+    (the cluster profile stays rows-only): the assignment is re-verified
+    INDEPENDENTLY — every vector's stored best-centroid cosine must
+    match the max over all k centroids recomputed via the codegen'd
+    higher-order-function cosine on a broadcast centroid table — plus a
+    partition-completeness check (cluster sizes sum to the corpus).
+    A drifted centroid broadcast, a wrong argmax, or a lost row flips a
+    boolean and the hash. The verify pass is one broadcast join of k
+    rows onto the assignment frame."""
+    import numpy as np
+
+    from ..functions.vectors import cosine_similarity
+    from ..similarity.kmeans import kmeans_assign, kmeans_fit
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    C = np.asarray(kmeans_fit(emb, "vec_id", "embedding", KMEANS_K, iters=4))
+    assigned = kmeans_assign(emb, C, "vec_id", "embedding")
+    cent = spark.createDataFrame(
+        [(int(i), [float(x) for x in C[i]]) for i in range(len(C))],
+        "cluster_c int, centroid array<double>",
+    )
+    vecs = emb.select(
+        F.col("vec_id").alias("id"),
+        F.col("embedding").cast("array<double>").alias("v"),
+    )
+    best = (
+        vecs.crossJoin(F.broadcast(cent))
+        .groupBy("id")
+        .agg(F.max(cosine_similarity("v", "centroid")).alias("best_cos"))
+    )
+    checked = assigned.join(best, "id").agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        (
+            F.sum(
+                (F.abs(F.col("cosine") - F.col("best_cos")) > 1e-6).cast(
+                    "int"
+                )
+            )
+            == 0
+        ).alias("assignment_is_argmax"),
+    )
+    sizes = assigned.groupBy("cluster").agg(F.count(F.lit(1)).alias("n"))
+    complete = sizes.agg(F.sum("n").alias("n_assigned"))
+    return (
+        checked.crossJoin(F.broadcast(complete))
+        .select(
+            "n_vecs",
+            F.lit(KMEANS_K).alias("k"),
+            "assignment_is_argmax",
+            (F.col("n_assigned") == F.col("n_vecs")).alias(
+                "partition_complete"
+            ),
+        )
+    )
+
+
+ORACLE_KMEANS_CONTRACT = f"""
+SELECT count(*) AS n_vecs, {KMEANS_K} AS k,
+       TRUE AS assignment_is_argmax,
+       TRUE AS partition_complete
+FROM embeddings
+"""
+
+
+QUERIES["emb_pca_contract"] = QuerySpec(
+    q_pca_contract,
+    ORACLE_PCA_CONTRACT,
+    "PCA trace-identity + spectrum-shape contract (eigensolve load-bearing)",
+)
+QUERIES["emb_kmeans_contract"] = QuerySpec(
+    q_kmeans_contract,
+    ORACLE_KMEANS_CONTRACT,
+    "k-means assignment-argmax + partition-completeness contract",
+)

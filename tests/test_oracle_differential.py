@@ -51,14 +51,14 @@ def test_registry_oracles_all_parse(duck):
     # rows-only entries must stay the documented exceptions (iterative /
     # approximate / stubbed-codec ops), never silent omissions
     assert set(missing_oracle) <= {
-        "emb_kmeans_profile",
+        "emb_kmeans_profile",  # iterative; paired hash-oracled emb_kmeans_contract
         "doc_blob_features",
-        "emb_pca_profile",  # eigensolve not SQL-expressible; NumPy parity test
+        "emb_pca_profile",  # eigensolve not SQL; paired emb_pca_contract + NumPy parity
         "doc_cms_counts",  # sketch estimates; error bound pinned by test
         "doc_bpe_merges",  # iterative BPE; pure-Python reference parity test
         "doc_bpe_encode",  # encodes with learned merges; path-parity test
         "layout_hilbert_key",  # iterative bit rotation; xy2d parity test
-        "doc_audio_bands",  # FFT band energies; NumPy parity test (test_audio.py)
+        "doc_audio_bands",  # FFT; NumPy parity + oracled doc_audio_tone_detect twin
         "graph_kcore",  # iterative peel; planted K6-vs-chain test
     }, missing_oracle
     for name, spec in specs.items():
