@@ -225,6 +225,7 @@ HEADLINE = [
     "stream_broker_enriched",
     "emb_pca_contract",
     "emb_kmeans_contract",
+    "doc_video_frame_probe",
 ]
 
 

@@ -106,7 +106,11 @@ def sample_blob_frames(
     fake=True: a "frame" is the i-th of n uniform byte ranges
     (boundaries floor(i·L/n)) — deterministic and reproducible in SQL,
     so the whole 1→N mapInPandas plumbing gets an exact DuckDB oracle.
-    fake=False marks where ffmpeg keyframe extraction would slot in.
+    fake=False DEMUXES REAL uncompressed AVI blobs (multimodal/video.py
+    — RIFF container walk, BI_RGB DIB frames, uniform temporal
+    sampling; frame content is md5'd from the decoded RGB array).
+    Transform-coded video (h264/vp9/mjpeg) still raises: those need an
+    ffmpeg-class decoder absent from this container.
 
     Scale: narrow 1→N map, no shuffle; output carries hashes/lengths
     (small), never the frame bytes, so downstream aggregation is cheap.
@@ -116,14 +120,22 @@ def sample_blob_frames(
         import hashlib
 
         for pdf in batches:
-            if not fake:
-                raise NotImplementedError(
-                    "real frame extraction requires ffmpeg — not in this "
-                    "container; use fake=True for uniform byte-range frames"
-                )
             ids, idxs, sizes, hashes = [], [], [], []
             for i, blob in zip(pdf["__id"], pdf["__blob"]):
                 raw = bytes(blob)
+                if not fake:
+                    from .video import decode_avi_frames
+
+                    frames, _fps = decode_avi_frames(raw)  # raises for
+                    # non-AVI / compressed formats (documented stub)
+                    n = len(frames)
+                    for j in range(n_frames):
+                        fr = frames[j * n // n_frames]
+                        ids.append(i)
+                        idxs.append(j)
+                        sizes.append(int(fr.nbytes))
+                        hashes.append(hashlib.md5(fr.tobytes()).hexdigest())
+                    continue
                 L = len(raw)
                 for j in range(n_frames):
                     lo = j * L // n_frames

@@ -473,3 +473,96 @@ QUERIES.update(
         ),
     }
 )
+
+
+# ---------------------------------------------------------------------------
+# video demux probe (codec-verified, oracled)
+# ---------------------------------------------------------------------------
+
+VIDEO_IDS = 48
+VIDEO_H, VIDEO_W = 8, 10
+VIDEO_SAMPLES = 3
+
+
+def q_video_frame_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end video verification, ORACLED (the video twin of the PNG
+    and ADPCM contracts): per doc (doc_id < 48) the query synthesizes a
+    (4 + doc_id%4)-frame clip with formula pixels, muxes it into a real
+    uncompressed AVI (multimodal/video.py), DEMUXES it back (RIFF walk,
+    DIB stride/flip/BGR reconstruction), uniform-samples 3 frames, and
+    emits their R-channel stats. The container is lossless, so the
+    DuckDB oracle states the expected stats straight from the pixel
+    formula — a broken stride, row flip, or channel order flips the
+    hash. One Arrow mapInPandas pass; 1→3 row fan-out."""
+    import numpy as np
+    import pandas as pd
+
+    from ..multimodal.video import decode_avi_frames, encode_avi_rgb
+
+    d = read_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") < VIDEO_IDS
+    ).select("doc_id")
+
+    def work(batches):
+        i = np.arange(VIDEO_H).reshape(-1, 1)
+        j = np.arange(VIDEO_W).reshape(1, -1)
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                n = 4 + did % 4
+                gray = np.stack(
+                    [((did + 11 * f + 3 * i + 7 * j) % 256) for f in range(n)]
+                ).astype("uint8")
+                clip = np.repeat(gray[:, :, :, None], 3, axis=3)
+                dec, _fps = decode_avi_frames(encode_avi_rgb(clip))
+                for s in range(VIDEO_SAMPLES):
+                    idx = s * n // VIDEO_SAMPLES
+                    r = dec[idx][:, :, 0].astype("float64")
+                    rows.append(
+                        {
+                            "doc_id": did,
+                            "sample": s,
+                            "frame_idx": idx,
+                            "px_mean": round(float(r.mean()), 6),
+                            "px_min": int(r.min()),
+                            "px_max": int(r.max()),
+                        }
+                    )
+            yield pd.DataFrame(rows)
+
+    return d.mapInPandas(
+        work,
+        "doc_id bigint, sample int, frame_idx int, px_mean double,"
+        " px_min int, px_max int",
+    )
+
+
+ORACLE_VIDEO_PROBE = f"""
+WITH d AS (
+  SELECT doc_id, 4 + doc_id % 4 AS n FROM documents
+  WHERE doc_id < {VIDEO_IDS}
+),
+samples AS (
+  SELECT d.doc_id, s.s AS sample,
+         CAST(s.s * d.n // {VIDEO_SAMPLES} AS INT) AS frame_idx
+  FROM d JOIN generate_series(0, {VIDEO_SAMPLES - 1}) AS s(s) ON TRUE
+),
+px AS (
+  SELECT sm.doc_id, sm.sample, sm.frame_idx,
+         (sm.doc_id + 11 * sm.frame_idx + 3 * i.i + 7 * j.j) % 256 AS v
+  FROM samples sm
+  JOIN generate_series(0, {VIDEO_H - 1}) AS i(i) ON TRUE
+  JOIN generate_series(0, {VIDEO_W - 1}) AS j(j) ON TRUE
+)
+SELECT doc_id, sample, frame_idx, round(avg(v), 6) AS px_mean,
+       CAST(min(v) AS INT) AS px_min, CAST(max(v) AS INT) AS px_max
+FROM px GROUP BY 1, 2, 3
+"""
+
+
+QUERIES["doc_video_frame_probe"] = QuerySpec(
+    q_video_frame_probe,
+    ORACLE_VIDEO_PROBE,
+    "AVI mux/demux + uniform frame sampling, oracled against the pixel formula",
+)
