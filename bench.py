@@ -226,6 +226,10 @@ HEADLINE = [
     "emb_pca_contract",
     "emb_kmeans_contract",
     "doc_video_frame_probe",
+    "ml_pit_training_set",
+    "stream_quota_gate",
+    "evt_cross_correlation",
+    "evt_cuped",
 ]
 
 

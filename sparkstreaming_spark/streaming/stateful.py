@@ -267,3 +267,75 @@ def running_stats(stream_df: DataFrame, key_col: str, value_col: str) -> DataFra
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+QUOTA_STATE = "n long"
+QUOTA_OUT = "user_id long, day string, event_id long, admitted boolean"
+
+
+def quota_gate(
+    stream_df: DataFrame,
+    user_col: str,
+    ts_col: str,
+    id_col: str,
+    quota: int,
+) -> DataFrame:
+    """Per-(user, day) admission quota over an unbounded stream — the
+    rate-limiting/backpressure gate an ingestion edge enforces (at most
+    `quota` events per user per day pass; the rest are tagged rejected
+    so the caller can dead-letter or sample them). State per key is ONE
+    counter, bounded regardless of traffic; the key space is
+    (users × days), which watermark-based state TTL would bound in a
+    long-running deployment.
+
+    Events within a micro-batch are admitted in (ts, id) order (the
+    Arrow batch is sorted locally), so replaying the same day yields the
+    same admit set — the property the batch-twin oracle checks."""
+    from pyspark.sql import functions as F
+
+    def update(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        n = state.get[0] if state.exists else 0
+        uids, days, eids, flags = [], [], [], []
+        for pdf in pdfs:
+            order = sorted(
+                zip(
+                    (int(v) for v in pdf["ts_us"]),
+                    (int(v) for v in pdf["event_id"]),
+                )
+            )
+            for _t, eid in order:
+                admitted = n < quota
+                if admitted:
+                    n += 1
+                uids.append(int(key[0]))
+                days.append(str(key[1]))
+                eids.append(eid)
+                flags.append(admitted)
+        state.update((n,))
+        if eids:
+            yield pd.DataFrame(
+                {
+                    "user_id": uids,
+                    "day": days,
+                    "event_id": eids,
+                    "admitted": flags,
+                }
+            )
+
+    narrowed = stream_df.select(
+        F.col(user_col).cast("long").alias("user_id"),
+        F.date_format(
+            F.date_trunc("day", F.col(ts_col)), "yyyy-MM-dd"
+        ).alias("day"),
+        F.unix_micros(F.col(ts_col).cast("timestamp")).alias("ts_us"),
+        F.col(id_col).cast("long").alias("event_id"),
+    )
+    return narrowed.groupBy("user_id", "day").applyInPandasWithState(
+        update,
+        outputStructType=QUOTA_OUT,
+        stateStructType=QUOTA_STATE,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

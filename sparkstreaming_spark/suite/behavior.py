@@ -1854,3 +1854,172 @@ QUERIES["evt_seasonal_anomalies"] = QuerySpec(
     ORACLE_SEASONAL_ANOMALIES,
     "deseasonalized robust-z anomaly hours (MAD on the bounded series)",
 )
+
+
+XCORR_MAX_LAG = 6
+
+
+def q_cross_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lead-lag detection between the 'view' and 'purchase' hourly count
+    series: Pearson correlation of (view[t], purchase[t+lag]) for lags
+    0..6 h — the does-browsing-predict-buying diagnostic behind
+    attribution windows and cache warmup decisions.
+
+    Scale shape: the fact table reduces once to per-(type, hour) counts;
+    the lag alignment is a self-join of the HOURLY table shifted by a
+    literal interval (bounded by time span), and each lag's correlation
+    is one corr() aggregate. Rounds to 6 dp both engines."""
+    ev = read_table(spark, sf_dir, "events")
+    hourly = (
+        ev.filter(F.col("event_type").isin("view", "purchase"))
+        .groupBy("event_type", F.date_trunc("hour", "ts").alias("h"))
+        .agg(F.count(F.lit(1)).cast("double").alias("c"))
+    )
+    views = hourly.filter(F.col("event_type") == "view").select(
+        F.col("h").alias("vh"), F.col("c").alias("vc")
+    )
+    buys = hourly.filter(F.col("event_type") == "purchase").select(
+        F.col("h").alias("bh"), F.col("c").alias("bc")
+    )
+    out = None
+    for lag in range(XCORR_MAX_LAG + 1):
+        aligned = views.join(
+            buys,
+            F.col("bh") == F.col("vh") + F.expr(f"INTERVAL {lag} HOURS"),
+        ).agg(
+            F.lit(lag).alias("lag_hours"),
+            F.count(F.lit(1)).alias("n_hours"),
+            F.round(F.corr("vc", "bc"), 6).alias("corr"),
+        )
+        out = aligned if out is None else out.unionByName(aligned)
+    return out
+
+
+def _oracle_cross_correlation() -> str:
+    parts = []
+    for lag in range(XCORR_MAX_LAG + 1):
+        parts.append(f"""
+SELECT {lag} AS lag_hours, count(*) AS n_hours,
+       round(corr(v.c, b.c), 6) AS corr
+FROM hourly v JOIN hourly b
+  ON v.event_type = 'view' AND b.event_type = 'purchase'
+ AND b.h = v.h + INTERVAL {lag} HOURS""")
+    u = "\nUNION ALL\n".join(parts)
+    return f"""
+WITH hourly AS (
+  SELECT event_type, date_trunc('hour', ts) AS h,
+         CAST(count(*) AS DOUBLE) AS c
+  FROM events WHERE event_type IN ('view', 'purchase')
+  GROUP BY 1, 2
+)
+{u}
+"""
+
+
+def q_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED variance reduction for the A/B readout (Deng et al., WSDM
+    2013 — "Improving the Sensitivity of Online Controlled
+    Experiments"): per-user post-period metric Y adjusted by the
+    pre-period covariate X via θ = cov(X,Y)/var(X); report raw and
+    adjusted per-variant means and the variance-reduction ratio
+    (1 − (1−ρ²)) achieved. Pre/post split at the timeline midpoint;
+    variant = user_id parity (the engine's deterministic assignment
+    convention, evt_ab_test).
+
+    Scale shape: one per-user two-column aggregate (user-sized), θ and
+    the global X mean from one covar/var aggregate over that rollup,
+    broadcast back as literals-via-crossJoin; every pass is
+    partial-aggregable. Intermediates round to 6 dp."""
+    ev = read_table(spark, sf_dir, "events")
+    bounds = ev.agg(
+        ((F.min(F.unix_timestamp("ts")) + F.max(F.unix_timestamp("ts"))) / 2)
+        .cast("long")
+        .alias("mid")
+    )
+    per_user = (
+        ev.crossJoin(F.broadcast(bounds))
+        .groupBy("user_id")
+        .agg(
+            F.round(
+                F.sum(
+                    F.when(
+                        F.unix_timestamp("ts") < F.col("mid"), F.col("value")
+                    ).otherwise(0.0)
+                ),
+                6,
+            ).alias("x"),
+            F.round(
+                F.sum(
+                    F.when(
+                        F.unix_timestamp("ts") >= F.col("mid"), F.col("value")
+                    ).otherwise(0.0)
+                ),
+                6,
+            ).alias("y"),
+        )
+        .withColumn("variant", (F.col("user_id") % 2).cast("int"))
+    )
+    stats = per_user.agg(
+        F.round(F.covar_pop("x", "y") / F.var_pop("x"), 6).alias("theta"),
+        F.round(F.avg("x"), 6).alias("xbar"),
+        F.round(F.corr("x", "y") ** 2, 6).alias("r2"),
+    )
+    return (
+        per_user.crossJoin(F.broadcast(stats))
+        .groupBy("variant")
+        .agg(
+            F.count(F.lit(1)).alias("n_users"),
+            F.round(F.avg("y"), 6).alias("raw_mean"),
+            F.round(
+                F.avg(
+                    F.col("y")
+                    - F.col("theta") * (F.col("x") - F.col("xbar"))
+                ),
+                6,
+            ).alias("cuped_mean"),
+            F.round(F.first("r2"), 6).alias("var_reduction"),
+        )
+    )
+
+
+ORACLE_CUPED = """
+WITH bounds AS (
+  SELECT CAST((min(floor(epoch(ts))) + max(floor(epoch(ts)))) / 2 AS BIGINT)
+           AS mid
+  FROM events
+),
+per_user AS (
+  SELECT user_id,
+         round(sum(CASE WHEN floor(epoch(ts)) < mid THEN value
+                        ELSE 0.0 END), 6) AS x,
+         round(sum(CASE WHEN floor(epoch(ts)) >= mid THEN value
+                        ELSE 0.0 END), 6) AS y,
+         CAST(user_id % 2 AS INT) AS variant
+  FROM events, bounds
+  GROUP BY user_id
+),
+stats AS (
+  SELECT round(covar_pop(x, y) / var_pop(x), 6) AS theta,
+         round(avg(x), 6) AS xbar,
+         round(corr(x, y) ^ 2, 6) AS r2
+  FROM per_user
+)
+SELECT variant, count(*) AS n_users,
+       round(avg(y), 6) AS raw_mean,
+       round(avg(y - theta * (x - xbar)), 6) AS cuped_mean,
+       round(max(r2), 6) AS var_reduction
+FROM per_user, stats
+GROUP BY variant
+"""
+
+
+QUERIES["evt_cross_correlation"] = QuerySpec(
+    q_cross_correlation,
+    _oracle_cross_correlation(),
+    "lead-lag cross-correlation of view->purchase hourly series",
+)
+QUERIES["evt_cuped"] = QuerySpec(
+    q_cuped,
+    ORACLE_CUPED,
+    "CUPED variance-reduced A/B readout (theta from one covar aggregate)",
+)

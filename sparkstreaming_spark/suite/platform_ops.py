@@ -566,3 +566,110 @@ QUERIES["doc_video_frame_probe"] = QuerySpec(
     ORACLE_VIDEO_PROBE,
     "AVI mux/demux + uniform frame sampling, oracled against the pixel formula",
 )
+
+
+# ---------------------------------------------------------------------------
+# point-in-time training-set assembly
+# ---------------------------------------------------------------------------
+
+PIT_SAMPLE_IDS = 100  # bound the verified label set; features use ALL rows
+
+
+def q_pit_training_set(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature-store-style point-in-time training-set assembly — the
+    ML-ops join that turns event labels into leakage-free examples:
+    for every `purchase` label at time t, attach (a) the user's prior
+    event count and (b) previous event value from the event stream, and
+    (c) the user's last order total from a second feature table — each
+    STRICTLY before t (the label row's own timestamp never leaks into
+    its features; the as-of probe runs at t − 1 µs).
+
+    Scale shape: (a)/(b) are one user-partitioned window over events;
+    (c) pre-reduces orders to one row per (customer, day) with
+    `max_by` (making the as-of match deterministic under same-day
+    orders) and then uses the engine's union-window as-of join — one
+    shuffle keyed by user. No per-label subqueries, no repeated scans
+    per feature."""
+    from ..operators.asof import asof_join
+    from pyspark.sql import Window
+
+    ev = read_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    hist = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        "value",
+        (F.row_number().over(w) - 1).alias("prior_events"),
+        F.lag("value").over(w).alias("prev_value"),
+    )
+    labels = hist.filter(
+        (F.col("event_type") == "purchase")
+        & (F.col("user_id") < PIT_SAMPLE_IDS)
+    ).select(
+        "user_id",
+        "ts",
+        "event_id",
+        "prior_events",
+        F.round("prev_value", 6).alias("prev_value"),
+        F.expr("ts - INTERVAL 1 MICROSECOND").alias("probe_ts"),
+    )
+    daily_orders = (
+        read_table(spark, sf_dir, "orders")
+        .groupBy(
+            F.col("o_custkey").alias("user_id"),
+            F.col("o_orderdate").cast("timestamp").alias("ots"),
+        )
+        .agg(F.max_by("o_totalprice", "o_orderkey").alias("order_price"))
+    )
+    joined = asof_join(
+        labels,
+        daily_orders,
+        key="user_id",
+        left_ts="probe_ts",
+        right_ts="ots",
+        right_cols=["order_price"],
+    )
+    return joined.select(
+        "user_id",
+        F.col("event_id").alias("label_event_id"),
+        "prior_events",
+        "prev_value",
+        F.round("asof_order_price", 2).alias("last_order_price"),
+    )
+
+
+ORACLE_PIT_TRAINING_SET = f"""
+WITH hist AS (
+  SELECT user_id, ts, event_id, event_type, value,
+         row_number() OVER w - 1 AS prior_events,
+         lag(value) OVER w AS prev_value
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+labels AS (
+  SELECT user_id, ts, event_id, prior_events,
+         round(prev_value, 6) AS prev_value
+  FROM hist
+  WHERE event_type = 'purchase' AND user_id < {PIT_SAMPLE_IDS}
+),
+daily_orders AS (
+  SELECT o_custkey AS user_id, CAST(o_orderdate AS TIMESTAMP) AS ots,
+         arg_max(o_totalprice, o_orderkey) AS order_price
+  FROM orders GROUP BY 1, 2
+)
+SELECT l.user_id, l.event_id AS label_event_id, l.prior_events,
+       l.prev_value,
+       round((SELECT d.order_price FROM daily_orders d
+              WHERE d.user_id = l.user_id AND d.ots < l.ts
+              ORDER BY d.ots DESC LIMIT 1), 2) AS last_order_price
+FROM labels l
+"""
+
+
+QUERIES["ml_pit_training_set"] = QuerySpec(
+    q_pit_training_set,
+    ORACLE_PIT_TRAINING_SET,
+    "leakage-free point-in-time training-set assembly (strict as-of features)",
+)

@@ -1054,3 +1054,54 @@ QUERIES["stream_broker_enriched"] = QuerySpec(
     ORACLE_BROKER_ENRICHED,
     "broker stream -> broadcast cohort enrichment -> daily windows per cohort",
 )
+
+
+QUOTA_PER_DAY = 3
+
+
+def q_stream_quota_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingestion rate limiting THROUGH a live stream: the stateful
+    per-(user, day) admission gate (streaming/stateful.py::quota_gate,
+    quota 3) tags every event admitted/rejected; the drained result is
+    accounted per day. Deterministic because admission follows the
+    (ts, event_id) total order — so the batch twin (row_number ≤ quota
+    per user-day) reproduces the exact admit set, not just counts."""
+    from ..streaming.stateful import quota_gate
+
+    gated = quota_gate(
+        _events_stream(spark, sf_dir), "user_id", "ts", "event_id",
+        quota=QUOTA_PER_DAY,
+    )
+    drained = run_available_now(gated, output_mode="append")
+    return drained.groupBy("day").agg(
+        F.sum(F.col("admitted").cast("int")).alias("n_admitted"),
+        F.sum((~F.col("admitted")).cast("int")).alias("n_rejected"),
+        F.bit_xor(
+            F.when(F.col("admitted"), F.col("event_id")).otherwise(F.lit(0))
+        ).alias("admitted_xor"),
+    )
+
+
+ORACLE_STREAM_QUOTA = f"""
+WITH ranked AS (
+  SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day, event_id,
+         row_number() OVER (PARTITION BY user_id, date_trunc('day', ts)
+                            ORDER BY ts, event_id) AS rk
+  FROM events
+)
+SELECT day,
+       cast(sum(CASE WHEN rk <= {QUOTA_PER_DAY} THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_admitted,
+       cast(sum(CASE WHEN rk > {QUOTA_PER_DAY} THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_rejected,
+       bit_xor(CASE WHEN rk <= {QUOTA_PER_DAY} THEN event_id ELSE 0 END)
+         AS admitted_xor
+FROM ranked GROUP BY day
+"""
+
+
+QUERIES["stream_quota_gate"] = QuerySpec(
+    q_stream_quota_gate,
+    ORACLE_STREAM_QUOTA,
+    "stateful per-user-day admission quota; exact admit set via XOR",
+)

@@ -114,3 +114,54 @@ def test_stream_consumes_appended_segments_exactly_once(spark):
     sunk = spark.read.parquet(out)
     assert sunk.count() == 45  # appended 15 consumed once, old 30 not re-read
     assert sunk.select("k").distinct().count() == 45
+
+
+def test_quota_gate_state_survives_micro_batches(spark):
+    """The admission counter must persist across micro-batches: feeding
+    a user's day in two separate segment files (maxFilesPerTrigger=1 →
+    two micro-batches) admits exactly `quota` in total, not per batch."""
+    import pandas as pd
+
+    from sparkstreaming_spark.streaming.stateful import quota_gate
+
+    root = tempfile.mkdtemp(prefix="quota_")
+    src, out, ckpt = (os.path.join(root, d) for d in ("src", "out", "ckpt"))
+    os.makedirs(src)
+
+    def write_slice(name, ids):
+        pdf = pd.DataFrame(
+            {
+                "event_id": ids,
+                "user_id": [7] * len(ids),
+                "ts": pd.to_datetime(
+                    ["2024-01-01 00:00:%02d" % i for i in ids]
+                ),
+            }
+        )
+        spark.createDataFrame(pdf).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(src, name))
+
+    write_slice("a", [1, 2])
+    write_slice("b", [3, 4, 5])
+    st = (
+        spark.readStream.schema(
+            "event_id bigint, user_id bigint, ts timestamp"
+        )
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src + "/*")
+    )
+    q = (
+        quota_gate(st, "user_id", "ts", "event_id", quota=3)
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.read.parquet(out).toPandas().sort_values("event_id")
+    assert len(got) == 5
+    # exactly 3 admitted across BOTH batches, and they are the earliest 3
+    admitted = got[got["admitted"]]["event_id"].tolist()
+    assert admitted == [1, 2, 3], admitted
