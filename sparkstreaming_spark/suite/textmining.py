@@ -339,3 +339,97 @@ QUERIES["doc_zipf_fit"] = QuerySpec(
     ORACLE_ZIPF,
     "Zipf rank-frequency OLS fit (vocab aggregate; tiny rank window)",
 )
+
+
+MG_K = 50  # Misra-Gries counter budget per summary
+MG_TOPN = 10
+
+
+def q_heavy_hitters_mg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed Misra-Gries heavy hitters over the token stream — the
+    canonical bounded-memory frequent-items sketch, MERGEABLE per
+    Agarwal et al., "Mergeable Summaries" (PODS 2012): each partition
+    keeps k=50 counters (decrement-on-overflow), the ≤ k·#partitions
+    summary rows collapse on the driver with the summary-merge rule
+    (sum, then subtract the (k+1)-th largest and drop ≤0), and the
+    guarantee — every token with true count > N/(k+1) survives — holds
+    for the merged summary.
+
+    Oracle contract: the verified output is the EXACT top-10 tokens
+    (DuckDB-computable) plus `mg_guarantee_ok`, true iff the token is
+    under the N/(k+1) threshold OR present in the merged MG candidate
+    set — on this Zipfian corpus several tokens clear the threshold
+    while partitions overflow their 50 counters, so a broken decrement
+    or merge genuinely flips the boolean."""
+    import pandas as pd
+
+    from .llm import SQL_NORM, SQL_TOKS  # noqa: F401 (oracle twins)
+
+    d = read_table(spark, sf_dir, "documents")
+    toks = d.select(F.explode(tokenize("text")).alias("tok"))
+
+    def partial_mg(batches):
+        counters: dict[str, int] = {}
+        for pdf in batches:
+            for t in pdf["tok"]:
+                if t in counters:
+                    counters[t] += 1
+                elif len(counters) < MG_K:
+                    counters[t] = 1
+                else:  # decrement all; drop zeros (classic MG step)
+                    drop = [w for w in counters if counters[w] == 1]
+                    for w in counters:
+                        counters[w] -= 1
+                    for w in drop:
+                        del counters[w]
+        if counters:
+            yield pd.DataFrame(
+                {"tok": list(counters), "c": list(counters.values())}
+            )
+
+    summaries = toks.mapInPandas(partial_mg, "tok string, c long").collect()
+    merged: dict[str, int] = {}
+    for r in summaries:  # bounded: <= MG_K rows per partition
+        merged[r["tok"]] = merged.get(r["tok"], 0) + int(r["c"])
+    if len(merged) > MG_K:
+        cut = sorted(merged.values(), reverse=True)[MG_K]
+        merged = {t: c - cut for t, c in merged.items() if c - cut > 0}
+    candidates = set(merged)
+
+    exact = (
+        toks.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    total = exact.agg(
+        F.sum("cnt").alias("n"),
+    )
+    top = (
+        exact.crossJoin(F.broadcast(total))
+        .orderBy(F.desc("cnt"), "tok")
+        .limit(MG_TOPN)
+    )
+    in_cand = F.col("tok").isin(*candidates) if candidates else F.lit(False)
+    return top.select(
+        "tok",
+        "cnt",
+        (
+            (F.col("cnt") <= F.col("n") / (MG_K + 1)) | in_cand
+        ).alias("mg_guarantee_ok"),
+    )
+
+
+ORACLE_HEAVY_HITTERS_MG = f"""
+WITH t AS (
+  SELECT unnest({SQL_TOKS}) AS tok FROM documents WHERE {SQL_NORM} != ''
+),
+exact AS (SELECT tok, count(*) AS cnt FROM t GROUP BY tok)
+SELECT tok, cnt, TRUE AS mg_guarantee_ok
+FROM exact ORDER BY cnt DESC, tok LIMIT {MG_TOPN}
+"""
+
+
+QUERIES["doc_heavy_hitters_mg"] = QuerySpec(
+    q_heavy_hitters_mg,
+    ORACLE_HEAVY_HITTERS_MG,
+    "mergeable Misra-Gries heavy hitters: exact top-10 + guarantee contract",
+)
