@@ -10,9 +10,10 @@ shape — is real and tested, and the codec step has two modes:
 - `fake=False`: REAL image decode for PPM/BMP/PNG via the pure-Python
   codecs in multimodal/codecs.py (features/resize over decoded pixels);
   unsupported formats raise ValueError. Video frame extraction
-  (`sample_blob_frames(fake=False)`) still raises NotImplementedError —
-  there is no ffmpeg in this container and a pure-Python video decoder
-  is out of scope; the call site marks where it slots in.
+  (`sample_blob_frames(fake=False)`) decodes REAL uncompressed
+  BI_RGB AVI streams via multimodal/video.py (mux/demux + uniform
+  temporal frame sampling); compressed fourccs raise
+  NotImplementedError (no ffmpeg in this container).
 
 Scale notes: blobs ride in parquet binary columns; `mapInPandas` keeps
 them in Arrow record batches (no per-row Python), and

@@ -111,12 +111,13 @@ def decode_avi_frames(data: bytes) -> tuple[np.ndarray, float]:
     if data[:4] != b"RIFF" or data[8:12] != b"AVI ":
         raise ValueError("not a RIFF/AVI stream")
     w = h = None
+    top_down = False  # negative biHeight = top-down DIB, no row flip
     compression = None
     scale, rate = 1, 10
     frames: list[np.ndarray] = []
 
     def walk(off: int, end: int) -> None:
-        nonlocal w, h, compression, scale, rate
+        nonlocal w, h, top_down, compression, scale, rate
         for cid, body_off, size in _iter_chunks(data, off, end):
             if cid == b"LIST":
                 walk(body_off + 4, body_off + size)
@@ -135,7 +136,7 @@ def decode_avi_frames(data: bytes) -> tuple[np.ndarray, float]:
                         f"compressed/depth-{bits} AVI needs an ffmpeg-class "
                         "decoder — only BI_RGB 24-bit is supported here"
                     )
-                w, h = bw, abs(bh)
+                w, h, top_down = bw, abs(bh), bh < 0
             elif cid in (b"00db", b"00dc"):
                 if w is None:
                     raise ValueError("frame chunk before stream format")
@@ -144,7 +145,10 @@ def decode_avi_frames(data: bytes) -> tuple[np.ndarray, float]:
                     data[body_off : body_off + stride * h], dtype="uint8"
                 ).reshape(h, stride)
                 bgr = raw[:, : w * 3].reshape(h, w, 3)
-                frames.append(bgr[::-1, :, ::-1].copy())  # → top-down RGB
+                # bottom-up DIBs (positive biHeight) store rows inverted
+                # and need the flip; top-down DIBs are already in order.
+                rgb = bgr[:, :, ::-1] if top_down else bgr[::-1, :, ::-1]
+                frames.append(rgb.copy())
 
     walk(12, 8 + struct.unpack("<I", data[4:8])[0])
     fps = rate / scale if scale else float(rate)

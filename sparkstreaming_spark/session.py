@@ -53,10 +53,12 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         # Python UDTFs on the Arrow path (ArrowEvalPythonUDTF) like every
-        # other Python extension point: clean A/B at sf0.1 measures
-        # 0.49s vs 0.66s median for doc_sentences_udtf (arrow vs pickle),
-        # with a higher one-off first-call compile cost that makes naive
-        # single-run comparisons misleading
+        # other Python extension point. Round-5 re-A/B at sf0.1: pickle
+        # is ~0.15s faster per call for the small-row sentence_split
+        # fan-out, but it compiles to BatchEvalPythonUDTF — row-at-a-time
+        # serialization, banned by the suite-wide plan invariant
+        # (tests/test_plan_hygiene.py) because per-row pickling is the
+        # 100 TB slow path even where it wins a sub-second microbench.
         .config("spark.sql.execution.pythonUDTF.arrow.enabled", "true")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))

@@ -288,9 +288,15 @@ def quota_gate(
     (users × days), which watermark-based state TTL would bound in a
     long-running deployment.
 
-    Events within a micro-batch are admitted in (ts, id) order (the
-    Arrow batch is sorted locally), so replaying the same day yields the
-    same admit set — the property the batch-twin oracle checks."""
+    Events within a micro-batch are admitted in (ts, id) order: ALL
+    Arrow chunks of the group are accumulated and sorted ONCE before the
+    quota is applied (a group larger than arrow maxRecordsPerBatch
+    arrives as several chunks — sorting per-chunk would admit in
+    arrival order across the chunk boundary). Replaying the same day
+    therefore yields the same admit set — the property the batch-twin
+    oracle checks. Across micro-batches, determinism additionally
+    requires time-ordered segment arrival (state carries only the
+    count, not which ids were admitted)."""
     from pyspark.sql import functions as F
 
     def update(
@@ -298,21 +304,23 @@ def quota_gate(
     ) -> Iterator[pd.DataFrame]:
         n = state.get[0] if state.exists else 0
         uids, days, eids, flags = [], [], [], []
+        order = []
         for pdf in pdfs:
-            order = sorted(
+            order.extend(
                 zip(
                     (int(v) for v in pdf["ts_us"]),
                     (int(v) for v in pdf["event_id"]),
                 )
             )
-            for _t, eid in order:
-                admitted = n < quota
-                if admitted:
-                    n += 1
-                uids.append(int(key[0]))
-                days.append(str(key[1]))
-                eids.append(eid)
-                flags.append(admitted)
+        order.sort()
+        for _t, eid in order:
+            admitted = n < quota
+            if admitted:
+                n += 1
+            uids.append(int(key[0]))
+            days.append(str(key[1]))
+            eids.append(eid)
+            flags.append(admitted)
         state.update((n,))
         if eids:
             yield pd.DataFrame(

@@ -1571,8 +1571,17 @@ def q_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_at_risk",
         "d_t",
         "hazard",
+        # greatest(…, 1e-12) on BOTH engines: a terminal bucket with
+        # hazard = 1 would otherwise give Spark log(0) = NULL but DuckDB
+        # ln(0) = -inf (survival 0.0) — the clamp makes both engines
+        # produce survival 0.0 identically.
         F.round(
-            F.exp(F.sum(F.log(1 - F.col("hazard"))).over(w_surv)), 4
+            F.exp(
+                F.sum(
+                    F.log(F.greatest(1 - F.col("hazard"), F.lit(1e-12)))
+                ).over(w_surv)
+            ),
+            4,
         ).alias("survival"),
     )
 
@@ -1604,7 +1613,7 @@ curve AS (
 hz AS (SELECT t, n_at_risk, d_t,
               round(d_t * 1.0 / n_at_risk, 6) AS hazard FROM curve)
 SELECT t, cast(n_at_risk AS BIGINT) AS n_at_risk, d_t, hazard,
-       round(exp(sum(ln(1 - hazard)) OVER (ORDER BY t
+       round(exp(sum(ln(greatest(1 - hazard, 1e-12))) OVER (ORDER BY t
              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)), 4)
          AS survival
 FROM hz
@@ -1931,8 +1940,14 @@ def q_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast back as literals-via-crossJoin; every pass is
     partial-aggregable. Intermediates round to 6 dp."""
     ev = read_table(spark, sf_dir, "events")
+    # floor() on BOTH engines: Spark's cast('long') truncates toward zero
+    # while DuckDB's CAST(... AS BIGINT) rounds half away from zero, so an
+    # odd min+max would split one second apart cross-engine without it.
     bounds = ev.agg(
-        ((F.min(F.unix_timestamp("ts")) + F.max(F.unix_timestamp("ts"))) / 2)
+        F.floor(
+            (F.min(F.unix_timestamp("ts")) + F.max(F.unix_timestamp("ts")))
+            / 2
+        )
         .cast("long")
         .alias("mid")
     )
@@ -1984,8 +1999,8 @@ def q_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE_CUPED = """
 WITH bounds AS (
-  SELECT CAST((min(floor(epoch(ts))) + max(floor(epoch(ts)))) / 2 AS BIGINT)
-           AS mid
+  SELECT CAST(floor((min(floor(epoch(ts))) + max(floor(epoch(ts)))) / 2)
+              AS BIGINT) AS mid
   FROM events
 ),
 per_user AS (

@@ -84,7 +84,14 @@ def q_sentences_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.udtfs import register_udtfs
 
     register_udtfs(spark)
-    read_table(spark, sf_dir, "documents").createOrReplaceTempView("docs_udtf")
+    # The sf0.1 corpus is ONE parquet row group → one scan task → one
+    # Python UDTF worker; repartition(8) parallelizes the Python stage
+    # for a sub-MB shuffle. At production scale the scan already yields
+    # many splits and the repartition simply rebalances them across the
+    # UDTF workers (Python is the bottleneck stage, not the exchange).
+    read_table(spark, sf_dir, "documents").repartition(8).createOrReplaceTempView(
+        "docs_udtf"
+    )
     return spark.sql(
         """
         SELECT s.lang, count(*) AS n_sentences,

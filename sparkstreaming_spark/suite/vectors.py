@@ -586,8 +586,12 @@ def q_pca_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = read_table(spark, sf_dir, "embeddings")
     dim = len(emb.select("embedding").first()["embedding"])
-    spectrum = pca_variance_profile(emb, "embedding", top=dim)
-    # the spectrum is a dim-row local frame; the ordering window is free
+    # .limit(dim) makes the bound PROVABLE to the plan-hygiene invariant:
+    # createDataFrame under Arrow compiles to a LogicalRDD, which the
+    # checker (rightly) refuses to treat as bounded input for a
+    # no-partition Window. The limit is a no-op at runtime (the frame is
+    # exactly dim rows) but puts a Limit node under the Window.
+    spectrum = pca_variance_profile(emb, "embedding", top=dim).limit(dim)
     w = Window.orderBy("component")
     stepped = spectrum.select(
         "eigenvalue",

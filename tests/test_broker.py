@@ -165,3 +165,51 @@ def test_quota_gate_state_survives_micro_batches(spark):
     # exactly 3 admitted across BOTH batches, and they are the earliest 3
     admitted = got[got["admitted"]]["event_id"].tolist()
     assert admitted == [1, 2, 3], admitted
+
+
+def test_quota_gate_sorts_across_arrow_chunks(spark):
+    """A (user, day) group bigger than arrow maxRecordsPerBatch arrives
+    as SEVERAL chunks of the group iterator; admission must still
+    follow global (ts, id) order, not per-chunk arrival order. Events
+    are written in reverse-ts order with maxRecordsPerBatch=2, so a
+    per-chunk sort would admit the latest events first."""
+    import pandas as pd
+
+    from sparkstreaming_spark.streaming.stateful import quota_gate
+
+    root = tempfile.mkdtemp(prefix="quotachunk_")
+    src, out, ckpt = (os.path.join(root, d) for d in ("src", "out", "ckpt"))
+    ids = [7, 6, 5, 4, 3, 2, 1]  # reverse (ts, id) order on disk
+    pdf = pd.DataFrame(
+        {
+            "event_id": ids,
+            "user_id": [9] * len(ids),
+            "ts": pd.to_datetime(["2024-01-01 00:00:%02d" % i for i in ids]),
+        }
+    )
+    spark.createDataFrame(pdf).coalesce(1).write.parquet(src)
+    prev = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch", None)
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "2")
+    try:
+        st = spark.readStream.schema(
+            "event_id bigint, user_id bigint, ts timestamp"
+        ).parquet(src)
+        q = (
+            quota_gate(st, "user_id", "ts", "event_id", quota=3)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.execution.arrow.maxRecordsPerBatch")
+        else:
+            spark.conf.set(
+                "spark.sql.execution.arrow.maxRecordsPerBatch", prev
+            )
+    got = spark.read.parquet(out).toPandas()
+    admitted = sorted(got[got["admitted"]]["event_id"].tolist())
+    assert admitted == [1, 2, 3], admitted

@@ -232,7 +232,7 @@ def test_sample_blob_frames_partitions_bytes(spark):
     for r in rows:
         sizes[r.id] = sizes.get(r.id, 0) + r.n_bytes
     assert sizes == {1: 10, 2: 0}
-    with _pytest.raises(Exception, match="ffmpeg"):
+    with _pytest.raises(Exception, match="ffmpeg|RIFF"):
         sample_blob_frames(d, "doc_id", fake=False).collect()
 
 

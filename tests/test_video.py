@@ -73,3 +73,21 @@ def test_compressed_avi_raises():
     data[body + 16 : body + 20] = b"MJPG"
     with pytest.raises(NotImplementedError):
         decode_avi_frames(bytes(data))
+
+
+def test_avi_top_down_dib_decodes_upright():
+    """Negative biHeight = top-down DIB: rows are stored in display
+    order and must NOT be flipped. Built by storing pre-flipped rows
+    (so the payload is literally top-down) and patching biHeight to -h
+    in the strf BITMAPINFOHEADER."""
+    import struct
+
+    f = _frames(n=3, h=6, w=8)
+    data = bytearray(encode_avi_rgb(f[:, ::-1], fps=10))
+    i = data.index(b"strf")
+    # BITMAPINFOHEADER: biSize(4) biWidth(4) biHeight(4) at body+8
+    (bh,) = struct.unpack_from("<i", data, i + 8 + 8)
+    assert bh == 6
+    struct.pack_into("<i", data, i + 8 + 8, -bh)
+    dec, _fps = decode_avi_frames(bytes(data))
+    assert np.array_equal(dec, f)
