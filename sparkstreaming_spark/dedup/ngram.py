@@ -9,6 +9,13 @@ contributes O(m²) pair rows, so boilerplate shingles blow up the join.
 `max_doc_freq` drops shingles above a document-frequency cap — the
 standard inverted-index mitigation; at production scale prefer the
 MinHash-LSH pipeline (dedup/minhash.py) and use this as the verifier.
+
+The cap DEFAULTS ON ("auto" = max(100, ceil(1% of corpus docs))): an
+uncapped call on a boilerplate-heavy corpus quadratic-bombs the join,
+and a caller who wants the genuinely uncapped all-pairs semantics must
+say so with max_doc_freq=None. The 1%-of-corpus floor means the cap is
+a no-op on corpora without hot shingles (every df stays below it), so
+default results only differ where the blow-up would have happened.
 """
 
 from __future__ import annotations
@@ -16,13 +23,25 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+
+def _resolve_doc_freq_cap(
+    df: DataFrame, max_doc_freq: int | str | None
+) -> int | None:
+    """"auto" → max(100, ceil(0.01 · n_docs)); int/None pass through.
+    The corpus count is ONE bounded scalar aggregate (not a hot-path
+    collect)."""
+    if max_doc_freq != "auto":
+        return max_doc_freq
+    n_docs = df.count()
+    return max(100, -(-n_docs // 100))
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     id_col: str,
     text_col: str,
     shingle_n: int = 2,
     threshold: float = 0.5,
-    max_doc_freq: int | None = None,
+    max_doc_freq: int | str | None = "auto",
 ) -> DataFrame:
     """(doc_a, doc_b, jaccard) for pairs with shingle-set Jaccard ≥ threshold."""
     from .minhash import _explode_shingles, _shingle_sets
@@ -31,6 +50,7 @@ def ngram_jaccard_pairs(
     # (when capping), the per-doc sizes, and BOTH sides of the self-join —
     # without it Spark re-runs the tokenize+shingle+hash projection per
     # consumer (~1.6x wall-clock measured at sf0.1)
+    max_doc_freq = _resolve_doc_freq_cap(df, max_doc_freq)
     sh = _explode_shingles(_shingle_sets(df, id_col, text_col, shingle_n)).persist()
     if max_doc_freq is not None:
         freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
@@ -73,7 +93,7 @@ def ngram_containment_pairs(
     text_col: str,
     shingle_n: int = 2,
     threshold: float = 0.5,
-    max_doc_freq: int | None = None,
+    max_doc_freq: int | str | None = "auto",
 ) -> DataFrame:
     """(doc_a, doc_b, containment): |S(a) ∩ S(b)| / |S(a)| ≥ threshold,
     over ORDERED pairs (a != b) — containment is asymmetric.
@@ -90,6 +110,7 @@ def ngram_containment_pairs(
     # (when capping), the per-doc sizes, and BOTH sides of the self-join —
     # without it Spark re-runs the tokenize+shingle+hash projection per
     # consumer (~1.6x wall-clock measured at sf0.1)
+    max_doc_freq = _resolve_doc_freq_cap(df, max_doc_freq)
     sh = _explode_shingles(_shingle_sets(df, id_col, text_col, shingle_n)).persist()
     if max_doc_freq is not None:
         freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))

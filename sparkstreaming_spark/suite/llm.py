@@ -152,19 +152,41 @@ WHERE bit_count(xor(a.simhash, b.simhash)) <= {max_hamming}
 
 
 def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact shingle-Jaccard pairs under the DEFAULT hot-shingle cap
+    (max_doc_freq="auto" = max(100, ceil(1% of docs)), dedup/ngram.py):
+    the uncapped all-pairs form now requires an explicit
+    max_doc_freq=None opt-in, so a boilerplate-heavy corpus can't
+    quadratic-bomb the inverted-index join by default. The oracle
+    mirrors the cap exactly — shingle document frequencies, per-doc
+    sizes, and intersections are all computed AFTER the cap filter on
+    both engines."""
     d = read_table(spark, sf_dir, "documents")
     return ngram_jaccard_pairs(d, "doc_id", "text", shingle_n=2, threshold=0.5)
 
 
+# mirrors the Spark plan including the AUTO df cap: shingle sizes and
+# intersections are counted AFTER the hot-shingle filter on both engines
 ORACLE_NGRAM_JACCARD = rf"""
 WITH t AS (SELECT doc_id, {SQL_TOKS} AS toks FROM documents),
-s AS (SELECT doc_id, list_distinct({SQL_SHINGLES2}) AS sh FROM t WHERE len(toks) >= 2)
-SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-       round(len(list_intersect(a.sh, b.sh)) * 1.0 /
-             (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 6) AS jaccard
-FROM s a JOIN s b ON a.doc_id < b.doc_id
-WHERE round(len(list_intersect(a.sh, b.sh)) * 1.0 /
-            (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 6) >= 0.5
+s AS (SELECT doc_id, unnest(list_distinct({SQL_SHINGLES2})) AS shingle
+      FROM t WHERE len(toks) >= 2),
+cap AS (SELECT greatest(100, (count(*) + 99) // 100) AS c
+        FROM documents),
+f AS (SELECT shingle FROM s GROUP BY shingle
+      HAVING count(*) <= (SELECT c FROM cap)),
+sv AS (SELECT s.doc_id, s.shingle FROM s JOIN f USING (shingle)),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM sv GROUP BY doc_id),
+common AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS cmn
+  FROM sv a JOIN sv b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b,
+       round(cmn * 1.0 / (sa.n_sh + sb.n_sh - cmn), 6) AS jaccard
+FROM common
+JOIN sizes sa ON doc_a = sa.doc_id
+JOIN sizes sb ON doc_b = sb.doc_id
+WHERE round(cmn * 1.0 / (sa.n_sh + sb.n_sh - cmn), 6) >= 0.5
 """
 
 

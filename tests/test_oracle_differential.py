@@ -64,3 +64,43 @@ def test_registry_oracles_all_parse(duck):
     for name, spec in specs.items():
         if spec.oracle is not None:
             duck.execute(f"EXPLAIN {spec.oracle}")
+
+
+# --- Critical-smoke subset -------------------------------------------------
+# The driver's per-round CORRECTNESS run samples ~50 of the 276 registered
+# queries; these are the highest-complexity queries that have never been
+# drawn across rounds 1-4 (ranked by bench cost + algorithmic surface).
+# They run inside the full differential anyway; this named list exists so
+# a FAST targeted pass (`python tools/smoke.py`, ~2 min) can pin exactly
+# these after any refactor, instead of waiting on the 6-minute full sim.
+CRITICAL_NEVER_SAMPLED = [
+    "stream_quota_gate",
+    "stream_chained_windows",
+    "stream_incremental_dedup",
+    "stream_broker_enriched",
+    "stream_broker_topic",
+    "stream_running_stats",
+    "doc_dedup_eval",
+    "doc_ngram_jaccard",
+    "doc_ngram_containment",
+    "doc_simhash_pairs",
+    "doc_minhash_pairs",
+    "doc_dup_clusters",
+    "doc_curation_pipeline",
+    "doc_incremental_dedup",
+    "doc_decontam",
+    "emb_knn_pq",
+    "emb_knn_rerank",
+    "emb_pca_contract",
+    "emb_kmeans_contract",
+    "emb_hard_negatives",
+    "graph_kcore",
+    "graph_triangles",
+]
+
+
+def test_critical_smoke_list_is_registered():
+    """The smoke list must stay in sync with the registry — a renamed or
+    dropped query here silently un-pins its coverage."""
+    missing = [n for n in CRITICAL_NEVER_SAMPLED if n not in REGISTRY]
+    assert not missing, missing
