@@ -228,6 +228,11 @@ HEADLINE = [
     "doc_video_frame_probe",
     "ml_pit_training_set",
     "stream_quota_gate",
+    "streamck_quota_gate",
+    "streamck_incremental_dedup",
+    "streamck_chained_windows",
+    "streamck_curation",
+    "streamck_broker_enriched",
     "evt_cross_correlation",
     "evt_cuped",
 ]

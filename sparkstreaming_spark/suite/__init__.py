@@ -47,6 +47,7 @@ def all_queries() -> dict[str, QuerySpec]:
         scale_ops,
         spatial,
         streaming_suite,
+        streaming_twins,
         textmining,
         tpch,
         tpch2,
@@ -69,6 +70,7 @@ def all_queries() -> dict[str, QuerySpec]:
         scale_ops,
         spatial,
         streaming_suite,
+        streaming_twins,
         textmining,
         tpch,
         tpch2,
