@@ -10,9 +10,10 @@ shape — is real and tested, and the codec step has two modes:
 - `fake=False`: REAL image decode for PPM/BMP/PNG via the pure-Python
   codecs in multimodal/codecs.py (features/resize over decoded pixels);
   unsupported formats raise ValueError. Video frame extraction
-  (`sample_blob_frames(fake=False)`) decodes REAL uncompressed
-  BI_RGB AVI streams via multimodal/video.py (mux/demux + uniform
-  temporal frame sampling); compressed fourccs raise
+  (`sample_blob_frames(fake=False)`) decodes REAL AVI streams via
+  multimodal/video.py — uncompressed BI_RGB exactly, and MJPG
+  (Motion-JPEG) through the pure-Python baseline JPEG codec in
+  multimodal/jpeg.py; inter-frame fourccs (h264/vp9) raise
   NotImplementedError (no ffmpeg in this container).
 
 Scale notes: blobs ride in parquet binary columns; `mapInPandas` keeps
@@ -107,10 +108,11 @@ def sample_blob_frames(
     fake=True: a "frame" is the i-th of n uniform byte ranges
     (boundaries floor(i·L/n)) — deterministic and reproducible in SQL,
     so the whole 1→N mapInPandas plumbing gets an exact DuckDB oracle.
-    fake=False DEMUXES REAL uncompressed AVI blobs (multimodal/video.py
-    — RIFF container walk, BI_RGB DIB frames, uniform temporal
-    sampling; frame content is md5'd from the decoded RGB array).
-    Transform-coded video (h264/vp9/mjpeg) still raises: those need an
+    fake=False DEMUXES REAL AVI blobs (multimodal/video.py — RIFF
+    container walk; BI_RGB DIBs decoded exactly, MJPG chunks decoded by
+    the pure-Python baseline JPEG codec in multimodal/jpeg.py; uniform
+    temporal sampling; frame content is md5'd from the decoded RGB
+    array). Inter-frame codecs (h264/vp9) still raise: those need an
     ffmpeg-class decoder absent from this container.
 
     Scale: narrow 1→N map, no shuffle; output carries hashes/lengths

@@ -36,6 +36,10 @@ def decode_image(data: bytes) -> np.ndarray:
         return decode_ppm(data)
     if data[:2] == b"BM":
         return decode_bmp(data)
+    if data[:2] == b"\xff\xd8":
+        from .jpeg import decode_jpeg
+
+        return decode_jpeg(data)
     raise ValueError(f"unsupported image format (magic {data[:8]!r})")
 
 

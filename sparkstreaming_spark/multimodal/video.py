@@ -7,12 +7,13 @@ File Reference"; the same structures ship in every open demuxer).
 What's REAL here: container parsing (nested RIFF LISTs), stream-header
 interpretation (fps from dwRate/dwScale, dims from BITMAPINFOHEADER),
 frame chunk iteration ('00db' DIBs: bottom-up rows, BGR, 4-byte row
-stride), and exact frame reconstruction — i.e. everything a frame-
-sampling pipeline needs for uncompressed capture formats. What stays a
-documented stub: transform-coded codecs (h264/vp9/mjpeg) that need an
+stride), exact frame reconstruction, and — via the pure-Python
+baseline-JPEG codec in jpeg.py — REAL MJPG (Motion-JPEG) decode, the
+most common compressed AVI fourcc from capture tools. What stays a
+documented stub: inter-frame codecs (h264/vp9) that need an
 ffmpeg-class decoder absent from this container —
-`blobs.py::sample_blob_frames(fake=False)` routes uncompressed AVI here
-and still raises for those.
+`blobs.py::sample_blob_frames(fake=False)` routes AVI here and still
+raises for those.
 
 Spark shape: demux is per-blob and embarrassingly parallel — one Arrow
 mapInPandas pass, no shuffle; emitted rows carry per-frame STATS, never
@@ -28,6 +29,9 @@ import numpy as np
 
 def _pad4(n: int) -> int:
     return (n + 3) & ~3
+
+
+MJPG_FOURCC = struct.unpack("<I", b"MJPG")[0]
 
 
 def encode_avi_rgb(frames: np.ndarray, fps: int = 10) -> bytes:
@@ -95,6 +99,76 @@ def encode_avi_rgb(frames: np.ndarray, fps: int = 10) -> bytes:
     return b"RIFF" + struct.pack("<I", len(riff_body)) + riff_body
 
 
+def encode_avi_mjpeg(
+    frames: np.ndarray,
+    fps: int = 10,
+    quality: int = 90,
+    subsampling: tuple[int, int] = (2, 2),
+) -> bytes:
+    """(n, h, w, 3) uint8 RGB frames → Motion-JPEG AVI bytes: each
+    '00dc' chunk is an independent baseline JPEG (jpeg.py), fourcc MJPG
+    — the layout USB capture devices and older camera firmware emit.
+    Default 4:2:0 subsampling matches what hardware MJPEG encoders
+    produce."""
+    from .jpeg import encode_jpeg
+
+    frames = np.asarray(frames, dtype="uint8")
+    n, h, w, _ = frames.shape
+
+    def chunk(cid: bytes, body: bytes) -> bytes:
+        pad = b"\x00" if len(body) % 2 else b""
+        return cid + struct.pack("<I", len(body)) + body + pad
+
+    def lst(kind: bytes, body: bytes) -> bytes:
+        return chunk(b"LIST", kind + body)
+
+    payloads = [
+        encode_jpeg(f, quality=quality, subsampling=subsampling)
+        for f in frames
+    ]
+    bufsize = max(len(pl) for pl in payloads)
+    avih = struct.pack(
+        "<14I",
+        1_000_000 // fps,
+        bufsize * fps,
+        0,
+        0x10,
+        n,
+        0,
+        1,
+        bufsize,
+        w,
+        h,
+        0, 0, 0, 0,
+    )
+    strh = (
+        b"vids"
+        + b"MJPG"
+        + struct.pack(
+            "<10I4H",
+            0, 0, 0,
+            1,  # dwScale
+            fps,  # dwRate
+            0,
+            n,
+            bufsize,
+            0, 0,
+            0, 0, w, h,
+        )
+    )
+    strf = struct.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, 24, MJPG_FOURCC, bufsize, 0, 0, 0, 0
+    )
+    hdrl = lst(
+        b"hdrl",
+        chunk(b"avih", avih)
+        + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)),
+    )
+    movi = lst(b"movi", b"".join(chunk(b"00dc", pl) for pl in payloads))
+    riff_body = b"AVI " + hdrl + movi
+    return b"RIFF" + struct.pack("<I", len(riff_body)) + riff_body
+
+
 def _iter_chunks(data: bytes, off: int, end: int):
     while off + 8 <= end:
         cid = data[off : off + 4]
@@ -112,12 +186,13 @@ def decode_avi_frames(data: bytes) -> tuple[np.ndarray, float]:
         raise ValueError("not a RIFF/AVI stream")
     w = h = None
     top_down = False  # negative biHeight = top-down DIB, no row flip
+    mjpeg = False  # biCompression == 'MJPG': chunks are baseline JPEGs
     compression = None
     scale, rate = 1, 10
     frames: list[np.ndarray] = []
 
     def walk(off: int, end: int) -> None:
-        nonlocal w, h, top_down, compression, scale, rate
+        nonlocal w, h, top_down, mjpeg, compression, scale, rate
         for cid, body_off, size in _iter_chunks(data, off, end):
             if cid == b"LIST":
                 walk(body_off + 4, body_off + size)
@@ -131,15 +206,25 @@ def decode_avi_frames(data: bytes) -> tuple[np.ndarray, float]:
                 (_bs, bw, bh, _pl, bits, comp) = struct.unpack(
                     "<IiiHHI", data[body_off : body_off + 20]
                 )
-                if comp != 0 or bits != 24:
+                if comp == MJPG_FOURCC:
+                    mjpeg = True
+                elif comp != 0 or bits != 24:
                     raise NotImplementedError(
-                        f"compressed/depth-{bits} AVI needs an ffmpeg-class "
-                        "decoder — only BI_RGB 24-bit is supported here"
+                        f"compression 0x{comp:08X}/depth-{bits} AVI needs "
+                        "an ffmpeg-class decoder — BI_RGB 24-bit and MJPG "
+                        "are supported here"
                     )
                 w, h, top_down = bw, abs(bh), bh < 0
             elif cid in (b"00db", b"00dc"):
                 if w is None:
                     raise ValueError("frame chunk before stream format")
+                if mjpeg:
+                    from .jpeg import decode_jpeg
+
+                    frames.append(
+                        decode_jpeg(data[body_off : body_off + size])
+                    )
+                    continue
                 stride = _pad4(w * 3)
                 raw = np.frombuffer(
                     data[body_off : body_off + stride * h], dtype="uint8"

@@ -568,6 +568,109 @@ QUERIES["doc_video_frame_probe"] = QuerySpec(
 )
 
 
+MJPEG_IDS = 24
+MJPEG_H, MJPEG_W = 16, 24
+MJPEG_SAMPLES = 2
+
+
+def q_mjpeg_frame_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COMPRESSED-video verification, oracled as a tolerance CONTRACT
+    (the lossy sibling of doc_video_frame_probe): per doc (doc_id < 24)
+    the query synthesizes a (3 + doc_id%3)-frame grayscale clip from a
+    saturating pixel formula, muxes it into a REAL Motion-JPEG AVI
+    (fourcc MJPG, per-frame baseline JPEG at q92 / 4:2:0 —
+    multimodal/jpeg.py), demuxes + decodes it back, and uniform-samples
+    2 frames. Emitted per sample: the EXACT formula mean (computable in
+    SQL) plus two booleans from the decoded pixels — mean within 1.0
+    and max abs error within 6 of the formula. A broken Huffman table,
+    IDCT, upsample, or MCU walk blows the tolerance and flips the hash;
+    the metadata columns (frame_idx) pin the container walk exactly.
+    One Arrow mapInPandas pass; 1→2 row fan-out."""
+    import numpy as np
+    import pandas as pd
+
+    from ..multimodal.video import decode_avi_frames, encode_avi_mjpeg
+
+    d = read_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") < MJPEG_IDS
+    ).select("doc_id")
+
+    def work(batches):
+        i = np.arange(MJPEG_H).reshape(-1, 1)
+        j = np.arange(MJPEG_W).reshape(1, -1)
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                n = 3 + did % 3
+                gray = np.stack(
+                    [
+                        np.minimum(did + 5 * f + 3 * i + 4 * j, 255)
+                        for f in range(n)
+                    ]
+                ).astype("uint8")
+                clip = np.repeat(gray[:, :, :, None], 3, axis=3)
+                dec, _fps = decode_avi_frames(
+                    encode_avi_mjpeg(clip, quality=92)
+                )
+                for s in range(MJPEG_SAMPLES):
+                    idx = s * n // MJPEG_SAMPLES
+                    exp = gray[idx].astype("float64")
+                    got = dec[idx][:, :, 0].astype("float64")
+                    rows.append(
+                        {
+                            "doc_id": did,
+                            "sample": s,
+                            "frame_idx": idx,
+                            "px_mean_expected": round(float(exp.mean()), 6),
+                            "mean_ok": bool(
+                                abs(got.mean() - exp.mean()) <= 1.0
+                            ),
+                            "max_err_ok": bool(
+                                np.abs(got - exp).max() <= 6.0
+                            ),
+                        }
+                    )
+            yield pd.DataFrame(rows)
+
+    return d.mapInPandas(
+        work,
+        "doc_id bigint, sample int, frame_idx int, px_mean_expected double,"
+        " mean_ok boolean, max_err_ok boolean",
+    )
+
+
+ORACLE_MJPEG_PROBE = f"""
+WITH d AS (
+  SELECT doc_id, 3 + doc_id % 3 AS n FROM documents
+  WHERE doc_id < {MJPEG_IDS}
+),
+samples AS (
+  SELECT d.doc_id, s.s AS sample,
+         CAST(s.s * d.n // {MJPEG_SAMPLES} AS INT) AS frame_idx
+  FROM d JOIN generate_series(0, {MJPEG_SAMPLES - 1}) AS s(s) ON TRUE
+),
+px AS (
+  SELECT sm.doc_id, sm.sample, sm.frame_idx,
+         least(sm.doc_id + 5 * sm.frame_idx + 3 * i.i + 4 * j.j, 255) AS v
+  FROM samples sm
+  JOIN generate_series(0, {MJPEG_H - 1}) AS i(i) ON TRUE
+  JOIN generate_series(0, {MJPEG_W - 1}) AS j(j) ON TRUE
+)
+SELECT doc_id, sample, frame_idx, round(avg(v), 6) AS px_mean_expected,
+       TRUE AS mean_ok, TRUE AS max_err_ok
+FROM px GROUP BY 1, 2, 3
+"""
+
+
+QUERIES["doc_mjpeg_frame_probe"] = QuerySpec(
+    q_mjpeg_frame_probe,
+    ORACLE_MJPEG_PROBE,
+    "Motion-JPEG AVI mux/decode: exact container walk + lossy-codec "
+    "tolerance contract against the pixel formula",
+)
+
+
 # ---------------------------------------------------------------------------
 # point-in-time training-set assembly
 # ---------------------------------------------------------------------------

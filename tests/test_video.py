@@ -65,13 +65,19 @@ def test_sample_blob_frames_real_avi(spark):
 
 
 def test_compressed_avi_raises():
-    """A non-BI_RGB fourcc must hit the documented codec boundary."""
+    """An inter-frame fourcc (H264) must hit the documented codec
+    boundary; MJPG no longer raises there (jpeg.py decodes it) — but an
+    MJPG stream whose chunks are not actual JPEGs fails loudly, not
+    silently."""
     data = bytearray(encode_avi_rgb(_frames(n=2)))
-    # biCompression lives 16 bytes into the strf body; flip it to 'MJPG'
+    # biCompression lives 16 bytes into the strf body
     strf_at = bytes(data).find(b"strf")
     body = strf_at + 8
-    data[body + 16 : body + 20] = b"MJPG"
+    data[body + 16 : body + 20] = b"H264"
     with pytest.raises(NotImplementedError):
+        decode_avi_frames(bytes(data))
+    data[body + 16 : body + 20] = b"MJPG"
+    with pytest.raises(ValueError, match="JPEG"):
         decode_avi_frames(bytes(data))
 
 
