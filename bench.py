@@ -235,6 +235,11 @@ HEADLINE = [
     "streamck_broker_enriched",
     "evt_cross_correlation",
     "evt_cuped",
+    "doc_mjpeg_frame_probe",
+    "doc_flac_probe",
+    "doc_g711_probe",
+    "doc_gif_probe",
+    "doc_media_meta_probe",
 ]
 
 

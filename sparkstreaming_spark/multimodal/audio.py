@@ -3,12 +3,14 @@ resampling over Arrow batches — the audio leg of the multimodal surface
 (images: codecs.py; video frame sampling: blobs.py).
 
 WAV/PCM is decoded with the stdlib `wave` module + NumPy frombuffer,
-and COMPRESSED audio is covered by a pure-Python IMA-ADPCM codec (WAV
-fmt tag 0x11, 4:1, encoder + decoder below) — both REAL codecs with
-zero external dependencies, fully exercised in tests. Only
-transform-coded formats (mp3/opus, which need ffmpeg-class stacks
-absent from this container) remain documented stubs. Resampling is
-deterministic linear interpolation at fixed float64 precision.
+and COMPRESSED audio is covered by REAL pure-Python codecs with zero
+external dependencies, all encoder + decoder + roundtrip-tested:
+IMA-ADPCM (WAV fmt tag 0x11, 4:1, below), G.711 μ-law/A-law (fmt tags
+7/6, below), and lossless FLAC (flac.py — fixed predictors + Rice
+coding). Only transform-coded formats (mp3/opus, which need
+psychoacoustic-model + MDCT stacks absent from this container) remain
+documented stubs. Resampling is deterministic linear interpolation at
+fixed float64 precision.
 
 Spark shape: mapInPandas over (id, blob) — Arrow moves the bytes in
 batches, one Python worker pass, no row-at-a-time UDF. Feature rows are
@@ -42,13 +44,20 @@ def encode_wav(samples: np.ndarray, sample_rate: int) -> bytes:
 
 def decode_wav(data: bytes) -> tuple[np.ndarray, int]:
     """WAV bytes → (float64 mono samples in [-1, 1], sample_rate).
-    Supports 8/16/32-bit PCM (stdlib `wave` + NumPy) and IMA-ADPCM
-    compressed WAVs (fmt tag 0x11 — the pure-Python codec below);
-    multi-channel PCM input is averaged to mono."""
+    Supports 8/16/32-bit PCM (stdlib `wave` + NumPy), IMA-ADPCM (fmt
+    tag 0x11) and G.711 A-law/μ-law (fmt tags 6/7) compressed WAVs —
+    all pure-Python codecs below; multi-channel PCM input is averaged
+    to mono."""
     try:
         return _decode_wav_pcm(data)
     except wave.Error:
         # non-PCM container: the stdlib module refuses compressed WAVs
+        import struct
+
+        fmt = _parse_riff_chunks(data).get(b"fmt ", b"\x00\x00")
+        tag = struct.unpack("<H", fmt[:2])[0]
+        if tag in (6, 7):
+            return decode_wav_g711(data)
         return decode_wav_ima_adpcm(data)
 
 
@@ -365,3 +374,100 @@ def decode_wav_ima_adpcm(data: bytes) -> tuple[np.ndarray, int]:
     if n_total is not None:
         out = out[:n_total]
     return np.asarray(out, dtype="float64") / 32768.0, rate
+
+
+# ---------------------------------------------------------------------------
+# G.711 μ-law / A-law (WAV fmt tags 7 / 6) — the telephony codecs.
+# Segment-companded 8-bit logarithmic PCM; the encode/decode pair below
+# is the canonical CCITT G.711 segment companding, fully vectorized
+# (no per-sample Python). Roundtrip property tested in
+# tests/test_audio_g711.py: encode(decode(b)) == b for every code byte
+# (both laws; μ-law's redundant "negative zero" byte canonicalizes to
+# the positive-zero code, as in every real implementation).
+
+_ULAW_BIAS = 0x84
+_ULAW_CLIP = 32635
+# exponent e satisfies biased magnitude in [2^(7+e), 2^(8+e))
+_ULAW_EXP_THRESH = np.array([1 << (8 + e) for e in range(7)])
+# A-law segment ends in the 13-bit domain (seg e covers mag <= end[e])
+_ALAW_SEG_END = np.array([0x1F, 0x3F, 0x7F, 0xFF, 0x1FF, 0x3FF, 0x7FF, 0xFFF])
+
+
+def ulaw_encode(samples: np.ndarray) -> np.ndarray:
+    """int16 samples → μ-law bytes (uint8)."""
+    x = np.asarray(samples, dtype=np.int32)
+    neg = x < 0
+    mag = np.minimum(np.where(neg, -x, x), _ULAW_CLIP) + _ULAW_BIAS
+    e = np.searchsorted(_ULAW_EXP_THRESH, mag, side="right")
+    m = (mag >> (e + 3)) & 0xF
+    raw = np.where(neg, 0x80, 0) | (e << 4) | m
+    return (~raw & 0xFF).astype(np.uint8)
+
+
+def ulaw_decode(codes: np.ndarray) -> np.ndarray:
+    """μ-law bytes → int16 samples."""
+    u = (~np.asarray(codes, dtype=np.uint8)).astype(np.int32) & 0xFF
+    e = (u >> 4) & 0x7
+    m = u & 0xF
+    mag = (((m << 3) + _ULAW_BIAS) << e) - _ULAW_BIAS
+    return np.where(u & 0x80, -mag, mag).astype(np.int16)
+
+
+def alaw_encode(samples: np.ndarray) -> np.ndarray:
+    """int16 samples → A-law bytes (uint8)."""
+    x = np.asarray(samples, dtype=np.int32) >> 3  # 13-bit domain
+    neg = x < 0
+    mask = np.where(neg, 0x55, 0xD5)
+    mag = np.where(neg, -x - 1, x)
+    seg = np.searchsorted(_ALAW_SEG_END, mag, side="left")
+    m = np.where(seg < 2, (mag >> 1) & 0xF, (mag >> seg) & 0xF)
+    return (((seg << 4) | m) ^ mask).astype(np.uint8)
+
+
+def alaw_decode(codes: np.ndarray) -> np.ndarray:
+    """A-law bytes → int16 samples."""
+    a = (np.asarray(codes, dtype=np.uint8) ^ 0x55).astype(np.int32)
+    t = (a & 0xF) << 4
+    seg = (a >> 4) & 0x7
+    t = np.where(
+        seg == 0, t + 8,
+        np.where(seg == 1, t + 0x108, (t + 0x108) << np.maximum(seg - 1, 0)),
+    )
+    # after ^0x55, bit 0x80 set means POSITIVE in A-law
+    return np.where(a & 0x80, t, -t).astype(np.int16)
+
+
+def encode_wav_g711(samples: np.ndarray, sample_rate: int, law: str = "ulaw") -> bytes:
+    """int16 mono samples → WAV bytes with fmt tag 7 (μ-law) or 6 (A-law)."""
+    import struct
+
+    tag = 7 if law == "ulaw" else 6
+    codes = (ulaw_encode if law == "ulaw" else alaw_encode)(samples)
+    payload = codes.tobytes()
+    fmt = struct.pack("<HHIIHH", tag, 1, sample_rate, sample_rate, 1, 8)
+    riff = (
+        b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"fact" + struct.pack("<II", 4, len(samples))
+        + b"data" + struct.pack("<I", len(payload)) + payload
+        + (b"\x00" if len(payload) & 1 else b"")
+    )
+    return b"RIFF" + struct.pack("<I", len(riff)) + riff
+
+
+def decode_wav_g711(data: bytes) -> tuple[np.ndarray, int]:
+    """WAV (fmt tag 6/7, mono 8-bit) → (float64 samples in [-1,1], rate)."""
+    import struct
+
+    chunks = _parse_riff_chunks(data)
+    fmt = chunks[b"fmt "]
+    tag, channels, rate = struct.unpack("<HHI", fmt[:8])
+    if tag not in (6, 7):
+        raise NotImplementedError(f"fmt tag {tag:#x} is not G.711")
+    if channels != 1:
+        raise NotImplementedError("only mono G.711 supported")
+    codes = np.frombuffer(chunks[b"data"], dtype=np.uint8)
+    if b"fact" in chunks and len(chunks[b"fact"]) >= 4:
+        codes = codes[: struct.unpack("<I", chunks[b"fact"][:4])[0]]
+    pcm = (ulaw_decode if tag == 7 else alaw_decode)(codes)
+    return pcm.astype("float64") / 32768.0, rate

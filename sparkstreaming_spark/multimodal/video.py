@@ -13,7 +13,9 @@ most common compressed AVI fourcc from capture tools. What stays a
 documented stub: inter-frame codecs (h264/vp9) that need an
 ffmpeg-class decoder absent from this container —
 `blobs.py::sample_blob_frames(fake=False)` routes AVI here and still
-raises for those.
+raises for those. Their header-level METADATA (resolution/profile via
+H.264 SPS parse, Exp-Golomb) is fully real in mediameta.py — the
+triage layer a 100 TB crawl actually runs first.
 
 Spark shape: demux is per-blob and embarrassingly parallel — one Arrow
 mapInPandas pass, no shuffle; emitted rows carry per-frame STATS, never

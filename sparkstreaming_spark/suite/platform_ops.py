@@ -776,3 +776,352 @@ QUERIES["ml_pit_training_set"] = QuerySpec(
     ORACLE_PIT_TRAINING_SET,
     "leakage-free point-in-time training-set assembly (strict as-of features)",
 )
+
+
+# ---------------------------------------------------------------------------
+# media-codec contracts: FLAC (lossless audio), G.711 (telephony audio),
+# GIF (palettized images) — each roundtrips synthesized data through the
+# clean-room codec and emits integer stats the oracle states directly
+# from the generator formula (the PNG/ADPCM contract playbook).
+# ---------------------------------------------------------------------------
+
+FLAC_IDS = 120
+G711_IDS = 150
+GIF_IDS = 100
+
+
+def q_flac_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LOSSLESS-audio verification, oracled: per doc (doc_id < 120) the
+    query synthesizes a triangle wave x[i] = |((doc_id+i) % 200) - 100|
+    * 20 - 1000 (n = 600 + 50*(doc_id%7) samples), round-trips it
+    through the pure-Python FLAC codec (multimodal/flac.py — fixed
+    predictors + Rice coding, frame CRCs, STREAMINFO MD5) at blocksize
+    256 (multi-frame coverage), and emits integer stats computed from
+    the DECODED samples plus a `compressed` flag (stream < half raw
+    PCM). FLAC is lossless, so the DuckDB oracle states the stats
+    straight from the wave formula — any bit error in rice/fixed/CRC
+    paths flips the hash.
+
+    Spark shape: one Arrow mapInPandas pass, embarrassingly parallel;
+    the id filter prunes at the scan."""
+    import numpy as np
+    import pandas as pd
+
+    from ..multimodal.flac import decode_flac, encode_flac
+
+    d = read_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") < FLAC_IDS
+    ).select("doc_id")
+
+    def work(batches):
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                n = 600 + 50 * (did % 7)
+                i = np.arange(n)
+                x = (np.abs((did + i) % 200 - 100) * 20 - 1000).astype(np.int16)
+                blob = encode_flac(x, 16000, blocksize=256)
+                dec, rate = decode_flac(blob)
+                rows.append(
+                    {
+                        "doc_id": did,
+                        "n_samples": int(len(dec)),
+                        "sum_amp": int(dec.astype(np.int64).sum()),
+                        "min_amp": int(dec.min()),
+                        "max_amp": int(dec.max()),
+                        "lossless": bool(np.array_equal(dec, x)),
+                        "compressed": bool(len(blob) < n),  # < half raw PCM
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return d.mapInPandas(
+        work,
+        "doc_id bigint, n_samples bigint, sum_amp bigint, min_amp int,"
+        " max_amp int, lossless boolean, compressed boolean",
+    )
+
+
+ORACLE_FLAC_PROBE = f"""
+WITH d AS (
+  SELECT doc_id, 600 + 50 * (doc_id % 7) AS n FROM documents
+  WHERE doc_id < {FLAC_IDS}
+),
+px AS (
+  SELECT d.doc_id, d.n,
+         abs((d.doc_id + i.i) % 200 - 100) * 20 - 1000 AS v
+  FROM d JOIN generate_series(0, 949) AS i(i) ON i.i < d.n
+)
+SELECT doc_id, count(*) AS n_samples, CAST(sum(v) AS BIGINT) AS sum_amp,
+       CAST(min(v) AS INT) AS min_amp, CAST(max(v) AS INT) AS max_amp,
+       TRUE AS lossless, TRUE AS compressed
+FROM px GROUP BY doc_id
+"""
+
+
+QUERIES["doc_flac_probe"] = QuerySpec(
+    q_flac_probe,
+    ORACLE_FLAC_PROBE,
+    "FLAC lossless roundtrip: rice/fixed-predictor/CRC paths vs the wave formula",
+)
+
+
+def q_g711_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G.711 μ-law/A-law verification, oracled EXACTLY: per doc
+    (doc_id < 150) the query decodes the 256-byte code sequence
+    c[i] = (doc_id*31 + i) % 256 (every code byte appears once, rotated
+    per doc) with BOTH companding laws (multimodal/audio.py) and emits
+    integer sums/extremes of the decoded int16 samples. The oracle
+    re-states the ITU decode expansion in closed form in SQL —
+    μ-law: u = 255-c; mag = ((u%16)*8+132) * 2^((u//16)%8) - 132;
+    A-law: a = xor(c,85); t = (a%16)*16 (+8 / +264 / *2^(seg-1)) —
+    so the two engines must agree on every segment/mantissa branch.
+
+    Spark shape: one Arrow mapInPandas pass, no shuffle."""
+    import numpy as np
+    import pandas as pd
+
+    from ..multimodal.audio import alaw_decode, ulaw_decode
+
+    d = read_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") < G711_IDS
+    ).select("doc_id")
+
+    def work(batches):
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                codes = ((did * 31 + np.arange(256)) % 256).astype(np.uint8)
+                u = ulaw_decode(codes).astype(np.int64)
+                a = alaw_decode(codes).astype(np.int64)
+                rows.append(
+                    {
+                        "doc_id": did,
+                        "ulaw_sum": int(u.sum()),
+                        "ulaw_min": int(u.min()),
+                        "ulaw_max": int(u.max()),
+                        "alaw_sum": int(a.sum()),
+                        "alaw_min": int(a.min()),
+                        "alaw_max": int(a.max()),
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return d.mapInPandas(
+        work,
+        "doc_id bigint, ulaw_sum bigint, ulaw_min bigint, ulaw_max bigint,"
+        " alaw_sum bigint, alaw_min bigint, alaw_max bigint",
+    )
+
+
+ORACLE_G711_PROBE = f"""
+WITH d AS (SELECT doc_id FROM documents WHERE doc_id < {G711_IDS}),
+codes AS (
+  SELECT d.doc_id, (d.doc_id * 31 + i.i) % 256 AS c
+  FROM d JOIN generate_series(0, 255) AS i(i) ON TRUE
+),
+dec AS (
+  SELECT doc_id,
+         -- u-law: invert, split segment/mantissa, expand, re-bias
+         CASE WHEN (255 - c) >= 128
+              THEN -((((255 - c) % 16) * 8 + 132) * (1 << (((255 - c) // 16) % 8)) - 132)
+              ELSE  ((((255 - c) % 16) * 8 + 132) * (1 << (((255 - c) // 16) % 8)) - 132)
+         END AS u_val,
+         -- A-law: xor 0x55, segment-expand, sign (0x80 set = positive)
+         CASE WHEN xor(c, 85) >= 128 THEN 1 ELSE -1 END *
+         CASE ((xor(c, 85) // 16) % 8)
+              WHEN 0 THEN (xor(c, 85) % 16) * 16 + 8
+              WHEN 1 THEN (xor(c, 85) % 16) * 16 + 264
+              ELSE ((xor(c, 85) % 16) * 16 + 264)
+                   * (1 << (((xor(c, 85) // 16) % 8) - 1))
+         END AS a_val
+  FROM codes
+)
+SELECT doc_id, CAST(sum(u_val) AS BIGINT) AS ulaw_sum,
+       min(u_val) AS ulaw_min, max(u_val) AS ulaw_max,
+       CAST(sum(a_val) AS BIGINT) AS alaw_sum,
+       min(a_val) AS alaw_min, max(a_val) AS alaw_max
+FROM dec GROUP BY doc_id
+"""
+
+
+QUERIES["doc_g711_probe"] = QuerySpec(
+    q_g711_probe,
+    ORACLE_G711_PROBE,
+    "G.711 u-law/A-law decode vs the ITU expansion restated in SQL",
+)
+
+
+def q_gif_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GIF/LZW verification, oracled: per doc (doc_id < 100) the query
+    builds a palette image (idx[i,j] = (doc_id+5i+3j) % ncolors with a
+    doc-derived RGB palette), round-trips it through the pure-Python
+    GIF codec (multimodal/gif.py — variable-width LSB-first LZW), and
+    emits per-channel pixel sums from the DECODED RGB. GIF is lossless,
+    so the oracle states the sums from the index+palette formulas; a
+    width-bump or dictionary-reset bug in LZW scrambles the indices and
+    flips the hash.
+
+    Spark shape: one Arrow mapInPandas pass, no shuffle."""
+    import numpy as np
+    import pandas as pd
+
+    from ..multimodal.gif import decode_gif_rgb, encode_gif
+
+    d = read_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") < GIF_IDS
+    ).select("doc_id")
+
+    def work(batches):
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                nc = 4 + did % 13
+                h, w = 9 + did % 6, 11 + did % 7
+                i = np.arange(h).reshape(-1, 1)
+                j = np.arange(w).reshape(1, -1)
+                idx = ((did + 5 * i + 3 * j) % nc).astype(np.uint8)
+                k = np.arange(nc)
+                pal = np.stack(
+                    [(k * 37 + did) % 256, (k * 59 + 1) % 256, (k * 83 + 7) % 256],
+                    axis=1,
+                ).astype(np.uint8)
+                rgb = decode_gif_rgb(encode_gif(idx, pal)).astype(np.int64)
+                rows.append(
+                    {
+                        "doc_id": did,
+                        "width": w,
+                        "height": h,
+                        "sum_r": int(rgb[:, :, 0].sum()),
+                        "sum_g": int(rgb[:, :, 1].sum()),
+                        "sum_b": int(rgb[:, :, 2].sum()),
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return d.mapInPandas(
+        work,
+        "doc_id bigint, width int, height int,"
+        " sum_r bigint, sum_g bigint, sum_b bigint",
+    )
+
+
+ORACLE_GIF_PROBE = f"""
+WITH d AS (
+  SELECT doc_id, 4 + doc_id % 13 AS nc, 9 + doc_id % 6 AS h,
+         11 + doc_id % 7 AS w
+  FROM documents WHERE doc_id < {GIF_IDS}
+),
+px AS (
+  SELECT d.doc_id, d.w, d.h,
+         (d.doc_id + 5 * i.i + 3 * j.j) % d.nc AS k
+  FROM d
+  JOIN generate_series(0, 14) AS i(i) ON i.i < d.h
+  JOIN generate_series(0, 17) AS j(j) ON j.j < d.w
+)
+SELECT doc_id, CAST(max(w) AS INT) AS width, CAST(max(h) AS INT) AS height,
+       CAST(sum((k * 37 + doc_id) % 256) AS BIGINT) AS sum_r,
+       CAST(sum((k * 59 + 1) % 256) AS BIGINT) AS sum_g,
+       CAST(sum((k * 83 + 7) % 256) AS BIGINT) AS sum_b
+FROM px GROUP BY doc_id
+"""
+
+
+QUERIES["doc_gif_probe"] = QuerySpec(
+    q_gif_probe,
+    ORACLE_GIF_PROBE,
+    "GIF/LZW lossless roundtrip vs the index+palette formulas",
+)
+
+
+MEDIA_META_IDS = 180
+
+
+def q_media_meta_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transform-coded-media TRIAGE, oracled: full decode of mp3/opus/
+    h264 is a documented stub (multimodal/audio.py, video.py), but a
+    100 TB crawl is triaged on header metadata — duration, bitrate,
+    sample rate, resolution — which IS fully parseable. Per doc
+    (doc_id < 180) this synthesizes a conformant stream of the kind
+    doc_id%3 picks (mp3 frame chain / Ogg page chain / H.264 Annex-B
+    SPS+IDR NALs) with formula-derived parameters, then runs the REAL
+    production probe (multimodal/mediameta.py::media_meta_probe — sync
+    walk, ID3 skip, Ogg lacing, Exp-Golomb SPS parse incl. cropping).
+    The oracle states every output column from the generator formulas,
+    so a table/offset/bit error in any parser flips the hash.
+
+    Spark shape: two chained narrow Arrow passes (synthesize → probe),
+    no shuffle, embarrassingly parallel."""
+    import pandas as pd
+
+    from ..multimodal.mediameta import (
+        build_mp3_stream,
+        build_ogg_stream,
+        build_sps,
+        media_meta_probe,
+    )
+
+    d = read_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") < MEDIA_META_IDS
+    ).select("doc_id")
+
+    def synthesize(batches):
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                kind = ["mp3", "ogg", "h264"][did % 3]
+                if kind == "mp3":
+                    n = 5 + did % 7
+                    blob = build_mp3_stream([1 + (did + i) % 14 for i in range(n)])
+                elif kind == "ogg":
+                    n = 3 + did % 5
+                    step = 9600 * (1 + did % 4)
+                    blob = build_ogg_stream(did, [(i + 1) * step for i in range(n)])
+                else:
+                    w = 320 + 2 * (did % 341)
+                    h = 240 + 2 * (did % 241)
+                    blob = build_sps(w, h) + b"\x00\x00\x01\x65\xaa" * (did % 4)
+                rows.append({"doc_id": did, "blob": blob, "kind": kind})
+            yield pd.DataFrame(rows)
+
+    blobs = d.mapInPandas(synthesize, "doc_id bigint, blob binary, kind string")
+    return media_meta_probe(blobs, "doc_id", "blob", "kind").withColumnRenamed(
+        "id", "doc_id"
+    )
+
+
+ORACLE_MEDIA_META = f"""
+WITH d AS (
+  SELECT doc_id,
+         CASE doc_id % 3 WHEN 0 THEN 'mp3' WHEN 1 THEN 'ogg'
+              ELSE 'h264' END AS kind
+  FROM documents WHERE doc_id < {MEDIA_META_IDS}
+)
+SELECT doc_id, kind, TRUE AS ok,
+       CASE kind WHEN 'mp3' THEN 5 + doc_id % 7
+                 WHEN 'ogg' THEN 3 + doc_id % 5
+                 ELSE 1 + doc_id % 4 END AS n_units,
+       CASE kind
+            WHEN 'mp3' THEN round((5 + doc_id % 7) * 1152 / 44100.0, 6)
+            WHEN 'ogg' THEN round((3 + doc_id % 5) * 9600
+                                  * (1 + doc_id % 4) / 48000.0, 6)
+            ELSE 0.0 END AS duration_s,
+       CAST(CASE kind WHEN 'mp3' THEN 44100 WHEN 'ogg' THEN 48000
+                 ELSE 0 END AS INT) AS rate,
+       CAST(CASE kind WHEN 'h264' THEN 320 + 2 * (doc_id % 341)
+                 ELSE 0 END AS INT) AS width,
+       CAST(CASE kind WHEN 'h264' THEN 240 + 2 * (doc_id % 241)
+                 ELSE 0 END AS INT) AS height
+FROM d
+"""
+
+
+QUERIES["doc_media_meta_probe"] = QuerySpec(
+    q_media_meta_probe,
+    ORACLE_MEDIA_META,
+    "mp3/Ogg/H.264 header-metadata triage vs generator formulas",
+)

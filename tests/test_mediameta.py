@@ -1,0 +1,169 @@
+"""Media metadata triage tests (multimodal/mediameta.py): mp3 frame
+walk, Ogg page walk, H.264 SPS parse — header-level probes for the
+transform-coded formats whose full decode is a documented stub."""
+
+import struct
+
+import pytest
+
+from sparkstreaming_spark.multimodal.mediameta import (
+    _BR_V1,
+    build_mp3_stream,
+    build_ogg_stream,
+    build_sps,
+    h264_probe,
+    mp3_probe,
+    ogg_probe,
+    parse_mp3_header,
+    parse_sps,
+)
+
+
+# ---------------------------------------------------------------- mp3
+
+
+def test_mp3_cbr_walk():
+    p = mp3_probe(build_mp3_stream([9] * 10))
+    assert p["n_frames"] == 10 and p["cbr"] is True
+    assert p["avg_bitrate"] == 128000 and p["samplerate"] == 44100
+    assert p["duration_s"] == round(10 * 1152 / 44100, 6)
+
+
+def test_mp3_vbr_average():
+    codes = [5, 9, 14, 9, 5, 9]
+    p = mp3_probe(build_mp3_stream(codes))
+    assert p["cbr"] is False
+    expect = sum(_BR_V1[3][c] for c in codes) * 1000 // len(codes)
+    assert p["avg_bitrate"] == expect
+
+
+def test_mp3_id3_skip_and_resync():
+    id3 = b"ID3\x04\x00\x00\x00\x00\x00\x0a" + b"x" * 10
+    s = build_mp3_stream([9] * 4)
+    dirty = id3 + b"\xff\x00garbage" + s[: len(s) // 2] + s[len(s) // 2 :]
+    p = mp3_probe(dirty)
+    assert p["n_frames"] == 4
+
+
+def test_mp3_frame_size_formula():
+    h = parse_mp3_header((0x7FF << 21) | (3 << 19) | (1 << 17) | (1 << 16)
+                         | (9 << 12) | (0 << 10))
+    # MPEG1 Layer III 128kbps @ 44100: 144*128000/44100 = 417
+    assert h["frame_size"] == 417
+
+
+def test_mp3_mpeg2_layer3():
+    s = build_mp3_stream([5] * 3, sr_code=1, version=2)  # 24 kHz MPEG2
+    p = mp3_probe(s)
+    assert p["samplerate"] == 24000
+    assert p["duration_s"] == round(3 * 576 / 24000, 6)
+
+
+def test_mp3_rejects_bad_sync():
+    assert parse_mp3_header(0x12345678) is None
+    assert mp3_probe(b"\x00" * 1000)["n_frames"] == 0
+
+
+def test_mp3_layer1_padding_slot():
+    # Layer I frame size is in 4-byte slots
+    word = (0x7FF << 21) | (3 << 19) | (3 << 17) | (1 << 16) | (9 << 12) | (1 << 9)
+    h = parse_mp3_header(word)
+    assert h["layer"] == 1
+    assert h["frame_size"] == (12 * 288000 // 44100 + 1) * 4
+
+
+# ---------------------------------------------------------------- ogg
+
+
+def test_ogg_page_walk():
+    p = ogg_probe(build_ogg_stream(777, [960, 48000, 96000]))
+    assert p == {
+        "n_pages": 3,
+        "serial": 777,
+        "last_granule": 96000,
+        "duration_s": 2.0,
+        "eos_seen": True,
+    }
+
+
+def test_ogg_large_bodies_use_lacing():
+    p = ogg_probe(build_ogg_stream(1, [48000], body_sizes=[700]))
+    assert p["n_pages"] == 1 and p["duration_s"] == 1.0
+
+
+def test_ogg_truncated_tail_stops_cleanly():
+    blob = build_ogg_stream(5, [960, 1920])
+    p = ogg_probe(blob[:-10])
+    assert p["n_pages"] == 1 and p["last_granule"] == 960
+
+
+def test_ogg_skips_garbage_prefix():
+    blob = b"junkjunk" + build_ogg_stream(9, [4800])
+    assert ogg_probe(blob)["n_pages"] == 1
+
+
+# ---------------------------------------------------------------- h264
+
+
+@pytest.mark.parametrize("w,h", [(1920, 1080), (1280, 720), (640, 480),
+                                 (354, 288), (16, 16), (3840, 2160)])
+def test_sps_resolution_roundtrip(w, h):
+    info = h264_probe(build_sps(w, h))
+    assert (info["width"], info["height"]) == (w, h)
+    assert info["n_sps"] == 1
+
+
+def test_sps_cropping_needed_for_non_multiple_of_16():
+    # 1080 = 68*16 - 2*4 → crop_bottom = 4
+    info = parse_sps(build_sps(1920, 1080)[5:])
+    assert info["height"] == 1080
+
+
+def test_h264_nal_counting():
+    stream = (build_sps(640, 480)
+              + b"\x00\x00\x01\x68\x11"          # PPS
+              + b"\x00\x00\x01\x65" + b"\xaa" * 9  # IDR
+              + b"\x00\x00\x01\x41" + b"\xbb" * 5)  # non-IDR slice
+    p = h264_probe(stream)
+    assert p["n_nals"] == 4 and p["n_sps"] == 1 and p["n_idr"] == 1
+
+
+def test_h264_no_sps_yields_zero_resolution():
+    p = h264_probe(b"\x00\x00\x01\x41" + b"\x00" * 10)
+    assert p["width"] == 0 and p["height"] == 0
+
+
+def test_sps_requires_even_dims():
+    with pytest.raises(ValueError, match="even"):
+        build_sps(641, 480)
+
+
+def test_emulation_prevention_roundtrip():
+    # a resolution whose ue() bits produce 00 00 0x patterns must still
+    # roundtrip thanks to emulation-prevention insert + strip
+    for w in range(16, 4096, 256):
+        info = h264_probe(build_sps(w, 1088))
+        assert info["width"] == w, w
+
+
+# ------------------------------------------------------------ spark pass
+
+def test_media_meta_probe_spark(spark):
+    import pandas as pd
+
+    from sparkstreaming_spark.multimodal.mediameta import media_meta_probe
+
+    rows = [
+        (1, build_mp3_stream([9] * 8), "mp3"),
+        (2, build_ogg_stream(4, [9600, 48000]), "ogg"),
+        (3, build_sps(1280, 720), "h264"),
+        (4, b"not media", "mp3"),
+        (5, b"???", "weird"),
+    ]
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["id", "blob", "kind"]))
+    out = {r["id"]: r.asDict() for r in media_meta_probe(df, "id", "blob", "kind").collect()}
+    assert out[1]["n_units"] == 8 and out[1]["ok"]
+    assert out[2]["duration_s"] == 1.0
+    assert out[3]["width"] == 1280 and out[3]["height"] == 720
+    assert out[4]["ok"] and out[4]["n_units"] == 0  # resync finds nothing
+    assert out[5]["ok"] is False
