@@ -240,6 +240,9 @@ HEADLINE = [
     "doc_g711_probe",
     "doc_gif_probe",
     "doc_media_meta_probe",
+    "doc_dsir_selection",
+    "doc_gopher_rules",
+    "doc_c4_line_filter",
 ]
 
 

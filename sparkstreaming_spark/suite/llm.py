@@ -2163,3 +2163,223 @@ QUERIES["doc_png_features"] = QuerySpec(
     ORACLE_PNG_FEATURES,
     "PNG codec roundtrip features, oracled against the pixel formula",
 )
+
+
+def q_dsir_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR data selection (textstats/dsir.py — Xie et al. 2023): score
+    every doc by Σ log(p_target/p_source) over hashed unigram+bigram
+    buckets (target = English docs), keep the deterministic top 50.
+    The per-bucket log-ratio is quantized to integer micro-nats so the
+    per-doc sums are order-independent — the oracle reproduces bucket
+    hashes (md5), smoothed multinomials, quantization, and the
+    (weight desc, id) tie-break exactly."""
+    from ..textstats.dsir import dsir_select_topk
+
+    d = read_table(spark, sf_dir, "documents")
+    return dsir_select_topk(
+        d, "doc_id", "text", F.col("lang") == "en", k=50, n_buckets=4096
+    ).withColumnRenamed("id", "doc_id")
+
+
+ORACLE_DSIR_SELECTION = rf"""
+WITH t AS (
+  SELECT doc_id, lang = 'en' AS is_target, {SQL_TOKS} AS toks
+  FROM documents
+),
+f AS (
+  SELECT doc_id, is_target,
+         unnest(list_concat(toks, {SQL_SHINGLES2})) AS feat
+  FROM t
+),
+fb AS (
+  SELECT doc_id, is_target,
+         {_sql_md5_64('feat')} % 4096 AS b
+  FROM f
+),
+counts AS (
+  SELECT b, count(*) AS cs,
+         sum(CASE WHEN is_target THEN 1 ELSE 0 END) AS ct
+  FROM fb GROUP BY b
+),
+totals AS (SELECT sum(cs) AS ts, sum(ct) AS tt FROM counts),
+ratio AS (
+  SELECT b,
+         CAST(round(ln(((ct + 1) / (tt + 4096))
+                       / ((cs + 1) / (ts + 4096))) * 1000000) AS BIGINT)
+           AS lr_micro
+  FROM counts, totals
+),
+scored AS (
+  SELECT fb.doc_id, count(*) AS n_feats,
+         CAST(sum(r.lr_micro) AS BIGINT) AS weight_micro
+  FROM fb JOIN ratio r USING (b)
+  GROUP BY fb.doc_id
+)
+SELECT t.doc_id, t.is_target,
+       CAST(coalesce(s.n_feats, 0) AS BIGINT) AS n_feats,
+       CAST(coalesce(s.weight_micro, 0) AS BIGINT) AS weight_micro
+FROM (SELECT DISTINCT doc_id, is_target FROM t) t
+LEFT JOIN scored s USING (doc_id)
+ORDER BY weight_micro DESC, doc_id
+LIMIT 50
+"""
+
+
+QUERIES["doc_dsir_selection"] = QuerySpec(
+    q_dsir_selection,
+    ORACLE_DSIR_SELECTION,
+    "DSIR importance-resampling selection (hashed n-gram log ratios, micro-nat exact)",
+)
+
+
+def q_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher quality-rule filter (textstats/rules.py, Rae et al. 2021
+    thresholds) over the raw corpus — per doc: every measured signal,
+    the seven per-rule booleans, and the conjunctive gopher_ok verdict.
+    Zero shuffles (in-row higher-order functions); the oracle restates
+    each rule in DuckDB list comprehensions."""
+    from ..textstats.rules import gopher_quality_rules
+
+    d = read_table(spark, sf_dir, "documents")
+    return gopher_quality_rules(d, "doc_id", "text").withColumnRenamed(
+        "id", "doc_id"
+    )
+
+
+def _oracle_gopher() -> str:
+    stops = "['the', 'be', 'to', 'of', 'and', 'that', 'have', 'with']"
+    return rf"""
+WITH base AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '\s+'),
+                     w -> w != '') AS words,
+         string_split(text, chr(10)) AS lines,
+         len(regexp_extract_all(text, '[#…]'))
+           + len(regexp_extract_all(text, '\.\.\.')) AS symbols
+  FROM documents
+),
+m AS (
+  SELECT doc_id,
+         len(words) AS n_words,
+         greatest(len(lines), 1) AS nlines,
+         len(list_filter(words, w -> regexp_matches(w, '[a-z]')))
+           AS alpha_words,
+         coalesce(list_sum(list_transform(words, w -> length(w))), 0)
+           AS len_sum,
+         len(list_filter(lines,
+             l -> regexp_matches(trim(l), '^[-*•]'))) AS bullets,
+         len(list_filter(lines,
+             l -> regexp_matches(rtrim(l), '(\.\.\.|…)$'))) AS ell_ends,
+         len(list_intersect(list_distinct(words), {stops})) AS stop_hits,
+         symbols
+  FROM base
+),
+r AS (
+  SELECT doc_id, CAST(n_words AS BIGINT) AS n_words,
+         round(CASE WHEN n_words > 0
+                    THEN len_sum * 1.0 / n_words ELSE 0.0 END, 6)
+           AS mean_word_len,
+         round(CASE WHEN n_words > 0
+                    THEN symbols * 1.0 / n_words ELSE 0.0 END, 6)
+           AS symbol_ratio,
+         round(bullets * 1.0 / nlines, 6) AS bullet_ratio,
+         round(ell_ends * 1.0 / nlines, 6) AS ellipsis_ratio,
+         round(CASE WHEN n_words > 0
+                    THEN alpha_words * 1.0 / n_words ELSE 0.0 END, 6)
+           AS alpha_ratio,
+         CAST(stop_hits AS INT) AS stop_hits
+  FROM m
+)
+SELECT doc_id, n_words, mean_word_len, symbol_ratio, bullet_ratio,
+       ellipsis_ratio, alpha_ratio, stop_hits,
+       (n_words >= 50 AND n_words <= 100000) AS ok_word_count,
+       (mean_word_len >= 3.0 AND mean_word_len <= 10.0) AS ok_word_len,
+       (symbol_ratio <= 0.1) AS ok_symbols,
+       (bullet_ratio <= 0.9) AS ok_bullets,
+       (ellipsis_ratio <= 0.3) AS ok_ellipsis,
+       (alpha_ratio >= 0.8) AS ok_alpha,
+       (stop_hits >= 2) AS ok_stopwords,
+       ((n_words >= 50 AND n_words <= 100000)
+        AND (mean_word_len >= 3.0 AND mean_word_len <= 10.0)
+        AND symbol_ratio <= 0.1 AND bullet_ratio <= 0.9
+        AND ellipsis_ratio <= 0.3 AND alpha_ratio >= 0.8
+        AND stop_hits >= 2) AS gopher_ok
+FROM r
+"""
+
+
+QUERIES["doc_gopher_rules"] = QuerySpec(
+    q_gopher_rules,
+    _oracle_gopher(),
+    "Gopher quality-rule filter (published thresholds, per-rule verdicts)",
+)
+
+
+def q_c4_line_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4 line-level cleaning (textstats/rules.py, Raffel et al. 2020
+    rules). The corpus has single-line docs, so the query first builds
+    a deterministic 7-line page per doc FROM ITS REAL COLUMNS (content
+    slices with terminal punctuation + boilerplate lines with the
+    C4 kill-patterns), then applies the filter — every rule fires with
+    doc-varying outcomes, and the oracle rebuilds the identical page
+    and restates the rules. In-row filter/array_join: zero shuffles."""
+    from ..textstats.rules import c4_line_filter
+
+    d = read_table(spark, sf_dir, "documents")
+    page = F.concat_ws(
+        "\n",
+        F.concat(F.substring("text", 1, 40), F.lit(".")),
+        F.lit("Buy now"),
+        F.lit("this has javascript code."),
+        F.concat(F.substring("text", 41, 50), F.lit("!")),
+        F.lit("menu { nav }."),
+        F.lit("lorem ipsum dolor sit amet."),
+        F.concat(F.col("source"), F.lit(" footer text ok.")),
+    )
+    staged = d.select("doc_id", page.alias("page"))
+    return c4_line_filter(staged, "doc_id", "page").withColumnRenamed(
+        "id", "doc_id"
+    )
+
+
+ORACLE_C4_LINE_FILTER = r"""
+WITH staged AS (
+  SELECT doc_id,
+         concat_ws(chr(10),
+           substr(text, 1, 40) || '.',
+           'Buy now',
+           'this has javascript code.',
+           substr(text, 41, 50) || '!',
+           'menu { nav }.',
+           'lorem ipsum dolor sit amet.',
+           source || ' footer text ok.') AS page
+  FROM documents
+),
+l AS (
+  SELECT doc_id, string_split(page, chr(10)) AS lines FROM staged
+),
+k AS (
+  SELECT doc_id, lines,
+         list_filter(lines, l ->
+           regexp_matches(trim(l), '[.!?"”]$')
+           AND len(list_filter(string_split_regex(trim(l), '\s+'),
+                               w -> w != '')) >= 4
+           AND NOT contains(lower(trim(l)), '{')
+           AND NOT contains(lower(trim(l)), 'lorem ipsum')
+           AND NOT contains(lower(trim(l)), 'javascript')) AS kept
+  FROM l
+)
+SELECT doc_id, CAST(len(lines) AS BIGINT) AS n_lines,
+       CAST(len(kept) AS BIGINT) AS n_kept,
+       CAST(length(array_to_string(kept, chr(10))) AS BIGINT)
+         AS cleaned_len,
+       array_to_string(kept, chr(10)) AS cleaned
+FROM k
+"""
+
+
+QUERIES["doc_c4_line_filter"] = QuerySpec(
+    q_c4_line_filter,
+    ORACLE_C4_LINE_FILTER,
+    "C4 line-level cleaning (terminal punct, min words, kill-patterns)",
+)

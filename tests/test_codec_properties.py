@@ -1,0 +1,77 @@
+"""Property-based codec tests (hypothesis): the roundtrip invariants
+hold on adversarial random inputs, not just the crafted cases."""
+
+import numpy as np
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from sparkstreaming_spark.multimodal.audio import (
+    alaw_decode,
+    alaw_encode,
+    ulaw_decode,
+    ulaw_encode,
+)
+from sparkstreaming_spark.multimodal.flac import decode_flac, encode_flac
+from sparkstreaming_spark.multimodal.gif import decode_gif, encode_gif
+
+_SETTINGS = dict(max_examples=25, deadline=None)
+
+
+@settings(**_SETTINGS)
+@given(
+    data=st.lists(st.integers(-32768, 32767), min_size=0, max_size=3000),
+    blocksize=st.sampled_from([16, 192, 256, 1000, 4096]),
+    rate=st.sampled_from([8000, 16000, 44100, 48000]),
+)
+def test_flac_roundtrip_property(data, blocksize, rate):
+    x = np.asarray(data, dtype=np.int16)
+    dec, got_rate = decode_flac(encode_flac(x, rate, blocksize=blocksize))
+    assert got_rate == rate
+    assert np.array_equal(dec, x)
+
+
+@settings(**_SETTINGS)
+@given(
+    h=st.integers(1, 40),
+    w=st.integers(1, 40),
+    n_colors=st.integers(1, 256),
+    seed=st.integers(0, 2**31 - 1),
+)
+def test_gif_roundtrip_property(h, w, n_colors, seed):
+    rng = np.random.default_rng(seed)
+    idx = rng.integers(0, n_colors, (h, w)).astype(np.uint8)
+    pal = rng.integers(0, 256, (n_colors, 3)).astype(np.uint8)
+    didx, dpal = decode_gif(encode_gif(idx, pal))
+    assert np.array_equal(didx, idx)
+    assert np.array_equal(dpal[:n_colors], pal)
+
+
+@settings(**_SETTINGS)
+@given(data=st.lists(st.integers(-32768, 32767), min_size=1, max_size=2000))
+def test_g711_idempotence_property(data):
+    x = np.asarray(data, dtype=np.int16)
+    for enc, dec in ((ulaw_encode, ulaw_decode), (alaw_encode, alaw_decode)):
+        once = dec(enc(x))
+        assert np.array_equal(dec(enc(once)), once)
+        # companding error bounded by the coarsest segment step
+        assert np.abs(once.astype(int) - x.astype(int)).max() <= 1024
+
+
+@settings(**_SETTINGS)
+@given(
+    codes=st.lists(st.integers(1, 14), min_size=1, max_size=40),
+    sr_code=st.sampled_from([0, 1, 2]),
+)
+def test_mp3_walk_property(codes, sr_code):
+    from sparkstreaming_spark.multimodal.mediameta import (
+        _SR_TABLE,
+        build_mp3_stream,
+        mp3_probe,
+    )
+
+    p = mp3_probe(build_mp3_stream(codes, sr_code=sr_code))
+    assert p["n_frames"] == len(codes)
+    sr = _SR_TABLE[3][sr_code]
+    assert p["samplerate"] == sr
+    assert p["duration_s"] == round(len(codes) * 1152 / sr, 6)
+    assert p["cbr"] == (len(set(codes)) == 1)
