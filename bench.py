@@ -243,6 +243,8 @@ HEADLINE = [
     "doc_dsir_selection",
     "doc_gopher_rules",
     "doc_c4_line_filter",
+    "stream_gopher_gate",
+    "doc_corpus_build",
 ]
 
 

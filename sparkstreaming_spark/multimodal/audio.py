@@ -61,6 +61,20 @@ def decode_wav(data: bytes) -> tuple[np.ndarray, int]:
         return decode_wav_ima_adpcm(data)
 
 
+def decode_audio(data: bytes) -> tuple[np.ndarray, int]:
+    """Container-sniffing audio decode: FLAC streams (fLaC magic →
+    multimodal/flac.py, int samples normalized to [-1, 1]) or any
+    supported WAV (PCM / IMA-ADPCM / G.711). The single entry point the
+    Arrow feature extractors use, so a mixed 100 TB audio corpus needs
+    no per-format routing upstream."""
+    if data[:4] == b"fLaC":
+        from .flac import decode_flac
+
+        samples, rate = decode_flac(data)
+        return samples.astype("float64") / 32768.0, rate
+    return decode_wav(data)
+
+
 def _decode_wav_pcm(data: bytes) -> tuple[np.ndarray, int]:
     with wave.open(io.BytesIO(data), "rb") as w:
         n = w.getnframes()
@@ -115,7 +129,7 @@ def audio_features(
                     ) / 128.0
                     rate = target_rate
                 else:
-                    samples, rate = decode_wav(raw)
+                    samples, rate = decode_audio(raw)
                 res = resample_linear(samples, rate, target_rate)
                 rows.append(
                     {
@@ -180,7 +194,7 @@ def audio_band_energy(
                         np.frombuffer(raw, dtype="u1").astype("float64") - 128.0
                     ) / 128.0
                 else:
-                    samples, _rate = decode_wav(raw)
+                    samples, _rate = decode_audio(raw)
                 n_frames = len(samples) // n_fft
                 row = {"id": i, "n_frames": n_frames}
                 if n_frames == 0:

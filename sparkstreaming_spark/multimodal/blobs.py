@@ -220,13 +220,16 @@ def resize_blob(
     )
 
 
-# magic-byte table for sniff_mime — ASCII-safe magics (GIF87a, BM, P6,
-# RIFF/WAVE); PNG/JPEG magics are non-ASCII and would need raw-byte test
-# fixtures rather than encode()'d strings
+# magic-byte table for sniff_mime — ASCII-safe magics (GIF, BM, P6,
+# RIFF/WAVE, FLAC, Ogg); PNG/JPEG magics are non-ASCII and would need
+# raw-byte test fixtures rather than encode()'d strings
 MAGIC_PREFIXES: list[tuple[str, bytes]] = [
     ("image/gif", b"GIF87a"),
+    ("image/gif", b"GIF89a"),
     ("image/bmp", b"BM"),
     ("image/x-portable-pixmap", b"P6"),
+    ("audio/flac", b"fLaC"),
+    ("audio/ogg", b"OggS"),
 ]
 
 

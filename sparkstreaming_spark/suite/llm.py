@@ -1667,7 +1667,7 @@ QUERIES: dict[str, QuerySpec] = {
 def q_mime_sniff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Content-type dispatch (multimodal/blobs.py::sniff_mime): each doc
     is wrapped in a deterministic ASCII-safe container header by
-    doc_id % 5 (GIF87a / BM / P6 / RIFF-WAVE / none), encoded to binary,
+    doc_id % 8 (GIF87a/89a, BM, P6, RIFF-WAVE, fLaC, OggS, none)
     and sniffed back from the MAGIC BYTES — counts per (source, mime).
     The oracle re-runs the same prefix decision on the string form
     (the corpus is ASCII so encode() is byte-identical), verifying the
@@ -1677,10 +1677,13 @@ def q_mime_sniff(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = read_table(spark, sf_dir, "documents")
     marker = (
-        F.when(F.col("doc_id") % 5 == 0, F.lit("GIF87a"))
-        .when(F.col("doc_id") % 5 == 1, F.lit("BM"))
-        .when(F.col("doc_id") % 5 == 2, F.lit("P6"))
-        .when(F.col("doc_id") % 5 == 3, F.lit("RIFF1234WAVE"))
+        F.when(F.col("doc_id") % 8 == 0, F.lit("GIF87a"))
+        .when(F.col("doc_id") % 8 == 1, F.lit("BM"))
+        .when(F.col("doc_id") % 8 == 2, F.lit("P6"))
+        .when(F.col("doc_id") % 8 == 3, F.lit("RIFF1234WAVE"))
+        .when(F.col("doc_id") % 8 == 4, F.lit("GIF89a"))
+        .when(F.col("doc_id") % 8 == 5, F.lit("fLaC"))
+        .when(F.col("doc_id") % 8 == 6, F.lit("OggS"))
         .otherwise(F.lit(""))
     )
     blobbed = d.select(
@@ -1695,17 +1698,23 @@ def q_mime_sniff(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE_MIME_SNIFF = """
 WITH marked AS (
   SELECT source,
-         CASE WHEN doc_id % 5 = 0 THEN 'GIF87a'
-              WHEN doc_id % 5 = 1 THEN 'BM'
-              WHEN doc_id % 5 = 2 THEN 'P6'
-              WHEN doc_id % 5 = 3 THEN 'RIFF1234WAVE'
+         CASE WHEN doc_id % 8 = 0 THEN 'GIF87a'
+              WHEN doc_id % 8 = 1 THEN 'BM'
+              WHEN doc_id % 8 = 2 THEN 'P6'
+              WHEN doc_id % 8 = 3 THEN 'RIFF1234WAVE'
+              WHEN doc_id % 8 = 4 THEN 'GIF89a'
+              WHEN doc_id % 8 = 5 THEN 'fLaC'
+              WHEN doc_id % 8 = 6 THEN 'OggS'
               ELSE '' END || text AS content
   FROM documents
 )
 SELECT source,
-       CASE WHEN content LIKE 'GIF87a%' THEN 'image/gif'
+       CASE WHEN content LIKE 'GIF87a%' OR content LIKE 'GIF89a%'
+              THEN 'image/gif'
             WHEN content LIKE 'BM%' THEN 'image/bmp'
             WHEN content LIKE 'P6%' THEN 'image/x-portable-pixmap'
+            WHEN content LIKE 'fLaC%' THEN 'audio/flac'
+            WHEN content LIKE 'OggS%' THEN 'audio/ogg'
             WHEN content LIKE 'RIFF%' AND substring(content, 9, 4) = 'WAVE'
               THEN 'audio/wav'
             ELSE 'application/octet-stream' END AS mime,
@@ -2382,4 +2391,122 @@ QUERIES["doc_c4_line_filter"] = QuerySpec(
     q_c4_line_filter,
     ORACLE_C4_LINE_FILTER,
     "C4 line-level cleaning (terminal punct, min words, kill-patterns)",
+)
+
+
+def q_corpus_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END corpus construction in one DataFrame plan — the
+    pipeline a pretraining-data team actually runs, each stage being an
+    operator this suite verifies in isolation: Gopher rule gate
+    (textstats/rules.py, zero-shuffle projection) → exact dedup keeping
+    the lowest id per content hash (dedup/exact.py, one hash shuffle) →
+    DSIR importance scoring toward the English slice (textstats/dsir.py,
+    bounded bucket broadcast) → deterministic top-100 selection → per-
+    lang corpus accounting. The oracle recomposes the same four stages
+    in SQL, so the HASH pins the whole DAG: gate thresholds, survivor
+    identity, multinomial smoothing, micro-nat quantization, tie-breaks.
+
+    Scale: 3 shuffles total (dedup hash, DSIR buckets, per-doc sum) +
+    a TakeOrderedAndProject — nothing corpus-sized on the driver."""
+    from ..dedup.exact import exact_dedup
+    from ..textstats.dsir import dsir_importance
+    from ..textstats.rules import gopher_quality_rules
+
+    d = read_table(spark, sf_dir, "documents")
+    ruled = gopher_quality_rules(
+        d, "doc_id", "text", carry_cols=("lang", "text")
+    )
+    gated = ruled.filter(
+        F.col("ok_word_count") & F.col("ok_word_len") & F.col("ok_alpha")
+    ).select("id", "lang", "text", "n_words")
+    keep = exact_dedup(gated, "id", "text").select("keep_id")
+    surv = gated.join(keep, gated.id == keep.keep_id).drop("keep_id")
+    scored = dsir_importance(
+        surv, "id", "text", F.col("lang") == "en", n_buckets=4096
+    )
+    sel = scored.orderBy(F.col("weight_micro").desc(), "id").limit(100)
+    return (
+        sel.join(surv.select("id", "lang", "n_words"), "id")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_words").alias("sum_words"),
+            F.sum("weight_micro").alias("sum_weight_micro"),
+        )
+    )
+
+
+ORACLE_CORPUS_BUILD = rf"""
+WITH base AS (
+  SELECT doc_id, lang, text,
+         list_filter(string_split_regex(lower(text), '\s+'),
+                     w -> w != '') AS words
+  FROM documents
+),
+g AS (
+  SELECT doc_id, lang, text, len(words) AS n_words,
+         round(CASE WHEN len(words) > 0
+               THEN list_sum(list_transform(words, w -> length(w)))
+                    * 1.0 / len(words) ELSE 0.0 END, 6) AS mwl,
+         round(CASE WHEN len(words) > 0
+               THEN len(list_filter(words, w -> regexp_matches(w, '[a-z]')))
+                    * 1.0 / len(words) ELSE 0.0 END, 6) AS ar
+  FROM base
+),
+gated AS (
+  SELECT doc_id, lang, text, n_words FROM g
+  WHERE n_words >= 50 AND n_words <= 100000
+    AND mwl >= 3.0 AND mwl <= 10.0 AND ar >= 0.8
+),
+keep AS (
+  SELECT min(doc_id) AS doc_id
+  FROM gated GROUP BY md5({SQL_NORM})
+),
+surv AS (SELECT g.* FROM gated g JOIN keep USING (doc_id)),
+t AS (
+  SELECT doc_id, lang, n_words, lang = 'en' AS is_target,
+         {SQL_TOKS} AS toks
+  FROM surv
+),
+fb AS (
+  SELECT doc_id, is_target,
+         {_sql_md5_64('feat')} % 4096 AS b
+  FROM (SELECT doc_id, is_target,
+               unnest(list_concat(toks, {SQL_SHINGLES2})) AS feat
+        FROM t)
+),
+counts AS (
+  SELECT b, count(*) AS cs,
+         sum(CASE WHEN is_target THEN 1 ELSE 0 END) AS ct
+  FROM fb GROUP BY b
+),
+totals AS (SELECT sum(cs) AS ts, sum(ct) AS tt FROM counts),
+ratio AS (
+  SELECT b, CAST(round(ln(((ct + 1) / (tt + 4096))
+                        / ((cs + 1) / (ts + 4096))) * 1000000) AS BIGINT)
+              AS lr_micro
+  FROM counts, totals
+),
+scored AS (
+  SELECT fb.doc_id, CAST(sum(r.lr_micro) AS BIGINT) AS weight_micro
+  FROM fb JOIN ratio r USING (b) GROUP BY fb.doc_id
+),
+sel AS (
+  SELECT t.doc_id, t.lang, t.n_words,
+         coalesce(s.weight_micro, 0) AS weight_micro
+  FROM t LEFT JOIN scored s USING (doc_id)
+  ORDER BY weight_micro DESC, doc_id
+  LIMIT 100
+)
+SELECT lang, count(*) AS n_docs,
+       CAST(sum(n_words) AS BIGINT) AS sum_words,
+       CAST(sum(weight_micro) AS BIGINT) AS sum_weight_micro
+FROM sel GROUP BY lang
+"""
+
+
+QUERIES["doc_corpus_build"] = QuerySpec(
+    q_corpus_build,
+    ORACLE_CORPUS_BUILD,
+    "end-to-end corpus build: Gopher gate -> exact dedup -> DSIR top-k -> accounting",
 )

@@ -1105,3 +1105,68 @@ QUERIES["stream_quota_gate"] = QuerySpec(
     ORACLE_STREAM_QUOTA,
     "stateful per-user-day admission quota; exact admit set via XOR",
 )
+
+
+def q_stream_gopher_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher quality rules (textstats/rules.py) applied ON A LIVE
+    STREAM: docs stream in, every rule evaluates in-row (the operator
+    is a pure projection, so it is streaming-safe with no state), the
+    word-count rule gates admission, and the running per-(lang,
+    stopword-verdict) corpus accounting drains availableNow in
+    complete mode. This is the shape a 100 TB ingest actually uses —
+    filter at the edge, account by rule verdicts — and the dedup-free
+    pipeline keeps state bounded by the group-by cardinality
+    (|langs| × 2), not the corpus."""
+    from ..textstats.rules import gopher_quality_rules
+
+    schema = "doc_id bigint, text string, lang string, source string, n_chars bigint"
+    stream = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+    )
+    ruled = gopher_quality_rules(stream, "doc_id", "text", carry_cols=("lang",))
+    gated = ruled.filter(F.col("ok_word_count"))
+    return run_available_now(
+        gated,
+        lambda df: df.groupBy("lang", "ok_stopwords").agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_words").alias("sum_words"),
+            F.round(F.avg("mean_word_len"), 6).alias("avg_word_len"),
+        ),
+        output_mode="complete",
+    )
+
+
+ORACLE_STREAM_GOPHER_GATE = r"""
+WITH m AS (
+  SELECT doc_id, lang,
+         list_filter(string_split_regex(lower(text), '\s+'),
+                     w -> w != '') AS words
+  FROM documents
+),
+r AS (
+  SELECT doc_id, lang, len(words) AS n_words,
+         round(CASE WHEN len(words) > 0
+               THEN list_sum(list_transform(words, w -> length(w)))
+                    * 1.0 / len(words) ELSE 0.0 END, 6) AS mean_word_len,
+         len(list_intersect(list_distinct(words),
+             ['the', 'be', 'to', 'of', 'and', 'that', 'have', 'with']))
+           AS stop_hits
+  FROM m
+)
+SELECT lang, (stop_hits >= 2) AS ok_stopwords,
+       count(*) AS n_docs,
+       CAST(sum(n_words) AS BIGINT) AS sum_words,
+       round(avg(mean_word_len), 6) AS avg_word_len
+FROM r
+WHERE n_words >= 50 AND n_words <= 100000
+GROUP BY 1, 2
+"""
+
+
+QUERIES["stream_gopher_gate"] = QuerySpec(
+    q_stream_gopher_gate,
+    ORACLE_STREAM_GOPHER_GATE,
+    "Gopher rules as a streaming admission gate with verdict accounting",
+)

@@ -31,6 +31,7 @@ def gopher_quality_rules(
     df: DataFrame,
     id_col: str,
     text_col: str,
+    carry_cols: tuple[str, ...] = (),
     min_words: int = 50,
     max_words: int = 100_000,
     min_mean_word_len: float = 3.0,
@@ -50,6 +51,7 @@ def gopher_quality_rules(
     raw = F.col(text_col)
     out = df.select(
         F.col(id_col).alias("id"),
+        *[F.col(c) for c in carry_cols],
         F.split(F.lower(raw), r"\s+").alias("__words"),
         F.split(raw, "\n").alias("__lines"),
         (F.size(F.regexp_extract_all(raw, F.lit(r"[#…]"), 0))
@@ -123,8 +125,9 @@ def gopher_quality_rules(
     for rc in rule_cols[1:]:
         acc = acc & F.col(rc)
     return out.withColumn("gopher_ok", acc).select(
-        "id", "n_words", "mean_word_len", "symbol_ratio", "bullet_ratio",
-        "ellipsis_ratio", "alpha_ratio", "stop_hits", *rule_cols, "gopher_ok",
+        "id", *carry_cols, "n_words", "mean_word_len", "symbol_ratio",
+        "bullet_ratio", "ellipsis_ratio", "alpha_ratio", "stop_hits",
+        *rule_cols, "gopher_ok",
     )
 
 

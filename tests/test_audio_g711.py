@@ -73,3 +73,28 @@ def test_odd_length_payload_padded():
     blob = encode_wav_g711(x, 8000, "alaw")
     dec, _ = decode_wav(blob)
     assert len(dec) == 101  # fact chunk truncates the pad byte
+
+
+def test_audio_features_decodes_flac_blobs(spark):
+    """decode_audio dispatch: a mixed WAV+FLAC blob column flows through
+    the same Arrow feature pass."""
+    import numpy as np
+    import pandas as pd
+
+    from sparkstreaming_spark.multimodal.audio import (
+        audio_features,
+        encode_wav,
+    )
+    from sparkstreaming_spark.multimodal.flac import encode_flac
+
+    t = np.arange(8000)
+    x = (6000 * np.sin(2 * np.pi * 220 * t / 8000)).astype(np.int16)
+    rows = [(1, encode_wav(x, 8000)), (2, encode_flac(x, 8000))]
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["id", "blob"]))
+    out = {r["id"]: r.asDict() for r in
+           audio_features(df, "id", "blob", target_rate=8000).collect()}
+    assert out[1]["n_samples"] == out[2]["n_samples"] == len(x)
+    assert out[1]["sample_rate"] == out[2]["sample_rate"] == 8000
+    # FLAC is lossless: identical rms/peak to the PCM original
+    assert out[1]["rms"] == out[2]["rms"]
+    assert out[1]["peak"] == out[2]["peak"]
