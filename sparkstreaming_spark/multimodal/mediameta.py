@@ -6,7 +6,7 @@ honestly documented as stubs in audio.py/video.py. But a 100 TB
 crawled media corpus is triaged on METADATA first: duration, bitrate,
 sample rate, resolution, profile — all of which live in frame/page/NAL
 headers that ARE fully parseable in pure Python. This module closes
-that triage slot for the three biggest families:
+that triage slot for the biggest families:
 
 - mp3: MPEG-1/2 Layer I/II/III frame-header walk (sync scan, bitrate/
   samplerate tables from the public ISO 11172-3 header spec, ID3v2
@@ -17,6 +17,10 @@ that triage slot for the three biggest families:
 - H.264: Annex-B NAL scan + SPS parse (Exp-Golomb ue(v)/se(v),
   profile/level, pic_width_in_mbs / pic_height_in_map_units, crop) →
   resolution without decoding a single macroblock.
+- MP4 / ISO-BMFF: box-tree walk (ftyp brand, mvhd timescale/duration,
+  per-trak tkhd 16.16 dimensions) → duration + resolution.
+- WebP: RIFF chunk walk + VP8 keyframe / VP8L stream / VP8X canvas
+  headers → resolution.
 
 Everything here reads headers and sizes only — no entropy decode, no
 codec claims beyond what is parsed. Encoder helpers below synthesize
@@ -148,14 +152,20 @@ def build_mp3_stream(bitrate_codes: list[int], sr_code: int = 0,
 
 def ogg_probe(data: bytes) -> dict:
     """Walk OggS pages → {n_pages, serial, last_granule, duration_s,
-    eos_seen}. Opus granule positions are 48 kHz sample counts, so
-    duration = last_granule / 48000 (pre-skip ignored — triage, not
-    playback)."""
+    eos_seen, codec, channels, pre_skip}. Opus granule positions are
+    48 kHz sample counts, so duration = last_granule / 48000 (pre-skip
+    reported, not subtracted — triage, not playback). The first page's
+    identification header is sniffed for OpusHead (RFC 7845 §5.1:
+    channels u8 + pre-skip u16le) or the Vorbis ident packet
+    (\x01vorbis: channels u8 at 11)."""
     off = 0
     n_pages = 0
     serial = None
     last_granule = 0
     eos = False
+    codec = "unknown"
+    channels = 0
+    pre_skip = 0
     while off + 27 <= len(data):
         if data[off : off + 4] != b"OggS":
             off += 1
@@ -171,7 +181,16 @@ def ogg_probe(data: bytes) -> dict:
         if off + page_len > len(data):
             break
         n_pages += 1
-        serial = ser if serial is None else serial
+        if serial is None:
+            serial = ser
+            pkt = data[off + 27 + nseg : off + page_len]
+            if pkt[:8] == b"OpusHead" and len(pkt) >= 12:
+                codec = "opus"
+                channels = pkt[9]
+                pre_skip = struct.unpack("<H", pkt[10:12])[0]
+            elif pkt[:7] == b"\x01vorbis" and len(pkt) >= 12:
+                codec = "vorbis"
+                channels = pkt[11]
         if granule >= 0:
             last_granule = max(last_granule, granule)
         if htype & 0x04:
@@ -184,14 +203,26 @@ def ogg_probe(data: bytes) -> dict:
         "last_granule": last_granule,
         "duration_s": round(last_granule / 48000.0, 6),
         "eos_seen": eos,
+        "codec": codec,
+        "channels": channels,
+        "pre_skip": pre_skip,
     }
 
 
 def build_ogg_stream(serial: int, granules: list[int],
-                     body_sizes: list[int] | None = None) -> bytes:
+                     body_sizes: list[int] | None = None,
+                     opus_head: tuple[int, int] | None = None) -> bytes:
     """Synthesize an Ogg page chain (zero-byte CRC — the probe does not
-    verify checksums, it walks structure)."""
-    body_sizes = body_sizes or [100] * len(granules)
+    verify checksums, it walks structure). `opus_head=(channels,
+    pre_skip)` makes the first page a conformant OpusHead ident packet."""
+    body_sizes = list(body_sizes or [100] * len(granules))
+    bodies: list[bytes] = [b"\x00" * bs for bs in body_sizes]
+    if opus_head is not None:
+        ch, skip = opus_head
+        pkt = (b"OpusHead" + bytes([1, ch]) + struct.pack("<H", skip)
+               + struct.pack("<I", 48000) + struct.pack("<h", 0) + bytes([0]))
+        bodies[0] = pkt
+        body_sizes[0] = len(pkt)
     out = bytearray()
     for i, (g, bs) in enumerate(zip(granules, body_sizes)):
         htype = 0x02 if i == 0 else (0x04 if i == len(granules) - 1 else 0)
@@ -200,7 +231,7 @@ def build_ogg_stream(serial: int, granules: list[int],
         out += b"OggS" + bytes([0, htype])
         out += struct.pack("<q", g) + struct.pack("<I", serial)
         out += struct.pack("<I", i) + b"\x00\x00\x00\x00"  # page no + crc
-        out += bytes([nseg]) + lacing + b"\x00" * bs
+        out += bytes([nseg]) + lacing + bodies[i]
     return bytes(out)
 
 
@@ -444,6 +475,19 @@ def media_meta_probe(df, id_col: str, blob_col: str, kind_col: str):
                                      "duration_s": 0.0, "rate": 0,
                                      "width": p["width"],
                                      "height": p["height"]})
+                    elif kind == "mp4":
+                        p = mp4_probe(raw)
+                        rows.append({"id": i, "kind": kind, "ok": True,
+                                     "n_units": p["n_tracks"],
+                                     "duration_s": p["duration_s"],
+                                     "rate": 0, "width": p["width"],
+                                     "height": p["height"]})
+                    elif kind == "webp":
+                        p = webp_probe(raw)
+                        rows.append({"id": i, "kind": kind, "ok": True,
+                                     "n_units": 1, "duration_s": 0.0,
+                                     "rate": 0, "width": p["width"],
+                                     "height": p["height"]})
                     else:
                         rows.append({"id": i, "kind": kind, "ok": False,
                                      "n_units": 0, "duration_s": 0.0,
@@ -464,3 +508,168 @@ def media_meta_probe(df, id_col: str, blob_col: str, kind_col: str):
         "id bigint, kind string, ok boolean, n_units bigint,"
         " duration_s double, rate int, width int, height int",
     )
+
+
+# ---------------------------------------------------------------------------
+# MP4 / ISO-BMFF (ISO 14496-12) — box walk: duration + track dimensions
+
+
+def mp4_probe(data: bytes) -> dict:
+    """Walk the box tree → {n_boxes, n_tracks, duration_s, width,
+    height, brand}. Reads mvhd (timescale/duration, v0+v1) and each
+    video tkhd (16.16 fixed-point width/height); no sample data is
+    touched — mdat is skipped by size like every real indexer."""
+    n_boxes = n_tracks = 0
+    duration_s = 0.0
+    width = height = 0
+    brand = ""
+
+    def walk(lo: int, hi: int, depth: int) -> None:
+        nonlocal n_boxes, n_tracks, duration_s, width, height, brand
+        off = lo
+        while off + 8 <= hi:
+            size = struct.unpack(">I", data[off : off + 4])[0]
+            btype = data[off + 4 : off + 8]
+            body = off + 8
+            if size == 1:
+                if off + 16 > hi:
+                    break
+                size = struct.unpack(">Q", data[off + 8 : off + 16])[0]
+                body = off + 16
+            elif size == 0:
+                size = hi - off
+            if size < 8 or off + size > hi:
+                raise ValueError("malformed box size")
+            n_boxes += 1
+            if btype == b"ftyp" and not brand:
+                brand = data[body : body + 4].decode("ascii", "replace")
+            elif btype in (b"moov", b"trak", b"mdia"):
+                walk(body, off + size, depth + 1)
+            elif btype == b"mvhd":
+                ver = data[body]
+                if ver == 1:
+                    scale = struct.unpack(">I", data[body + 20 : body + 24])[0]
+                    dur = struct.unpack(">Q", data[body + 24 : body + 32])[0]
+                else:
+                    scale = struct.unpack(">I", data[body + 12 : body + 16])[0]
+                    dur = struct.unpack(">I", data[body + 16 : body + 20])[0]
+                if scale:
+                    duration_s = round(dur / scale, 6)
+            elif btype == b"tkhd":
+                n_tracks += 1
+                ver = data[body]
+                base = body + (96 if ver == 1 else 84) - 8
+                w = struct.unpack(">I", data[base : base + 4])[0] >> 16
+                h = struct.unpack(">I", data[base + 4 : base + 8])[0] >> 16
+                if w and h and not width:
+                    width, height = w, h
+            off += size
+
+    walk(0, len(data), 0)
+    return {
+        "n_boxes": n_boxes,
+        "n_tracks": n_tracks,
+        "duration_s": duration_s,
+        "width": width,
+        "height": height,
+        "brand": brand,
+    }
+
+
+def build_mp4(width: int, height: int, duration_s: float,
+              timescale: int = 1000, n_tracks: int = 1) -> bytes:
+    """Minimal conformant ftyp+moov(mvhd + n video trak/tkhd) stream."""
+    def box(btype: bytes, payload: bytes) -> bytes:
+        return struct.pack(">I", 8 + len(payload)) + btype + payload
+
+    ftyp = box(b"ftyp", b"isom" + struct.pack(">I", 512) + b"isomiso2mp41")
+    dur = int(round(duration_s * timescale))
+    mvhd = box(
+        b"mvhd",
+        bytes(4) + struct.pack(">II", 0, 0)
+        + struct.pack(">II", timescale, dur)
+        + struct.pack(">I", 0x00010000) + struct.pack(">H", 0x0100)
+        + bytes(10) + _UNIT_MATRIX + bytes(24)
+        + struct.pack(">I", n_tracks + 1),
+    )
+    traks = b""
+    for t in range(n_tracks):
+        tkhd = box(
+            b"tkhd",
+            bytes(1) + b"\x00\x00\x07"              # version 0, enabled
+            + struct.pack(">II", 0, 0)               # ctime mtime
+            + struct.pack(">I", t + 1) + bytes(4)    # track id + reserved
+            + struct.pack(">I", dur) + bytes(8)      # duration + reserved
+            + struct.pack(">hh", 0, 0)               # layer, alt group
+            + struct.pack(">H", 0) + bytes(2)        # volume + reserved
+            + _UNIT_MATRIX
+            + struct.pack(">II", width << 16, height << 16),
+        )
+        traks += box(b"trak", tkhd)
+    moov = box(b"moov", mvhd + traks)
+    return ftyp + moov + box(b"free", b"")
+
+
+_UNIT_MATRIX = struct.pack(
+    ">9I", 0x00010000, 0, 0, 0, 0x00010000, 0, 0, 0, 0x40000000
+)
+
+
+# ---------------------------------------------------------------------------
+# WebP (RIFF container; VP8 lossy / VP8L lossless / VP8X extended headers)
+
+
+def webp_probe(data: bytes) -> dict:
+    """→ {format, width, height} from the first image chunk's header
+    bits — VP8 keyframe dims, VP8L 14+14-bit stream header, or VP8X
+    24-bit canvas. Header-only, no entropy decode."""
+    if data[:4] != b"RIFF" or data[8:12] != b"WEBP":
+        raise ValueError("not a WebP stream")
+    off = 12
+    while off + 8 <= len(data):
+        fourcc = data[off : off + 8][:4]
+        size = struct.unpack("<I", data[off + 4 : off + 8])[0]
+        body = off + 8
+        if fourcc == b"VP8 ":
+            if data[body + 3 : body + 6] != b"\x9d\x01\x2a":
+                raise ValueError("bad VP8 keyframe start code")
+            w = struct.unpack("<H", data[body + 6 : body + 8])[0] & 0x3FFF
+            h = struct.unpack("<H", data[body + 8 : body + 10])[0] & 0x3FFF
+            return {"format": "vp8", "width": w, "height": h}
+        if fourcc == b"VP8L":
+            if data[body] != 0x2F:
+                raise ValueError("bad VP8L signature")
+            bits = struct.unpack("<I", data[body + 1 : body + 5])[0]
+            return {
+                "format": "vp8l",
+                "width": (bits & 0x3FFF) + 1,
+                "height": ((bits >> 14) & 0x3FFF) + 1,
+            }
+        if fourcc == b"VP8X":
+            w = int.from_bytes(data[body + 4 : body + 7], "little") + 1
+            h = int.from_bytes(data[body + 7 : body + 10], "little") + 1
+            return {"format": "vp8x", "width": w, "height": h}
+        off = body + size + (size & 1)
+    raise ValueError("WebP stream has no image chunk")
+
+
+def build_webp(width: int, height: int, variant: str = "vp8") -> bytes:
+    """Synthesize a WebP header stream of the given variant (header
+    bytes only — the probe-test twin of a real encoder's output)."""
+    if variant == "vp8":
+        body = (b"\x00\x00\x00" + b"\x9d\x01\x2a"
+                + struct.pack("<HH", width & 0x3FFF, height & 0x3FFF))
+        chunk = b"VP8 " + struct.pack("<I", len(body)) + body
+    elif variant == "vp8l":
+        bits = (width - 1) | ((height - 1) << 14)
+        body = b"\x2f" + struct.pack("<I", bits)
+        chunk = b"VP8L" + struct.pack("<I", len(body)) + body
+    elif variant == "vp8x":
+        body = (bytes(4) + (width - 1).to_bytes(3, "little")
+                + (height - 1).to_bytes(3, "little"))
+        chunk = b"VP8X" + struct.pack("<I", len(body)) + body
+    else:
+        raise ValueError(f"unknown variant {variant}")
+    if len(chunk) & 1:
+        chunk += b"\x00"
+    return b"RIFF" + struct.pack("<I", 4 + len(chunk)) + b"WEBP" + chunk

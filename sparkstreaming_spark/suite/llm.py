@@ -2420,7 +2420,14 @@ def q_corpus_build(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("ok_word_count") & F.col("ok_word_len") & F.col("ok_alpha")
     ).select("id", "lang", "text", "n_words")
     keep = exact_dedup(gated, "id", "text").select("keep_id")
-    surv = gated.join(keep, gated.id == keep.keep_id).drop("keep_id")
+    # survivors feed three consumers (DSIR features, the zero-feature
+    # left-join anchor, the final metadata join) — materialize once so
+    # the gate+dedup chain doesn't recompute per consumer
+    surv = (
+        gated.join(keep, gated.id == keep.keep_id)
+        .drop("keep_id")
+        .localCheckpoint(eager=False)
+    )
     scored = dsir_importance(
         surv, "id", "text", F.col("lang") == "en", n_buckets=4096
     )

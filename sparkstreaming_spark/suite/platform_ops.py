@@ -1046,10 +1046,12 @@ def q_media_meta_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB crawl is triaged on header metadata — duration, bitrate,
     sample rate, resolution — which IS fully parseable. Per doc
     (doc_id < 180) this synthesizes a conformant stream of the kind
-    doc_id%3 picks (mp3 frame chain / Ogg page chain / H.264 Annex-B
-    SPS+IDR NALs) with formula-derived parameters, then runs the REAL
-    production probe (multimodal/mediameta.py::media_meta_probe — sync
-    walk, ID3 skip, Ogg lacing, Exp-Golomb SPS parse incl. cropping).
+    doc_id%5 picks (mp3 frame chain / Ogg page chain / H.264 Annex-B
+    SPS+IDR NALs / MP4 box tree / WebP VP8·VP8L·VP8X headers) with
+    formula-derived parameters, then runs the REAL production probe
+    (multimodal/mediameta.py::media_meta_probe — sync walk, ID3 skip,
+    Ogg lacing, Exp-Golomb SPS parse incl. cropping, ISO-BMFF box walk,
+    WebP chunk walk).
     The oracle states every output column from the generator formulas,
     so a table/offset/bit error in any parser flips the hash.
 
@@ -1059,8 +1061,10 @@ def q_media_meta_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from ..multimodal.mediameta import (
         build_mp3_stream,
+        build_mp4,
         build_ogg_stream,
         build_sps,
+        build_webp,
         media_meta_probe,
     )
 
@@ -1073,7 +1077,7 @@ def q_media_meta_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
             rows = []
             for did in pdf["doc_id"]:
                 did = int(did)
-                kind = ["mp3", "ogg", "h264"][did % 3]
+                kind = ["mp3", "ogg", "h264", "mp4", "webp"][did % 5]
                 if kind == "mp3":
                     n = 5 + did % 7
                     blob = build_mp3_stream([1 + (did + i) % 14 for i in range(n)])
@@ -1081,10 +1085,20 @@ def q_media_meta_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
                     n = 3 + did % 5
                     step = 9600 * (1 + did % 4)
                     blob = build_ogg_stream(did, [(i + 1) * step for i in range(n)])
-                else:
+                elif kind == "h264":
                     w = 320 + 2 * (did % 341)
                     h = 240 + 2 * (did % 241)
                     blob = build_sps(w, h) + b"\x00\x00\x01\x65\xaa" * (did % 4)
+                elif kind == "mp4":
+                    w = 160 * (1 + did % 12)
+                    h = 90 * (1 + did % 12)
+                    blob = build_mp4(w, h, round((did % 600) / 10.0, 6),
+                                     n_tracks=1 + did % 3)
+                else:
+                    w = 16 + did % 1000
+                    h = 16 + did % 700
+                    blob = build_webp(w, h,
+                                      ["vp8", "vp8l", "vp8x"][did % 3])
                 rows.append({"doc_id": did, "blob": blob, "kind": kind})
             yield pd.DataFrame(rows)
 
@@ -1097,24 +1111,32 @@ def q_media_meta_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE_MEDIA_META = f"""
 WITH d AS (
   SELECT doc_id,
-         CASE doc_id % 3 WHEN 0 THEN 'mp3' WHEN 1 THEN 'ogg'
-              ELSE 'h264' END AS kind
+         CASE doc_id % 5 WHEN 0 THEN 'mp3' WHEN 1 THEN 'ogg'
+              WHEN 2 THEN 'h264' WHEN 3 THEN 'mp4'
+              ELSE 'webp' END AS kind
   FROM documents WHERE doc_id < {MEDIA_META_IDS}
 )
 SELECT doc_id, kind, TRUE AS ok,
        CASE kind WHEN 'mp3' THEN 5 + doc_id % 7
                  WHEN 'ogg' THEN 3 + doc_id % 5
-                 ELSE 1 + doc_id % 4 END AS n_units,
+                 WHEN 'h264' THEN 1 + doc_id % 4
+                 WHEN 'mp4' THEN 1 + doc_id % 3
+                 ELSE 1 END AS n_units,
        CASE kind
             WHEN 'mp3' THEN round((5 + doc_id % 7) * 1152 / 44100.0, 6)
             WHEN 'ogg' THEN round((3 + doc_id % 5) * 9600
                                   * (1 + doc_id % 4) / 48000.0, 6)
+            WHEN 'mp4' THEN round((doc_id % 600) / 10.0, 6)
             ELSE 0.0 END AS duration_s,
        CAST(CASE kind WHEN 'mp3' THEN 44100 WHEN 'ogg' THEN 48000
                  ELSE 0 END AS INT) AS rate,
        CAST(CASE kind WHEN 'h264' THEN 320 + 2 * (doc_id % 341)
+                 WHEN 'mp4' THEN 160 * (1 + doc_id % 12)
+                 WHEN 'webp' THEN 16 + doc_id % 1000
                  ELSE 0 END AS INT) AS width,
        CAST(CASE kind WHEN 'h264' THEN 240 + 2 * (doc_id % 241)
+                 WHEN 'mp4' THEN 90 * (1 + doc_id % 12)
+                 WHEN 'webp' THEN 16 + doc_id % 700
                  ELSE 0 END AS INT) AS height
 FROM d
 """

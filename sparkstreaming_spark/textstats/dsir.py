@@ -54,13 +54,30 @@ def dsir_importance(
         target.cast("boolean").alias("is_target"),
         tokenize(F.col(text_col)).alias("toks"),
     )
+    # a small-file corpus (one row group) would run the md5-per-feature
+    # explode as a single task; spread it. At real scale the input has
+    # many splits and this shuffle is a sub-% of the feature hashing.
+    if base.rdd.getNumPartitions() < 8:
+        base = base.repartition(16)
+    # hash features straight to bucket ids and MATERIALIZE the compact
+    # (id, is_target, b) stream once (lazy localCheckpoint): both
+    # consumers below — the bucket-count multinomials and the per-doc
+    # scoring join — would otherwise recompute tokenize+md5 over the
+    # whole corpus. The materialized form is three small ints per
+    # feature (no strings), i.e. the same order as the shuffle it
+    # feeds; at 100 TB this is the classic spill-vs-recompute trade and
+    # the spill side wins because md5-per-feature dominates.
     feats = base.select(
         "id",
         "is_target",
         F.explode(
             F.concat(F.col("toks"), shingles_from_tokens("toks", 2))
         ).alias("feat"),
-    ).withColumn("b", F.pmod(md5_64(F.col("feat")), F.lit(n_buckets)))
+    ).select(
+        "id",
+        "is_target",
+        F.pmod(md5_64(F.col("feat")), F.lit(n_buckets)).alias("b"),
+    ).localCheckpoint(eager=False)
 
     # ONE shuffle builds both multinomials: per-bucket source count and
     # target count (map-side partials), then the bounded table carries

@@ -83,7 +83,26 @@ def test_ogg_page_walk():
         "last_granule": 96000,
         "duration_s": 2.0,
         "eos_seen": True,
+        "codec": "unknown",
+        "channels": 0,
+        "pre_skip": 0,
     }
+
+
+def test_ogg_opus_ident_header():
+    p = ogg_probe(build_ogg_stream(7, [960, 96000], opus_head=(2, 312)))
+    assert p["codec"] == "opus" and p["channels"] == 2 and p["pre_skip"] == 312
+
+
+def test_ogg_vorbis_ident_header():
+    import struct as _struct
+
+    blob = bytearray(build_ogg_stream(9, [4800], body_sizes=[30]))
+    ident = b"\x01vorbis" + _struct.pack("<I", 0) + bytes([2])
+    body_start = len(blob) - 30
+    blob[body_start : body_start + len(ident)] = ident
+    p = ogg_probe(bytes(blob))
+    assert p["codec"] == "vorbis" and p["channels"] == 2
 
 
 def test_ogg_large_bodies_use_lacing():
@@ -167,3 +186,71 @@ def test_media_meta_probe_spark(spark):
     assert out[3]["width"] == 1280 and out[3]["height"] == 720
     assert out[4]["ok"] and out[4]["n_units"] == 0  # resync finds nothing
     assert out[5]["ok"] is False
+
+
+# ---------------------------------------------------------------- mp4
+
+
+def test_mp4_box_walk():
+    from sparkstreaming_spark.multimodal.mediameta import build_mp4, mp4_probe
+
+    p = mp4_probe(build_mp4(1920, 1080, 12.345, n_tracks=2))
+    assert p["duration_s"] == 12.345
+    assert (p["width"], p["height"]) == (1920, 1080)
+    assert p["n_tracks"] == 2 and p["brand"] == "isom"
+
+
+def test_mp4_v1_mvhd_and_largesize():
+    import struct
+
+    from sparkstreaming_spark.multimodal.mediameta import build_mp4, mp4_probe
+
+    blob = bytearray(build_mp4(640, 360, 5.0))
+    # rewrite the trailing 'free' box with a 64-bit largesize header
+    assert blob[-8:] == struct.pack(">I", 8) + b"free"
+    blob = blob[:-8] + struct.pack(">I", 1) + b"free" + struct.pack(">Q", 16)
+    p = mp4_probe(bytes(blob))
+    assert p["duration_s"] == 5.0 and p["width"] == 640
+
+
+def test_mp4_malformed_box_raises():
+    import pytest as _pytest
+
+    from sparkstreaming_spark.multimodal.mediameta import build_mp4, mp4_probe
+
+    blob = bytearray(build_mp4(64, 64, 1.0))
+    blob[0] = 0xFF  # ftyp size becomes absurd
+    with _pytest.raises(ValueError, match="malformed"):
+        mp4_probe(bytes(blob))
+
+
+# ---------------------------------------------------------------- webp
+
+
+@pytest.mark.parametrize("variant", ["vp8", "vp8l", "vp8x"])
+def test_webp_variants(variant):
+    from sparkstreaming_spark.multimodal.mediameta import build_webp, webp_probe
+
+    p = webp_probe(build_webp(1024, 768, variant))
+    assert (p["width"], p["height"]) == (1024, 768)
+    assert p["format"] == variant
+
+
+def test_webp_rejects_non_webp():
+    import pytest as _pytest
+
+    from sparkstreaming_spark.multimodal.mediameta import webp_probe
+
+    with _pytest.raises(ValueError, match="not a WebP"):
+        webp_probe(b"RIFF\x00\x00\x00\x00WAVE")
+
+
+def test_webp_bad_vp8_start_code():
+    import pytest as _pytest
+
+    from sparkstreaming_spark.multimodal.mediameta import build_webp, webp_probe
+
+    blob = bytearray(build_webp(64, 64, "vp8"))
+    blob[-7] ^= 0xFF  # corrupt the 9d 01 2a start code
+    with _pytest.raises(ValueError, match="start code"):
+        webp_probe(bytes(blob))
