@@ -27,8 +27,13 @@ codec claims beyond what is parsed. Encoder helpers below synthesize
 conformant header streams so roundtrip tests and SQL oracles can state
 expected values exactly.
 
+Reference parity: the reference repo has no media surface at all
+(/root/reference/src/main is three CSV-based Spark jobs,
+Consumer.scala / Producer.scala / FileReconstitution.scala); this
+module is north-star multimodal extension work.
+
 Spark shape: all probes run inside Arrow `mapInPandas` batches
-(suite/platform_ops.py::q_mp3_probe etc.) — embarrassingly parallel,
+(suite/platform_ops.py::q_media_meta_probe) — embarrassingly parallel,
 no shuffle, scales by input splits.
 """
 
