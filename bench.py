@@ -245,6 +245,8 @@ HEADLINE = [
     "doc_c4_line_filter",
     "stream_gopher_gate",
     "doc_corpus_build",
+    "doc_lang_alpha_sample",
+    "doc_fineweb_rules",
 ]
 
 

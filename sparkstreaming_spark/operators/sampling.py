@@ -119,3 +119,64 @@ def weighted_hash_sample(
         .limit(k)
         .drop("__aes_key")
     )
+
+
+def alpha_rebalance(
+    df: DataFrame,
+    id_col: str,
+    group_col: str,
+    total: int,
+    alpha: float = 0.3,
+    salt: str = "alpha",
+) -> DataFrame:
+    """Temperature-based group rebalancing (the multilingual-pretraining
+    alpha-sampling of XLM-R / mT5): target share of group g ∝ p_g^alpha
+    where p_g is its corpus share, so low-resource groups are upsampled
+    relative to their raw frequency (alpha < 1 flattens, 1 keeps, 0
+    equalizes). Selection within each group is the deterministic md5
+    order (salted id hash, id tie-break), capped at the group's
+    available rows — exact-k per group, reproducible across engines.
+
+    → the selected rows of `df` plus (n_avail, target_n) bookkeeping.
+
+    Scale shape: the share table is |groups| rows built from one count
+    shuffle and broadcast back; the exact-k rank is a window PARTITIONED
+    BY group — fine while per-group rows fit a partition spill
+    (languages: dozens of groups over the whole corpus — this is the
+    documented skew point). For corpora where a single group exceeds a
+    task's comfort, swap the rank for the hash-threshold variant
+    (deterministic_split-style u < target/avail), which trades exact-k
+    for a binomial-sized sample with zero skew."""
+    from pyspark.sql import Window
+
+    g = F.col(group_col)
+    counts = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("n_avail"))
+    tot = counts.agg(F.sum("n_avail").alias("n_total"))
+    shares = (
+        counts.crossJoin(F.broadcast(tot))
+        .withColumn("share", F.pow(F.col("n_avail") / F.col("n_total"), alpha))
+    )
+    z = shares.agg(F.sum("share").alias("z"))
+    targets = (
+        shares.crossJoin(F.broadcast(z))
+        .withColumn(
+            "target_n",
+            F.least(
+                F.col("n_avail"),
+                F.round(F.col("share") / F.col("z") * total).cast("bigint"),
+            ),
+        )
+        .select(group_col, "n_avail", "target_n")
+    )
+    u = md5_64(F.concat(F.lit(salt), F.col(id_col).cast("string")))
+    ranked = df.withColumn(
+        "__rn",
+        F.row_number().over(
+            Window.partitionBy(g).orderBy(u.asc(), F.col(id_col).asc())
+        ),
+    )
+    return (
+        ranked.join(F.broadcast(targets), group_col)
+        .filter(F.col("__rn") <= F.col("target_n"))
+        .drop("__rn")
+    )

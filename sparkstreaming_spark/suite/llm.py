@@ -2517,3 +2517,151 @@ QUERIES["doc_corpus_build"] = QuerySpec(
     ORACLE_CORPUS_BUILD,
     "end-to-end corpus build: Gopher gate -> exact dedup -> DSIR top-k -> accounting",
 )
+
+
+def q_lang_alpha_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Alpha-sampling language rebalance (operators/sampling.py::
+    alpha_rebalance — the XLM-R/mT5 temperature trick, alpha=0.3,
+    budget 300): per lang the oracle must agree on corpus shares, the
+    p^alpha renormalized targets, the exact md5-ordered member set
+    (pinned by sum(doc_id)), and the upsampling effect — low-resource
+    langs keep a larger fraction of their docs than 'en' does."""
+    from ..operators.sampling import alpha_rebalance
+
+    d = read_table(spark, sf_dir, "documents")
+    sel = alpha_rebalance(d, "doc_id", "lang", total=300, alpha=0.3)
+    return sel.groupBy("lang").agg(
+        F.max("n_avail").alias("n_avail"),
+        F.max("target_n").alias("target_n"),
+        F.count(F.lit(1)).alias("n_selected"),
+        F.sum("doc_id").alias("sel_id_sum"),
+    )
+
+
+ORACLE_LANG_ALPHA_SAMPLE = rf"""
+WITH counts AS (
+  SELECT lang, count(*) AS n_avail FROM documents GROUP BY lang
+),
+tot AS (SELECT sum(n_avail) AS n_total FROM counts),
+shares AS (
+  SELECT lang, n_avail, power(n_avail * 1.0 / n_total, 0.3) AS share
+  FROM counts, tot
+),
+z AS (SELECT sum(share) AS z FROM shares),
+targets AS (
+  SELECT lang, n_avail,
+         least(n_avail,
+               CAST(round(share / z * 300) AS BIGINT)) AS target_n
+  FROM shares, z
+),
+ranked AS (
+  SELECT doc_id, lang,
+         row_number() OVER (
+           PARTITION BY lang
+           ORDER BY {_sql_md5_64("'alpha' || CAST(doc_id AS VARCHAR)")},
+                    doc_id) AS rn
+  FROM documents
+)
+SELECT r.lang, CAST(max(t.n_avail) AS BIGINT) AS n_avail,
+       max(t.target_n) AS target_n,
+       count(*) AS n_selected,
+       CAST(sum(r.doc_id) AS BIGINT) AS sel_id_sum
+FROM ranked r JOIN targets t USING (lang)
+WHERE r.rn <= t.target_n
+GROUP BY r.lang
+"""
+
+
+QUERIES["doc_lang_alpha_sample"] = QuerySpec(
+    q_lang_alpha_sample,
+    ORACLE_LANG_ALPHA_SAMPLE,
+    "alpha-sampling language rebalance (p^0.3 targets, exact md5-ordered members)",
+)
+
+
+def q_fineweb_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FineWeb's three added heuristics (textstats/rules.py::
+    fineweb_line_rules) on deterministic multi-line pages built from
+    the real doc columns — duplicate and short lines are injected by
+    doc_id residue so every rule fires with doc-varying outcomes; the
+    oracle rebuilds the identical page and restates the nested
+    duplicate-line scan with list comprehensions."""
+    from ..textstats.rules import fineweb_line_rules
+
+    d = read_table(spark, sf_dir, "documents")
+    dup_or_unique = F.when(
+        F.col("doc_id") % 3 == 0,
+        F.concat(F.substring("text", 1, 40), F.lit(".")),
+    ).otherwise(F.concat(F.substring("text", 45, 40), F.lit(".")))
+    short_or_long = F.when(F.col("doc_id") % 4 == 0, F.lit("short")).otherwise(
+        F.concat(F.substring("text", 90, 50), F.lit("?"))
+    )
+    page = F.concat_ws(
+        "\n",
+        F.concat(F.substring("text", 1, 40), F.lit(".")),
+        dup_or_unique,
+        short_or_long,
+        F.col("source"),
+        F.concat(F.substring("text", 141, 60), F.lit("!")),
+    )
+    staged = d.select("doc_id", page.alias("page"))
+    return fineweb_line_rules(staged, "doc_id", "page").withColumnRenamed(
+        "id", "doc_id"
+    )
+
+
+ORACLE_FINEWEB_RULES = r"""
+WITH staged AS (
+  SELECT doc_id,
+         concat_ws(chr(10),
+           substr(text, 1, 40) || '.',
+           CASE WHEN doc_id % 3 = 0 THEN substr(text, 1, 40) || '.'
+                ELSE substr(text, 45, 40) || '.' END,
+           CASE WHEN doc_id % 4 = 0 THEN 'short'
+                ELSE substr(text, 90, 50) || '?' END,
+           source,
+           substr(text, 141, 60) || '!') AS page
+  FROM documents
+),
+l AS (
+  SELECT doc_id, string_split(page, chr(10)) AS lines FROM staged
+),
+m AS (
+  SELECT doc_id, len(lines) AS n_lines,
+         len(list_filter(lines,
+             l -> regexp_matches(rtrim(l), '[.!?"'']$'))) AS punct_ends,
+         len(list_filter(lines, l -> length(l) < 30)) AS short_lines,
+         coalesce(list_sum(list_transform(lines, l -> length(l))), 0)
+           AS total_chars,
+         coalesce(list_sum(list_transform(
+             list_filter(lines,
+               l -> len(list_filter(lines, x -> x = l)) > 1),
+             l -> length(l))), 0) AS dup_chars
+  FROM l
+),
+r AS (
+  SELECT doc_id, CAST(n_lines AS BIGINT) AS n_lines,
+         round(punct_ends * 1.0 / greatest(n_lines, 1), 6)
+           AS punct_end_ratio,
+         round(CASE WHEN total_chars > 0
+               THEN dup_chars * 1.0 / total_chars ELSE 0.0 END, 6)
+           AS dup_char_ratio,
+         round(short_lines * 1.0 / greatest(n_lines, 1), 6)
+           AS short_line_ratio
+  FROM m
+)
+SELECT doc_id, n_lines, punct_end_ratio, dup_char_ratio, short_line_ratio,
+       (punct_end_ratio >= 0.12) AS ok_punct_end,
+       (dup_char_ratio <= 0.10) AS ok_dup_chars,
+       (short_line_ratio <= 0.67) AS ok_short_lines,
+       (punct_end_ratio >= 0.12 AND dup_char_ratio <= 0.10
+        AND short_line_ratio <= 0.67) AS fineweb_ok
+FROM r
+"""
+
+
+QUERIES["doc_fineweb_rules"] = QuerySpec(
+    q_fineweb_rules,
+    ORACLE_FINEWEB_RULES,
+    "FineWeb line heuristics (punct-end, duplicated-chars, short-line ratios)",
+)

@@ -1,9 +1,10 @@
 """Published rule-set quality filters: Gopher rules (Rae et al. 2021,
-"Scaling Language Models: ... Gopher", §A1.1 quality heuristics) and
-C4 line-level cleaning (Raffel et al. 2020, §2.2). These are the two
-most-replicated heuristic filters in LLM pretraining pipelines; the
-engine exposes both as named operators with their canonical thresholds
-so a curation run can state "Gopher-filtered" and mean it.
+"Scaling Language Models: ... Gopher", §A1.1 quality heuristics), C4
+line-level cleaning (Raffel et al. 2020, §2.2), and FineWeb's three
+added heuristics (Penedo et al. 2024). These are the most-replicated
+heuristic filters in LLM pretraining pipelines; the engine exposes each
+as a named operator with its canonical thresholds so a curation run can
+state "Gopher-filtered" and mean it.
 
 Scale shape — the whole point of the implementation: every rule is an
 IN-ROW expression (split / filter / aggregate higher-order functions,
@@ -166,4 +167,84 @@ def c4_line_filter(
         F.size(kept).cast("bigint").alias("n_kept"),
         F.length(F.array_join(kept, "\n")).cast("bigint").alias("cleaned_len"),
         F.array_join(kept, "\n").alias("cleaned"),
+    )
+
+
+def fineweb_line_rules(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    min_punct_end_ratio: float = 0.12,
+    max_dup_char_ratio: float = 0.10,
+    max_short_line_ratio: float = 0.67,
+    short_line_chars: int = 30,
+) -> DataFrame:
+    """FineWeb's three added line-level heuristics (Penedo et al. 2024,
+    on top of the C4/Gopher sets): drop documents whose lines rarely
+    end in punctuation, whose characters concentrate in duplicated
+    lines, or that are mostly short lines. → (id, n_lines,
+    punct_end_ratio, dup_char_ratio, short_line_ratio, rule booleans,
+    fineweb_ok).
+
+    In-row like the sibling filters (zero shuffle, zero Python). The
+    duplicated-line scan is a nested higher-order filter — O(L²) in the
+    LINE count of one document, which is bounded by page size, not
+    corpus size; ratios round to 6 dp before comparison for
+    cross-engine determinism."""
+    lines = F.split(F.col(text_col), "\n")
+    out = df.select(
+        F.col(id_col).alias("id"),
+        lines.alias("__lines"),
+    ).withColumns(
+        {
+            "n_lines": F.size("__lines").cast("bigint"),
+            "__punct_ends": F.size(
+                F.filter("__lines", lambda l: F.rtrim(l).rlike(r"[.!?\"']$"))
+            ),
+            "__short": F.size(
+                F.filter("__lines", lambda l: F.length(l) < short_line_chars)
+            ),
+            "__total_chars": F.aggregate(
+                "__lines", F.lit(0), lambda acc, l: acc + F.length(l)
+            ),
+        }
+    ).withColumn(
+        "__dup_chars",
+        F.aggregate(
+            F.expr(
+                "filter(__lines, l -> size(filter(__lines, x -> x = l)) > 1)"
+            ),
+            F.lit(0),
+            lambda acc, l: acc + F.length(l),
+        ),
+    ).withColumns(
+        {
+            "punct_end_ratio": F.round(
+                F.col("__punct_ends") / F.greatest("n_lines", F.lit(1)), 6
+            ),
+            "dup_char_ratio": F.round(
+                F.when(
+                    F.col("__total_chars") > 0,
+                    F.col("__dup_chars") / F.col("__total_chars"),
+                ).otherwise(F.lit(0.0)),
+                6,
+            ),
+            "short_line_ratio": F.round(
+                F.col("__short") / F.greatest("n_lines", F.lit(1)), 6
+            ),
+        }
+    ).withColumns(
+        {
+            "ok_punct_end": F.col("punct_end_ratio") >= min_punct_end_ratio,
+            "ok_dup_chars": F.col("dup_char_ratio") <= max_dup_char_ratio,
+            "ok_short_lines": F.col("short_line_ratio") <= max_short_line_ratio,
+        }
+    )
+    return out.withColumn(
+        "fineweb_ok",
+        F.col("ok_punct_end") & F.col("ok_dup_chars") & F.col("ok_short_lines"),
+    ).select(
+        "id", "n_lines", "punct_end_ratio", "dup_char_ratio",
+        "short_line_ratio", "ok_punct_end", "ok_dup_chars",
+        "ok_short_lines", "fineweb_ok",
     )

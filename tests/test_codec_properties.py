@@ -75,3 +75,46 @@ def test_mp3_walk_property(codes, sr_code):
     assert p["samplerate"] == sr
     assert p["duration_s"] == round(len(codes) * 1152 / sr, 6)
     assert p["cbr"] == (len(set(codes)) == 1)
+
+
+@settings(max_examples=60, deadline=None)
+@given(blob=st.binary(min_size=0, max_size=400))
+def test_media_probes_never_crash_on_garbage(blob):
+    """Fuzz hardening: on arbitrary bytes every probe either returns a
+    dict or raises the documented (ValueError, IndexError, struct.error)
+    family that the Spark dispatch catches — never anything else."""
+    import struct
+
+    from sparkstreaming_spark.multimodal.mediameta import (
+        h264_probe,
+        mp3_probe,
+        mp4_probe,
+        ogg_probe,
+        webp_probe,
+    )
+
+    for probe in (mp3_probe, ogg_probe, h264_probe, mp4_probe, webp_probe):
+        try:
+            out = probe(blob)
+            assert isinstance(out, dict)
+        except (ValueError, IndexError, struct.error):
+            pass
+
+
+@settings(max_examples=60, deadline=None)
+@given(blob=st.binary(min_size=0, max_size=400))
+def test_decoders_never_crash_on_garbage(blob):
+    import struct
+
+    from sparkstreaming_spark.multimodal.audio import decode_audio
+    from sparkstreaming_spark.multimodal.flac import decode_flac
+    from sparkstreaming_spark.multimodal.gif import decode_gif
+
+    import wave as _wave
+
+    for dec in (decode_flac, decode_gif, decode_audio):
+        try:
+            dec(blob)
+        except (ValueError, IndexError, struct.error, KeyError,
+                NotImplementedError, EOFError, _wave.Error):
+            pass

@@ -99,3 +99,40 @@ def test_rules_plans_have_no_shuffle_or_python(spark):
         plan = op._jdf.queryExecution().executedPlan().toString()
         assert "Exchange" not in plan
         assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_fineweb_rules_fire_independently(spark):
+    from sparkstreaming_spark.textstats.rules import fineweb_line_rules
+
+    long_line = "This line is comfortably longer than thirty characters overall."
+    pages = [
+        # clean: all long punct-ended unique lines
+        "\n".join(f"{long_line[:-1]} variant {i}." for i in range(10)),
+        # no punctuation endings
+        "\n".join(f"{long_line[:-1]} variant {i}" for i in range(10)),
+        # heavy duplication: same line 8 of 10 times
+        "\n".join([long_line] * 8 + [f"{long_line} unique one.",
+                                     f"{long_line} unique two."]),
+        # mostly short lines
+        "\n".join(["tiny."] * 9 + [long_line]),
+    ]
+    df = spark.createDataFrame(
+        pd.DataFrame({"id": range(len(pages)), "text": pages})
+    )
+    rows = {r["id"]: r.asDict() for r in
+            fineweb_line_rules(df, "id", "text").collect()}
+    assert rows[0]["fineweb_ok"] is True
+    assert rows[1]["ok_punct_end"] is False and rows[1]["fineweb_ok"] is False
+    assert rows[2]["ok_dup_chars"] is False and rows[2]["dup_char_ratio"] > 0.5
+    assert rows[3]["ok_short_lines"] is False
+    # the failing rules are independent: rows[2] still passes punct-end
+    assert rows[2]["ok_punct_end"] is True
+
+
+def test_fineweb_plan_no_shuffle(spark):
+    from sparkstreaming_spark.textstats.rules import fineweb_line_rules
+
+    df = spark.createDataFrame(pd.DataFrame({"id": [1], "text": ["x.\ny."]}))
+    plan = fineweb_line_rules(df, "id", "text")._jdf.queryExecution(
+    ).executedPlan().toString()
+    assert "Exchange" not in plan and "Python" not in plan
