@@ -230,6 +230,7 @@ MAGIC_PREFIXES: list[tuple[str, bytes]] = [
     ("image/x-portable-pixmap", b"P6"),
     ("audio/flac", b"fLaC"),
     ("audio/ogg", b"OggS"),
+    ("audio/mpeg", b"ID3"),  # ID3v2-tagged mp3
 ]
 
 
@@ -251,6 +252,12 @@ def sniff_mime(blob_col: str | Column) -> Column:
         F.hex(F.substring(c, 9, 4)) == b"WAVE".hex().upper()
     )
     out = F.when(riff, F.lit("audio/wav")).otherwise(out)
+    # ISO-BMFF: brand box at offset 4 ("....ftyp"), not a prefix
+    ftyp = F.hex(F.substring(c, 5, 4)) == b"ftyp".hex().upper()
+    out = F.when(ftyp, F.lit("video/mp4")).otherwise(out)
+    # raw mp3 frame sync: 11 set bits → first 3 hex chars FFE or FFF
+    sync = F.substring(F.hex(F.substring(c, 1, 2)), 1, 3).isin("FFE", "FFF")
+    out = F.when(sync, F.lit("audio/mpeg")).otherwise(out)
     for mime, magic in reversed(MAGIC_PREFIXES):
         out = F.when(prefix_is(magic), F.lit(mime)).otherwise(out)
     return out

@@ -1667,7 +1667,8 @@ QUERIES: dict[str, QuerySpec] = {
 def q_mime_sniff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Content-type dispatch (multimodal/blobs.py::sniff_mime): each doc
     is wrapped in a deterministic ASCII-safe container header by
-    doc_id % 8 (GIF87a/89a, BM, P6, RIFF-WAVE, fLaC, OggS, none)
+    doc_id % 10 (GIF87a/89a, BM, P6, RIFF-WAVE, fLaC, OggS, ID3,
+    offset-4 ftyp, none)
     and sniffed back from the MAGIC BYTES — counts per (source, mime).
     The oracle re-runs the same prefix decision on the string form
     (the corpus is ASCII so encode() is byte-identical), verifying the
@@ -1677,13 +1678,15 @@ def q_mime_sniff(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = read_table(spark, sf_dir, "documents")
     marker = (
-        F.when(F.col("doc_id") % 8 == 0, F.lit("GIF87a"))
-        .when(F.col("doc_id") % 8 == 1, F.lit("BM"))
-        .when(F.col("doc_id") % 8 == 2, F.lit("P6"))
-        .when(F.col("doc_id") % 8 == 3, F.lit("RIFF1234WAVE"))
-        .when(F.col("doc_id") % 8 == 4, F.lit("GIF89a"))
-        .when(F.col("doc_id") % 8 == 5, F.lit("fLaC"))
-        .when(F.col("doc_id") % 8 == 6, F.lit("OggS"))
+        F.when(F.col("doc_id") % 10 == 0, F.lit("GIF87a"))
+        .when(F.col("doc_id") % 10 == 1, F.lit("BM"))
+        .when(F.col("doc_id") % 10 == 2, F.lit("P6"))
+        .when(F.col("doc_id") % 10 == 3, F.lit("RIFF1234WAVE"))
+        .when(F.col("doc_id") % 10 == 4, F.lit("GIF89a"))
+        .when(F.col("doc_id") % 10 == 5, F.lit("fLaC"))
+        .when(F.col("doc_id") % 10 == 6, F.lit("OggS"))
+        .when(F.col("doc_id") % 10 == 7, F.lit("ID3"))
+        .when(F.col("doc_id") % 10 == 8, F.lit("xxxxftypisom"))
         .otherwise(F.lit(""))
     )
     blobbed = d.select(
@@ -1698,13 +1701,15 @@ def q_mime_sniff(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE_MIME_SNIFF = """
 WITH marked AS (
   SELECT source,
-         CASE WHEN doc_id % 8 = 0 THEN 'GIF87a'
-              WHEN doc_id % 8 = 1 THEN 'BM'
-              WHEN doc_id % 8 = 2 THEN 'P6'
-              WHEN doc_id % 8 = 3 THEN 'RIFF1234WAVE'
-              WHEN doc_id % 8 = 4 THEN 'GIF89a'
-              WHEN doc_id % 8 = 5 THEN 'fLaC'
-              WHEN doc_id % 8 = 6 THEN 'OggS'
+         CASE WHEN doc_id % 10 = 0 THEN 'GIF87a'
+              WHEN doc_id % 10 = 1 THEN 'BM'
+              WHEN doc_id % 10 = 2 THEN 'P6'
+              WHEN doc_id % 10 = 3 THEN 'RIFF1234WAVE'
+              WHEN doc_id % 10 = 4 THEN 'GIF89a'
+              WHEN doc_id % 10 = 5 THEN 'fLaC'
+              WHEN doc_id % 10 = 6 THEN 'OggS'
+              WHEN doc_id % 10 = 7 THEN 'ID3'
+              WHEN doc_id % 10 = 8 THEN 'xxxxftypisom'
               ELSE '' END || text AS content
   FROM documents
 )
@@ -1715,8 +1720,10 @@ SELECT source,
             WHEN content LIKE 'P6%' THEN 'image/x-portable-pixmap'
             WHEN content LIKE 'fLaC%' THEN 'audio/flac'
             WHEN content LIKE 'OggS%' THEN 'audio/ogg'
+            WHEN content LIKE 'ID3%' THEN 'audio/mpeg'
             WHEN content LIKE 'RIFF%' AND substring(content, 9, 4) = 'WAVE'
               THEN 'audio/wav'
+            WHEN substring(content, 5, 4) = 'ftyp' THEN 'video/mp4'
             ELSE 'application/octet-stream' END AS mime,
        count(*) AS cnt
 FROM marked GROUP BY 1, 2

@@ -254,3 +254,29 @@ def test_webp_bad_vp8_start_code():
     blob[-7] ^= 0xFF  # corrupt the 9d 01 2a start code
     with _pytest.raises(ValueError, match="start code"):
         webp_probe(bytes(blob))
+
+
+def test_sniff_mime_detects_media_magics(spark):
+    """The ingestion dispatcher recognizes the triage layer's formats,
+    including the non-prefix magics (offset-4 ftyp, mp3 sync bits)."""
+    import pandas as pd
+    from pyspark.sql import functions as F  # noqa: F401
+
+    from sparkstreaming_spark.multimodal.blobs import sniff_mime
+    from sparkstreaming_spark.multimodal.mediameta import build_mp4
+
+    rows = [
+        (1, build_mp3_stream([9] * 2)),        # raw sync FF Fx
+        (2, b"ID3\x04\x00\x00\x00\x00\x00\x00tag"),  # ID3v2 mp3
+        (3, build_mp4(64, 64, 1.0)),            # ....ftyp
+        (4, b"\xff\x00 not a sync"),            # sync needs 11 bits
+        (5, b"OggS junk"),
+        (6, b"fLaC junk"),
+    ]
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["id", "blob"]))
+    out = {r["id"]: r["m"]
+           for r in df.select("id", sniff_mime("blob").alias("m")).collect()}
+    assert out[1] == out[2] == "audio/mpeg"
+    assert out[3] == "video/mp4"
+    assert out[4] == "application/octet-stream"
+    assert out[5] == "audio/ogg" and out[6] == "audio/flac"
