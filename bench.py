@@ -247,6 +247,7 @@ HEADLINE = [
     "doc_corpus_build",
     "doc_lang_alpha_sample",
     "doc_fineweb_rules",
+    "doc_multimodal_ingest",
 ]
 
 

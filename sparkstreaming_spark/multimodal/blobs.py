@@ -231,6 +231,10 @@ MAGIC_PREFIXES: list[tuple[str, bytes]] = [
     ("audio/flac", b"fLaC"),
     ("audio/ogg", b"OggS"),
     ("audio/mpeg", b"ID3"),  # ID3v2-tagged mp3
+    # non-ASCII magics: the hex-prefix compare handles raw bytes fine;
+    # only the doc_mime_sniff ORACLE trick needs ASCII-safe markers
+    ("image/png", b"\x89PNG\r\n\x1a\n"),
+    ("image/jpeg", b"\xff\xd8\xff"),
 ]
 
 

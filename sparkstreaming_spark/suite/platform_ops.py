@@ -1147,3 +1147,190 @@ QUERIES["doc_media_meta_probe"] = QuerySpec(
     ORACLE_MEDIA_META,
     "mp3/Ogg/H.264 header-metadata triage vs generator formulas",
 )
+
+
+MM_INGEST_IDS = 150
+
+
+def q_multimodal_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END mixed-media ingest: per doc (doc_id < 150) synthesize
+    a blob whose FORMAT rotates with doc_id%6 (PCM WAV tone / FLAC /
+    GIF / PNG / MP4 / raw mp3 chain), then dispatch on the CONTENT —
+    `sniff_mime` (multimodal/blobs.py) is the router, so a magic-table
+    bug sends the blob to the wrong decoder and breaks the row — and
+    decode with the real codec for that family. Emitted per doc:
+    detected mime, unit count (samples / frames), exact integer
+    amplitude or pixel sums for the lossless paths, resolution, and
+    duration. The oracle states every column from the generator
+    formulas.
+
+    Spark shape: synth (Arrow pass) → codegen'd sniff projection →
+    decode (Arrow pass); zero shuffles, scales by input splits."""
+    import numpy as np
+    import pandas as pd
+
+    from ..multimodal.audio import decode_audio, encode_wav
+    from ..multimodal.blobs import sniff_mime
+    from ..multimodal.codecs import decode_png, encode_png
+    from ..multimodal.flac import encode_flac
+    from ..multimodal.gif import decode_gif_rgb, encode_gif
+    from ..multimodal.mediameta import (
+        build_mp3_stream,
+        build_mp4,
+        mp3_probe,
+        mp4_probe,
+    )
+
+    d = read_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") < MM_INGEST_IDS
+    ).select("doc_id")
+
+    def synth(batches):
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                kind = did % 6
+                if kind == 0:
+                    i = np.arange(400)
+                    x = ((did * 7 + i * 11) % 2001 - 1000).astype(np.int16)
+                    blob = encode_wav(x, 8000)
+                elif kind == 1:
+                    i = np.arange(500)
+                    x = ((did * 7 + i * 11) % 2001 - 1000).astype(np.int16)
+                    blob = encode_flac(x, 16000)
+                elif kind == 2:
+                    nc = 4 + did % 9
+                    h, w = 7 + did % 5, 9 + did % 6
+                    i = np.arange(h).reshape(-1, 1)
+                    j = np.arange(w).reshape(1, -1)
+                    idx = ((did + i + j) % nc).astype(np.uint8)
+                    k = np.arange(nc)
+                    pal = np.stack(
+                        [(k * 31 + did) % 256, k, k], axis=1
+                    ).astype(np.uint8)
+                    blob = encode_gif(idx, pal)
+                elif kind == 3:
+                    h, w = 5 + did % 4, 6 + did % 5
+                    i = np.arange(h).reshape(-1, 1)
+                    j = np.arange(w).reshape(1, -1)
+                    gray = ((did + 2 * i + 5 * j) % 256).astype(np.uint8)
+                    blob = encode_png(np.repeat(gray[:, :, None], 3, axis=2))
+                elif kind == 4:
+                    blob = build_mp4(
+                        320 + 16 * (did % 20), 180 + 16 * (did % 20),
+                        round((did % 100) / 4.0, 6),
+                    )
+                else:
+                    blob = build_mp3_stream([1 + did % 14] * (4 + did % 5))
+                rows.append({"doc_id": did, "blob": blob})
+            yield pd.DataFrame(rows)
+
+    blobs = d.mapInPandas(synth, "doc_id bigint, blob binary").withColumn(
+        "mime", sniff_mime("blob")
+    )
+
+    def ingest(batches):
+        for pdf in batches:
+            rows = []
+            for did, blob, mime in zip(pdf["doc_id"], pdf["blob"], pdf["mime"]):
+                did, raw = int(did), bytes(blob)
+                row = {"doc_id": did, "mime": mime, "n_units": 0,
+                       "amp_sum": 0, "width": 0, "height": 0,
+                       "px_sum": 0, "duration_s": 0.0}
+                if mime in ("audio/wav", "audio/flac"):
+                    samples, rate = decode_audio(raw)
+                    row["n_units"] = len(samples)
+                    row["amp_sum"] = int(round(float(samples.sum()) * 32768))
+                    row["duration_s"] = round(len(samples) / rate, 6)
+                elif mime == "image/gif":
+                    rgb = decode_gif_rgb(raw).astype(np.int64)
+                    row["height"], row["width"] = rgb.shape[0], rgb.shape[1]
+                    row["n_units"] = 1
+                    row["px_sum"] = int(rgb[:, :, 0].sum())
+                elif mime == "image/png":
+                    arr = decode_png(raw).astype(np.int64)
+                    row["height"], row["width"] = arr.shape[0], arr.shape[1]
+                    row["n_units"] = 1
+                    row["px_sum"] = int(arr[:, :, 0].sum())
+                elif mime == "video/mp4":
+                    p = mp4_probe(raw)
+                    row["n_units"] = p["n_tracks"]
+                    row["width"], row["height"] = p["width"], p["height"]
+                    row["duration_s"] = p["duration_s"]
+                elif mime == "audio/mpeg":
+                    p = mp3_probe(raw)
+                    row["n_units"] = p["n_frames"]
+                    row["duration_s"] = p["duration_s"]
+                rows.append(row)
+            yield pd.DataFrame(rows)
+
+    return blobs.mapInPandas(
+        ingest,
+        "doc_id bigint, mime string, n_units bigint, amp_sum bigint,"
+        " width int, height int, px_sum bigint, duration_s double",
+    )
+
+
+ORACLE_MULTIMODAL_INGEST = f"""
+WITH d AS (
+  SELECT doc_id, doc_id % 6 AS kind FROM documents
+  WHERE doc_id < {MM_INGEST_IDS}
+),
+audio AS (
+  SELECT d.doc_id,
+         CAST(sum((d.doc_id * 7 + i.i * 11) % 2001 - 1000) AS BIGINT) AS s
+  FROM d JOIN generate_series(0, 499) AS i(i)
+    ON i.i < CASE d.kind WHEN 0 THEN 400 ELSE 500 END
+  WHERE d.kind IN (0, 1) GROUP BY d.doc_id
+),
+gifpx AS (
+  SELECT d.doc_id,
+         CAST(sum((((d.doc_id + i.i + j.j) % (4 + d.doc_id % 9)) * 31
+                   + d.doc_id) % 256) AS BIGINT) AS s
+  FROM d
+  JOIN generate_series(0, 11) AS i(i) ON i.i < 7 + d.doc_id % 5
+  JOIN generate_series(0, 14) AS j(j) ON j.j < 9 + d.doc_id % 6
+  WHERE d.kind = 2 GROUP BY d.doc_id
+),
+pngpx AS (
+  SELECT d.doc_id,
+         CAST(sum((d.doc_id + 2 * i.i + 5 * j.j) % 256) AS BIGINT) AS s
+  FROM d
+  JOIN generate_series(0, 8) AS i(i) ON i.i < 5 + d.doc_id % 4
+  JOIN generate_series(0, 10) AS j(j) ON j.j < 6 + d.doc_id % 5
+  WHERE d.kind = 3 GROUP BY d.doc_id
+)
+SELECT d.doc_id,
+       CASE d.kind WHEN 0 THEN 'audio/wav' WHEN 1 THEN 'audio/flac'
+            WHEN 2 THEN 'image/gif' WHEN 3 THEN 'image/png'
+            WHEN 4 THEN 'video/mp4' ELSE 'audio/mpeg' END AS mime,
+       CAST(CASE d.kind WHEN 0 THEN 400 WHEN 1 THEN 500
+            WHEN 4 THEN 1 WHEN 5 THEN 4 + d.doc_id % 5
+            ELSE 1 END AS BIGINT) AS n_units,
+       coalesce(a.s, 0) AS amp_sum,
+       CAST(CASE d.kind WHEN 2 THEN 9 + d.doc_id % 6
+            WHEN 3 THEN 6 + d.doc_id % 5
+            WHEN 4 THEN 320 + 16 * (d.doc_id % 20) ELSE 0 END AS INT)
+         AS width,
+       CAST(CASE d.kind WHEN 2 THEN 7 + d.doc_id % 5
+            WHEN 3 THEN 5 + d.doc_id % 4
+            WHEN 4 THEN 180 + 16 * (d.doc_id % 20) ELSE 0 END AS INT)
+         AS height,
+       coalesce(g.s, p.s, 0) AS px_sum,
+       CASE d.kind WHEN 0 THEN 0.05 WHEN 1 THEN 0.03125
+            WHEN 4 THEN round((d.doc_id % 100) / 4.0, 6)
+            WHEN 5 THEN round((4 + d.doc_id % 5) * 1152 / 44100.0, 6)
+            ELSE 0.0 END AS duration_s
+FROM d
+LEFT JOIN audio a USING (doc_id)
+LEFT JOIN gifpx g USING (doc_id)
+LEFT JOIN pngpx p USING (doc_id)
+"""
+
+
+QUERIES["doc_multimodal_ingest"] = QuerySpec(
+    q_multimodal_ingest,
+    ORACLE_MULTIMODAL_INGEST,
+    "mixed-media ingest: sniff-routed decode across 6 formats vs generator formulas",
+)
