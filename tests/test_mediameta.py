@@ -272,6 +272,8 @@ def test_sniff_mime_detects_media_magics(spark):
         (4, b"\xff\x00 not a sync"),            # sync needs 11 bits
         (5, b"OggS junk"),
         (6, b"fLaC junk"),
+        (7, b"\x89PNG\r\n\x1a\n rest"),
+        (8, b"\xff\xd8\xff\xe0jfif"),
     ]
     df = spark.createDataFrame(pd.DataFrame(rows, columns=["id", "blob"]))
     out = {r["id"]: r["m"]
@@ -280,3 +282,4 @@ def test_sniff_mime_detects_media_magics(spark):
     assert out[3] == "video/mp4"
     assert out[4] == "application/octet-stream"
     assert out[5] == "audio/ogg" and out[6] == "audio/flac"
+    assert out[7] == "image/png" and out[8] == "image/jpeg"
