@@ -3,8 +3,11 @@ from .minhash import candidate_pairs, lsh_bands, minhash_near_dup_pairs, minhash
 from .ngram import ngram_jaccard_pairs
 from .simhash import simhash_fingerprints, simhash_near_dup_pairs
 from .embedding import embedding_near_dup_pairs
+from .substr import substr_dedup_stats, substr_dup_spans
 
 __all__ = [
+    "substr_dedup_stats",
+    "substr_dup_spans",
     "candidate_pairs",
     "embedding_near_dup_pairs",
     "exact_dedup",

@@ -157,12 +157,15 @@ def build_mp3_stream(bitrate_codes: list[int], sr_code: int = 0,
 
 def ogg_probe(data: bytes) -> dict:
     """Walk OggS pages → {n_pages, serial, last_granule, duration_s,
-    eos_seen, codec, channels, pre_skip}. Opus granule positions are
-    48 kHz sample counts, so duration = last_granule / 48000 (pre-skip
-    reported, not subtracted — triage, not playback). The first page's
+    rate, eos_seen, codec, channels, pre_skip}. Opus granule positions
+    are 48 kHz sample counts by spec (RFC 7845 §4) so duration =
+    last_granule / 48000 (pre-skip reported, not subtracted — triage,
+    not playback); Vorbis granules are in the stream's NATIVE sample
+    rate, read from the ident packet (u32le at offset 12), so a
+    44.1 kHz Vorbis file divides by 44100. The first page's
     identification header is sniffed for OpusHead (RFC 7845 §5.1:
     channels u8 + pre-skip u16le) or the Vorbis ident packet
-    (\x01vorbis: channels u8 at 11)."""
+    (\x01vorbis: channels u8 at 11, rate u32le at 12)."""
     off = 0
     n_pages = 0
     serial = None
@@ -171,6 +174,7 @@ def ogg_probe(data: bytes) -> dict:
     codec = "unknown"
     channels = 0
     pre_skip = 0
+    rate = 48000  # Opus granules are 48 kHz by spec; Vorbis overrides below
     while off + 27 <= len(data):
         if data[off : off + 4] != b"OggS":
             off += 1
@@ -193,9 +197,13 @@ def ogg_probe(data: bytes) -> dict:
                 codec = "opus"
                 channels = pkt[9]
                 pre_skip = struct.unpack("<H", pkt[10:12])[0]
-            elif pkt[:7] == b"\x01vorbis" and len(pkt) >= 12:
+            elif pkt[:7] == b"\x01vorbis" and len(pkt) >= 16:
                 codec = "vorbis"
                 channels = pkt[11]
+                # Vorbis I ident header: sample rate u32le at offset 12.
+                # Vorbis granules count samples at the STREAM's native
+                # rate, unlike Opus whose granules are always 48 kHz.
+                rate = struct.unpack("<I", pkt[12:16])[0] or rate
         if granule >= 0:
             last_granule = max(last_granule, granule)
         if htype & 0x04:
@@ -206,7 +214,8 @@ def ogg_probe(data: bytes) -> dict:
         "n_pages": n_pages,
         "serial": serial if serial is not None else 0,
         "last_granule": last_granule,
-        "duration_s": round(last_granule / 48000.0, 6),
+        "duration_s": round(last_granule / float(rate), 6),
+        "rate": rate,
         "eos_seen": eos,
         "codec": codec,
         "channels": channels,
@@ -216,16 +225,26 @@ def ogg_probe(data: bytes) -> dict:
 
 def build_ogg_stream(serial: int, granules: list[int],
                      body_sizes: list[int] | None = None,
-                     opus_head: tuple[int, int] | None = None) -> bytes:
+                     opus_head: tuple[int, int] | None = None,
+                     vorbis_ident: tuple[int, int] | None = None) -> bytes:
     """Synthesize an Ogg page chain (zero-byte CRC — the probe does not
     verify checksums, it walks structure). `opus_head=(channels,
-    pre_skip)` makes the first page a conformant OpusHead ident packet."""
+    pre_skip)` makes the first page a conformant OpusHead ident packet;
+    `vorbis_ident=(channels, rate)` makes it a Vorbis I identification
+    header (version u32, channels u8, rate u32le) instead."""
     body_sizes = list(body_sizes or [100] * len(granules))
     bodies: list[bytes] = [b"\x00" * bs for bs in body_sizes]
     if opus_head is not None:
         ch, skip = opus_head
         pkt = (b"OpusHead" + bytes([1, ch]) + struct.pack("<H", skip)
                + struct.pack("<I", 48000) + struct.pack("<h", 0) + bytes([0]))
+        bodies[0] = pkt
+        body_sizes[0] = len(pkt)
+    elif vorbis_ident is not None:
+        ch, sr = vorbis_ident
+        pkt = (b"\x01vorbis" + struct.pack("<I", 0) + bytes([ch])
+               + struct.pack("<I", sr) + struct.pack("<iii", -1, -1, -1)
+               + bytes([0xB8, 0x01]))
         bodies[0] = pkt
         body_sizes[0] = len(pkt)
     out = bytearray()
@@ -322,16 +341,20 @@ def _strip_emulation(rbsp: bytes) -> bytes:
 
 def parse_sps(rbsp: bytes) -> dict:
     """SPS RBSP → {profile_idc, level_idc, width, height} — the
-    resolution math per §7.4.2.1.1 including frame cropping."""
+    resolution math per §7.4.2.1.1 including frame cropping, with
+    CropUnitX/Y derived from chroma_format_idc (SubWidthC/SubHeightC)
+    and frame_mbs_only_flag rather than hardcoded 4:2:0-progressive."""
     r = _ExpGolombReader(_strip_emulation(rbsp))
     profile = r.bits(8)
     r.bits(8)  # constraint flags + reserved
     level = r.bits(8)
     r.ue()  # seq_parameter_set_id
+    chroma = 1  # 4:2:0 implied for non-High profiles (§7.4.2.1.1)
+    separate_planes = False
     if profile in (100, 110, 122, 244, 44, 83, 86, 118, 128):
         chroma = r.ue()
         if chroma == 3:
-            r.bit()
+            separate_planes = bool(r.bit())
         r.ue()  # bit_depth_luma_minus8
         r.ue()  # bit_depth_chroma_minus8
         r.bit()  # qpprime flag
@@ -358,8 +381,19 @@ def parse_sps(rbsp: bytes) -> dict:
     crop = (0, 0, 0, 0)
     if r.bit():
         crop = (r.ue(), r.ue(), r.ue(), r.ue())
-    width = w_mbs * 16 - 2 * (crop[0] + crop[1])
-    height = (2 - frame_mbs_only) * h_units * 16 - 2 * (crop[2] + crop[3])
+    # §7.4.2.1.1: ChromaArrayType 0 (mono / separate colour planes) →
+    # CropUnitX=1, CropUnitY=2-frame_mbs_only; else CropUnitX=SubWidthC,
+    # CropUnitY=SubHeightC*(2-frame_mbs_only). SubWxH: 4:2:0→2x2,
+    # 4:2:2→2x1, 4:4:4→1x1.
+    if chroma == 0 or separate_planes:
+        crop_ux, crop_uy = 1, 2 - frame_mbs_only
+    else:
+        sub_w = 2 if chroma in (1, 2) else 1
+        sub_h = 2 if chroma == 1 else 1
+        crop_ux = sub_w
+        crop_uy = sub_h * (2 - frame_mbs_only)
+    width = w_mbs * 16 - crop_ux * (crop[0] + crop[1])
+    height = (2 - frame_mbs_only) * h_units * 16 - crop_uy * (crop[2] + crop[3])
     return {
         "profile_idc": profile,
         "level_idc": level,
@@ -472,7 +506,8 @@ def media_meta_probe(df, id_col: str, blob_col: str, kind_col: str):
                         rows.append({"id": i, "kind": kind, "ok": True,
                                      "n_units": p["n_pages"],
                                      "duration_s": p["duration_s"],
-                                     "rate": 48000, "width": 0, "height": 0})
+                                     "rate": p["rate"],
+                                     "width": 0, "height": 0})
                     elif kind == "h264":
                         p = h264_probe(raw)
                         rows.append({"id": i, "kind": kind, "ok": True,
@@ -497,7 +532,8 @@ def media_meta_probe(df, id_col: str, blob_col: str, kind_col: str):
                         rows.append({"id": i, "kind": kind, "ok": False,
                                      "n_units": 0, "duration_s": 0.0,
                                      "rate": 0, "width": 0, "height": 0})
-                except (ValueError, IndexError, struct.error):
+                except (ValueError, IndexError, struct.error,
+                        NotImplementedError):
                     rows.append({"id": i, "kind": kind, "ok": False,
                                  "n_units": 0, "duration_s": 0.0,
                                  "rate": 0, "width": 0, "height": 0})

@@ -152,18 +152,33 @@ def alpha_rebalance(
     g = F.col(group_col)
     counts = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("n_avail"))
     tot = counts.agg(F.sum("n_avail").alias("n_total"))
+    # Cross-engine determinism: quantize p^alpha to integer pico-shares
+    # BEFORE summing, so the normalizer z is an order-independent bigint
+    # sum (float partial-sum ordering across engines/partitions cannot
+    # flip a .5 rounding boundary), then compute the half-up-rounded
+    # target entirely in integer arithmetic:
+    #   round(share_q*total/z) = (2*share_q*total + z) div (2*z).
+    # 2*share_q*total <= 2e12*total, so budgets up to ~4.6e6 stay inside
+    # int64 — far beyond any per-call sample budget.
     shares = (
         counts.crossJoin(F.broadcast(tot))
-        .withColumn("share", F.pow(F.col("n_avail") / F.col("n_total"), alpha))
+        .withColumn(
+            "share_q",
+            F.round(
+                F.pow(F.col("n_avail") / F.col("n_total"), alpha) * F.lit(1e12)
+            ).cast("bigint"),
+        )
     )
-    z = shares.agg(F.sum("share").alias("z"))
+    z = shares.agg(F.sum("share_q").alias("z"))
     targets = (
         shares.crossJoin(F.broadcast(z))
         .withColumn(
             "target_n",
             F.least(
                 F.col("n_avail"),
-                F.round(F.col("share") / F.col("z") * total).cast("bigint"),
+                F.expr(
+                    f"(2L * share_q * {int(total)}L + z) div (2L * z)"
+                ),
             ),
         )
         .select(group_col, "n_avail", "target_n")

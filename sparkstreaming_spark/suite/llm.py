@@ -2551,14 +2551,17 @@ WITH counts AS (
 ),
 tot AS (SELECT sum(n_avail) AS n_total FROM counts),
 shares AS (
-  SELECT lang, n_avail, power(n_avail * 1.0 / n_total, 0.3) AS share
+  SELECT lang, n_avail,
+         CAST(round(power(n_avail * 1.0 / n_total, 0.3) * 1e12)
+              AS BIGINT) AS share_q
   FROM counts, tot
 ),
-z AS (SELECT sum(share) AS z FROM shares),
+z AS (SELECT CAST(sum(share_q) AS BIGINT) AS z FROM shares),
 targets AS (
   SELECT lang, n_avail,
          least(n_avail,
-               CAST(round(share / z * 300) AS BIGINT)) AS target_n
+               CAST((2 * share_q * 300 + z) // (2 * z) AS BIGINT))
+           AS target_n
   FROM shares, z
 ),
 ranked AS (
@@ -2671,4 +2674,100 @@ QUERIES["doc_fineweb_rules"] = QuerySpec(
     q_fineweb_rules,
     ORACLE_FINEWEB_RULES,
     "FineWeb line heuristics (punct-end, duplicated-chars, short-line ratios)",
+)
+
+
+def q_substr_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ExactSubstr duplicated-run spans (dedup/substr.py::substr_dup_spans,
+    k=8): every maximal merged token interval covered by a >=8-token run
+    that appears at least twice anywhere in the corpus. The oracle
+    rebuilds the identical positional-shingle -> occurrence-count ->
+    gaps-and-islands pipeline in SQL, so a position/merge off-by-one
+    flips the hash."""
+    from ..dedup.substr import substr_dup_spans
+
+    d = read_table(spark, sf_dir, "documents")
+    return substr_dup_spans(d, "doc_id", "text", k=8)
+
+
+# positional k=8 shingles: start s is 1-based in generate_series, pos = s-1
+SQL_SUBSTR_SPANS_CTE = rf"""
+WITH t AS (SELECT doc_id, {SQL_TOKS} AS toks FROM documents),
+sh AS (
+  SELECT doc_id, s - 1 AS pos,
+         {_sql_md5_64("array_to_string(toks[s:s+7], ' ')")} AS h
+  FROM t, unnest(generate_series(1, len(toks) - 7)) AS u(s)
+  WHERE len(toks) >= 8
+),
+dup AS (SELECT h FROM sh GROUP BY h HAVING count(*) >= 2),
+spans AS (
+  SELECT sh.doc_id, sh.pos AS s, sh.pos + 7 AS e
+  FROM sh JOIN dup USING (h)
+),
+flagged AS (
+  SELECT doc_id, s, e,
+         CASE WHEN s > coalesce(max(e) OVER (
+                  PARTITION BY doc_id ORDER BY s
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                -2) + 1
+              THEN 1 ELSE 0 END AS new_island
+  FROM spans
+),
+islands AS (
+  SELECT doc_id, s, e,
+         sum(new_island) OVER (
+           PARTITION BY doc_id ORDER BY s
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+  FROM flagged
+),
+merged AS (
+  SELECT doc_id, CAST(min(s) AS BIGINT) AS span_start,
+         CAST(max(e) AS BIGINT) AS span_end
+  FROM islands GROUP BY doc_id, island
+)
+"""
+
+ORACLE_SUBSTR_SPANS = SQL_SUBSTR_SPANS_CTE + """
+SELECT doc_id, span_start, span_end FROM merged
+"""
+
+
+QUERIES["doc_substr_spans"] = QuerySpec(
+    q_substr_spans,
+    ORACLE_SUBSTR_SPANS,
+    "ExactSubstr duplicated >=8-token runs as merged per-doc token spans",
+)
+
+
+def q_substr_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ExactSubstr removable-span ledger (dedup/substr.py::
+    substr_dedup_stats, k=8): per document the token count, number of
+    merged duplicated spans, removable token total and fraction — docs
+    with no duplicated run appear with zeros (full-corpus left join)."""
+    from ..dedup.substr import substr_dedup_stats
+
+    d = read_table(spark, sf_dir, "documents")
+    return substr_dedup_stats(d, "doc_id", "text", k=8)
+
+
+ORACLE_SUBSTR_DEDUP = SQL_SUBSTR_SPANS_CTE + rf""",
+per_doc AS (
+  SELECT doc_id, count(*) AS n_spans,
+         sum(span_end - span_start + 1) AS dup_tokens
+  FROM merged GROUP BY doc_id
+),
+base AS (SELECT doc_id, len({SQL_TOKS}) AS n_tokens FROM documents)
+SELECT b.doc_id, CAST(b.n_tokens AS BIGINT) AS n_tokens,
+       CAST(coalesce(p.n_spans, 0) AS BIGINT) AS n_spans,
+       CAST(coalesce(p.dup_tokens, 0) AS BIGINT) AS dup_tokens,
+       round(coalesce(p.dup_tokens, 0) * 1.0
+             / greatest(b.n_tokens, 1), 6) AS dup_frac
+FROM base b LEFT JOIN per_doc p USING (doc_id)
+"""
+
+
+QUERIES["doc_substr_dedup"] = QuerySpec(
+    q_substr_dedup,
+    ORACLE_SUBSTR_DEDUP,
+    "ExactSubstr per-doc removable-token accounting (n_spans, dup_tokens, dup_frac)",
 )

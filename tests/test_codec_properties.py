@@ -81,8 +81,11 @@ def test_mp3_walk_property(codes, sr_code):
 @given(blob=st.binary(min_size=0, max_size=400))
 def test_media_probes_never_crash_on_garbage(blob):
     """Fuzz hardening: on arbitrary bytes every probe either returns a
-    dict or raises the documented (ValueError, IndexError, struct.error)
-    family that the Spark dispatch catches — never anything else."""
+    dict or raises the documented (ValueError, IndexError, struct.error,
+    NotImplementedError) family that the Spark dispatch catches — never
+    anything else. NotImplementedError is in the family because
+    parse_sps raises it for scaling-matrix SPS, which must degrade to
+    ok=false rather than failing the whole Arrow batch."""
     import struct
 
     from sparkstreaming_spark.multimodal.mediameta import (
@@ -97,7 +100,7 @@ def test_media_probes_never_crash_on_garbage(blob):
         try:
             out = probe(blob)
             assert isinstance(out, dict)
-        except (ValueError, IndexError, struct.error):
+        except (ValueError, IndexError, struct.error, NotImplementedError):
             pass
 
 

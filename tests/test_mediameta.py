@@ -82,6 +82,7 @@ def test_ogg_page_walk():
         "serial": 777,
         "last_granule": 96000,
         "duration_s": 2.0,
+        "rate": 48000,
         "eos_seen": True,
         "codec": "unknown",
         "channels": 0,
@@ -165,6 +166,76 @@ def test_emulation_prevention_roundtrip():
         assert info["width"] == w, w
 
 
+def test_ogg_vorbis_native_rate():
+    # Vorbis granules are native-rate samples (unlike Opus's fixed
+    # 48 kHz): 44100 granules of 44.1 kHz Vorbis = exactly 1 second.
+    p = ogg_probe(build_ogg_stream(3, [44100, 88200], vorbis_ident=(2, 44100)))
+    assert p["codec"] == "vorbis" and p["rate"] == 44100
+    assert p["duration_s"] == 2.0
+
+
+def test_ogg_opus_rate_stays_48k():
+    p = ogg_probe(build_ogg_stream(7, [96000], opus_head=(2, 312)))
+    assert p["rate"] == 48000 and p["duration_s"] == 2.0
+
+
+def _sps_rbsp(profile, chroma, w_mbs, h_mbs, crops, scaling_matrix=False):
+    from sparkstreaming_spark.multimodal.mediameta import _ExpGolombWriter
+
+    w = _ExpGolombWriter()
+    w.bits(profile, 8)
+    w.bits(0, 8)
+    w.bits(30, 8)
+    w.ue(0)  # sps id
+    if profile in (100, 110, 122, 244, 44, 83, 86, 118, 128):
+        w.ue(chroma)
+        if chroma == 3:
+            w.bit(0)  # separate_colour_plane = 0
+        w.ue(0)  # bit_depth_luma_minus8
+        w.ue(0)  # bit_depth_chroma_minus8
+        w.bit(0)  # qpprime
+        w.bit(1 if scaling_matrix else 0)
+    w.ue(0)  # log2_max_frame_num_minus4
+    w.ue(2)  # poc type 2
+    w.ue(1)  # max_num_ref_frames
+    w.bit(0)  # gaps allowed
+    w.ue(w_mbs - 1)
+    w.ue(h_mbs - 1)
+    w.bit(1)  # frame_mbs_only
+    w.bit(1)  # direct_8x8
+    if any(crops):
+        w.bit(1)
+        for c in crops:
+            w.ue(c)
+    else:
+        w.bit(0)
+    w.bit(0)  # vui absent
+    return w.getvalue()
+
+
+def test_sps_444_crop_units_are_one():
+    # 4:4:4 → SubWidthC=SubHeightC=1 → crop offsets subtract 1:1, not 2:1
+    info = parse_sps(_sps_rbsp(100, 3, 80, 45, (0, 3, 0, 5)))
+    assert (info["width"], info["height"]) == (80 * 16 - 3, 45 * 16 - 5)
+
+
+def test_sps_422_crop_units():
+    # 4:2:2 → SubWidthC=2, SubHeightC=1 → CropUnitX=2, CropUnitY=1
+    info = parse_sps(_sps_rbsp(100, 2, 80, 45, (1, 2, 3, 4)))
+    assert (info["width"], info["height"]) == (80 * 16 - 2 * 3, 45 * 16 - 7)
+
+
+def test_sps_monochrome_crop_units():
+    # ChromaArrayType 0 → CropUnitX=1, CropUnitY=2-frame_mbs_only=1
+    info = parse_sps(_sps_rbsp(100, 0, 10, 10, (2, 2, 2, 2)))
+    assert (info["width"], info["height"]) == (160 - 4, 160 - 4)
+
+
+def test_sps_scaling_matrix_raises_not_implemented():
+    with pytest.raises(NotImplementedError):
+        parse_sps(_sps_rbsp(100, 1, 10, 10, (0, 0, 0, 0), scaling_matrix=True))
+
+
 # ------------------------------------------------------------ spark pass
 
 def test_media_meta_probe_spark(spark):
@@ -178,6 +249,13 @@ def test_media_meta_probe_spark(spark):
         (3, build_sps(1280, 720), "h264"),
         (4, b"not media", "mp3"),
         (5, b"???", "weird"),
+        # High-profile SPS with scaling matrices: parse raises
+        # NotImplementedError — must degrade to ok=false, not fail the batch
+        (6, b"\x00\x00\x00\x01\x67"
+            + _sps_rbsp(100, 1, 10, 10, (0, 0, 0, 0), scaling_matrix=True),
+         "h264"),
+        # Vorbis at its native 44.1 kHz: duration divides by 44100
+        (7, build_ogg_stream(8, [88200], vorbis_ident=(2, 44100)), "ogg"),
     ]
     df = spark.createDataFrame(pd.DataFrame(rows, columns=["id", "blob", "kind"]))
     out = {r["id"]: r.asDict() for r in media_meta_probe(df, "id", "blob", "kind").collect()}
@@ -186,6 +264,9 @@ def test_media_meta_probe_spark(spark):
     assert out[3]["width"] == 1280 and out[3]["height"] == 720
     assert out[4]["ok"] and out[4]["n_units"] == 0  # resync finds nothing
     assert out[5]["ok"] is False
+    assert out[6]["ok"] is False
+    assert out[7]["ok"] and out[7]["rate"] == 44100
+    assert out[7]["duration_s"] == 2.0
 
 
 # ---------------------------------------------------------------- mp4
