@@ -8,10 +8,17 @@ honest across all three.
 Scope:
 - encoder: GIF89a, single image, global color table (2..256 entries),
   variable-width LSB-first LZW with CLEAR/EOI and dictionary reset at
-  4096 codes, non-interlaced.
+  4096 codes, non-interlaced; `encode_gif_animation` adds multi-frame
+  streams (per-frame Graphic Control Extensions with disposal method,
+  centisecond delay and transparent index; sub-rectangle frames at
+  offsets; NETSCAPE2.0 loop extension).
 - decoder: GIF87a/89a, global and local color tables, interlaced and
   non-interlaced images, extension blocks skipped per spec, deferred
-  CLEAR handling, first image frame returned as RGB.
+  CLEAR handling, first image frame returned as RGB;
+  `decode_gif_frames` iterates EVERY frame and composes the animation
+  canvas per the GIF89a disposal model (1/none: leave; 2: restore the
+  frame rect to the background color; 3: restore to the previous
+  canvas) honoring per-frame transparency.
 
 Reference parity: the reference repo has no image path (three Spark
 jobs over CSV); this is north-star multimodal extension work. Spark
@@ -233,3 +240,200 @@ def decode_gif_rgb(data: bytes) -> np.ndarray:
     """GIF bytes → (H, W, 3) uint8 RGB array (first frame)."""
     idx, pal = decode_gif(data)
     return pal[idx]
+
+
+# ---------------------------------------------------------------------------
+# Animation (GIF89a multi-frame: GCE disposal/delay/transparency, loop ext)
+
+
+def _lzw_chunks(idx: np.ndarray, min_code_size: int) -> bytes:
+    out = bytearray([min_code_size])
+    payload = _lzw_encode(idx, min_code_size)
+    for off in range(0, len(payload), 255):
+        chunk = payload[off : off + 255]
+        out.append(len(chunk))
+        out += chunk
+    out.append(0)
+    return bytes(out)
+
+
+def encode_gif_animation(
+    frames: list[np.ndarray],
+    palette: np.ndarray,
+    delays_cs: list[int] | None = None,
+    disposals: list[int] | None = None,
+    offsets: list[tuple[int, int]] | None = None,
+    transparents: list[int | None] | None = None,
+    loop: int = 0,
+    screen: tuple[int, int] | None = None,
+    background: int = 0,
+) -> bytes:
+    """Multi-frame GIF89a. `frames` are (h, w) uint8 index arrays (each
+    may be a sub-rectangle placed at offsets[i] = (top, left) on the
+    logical screen), one shared global palette. Per-frame Graphic
+    Control Extensions carry disposal (0-3), centisecond delay and an
+    optional transparent index; a NETSCAPE2.0 application extension
+    carries the loop count (0 = forever)."""
+    pal = np.asarray(palette, dtype=np.uint8)
+    if pal.ndim != 2 or pal.shape[1] != 3 or not 1 <= len(pal) <= 256:
+        raise ValueError("need an (N,3) palette with 1..256 entries")
+    frames = [np.asarray(f, dtype=np.uint8) for f in frames]
+    if not frames:
+        raise ValueError("need at least one frame")
+    n_f = len(frames)
+    offsets = list(offsets or [(0, 0)] * n_f)
+    delays_cs = list(delays_cs or [10] * n_f)
+    disposals = list(disposals or [1] * n_f)
+    transparents = list(transparents or [None] * n_f)
+    if not (len(offsets) == len(delays_cs) == len(disposals)
+            == len(transparents) == n_f):
+        raise ValueError("per-frame lists must match the frame count")
+    n = len(pal)
+    depth = max(1, int(n - 1).bit_length())
+    table = np.zeros((1 << depth, 3), dtype=np.uint8)
+    table[:n] = pal
+    if screen is None:
+        sw = max(left + f.shape[1] for (_, left), f in zip(offsets, frames))
+        sh = max(top + f.shape[0] for (top, _), f in zip(offsets, frames))
+    else:
+        sw, sh = screen
+    for (top, left), f in zip(offsets, frames):
+        if f.ndim != 2 or f.max(initial=0) >= n:
+            raise ValueError("frame indices must be 2-D and within palette")
+        if top + f.shape[0] > sh or left + f.shape[1] > sw:
+            raise ValueError("frame rect exceeds the logical screen")
+
+    out = bytearray(b"GIF89a")
+    packed = 0x80 | ((depth - 1) << 4) | (depth - 1)
+    out += struct.pack("<HHBBB", sw, sh, packed, background, 0)
+    out += table.tobytes()
+    out += (b"\x21\xff\x0bNETSCAPE2.0\x03\x01"
+            + struct.pack("<H", loop) + b"\x00")
+    min_code_size = max(2, depth)
+    for f, (top, left), delay, disp, ti in zip(
+        frames, offsets, delays_cs, disposals, transparents
+    ):
+        gflags = (disp & 7) << 2 | (1 if ti is not None else 0)
+        out += b"\x21\xf9\x04" + bytes([gflags])
+        out += struct.pack("<H", delay) + bytes([ti or 0, 0])
+        ih, iw = f.shape
+        out += b"\x2c" + struct.pack("<HHHHB", left, top, iw, ih, 0)
+        out += _lzw_chunks(f, min_code_size)
+    out += b"\x3b"
+    return bytes(out)
+
+
+def decode_gif_frames(data: bytes) -> dict:
+    """GIF bytes → {width, height, loop, background_rgb, frames:
+    [{rgb (H,W,3 composed canvas), delay_cs, disposal}]}. Composition
+    follows GIF89a: the canvas starts at the background color; each
+    frame draws its rect (skipping transparent-index pixels), is
+    snapshotted, then its disposal runs — 0/1 leave the canvas, 2
+    restores the frame rect to the background color, 3 restores the
+    canvas to its pre-frame state."""
+    if data[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF stream")
+    sw, sh, packed, bg, _ar = struct.unpack("<HHBBB", data[6:13])
+    off = 13
+    global_pal = None
+    if packed & 0x80:
+        gct_n = 2 << (packed & 0x7)
+        global_pal = np.frombuffer(
+            data[off : off + 3 * gct_n], dtype=np.uint8
+        ).reshape(-1, 3)
+        off += 3 * gct_n
+    bg_rgb = (
+        tuple(int(v) for v in global_pal[bg])
+        if global_pal is not None and bg < len(global_pal)
+        else (0, 0, 0)
+    )
+
+    def _at(i: int) -> int:
+        if i >= len(data):
+            raise ValueError("truncated GIF stream")
+        return data[i]
+
+    canvas = np.empty((sh, sw, 3), dtype=np.uint8)
+    canvas[:] = bg_rgb
+    frames: list[dict] = []
+    loop = 1
+    gce: dict | None = None
+    while off < len(data):
+        block = data[off]
+        if block == 0x21:
+            label = _at(off + 1)
+            off += 2
+            subs = []
+            while _at(off):
+                size = data[off]
+                subs.append(data[off + 1 : off + 1 + size])
+                off += 1 + size
+            off += 1
+            if label == 0xF9 and subs and len(subs[0]) >= 4:
+                flags, delay = subs[0][0], struct.unpack("<H", subs[0][1:3])[0]
+                gce = {
+                    "disposal": (flags >> 2) & 7,
+                    "delay_cs": delay,
+                    "transparent": subs[0][3] if flags & 1 else None,
+                }
+            elif (label == 0xFF and subs
+                  and subs[0][:11] == b"NETSCAPE2.0"
+                  and len(subs) > 1 and len(subs[1]) >= 3 and subs[1][0] == 1):
+                loop = struct.unpack("<H", subs[1][1:3])[0]
+        elif block == 0x2C:
+            left, top, iw, ih, ipacked = struct.unpack(
+                "<HHHHB", data[off + 1 : off + 10]
+            )
+            off += 10
+            pal = global_pal
+            if ipacked & 0x80:
+                lct_n = 2 << (ipacked & 0x7)
+                pal = np.frombuffer(
+                    data[off : off + 3 * lct_n], dtype=np.uint8
+                ).reshape(-1, 3)
+                off += 3 * lct_n
+            if pal is None:
+                raise ValueError("image has no color table")
+            min_code_size = _at(off)
+            off += 1
+            lzw = bytearray()
+            while _at(off):
+                size = data[off]
+                lzw += data[off + 1 : off + 1 + size]
+                off += 1 + size
+            off += 1
+            if top + ih > sh or left + iw > sw:
+                raise ValueError("frame rect exceeds the logical screen")
+            idx = _lzw_decode(bytes(lzw), min_code_size, iw * ih).reshape(ih, iw)
+            if ipacked & 0x40:
+                idx = _deinterlace(idx)
+            disposal = gce["disposal"] if gce else 0
+            ti = gce["transparent"] if gce else None
+            delay = gce["delay_cs"] if gce else 0
+            prev = canvas.copy() if disposal == 3 else None
+            region = canvas[top : top + ih, left : left + iw]
+            rgb = pal[idx]
+            if ti is None:
+                region[:] = rgb
+            else:
+                mask = idx != ti
+                region[mask] = rgb[mask]
+            frames.append(
+                {"rgb": canvas.copy(), "delay_cs": delay, "disposal": disposal}
+            )
+            if disposal == 2:
+                canvas[top : top + ih, left : left + iw] = bg_rgb
+            elif disposal == 3:
+                canvas = prev
+            gce = None
+        elif block == 0x3B:
+            break
+        else:
+            raise ValueError(f"unknown GIF block {block:#x}")
+    return {
+        "width": sw,
+        "height": sh,
+        "loop": loop,
+        "background_rgb": bg_rgb,
+        "frames": frames,
+    }

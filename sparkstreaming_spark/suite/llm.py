@@ -2771,3 +2771,79 @@ QUERIES["doc_substr_dedup"] = QuerySpec(
     ORACLE_SUBSTR_DEDUP,
     "ExactSubstr per-doc removable-token accounting (n_spans, dup_tokens, dup_frac)",
 )
+
+
+def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """fastText-shape quality classifier (textstats/quality_clf.py):
+    hard-sigmoid logistic regression over hashed unigram+bigram buckets
+    (dim=1024), trained for 3 fixed GD iterations with lr=1 entirely in
+    integer micro-units, positives = lang='en'. The oracle UNROLLS the
+    full training run as SQL CTEs (w0=0 -> p=0.5 -> grad -> w1 -> ...),
+    so every gradient sum, floor division, clamp and the final per-doc
+    score must match bit-for-bit."""
+    from ..textstats.quality_clf import quality_classifier_scores
+
+    d = read_table(spark, sf_dir, "documents")
+    return quality_classifier_scores(
+        d, "doc_id", "text", F.col("lang") == "en", dim=1024, iters=3
+    ).withColumnRenamed("id", "doc_id")
+
+
+def _sql_fdiv(a: str, b: str) -> str:
+    """Mathematical floor division for DuckDB: subtract the non-negative
+    mod so the quotient is exactly divisible (truncate == floor)."""
+    return f"((({a}) - (((({a}) % ({b})) + ({b})) % ({b}))) // ({b}))"
+
+
+def _quality_clf_oracle() -> str:
+    parts = [rf"""
+WITH t AS (SELECT doc_id AS id, lang = 'en' AS y, {SQL_TOKS} AS toks
+           FROM documents),
+feats AS (
+  SELECT id, {_sql_md5_64('feat')} % 1024 AS b, count(*) AS cnt
+  FROM (SELECT id, unnest(list_concat(toks, {SQL_SHINGLES2})) AS feat FROM t)
+  GROUP BY id, b
+),
+lab AS (SELECT id, CAST(y AS INT) * 1000000 AS ym FROM t),
+nn AS (SELECT count(*) AS n FROM t),
+g1 AS (SELECT b, sum((500000 - ym) * cnt) AS gs
+       FROM feats JOIN lab USING (id) GROUP BY b),
+w1 AS (SELECT b, -({_sql_fdiv('gs', 'n')}) AS w FROM g1, nn),
+bias1 AS (SELECT -({_sql_fdiv('sum(500000 - ym)', 'n')}) AS bv
+          FROM lab, nn GROUP BY n)"""]
+    for i in (2, 3):
+        parts.append(rf""",
+z{i} AS (SELECT f.id,
+         {_sql_fdiv('sum(w' + str(i-1) + '.w * f.cnt)', 'sum(f.cnt)')} AS z
+        FROM feats f JOIN w{i-1} USING (b) GROUP BY f.id),
+p{i} AS (SELECT id,
+         least(1000000, greatest(0,
+           500000 + {_sql_fdiv('z + bv', '4')})) AS p
+        FROM z{i}, bias{i-1}),
+g{i} AS (SELECT b, sum((p{i}.p - lab.ym) * cnt) AS gs
+        FROM feats JOIN p{i} USING (id) JOIN lab USING (id) GROUP BY b),
+w{i} AS (SELECT w{i-1}.b, w{i-1}.w - ({_sql_fdiv('gs', 'n')}) AS w
+        FROM w{i-1} JOIN g{i} USING (b), nn),
+bg{i} AS (SELECT sum(p{i}.p - lab.ym) AS g FROM p{i} JOIN lab USING (id)),
+bias{i} AS (SELECT bv - ({_sql_fdiv('g', 'n')}) AS bv
+            FROM bias{i-1}, bg{i}, nn)""")
+    parts.append(rf""",
+zf AS (SELECT f.id,
+       {_sql_fdiv('sum(w3.w * f.cnt)', 'sum(f.cnt)')} AS z
+       FROM feats f JOIN w3 USING (b) GROUP BY f.id)
+SELECT t.id AS doc_id, t.y,
+       CAST(least(1000000, greatest(0,
+            500000 + {_sql_fdiv('zf.z + bias3.bv', '4')}))
+            AS BIGINT) AS score_micro,
+       (least(1000000, greatest(0,
+            500000 + {_sql_fdiv('zf.z + bias3.bv', '4')}))
+        >= 500000) AS pred
+FROM t JOIN zf ON t.id = zf.id, bias3""")
+    return "".join(parts)
+
+
+QUERIES["doc_quality_classifier"] = QuerySpec(
+    q_quality_classifier,
+    _quality_clf_oracle(),
+    "hard-sigmoid logistic quality scorer, training replayed bit-exactly in SQL",
+)

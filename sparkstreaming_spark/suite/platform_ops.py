@@ -1334,3 +1334,139 @@ QUERIES["doc_multimodal_ingest"] = QuerySpec(
     ORACLE_MULTIMODAL_INGEST,
     "mixed-media ingest: sniff-routed decode across 6 formats vs generator formulas",
 )
+
+
+GIF_ANIM_IDS = 100
+
+
+def q_gif_anim_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Animated-GIF contract, oracled: per doc (doc_id < 100) build a
+    3-frame GIF89a animation with formula-derived content — frame 1
+    fills the canvas (idx=(did+5i+3j)%nc), frame 2 draws a solid
+    sub-rect with DISPOSAL 3 (restore-to-previous), frame 3 draws a
+    patterned sub-rect with a TRANSPARENT index over the restored
+    canvas — then round-trip through the pure-Python codec
+    (multimodal/gif.py::encode_gif_animation / decode_gif_frames) and
+    emit loop count, total duration and per-channel pixel sums of the
+    COMPOSED frame-2 and frame-3 canvases. The oracle restates the
+    composition arithmetic cell-by-cell in SQL, so an off-by-one in the
+    sub-rect placement, a wrong disposal order, or a transparency mask
+    bug flips the hash.
+
+    Spark shape: one Arrow mapInPandas pass, no shuffle."""
+    import numpy as np
+    import pandas as pd
+
+    from ..multimodal.gif import decode_gif_frames, encode_gif_animation
+
+    d = read_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") < GIF_ANIM_IDS
+    ).select("doc_id")
+
+    def work(batches):
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                nc = 4 + did % 13
+                h, w = 9 + did % 6, 11 + did % 7
+                i = np.arange(h).reshape(-1, 1)
+                j = np.arange(w).reshape(1, -1)
+                f1 = ((did + 5 * i + 3 * j) % nc).astype(np.uint8)
+                t2, l2 = did % 4, did % 5
+                ph2, pw2 = 3 + did % 3, 4 + did % 3
+                f2 = np.full((ph2, pw2), did % nc, np.uint8)
+                t3, l3 = 1 + did % 3, 2 + did % 4
+                ph3, pw3 = 2 + did % 4, 3 + did % 4
+                li = np.arange(ph3).reshape(-1, 1)
+                lj = np.arange(pw3).reshape(1, -1)
+                f3 = ((li + lj + did) % nc).astype(np.uint8)
+                ti = (did + 1) % nc
+                k = np.arange(nc)
+                pal = np.stack(
+                    [(k * 37 + did) % 256, (k * 59 + 1) % 256,
+                     (k * 83 + 7) % 256],
+                    axis=1,
+                ).astype(np.uint8)
+                blob = encode_gif_animation(
+                    [f1, f2, f3], pal,
+                    delays_cs=[5 + did % 7, 10, 3],
+                    disposals=[1, 3, 1],
+                    offsets=[(0, 0), (t2, l2), (t3, l3)],
+                    transparents=[None, None, ti],
+                    loop=did % 4,
+                    screen=(w, h),
+                )
+                out = decode_gif_frames(blob)
+                c2 = out["frames"][1]["rgb"].astype(np.int64)
+                c3 = out["frames"][2]["rgb"].astype(np.int64)
+                rows.append({
+                    "doc_id": did,
+                    "n_frames": len(out["frames"]),
+                    "loop": out["loop"],
+                    "duration_cs": sum(f["delay_cs"] for f in out["frames"]),
+                    "f2_sum_r": int(c2[:, :, 0].sum()),
+                    "f2_sum_g": int(c2[:, :, 1].sum()),
+                    "f2_sum_b": int(c2[:, :, 2].sum()),
+                    "f3_sum_r": int(c3[:, :, 0].sum()),
+                    "f3_sum_g": int(c3[:, :, 1].sum()),
+                    "f3_sum_b": int(c3[:, :, 2].sum()),
+                })
+            yield pd.DataFrame(rows)
+
+    return d.mapInPandas(
+        work,
+        "doc_id bigint, n_frames int, loop int, duration_cs bigint,"
+        " f2_sum_r bigint, f2_sum_g bigint, f2_sum_b bigint,"
+        " f3_sum_r bigint, f3_sum_g bigint, f3_sum_b bigint",
+    )
+
+
+ORACLE_GIF_ANIM = f"""
+WITH d AS (
+  SELECT doc_id, 4 + doc_id % 13 AS nc, 9 + doc_id % 6 AS h,
+         11 + doc_id % 7 AS w,
+         doc_id % 4 AS t2, doc_id % 5 AS l2,
+         3 + doc_id % 3 AS ph2, 4 + doc_id % 3 AS pw2,
+         1 + doc_id % 3 AS t3, 2 + doc_id % 4 AS l3,
+         2 + doc_id % 4 AS ph3, 3 + doc_id % 4 AS pw3
+  FROM documents WHERE doc_id < {GIF_ANIM_IDS}
+),
+px AS (
+  SELECT d.*, i.i, j.j,
+         (d.doc_id + 5 * i.i + 3 * j.j) % d.nc AS k1,
+         (i.i - d.t3 + j.j - d.l3 + d.doc_id) % d.nc AS k3
+  FROM d
+  JOIN generate_series(0, 14) AS i(i) ON i.i < d.h
+  JOIN generate_series(0, 17) AS j(j) ON j.j < d.w
+),
+cells AS (
+  SELECT doc_id, nc,
+         CASE WHEN i BETWEEN t2 AND t2 + ph2 - 1
+               AND j BETWEEN l2 AND l2 + pw2 - 1
+              THEN doc_id % nc ELSE k1 END AS kf2,
+         CASE WHEN i BETWEEN t3 AND t3 + ph3 - 1
+               AND j BETWEEN l3 AND l3 + pw3 - 1
+               AND k3 != (doc_id + 1) % nc
+              THEN k3 ELSE k1 END AS kf3
+  FROM px
+)
+SELECT doc_id,
+       CAST(3 AS INT) AS n_frames,
+       CAST(doc_id % 4 AS INT) AS loop,
+       CAST(18 + doc_id % 7 AS BIGINT) AS duration_cs,
+       CAST(sum((kf2 * 37 + doc_id) % 256) AS BIGINT) AS f2_sum_r,
+       CAST(sum((kf2 * 59 + 1) % 256) AS BIGINT) AS f2_sum_g,
+       CAST(sum((kf2 * 83 + 7) % 256) AS BIGINT) AS f2_sum_b,
+       CAST(sum((kf3 * 37 + doc_id) % 256) AS BIGINT) AS f3_sum_r,
+       CAST(sum((kf3 * 59 + 1) % 256) AS BIGINT) AS f3_sum_g,
+       CAST(sum((kf3 * 83 + 7) % 256) AS BIGINT) AS f3_sum_b
+FROM cells GROUP BY doc_id, nc
+"""
+
+
+QUERIES["doc_gif_anim_probe"] = QuerySpec(
+    q_gif_anim_probe,
+    ORACLE_GIF_ANIM,
+    "animated GIF disposal-3 + transparency composition vs cell-formula oracle",
+)

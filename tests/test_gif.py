@@ -129,3 +129,134 @@ def test_header_fields():
     w, h = struct.unpack("<HH", blob[6:10])
     assert (w, h) == (23, 17)
     assert blob[-1] == 0x3B
+
+
+# ------------------------------------------------------------ animation
+
+
+def _anim_pal():
+    return np.array([[0, 0, 0], [255, 0, 0], [0, 255, 0], [0, 0, 255]], np.uint8)
+
+
+def test_animation_roundtrip_frame_count_and_delays():
+    from sparkstreaming_spark.multimodal.gif import (
+        decode_gif_frames,
+        encode_gif_animation,
+    )
+
+    f = np.zeros((4, 5), np.uint8)
+    blob = encode_gif_animation(
+        [f, f + 1, f + 2], _anim_pal(), delays_cs=[5, 10, 15], loop=3
+    )
+    out = decode_gif_frames(blob)
+    assert (out["width"], out["height"]) == (5, 4)
+    assert out["loop"] == 3
+    assert [fr["delay_cs"] for fr in out["frames"]] == [5, 10, 15]
+    assert np.array_equal(out["frames"][1]["rgb"][0, 0], [255, 0, 0])
+
+
+def test_animation_subrect_composes_over_previous():
+    from sparkstreaming_spark.multimodal.gif import (
+        decode_gif_frames,
+        encode_gif_animation,
+    )
+
+    base = np.full((6, 6), 1, np.uint8)          # all red
+    patch = np.full((2, 3), 2, np.uint8)          # green rect
+    blob = encode_gif_animation(
+        [base, patch], _anim_pal(), offsets=[(0, 0), (2, 1)], disposals=[1, 1]
+    )
+    frames = decode_gif_frames(blob)["frames"]
+    c2 = frames[1]["rgb"]
+    assert np.array_equal(c2[2:4, 1:4], np.full((2, 3, 3), [0, 255, 0]))
+    assert np.array_equal(c2[0, 0], [255, 0, 0])  # untouched area persists
+
+
+def test_disposal_3_restores_previous_canvas():
+    from sparkstreaming_spark.multimodal.gif import (
+        decode_gif_frames,
+        encode_gif_animation,
+    )
+
+    base = np.full((4, 4), 1, np.uint8)
+    flash = np.full((2, 2), 3, np.uint8)
+    after = np.full((1, 1), 2, np.uint8)
+    blob = encode_gif_animation(
+        [base, flash, after],
+        _anim_pal(),
+        offsets=[(0, 0), (1, 1), (0, 0)],
+        disposals=[1, 3, 1],
+    )
+    frames = decode_gif_frames(blob)["frames"]
+    assert np.array_equal(frames[1]["rgb"][1, 1], [0, 0, 255])   # flash drawn
+    # flash region restored to base before frame 3
+    assert np.array_equal(frames[2]["rgb"][1, 1], [255, 0, 0])
+    assert np.array_equal(frames[2]["rgb"][0, 0], [0, 255, 0])
+
+
+def test_disposal_2_restores_background():
+    from sparkstreaming_spark.multimodal.gif import (
+        decode_gif_frames,
+        encode_gif_animation,
+    )
+
+    base = np.full((4, 4), 1, np.uint8)
+    blip = np.full((2, 2), 2, np.uint8)
+    tail = np.full((1, 1), 3, np.uint8)
+    blob = encode_gif_animation(
+        [base, blip, tail],
+        _anim_pal(),
+        offsets=[(0, 0), (0, 0), (3, 3)],
+        disposals=[1, 2, 1],
+        background=0,
+    )
+    frames = decode_gif_frames(blob)["frames"]
+    # after frame 2's disposal the blip rect is background black
+    assert np.array_equal(frames[2]["rgb"][0, 0], [0, 0, 0])
+    assert np.array_equal(frames[2]["rgb"][3, 0], [255, 0, 0])  # outside rect
+
+
+def test_transparent_index_preserves_underlying_pixels():
+    from sparkstreaming_spark.multimodal.gif import (
+        decode_gif_frames,
+        encode_gif_animation,
+    )
+
+    base = np.full((3, 3), 1, np.uint8)
+    over = np.array([[2, 0], [0, 2]], np.uint8)   # 0 is transparent
+    blob = encode_gif_animation(
+        [base, over],
+        _anim_pal(),
+        offsets=[(0, 0), (1, 1)],
+        transparents=[None, 0],
+    )
+    c2 = decode_gif_frames(blob)["frames"][1]["rgb"]
+    assert np.array_equal(c2[1, 1], [0, 255, 0])   # drawn
+    assert np.array_equal(c2[1, 2], [255, 0, 0])   # transparent -> base red
+    assert np.array_equal(c2[2, 1], [255, 0, 0])
+    assert np.array_equal(c2[2, 2], [0, 255, 0])
+
+
+def test_first_frame_decode_agrees_with_single_image_api():
+    from sparkstreaming_spark.multimodal.gif import (
+        decode_gif_frames,
+        decode_gif_rgb,
+        encode_gif_animation,
+    )
+
+    rng = np.random.default_rng(7)
+    f0 = rng.integers(0, 4, (5, 7)).astype(np.uint8)
+    blob = encode_gif_animation([f0, f0], _anim_pal())
+    assert np.array_equal(
+        decode_gif_frames(blob)["frames"][0]["rgb"], decode_gif_rgb(blob)
+    )
+
+
+def test_animation_validates_rects_and_lists():
+    from sparkstreaming_spark.multimodal.gif import encode_gif_animation
+
+    f = np.zeros((4, 4), np.uint8)
+    with pytest.raises(ValueError, match="exceeds"):
+        encode_gif_animation([f], _anim_pal(), offsets=[(3, 3)], screen=(5, 5))
+    with pytest.raises(ValueError, match="match the frame count"):
+        encode_gif_animation([f, f], _anim_pal(), delays_cs=[1])
