@@ -1,0 +1,893 @@
+"""Clean-room pure-Python H.264 intra-only (I-frame) baseline codec —
+the feasible slice of the last honest media stub (video.py's inter
+codecs). Implements the real coding stack for IDR frames per ITU-T
+H.264 (public spec): CAVLC entropy coding (coeff_token / level prefix-
+suffix with escapes / total_zeros / run_before), 4x4 integer transform
+with the standard MF/V quantization tables, Intra_4x4 spatial
+prediction, and a conformant NAL/SPS/PPS/slice-header bitstream
+(Annex-B), paired encoder + decoder.
+
+Scope (precise, honestly guarded):
+- encoder: one IDR I-slice per frame, all macroblocks Intra_4x4 with
+  DC prediction (mode 2), full luma residual coding (CBP luma = 15),
+  4:2:0 chroma predicted DC-only (CBP chroma = 0 — no chroma residual,
+  so chroma is exact for constant-chroma/grayscale input and
+  approximate otherwise), deblocking disabled in the slice header
+  (disable_deblocking_filter_idc=1 — decoding without a deblocking
+  pass is then conformant), fixed QP per frame.
+- decoder: parses SPS/PPS/IDR slices produced by this encoder and any
+  stream within the same feature envelope; raises NotImplementedError
+  with a precise reason for P/B slices, CABAC, 8x8 transform, or
+  residual features outside the envelope (chroma residual, I_16x16) —
+  those stay honest stubs, not silent wrong output.
+
+Verification stance: bit-exact ROUND-TRIP is the contract — the
+decoder must reproduce the encoder's own reconstruction exactly
+(prediction + dequantized residual), the same contract the JPEG codec
+(jpeg.py) ships under. The VLC tables are entered from the public
+spec; per-table prefix-freeness tests plus exhaustive encode/decode
+property tests guard against transcription slips. The independent SPS
+parser in mediameta.py must agree on geometry (cross-implementation
+test). External conformance vectors are not bundled in this
+environment; that caveat is documented here rather than papered over.
+
+Reference parity: the reference repo has no video path (three CSV
+jobs); this is north-star multimodal extension work. Spark plumbing:
+suite/platform_ops.py::q_h264_iframe_probe (Arrow mapInPandas,
+embarrassingly parallel).
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+# ---------------------------------------------------------------------------
+# bit I/O (MSB-first, as H.264 bitstreams are)
+
+
+class BitWriter:
+    def __init__(self) -> None:
+        self.bits: list[int] = []
+
+    def u(self, v: int, n: int) -> None:
+        for i in range(n - 1, -1, -1):
+            self.bits.append((v >> i) & 1)
+
+    def ue(self, v: int) -> None:
+        k = v + 1
+        n = k.bit_length()
+        self.u(0, n - 1)
+        self.u(k, n)
+
+    def se(self, v: int) -> None:
+        self.ue(2 * v - 1 if v > 0 else -2 * v)
+
+    def bitstring(self, s: str) -> None:
+        for c in s:
+            self.bits.append(1 if c == "1" else 0)
+
+    def rbsp(self) -> bytes:
+        """Close the RBSP (stop bit + alignment) and apply emulation
+        prevention (00 00 0x -> 00 00 03 0x)."""
+        bits = self.bits + [1]
+        while len(bits) % 8:
+            bits.append(0)
+        raw = bytearray()
+        for i in range(0, len(bits), 8):
+            b = 0
+            for v in bits[i : i + 8]:
+                b = (b << 1) | v
+            raw.append(b)
+        out = bytearray()
+        zeros = 0
+        for b in raw:
+            if zeros >= 2 and b <= 3:
+                out.append(3)
+                zeros = 0
+            out.append(b)
+            zeros = zeros + 1 if b == 0 else 0
+        return bytes(out)
+
+
+class BitReader:
+    def __init__(self, data: bytes) -> None:
+        self.data = data
+        self.pos = 0
+
+    def bit(self) -> int:
+        if self.pos >> 3 >= len(self.data):
+            raise ValueError("bitstream exhausted")
+        v = (self.data[self.pos >> 3] >> (7 - (self.pos & 7))) & 1
+        self.pos += 1
+        return v
+
+    def u(self, n: int) -> int:
+        out = 0
+        for _ in range(n):
+            out = (out << 1) | self.bit()
+        return out
+
+    def ue(self) -> int:
+        zeros = 0
+        while self.bit() == 0:
+            zeros += 1
+            if zeros > 31:
+                raise ValueError("malformed Exp-Golomb code")
+        return (1 << zeros) - 1 + (self.u(zeros) if zeros else 0)
+
+    def se(self) -> int:
+        k = self.ue()
+        return (k + 1) // 2 if k % 2 else -(k // 2)
+
+
+def strip_emulation(rbsp: bytes) -> bytes:
+    out = bytearray()
+    i = 0
+    while i < len(rbsp):
+        if i + 2 < len(rbsp) and rbsp[i] == 0 and rbsp[i + 1] == 0 and rbsp[i + 2] == 3:
+            out += rbsp[i : i + 2]
+            i += 3
+        else:
+            out.append(rbsp[i])
+            i += 1
+    return bytes(out)
+
+
+# ---------------------------------------------------------------------------
+# CAVLC tables (ITU-T H.264 Table 9-5, 9-7, 9-10) as bit strings.
+# tests/test_h264.py asserts every VLC table is prefix-free.
+
+# coeff_token[nc_class][(trailing_ones, total_coeff)] = bits
+# nc_class 0: 0 <= nC < 2; 1: 2 <= nC < 4; 2: 4 <= nC < 8  (nC >= 8 is FLC)
+COEFF_TOKEN: list[dict[tuple[int, int], str]] = [
+    {
+        (0, 0): "1",
+        (0, 1): "000101", (1, 1): "01",
+        (0, 2): "00000111", (1, 2): "000100", (2, 2): "001",
+        (0, 3): "000000111", (1, 3): "00000110", (2, 3): "0000101",
+        (3, 3): "00011",
+        (0, 4): "0000000111", (1, 4): "000000110", (2, 4): "00000101",
+        (3, 4): "000011",
+        (0, 5): "00000000111", (1, 5): "0000000110", (2, 5): "000000101",
+        (3, 5): "0000100",
+        (0, 6): "0000000001111", (1, 6): "00000000110", (2, 6): "0000000101",
+        (3, 6): "00000100",
+        (0, 7): "0000000001011", (1, 7): "0000000001110",
+        (2, 7): "00000000101", (3, 7): "000000100",
+        (0, 8): "0000000001000", (1, 8): "0000000001010",
+        (2, 8): "0000000001101", (3, 8): "0000000100",
+        (0, 9): "00000000001111", (1, 9): "00000000001110",
+        (2, 9): "0000000001001", (3, 9): "00000000100",
+        (0, 10): "00000000001011", (1, 10): "00000000001010",
+        (2, 10): "00000000001101", (3, 10): "0000000001100",
+        (0, 11): "000000000001111", (1, 11): "000000000001110",
+        (2, 11): "00000000001001", (3, 11): "00000000001100",
+        (0, 12): "000000000001011", (1, 12): "000000000001010",
+        (2, 12): "000000000001101", (3, 12): "00000000001000",
+        (0, 13): "0000000000001111", (1, 13): "000000000000001",
+        (2, 13): "000000000001001", (3, 13): "000000000001100",
+        (0, 14): "0000000000001011", (1, 14): "0000000000001110",
+        (2, 14): "0000000000001101", (3, 14): "000000000001000",
+        (0, 15): "0000000000000111", (1, 15): "0000000000001010",
+        (2, 15): "0000000000001001", (3, 15): "0000000000001100",
+        (0, 16): "0000000000000100", (1, 16): "0000000000000110",
+        (2, 16): "0000000000000101", (3, 16): "0000000000001000",
+    },
+    {
+        (0, 0): "11",
+        (0, 1): "001011", (1, 1): "10",
+        (0, 2): "000111", (1, 2): "00111", (2, 2): "011",
+        (0, 3): "0000111", (1, 3): "001010", (2, 3): "001001", (3, 3): "0101",
+        (0, 4): "00000111", (1, 4): "000110", (2, 4): "000101", (3, 4): "0100",
+        (0, 5): "00000100", (1, 5): "0000110", (2, 5): "0000101",
+        (3, 5): "00110",
+        (0, 6): "000000111", (1, 6): "00000110", (2, 6): "00000101",
+        (3, 6): "001000",
+        (0, 7): "00000001111", (1, 7): "000000110", (2, 7): "000000101",
+        (3, 7): "000100",
+        (0, 8): "00000001011", (1, 8): "00000001110", (2, 8): "00000001101",
+        (3, 8): "0000100",
+        (0, 9): "000000001111", (1, 9): "00000001010", (2, 9): "00000001001",
+        (3, 9): "000000100",
+        (0, 10): "000000001011", (1, 10): "000000001110",
+        (2, 10): "000000001101", (3, 10): "00000001100",
+        (0, 11): "000000001000", (1, 11): "000000001010",
+        (2, 11): "000000001001", (3, 11): "00000001000",
+        (0, 12): "0000000001111", (1, 12): "0000000001110",
+        (2, 12): "0000000001101", (3, 12): "000000001100",
+        (0, 13): "0000000001011", (1, 13): "0000000001010",
+        (2, 13): "0000000001001", (3, 13): "0000000001100",
+        (0, 14): "0000000000111", (1, 14): "00000000001011",
+        (2, 14): "0000000000110", (3, 14): "0000000001000",
+        (0, 15): "00000000001001", (1, 15): "00000000001000",
+        (2, 15): "00000000001010", (3, 15): "0000000000001",
+        (0, 16): "00000000000111", (1, 16): "00000000000110",
+        (2, 16): "00000000000101", (3, 16): "00000000000100",
+    },
+    {
+        (0, 0): "1111",
+        (0, 1): "001111", (1, 1): "1110",
+        (0, 2): "001011", (1, 2): "01111", (2, 2): "1101",
+        (0, 3): "001000", (1, 3): "01100", (2, 3): "01110", (3, 3): "1100",
+        (0, 4): "0001111", (1, 4): "01010", (2, 4): "01011", (3, 4): "1011",
+        (0, 5): "0001011", (1, 5): "01000", (2, 5): "01001", (3, 5): "1010",
+        (0, 6): "0001001", (1, 6): "001110", (2, 6): "001101", (3, 6): "1001",
+        (0, 7): "0001000", (1, 7): "001010", (2, 7): "001001", (3, 7): "1000",
+        (0, 8): "00001111", (1, 8): "0001110", (2, 8): "0001101",
+        (3, 8): "01101",
+        (0, 9): "00001011", (1, 9): "00001110", (2, 9): "0001010",
+        (3, 9): "001100",
+        (0, 10): "000001111", (1, 10): "00001010", (2, 10): "00001101",
+        (3, 10): "0001100",
+        (0, 11): "000001011", (1, 11): "000001110", (2, 11): "00001001",
+        (3, 11): "00001100",
+        (0, 12): "000001000", (1, 12): "000001010", (2, 12): "000001101",
+        (3, 12): "00001000",
+        (0, 13): "0000001101", (1, 13): "000000111", (2, 13): "000001001",
+        (3, 13): "000001100",
+        (0, 14): "0000001001", (1, 14): "0000001100", (2, 14): "0000001011",
+        (3, 14): "0000001010",
+        (0, 15): "0000000101", (1, 15): "0000001000", (2, 15): "0000000111",
+        (3, 15): "0000000110",
+        (0, 16): "0000000001", (1, 16): "0000000100", (2, 16): "0000000011",
+        (3, 16): "0000000010",
+    },
+]
+
+# total_zeros[total_coeff][total_zeros] (Table 9-7/9-8, 4x4 blocks)
+TOTAL_ZEROS: dict[int, list[str]] = {
+    1: ["1", "011", "010", "0011", "0010", "00011", "00010", "000011",
+        "000010", "0000011", "0000010", "00000011", "00000010",
+        "000000011", "000000010", "000000001"],
+    2: ["111", "110", "101", "100", "011", "0101", "0100", "0011",
+        "0010", "00011", "00010", "000011", "000010", "000001", "000000"],
+    3: ["0101", "111", "110", "101", "0100", "0011", "100", "011",
+        "0010", "00011", "00010", "000001", "00001", "000000"],
+    4: ["00011", "111", "0101", "0100", "110", "101", "100", "0011",
+        "011", "0010", "00010", "00001", "00000"],
+    5: ["0101", "0100", "0011", "111", "110", "101", "100", "011",
+        "0010", "00001", "0001", "00000"],
+    6: ["000001", "00001", "111", "110", "101", "100", "011", "010",
+        "0001", "001", "000000"],
+    7: ["000001", "00001", "101", "100", "011", "11", "010", "0001",
+        "001", "000000"],
+    8: ["000001", "0001", "00001", "011", "11", "10", "010", "001",
+        "000000"],
+    9: ["000001", "000000", "0001", "11", "10", "001", "01", "00001"],
+    10: ["00001", "00000", "001", "11", "10", "01", "0001"],
+    11: ["0000", "0001", "001", "010", "1", "011"],
+    12: ["0000", "0001", "01", "1", "001"],
+    13: ["000", "001", "1", "01"],
+    14: ["00", "01", "1"],
+    15: ["0", "1"],
+}
+
+# run_before[min(zeros_left, 7)][run] (Table 9-10)
+RUN_BEFORE: dict[int, list[str]] = {
+    1: ["1", "0"],
+    2: ["1", "01", "00"],
+    3: ["11", "10", "01", "00"],
+    4: ["11", "10", "01", "001", "000"],
+    5: ["11", "10", "011", "010", "001", "000"],
+    6: ["11", "000", "001", "011", "010", "101", "100"],
+    7: ["111", "110", "101", "100", "011", "010", "001", "0001",
+        "00001", "000001", "0000001", "00000001", "000000001",
+        "0000000001", "00000000001"],
+}
+
+
+def _invert(table: dict | list) -> dict[str, object]:
+    if isinstance(table, dict):
+        return {bits: key for key, bits in table.items()}
+    return {bits: i for i, bits in enumerate(table)}
+
+
+_COEFF_TOKEN_DEC = [_invert(t) for t in COEFF_TOKEN]
+_TOTAL_ZEROS_DEC = {tc: _invert(t) for tc, t in TOTAL_ZEROS.items()}
+_RUN_BEFORE_DEC = {zl: _invert(t) for zl, t in RUN_BEFORE.items()}
+
+
+def _read_vlc(r: BitReader, table: dict[str, object], what: str):
+    bits = ""
+    for _ in range(20):
+        bits += "1" if r.bit() else "0"
+        if bits in table:
+            return table[bits]
+    raise ValueError(f"invalid {what} code: {bits}")
+
+
+# ---------------------------------------------------------------------------
+# CAVLC residual block (16-coeff 4x4, §9.2)
+
+ZIGZAG_4x4 = [(0, 0), (0, 1), (1, 0), (2, 0), (1, 1), (0, 2), (0, 3),
+              (1, 2), (2, 1), (3, 0), (3, 1), (2, 2), (1, 3), (2, 3),
+              (3, 2), (3, 3)]
+
+
+def _nc_class(nc: int) -> int:
+    if nc < 2:
+        return 0
+    if nc < 4:
+        return 1
+    if nc < 8:
+        return 2
+    return 3  # FLC
+
+
+def encode_residual_block(w: BitWriter, coeffs: np.ndarray, nc: int) -> int:
+    """CAVLC-encode one 4x4 block (coeffs in raster (4,4) int array);
+    returns TotalCoeff for the caller's nC bookkeeping."""
+    scan = [int(coeffs[i, j]) for i, j in ZIGZAG_4x4]
+    while scan and scan[-1] == 0:
+        scan.pop()
+    total_coeff = sum(1 for v in scan if v != 0)
+    if total_coeff > 16:
+        raise ValueError("impossible coefficient count")
+    # trailing ones: up to 3 consecutive +-1 at the high-frequency end
+    nz = [i for i, v in enumerate(scan) if v != 0]
+    t1 = 0
+    for i in reversed(nz):
+        if abs(scan[i]) == 1 and t1 < 3:
+            t1 += 1
+        else:
+            break
+    cls = _nc_class(nc)
+    if cls == 3:
+        code = 3 if total_coeff == 0 else ((total_coeff - 1) << 2) | t1
+        w.u(code, 6)
+    else:
+        w.bitstring(COEFF_TOKEN[cls][(t1, total_coeff)])
+    if total_coeff == 0:
+        return 0
+    # trailing-one signs, high frequency first (1 = negative)
+    levels = [scan[i] for i in nz]
+    for v in levels[-1 : -1 - t1 : -1]:
+        w.u(1 if v < 0 else 0, 1)
+    # remaining levels, high frequency first
+    suffix_len = 1 if total_coeff > 10 and t1 < 3 else 0
+    rest = levels[: total_coeff - t1]
+    for k, v in enumerate(reversed(rest)):
+        level_code = 2 * abs(v) - 2 if v > 0 else 2 * abs(v) - 1
+        if k == 0 and t1 < 3:
+            level_code -= 2
+        _encode_level(w, level_code, suffix_len)
+        if suffix_len == 0:
+            suffix_len = 1
+        if abs(v) > (3 << (suffix_len - 1)) and suffix_len < 6:
+            suffix_len += 1
+    # total_zeros: zeros before the last nonzero coefficient
+    total_zeros = len(scan) - total_coeff
+    if total_coeff < 16:
+        w.bitstring(TOTAL_ZEROS[total_coeff][total_zeros])
+    # run_before per coefficient, high frequency first, except the lowest
+    zeros_left = total_zeros
+    for i in range(len(nz) - 1, 0, -1):
+        if zeros_left == 0:
+            break
+        run = nz[i] - nz[i - 1] - 1
+        w.bitstring(RUN_BEFORE[min(zeros_left, 7)][run])
+        zeros_left -= run
+    return total_coeff
+
+
+def _encode_level(w: BitWriter, level_code: int, suffix_len: int) -> None:
+    """Inverse of the §9.2.2.1 level decode for the given suffixLength."""
+    if suffix_len == 0:
+        if level_code < 14:
+            w.u(0, level_code)
+            w.u(1, 1)
+        elif level_code < 30:
+            w.u(0, 14)
+            w.u(1, 1)
+            w.u(level_code - 14, 4)
+        else:
+            lc = level_code - 30  # decoder adds 15 then (15<<0)=15: 30 total
+            if lc >= 4096:
+                raise ValueError("level escape beyond prefix-15 unsupported")
+            w.u(0, 15)
+            w.u(1, 1)
+            w.u(lc, 12)
+    else:
+        if level_code < (15 << suffix_len):
+            w.u(0, level_code >> suffix_len)
+            w.u(1, 1)
+            w.u(level_code & ((1 << suffix_len) - 1), suffix_len)
+        else:
+            lc = level_code - (15 << suffix_len)
+            if lc >= 4096:
+                raise ValueError("level escape beyond prefix-15 unsupported")
+            w.u(0, 15)
+            w.u(1, 1)
+            w.u(lc, 12)
+
+
+def decode_residual_block(r: BitReader, nc: int) -> tuple[np.ndarray, int]:
+    """→ ((4,4) int coefficient array, TotalCoeff)."""
+    cls = _nc_class(nc)
+    if cls == 3:
+        code = r.u(6)
+        if code == 3:
+            t1, total_coeff = 0, 0
+        else:
+            t1, total_coeff = code & 3, (code >> 2) + 1
+    else:
+        t1, total_coeff = _read_vlc(r, _COEFF_TOKEN_DEC[cls], "coeff_token")
+    out = np.zeros((4, 4), dtype=np.int64)
+    if total_coeff == 0:
+        return out, 0
+    levels: list[int] = []
+    for _ in range(t1):
+        levels.append(-1 if r.bit() else 1)
+    suffix_len = 1 if total_coeff > 10 and t1 < 3 else 0
+    for k in range(total_coeff - t1):
+        prefix = 0
+        while r.bit() == 0:
+            prefix += 1
+            if prefix > 19:
+                raise ValueError("level prefix overrun")
+        suffix_size = suffix_len
+        if prefix == 14 and suffix_len == 0:
+            suffix_size = 4
+        elif prefix >= 15:
+            suffix_size = prefix - 3
+        level_code = (min(15, prefix) << suffix_len) + (
+            r.u(suffix_size) if suffix_size else 0
+        )
+        if prefix >= 15 and suffix_len == 0:
+            level_code += 15
+        if prefix >= 16:
+            level_code += (1 << (prefix - 3)) - 4096
+        if k == 0 and t1 < 3:
+            level_code += 2
+        level = (level_code + 2) >> 1 if level_code % 2 == 0 else -(
+            (level_code + 1) >> 1
+        )
+        levels.append(level)
+        if suffix_len == 0:
+            suffix_len = 1
+        if abs(level) > (3 << (suffix_len - 1)) and suffix_len < 6:
+            suffix_len += 1
+    # levels[] is high-frequency first; rebuild scan positions via runs
+    if total_coeff < 16:
+        total_zeros = _read_vlc(
+            r, _TOTAL_ZEROS_DEC[total_coeff], "total_zeros"
+        )
+    else:
+        total_zeros = 0
+    runs = []
+    zeros_left = total_zeros
+    for _ in range(total_coeff - 1):
+        if zeros_left > 0:
+            run = _read_vlc(
+                r, _RUN_BEFORE_DEC[min(zeros_left, 7)], "run_before"
+            )
+        else:
+            run = 0
+        runs.append(run)
+        zeros_left -= run
+    runs.append(zeros_left)  # lowest-frequency coefficient takes the rest
+    pos = total_zeros + total_coeff - 1
+    scan = [0] * 16
+    for i, level in enumerate(levels):
+        scan[pos] = level
+        pos -= runs[i] + 1 if i < len(runs) else 1
+    for idx, (i, j) in enumerate(ZIGZAG_4x4):
+        out[i, j] = scan[idx]
+    return out, total_coeff
+
+
+# ---------------------------------------------------------------------------
+# 4x4 integer transform + quantization (§8.5, standard MF/V tables)
+
+_MF = [(13107, 5243, 8066), (11916, 4660, 7490), (10082, 4194, 6554),
+       (9362, 3647, 5825), (8192, 3355, 5243), (7282, 2893, 4559)]
+_V = [(10, 16, 13), (11, 18, 14), (13, 20, 16), (14, 23, 18),
+      (16, 25, 20), (18, 29, 23)]
+
+_POS_CLASS = np.array(
+    [[0, 2, 0, 2], [2, 1, 2, 1], [0, 2, 0, 2], [2, 1, 2, 1]], dtype=np.int64
+)
+
+
+def forward_transform_4x4(block: np.ndarray) -> np.ndarray:
+    x = block.astype(np.int64)
+    cf = np.array([[1, 1, 1, 1], [2, 1, -1, -2], [1, -1, -1, 1],
+                   [1, -2, 2, -1]], dtype=np.int64)
+    return cf @ x @ cf.T
+
+
+def inverse_transform_4x4(d: np.ndarray) -> np.ndarray:
+    """§8.5.12.2 exact integer inverse (with the >>1 taps), output is
+    the residual AFTER the (x + 32) >> 6 normalization."""
+    d = d.astype(np.int64)
+    # horizontal (rows)
+    e = np.empty_like(d)
+    e[:, 0] = d[:, 0] + d[:, 2]
+    e[:, 1] = d[:, 0] - d[:, 2]
+    e[:, 2] = (d[:, 1] >> 1) - d[:, 3]
+    e[:, 3] = d[:, 1] + (d[:, 3] >> 1)
+    f = np.empty_like(d)
+    f[:, 0] = e[:, 0] + e[:, 3]
+    f[:, 1] = e[:, 1] + e[:, 2]
+    f[:, 2] = e[:, 1] - e[:, 2]
+    f[:, 3] = e[:, 0] - e[:, 3]
+    # vertical (columns)
+    g = np.empty_like(f)
+    g[0, :] = f[0, :] + f[2, :]
+    g[1, :] = f[0, :] - f[2, :]
+    g[2, :] = (f[1, :] >> 1) - f[3, :]
+    g[3, :] = f[1, :] + (f[3, :] >> 1)
+    h = np.empty_like(f)
+    h[0, :] = g[0, :] + g[3, :]
+    h[1, :] = g[1, :] + g[2, :]
+    h[2, :] = g[1, :] - g[2, :]
+    h[3, :] = g[0, :] - g[3, :]
+    return (h + 32) >> 6
+
+
+def quantize_4x4(w: np.ndarray, qp: int) -> np.ndarray:
+    mf_row = _MF[qp % 6]
+    mf = np.array(mf_row, dtype=np.int64)[_POS_CLASS.ravel()].reshape(4, 4)
+    qbits = 15 + qp // 6
+    f = (1 << qbits) // 3  # intra rounding
+    sign = np.sign(w)
+    return sign * ((np.abs(w) * mf + f) >> qbits)
+
+
+def dequantize_4x4(levels: np.ndarray, qp: int) -> np.ndarray:
+    v_row = _V[qp % 6]
+    v = np.array(v_row, dtype=np.int64)[_POS_CLASS.ravel()].reshape(4, 4)
+    return (levels.astype(np.int64) * v) << (qp // 6)
+
+
+# ---------------------------------------------------------------------------
+# Intra_4x4 DC prediction + plane bookkeeping
+
+# luma 4x4 block scan within a macroblock: (x, y) offsets, §6.4.3
+LUMA_BLOCK_XY = [(0, 0), (4, 0), (0, 4), (4, 4), (8, 0), (12, 0), (8, 4),
+                 (12, 4), (0, 8), (4, 8), (0, 12), (4, 12), (8, 8), (12, 8),
+                 (8, 12), (12, 12)]
+
+
+def _dc_predict(plane: np.ndarray, y: int, x: int, size: int) -> int:
+    has_top = y > 0
+    has_left = x > 0
+    if has_top and has_left:
+        s = int(plane[y - 1, x : x + size].sum()) + int(
+            plane[y : y + size, x - 1].sum()
+        )
+        return (s + size) >> (size.bit_length())
+    if has_top:
+        return (int(plane[y - 1, x : x + size].sum()) + size // 2) >> (
+            size.bit_length() - 1
+        )
+    if has_left:
+        return (int(plane[y : y + size, x - 1].sum()) + size // 2) >> (
+            size.bit_length() - 1
+        )
+    return 128
+
+
+# CBP me(v) mapping, Table 9-4 column "Intra_4x4" (codeNum -> cbp)
+CBP_INTRA = [47, 31, 15, 0, 23, 27, 29, 30, 7, 11, 13, 14, 39, 43, 45, 46,
+             16, 3, 5, 10, 12, 19, 21, 26, 28, 35, 37, 42, 44, 1, 2, 4, 8,
+             17, 18, 20, 24, 6, 9, 22, 25, 32, 33, 34, 36, 40, 38, 41]
+_CBP_INTRA_INV = {cbp: i for i, cbp in enumerate(CBP_INTRA)}
+
+
+# ---------------------------------------------------------------------------
+# headers
+
+
+def _build_sps_rbsp(width: int, height: int) -> bytes:
+    if width % 16 or height % 16:
+        raise ValueError("dimensions must be multiples of 16 in this scope")
+    w = BitWriter()
+    w.u(66, 8)   # profile_idc baseline
+    w.u(0, 8)    # constraint flags
+    w.u(30, 8)   # level_idc
+    w.ue(0)      # sps id
+    w.ue(0)      # log2_max_frame_num_minus4
+    w.ue(2)      # poc type 2
+    w.ue(1)      # max_num_ref_frames
+    w.u(0, 1)    # gaps_in_frame_num
+    w.ue(width // 16 - 1)
+    w.ue(height // 16 - 1)
+    w.u(1, 1)    # frame_mbs_only
+    w.u(1, 1)    # direct_8x8_inference
+    w.u(0, 1)    # no cropping
+    w.u(0, 1)    # no VUI
+    return w.rbsp()
+
+
+def _build_pps_rbsp() -> bytes:
+    w = BitWriter()
+    w.ue(0)      # pps id
+    w.ue(0)      # sps id
+    w.u(0, 1)    # entropy_coding_mode = CAVLC
+    w.u(0, 1)    # bottom_field_pic_order_in_frame_present
+    w.ue(0)      # num_slice_groups_minus1
+    w.ue(0)      # num_ref_idx_l0_default_active_minus1
+    w.ue(0)      # num_ref_idx_l1_default_active_minus1
+    w.u(0, 1)    # weighted_pred
+    w.u(0, 2)    # weighted_bipred_idc
+    w.se(0)      # pic_init_qp_minus26
+    w.se(0)      # pic_init_qs_minus26
+    w.se(0)      # chroma_qp_index_offset
+    w.u(1, 1)    # deblocking_filter_control_present_flag
+    w.u(0, 1)    # constrained_intra_pred
+    w.u(0, 1)    # redundant_pic_cnt_present
+    return w.rbsp()
+
+
+def _nal(nal_type: int, rbsp: bytes, ref_idc: int = 3) -> bytes:
+    return b"\x00\x00\x00\x01" + bytes([(ref_idc << 5) | nal_type]) + rbsp
+
+
+# ---------------------------------------------------------------------------
+# encoder
+
+
+def encode_iframe(rgb_or_gray: np.ndarray, qp: int = 20) -> bytes:
+    """(H, W) grayscale or (H, W, 3) RGB uint8 → Annex-B H.264 stream
+    (SPS + PPS + one IDR I-slice). H and W must be multiples of 16.
+    Luma carries full Intra_4x4 + CAVLC residual at the given QP;
+    chroma is encoded prediction-only (exact for gray input). Use
+    `encoder_reconstruction` for the decoder-exact reference pixels."""
+    y_plane, _, _ = _to_yuv(rgb_or_gray)
+    recon, payload = _encode_slice(y_plane, qp)
+    _ = recon
+    h, w_ = y_plane.shape
+    return (_nal(7, _build_sps_rbsp(w_, h))
+            + _nal(8, _build_pps_rbsp())
+            + _nal(5, payload))
+
+
+def encoder_reconstruction(rgb_or_gray: np.ndarray, qp: int = 20) -> np.ndarray:
+    """The encoder's own decoded-loop luma reconstruction — the
+    bit-exact reference the decoder must reproduce."""
+    y_plane, _, _ = _to_yuv(rgb_or_gray)
+    recon, _ = _encode_slice(y_plane, qp)
+    return recon
+
+
+def _to_yuv(img: np.ndarray) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    img = np.asarray(img)
+    if img.ndim == 3:
+        r = img[:, :, 0].astype(np.int64)
+        g = img[:, :, 1].astype(np.int64)
+        b = img[:, :, 2].astype(np.int64)
+        y = (77 * r + 150 * g + 29 * b + 128) >> 8
+        cb = np.clip(((b - y) * 144 // 256) + 128, 0, 255)
+        cr = np.clip(((r - y) * 183 // 256) + 128, 0, 255)
+        y = np.clip(y, 0, 255)
+    else:
+        y = img.astype(np.int64)
+        cb = np.full_like(y, 128)
+        cr = np.full_like(y, 128)
+    return (y.astype(np.uint8), cb[::2, ::2].astype(np.uint8),
+            cr[::2, ::2].astype(np.uint8))
+
+
+def _encode_slice(y_plane: np.ndarray, qp: int) -> tuple[np.ndarray, bytes]:
+    h, w_ = y_plane.shape
+    if h % 16 or w_ % 16:
+        raise ValueError("dimensions must be multiples of 16 in this scope")
+    if not 0 <= qp <= 51:
+        raise ValueError("QP out of range")
+    mbs_w, mbs_h = w_ // 16, h // 16
+    w = BitWriter()
+    # slice header (IDR I-slice)
+    w.ue(0)            # first_mb_in_slice
+    w.ue(7)            # slice_type I (all slices)
+    w.ue(0)            # pps id
+    w.u(0, 4)          # frame_num (log2_max_frame_num = 4)
+    w.ue(0)            # idr_pic_id
+    # dec_ref_pic_marking (present: IDR with nal_ref_idc != 0, §7.3.3.3)
+    w.u(0, 1)          # no_output_of_prior_pics_flag
+    w.u(0, 1)          # long_term_reference_flag
+    w.se(qp - 26)      # slice_qp_delta
+    w.ue(1)            # disable_deblocking_filter_idc = 1 (off)
+
+    recon = np.zeros((h, w_), dtype=np.int64)
+    tc_map = np.zeros((h // 4, w_ // 4), dtype=np.int64)
+    for mby in range(mbs_h):
+        for mbx in range(mbs_w):
+            w.ue(0)  # mb_type I_4x4
+            for _blk in range(16):
+                w.u(1, 1)  # prev_intra4x4_pred_mode_flag (pred = DC = 2)
+            w.ue(0)        # intra_chroma_pred_mode DC
+            w.ue(_CBP_INTRA_INV[15])  # CBP: luma 15, chroma 0
+            w.se(0)        # mb_qp_delta
+            for blk in range(16):
+                bx, by = LUMA_BLOCK_XY[blk]
+                x, y = mbx * 16 + bx, mby * 16 + by
+                pred = _dc_predict(recon, y, x, 4)
+                res = y_plane[y : y + 4, x : x + 4].astype(np.int64) - pred
+                levels = quantize_4x4(forward_transform_4x4(res), qp)
+                nc = _neighbor_nc(tc_map, y // 4, x // 4)
+                tc = encode_residual_block(w, levels, nc)
+                tc_map[y // 4, x // 4] = tc
+                rec_res = inverse_transform_4x4(dequantize_4x4(levels, qp))
+                recon[y : y + 4, x : x + 4] = np.clip(pred + rec_res, 0, 255)
+    return recon.astype(np.uint8), w.rbsp()
+
+
+def _neighbor_nc(tc_map: np.ndarray, by: int, bx: int) -> int:
+    has_a = bx > 0
+    has_b = by > 0
+    if has_a and has_b:
+        return (int(tc_map[by, bx - 1]) + int(tc_map[by - 1, bx]) + 1) >> 1
+    if has_a:
+        return int(tc_map[by, bx - 1])
+    if has_b:
+        return int(tc_map[by - 1, bx])
+    return 0
+
+
+# ---------------------------------------------------------------------------
+# decoder
+
+
+def decode_iframe(data: bytes) -> dict:
+    """Annex-B H.264 stream → {width, height, qp, luma (H,W) uint8,
+    n_mbs}. Decodes the first IDR slice; raises NotImplementedError
+    with the exact unsupported feature for anything outside the
+    intra-CAVLC envelope documented in the module docstring."""
+    nals = _split_annexb(data)
+    sps = pps = slice_rbsp = None
+    for nal_type, rbsp in nals:
+        if nal_type == 7 and sps is None:
+            sps = _parse_sps(BitReader(strip_emulation(rbsp)))
+        elif nal_type == 8 and pps is None:
+            pps = _parse_pps(BitReader(strip_emulation(rbsp)))
+        elif nal_type in (1, 5) and slice_rbsp is None:
+            if nal_type == 1:
+                raise NotImplementedError("non-IDR slices (P/B) unsupported")
+            slice_rbsp = strip_emulation(rbsp)
+    if sps is None or pps is None or slice_rbsp is None:
+        raise ValueError("stream lacks SPS, PPS, or an IDR slice")
+    if pps["cabac"]:
+        raise NotImplementedError("CABAC entropy coding unsupported")
+    w_, h = sps["width"], sps["height"]
+    r = BitReader(slice_rbsp)
+    if r.ue() != 0:
+        raise NotImplementedError("multi-slice pictures unsupported")
+    slice_type = r.ue()
+    if slice_type % 5 != 2:
+        raise NotImplementedError("only I slices supported")
+    r.ue()  # pps id
+    r.u(sps["log2_max_frame_num"])
+    r.ue()  # idr_pic_id
+    r.u(2)  # dec_ref_pic_marking: no_output_of_prior + long_term_ref flags
+    qp = 26 + pps["pic_init_qp_delta"] + r.se()
+    if pps["deblocking_control"]:
+        if r.ue() != 1:
+            raise NotImplementedError(
+                "deblocking filter enabled — decode-without-deblock would "
+                "not be conformant"
+            )
+    recon = np.zeros((h, w_), dtype=np.int64)
+    tc_map = np.zeros((h // 4, w_ // 4), dtype=np.int64)
+    n_mbs = (h // 16) * (w_ // 16)
+    for mb in range(n_mbs):
+        mbx, mby = mb % (w_ // 16), mb // (w_ // 16)
+        mb_type = r.ue()
+        if mb_type != 0:
+            raise NotImplementedError(
+                f"mb_type {mb_type} unsupported (only I_4x4)"
+            )
+        modes = []
+        for _blk in range(16):
+            if r.bit():
+                modes.append(None)  # predicted mode (DC in this envelope)
+            else:
+                modes.append(r.u(3))
+        if any(m is not None and m != 2 for m in modes):
+            raise NotImplementedError(
+                "directional Intra_4x4 prediction modes unsupported"
+            )
+        chroma_mode = r.ue()
+        if chroma_mode != 0:
+            raise NotImplementedError("non-DC chroma prediction unsupported")
+        cbp = CBP_INTRA[r.ue()]
+        if cbp & 0x30:
+            raise NotImplementedError("chroma residual unsupported")
+        if r.se() != 0:
+            raise NotImplementedError("mb_qp_delta unsupported")
+        for blk in range(16):
+            bx, by = LUMA_BLOCK_XY[blk]
+            x, y = mbx * 16 + bx, mby * 16 + by
+            group = 1 << (2 * (by // 8) + (bx // 8))
+            pred = _dc_predict(recon, y, x, 4)
+            if cbp & group:
+                nc = _neighbor_nc(tc_map, y // 4, x // 4)
+                levels, tc = decode_residual_block(r, nc)
+                tc_map[y // 4, x // 4] = tc
+                res = inverse_transform_4x4(dequantize_4x4(levels, qp))
+            else:
+                tc_map[y // 4, x // 4] = 0
+                res = 0
+            recon[y : y + 4, x : x + 4] = np.clip(pred + res, 0, 255)
+    return {
+        "width": w_,
+        "height": h,
+        "qp": qp,
+        "n_mbs": n_mbs,
+        "luma": recon.astype(np.uint8),
+    }
+
+
+def _split_annexb(data: bytes) -> list[tuple[int, bytes]]:
+    starts = []
+    i = 0
+    while True:
+        j = data.find(b"\x00\x00\x01", i)
+        if j < 0:
+            break
+        starts.append(j + 3)
+        i = j + 3
+    out = []
+    for k, s in enumerate(starts):
+        end = (starts[k + 1] - 3) if k + 1 < len(starts) else len(data)
+        nal = data[s:end]
+        while nal and nal[-1] == 0:
+            nal = nal[:-1]
+        if nal:
+            out.append((nal[0] & 0x1F, nal[1:]))
+    return out
+
+
+def _parse_sps(r: BitReader) -> dict:
+    profile = r.u(8)
+    r.u(8)
+    r.u(8)  # level
+    r.ue()  # sps id
+    if profile in (100, 110, 122, 244, 44, 83, 86, 118, 128):
+        raise NotImplementedError("High-profile SPS unsupported")
+    log2_mfn = r.ue() + 4
+    poc_type = r.ue()
+    if poc_type != 2:
+        raise NotImplementedError("POC types 0/1 unsupported")
+    r.ue()  # max refs
+    r.u(1)
+    w_mbs = r.ue() + 1
+    h_units = r.ue() + 1
+    frame_mbs_only = r.u(1)
+    if not frame_mbs_only:
+        raise NotImplementedError("interlaced streams unsupported")
+    r.u(1)  # direct_8x8
+    if r.u(1):
+        raise NotImplementedError("cropped SPS unsupported in this scope")
+    r.u(1)  # vui
+    return {
+        "width": w_mbs * 16,
+        "height": h_units * 16,
+        "log2_max_frame_num": log2_mfn,
+    }
+
+
+def _parse_pps(r: BitReader) -> dict:
+    r.ue()  # pps id
+    r.ue()  # sps id
+    cabac = r.u(1)
+    r.u(1)
+    if r.ue() != 0:
+        raise NotImplementedError("slice groups unsupported")
+    r.ue()
+    r.ue()
+    r.u(1)
+    r.u(2)
+    qp_delta = r.se()
+    r.se()
+    r.se()
+    deblocking_control = r.u(1)
+    r.u(1)
+    r.u(1)
+    return {
+        "cabac": bool(cabac),
+        "pic_init_qp_delta": qp_delta,
+        "deblocking_control": bool(deblocking_control),
+    }

@@ -9,9 +9,12 @@ interpretation (fps from dwRate/dwScale, dims from BITMAPINFOHEADER),
 frame chunk iteration ('00db' DIBs: bottom-up rows, BGR, 4-byte row
 stride), exact frame reconstruction, and — via the pure-Python
 baseline-JPEG codec in jpeg.py — REAL MJPG (Motion-JPEG) decode, the
-most common compressed AVI fourcc from capture tools. What stays a
-documented stub: inter-frame codecs (h264/vp9) that need an
-ffmpeg-class decoder absent from this container —
+most common compressed AVI fourcc from capture tools. INTRA-ONLY
+H.264 is also real now: h264.py decodes IDR I-frames for real (CAVLC +
+Intra_4x4 + integer transform) for Annex-B elementary streams within
+its documented envelope. What stays a documented stub: INTER-frame
+decoding (P/B motion compensation for h264, and vp9 entirely), which
+needs an ffmpeg-class decoder absent from this container —
 `blobs.py::sample_blob_frames(fake=False)` routes AVI here and still
 raises for those. Their header-level METADATA (resolution/profile via
 H.264 SPS parse, Exp-Golomb) is fully real in mediameta.py — the

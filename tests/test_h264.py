@@ -1,0 +1,162 @@
+"""Intra-only H.264 baseline codec (multimodal/h264.py): VLC table
+hygiene, CAVLC block roundtrip, full-frame bit-exact roundtrip, honest
+NotImplementedError guards, and cross-implementation agreement with the
+independent SPS parser in mediameta.py."""
+
+import numpy as np
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from sparkstreaming_spark.multimodal.h264 import (
+    CBP_INTRA,
+    COEFF_TOKEN,
+    RUN_BEFORE,
+    TOTAL_ZEROS,
+    BitReader,
+    BitWriter,
+    decode_iframe,
+    decode_residual_block,
+    encode_iframe,
+    encode_residual_block,
+    encoder_reconstruction,
+    strip_emulation,
+)
+
+
+def _prefix_free(codes):
+    codes = list(codes)
+    assert len(set(codes)) == len(codes)
+    for a in codes:
+        for b in codes:
+            if a is not b and a != b:
+                assert not b.startswith(a)
+
+
+def test_vlc_tables_prefix_free():
+    for t in COEFF_TOKEN:
+        _prefix_free(t.values())
+    for t in TOTAL_ZEROS.values():
+        _prefix_free(t)
+    for t in RUN_BEFORE.values():
+        _prefix_free(t)
+
+
+def test_cbp_table_is_permutation():
+    assert sorted(CBP_INTRA) == list(range(48))
+
+
+def test_coeff_token_shape():
+    for t in COEFF_TOKEN:
+        keys = set(t)
+        assert (0, 0) in keys
+        for tc in range(1, 17):
+            for t1 in range(0, min(tc, 3) + 1):
+                assert (t1, tc) in keys, (t1, tc)
+
+
+@settings(max_examples=300, deadline=None)
+@given(
+    nc=st.integers(0, 16),
+    data=st.data(),
+)
+def test_cavlc_block_roundtrip(nc, data):
+    k = data.draw(st.integers(0, 16))
+    pos = data.draw(
+        st.lists(st.integers(0, 15), min_size=k, max_size=k, unique=True)
+    )
+    block = np.zeros(16, np.int64)
+    for p in pos:
+        v = data.draw(st.integers(1, 2000)) * data.draw(
+            st.sampled_from([-1, 1])
+        )
+        block[p] = v
+    block = block.reshape(4, 4)
+    w = BitWriter()
+    tc = encode_residual_block(w, block, nc)
+    got, tc2 = decode_residual_block(
+        BitReader(strip_emulation(w.rbsp())), nc
+    )
+    assert np.array_equal(got, block)
+    assert tc == tc2
+
+
+def test_frame_roundtrip_is_bit_exact_across_qp():
+    rng = np.random.default_rng(3)
+    img = rng.integers(0, 256, (32, 48)).astype(np.uint8)
+    for qp in (0, 5, 12, 20, 30, 40, 51):
+        out = decode_iframe(encode_iframe(img, qp=qp))
+        assert np.array_equal(out["luma"], encoder_reconstruction(img, qp=qp))
+        assert out["qp"] == qp
+
+
+def test_low_qp_is_near_lossless_high_qp_is_coarse():
+    i = np.arange(32).reshape(-1, 1)
+    j = np.arange(48).reshape(1, -1)
+    img = ((3 * i + 2 * j) % 256).astype(np.uint8)
+    err_lo = np.abs(
+        decode_iframe(encode_iframe(img, qp=4))["luma"].astype(int)
+        - img.astype(int)
+    )
+    err_hi = np.abs(
+        decode_iframe(encode_iframe(img, qp=44))["luma"].astype(int)
+        - img.astype(int)
+    )
+    assert err_lo.max() <= 2
+    assert err_hi.mean() > err_lo.mean()
+
+
+def test_rgb_input_uses_luma_plane():
+    rng = np.random.default_rng(4)
+    rgb = rng.integers(0, 256, (16, 16, 3)).astype(np.uint8)
+    out = decode_iframe(encode_iframe(rgb, qp=10))
+    assert out["luma"].shape == (16, 16)
+    assert np.array_equal(out["luma"], encoder_reconstruction(rgb, qp=10))
+
+
+def test_metadata_fields():
+    img = np.full((48, 64), 77, np.uint8)
+    out = decode_iframe(encode_iframe(img, qp=28))
+    assert (out["width"], out["height"], out["n_mbs"]) == (64, 48, 12)
+
+
+def test_flat_image_is_reconstructed_exactly():
+    # constant image: DC prediction is exact, residual quantizes to zero
+    img = np.full((32, 32), 153, np.uint8)
+    out = decode_iframe(encode_iframe(img, qp=30))
+    assert np.array_equal(out["luma"], img)
+
+
+def test_sps_agrees_with_independent_mediameta_parser():
+    from sparkstreaming_spark.multimodal.mediameta import h264_probe
+
+    img = np.zeros((48, 80), np.uint8)
+    blob = encode_iframe(img, qp=20)
+    p = h264_probe(blob)
+    assert (p["width"], p["height"]) == (80, 48)
+    assert p["n_sps"] == 1 and p["n_idr"] == 1
+    assert p["profile_idc"] == 66
+
+
+def test_dimension_and_qp_guards():
+    with pytest.raises(ValueError, match="multiples of 16"):
+        encode_iframe(np.zeros((20, 32), np.uint8))
+    with pytest.raises(ValueError, match="QP"):
+        encode_iframe(np.zeros((16, 16), np.uint8), qp=60)
+
+
+def test_unsupported_features_raise_not_implemented():
+    img = np.zeros((16, 16), np.uint8)
+    blob = bytearray(encode_iframe(img, qp=20))
+    # flip the slice NAL type 5 -> 1 (non-IDR) — find the 0x65 NAL byte
+    i = blob.index(b"\x00\x00\x00\x01\x65") + 4
+    blob[i] = 0x61
+    with pytest.raises(NotImplementedError, match="non-IDR"):
+        decode_iframe(bytes(blob))
+
+
+def test_truncated_stream_raises_value_error():
+    img = np.zeros((16, 16), np.uint8)
+    blob = encode_iframe(img, qp=20)
+    with pytest.raises(ValueError):
+        decode_iframe(blob[: len(blob) - 8])
