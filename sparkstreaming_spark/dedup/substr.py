@@ -53,6 +53,10 @@ def _positional_shingles(
     toks = df.select(
         F.col(id_col).alias("doc_id"), tokenize(text_col).alias("toks")
     )
+    # single-row-group parquet would run the md5-per-shingle explode as
+    # one task; spread it (no-op at real scale where inputs have splits)
+    if toks.rdd.getNumPartitions() < 8:
+        toks = toks.repartition(16)
     return toks.select(
         "doc_id",
         F.posexplode(shingles_from_tokens("toks", k)).alias("pos", "shingle"),
@@ -132,4 +136,43 @@ def substr_dedup_stats(
                 6,
             ).alias("dup_frac"),
         )
+    )
+
+
+def substr_dedup_apply(
+    df: DataFrame, id_col: str, text_col: str, k: int = 8
+) -> DataFrame:
+    """APPLY the dedup: → (doc_id, n_tokens, n_kept, clean_text) where
+    clean_text is the document with every token inside a duplicated
+    span REMOVED (the aggressive variant — all occurrences go, not
+    all-but-one; the accounting ledger from substr_dedup_stats tells a
+    curator what was cut). Docs with no duplicated runs pass through
+    with their normalized token stream intact.
+
+    Plan shape: the span set aggregates to ONE array per affected doc
+    (equi-shuffle on doc_id), equi-joined back to the corpus; the token
+    drop is an in-row higher-order filter over (token, index) — pure
+    codegen, no explode of the corpus, no range join."""
+    spans = substr_dup_spans(df, id_col, text_col, k)
+    span_arr = spans.groupBy("doc_id").agg(
+        F.collect_list(F.struct("span_start", "span_end")).alias("spans")
+    )
+    base = df.select(
+        F.col(id_col).alias("doc_id"), tokenize(text_col).alias("toks")
+    )
+    joined = base.join(span_arr, "doc_id", "left").withColumn(
+        "spans", F.coalesce("spans", F.array())
+    )
+    kept = F.filter(
+        F.col("toks"),
+        lambda tok, i: ~F.exists(
+            F.col("spans"),
+            lambda s: (i >= s["span_start"]) & (i <= s["span_end"]),
+        ),
+    )
+    return joined.select(
+        "doc_id",
+        F.size("toks").cast("bigint").alias("n_tokens"),
+        F.size(kept).cast("bigint").alias("n_kept"),
+        F.concat_ws(" ", kept).alias("clean_text"),
     )

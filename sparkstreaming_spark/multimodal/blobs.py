@@ -235,6 +235,9 @@ MAGIC_PREFIXES: list[tuple[str, bytes]] = [
     # only the doc_mime_sniff ORACLE trick needs ASCII-safe markers
     ("image/png", b"\x89PNG\r\n\x1a\n"),
     ("image/jpeg", b"\xff\xd8\xff"),
+    # Annex-B H.264 elementary stream opening with an SPS NAL (the
+    # shape multimodal/h264.py emits and any raw .264 dump starts with)
+    ("video/h264", b"\x00\x00\x00\x01\x67"),
 ]
 
 

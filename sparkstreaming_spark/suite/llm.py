@@ -2795,12 +2795,14 @@ def _sql_fdiv(a: str, b: str) -> str:
     return f"((({a}) - (((({a}) % ({b})) + ({b})) % ({b}))) // ({b}))"
 
 
-def _quality_clf_oracle() -> str:
+def _quality_clf_cte(dim: int, iters: int) -> str:
+    """CTE prefix replaying the classifier training run (weights end in
+    w{iters}, bias in bias{iters}, per-doc final z in zf)."""
     parts = [rf"""
 WITH t AS (SELECT doc_id AS id, lang = 'en' AS y, {SQL_TOKS} AS toks
            FROM documents),
 feats AS (
-  SELECT id, {_sql_md5_64('feat')} % 1024 AS b, count(*) AS cnt
+  SELECT id, {_sql_md5_64('feat')} % {dim} AS b, count(*) AS cnt
   FROM (SELECT id, unnest(list_concat(toks, {SQL_SHINGLES2})) AS feat FROM t)
   GROUP BY id, b
 ),
@@ -2811,7 +2813,7 @@ g1 AS (SELECT b, sum((500000 - ym) * cnt) AS gs
 w1 AS (SELECT b, -({_sql_fdiv('gs', 'n')}) AS w FROM g1, nn),
 bias1 AS (SELECT -({_sql_fdiv('sum(500000 - ym)', 'n')}) AS bv
           FROM lab, nn GROUP BY n)"""]
-    for i in (2, 3):
+    for i in range(2, iters + 1):
         parts.append(rf""",
 z{i} AS (SELECT f.id,
          {_sql_fdiv('sum(w' + str(i-1) + '.w * f.cnt)', 'sum(f.cnt)')} AS z
@@ -2829,21 +2831,71 @@ bias{i} AS (SELECT bv - ({_sql_fdiv('g', 'n')}) AS bv
             FROM bias{i-1}, bg{i}, nn)""")
     parts.append(rf""",
 zf AS (SELECT f.id,
-       {_sql_fdiv('sum(w3.w * f.cnt)', 'sum(f.cnt)')} AS z
-       FROM feats f JOIN w3 USING (b) GROUP BY f.id)
-SELECT t.id AS doc_id, t.y,
-       CAST(least(1000000, greatest(0,
-            500000 + {_sql_fdiv('zf.z + bias3.bv', '4')}))
-            AS BIGINT) AS score_micro,
-       (least(1000000, greatest(0,
-            500000 + {_sql_fdiv('zf.z + bias3.bv', '4')}))
-        >= 500000) AS pred
-FROM t JOIN zf ON t.id = zf.id, bias3""")
+       {_sql_fdiv('sum(w' + str(iters) + '.w * f.cnt)', 'sum(f.cnt)')} AS z
+       FROM feats f JOIN w{iters} USING (b) GROUP BY f.id)""")
     return "".join(parts)
+
+
+def _quality_clf_oracle() -> str:
+    score = _sql_fdiv("zf.z + bias3.bv", "4")
+    return _quality_clf_cte(1024, 3) + rf"""
+SELECT t.id AS doc_id, t.y,
+       CAST(least(1000000, greatest(0, 500000 + {score}))
+            AS BIGINT) AS score_micro,
+       (least(1000000, greatest(0, 500000 + {score}))
+        >= 500000) AS pred
+FROM t JOIN zf ON t.id = zf.id, bias3"""
 
 
 QUERIES["doc_quality_classifier"] = QuerySpec(
     q_quality_classifier,
     _quality_clf_oracle(),
     "hard-sigmoid logistic quality scorer, training replayed bit-exactly in SQL",
+)
+
+
+def q_substr_dedup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ExactSubstr APPLIED (dedup/substr.py::substr_dedup_apply, k=8):
+    the corpus with every token inside a duplicated >=8-token run
+    removed — per doc the token counts before/after and the full
+    cleaned text, which the oracle reconstructs token-by-token
+    (positional anti-join against the merged spans + ordered
+    string_agg), so a single kept-or-dropped token anywhere flips the
+    hash."""
+    from ..dedup.substr import substr_dedup_apply
+
+    d = read_table(spark, sf_dir, "documents")
+    return substr_dedup_apply(d, "doc_id", "text", k=8)
+
+
+ORACLE_SUBSTR_DEDUP_APPLY = SQL_SUBSTR_SPANS_CTE + rf""",
+tk AS (
+  SELECT doc_id, u.i AS i, toks[u.i + 1] AS tok, len(toks) AS n_tokens
+  FROM t, unnest(generate_series(0, len(toks) - 1)) AS u(i)
+),
+kept AS (
+  SELECT tk.* FROM tk
+  WHERE NOT EXISTS (
+    SELECT 1 FROM merged m
+    WHERE m.doc_id = tk.doc_id
+      AND tk.i BETWEEN m.span_start AND m.span_end
+  )
+)
+SELECT b.doc_id,
+       CAST(b.n_tokens AS BIGINT) AS n_tokens,
+       CAST(coalesce(k.n_kept, 0) AS BIGINT) AS n_kept,
+       coalesce(k.clean_text, '') AS clean_text
+FROM (SELECT doc_id, len({SQL_TOKS}) AS n_tokens FROM documents) b
+LEFT JOIN (
+  SELECT doc_id, count(*) AS n_kept,
+         string_agg(tok, ' ' ORDER BY i) AS clean_text
+  FROM kept GROUP BY doc_id
+) k USING (doc_id)
+"""
+
+
+QUERIES["doc_substr_dedup_apply"] = QuerySpec(
+    q_substr_dedup_apply,
+    ORACLE_SUBSTR_DEDUP_APPLY,
+    "ExactSubstr applied: duplicated-run tokens removed, cleaned text exact",
 )

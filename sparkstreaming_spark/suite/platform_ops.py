@@ -1154,8 +1154,9 @@ MM_INGEST_IDS = 150
 
 def q_multimodal_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """END-TO-END mixed-media ingest: per doc (doc_id < 150) synthesize
-    a blob whose FORMAT rotates with doc_id%6 (PCM WAV tone / FLAC /
-    GIF / PNG / MP4 / raw mp3 chain), then dispatch on the CONTENT —
+    a blob whose FORMAT rotates with doc_id%7 (PCM WAV tone / FLAC /
+    GIF / PNG / MP4 / raw mp3 chain / H.264 I-frame elementary
+    stream), then dispatch on the CONTENT —
     `sniff_mime` (multimodal/blobs.py) is the router, so a magic-table
     bug sends the blob to the wrong decoder and breaks the row — and
     decode with the real codec for that family. Emitted per doc:
@@ -1174,6 +1175,7 @@ def q_multimodal_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..multimodal.codecs import decode_png, encode_png
     from ..multimodal.flac import encode_flac
     from ..multimodal.gif import decode_gif_rgb, encode_gif
+    from ..multimodal.h264 import decode_iframe, encode_iframe
     from ..multimodal.mediameta import (
         build_mp3_stream,
         build_mp4,
@@ -1190,7 +1192,7 @@ def q_multimodal_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
             rows = []
             for did in pdf["doc_id"]:
                 did = int(did)
-                kind = did % 6
+                kind = did % 7
                 if kind == 0:
                     i = np.arange(400)
                     x = ((did * 7 + i * 11) % 2001 - 1000).astype(np.int16)
@@ -1221,8 +1223,17 @@ def q_multimodal_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
                         320 + 16 * (did % 20), 180 + 16 * (did % 20),
                         round((did % 100) / 4.0, 6),
                     )
-                else:
+                elif kind == 5:
                     blob = build_mp3_stream([1 + did % 14] * (4 + did % 5))
+                else:
+                    # flat 128 luma: the ONLY provably quant-exact flat
+                    # value (DC prediction starts at 128, so residuals
+                    # are zero everywhere) -> px_sum is an exact formula;
+                    # pixel-level CAVLC stress lives in doc_h264_iframe_probe
+                    fh, fw = 16 * (1 + did % 2), 16 * (1 + did % 3)
+                    blob = encode_iframe(
+                        np.full((fh, fw), 128, np.uint8), qp=20
+                    )
                 rows.append({"doc_id": did, "blob": blob})
             yield pd.DataFrame(rows)
 
@@ -1262,6 +1273,11 @@ def q_multimodal_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
                     p = mp3_probe(raw)
                     row["n_units"] = p["n_frames"]
                     row["duration_s"] = p["duration_s"]
+                elif mime == "video/h264":
+                    v = decode_iframe(raw)
+                    row["n_units"] = v["n_mbs"]
+                    row["width"], row["height"] = v["width"], v["height"]
+                    row["px_sum"] = int(v["luma"].astype(np.int64).sum())
                 rows.append(row)
             yield pd.DataFrame(rows)
 
@@ -1274,7 +1290,7 @@ def q_multimodal_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE_MULTIMODAL_INGEST = f"""
 WITH d AS (
-  SELECT doc_id, doc_id % 6 AS kind FROM documents
+  SELECT doc_id, doc_id % 7 AS kind FROM documents
   WHERE doc_id < {MM_INGEST_IDS}
 ),
 audio AS (
@@ -1304,20 +1320,27 @@ pngpx AS (
 SELECT d.doc_id,
        CASE d.kind WHEN 0 THEN 'audio/wav' WHEN 1 THEN 'audio/flac'
             WHEN 2 THEN 'image/gif' WHEN 3 THEN 'image/png'
-            WHEN 4 THEN 'video/mp4' ELSE 'audio/mpeg' END AS mime,
+            WHEN 4 THEN 'video/mp4' WHEN 5 THEN 'audio/mpeg'
+            ELSE 'video/h264' END AS mime,
        CAST(CASE d.kind WHEN 0 THEN 400 WHEN 1 THEN 500
             WHEN 4 THEN 1 WHEN 5 THEN 4 + d.doc_id % 5
+            WHEN 6 THEN (1 + d.doc_id % 2) * (1 + d.doc_id % 3)
             ELSE 1 END AS BIGINT) AS n_units,
        coalesce(a.s, 0) AS amp_sum,
        CAST(CASE d.kind WHEN 2 THEN 9 + d.doc_id % 6
             WHEN 3 THEN 6 + d.doc_id % 5
-            WHEN 4 THEN 320 + 16 * (d.doc_id % 20) ELSE 0 END AS INT)
+            WHEN 4 THEN 320 + 16 * (d.doc_id % 20)
+            WHEN 6 THEN 16 * (1 + d.doc_id % 3) ELSE 0 END AS INT)
          AS width,
        CAST(CASE d.kind WHEN 2 THEN 7 + d.doc_id % 5
             WHEN 3 THEN 5 + d.doc_id % 4
-            WHEN 4 THEN 180 + 16 * (d.doc_id % 20) ELSE 0 END AS INT)
+            WHEN 4 THEN 180 + 16 * (d.doc_id % 20)
+            WHEN 6 THEN 16 * (1 + d.doc_id % 2) ELSE 0 END AS INT)
          AS height,
-       coalesce(g.s, p.s, 0) AS px_sum,
+       CASE WHEN d.kind = 6
+            THEN CAST(128 * 16 * (1 + d.doc_id % 3)
+                      * 16 * (1 + d.doc_id % 2) AS BIGINT)
+            ELSE coalesce(g.s, p.s, 0) END AS px_sum,
        CASE d.kind WHEN 0 THEN 0.05 WHEN 1 THEN 0.03125
             WHEN 4 THEN round((d.doc_id % 100) / 4.0, 6)
             WHEN 5 THEN round((4 + d.doc_id % 5) * 1152 / 44100.0, 6)

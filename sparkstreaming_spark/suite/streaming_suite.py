@@ -1170,3 +1170,102 @@ QUERIES["stream_gopher_gate"] = QuerySpec(
     ORACLE_STREAM_GOPHER_GATE,
     "Gopher rules as a streaming admission gate with verdict accounting",
 )
+
+
+def q_stream_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The trained quality classifier SERVING ON A LIVE STREAM — the
+    deploy-time split of every fastText-style curation gate: train
+    OFFLINE on the batch corpus (textstats/quality_clf.py, dim=256,
+    2 GD iterations, integer micro-unit exact), then score each
+    streaming document IN-ROW with the frozen weights folded into the
+    plan as a 256-entry map literal (z = mean of per-gram weights via
+    higher-order aggregate — no per-doc stateful aggregation, so the
+    scorer is streaming-safe with zero state) and account admissions
+    per (lang, admitted) in complete mode. The oracle replays the
+    training run in SQL (the unrolled-CTE builder shared with
+    doc_quality_classifier) and restates the gate."""
+    from ..functions.text import md5_64, shingles_from_tokens, tokenize
+    from ..textstats.quality_clf import MICRO, train_quality_classifier
+
+    d = spark.read.option("pathGlobFilter", "documents.parquet").parquet(
+        sf_dir
+    )
+    wdf, bias = train_quality_classifier(
+        d, "doc_id", "text", F.col("lang") == "en", dim=256, iters=2
+    )
+    wmap_items: list = []
+    for row in wdf.collect():  # dim-bounded (<=256 rows)
+        wmap_items += [F.lit(int(row["b"])), F.lit(int(row["w_micro"]))]
+    wmap = F.create_map(*wmap_items) if wmap_items else F.create_map()
+
+    schema = (
+        "doc_id bigint, text string, lang string, source string,"
+        " n_chars bigint"
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+    )
+    staged = stream.select(
+        "doc_id", "lang", tokenize(F.col("text")).alias("toks")
+    ).withColumn(
+        "feats", F.concat(F.col("toks"), shingles_from_tokens("toks", 2))
+    )
+    zs = F.aggregate(
+        F.col("feats"),
+        F.lit(0).cast("bigint"),
+        lambda acc, f: acc + F.coalesce(
+            wmap[F.pmod(md5_64(f), F.lit(256))], F.lit(0).cast("bigint")
+        ),
+    )
+    nf = F.size("feats").cast("bigint")
+    zmean = F.when(nf > 0, ((zs - F.pmod(zs, nf)) / nf).cast("bigint")).otherwise(
+        F.lit(0).cast("bigint")
+    )
+    zb = zmean + F.lit(int(bias))
+    score = F.least(
+        F.lit(MICRO),
+        F.greatest(
+            F.lit(0),
+            F.lit(MICRO // 2) + ((zb - F.pmod(zb, F.lit(4))) / 4).cast("bigint"),
+        ),
+    ).cast("bigint")
+    scored = staged.select(
+        "doc_id",
+        "lang",
+        score.alias("score_micro"),
+        (score >= 442000).alias("admitted"),
+    )
+    return run_available_now(
+        scored,
+        lambda df: df.groupBy("lang", "admitted").agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("score_micro").alias("sum_score"),
+        ),
+        output_mode="complete",
+    )
+
+
+def _stream_quality_gate_oracle() -> str:
+    from .llm import _quality_clf_cte, _sql_fdiv
+
+    score = _sql_fdiv("coalesce(zf.z, 0) + bias2.bv", "4")
+    return _quality_clf_cte(256, 2) + rf"""
+SELECT t2.lang,
+       (least(1000000, greatest(0, 500000 + {score})) >= 442000)
+         AS admitted,
+       count(*) AS n_docs,
+       CAST(sum(least(1000000, greatest(0, 500000 + {score})))
+            AS BIGINT) AS sum_score
+FROM (SELECT doc_id AS id, lang FROM documents) t2
+LEFT JOIN zf ON t2.id = zf.id, bias2
+GROUP BY 1, 2
+"""
+
+
+QUERIES["stream_quality_gate"] = QuerySpec(
+    q_stream_quality_gate,
+    _stream_quality_gate_oracle(),
+    "offline-trained quality classifier gating a live stream, in-row scoring",
+)

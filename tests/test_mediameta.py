@@ -355,6 +355,7 @@ def test_sniff_mime_detects_media_magics(spark):
         (6, b"fLaC junk"),
         (7, b"\x89PNG\r\n\x1a\n rest"),
         (8, b"\xff\xd8\xff\xe0jfif"),
+        (9, b"\x00\x00\x00\x01\x67\x42\x00\x1e"),  # Annex-B SPS NAL
     ]
     df = spark.createDataFrame(pd.DataFrame(rows, columns=["id", "blob"]))
     out = {r["id"]: r["m"]
@@ -364,3 +365,4 @@ def test_sniff_mime_detects_media_magics(spark):
     assert out[4] == "application/octet-stream"
     assert out[5] == "audio/ogg" and out[6] == "audio/flac"
     assert out[7] == "image/png" and out[8] == "image/jpeg"
+    assert out[9] == "video/h264"

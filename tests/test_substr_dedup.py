@@ -70,3 +70,35 @@ def test_short_docs_below_k_are_ignored(spark):
     out = {r["doc_id"]: r.asDict()
            for r in substr_dedup_stats(_df(spark, rows), "doc_id", "text", k=8).collect()}
     assert out[1]["n_spans"] == 0 and out[1]["n_tokens"] == 3
+
+
+def test_apply_removes_covered_tokens(spark):
+    from sparkstreaming_spark.dedup.substr import substr_dedup_apply
+
+    rows = [(1, f"one two {RUN} tail1 tailx"), (2, f"{RUN} other words here")]
+    out = {r["doc_id"]: r.asDict()
+           for r in substr_dedup_apply(_df(spark, rows), "doc_id", "text", k=8).collect()}
+    assert out[1]["clean_text"] == "one two tail1 tailx"
+    assert out[1]["n_tokens"] == 12 and out[1]["n_kept"] == 4
+    assert out[2]["clean_text"] == "other words here"
+
+
+def test_apply_passthrough_for_clean_docs(spark):
+    from sparkstreaming_spark.dedup.substr import substr_dedup_apply
+
+    rows = [(1, "A unique sentence, here!"), (2, "Another unique one.")]
+    out = {r["doc_id"]: r.asDict()
+           for r in substr_dedup_apply(_df(spark, rows), "doc_id", "text", k=8).collect()}
+    # passthrough is the NORMALIZED token stream (lowercase, no punct)
+    assert out[1]["clean_text"] == "a unique sentence here"
+    assert out[1]["n_kept"] == out[1]["n_tokens"] == 4
+
+
+def test_apply_fully_duplicated_doc_empties(spark):
+    from sparkstreaming_spark.dedup.substr import substr_dedup_apply
+
+    rows = [(1, RUN), (2, RUN)]
+    out = {r["doc_id"]: r.asDict()
+           for r in substr_dedup_apply(_df(spark, rows), "doc_id", "text", k=8).collect()}
+    assert out[1]["clean_text"] == "" and out[1]["n_kept"] == 0
+    assert out[2]["clean_text"] == "" and out[2]["n_kept"] == 0
