@@ -3,9 +3,12 @@ from .minhash import candidate_pairs, lsh_bands, minhash_near_dup_pairs, minhash
 from .ngram import ngram_jaccard_pairs
 from .simhash import simhash_fingerprints, simhash_near_dup_pairs
 from .embedding import embedding_near_dup_pairs
-from .substr import substr_dedup_stats, substr_dup_spans
+from .substr import substr_dedup_apply, substr_dedup_stats, substr_dup_spans
+from .bloom import bloom_gate
 
 __all__ = [
+    "bloom_gate",
+    "substr_dedup_apply",
     "substr_dedup_stats",
     "substr_dup_spans",
     "candidate_pairs",

@@ -2795,9 +2795,11 @@ def _sql_fdiv(a: str, b: str) -> str:
     return f"((({a}) - (((({a}) % ({b})) + ({b})) % ({b}))) // ({b}))"
 
 
-def _quality_clf_cte(dim: int, iters: int) -> str:
+def _quality_clf_cte(dim: int, iters: int, train_where: str = "TRUE") -> str:
     """CTE prefix replaying the classifier training run (weights end in
-    w{iters}, bias in bias{iters}, per-doc final z in zf)."""
+    w{iters}, bias in bias{iters}, per-doc final z over ALL docs in
+    zf). `train_where` restricts the TRAINING slice (the offline-
+    sample pattern); scoring always covers the full corpus."""
     parts = [rf"""
 WITH t AS (SELECT doc_id AS id, lang = 'en' AS y, {SQL_TOKS} AS toks
            FROM documents),
@@ -2806,10 +2808,12 @@ feats AS (
   FROM (SELECT id, unnest(list_concat(toks, {SQL_SHINGLES2})) AS feat FROM t)
   GROUP BY id, b
 ),
-lab AS (SELECT id, CAST(y AS INT) * 1000000 AS ym FROM t),
-nn AS (SELECT count(*) AS n FROM t),
+lab AS (SELECT id, CAST(y AS INT) * 1000000 AS ym FROM t
+        WHERE {train_where}),
+tf AS (SELECT feats.* FROM feats JOIN lab USING (id)),
+nn AS (SELECT count(*) AS n FROM lab),
 g1 AS (SELECT b, sum((500000 - ym) * cnt) AS gs
-       FROM feats JOIN lab USING (id) GROUP BY b),
+       FROM tf JOIN lab USING (id) GROUP BY b),
 w1 AS (SELECT b, -({_sql_fdiv('gs', 'n')}) AS w FROM g1, nn),
 bias1 AS (SELECT -({_sql_fdiv('sum(500000 - ym)', 'n')}) AS bv
           FROM lab, nn GROUP BY n)"""]
@@ -2817,22 +2821,25 @@ bias1 AS (SELECT -({_sql_fdiv('sum(500000 - ym)', 'n')}) AS bv
         parts.append(rf""",
 z{i} AS (SELECT f.id,
          {_sql_fdiv('sum(w' + str(i-1) + '.w * f.cnt)', 'sum(f.cnt)')} AS z
-        FROM feats f JOIN w{i-1} USING (b) GROUP BY f.id),
+        FROM tf f JOIN w{i-1} USING (b) GROUP BY f.id),
 p{i} AS (SELECT id,
          least(1000000, greatest(0,
            500000 + {_sql_fdiv('z + bv', '4')})) AS p
         FROM z{i}, bias{i-1}),
 g{i} AS (SELECT b, sum((p{i}.p - lab.ym) * cnt) AS gs
-        FROM feats JOIN p{i} USING (id) JOIN lab USING (id) GROUP BY b),
+        FROM tf JOIN p{i} USING (id) JOIN lab USING (id) GROUP BY b),
 w{i} AS (SELECT w{i-1}.b, w{i-1}.w - ({_sql_fdiv('gs', 'n')}) AS w
         FROM w{i-1} JOIN g{i} USING (b), nn),
 bg{i} AS (SELECT sum(p{i}.p - lab.ym) AS g FROM p{i} JOIN lab USING (id)),
 bias{i} AS (SELECT bv - ({_sql_fdiv('g', 'n')}) AS bv
             FROM bias{i-1}, bg{i}, nn)""")
+    # scoring must LEFT-join: with sampled training a probe gram can
+    # hash to a bucket no training doc touched (weight 0), and dropping
+    # it would skew the mean-pool denominator
     parts.append(rf""",
 zf AS (SELECT f.id,
-       {_sql_fdiv('sum(w' + str(iters) + '.w * f.cnt)', 'sum(f.cnt)')} AS z
-       FROM feats f JOIN w{iters} USING (b) GROUP BY f.id)""")
+       {_sql_fdiv('sum(coalesce(w.w, 0) * f.cnt)', 'sum(f.cnt)')} AS z
+       FROM feats f LEFT JOIN w{iters} AS w USING (b) GROUP BY f.id)""")
     return "".join(parts)
 
 
@@ -2898,4 +2905,73 @@ QUERIES["doc_substr_dedup_apply"] = QuerySpec(
     q_substr_dedup_apply,
     ORACLE_SUBSTR_DEDUP_APPLY,
     "ExactSubstr applied: duplicated-run tokens removed, cleaned text exact",
+)
+
+
+def q_bloom_decontam_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter membership gate (dedup/bloom.py): screen the whole
+    corpus against the English slice as the reference set (the
+    decontamination / seen-before shape) with a 4096-bit, k=3
+    Kirsch-Mitzenmacher filter folded into the plan as a bitmap
+    literal. Per lang: docs, Bloom-flagged docs, exactly-seen docs, and
+    realized FALSE POSITIVES — the oracle recomputes every bit position
+    from the same salted md5 double-hash and the same bitmap semantics,
+    so even which keys false-positive is hash-checked, not just rates.
+    Probe side is zero-shuffle in-row bit tests; the reference set cost
+    is one bounded (<= m rows) aggregate."""
+    from ..dedup.bloom import bloom_gate
+
+    d = read_table(spark, sf_dir, "documents")
+    ref = d.filter(F.col("lang") == "en").select("text")
+    gated = bloom_gate(ref, "text", d, "text", m=4096, k=3, salt="decon")
+    seen = ref.distinct().withColumn("truly_seen", F.lit(True))
+    return (
+        gated.join(seen, "text", "left")
+        .withColumn("truly_seen", F.coalesce("truly_seen", F.lit(False)))
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.col("bloom_hit").cast("int")).alias("n_flagged"),
+            F.sum(F.col("truly_seen").cast("int")).alias("n_seen"),
+            F.sum(
+                (F.col("bloom_hit") & ~F.col("truly_seen")).cast("int")
+            ).alias("n_false_pos"),
+        )
+    )
+
+
+def _bloom_sql(i: int) -> str:
+    h1 = _sql_md5_64("'decon:1:' || text")
+    h2 = _sql_md5_64("'decon:2:' || text")
+    return f"(({h1}) + {i} * ({h2})) % 4096"
+
+
+ORACLE_BLOOM_DECONTAM = rf"""
+WITH ref AS (SELECT DISTINCT text FROM documents WHERE lang = 'en'),
+refpos AS (
+  SELECT DISTINCT unnest([{_bloom_sql(0)}, {_bloom_sql(1)}, {_bloom_sql(2)}])
+           AS p
+  FROM ref
+),
+hits AS (
+  SELECT doc_id, lang,
+         ({_bloom_sql(0)}) IN (SELECT p FROM refpos)
+         AND ({_bloom_sql(1)}) IN (SELECT p FROM refpos)
+         AND ({_bloom_sql(2)}) IN (SELECT p FROM refpos) AS bloom_hit,
+         text IN (SELECT text FROM ref) AS truly_seen
+  FROM documents
+)
+SELECT lang, count(*) AS n_docs,
+       CAST(sum(CAST(bloom_hit AS INT)) AS BIGINT) AS n_flagged,
+       CAST(sum(CAST(truly_seen AS INT)) AS BIGINT) AS n_seen,
+       CAST(sum(CAST(bloom_hit AND NOT truly_seen AS INT)) AS BIGINT)
+         AS n_false_pos
+FROM hits GROUP BY lang
+"""
+
+
+QUERIES["doc_bloom_decontam_gate"] = QuerySpec(
+    q_bloom_decontam_gate,
+    ORACLE_BLOOM_DECONTAM,
+    "Bloom bitmap membership gate vs exact set; realized FPs hash-checked",
 )

@@ -546,3 +546,57 @@ QUERIES["layout_hilbert_key"] = QuerySpec(
     None,
     "Hilbert layout key (expression fold; Python-reference parity tested)",
 )
+
+
+def q_kneser_ney_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated Kneser-Ney bigram LM self-scoring (textstats/lm.py
+    — the KenLM/CCNet perplexity-filter smoothing, D=0.75): per doc the
+    bigram count and the integer micro-nat sum of ln P_KN(w2|w1). The
+    oracle rebuilds all four KN statistics (bigram counts, prefix
+    totals, distinct continuations, distinct left contexts, type total)
+    and evaluates the probability in the identical operation order, so
+    a marginal-count or interpolation-order bug flips the hash."""
+    from ..textstats.lm import add_kneser_ney_logprob
+
+    d = read_table(spark, sf_dir, "documents")
+    return add_kneser_ney_logprob(d, "text")
+
+
+ORACLE_KNESER_NEY = rf"""
+WITH t AS (
+  SELECT doc_id, unnest({_SQL_TOKS}) AS w,
+         unnest(generate_series(1, len({_SQL_TOKS}))) AS pos
+  FROM documents WHERE {_SQL_NORM} != ''
+),
+bg AS (
+  SELECT doc_id, w AS w1,
+         lead(w) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
+  FROM t
+),
+b AS (SELECT doc_id, w1, w2, w1 || ' ' || w2 AS bigram FROM bg
+      WHERE w2 IS NOT NULL),
+bc AS (SELECT bigram, min(w1) AS w1, min(w2) AS w2, count(*) AS cb
+       FROM b GROUP BY bigram),
+fwd AS (SELECT w1, sum(cb) AS cp, count(*) AS n1f FROM bc GROUP BY w1),
+rev AS (SELECT w2, count(*) AS n1r FROM bc GROUP BY w2),
+tt AS (SELECT count(*) AS n_types FROM bc),
+model AS (
+  SELECT bc.bigram,
+         CAST(round(ln(
+           (greatest(bc.cb - 0.75, 0)
+            + 0.75 * fwd.n1f * rev.n1r / (tt.n_types * 1.0)) / fwd.cp
+         ) * 1e6) AS BIGINT) AS lp_micro
+  FROM bc JOIN fwd USING (w1) JOIN rev USING (w2), tt
+)
+SELECT doc_id, count(*) AS n_bigrams,
+       CAST(sum(lp_micro) AS BIGINT) AS lp_micro_sum
+FROM b JOIN model USING (bigram)
+GROUP BY doc_id
+"""
+
+
+QUERIES["doc_kneser_ney_logprob"] = QuerySpec(
+    q_kneser_ney_logprob,
+    ORACLE_KNESER_NEY,
+    "interpolated Kneser-Ney bigram LM, micro-nat exact per-doc scoring",
+)

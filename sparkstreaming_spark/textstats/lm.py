@@ -1,0 +1,116 @@
+"""Interpolated Kneser-Ney bigram language model — the KenLM-style
+perplexity scorer of the CCNet curation recipe (Wenzek et al. 2020
+filter web text by LM perplexity; KenLM's default smoothing is
+modified Kneser-Ney). Completes the suite's LM-quality family:
+unigram frequency (analysis.py::add_unigram_logprob) < bigram MLE
+(add_bigram_logprob) < smoothed bigram with continuation backoff
+(this module — the first of the three that assigns sane mass to
+unseen bigrams instead of -inf).
+
+Model (absolute discount D, interpolated form):
+    P(w2|w1) = (max(c(w1 w2) - D, 0) + D * N1+(w1 *) * Pcont(w2))
+               / c(w1 *)
+    Pcont(w2) = N1+(* w2) / N1+(* *)
+where N1+(w1 *) is the number of distinct continuations of w1,
+N1+(* w2) the number of distinct left contexts of w2, and N1+(* *)
+the number of distinct bigram types. All four statistics come from
+ONE bigram-count aggregate; the fwd/rev tables are vocab-sized.
+
+Cross-engine determinism: the probability is a rational function of
+integer counts evaluated in the IDENTICAL operation order in Spark and
+the DuckDB oracle, then the per-bigram log is quantized to integer
+MICRO-NATS (round(ln * 1e6)) so per-doc totals are order-independent
+bigint sums — the DSIR convention (textstats/dsir.py).
+
+Scale shape (100 TB): the only pair-sized structure is the bigram
+count table (|bigram vocab| rows, built with map-side partial counts);
+fwd/rev marginals derive FROM it (vocab-sized aggregates, never a
+second pass over the corpus pairs); the corpus is touched twice
+(pair build — persisted — and the scoring join, a hash join on the
+bigram key that Spark broadcasts when the model fits). The bigram-type
+total is one scalar collect.
+
+Reference parity: the reference has no text surface beyond
+FileReconstitution.scala:7-12; north-star extension work.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.text import tokenize
+
+
+def add_kneser_ney_logprob(
+    df: DataFrame,
+    text_col: str,
+    id_col: str = "doc_id",
+    discount: float = 0.75,
+) -> DataFrame:
+    """Self-score the corpus under its own interpolated-KN bigram model:
+    → (doc_id, n_bigrams, lp_micro_sum) for docs with >= 2 tokens,
+    where lp_micro_sum = Σ round(ln P_KN(w2|w1) * 1e6) as bigint.
+
+    Scoring held-out text against this model would take the same join
+    with cb defaulted to 0 (the discount term vanishes and the
+    continuation backoff carries the mass) — the reason KN beats MLE
+    for filtering; the registered query self-scores, where every
+    bigram is seen."""
+    from pyspark.storagelevel import StorageLevel
+
+    toks = df.select(
+        F.col(id_col).alias("doc_id"), tokenize(text_col).alias("__toks")
+    )
+    n = F.greatest(F.size("__toks") - 1, F.lit(0))
+    pairs = toks.select(
+        "doc_id",
+        F.explode(
+            F.zip_with(
+                F.slice("__toks", 1, n),
+                F.slice(F.col("__toks"), 2, n),
+                lambda a, b: F.struct(
+                    a.alias("w1"),
+                    b.alias("w2"),
+                    F.concat_ws(" ", a, b).alias("bigram"),
+                ),
+            )
+        ).alias("p"),
+    ).select("doc_id", "p.w1", "p.w2", "p.bigram").persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    bc = pairs.groupBy("bigram").agg(
+        F.count(F.lit(1)).alias("cb"),
+        F.first("w1").alias("w1"),
+        F.first("w2").alias("w2"),
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    # one aggregate yields BOTH the prefix total and the distinct-
+    # continuation count; same trick on the reverse side
+    fwd = bc.groupBy("w1").agg(
+        F.sum("cb").alias("cp"), F.count(F.lit(1)).alias("n1f")
+    )
+    rev = bc.groupBy("w2").agg(F.count(F.lit(1)).alias("n1r"))
+    n_types = bc.count()  # scalar: |distinct bigrams|, folded as a literal
+    d_ = float(discount)
+    # operation order mirrored EXACTLY in the SQL oracle:
+    # (greatest(cb - D, 0) + D * n1f * n1r / T) / cp
+    p = (
+        F.greatest(F.col("cb") - F.lit(d_), F.lit(0.0))
+        + F.lit(d_) * F.col("n1f") * F.col("n1r") / F.lit(float(n_types))
+    ) / F.col("cp")
+    model = (
+        bc.join(fwd, "w1")
+        .join(rev, "w2")
+        .select(
+            "bigram",
+            F.round(F.log(p) * F.lit(1e6)).cast("bigint").alias("lp_micro"),
+        )
+    )
+    return (
+        pairs.join(model, "bigram")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.sum("lp_micro").alias("lp_micro_sum"),
+        )
+    )

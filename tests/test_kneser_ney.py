@@ -1,0 +1,70 @@
+"""Kneser-Ney bigram LM (textstats/lm.py): probability axioms on a
+hand-computable corpus and the filtering property the smoothing is for."""
+
+import math
+
+import pandas as pd
+
+from sparkstreaming_spark.textstats.lm import add_kneser_ney_logprob
+
+
+def _score(spark, rows):
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "text"]))
+    return {r["doc_id"]: r.asDict()
+            for r in add_kneser_ney_logprob(df, "text").collect()}
+
+
+def test_hand_computed_probability(spark):
+    # corpus: doc1 "a b a b", doc2 "a c"
+    # bigrams: (a b) x2, (b a) x1, (a c) x1 -> 3 types
+    # cp(a)=3, n1f(a)=2; cp(b)=1, n1f(b)=1
+    # n1r(b)=1 (only 'a b'), n1r(a)=1, n1r(c)=1; T=3
+    out = _score(spark, [(1, "a b a b"), (2, "a c")])
+    D = 0.75
+    p_ab = (max(2 - D, 0) + D * 2 * (1 / 3)) / 3
+    p_ba = (max(1 - D, 0) + D * 1 * (1 / 3)) / 1
+    p_ac = (max(1 - D, 0) + D * 2 * (1 / 3)) / 3
+    exp1 = round(math.log(p_ab) * 1e6) * 2 + round(math.log(p_ba) * 1e6)
+    exp2 = round(math.log(p_ac) * 1e6)
+    assert out[1]["n_bigrams"] == 3 and out[1]["lp_micro_sum"] == exp1
+    assert out[2]["n_bigrams"] == 1 and out[2]["lp_micro_sum"] == exp2
+
+
+def test_conditional_sums_to_one_per_context(spark):
+    # for every context w1 the KN conditional over SEEN continuations
+    # plus backoff mass to unseen ones must total 1:
+    # sum_seen P + D*n1f/cp * (1 - sum_seen Pcont) ... verify the
+    # closed-form identity sum_seen[(cb-D)/cp] + D*n1f/cp = 1 when
+    # Pcont sums to 1 over the whole vocab — check via the discount
+    # bookkeeping on a small corpus
+    rows = [(1, "x y x z x y"), (2, "y z y x")]
+    # bigrams doc1: xy, yx, xz, zx, xy; doc2: yz, zy, yx
+    # counts: xy2 yx2 xz1 zx1 yz1 zy1 -> T=6
+    # context x: continuations y(2), z(1) -> cp=3, n1f=2
+    D = 0.75
+    seen_mass = (2 - D) / 3 + (1 - D) / 3
+    backoff_coeff = D * 2 / 3
+    # Pcont over all w2: each of x,y,z has n1r: x<-(yx,zx)=2? compute:
+    # right words: y in xy,zy ->2; x in yx,zx ->2; z in xz,yz ->2; sum=6=T
+    pcont_total = (2 + 2 + 2) / 6
+    assert abs(pcont_total - 1.0) < 1e-12
+    assert abs(seen_mass + backoff_coeff * pcont_total - 1.0) < 1e-12
+    # and the operator runs clean on this corpus
+    out = _score(spark, rows)
+    assert out[1]["n_bigrams"] == 5 and out[2]["n_bigrams"] == 3
+
+
+def test_repeated_boilerplate_scores_higher_than_shuffled(spark):
+    # natural-ish docs share bigrams; the shuffled doc's bigrams are
+    # mostly singletons -> lower (more negative) mean log-prob
+    natural = [(i, "the quick brown fox jumps over the lazy dog") for i in range(4)]
+    shuffled = [(10, "dog the over quick lazy jumps fox brown the")]
+    out = _score(spark, natural + shuffled)
+    nat_mean = out[0]["lp_micro_sum"] / out[0]["n_bigrams"]
+    shuf_mean = out[10]["lp_micro_sum"] / out[10]["n_bigrams"]
+    assert nat_mean > shuf_mean
+
+
+def test_single_token_docs_are_excluded(spark):
+    out = _score(spark, [(1, "solo"), (2, "a b")])
+    assert 1 not in out and 2 in out
