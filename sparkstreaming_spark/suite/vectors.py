@@ -727,3 +727,105 @@ QUERIES["emb_kmeans_contract"] = QuerySpec(
     ORACLE_KMEANS_CONTRACT,
     "k-means assignment-argmax + partition-completeness contract",
 )
+
+
+MATRYOSHKA_DIM = 16
+
+
+def q_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka-truncation retrieval evaluation (MRL, Kusupati et al.
+    2022 — modern embedding models pack coarse semantics into prefix
+    dims so ANN can run on a 4x-smaller slice): per query, exact top-k
+    under FULL-dim cosine vs top-k under the first-16-of-64-dim prefix,
+    reporting overlap, recall@k, and both neighbor-identity sums so the
+    oracle pins the exact member sets, not just counts. Both searches
+    are the suite's brute_force_knn (broadcast query matrix, blocked
+    NumPy GEMM, round-6 + id tie-break determinism)."""
+    from ..similarity.knn import brute_force_knn
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < N_QUERIES)
+    full = brute_force_knn(emb, queries, "vec_id", "embedding", k=TOP_K)
+    sliced = emb.select(
+        "vec_id", F.slice("embedding", 1, MATRYOSHKA_DIM).alias("embedding")
+    )
+    trunc = brute_force_knn(
+        sliced,
+        sliced.filter(F.col("vec_id") < N_QUERIES),
+        "vec_id",
+        "embedding",
+        k=TOP_K,
+    )
+    f = full.groupBy("query_id").agg(
+        F.sum("neighbor_id").alias("full_id_sum")
+    )
+    t = trunc.groupBy("query_id").agg(
+        F.sum("neighbor_id").alias("trunc_id_sum")
+    )
+    ov = (
+        full.select("query_id", "neighbor_id")
+        .join(trunc.select("query_id", "neighbor_id"),
+              ["query_id", "neighbor_id"])
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("overlap"))
+    )
+    return (
+        f.join(t, "query_id")
+        .join(ov, "query_id", "left")
+        .select(
+            "query_id",
+            "full_id_sum",
+            "trunc_id_sum",
+            F.coalesce("overlap", F.lit(0)).alias("overlap"),
+            F.round(
+                F.coalesce("overlap", F.lit(0)) / F.lit(float(TOP_K)), 6
+            ).alias("recall_at_k"),
+        )
+    )
+
+
+ORACLE_MATRYOSHKA = f"""
+WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+           FROM embeddings WHERE vec_id < {N_QUERIES}),
+fullr AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT q.query_id, e.vec_id AS neighbor_id,
+           row_number() OVER (
+             PARTITION BY q.query_id
+             ORDER BY round(list_cosine_similarity(e.embedding::DOUBLE[],
+                                                   q.qv), 6) DESC,
+                      e.vec_id ASC) AS rk
+    FROM embeddings e CROSS JOIN q WHERE e.vec_id != q.query_id
+  ) WHERE rk <= {TOP_K}
+),
+truncr AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT q.query_id, e.vec_id AS neighbor_id,
+           row_number() OVER (
+             PARTITION BY q.query_id
+             ORDER BY round(list_cosine_similarity(
+                        (e.embedding::DOUBLE[])[1:{MATRYOSHKA_DIM}],
+                        (q.qv)[1:{MATRYOSHKA_DIM}]), 6) DESC,
+                      e.vec_id ASC) AS rk
+    FROM embeddings e CROSS JOIN q WHERE e.vec_id != q.query_id
+  ) WHERE rk <= {TOP_K}
+)
+SELECT f.query_id,
+       CAST(f.s AS BIGINT) AS full_id_sum,
+       CAST(t.s AS BIGINT) AS trunc_id_sum,
+       CAST(coalesce(o.c, 0) AS BIGINT) AS overlap,
+       round(coalesce(o.c, 0) * 1.0 / {TOP_K}, 6) AS recall_at_k
+FROM (SELECT query_id, sum(neighbor_id) AS s FROM fullr GROUP BY 1) f
+JOIN (SELECT query_id, sum(neighbor_id) AS s FROM truncr GROUP BY 1) t
+  USING (query_id)
+LEFT JOIN (SELECT query_id, count(*) AS c
+           FROM fullr JOIN truncr USING (query_id, neighbor_id)
+           GROUP BY query_id) o USING (query_id)
+"""
+
+
+QUERIES["emb_matryoshka_recall"] = QuerySpec(
+    q_matryoshka_recall,
+    ORACLE_MATRYOSHKA,
+    "prefix-dim (Matryoshka) retrieval vs full-dim exact: member-set pinned recall",
+)
