@@ -600,3 +600,78 @@ QUERIES["doc_kneser_ney_logprob"] = QuerySpec(
     ORACLE_KNESER_NEY,
     "interpolated Kneser-Ney bigram LM, micro-nat exact per-doc scoring",
 )
+
+
+def q_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet perplexity bucketing (textstats/lm.py::
+    ccnet_perplexity_buckets): per language, docs ranked by KN-bigram
+    perplexity (integer micro-nats per bigram) and ntile(3)-split into
+    head/middle/tail — the keep/review/drop decision of the CCNet
+    curation recipe, applied with the suite's own LM. The oracle
+    rebuilds the full LM + the floor(-lp/n) score + the same ntile, so
+    a smoothing, scoring, or rank-order bug flips the hash."""
+    from ..textstats.lm import ccnet_perplexity_buckets
+
+    d = read_table(spark, sf_dir, "documents")
+    return ccnet_perplexity_buckets(d, "text")
+
+
+ORACLE_CCNET_BUCKETS = rf"""
+WITH t AS (
+  SELECT doc_id, unnest({_SQL_TOKS}) AS w,
+         unnest(generate_series(1, len({_SQL_TOKS}))) AS pos
+  FROM documents WHERE {_SQL_NORM} != ''
+),
+bg AS (
+  SELECT doc_id, w AS w1,
+         lead(w) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
+  FROM t
+),
+b AS (SELECT doc_id, w1, w2, w1 || ' ' || w2 AS bigram FROM bg
+      WHERE w2 IS NOT NULL),
+bc AS (SELECT bigram, min(w1) AS w1, min(w2) AS w2, count(*) AS cb
+       FROM b GROUP BY bigram),
+fwd AS (SELECT w1, sum(cb) AS cp, count(*) AS n1f FROM bc GROUP BY w1),
+rev AS (SELECT w2, count(*) AS n1r FROM bc GROUP BY w2),
+tt AS (SELECT count(*) AS n_types FROM bc),
+model AS (
+  SELECT bc.bigram,
+         CAST(round(ln(
+           (greatest(bc.cb - 0.75, 0)
+            + 0.75 * fwd.n1f * rev.n1r / (tt.n_types * 1.0)) / fwd.cp
+         ) * 1e6) AS BIGINT) AS lp_micro
+  FROM bc JOIN fwd USING (w1) JOIN rev USING (w2), tt
+),
+scored AS (
+  SELECT doc_id, count(*) AS n_bigrams,
+         CAST(sum(lp_micro) AS BIGINT) AS lp_micro_sum
+  FROM b JOIN model USING (bigram)
+  GROUP BY doc_id
+),
+ranked AS (
+  SELECT d.lang,
+         CAST(floor(-s.lp_micro_sum / s.n_bigrams) AS BIGINT) AS ppl_micro,
+         length(d.text) AS n_chars_txt, s.doc_id,
+         ntile(3) OVER (
+           PARTITION BY d.lang
+           ORDER BY CAST(floor(-s.lp_micro_sum / s.n_bigrams) AS BIGINT),
+                    s.doc_id) AS tile
+  FROM scored s JOIN documents d USING (doc_id)
+)
+SELECT lang,
+       CASE tile WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
+                 ELSE 'tail' END AS bucket,
+       count(*) AS n_docs,
+       min(ppl_micro) AS ppl_lo,
+       max(ppl_micro) AS ppl_hi,
+       CAST(sum(n_chars_txt) AS BIGINT) AS chars
+FROM ranked
+GROUP BY lang, tile
+"""
+
+
+QUERIES["doc_ccnet_buckets"] = QuerySpec(
+    q_ccnet_buckets,
+    ORACLE_CCNET_BUCKETS,
+    "CCNet head/middle/tail perplexity bucketing per language (KN LM)",
+)

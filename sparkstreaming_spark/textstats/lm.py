@@ -114,3 +114,62 @@ def add_kneser_ney_logprob(
             F.sum("lp_micro").alias("lp_micro_sum"),
         )
     )
+
+
+def ccnet_perplexity_buckets(
+    df: DataFrame,
+    text_col: str,
+    lang_col: str = "lang",
+    id_col: str = "doc_id",
+    discount: float = 0.75,
+) -> DataFrame:
+    """CCNet's filtering step (Wenzek et al. 2020 §4.4): per language,
+    rank documents by LM perplexity and split the corpus into equal-mass
+    head / middle / tail thirds — 'head' is the lowest-perplexity
+    (most Wikipedia-like) slice a pretraining run keeps, 'tail' the
+    slice it drops or quarantines. Scoring model: the suite's
+    interpolated-KN bigram LM (add_kneser_ney_logprob).
+
+    Determinism: the per-doc score is integer micro-nats per bigram
+    (floor(-lp_micro_sum / n_bigrams) — both engines evaluate the same
+    double division then floor), the rank is ntile(3) over the total
+    order (score ASC, doc_id ASC), identical in Spark and DuckDB.
+
+    Scale shape (100 TB): the LM pass is lm.py's (one persisted pair
+    pass + vocab-sized marginals); bucketing adds ONE per-language
+    window sort — the same posture as evt_equidepth_hist. CCNet itself
+    computes the two cut points once on a sample and applies them
+    statelessly; this exact-rank variant is the oracle-able form, and
+    swapping the window for sampled thresholds is a one-line change
+    when a single language outgrows a sort partition range.
+
+    Reference parity: no text surface in the reference
+    (FileReconstitution.scala:7-12 strips punctuation only);
+    north-star extension.
+    """
+    from pyspark.sql import Window
+
+    scored = add_kneser_ney_logprob(df, text_col, id_col, discount)
+    docs = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(lang_col).alias("lang"),
+        F.length(text_col).alias("n_chars_txt"),
+    )
+    s = scored.join(docs, "doc_id").withColumn(
+        "ppl_micro",
+        F.floor(-F.col("lp_micro_sum") / F.col("n_bigrams")).cast("bigint"),
+    )
+    w = Window.partitionBy("lang").orderBy("ppl_micro", "doc_id")
+    b = s.withColumn(
+        "bucket",
+        F.element_at(
+            F.array(F.lit("head"), F.lit("middle"), F.lit("tail")),
+            F.ntile(3).over(w),
+        ),
+    )
+    return b.groupBy("lang", "bucket").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.min("ppl_micro").alias("ppl_lo"),
+        F.max("ppl_micro").alias("ppl_hi"),
+        F.sum("n_chars_txt").alias("chars"),
+    )

@@ -68,3 +68,52 @@ def test_repeated_boilerplate_scores_higher_than_shuffled(spark):
 def test_single_token_docs_are_excluded(spark):
     out = _score(spark, [(1, "solo"), (2, "a b")])
     assert 1 not in out and 2 in out
+
+
+def test_ccnet_buckets_split_and_order(spark):
+    # 9 docs in one lang: 3 share heavy boilerplate (low perplexity),
+    # 3 mid, 3 near-unique token streams (high perplexity). ntile(3)
+    # must put 3 docs per bucket and head.ppl_hi <= middle.ppl_lo <=
+    # middle.ppl_hi <= tail.ppl_lo.
+    from sparkstreaming_spark.textstats.lm import ccnet_perplexity_buckets
+
+    boiler = "the quick brown fox jumps over the lazy dog"
+    rows = []
+    for i in range(3):
+        rows.append((i, boiler + " " + boiler, "en"))
+    for i in range(3, 6):
+        rows.append((i, boiler + f" extra{i} words{i} here{i}", "en"))
+    for i in range(6, 9):
+        rows.append((i, f"zq{i} wv{i} xk{i} pj{i} mn{i} rt{i} uy{i}", "en"))
+    df = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["doc_id", "text", "lang"])
+    )
+    out = {r["bucket"]: r.asDict()
+           for r in ccnet_perplexity_buckets(df, "text").collect()}
+    assert set(out) == {"head", "middle", "tail"}
+    assert all(out[b]["n_docs"] == 3 for b in out)
+    assert out["head"]["ppl_hi"] <= out["middle"]["ppl_lo"]
+    assert out["middle"]["ppl_hi"] <= out["tail"]["ppl_lo"]
+    assert out["head"]["chars"] > 0
+
+
+def test_ccnet_buckets_partitioned_by_lang(spark):
+    # two languages bucket independently: each lang gets its own thirds
+    from sparkstreaming_spark.textstats.lm import ccnet_perplexity_buckets
+
+    rows = []
+    for i in range(6):
+        rows.append((i, f"alpha beta gamma delta w{i} v{i}", "en"))
+    for i in range(6, 12):
+        rows.append((i, f"un deux trois quatre m{i} n{i}", "fr"))
+    df = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["doc_id", "text", "lang"])
+    )
+    out = ccnet_perplexity_buckets(df, "text").collect()
+    by_lang = {}
+    for r in out:
+        by_lang.setdefault(r["lang"], []).append(r)
+    assert set(by_lang) == {"en", "fr"}
+    for lang, rs in by_lang.items():
+        assert sum(r["n_docs"] for r in rs) == 6
+        assert {r["bucket"] for r in rs} == {"head", "middle", "tail"}
