@@ -2975,3 +2975,80 @@ QUERIES["doc_bloom_decontam_gate"] = QuerySpec(
     ORACLE_BLOOM_DECONTAM,
     "Bloom bitmap membership gate vs exact set; realized FPs hash-checked",
 )
+
+
+LINE_DEDUP_MIN_DF = 30
+
+
+def q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-frequency line dedup (dedup/lines.py — CCNet §4.2 line
+    hashing / RefinedWeb boilerplate removal): lines appearing in >= 30
+    distinct docs are dropped everywhere. The corpus has single-line
+    docs, so the query first builds a deterministic 5-line page per doc
+    from its real columns — two global boilerplate lines (df = corpus),
+    one per-source nav line (df = source size, straddles the threshold),
+    two content slices (df ~ 1) — then dedups; the oracle rebuilds the
+    identical pages, the doc-frequency table, and the reassembly."""
+    from ..dedup.lines import line_dedup
+
+    d = read_table(spark, sf_dir, "documents")
+    page = F.concat_ws(
+        "\n",
+        F.substring("text", 1, 40),
+        F.lit("Subscribe to our newsletter"),
+        F.concat(F.col("source"), F.lit(" navigation menu")),
+        F.substring("text", 41, 35),
+        F.lit("Copyright 2024 Example Corp"),
+    )
+    staged = d.select("doc_id", page.alias("page"))
+    return line_dedup(staged, "doc_id", "page", LINE_DEDUP_MIN_DF)
+
+
+ORACLE_LINE_DEDUP = f"""
+WITH staged AS (
+  SELECT doc_id,
+         concat_ws(chr(10),
+           substr(text, 1, 40),
+           'Subscribe to our newsletter',
+           source || ' navigation menu',
+           substr(text, 41, 35),
+           'Copyright 2024 Example Corp') AS page
+  FROM documents
+),
+l AS (
+  SELECT doc_id,
+         unnest(string_split(page, chr(10))) AS line,
+         unnest(generate_series(1, len(string_split(page, chr(10)))))
+           AS pos
+  FROM staged
+),
+k AS (SELECT doc_id, pos, line, lower(trim(line)) AS key FROM l),
+boiler AS (
+  SELECT key FROM (
+    SELECT key, count(DISTINCT doc_id) AS df_ FROM k GROUP BY key
+  ) WHERE df_ >= {LINE_DEDUP_MIN_DF}
+),
+kept AS (
+  SELECT doc_id, pos, line FROM k
+  WHERE key NOT IN (SELECT key FROM boiler)
+),
+per_doc AS (
+  SELECT doc_id, count(*) AS n_kept,
+         string_agg(line, chr(10) ORDER BY pos) AS cleaned
+  FROM kept GROUP BY doc_id
+)
+SELECT s.doc_id,
+       CAST(len(string_split(s.page, chr(10))) AS BIGINT) AS n_lines,
+       CAST(coalesce(p.n_kept, 0) AS BIGINT) AS n_kept,
+       CAST(len(string_split(s.page, chr(10)))
+            - coalesce(p.n_kept, 0) AS BIGINT) AS removed_lines,
+       coalesce(p.cleaned, '') AS cleaned
+FROM staged s LEFT JOIN per_doc p USING (doc_id)
+"""
+
+
+QUERIES["doc_line_dedup"] = QuerySpec(
+    q_line_dedup,
+    ORACLE_LINE_DEDUP,
+    "corpus-frequency boilerplate line dedup (CCNet line hashing)",
+)
