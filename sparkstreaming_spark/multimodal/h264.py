@@ -17,9 +17,19 @@ Scope (precise, honestly guarded):
   pass is then conformant), fixed QP per frame.
 - decoder: parses SPS/PPS/IDR slices produced by this encoder and any
   stream within the same feature envelope; raises NotImplementedError
-  with a precise reason for P/B slices, CABAC, 8x8 transform, or
-  residual features outside the envelope (chroma residual, I_16x16) —
-  those stay honest stubs, not silent wrong output.
+  with a precise reason for CABAC, 8x8 transform, or residual features
+  outside the envelope (chroma residual, I_16x16) — those stay honest
+  stubs, not silent wrong output.
+- inter coding (P slices): encode_gop/decode_stream extend the
+  envelope with motion-compensated P frames — P_L0_16x16 partitions
+  and P_Skip against a single reference (the previous decoded frame,
+  max_num_ref_frames=1 sliding window), full quarter-pel luma
+  interpolation per §8.4.2.2.1 (6-tap [1,-5,20,20,-5,1] half-pel,
+  bilinear quarter, coordinate clamping at picture edges), the §8.4.1.3
+  median MV predictor with the P_Skip zero-MV conditions, mb_skip_run
+  coding, and the Inter coded_block_pattern mapping (Table 9-4).
+  Sub-16x16 partitions, multiple references, B slices, and weighted
+  prediction remain honest NotImplementedError guards.
 
 Verification stance: bit-exact ROUND-TRIP is the contract — the
 decoder must reproduce the encoder's own reconstruction exactly
@@ -891,3 +901,465 @@ def _parse_pps(r: BitReader) -> dict:
         "pic_init_qp_delta": qp_delta,
         "deblocking_control": bool(deblocking_control),
     }
+
+
+# ---------------------------------------------------------------------------
+# inter coding (P slices): motion compensation, MV prediction, GOP codec.
+# Entered from the public spec: Table 9-4 (Inter CBP mapping), §8.4.2.2.1
+# (fractional luma interpolation), §8.4.1.3 (MV prediction), §8.4.1.1
+# (P_Skip), §7.3.4 (slice data, mb_skip_run).
+
+# Table 9-4, Inter column: codeNum -> coded_block_pattern.
+CBP_INTER = [0, 16, 1, 2, 4, 8, 32, 3, 5, 10, 12, 15, 47, 7, 11, 13,
+             14, 6, 9, 31, 35, 37, 42, 44, 33, 34, 36, 40, 39, 43, 45,
+             46, 17, 18, 20, 24, 19, 21, 26, 28, 23, 27, 29, 30, 22,
+             25, 38, 41]
+_CBP_INTER_INV = {cbp: i for i, cbp in enumerate(CBP_INTER)}
+
+
+def _mc_luma(ref: np.ndarray, y0: int, x0: int, mv: tuple[int, int],
+             size: int = 16) -> np.ndarray:
+    """Quarter-pel motion-compensated luma prediction (§8.4.2.2.1) for a
+    `size`×`size` block at (y0, x0), mv = (mvx, mvy) in quarter-pel
+    units. Out-of-picture samples use coordinate clamping (the spec's
+    Clip3 on xInt/yInt — identical to edge replication). Returns int64
+    in [0, 255]."""
+    h, w_ = ref.shape
+    mvx, mvy = int(mv[0]), int(mv[1])
+    y_int, x_int = y0 + (mvy >> 2), x0 + (mvx >> 2)
+    fy, fx = mvy & 3, mvx & 3
+    if fx == 0 and fy == 0:
+        rows = np.clip(np.arange(y_int, y_int + size), 0, h - 1)
+        cols = np.clip(np.arange(x_int, x_int + size), 0, w_ - 1)
+        return ref[np.ix_(rows, cols)].astype(np.int64)
+    n = size + 6  # 2 above/left, 3 below/right of the size+1 grid
+    rows = np.clip(np.arange(y_int - 2, y_int - 2 + n), 0, h - 1)
+    cols = np.clip(np.arange(x_int - 2, x_int - 2 + n), 0, w_ - 1)
+    win = ref[np.ix_(rows, cols)].astype(np.int64)
+
+    def tap6(a: np.ndarray, axis: int) -> np.ndarray:
+        # unrounded 6-tap (1,-5,20,20,-5,1) along `axis`
+        s = [slice(None)] * a.ndim
+
+        def sl(i, span):
+            s2 = list(s)
+            s2[axis] = slice(i, i + span)
+            return a[tuple(s2)]
+
+        span = a.shape[axis] - 5
+        return (sl(0, span) - 5 * sl(1, span) + 20 * sl(2, span)
+                + 20 * sl(3, span) - 5 * sl(4, span) + sl(5, span))
+
+    clip = lambda v: np.clip(v, 0, 255)
+    g_grid = win[2:2 + size + 1, 2:2 + size + 1]        # integer samples
+    b_raw_all = tap6(win, 1)                             # (n, size+1)
+    b_grid = clip((b_raw_all[2:2 + size + 1] + 16) >> 5)  # horiz half-pel
+    h_grid = clip((tap6(win[:, 2:2 + size + 1], 0) + 16) >> 5)  # vert half
+    j_grid = clip((tap6(b_raw_all, 0) + 512) >> 10)      # centre half-pel
+
+    G = g_grid[:size, :size]
+    H_ = g_grid[:size, 1:size + 1]
+    M = g_grid[1:size + 1, :size]
+    b = b_grid[:size, :size]
+    s_ = b_grid[1:size + 1, :size]
+    hh = h_grid[:size, :size]
+    m = h_grid[:size, 1:size + 1]
+    j = j_grid[:size, :size]
+    avg = lambda p, q: (p + q + 1) >> 1
+    table = {
+        (0, 0): G, (1, 0): avg(G, b), (2, 0): b, (3, 0): avg(H_, b),
+        (0, 1): avg(G, hh), (1, 1): avg(b, hh), (2, 1): avg(b, j),
+        (3, 1): avg(b, m),
+        (0, 2): hh, (1, 2): avg(hh, j), (2, 2): j, (3, 2): avg(j, m),
+        (0, 3): avg(M, hh), (1, 3): avg(hh, s_), (2, 3): avg(j, s_),
+        (3, 3): avg(m, s_),
+    }
+    return table[(fx, fy)]
+
+
+def _mvp_16x16(mvs: np.ndarray, mbx: int, mby: int,
+               mbs_w: int) -> tuple[int, int]:
+    """Median MV predictor for a 16x16 L0 partition (§8.4.1.3): A=left,
+    B=top, C=top-right (D=top-left substituted when C unavailable);
+    every decoded MB in this envelope has refIdx 0."""
+    avail_a = mbx > 0
+    avail_b = mby > 0
+    avail_c = mby > 0 and mbx + 1 < mbs_w
+    avail_d = mby > 0 and mbx > 0
+    mv_a = tuple(mvs[mby][mbx - 1]) if avail_a else (0, 0)
+    mv_b = tuple(mvs[mby - 1][mbx]) if avail_b else (0, 0)
+    if avail_c:
+        mv_c, avail_c_eff = tuple(mvs[mby - 1][mbx + 1]), True
+    elif avail_d:
+        mv_c, avail_c_eff = tuple(mvs[mby - 1][mbx - 1]), True
+    else:
+        mv_c, avail_c_eff = (0, 0), False
+    if not avail_b and not avail_c_eff and avail_a:
+        return mv_a
+    refs = [avail_a, avail_b, avail_c_eff]
+    cands = [mv_a, mv_b, mv_c]
+    if sum(refs) == 1:
+        return cands[refs.index(True)]
+    med = lambda a, b, c: a + b + c - min(a, b, c) - max(a, b, c)
+    return (med(mv_a[0], mv_b[0], mv_c[0]), med(mv_a[1], mv_b[1], mv_c[1]))
+
+
+def _skip_mv(mvs: np.ndarray, mbx: int, mby: int,
+             mbs_w: int) -> tuple[int, int]:
+    """P_Skip motion vector (§8.4.1.1): zero when a left/top neighbor
+    is unavailable or is a zero-MV ref-0 block, else the median
+    predictor."""
+    if mbx == 0 or mby == 0:
+        return (0, 0)
+    if tuple(mvs[mby][mbx - 1]) == (0, 0) or tuple(mvs[mby - 1][mbx]) == (0, 0):
+        return (0, 0)
+    return _mvp_16x16(mvs, mbx, mby, mbs_w)
+
+
+def _encode_pslice(
+    ref: np.ndarray,
+    y_plane: np.ndarray,
+    qp: int,
+    frame_num: int,
+    search_range: int = 4,
+) -> tuple[np.ndarray, bytes, dict]:
+    """Encode one P slice (P_L0_16x16 + P_Skip) against `ref` (the
+    previous decoded frame). Returns (reconstruction, slice RBSP,
+    stats) — the reconstruction is the decoder-exact reference."""
+    h, w_ = y_plane.shape
+    mbs_w, mbs_h = w_ // 16, h // 16
+    w = BitWriter()
+    w.ue(0)                 # first_mb_in_slice
+    w.ue(5)                 # slice_type P (all slices)
+    w.ue(0)                 # pps id
+    w.u(frame_num & 15, 4)  # frame_num
+    w.u(0, 1)               # num_ref_idx_active_override_flag
+    w.u(0, 1)               # ref_pic_list_modification_flag_l0
+    w.u(0, 1)               # adaptive_ref_pic_marking_mode_flag
+    w.se(qp - 26)           # slice_qp_delta
+    w.ue(1)                 # disable_deblocking_filter_idc = 1
+
+    src = y_plane.astype(np.int64)
+    recon = np.zeros((h, w_), dtype=np.int64)
+    tc_map = np.zeros((h // 4, w_ // 4), dtype=np.int64)
+    mvs = np.zeros((mbs_h, mbs_w, 2), dtype=np.int64)
+    stats = {"n_skip": 0, "n_coded": 0, "n_subpel": 0, "mvs": []}
+    skip_run = 0
+
+    def block_levels(pred: np.ndarray, mby: int, mbx: int) -> list:
+        out = []
+        for blk in range(16):
+            bx, by = LUMA_BLOCK_XY[blk]
+            y, x = mby * 16 + by, mbx * 16 + bx
+            res = (src[y : y + 4, x : x + 4]
+                   - pred[by : by + 4, bx : bx + 4])
+            out.append(quantize_4x4(forward_transform_4x4(res), qp))
+        return out
+
+    for mby in range(mbs_h):
+        for mbx in range(mbs_w):
+            y0, x0 = mby * 16, mbx * 16
+            smv = _skip_mv(mvs, mbx, mby, mbs_w)
+            pred_s = _mc_luma(ref, y0, x0, smv)
+            lv_s = block_levels(pred_s, mby, mbx)
+            if all(not lv.any() for lv in lv_s):
+                skip_run += 1
+                stats["n_skip"] += 1
+                mvs[mby, mbx] = smv
+                recon[y0 : y0 + 16, x0 : x0 + 16] = pred_s
+                tc_map[y0 // 4 : y0 // 4 + 4, x0 // 4 : x0 // 4 + 4] = 0
+                continue
+            # motion search: exhaustive integer window, then half- and
+            # quarter-pel refinement around the best candidate
+            best_mv, best_cost = (0, 0), None
+            blk_src = src[y0 : y0 + 16, x0 : x0 + 16]
+            for dy in range(-search_range, search_range + 1):
+                for dx in range(-search_range, search_range + 1):
+                    cand = (4 * dx, 4 * dy)
+                    cost = int(np.abs(
+                        blk_src - _mc_luma(ref, y0, x0, cand)).sum())
+                    if best_cost is None or cost < best_cost:
+                        best_mv, best_cost = cand, cost
+            for step in (2, 1):
+                base = best_mv
+                for dy in (-step, 0, step):
+                    for dx in (-step, 0, step):
+                        cand = (base[0] + dx, base[1] + dy)
+                        if cand == base:
+                            continue
+                        cost = int(np.abs(
+                            blk_src - _mc_luma(ref, y0, x0, cand)).sum())
+                        if cost < best_cost:
+                            best_mv, best_cost = cand, cost
+            pred = _mc_luma(ref, y0, x0, best_mv)
+            levels = block_levels(pred, mby, mbx)
+            cbp = 0
+            for blk in range(16):
+                if levels[blk].any():
+                    bx, by = LUMA_BLOCK_XY[blk]
+                    cbp |= 1 << (2 * (by // 8) + (bx // 8))
+            mvp = _mvp_16x16(mvs, mbx, mby, mbs_w)
+            w.ue(skip_run)
+            skip_run = 0
+            w.ue(0)  # mb_type P_L0_16x16
+            w.se(int(best_mv[0] - mvp[0]))
+            w.se(int(best_mv[1] - mvp[1]))
+            w.ue(_CBP_INTER_INV[cbp])
+            if cbp:
+                w.se(0)  # mb_qp_delta
+            for blk in range(16):
+                bx, by = LUMA_BLOCK_XY[blk]
+                y, x = y0 + by, x0 + bx
+                group = 1 << (2 * (by // 8) + (bx // 8))
+                if cbp & group:
+                    nc = _neighbor_nc(tc_map, y // 4, x // 4)
+                    tc = encode_residual_block(w, levels[blk], nc)
+                    tc_map[y // 4, x // 4] = tc
+                    res = inverse_transform_4x4(dequantize_4x4(levels[blk], qp))
+                else:
+                    tc_map[y // 4, x // 4] = 0
+                    res = 0
+                recon[y : y + 4, x : x + 4] = np.clip(
+                    pred[by : by + 4, bx : bx + 4] + res, 0, 255)
+            mvs[mby, mbx] = best_mv
+            stats["n_coded"] += 1
+            if (best_mv[0] | best_mv[1]) & 3:
+                stats["n_subpel"] += 1
+            stats["mvs"].append((mbx, mby, int(best_mv[0]), int(best_mv[1])))
+    if skip_run:
+        w.ue(skip_run)
+    return recon.astype(np.uint8), w.rbsp(), stats
+
+
+def encode_gop(frames, qp: int = 20, search_range: int = 4) -> bytes:
+    """Encode a GOP: frames[0] as an IDR I-frame (the intra envelope
+    above), frames[1:] as P frames against the rolling single-frame
+    reference. → one Annex-B stream (SPS, PPS, IDR, P…)."""
+    recons, _stats, stream = _encode_gop_full(frames, qp, search_range)
+    _ = recons
+    return stream
+
+
+def gop_reconstruction(frames, qp: int = 20, search_range: int = 4):
+    """The encoder's own decoded-loop reconstructions + per-P-frame
+    stats — the bit-exact reference decode_stream must reproduce."""
+    recons, stats, _stream = _encode_gop_full(frames, qp, search_range)
+    return recons, stats
+
+
+def _encode_gop_full(frames, qp, search_range):
+    if not frames:
+        raise ValueError("empty GOP")
+    y0, _, _ = _to_yuv(np.asarray(frames[0]))
+    h, w_ = y0.shape
+    recon, payload = _encode_slice(y0, qp)
+    stream = (_nal(7, _build_sps_rbsp(w_, h))
+              + _nal(8, _build_pps_rbsp())
+              + _nal(5, payload))
+    recons, stats = [recon], []
+    ref = recon.astype(np.int64)
+    for k, f in enumerate(frames[1:], start=1):
+        y, _, _ = _to_yuv(np.asarray(f))
+        if y.shape != (h, w_):
+            raise ValueError("all GOP frames must share dimensions")
+        rec, rbsp, st = _encode_pslice(ref, y, qp, k, search_range)
+        stream += _nal(1, rbsp, ref_idc=2)
+        recons.append(rec)
+        stats.append(st)
+        ref = rec.astype(np.int64)
+    return recons, stats, stream
+
+
+def _decode_pslice(r: BitReader, sps: dict, pps: dict,
+                   ref: np.ndarray) -> tuple[np.ndarray, int]:
+    """Decode one P slice against `ref`. The header's first ue/ue
+    (first_mb_in_slice, slice_type) are already consumed."""
+    w_, h = sps["width"], sps["height"]
+    mbs_w, mbs_h = w_ // 16, h // 16
+    r.ue()  # pps id
+    r.u(sps["log2_max_frame_num"])  # frame_num
+    if r.u(1):
+        raise NotImplementedError("num_ref_idx_active override unsupported")
+    if r.u(1):
+        raise NotImplementedError("ref_pic_list_modification unsupported")
+    if r.u(1):
+        raise NotImplementedError("adaptive ref-pic marking unsupported")
+    qp = 26 + pps["pic_init_qp_delta"] + r.se()
+    if pps["deblocking_control"]:
+        if r.ue() != 1:
+            raise NotImplementedError(
+                "deblocking filter enabled — decode-without-deblock would "
+                "not be conformant"
+            )
+    refi = ref.astype(np.int64)
+    recon = np.zeros((h, w_), dtype=np.int64)
+    tc_map = np.zeros((h // 4, w_ // 4), dtype=np.int64)
+    mvs = np.zeros((mbs_h, mbs_w, 2), dtype=np.int64)
+    n_mbs = mbs_h * mbs_w
+
+    def recon_skip(addr: int) -> None:
+        mby, mbx = addr // mbs_w, addr % mbs_w
+        smv = _skip_mv(mvs, mbx, mby, mbs_w)
+        mvs[mby, mbx] = smv
+        recon[mby * 16 : mby * 16 + 16, mbx * 16 : mbx * 16 + 16] = \
+            _mc_luma(refi, mby * 16, mbx * 16, smv)
+
+    addr = 0
+    while addr < n_mbs:
+        skip_run = r.ue()
+        if addr + skip_run > n_mbs:
+            raise ValueError("mb_skip_run overruns the picture")
+        for _ in range(skip_run):
+            recon_skip(addr)
+            addr += 1
+        if addr >= n_mbs:
+            break
+        mby, mbx = addr // mbs_w, addr % mbs_w
+        mb_type = r.ue()
+        if mb_type != 0:
+            raise NotImplementedError(
+                f"P mb_type {mb_type} unsupported (only P_L0_16x16)"
+            )
+        mvd = (r.se(), r.se())
+        mvp = _mvp_16x16(mvs, mbx, mby, mbs_w)
+        mv = (mvp[0] + mvd[0], mvp[1] + mvd[1])
+        cbp = CBP_INTER[r.ue()]
+        if cbp & 0x30:
+            raise NotImplementedError("chroma residual unsupported")
+        if cbp and r.se() != 0:
+            raise NotImplementedError("mb_qp_delta unsupported")
+        y0, x0 = mby * 16, mbx * 16
+        pred = _mc_luma(refi, y0, x0, mv)
+        for blk in range(16):
+            bx, by = LUMA_BLOCK_XY[blk]
+            y, x = y0 + by, x0 + bx
+            group = 1 << (2 * (by // 8) + (bx // 8))
+            if cbp & group:
+                nc = _neighbor_nc(tc_map, y // 4, x // 4)
+                levels, tc = decode_residual_block(r, nc)
+                tc_map[y // 4, x // 4] = tc
+                res = inverse_transform_4x4(dequantize_4x4(levels, qp))
+            else:
+                tc_map[y // 4, x // 4] = 0
+                res = 0
+            recon[y : y + 4, x : x + 4] = np.clip(
+                pred[by : by + 4, bx : bx + 4] + res, 0, 255)
+        mvs[mby, mbx] = mv
+        addr += 1
+    return recon.astype(np.uint8), qp
+
+
+def decode_stream(data: bytes) -> dict:
+    """Annex-B H.264 stream → {width, height, qp, n_mbs, frames,
+    frame_types} — decodes every I and P slice in order, maintaining
+    the single-frame reference (max_num_ref_frames=1 sliding window).
+    Raises NotImplementedError with the exact unsupported feature for
+    anything outside the documented envelope, ValueError for malformed
+    streams (including a P slice before any IDR)."""
+    sps = pps = None
+    frames, types = [], []
+    qp_first = None
+    for nal_type, rbsp in _split_annexb(data):
+        if nal_type == 7 and sps is None:
+            sps = _parse_sps(BitReader(strip_emulation(rbsp)))
+        elif nal_type == 8 and pps is None:
+            pps = _parse_pps(BitReader(strip_emulation(rbsp)))
+        elif nal_type in (1, 5):
+            if sps is None or pps is None:
+                raise ValueError("slice before SPS/PPS")
+            if pps["cabac"]:
+                raise NotImplementedError("CABAC entropy coding unsupported")
+            r = BitReader(strip_emulation(rbsp))
+            if r.ue() != 0:
+                raise NotImplementedError("multi-slice pictures unsupported")
+            slice_type = r.ue() % 5
+            if slice_type == 2:
+                luma, qp = _decode_islice_body(r, sps, pps,
+                                               idr=(nal_type == 5))
+                types.append("I")
+            elif slice_type == 0:
+                if not frames:
+                    raise ValueError("P slice before any decoded I frame")
+                luma, qp = _decode_pslice(r, sps, pps, frames[-1])
+                types.append("P")
+            else:
+                raise NotImplementedError(
+                    "only I and P slices supported (no B/SP/SI)"
+                )
+            frames.append(luma)
+            if qp_first is None:
+                qp_first = qp
+    if sps is None or pps is None or not frames:
+        raise ValueError("stream lacks SPS, PPS, or a decodable slice")
+    return {
+        "width": sps["width"],
+        "height": sps["height"],
+        "qp": qp_first,
+        "n_mbs": (sps["width"] // 16) * (sps["height"] // 16),
+        "frames": frames,
+        "frame_types": types,
+    }
+
+
+def _decode_islice_body(r: BitReader, sps: dict, pps: dict,
+                        idr: bool) -> tuple[np.ndarray, int]:
+    """Decode an I slice whose first_mb/slice_type were consumed — the
+    same envelope decode_iframe enforces (Intra_4x4 DC, CAVLC)."""
+    w_, h = sps["width"], sps["height"]
+    r.ue()  # pps id
+    r.u(sps["log2_max_frame_num"])
+    if idr:
+        r.ue()  # idr_pic_id
+        r.u(2)  # dec_ref_pic_marking flags
+    else:
+        if r.u(1):
+            raise NotImplementedError("adaptive ref-pic marking unsupported")
+    qp = 26 + pps["pic_init_qp_delta"] + r.se()
+    if pps["deblocking_control"]:
+        if r.ue() != 1:
+            raise NotImplementedError(
+                "deblocking filter enabled — decode-without-deblock would "
+                "not be conformant"
+            )
+    recon = np.zeros((h, w_), dtype=np.int64)
+    tc_map = np.zeros((h // 4, w_ // 4), dtype=np.int64)
+    n_mbs = (h // 16) * (w_ // 16)
+    for mb in range(n_mbs):
+        mbx, mby = mb % (w_ // 16), mb // (w_ // 16)
+        mb_type = r.ue()
+        if mb_type != 0:
+            raise NotImplementedError(
+                f"mb_type {mb_type} unsupported (only I_4x4)"
+            )
+        modes = []
+        for _blk in range(16):
+            if r.bit():
+                modes.append(None)
+            else:
+                modes.append(r.u(3))
+        if any(m is not None and m != 2 for m in modes):
+            raise NotImplementedError(
+                "directional Intra_4x4 prediction modes unsupported"
+            )
+        if r.ue() != 0:
+            raise NotImplementedError("non-DC chroma prediction unsupported")
+        cbp = CBP_INTRA[r.ue()]
+        if cbp & 0x30:
+            raise NotImplementedError("chroma residual unsupported")
+        if r.se() != 0:
+            raise NotImplementedError("mb_qp_delta unsupported")
+        for blk in range(16):
+            bx, by = LUMA_BLOCK_XY[blk]
+            x, y = mbx * 16 + bx, mby * 16 + by
+            group = 1 << (2 * (by // 8) + (bx // 8))
+            pred = _dc_predict(recon, y, x, 4)
+            if cbp & group:
+                nc = _neighbor_nc(tc_map, y // 4, x // 4)
+                levels, tc = decode_residual_block(r, nc)
+                tc_map[y // 4, x // 4] = tc
+                res = inverse_transform_4x4(dequantize_4x4(levels, qp))
+            else:
+                tc_map[y // 4, x // 4] = 0
+                res = 0
+            recon[y : y + 4, x : x + 4] = np.clip(pred + res, 0, 255)
+    return recon.astype(np.uint8), qp

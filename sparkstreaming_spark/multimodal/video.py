@@ -9,16 +9,17 @@ interpretation (fps from dwRate/dwScale, dims from BITMAPINFOHEADER),
 frame chunk iteration ('00db' DIBs: bottom-up rows, BGR, 4-byte row
 stride), exact frame reconstruction, and — via the pure-Python
 baseline-JPEG codec in jpeg.py — REAL MJPG (Motion-JPEG) decode, the
-most common compressed AVI fourcc from capture tools. INTRA-ONLY
-H.264 is also real now: h264.py decodes IDR I-frames for real (CAVLC +
-Intra_4x4 + integer transform) for Annex-B elementary streams within
-its documented envelope. What stays a documented stub: INTER-frame
-decoding (P/B motion compensation for h264, and vp9 entirely), which
-needs an ffmpeg-class decoder absent from this container —
-`blobs.py::sample_blob_frames(fake=False)` routes AVI here and still
-raises for those. Their header-level METADATA (resolution/profile via
-H.264 SPS parse, Exp-Golomb) is fully real in mediameta.py — the
-triage layer a 100 TB crawl actually runs first.
+most common compressed AVI fourcc from capture tools. H.264 is also
+real now for Annex-B elementary streams within h264.py's documented
+envelope: IDR I-frames (CAVLC + Intra_4x4 + integer transform) AND
+motion-compensated P frames (P_L0_16x16 + P_Skip, quarter-pel luma
+interpolation, median MV prediction — h264.py::decode_stream). What
+stays a documented stub: B slices, CABAC, sub-16x16 partitions, and
+vp9 entirely, which need an ffmpeg-class decoder absent from this
+container — `blobs.py::sample_blob_frames(fake=False)` routes AVI
+here and still raises for those. Their header-level METADATA
+(resolution/profile via H.264 SPS parse, Exp-Golomb) is fully real in
+mediameta.py — the triage layer a 100 TB crawl actually runs first.
 
 Spark shape: demux is per-blob and embarrassingly parallel — one Arrow
 mapInPandas pass, no shuffle; emitted rows carry per-frame STATS, never

@@ -1041,8 +1041,9 @@ MEDIA_META_IDS = 180
 
 
 def q_media_meta_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Transform-coded-media TRIAGE, oracled: full decode of mp3/opus/
-    h264 is a documented stub (multimodal/audio.py, video.py), but a
+    """Transform-coded-media TRIAGE, oracled: full decode of mp3/opus
+    is a documented stub (multimodal/audio.py; h264 I/P decode is now
+    real in h264.py within its envelope), but a
     100 TB crawl is triaged on header metadata — duration, bitrate,
     sample rate, resolution — which IS fully parseable. Per doc
     (doc_id < 180) this synthesizes a conformant stream of the kind
@@ -1585,4 +1586,105 @@ QUERIES["doc_h264_iframe_probe"] = QuerySpec(
     q_h264_iframe_probe,
     ORACLE_H264_PROBE,
     "intra-only H.264 CAVLC codec vs gradient formulas + tolerance contract",
+)
+
+
+H264_GOP_IDS = 16
+
+
+def q_h264_gop_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Motion-compensated H.264 GOP verification (multimodal/h264.py
+    inter section — P_L0_16x16 + P_Skip, quarter-pel interpolation,
+    median MV prediction, mb_skip_run, Inter CBP mapping): per doc
+    (doc_id < 16) synthesize a gradient frame plus 2-4 P frames of
+    rightward integer motion with formula-derived dims/QP/length,
+    encode a full GOP, decode it back, and emit the exact metadata plus
+    the bit-exact round-trip boolean (decoded frames == the encoder's
+    own reconstruction loop, every frame) and two tolerance booleans on
+    the LAST decoded frame vs its source (mean<=1.0, max<=8 — measured
+    worst case 0.74 / 5 across the id range). Any motion-search,
+    interpolation, MV-prediction, skip-reconstruction, or CBP-table
+    slip breaks bit-exactness or the tolerance and flips the hash.
+
+    Spark shape: one Arrow mapInPandas pass, no shuffle."""
+    import numpy as np
+    import pandas as pd
+
+    from ..multimodal.h264 import (
+        decode_stream,
+        encode_gop,
+        gop_reconstruction,
+    )
+
+    d = read_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") < H264_GOP_IDS
+    ).select("doc_id")
+
+    def work(batches):
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                w_ = 16 * (2 + did % 3)
+                h = 16 * (2 + did % 2)
+                qp = 14 + did % 12
+                nf = 3 + did % 3
+                i = np.arange(h).reshape(-1, 1)
+                j = np.arange(w_).reshape(1, -1)
+                img0 = np.minimum(did + 3 * i + 2 * j, 255).astype(np.uint8)
+                frames = [img0]
+                for k in range(1, nf):
+                    f = np.empty_like(img0)
+                    f[:, k:] = img0[:, :-k]
+                    f[:, :k] = img0[:, :1]
+                    frames.append(f)
+                out = decode_stream(encode_gop(frames, qp=qp))
+                recons, _ = gop_reconstruction(frames, qp=qp)
+                bitexact = all(
+                    np.array_equal(a, b)
+                    for a, b in zip(out["frames"], recons)
+                )
+                err = np.abs(out["frames"][-1].astype(np.float64)
+                             - frames[-1].astype(np.float64))
+                rows.append({
+                    "doc_id": did,
+                    "width": out["width"],
+                    "height": out["height"],
+                    "n_mbs": out["n_mbs"],
+                    "qp": out["qp"],
+                    "n_frames": len(out["frames"]),
+                    "n_p_frames": out["frame_types"].count("P"),
+                    "p_bitexact": bool(bitexact),
+                    "mean_ok": bool(err.mean() <= 1.0),
+                    "max_err_ok": bool(err.max() <= 8.0),
+                })
+            yield pd.DataFrame(rows)
+
+    return d.mapInPandas(
+        work,
+        "doc_id bigint, width int, height int, n_mbs int, qp int,"
+        " n_frames int, n_p_frames int, p_bitexact boolean,"
+        " mean_ok boolean, max_err_ok boolean",
+    )
+
+
+ORACLE_H264_GOP = f"""
+SELECT doc_id,
+       CAST(16 * (2 + doc_id % 3) AS INT) AS width,
+       CAST(16 * (2 + doc_id % 2) AS INT) AS height,
+       CAST((2 + doc_id % 3) * (2 + doc_id % 2) AS INT) AS n_mbs,
+       CAST(14 + doc_id % 12 AS INT) AS qp,
+       CAST(3 + doc_id % 3 AS INT) AS n_frames,
+       CAST(2 + doc_id % 3 AS INT) AS n_p_frames,
+       TRUE AS p_bitexact,
+       TRUE AS mean_ok,
+       TRUE AS max_err_ok
+FROM documents WHERE doc_id < {H264_GOP_IDS}
+"""
+
+
+QUERIES["doc_h264_gop_probe"] = QuerySpec(
+    q_h264_gop_probe,
+    ORACLE_H264_GOP,
+    "H.264 P-frame GOP codec: motion comp + quarter-pel, bit-exact contract",
 )

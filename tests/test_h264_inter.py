@@ -1,0 +1,213 @@
+"""H.264 P-frame extension (multimodal/h264.py inter section):
+quarter-pel interpolation properties, MV prediction, skip coding, and
+the bit-exact GOP round-trip contract."""
+
+import numpy as np
+import pytest
+
+from sparkstreaming_spark.multimodal.h264 import (
+    CBP_INTER,
+    _mc_luma,
+    _mvp_16x16,
+    _skip_mv,
+    decode_iframe,
+    decode_stream,
+    encode_gop,
+    encoder_reconstruction,
+    gop_reconstruction,
+)
+
+
+def test_cbp_inter_table_is_permutation():
+    assert sorted(CBP_INTER) == list(range(48))
+    # shortest codes go to the most probable inter CBPs (spec structure)
+    assert CBP_INTER[0] == 0 and CBP_INTER[1] == 16 and CBP_INTER[12] == 47
+
+
+def test_mc_integer_positions_copy_with_clamping():
+    rng = np.random.default_rng(0)
+    ref = rng.integers(0, 256, (32, 48)).astype(np.int64)
+    got = _mc_luma(ref, 0, 16, (8, 4))  # +2 px right, +1 px down
+    assert np.array_equal(got, ref[1:17, 18:34])
+    # far out-of-picture full-pel reference clamps fully to the corner
+    got = _mc_luma(ref, 0, 0, (-256, -256))
+    assert (got == ref[0, 0]).all()
+    # partial clamp: -4 px left duplicates the first column 4 times
+    got = _mc_luma(ref, 0, 0, (-16, 0))
+    assert (got[:, :4] == ref[:16, :1]).all()
+    assert np.array_equal(got[:, 4:], ref[:16, :12])
+
+
+def test_mc_constant_reference_constant_everywhere():
+    ref = np.full((32, 32), 173, np.int64)
+    for fy in range(4):
+        for fx in range(4):
+            got = _mc_luma(ref, 8, 8, (fx, fy))
+            assert (got == 173).all(), (fx, fy)
+
+
+def test_mc_halfpel_exact_on_linear_ramp():
+    # the 6-tap (1,-5,20,20,-5,1)/32 filter reproduces the midpoint of a
+    # linear signal exactly: value 8*x -> half-pel = 8*x + 4
+    x = np.arange(64, dtype=np.int64)
+    ref = np.tile(8 * x, (32, 1))
+    got = _mc_luma(ref, 8, 16, (2, 0))  # horizontal half-pel, interior
+    exp = ref[8:24, 16:32] + 4
+    assert np.array_equal(got, exp)
+    refv = np.tile((8 * np.arange(32, dtype=np.int64)).reshape(-1, 1), (1, 64))
+    gotv = _mc_luma(refv, 8, 16, (0, 2))
+    assert np.array_equal(gotv, refv[8:24, 16:32] + 4)
+
+
+def test_mc_quarter_is_average_of_neighbours():
+    rng = np.random.default_rng(1)
+    ref = rng.integers(0, 256, (48, 48)).astype(np.int64)
+    g = _mc_luma(ref, 16, 16, (0, 0))
+    b = _mc_luma(ref, 16, 16, (2, 0))
+    a = _mc_luma(ref, 16, 16, (1, 0))
+    assert np.array_equal(a, (g + b + 1) >> 1)
+    h = _mc_luma(ref, 16, 16, (0, 2))
+    d = _mc_luma(ref, 16, 16, (0, 1))
+    assert np.array_equal(d, (g + h + 1) >> 1)
+
+
+def test_mvp_median_and_single_neighbour_rules():
+    mvs = np.zeros((3, 3, 2), dtype=np.int64)
+    mvs[1, 0] = (4, 0)    # A for (1,1)
+    mvs[0, 1] = (8, 4)    # B for (1,1)
+    mvs[0, 2] = (0, 12)   # C for (1,1)
+    assert _mvp_16x16(mvs, 1, 1, 3) == (4, 4)  # component medians
+    # row 0, only A available -> copy A
+    mvs[0, 0] = (-4, 8)
+    assert _mvp_16x16(mvs, 1, 0, 3) == (-4, 8)
+    # first MB: nothing available -> zero
+    assert _mvp_16x16(mvs, 0, 0, 3) == (0, 0)
+
+
+def test_skip_mv_zero_conditions():
+    mvs = np.zeros((2, 2, 2), dtype=np.int64)
+    assert _skip_mv(mvs, 0, 1, 2) == (0, 0)  # left edge
+    assert _skip_mv(mvs, 1, 0, 2) == (0, 0)  # top edge
+    mvs[1, 0] = (4, 4)
+    mvs[0, 1] = (0, 0)  # zero-MV top neighbour forces zero
+    assert _skip_mv(mvs, 1, 1, 2) == (0, 0)
+    mvs[0, 1] = (4, 0)
+    assert _skip_mv(mvs, 1, 1, 2) != (0, 0)
+
+
+def test_gop_roundtrip_bit_exact_across_qp():
+    rng = np.random.default_rng(3)
+    base = rng.integers(0, 256, (32, 48)).astype(np.uint8)
+    frames = [base,
+              np.roll(base, 3, axis=1),
+              np.clip(base.astype(int) + 9, 0, 255).astype(np.uint8),
+              np.roll(base, -2, axis=0)]
+    for qp in (8, 20, 34, 46):
+        out = decode_stream(encode_gop(frames, qp=qp))
+        recons, _ = gop_reconstruction(frames, qp=qp)
+        assert out["frame_types"] == ["I", "P", "P", "P"]
+        for k in range(4):
+            assert np.array_equal(out["frames"][k], recons[k]), (qp, k)
+
+
+def test_static_scene_is_all_skip_and_tiny():
+    # flat 128 encodes losslessly intra (DC prediction starts at 128),
+    # so the P frames see a zero residual at the zero skip-MV
+    base = np.full((32, 32), 128, np.uint8)
+    frames = [base, base, base]
+    stream = encode_gop(frames, qp=20)
+    _, stats = gop_reconstruction(frames, qp=20)
+    assert all(s["n_skip"] == 4 and s["n_coded"] == 0 for s in stats)
+    out = decode_stream(stream)
+    # skipped P frames reproduce the I reconstruction exactly
+    assert np.array_equal(out["frames"][1], out["frames"][0])
+    assert np.array_equal(out["frames"][2], out["frames"][0])
+    # each all-skip slice is just a header + one skip run
+    solo = len(encode_gop([base], qp=20))
+    assert len(stream) - solo < 20
+
+
+def test_lossy_static_scene_converges_to_skip():
+    # with a lossy I frame the first P codes the recon error once, then
+    # the reference reaches a fixpoint and later frames are all skip
+    rng = np.random.default_rng(4)
+    base = rng.integers(0, 256, (32, 32)).astype(np.uint8)
+    _, stats = gop_reconstruction([base, base, base], qp=20)
+    assert stats[1]["n_skip"] == 4 and stats[1]["n_coded"] == 0
+
+
+def test_integer_shift_found_by_search_with_zero_residual():
+    # smooth scene shifted by exactly 2 px: after the first coded MB the
+    # median predictor locks on and the rest skip with mv=(8,0)
+    # textured content makes the best match unique (a plain gradient is
+    # ambiguous: every MV along the iso-value line ties on SAD)
+    rng = np.random.default_rng(11)
+    base = rng.integers(0, 256, (32, 48)).astype(np.uint8)
+    shifted = np.empty_like(base)
+    shifted[:, 2:] = base[:, :-2]
+    shifted[:, :2] = base[:, :1]
+    frames = [base, shifted]
+    out = decode_stream(encode_gop(frames, qp=20))
+    recons, stats = gop_reconstruction(frames, qp=20)
+    assert np.array_equal(out["frames"][1], recons[1])
+    # content moved +2 px right -> the MV points back to the source;
+    # interior MBs must all find it (edge-column MBs may clamp)
+    found = [(mv[2], mv[3]) for mv in stats[0]["mvs"]]
+    assert found.count((-8, 0)) >= 3
+
+
+def test_halfpel_scene_uses_subpel_motion():
+    # frame2 ~ frame1 shifted by half a pixel (average of 0- and 1-px
+    # shifts of a smooth ramp): the search must beat full-pel with a
+    # frac-2 MV somewhere, and the round-trip stays bit-exact
+    j = np.arange(64).reshape(1, -1)
+    base = np.tile((4 * j) % 256, (32, 1)).astype(np.uint8)
+    half = ((base.astype(int) + np.roll(base, 1, axis=1).astype(int) + 1)
+            // 2).astype(np.uint8)
+    half[:, 0] = base[:, 0]
+    frames = [base, half]
+    out = decode_stream(encode_gop(frames, qp=12))
+    recons, stats = gop_reconstruction(frames, qp=12)
+    assert np.array_equal(out["frames"][1], recons[1])
+    assert stats[0]["n_subpel"] > 0
+
+
+def test_decode_iframe_still_reads_first_frame_of_gop():
+    rng = np.random.default_rng(5)
+    base = rng.integers(0, 256, (32, 32)).astype(np.uint8)
+    stream = encode_gop([base, np.roll(base, 1, axis=0)], qp=20)
+    out = decode_iframe(stream)
+    assert np.array_equal(out["luma"], encoder_reconstruction(base, qp=20))
+
+
+def test_p_slice_without_idr_raises():
+    rng = np.random.default_rng(6)
+    base = rng.integers(0, 256, (16, 16)).astype(np.uint8)
+    stream = encode_gop([base, base], qp=20)
+    # drop the IDR NAL (type 5): split on 4-byte start codes
+    parts = stream.split(b"\x00\x00\x00\x01")
+    kept = [p for p in parts if p and (p[0] & 0x1F) != 5]
+    broken = b"".join(b"\x00\x00\x00\x01" + p for p in kept)
+    with pytest.raises(ValueError, match="P slice before"):
+        decode_stream(broken)
+
+
+def test_gop_guards():
+    with pytest.raises(ValueError, match="empty"):
+        encode_gop([])
+    a = np.zeros((16, 16), np.uint8)
+    b = np.zeros((32, 16), np.uint8)
+    with pytest.raises(ValueError, match="dimensions"):
+        encode_gop([a, b])
+
+
+def test_edge_macroblocks_with_outward_motion_roundtrip():
+    # content moving INTO the frame forces edge MBs to reference
+    # clamped out-of-picture samples; the contract must still hold
+    rng = np.random.default_rng(7)
+    base = rng.integers(0, 256, (32, 32)).astype(np.uint8)
+    frames = [base, np.roll(base, 5, axis=1), np.roll(base, 9, axis=1)]
+    out = decode_stream(encode_gop(frames, qp=24, search_range=6))
+    recons, _ = gop_reconstruction(frames, qp=24, search_range=6)
+    for k in range(3):
+        assert np.array_equal(out["frames"][k], recons[k])
