@@ -248,6 +248,19 @@ HEADLINE = [
     "doc_lang_alpha_sample",
     "doc_fineweb_rules",
     "doc_multimodal_ingest",
+    "doc_substr_spans",
+    "doc_substr_dedup",
+    "doc_substr_dedup_apply",
+    "doc_quality_classifier",
+    "stream_quality_gate",
+    "doc_kneser_ney_logprob",
+    "doc_bloom_decontam_gate",
+    "doc_gif_anim_probe",
+    "doc_h264_iframe_probe",
+    "doc_h264_gop_probe",
+    "emb_matryoshka_recall",
+    "doc_ccnet_buckets",
+    "doc_line_dedup",
 ]
 
 

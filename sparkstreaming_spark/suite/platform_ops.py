@@ -1616,9 +1616,12 @@ def q_h264_gop_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         gop_reconstruction,
     )
 
+    # the sf0.1 table is a single parquet row group -> one input split;
+    # without this guard all 16 GOP encodes (the expensive pure-Python
+    # step) run in ONE task (the documented single-row-group pathology)
     d = read_table(spark, sf_dir, "documents").filter(
         F.col("doc_id") < H264_GOP_IDS
-    ).select("doc_id")
+    ).select("doc_id").repartition(H264_GOP_IDS)
 
     def work(batches):
         for pdf in batches:
