@@ -261,6 +261,7 @@ HEADLINE = [
     "emb_matryoshka_recall",
     "doc_ccnet_buckets",
     "doc_line_dedup",
+    "stream_lm_gate",
 ]
 
 

@@ -1273,3 +1273,134 @@ QUERIES["stream_quality_gate"] = QuerySpec(
     _stream_quality_gate_oracle(),
     "offline-trained quality classifier gating a live stream, in-row scoring",
 )
+
+
+LM_GATE_BUCKETS = 1024
+LM_GATE_THRESH = -6260000  # micro-nats/bigram, ~median of the corpus
+
+
+def q_stream_lm_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style LM-perplexity gate SERVING ON A LIVE STREAM: the
+    bigram LM is trained OFFLINE (textstats/lm.py::sketched_bigram_lm —
+    hash-bucketed MLE so the whole model is a fixed 1024-int array),
+    frozen into the streaming plan as a dense literal, and every
+    streamed doc is scored IN-ROW (higher-order aggregate over its own
+    bigrams, integer floor-division mean — zero per-doc state, so the
+    scorer is streaming-safe), gated at the corpus-median threshold,
+    and accounted per (lang, admitted) in complete mode. The same
+    deploy-time split as stream_quality_gate, with a language model in
+    the gate instead of a classifier; at 100 TB the model array is
+    executor-resident like any broadcast, and the stream never
+    shuffles before the bounded accounting aggregate."""
+    from ..functions.text import md5_64, tokenize
+    from ..textstats.lm import sketched_bigram_lm
+
+    d = spark.read.option("pathGlobFilter", "documents.parquet").parquet(
+        sf_dir
+    )
+    weights, oov, _total = sketched_bigram_lm(d, "text", LM_GATE_BUCKETS)
+    warr = F.array(*[F.lit(w).cast("bigint") for w in weights])
+
+    schema = (
+        "doc_id bigint, text string, lang string, source string,"
+        " n_chars bigint"
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+    )
+    staged = stream.repartition(32).select(
+        "doc_id", "lang", tokenize(F.col("text")).alias("toks")
+    )
+    n = F.greatest(F.size("toks") - 1, F.lit(0))
+    staged = staged.withColumn(
+        "grams",
+        F.zip_with(
+            F.slice("toks", 1, n),
+            F.slice(F.col("toks"), 2, n),
+            lambda a, b: F.concat_ws(" ", a, b),
+        ),
+    )
+    s = F.aggregate(
+        F.col("grams"),
+        F.lit(0).cast("bigint"),
+        lambda acc, g: acc
+        + F.element_at(
+            warr,
+            F.pmod(md5_64(g), F.lit(LM_GATE_BUCKETS)).cast("int") + 1,
+        ),
+    )
+    nb = F.size("grams").cast("bigint")
+    score = F.when(
+        nb > 0, ((s - F.pmod(s, nb)) / nb).cast("bigint")
+    ).otherwise(F.lit(int(oov)))
+    scored = staged.select(
+        "doc_id",
+        "lang",
+        score.alias("score_micro"),
+        (score >= F.lit(LM_GATE_THRESH)).alias("admitted"),
+    )
+    return run_available_now(
+        scored,
+        lambda df: df.groupBy("lang", "admitted").agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("score_micro").alias("sum_score"),
+        ),
+        output_mode="complete",
+    )
+
+
+def _stream_lm_gate_oracle() -> str:
+    from .llm import _sql_fdiv
+    from .scale_ops import _SQL_NORM, _SQL_TOKS
+
+    fdiv = _sql_fdiv("sc.s", "sc.n")
+    return rf"""
+WITH t AS (
+  SELECT doc_id, unnest({_SQL_TOKS}) AS w,
+         unnest(generate_series(1, len({_SQL_TOKS}))) AS pos
+  FROM documents WHERE {_SQL_NORM} != ''
+),
+bg AS (
+  SELECT doc_id, w AS w1,
+         lead(w) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
+  FROM t
+),
+bk AS (
+  SELECT doc_id,
+         cast(('0x' || substr(md5(w1 || ' ' || w2), 1, 15)) AS bigint)
+           % {LM_GATE_BUCKETS} AS bucket
+  FROM bg WHERE w2 IS NOT NULL
+),
+bc AS (SELECT bucket, count(*) AS cnt FROM bk GROUP BY bucket),
+tt AS (SELECT sum(cnt) AS T FROM bc),
+model AS (
+  SELECT bucket,
+         CAST(round(ln(cnt / (T * 1.0)) * 1e6) AS BIGINT) AS lp
+  FROM bc, tt
+),
+oov AS (SELECT min(lp) - 1000000 AS v FROM model),
+sc AS (
+  SELECT doc_id, count(*) AS n, sum(lp) AS s
+  FROM bk JOIN model USING (bucket)
+  GROUP BY doc_id
+),
+scored AS (
+  SELECT d.lang,
+         CASE WHEN sc.n > 0 THEN {fdiv} ELSE oov.v END AS score_micro
+  FROM documents d LEFT JOIN sc ON d.doc_id = sc.doc_id, oov
+)
+SELECT lang, (score_micro >= {LM_GATE_THRESH}) AS admitted,
+       count(*) AS n_docs,
+       CAST(sum(score_micro) AS BIGINT) AS sum_score
+FROM scored
+GROUP BY 1, 2
+"""
+
+
+QUERIES["stream_lm_gate"] = QuerySpec(
+    q_stream_lm_gate,
+    _stream_lm_gate_oracle(),
+    "offline-trained sketched bigram LM gating a live stream at median ppl",
+)

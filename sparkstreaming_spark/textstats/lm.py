@@ -173,3 +173,65 @@ def ccnet_perplexity_buckets(
         F.max("ppl_micro").alias("ppl_hi"),
         F.sum("n_chars_txt").alias("chars"),
     )
+
+
+def sketched_bigram_lm(
+    df: DataFrame,
+    text_col: str,
+    buckets: int = 1024,
+) -> tuple[list[int], int, int]:
+    """Hash-bucketed ('sketched') bigram MLE — the bounded-memory LM
+    serving form (Talbot & Osborne 2007 randomized LMs; fastText's
+    hashed n-gram buckets): bigram counts are merged into `buckets`
+    md5 buckets, so the entire model is a fixed-size integer array a
+    stream can fold into its plan as a literal, trading collision
+    noise for O(1) state. → (weights, oov, total): weights[b] = integer
+    micro-nat round(ln(cnt_b / total) * 1e6), empty buckets get
+    `oov` = min(filled) - 1_000_000 (one extra nat below the rarest
+    bucket — pure integer arithmetic on the already-quantized values,
+    so the floor is engine-exact by construction).
+
+    The ln itself is evaluated IN SPARK over the bucket table (bounded
+    <= `buckets` rows; the one unpartitioned window is over that
+    bounded table, not the corpus) and quantized to micro-nats — the
+    same JVM-vs-DuckDB ln convention the KN oracle rides.
+
+    Scale shape (100 TB): one corpus pass (explode + hash aggregate,
+    map-side partials), one <= `buckets`-row collect. Nothing else
+    reaches the driver."""
+    from pyspark.sql import Window
+
+    from ..functions.text import md5_64, tokenize
+
+    toks = df.select(tokenize(text_col).alias("__toks"))
+    n = F.greatest(F.size("__toks") - 1, F.lit(0))
+    grams = toks.select(
+        F.explode(
+            F.zip_with(
+                F.slice("__toks", 1, n),
+                F.slice(F.col("__toks"), 2, n),
+                lambda a, b: F.concat_ws(" ", a, b),
+            )
+        ).alias("bigram")
+    )
+    bc = grams.groupBy(
+        F.pmod(md5_64("bigram"), F.lit(buckets)).alias("bucket")
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    model = bc.withColumn(
+        "total", F.sum("cnt").over(Window.partitionBy())
+    ).select(
+        "bucket",
+        F.round(F.log(F.col("cnt") / F.col("total").cast("double")) * 1e6)
+        .cast("bigint")
+        .alias("lp"),
+        "cnt",
+    )
+    rows = model.collect()  # bounded: <= buckets rows
+    if not rows:
+        raise ValueError("empty corpus: no bigrams to train on")
+    oov = min(int(r["lp"]) for r in rows) - 1_000_000
+    total = sum(int(r["cnt"]) for r in rows)
+    weights = [oov] * buckets
+    for r in rows:
+        weights[int(r["bucket"])] = int(r["lp"])
+    return weights, oov, total

@@ -117,3 +117,36 @@ def test_ccnet_buckets_partitioned_by_lang(spark):
     for lang, rs in by_lang.items():
         assert sum(r["n_docs"] for r in rs) == 6
         assert {r["bucket"] for r in rs} == {"head", "middle", "tail"}
+
+
+def test_sketched_lm_shape_and_mass(spark):
+    import math
+
+    from sparkstreaming_spark.textstats.lm import sketched_bigram_lm
+
+    rows = [(1, "a b a b a c"), (2, "a b d e")]
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "text"]))
+    weights, oov, total = sketched_bigram_lm(df, "text", buckets=64)
+    # bigrams: doc1 ab,ba,ab,ba,ac; doc2 ab,bd,de -> total 8
+    assert total == 8 and len(weights) == 64
+    filled = [w for w in weights if w != oov]
+    # 5 distinct bigrams, 64 buckets: collisions possible but mass must
+    # sum to ~1 (micro-nat rounding tolerance)
+    mass = sum(math.exp(w / 1e6) for w in filled)
+    assert abs(mass - 1.0) < 1e-4
+    # oov sits one nat below the rarest filled bucket
+    assert oov == min(filled) - 1_000_000
+    # the most frequent bigram ('a b' x3) owns the max weight
+    assert max(filled) == round(math.log(3 / 8) * 1e6)
+
+
+def test_sketched_lm_empty_corpus_raises(spark):
+    import pytest
+
+    from sparkstreaming_spark.textstats.lm import sketched_bigram_lm
+
+    df = spark.createDataFrame(
+        pd.DataFrame([(1, "solo")], columns=["doc_id", "text"])
+    )
+    with pytest.raises(ValueError, match="no bigrams"):
+        sketched_bigram_lm(df, "text", buckets=16)
