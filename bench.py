@@ -262,6 +262,7 @@ HEADLINE = [
     "doc_ccnet_buckets",
     "doc_line_dedup",
     "stream_lm_gate",
+    "doc_doremi_weights",
 ]
 
 

@@ -195,3 +195,106 @@ def alpha_rebalance(
         .filter(F.col("__rn") <= F.col("target_n"))
         .drop("__rn")
     )
+
+
+def doremi_reweight(
+    loss_df: DataFrame,
+    domain_col: str,
+    loss_col: str,
+    iters: int = 5,
+    eta: float = 0.5,
+    smooth_micro: int = 100_000,
+) -> DataFrame:
+    """DoReMi-style domain-mixture reweighting (Xie et al. 2023 — Group-
+    DRO exponentiated gradient): given one integer micro-nat loss per
+    domain, run `iters` rounds of
+        w_d <- normalize(w_d * exp(eta * (loss_d - sum_e w_e loss_e)))
+    (harder-than-average domains gain weight each round because the
+    weighted-average baseline moves WITH w), then mix with the uniform
+    distribution (`smooth_micro`/1e6 mass) the way DoReMi regularizes
+    its proxy weights. → (domain, loss_micro, w_micro) with
+    sum(w_micro) ~ 1e6 (floor-rounding drift < |domains|).
+
+    Cross-engine determinism: weights live as micro-unit bigints; each
+    round does ONE exp() on an identically-derived double (the repo's
+    ln/exp 1-ulp convention) quantized straight back to micro ints, and
+    every other step — weighted mean, clip to ±2e6 micro-nats (also the
+    int64-overflow guard: w*g*1e6 <= 2.8e18), product, floor-div
+    normalize — is exact integer arithmetic mirrored op-for-op in the
+    SQL oracle.
+
+    Scale shape (100 TB): everything here is |domains|-sized (a corpus
+    has dozens of sources); the corpus-sized work is in the caller's
+    loss computation. The crossJoins broadcast 1-row totals.
+
+    Reference parity: no sampling surface in the reference; north-star
+    extension next to alpha_rebalance (the static-temperature
+    counterpart — DoReMi is the loss-adaptive one).
+    """
+    MICRO = 1_000_000
+
+    def fdiv(a: Column, b: Column) -> Column:
+        return ((a - F.pmod(a, b)) / b).cast("bigint")
+
+    w = loss_df.select(
+        F.col(domain_col).alias("domain"),
+        F.col(loss_col).cast("bigint").alias("loss_micro"),
+    )
+    k = w.count()  # bounded: |domains|
+    if k == 0:
+        raise ValueError("no domains to reweight")
+    # localCheckpoint per round cuts the lineage: each round references
+    # the previous table twice (the baseline aggregate and the step), so
+    # an unmaterialized chain re-derives the corpus-sized loss input
+    # 2^iters times — the same fix the k-core peel uses. The
+    # checkpointed table is |domains| rows.
+    w = w.withColumn(
+        "w", F.lit(MICRO // k).cast("bigint")
+    ).localCheckpoint()
+    for _ in range(iters):
+        tot = w.agg(
+            F.sum(F.col("w") * F.col("loss_micro")).cast("bigint").alias("s")
+        )
+        stepped = (
+            w.crossJoin(F.broadcast(tot))
+            .withColumn(
+                "ex",
+                F.least(
+                    F.greatest(
+                        F.col("loss_micro") - fdiv(F.col("s"), F.lit(MICRO)),
+                        F.lit(-2 * MICRO),
+                    ),
+                    F.lit(2 * MICRO),
+                ),
+            )
+            .withColumn(
+                "g",
+                F.round(
+                    F.exp(
+                        F.lit(eta)
+                        * (F.col("ex").cast("double") / F.lit(float(MICRO)))
+                    )
+                    * MICRO
+                ).cast("bigint"),
+            )
+            .withColumn("raw", F.col("w") * F.col("g"))
+        )
+        z = stepped.agg(F.sum("raw").cast("bigint").alias("z"))
+        # normalize as raw // (z // 1e6), NOT (raw * 1e6) // z: Spark's
+        # bigint division routes through doubles, so every intermediate
+        # must stay under 2^53 for the floor-div identity to be exact
+        # (raw <= 2.8e12 here; raw * 1e6 would not be). The SQL oracle
+        # mirrors the same two floor-divs.
+        w = stepped.crossJoin(F.broadcast(z)).select(
+            "domain",
+            "loss_micro",
+            fdiv(F.col("raw"), fdiv(F.col("z"), F.lit(MICRO))).alias("w"),
+        ).localCheckpoint()
+    return w.select(
+        "domain",
+        "loss_micro",
+        (
+            fdiv(F.lit(MICRO - smooth_micro) * F.col("w"), F.lit(MICRO))
+            + F.lit(smooth_micro // k)
+        ).cast("bigint").alias("w_micro"),
+    )

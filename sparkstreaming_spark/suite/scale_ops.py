@@ -675,3 +675,112 @@ QUERIES["doc_ccnet_buckets"] = QuerySpec(
     ORACLE_CCNET_BUCKETS,
     "CCNet head/middle/tail perplexity bucketing per language (KN LM)",
 )
+
+
+def q_doremi_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DoReMi domain-mixture reweighting end-to-end (operators/
+    sampling.py::doremi_reweight): per-source difficulty = mean
+    negative unigram log-prob (micro-nats/token, integer floor-div),
+    then 5 exponentiated-gradient rounds against the moving weighted-
+    average baseline + uniform smoothing. The oracle replays the
+    unigram model, the loss, and all 5 rounds in unrolled CTEs with
+    the identical integer quantization, so a baseline, clip, exp-
+    quantize, or normalize bug flips the hash."""
+    from ..functions.text import tokenize
+    from ..operators.sampling import doremi_reweight
+
+    d = read_table(spark, sf_dir, "documents")
+    tok = d.select("source", F.explode(tokenize("text")).alias("w"))
+    uc = tok.groupBy("w").agg(F.count(F.lit(1)).alias("cnt"))
+    tt = uc.agg(F.sum("cnt").alias("T"))
+    model = uc.crossJoin(F.broadcast(tt)).select(
+        "w",
+        F.round(F.log(F.col("cnt") / (F.col("T") * F.lit(1.0))) * 1e6)
+        .cast("bigint")
+        .alias("lp"),
+    )
+    s = F.col("s")
+    n = F.col("n_tokens")
+    dl = (
+        tok.join(model, "w")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            (-F.sum("lp")).cast("bigint").alias("s"),
+        )
+        .select(
+            "source",
+            "n_tokens",
+            ((s - F.pmod(s, n)) / n).cast("bigint").alias("loss_micro"),
+        )
+        # |sources| rows; materialized once so the reweight rounds and
+        # the final n_tokens join don't each re-derive the corpus pass
+        .localCheckpoint()
+    )
+    out = doremi_reweight(dl, "source", "loss_micro", iters=5)
+    return out.select(
+        F.col("domain").alias("source"), "loss_micro", "w_micro"
+    ).join(dl.select("source", "n_tokens"), "source")
+
+
+def _doremi_oracle() -> str:
+    from .llm import _sql_fdiv
+
+    # Each round is ONE nested select with window totals (sum() OVER ())
+    # instead of scalar CTEs: DuckDB inlines non-materialized CTEs, and a
+    # chain whose every round references the previous one from multiple
+    # scalar CTEs re-expands the corpus subtree exponentially (the same
+    # lineage blowup the Spark side cuts with localCheckpoint). The
+    # window form keeps the chain linear. raw appears twice textually —
+    # both row-level, same value.
+    g = "CAST(round(exp(0.5 * (ex / 1000000.0)) * 1000000) AS BIGINT)"
+    rounds = []
+    prev = "w0"
+    for t in range(1, 6):
+        rounds.append(rf"""
+w{t} AS (
+  SELECT domain, loss, {_sql_fdiv('raw', _sql_fdiv('z', '1000000'))} AS w
+  FROM (
+    SELECT domain, loss, w * {g} AS raw,
+           sum(w * {g}) OVER () AS z
+    FROM (
+      SELECT domain, loss, w,
+             least(greatest(loss - {_sql_fdiv('s', '1000000')}, -2000000),
+                   2000000) AS ex
+      FROM (SELECT domain, loss, w, sum(w * loss) OVER () AS s FROM {prev})
+    )
+  )
+)""")
+        prev = f"w{t}"
+    return rf"""
+WITH tok AS (
+  SELECT source, unnest({_SQL_TOKS}) AS w
+  FROM documents WHERE {_SQL_NORM} != ''
+),
+uc AS (SELECT w, count(*) AS cnt FROM tok GROUP BY w),
+tt AS (SELECT sum(cnt) AS T FROM uc),
+model AS (
+  SELECT w, CAST(round(ln(cnt / (T * 1.0)) * 1e6) AS BIGINT) AS lp
+  FROM uc, tt
+),
+dl AS (
+  SELECT source AS domain, count(*) AS n_tokens,
+         CAST({_sql_fdiv('-sum(lp)', 'count(*)')} AS BIGINT) AS loss
+  FROM tok JOIN model USING (w) GROUP BY source
+),
+kk AS (SELECT count(*) AS k FROM dl),
+w0 AS (SELECT domain, loss, CAST(1000000 // k AS BIGINT) AS w FROM dl, kk),
+{','.join(rounds)}
+SELECT d.domain AS source, d.loss AS loss_micro,
+       CAST({_sql_fdiv('900000 * w', '1000000')} + (100000 // k) AS BIGINT)
+         AS w_micro,
+       d.n_tokens
+FROM {prev} JOIN dl d USING (domain), kk
+"""
+
+
+QUERIES["doc_doremi_weights"] = QuerySpec(
+    q_doremi_weights,
+    _doremi_oracle(),
+    "DoReMi exponentiated-gradient domain mixture weights, micro-int exact",
+)
