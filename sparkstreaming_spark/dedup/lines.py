@@ -9,13 +9,15 @@ them — nav bars, cookie banners, footers.
 
 Scale shape (100 TB): one explode + one line-key aggregate (map-side
 partial, hash shuffle on the line key — never a pair join), then the
-boilerplate set is broadcast and probed with a left-anti join. The
-broadcast is provably bounded when the threshold scales with the
-corpus: at most total_lines / min_doc_freq distinct keys can reach
-doc-frequency >= min_doc_freq, so with min_doc_freq = f·N docs the set
-is <= lines_per_doc / f keys regardless of corpus size. Reassembly is
-a per-doc groupBy with an in-row array_sort — line order never depends
-on shuffle order.
+boilerplate set is probed with a left-anti join. The set is provably
+bounded when the threshold scales with the corpus: at most
+total_lines / min_doc_freq distinct keys can reach doc-frequency >=
+min_doc_freq, so with min_doc_freq = f·N docs the set is <=
+lines_per_doc / f keys regardless of corpus size — but with a small
+ABSOLUTE threshold it is not, so the join carries no broadcast hint
+and the planner/AQE picks broadcast only when the built side measures
+small. Reassembly is a per-doc groupBy with an in-row array_sort —
+line order never depends on shuffle order.
 
 Reference parity: the reference has no text surface beyond
 FileReconstitution.scala:7-12 (punctuation strip); north-star
@@ -55,7 +57,12 @@ def line_dedup(
         .filter(F.col("df_") >= min_doc_freq)
         .select("key")
     )
-    kept = lines.join(F.broadcast(boiler), "key", "left_anti")
+    # no broadcast HINT: the bound above holds only when the threshold
+    # scales with the corpus — with a small absolute min_doc_freq the
+    # boilerplate set is not provably bounded, so let the planner (AQE
+    # converts to broadcast at runtime when the built side is small)
+    # make the size-checked call instead of forcing it past the guard
+    kept = lines.join(boiler, "key", "left_anti")
     per_doc = kept.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n_kept"),
         F.array_join(

@@ -743,12 +743,13 @@ def _neighbor_nc(tc_map: np.ndarray, by: int, bx: int) -> int:
 
 def decode_iframe(data: bytes) -> dict:
     """Annex-B H.264 stream → {width, height, qp, luma (H,W) uint8,
-    n_mbs}. Decodes the first IDR slice; raises NotImplementedError
-    with the exact unsupported feature for anything outside the
-    intra-CAVLC envelope documented in the module docstring."""
-    nals = _split_annexb(data)
+    n_mbs}. Decodes the first IDR slice (use decode_stream for GOPs
+    with P frames); raises NotImplementedError with the exact
+    unsupported feature for anything outside the intra-CAVLC envelope
+    documented in the module docstring."""
     sps = pps = slice_rbsp = None
-    for nal_type, rbsp in nals:
+    slice_ref_idc = 0
+    for ref_idc, nal_type, rbsp in _split_annexb(data):
         if nal_type == 7 and sps is None:
             sps = _parse_sps(BitReader(strip_emulation(rbsp)))
         elif nal_type == 8 and pps is None:
@@ -757,80 +758,30 @@ def decode_iframe(data: bytes) -> dict:
             if nal_type == 1:
                 raise NotImplementedError("non-IDR slices (P/B) unsupported")
             slice_rbsp = strip_emulation(rbsp)
+            slice_ref_idc = ref_idc
     if sps is None or pps is None or slice_rbsp is None:
         raise ValueError("stream lacks SPS, PPS, or an IDR slice")
     if pps["cabac"]:
         raise NotImplementedError("CABAC entropy coding unsupported")
-    w_, h = sps["width"], sps["height"]
     r = BitReader(slice_rbsp)
     if r.ue() != 0:
         raise NotImplementedError("multi-slice pictures unsupported")
-    slice_type = r.ue()
-    if slice_type % 5 != 2:
+    if r.ue() % 5 != 2:
         raise NotImplementedError("only I slices supported")
-    r.ue()  # pps id
-    r.u(sps["log2_max_frame_num"])
-    r.ue()  # idr_pic_id
-    r.u(2)  # dec_ref_pic_marking: no_output_of_prior + long_term_ref flags
-    qp = 26 + pps["pic_init_qp_delta"] + r.se()
-    if pps["deblocking_control"]:
-        if r.ue() != 1:
-            raise NotImplementedError(
-                "deblocking filter enabled — decode-without-deblock would "
-                "not be conformant"
-            )
-    recon = np.zeros((h, w_), dtype=np.int64)
-    tc_map = np.zeros((h // 4, w_ // 4), dtype=np.int64)
-    n_mbs = (h // 16) * (w_ // 16)
-    for mb in range(n_mbs):
-        mbx, mby = mb % (w_ // 16), mb // (w_ // 16)
-        mb_type = r.ue()
-        if mb_type != 0:
-            raise NotImplementedError(
-                f"mb_type {mb_type} unsupported (only I_4x4)"
-            )
-        modes = []
-        for _blk in range(16):
-            if r.bit():
-                modes.append(None)  # predicted mode (DC in this envelope)
-            else:
-                modes.append(r.u(3))
-        if any(m is not None and m != 2 for m in modes):
-            raise NotImplementedError(
-                "directional Intra_4x4 prediction modes unsupported"
-            )
-        chroma_mode = r.ue()
-        if chroma_mode != 0:
-            raise NotImplementedError("non-DC chroma prediction unsupported")
-        cbp = CBP_INTRA[r.ue()]
-        if cbp & 0x30:
-            raise NotImplementedError("chroma residual unsupported")
-        if r.se() != 0:
-            raise NotImplementedError("mb_qp_delta unsupported")
-        for blk in range(16):
-            bx, by = LUMA_BLOCK_XY[blk]
-            x, y = mbx * 16 + bx, mby * 16 + by
-            group = 1 << (2 * (by // 8) + (bx // 8))
-            pred = _dc_predict(recon, y, x, 4)
-            if cbp & group:
-                nc = _neighbor_nc(tc_map, y // 4, x // 4)
-                levels, tc = decode_residual_block(r, nc)
-                tc_map[y // 4, x // 4] = tc
-                res = inverse_transform_4x4(dequantize_4x4(levels, qp))
-            else:
-                tc_map[y // 4, x // 4] = 0
-                res = 0
-            recon[y : y + 4, x : x + 4] = np.clip(pred + res, 0, 255)
+    luma, qp = _decode_islice_body(r, sps, pps, idr=True,
+                                   ref_idc=slice_ref_idc)
     return {
-        "width": w_,
-        "height": h,
+        "width": sps["width"],
+        "height": sps["height"],
         "qp": qp,
-        "n_mbs": n_mbs,
-        "luma": recon.astype(np.uint8),
+        "n_mbs": (sps["width"] // 16) * (sps["height"] // 16),
+        "luma": luma,
     }
 
 
-def _split_annexb(data: bytes) -> list[tuple[int, bytes]]:
+def _split_annexb(data: bytes) -> list[tuple[int, int, bytes]]:
+    """→ [(nal_ref_idc, nal_type, payload)] — ref_idc is kept because
+    dec_ref_pic_marking presence in slice headers depends on it."""
     starts = []
     i = 0
     while True:
@@ -846,7 +797,7 @@ def _split_annexb(data: bytes) -> list[tuple[int, bytes]]:
         while nal and nal[-1] == 0:
             nal = nal[:-1]
         if nal:
-            out.append((nal[0] & 0x1F, nal[1:]))
+            out.append(((nal[0] >> 5) & 3, nal[0] & 0x1F, nal[1:]))
     return out
 
 
@@ -1022,10 +973,13 @@ def _encode_pslice(
     qp: int,
     frame_num: int,
     search_range: int = 4,
+    ref_slice: bool = True,
 ) -> tuple[np.ndarray, bytes, dict]:
     """Encode one P slice (P_L0_16x16 + P_Skip) against `ref` (the
     previous decoded frame). Returns (reconstruction, slice RBSP,
-    stats) — the reconstruction is the decoder-exact reference."""
+    stats) — the reconstruction is the decoder-exact reference.
+    `ref_slice=False` emits a non-reference slice (send with
+    nal_ref_idc 0): dec_ref_pic_marking is then absent per §7.3.3."""
     h, w_ = y_plane.shape
     mbs_w, mbs_h = w_ // 16, h // 16
     w = BitWriter()
@@ -1035,7 +989,8 @@ def _encode_pslice(
     w.u(frame_num & 15, 4)  # frame_num
     w.u(0, 1)               # num_ref_idx_active_override_flag
     w.u(0, 1)               # ref_pic_list_modification_flag_l0
-    w.u(0, 1)               # adaptive_ref_pic_marking_mode_flag
+    if ref_slice:
+        w.u(0, 1)           # adaptive_ref_pic_marking_mode_flag
     w.se(qp - 26)           # slice_qp_delta
     w.ue(1)                 # disable_deblocking_filter_idc = 1
 
@@ -1170,10 +1125,11 @@ def _encode_gop_full(frames, qp, search_range):
     return recons, stats, stream
 
 
-def _decode_pslice(r: BitReader, sps: dict, pps: dict,
-                   ref: np.ndarray) -> tuple[np.ndarray, int]:
+def _decode_pslice(r: BitReader, sps: dict, pps: dict, ref: np.ndarray,
+                   ref_idc: int = 1) -> tuple[np.ndarray, int]:
     """Decode one P slice against `ref`. The header's first ue/ue
-    (first_mb_in_slice, slice_type) are already consumed."""
+    (first_mb_in_slice, slice_type) are already consumed;
+    dec_ref_pic_marking is present only when nal_ref_idc != 0."""
     w_, h = sps["width"], sps["height"]
     mbs_w, mbs_h = w_ // 16, h // 16
     r.ue()  # pps id
@@ -1182,7 +1138,7 @@ def _decode_pslice(r: BitReader, sps: dict, pps: dict,
         raise NotImplementedError("num_ref_idx_active override unsupported")
     if r.u(1):
         raise NotImplementedError("ref_pic_list_modification unsupported")
-    if r.u(1):
+    if ref_idc and r.u(1):
         raise NotImplementedError("adaptive ref-pic marking unsupported")
     qp = 26 + pps["pic_init_qp_delta"] + r.se()
     if pps["deblocking_control"]:
@@ -1254,16 +1210,30 @@ def decode_stream(data: bytes) -> dict:
     frame_types} — decodes every I and P slice in order, maintaining
     the single-frame reference (max_num_ref_frames=1 sliding window).
     Raises NotImplementedError with the exact unsupported feature for
-    anything outside the documented envelope, ValueError for malformed
-    streams (including a P slice before any IDR)."""
+    anything outside the documented envelope (including a second,
+    DIFFERENT SPS/PPS mid-stream — one sequence per call), ValueError
+    for malformed streams (including a P slice before any IDR).
+    Non-reference slices (nal_ref_idc 0) are decoded but do not
+    replace the prediction reference, per the spec's DPB rules."""
     sps = pps = None
     frames, types = [], []
+    ref = None  # last decoded REFERENCE frame (nal_ref_idc != 0)
     qp_first = None
-    for nal_type, rbsp in _split_annexb(data):
-        if nal_type == 7 and sps is None:
-            sps = _parse_sps(BitReader(strip_emulation(rbsp)))
-        elif nal_type == 8 and pps is None:
-            pps = _parse_pps(BitReader(strip_emulation(rbsp)))
+    for ref_idc, nal_type, rbsp in _split_annexb(data):
+        if nal_type == 7:
+            new_sps = _parse_sps(BitReader(strip_emulation(rbsp)))
+            if sps is not None and new_sps != sps:
+                raise NotImplementedError(
+                    "multiple differing SPS (one sequence per stream)"
+                )
+            sps = new_sps
+        elif nal_type == 8:
+            new_pps = _parse_pps(BitReader(strip_emulation(rbsp)))
+            if pps is not None and new_pps != pps:
+                raise NotImplementedError(
+                    "multiple differing PPS (one sequence per stream)"
+                )
+            pps = new_pps
         elif nal_type in (1, 5):
             if sps is None or pps is None:
                 raise ValueError("slice before SPS/PPS")
@@ -1274,19 +1244,22 @@ def decode_stream(data: bytes) -> dict:
                 raise NotImplementedError("multi-slice pictures unsupported")
             slice_type = r.ue() % 5
             if slice_type == 2:
-                luma, qp = _decode_islice_body(r, sps, pps,
-                                               idr=(nal_type == 5))
+                luma, qp = _decode_islice_body(
+                    r, sps, pps, idr=(nal_type == 5), ref_idc=ref_idc
+                )
                 types.append("I")
             elif slice_type == 0:
-                if not frames:
+                if ref is None:
                     raise ValueError("P slice before any decoded I frame")
-                luma, qp = _decode_pslice(r, sps, pps, frames[-1])
+                luma, qp = _decode_pslice(r, sps, pps, ref, ref_idc)
                 types.append("P")
             else:
                 raise NotImplementedError(
                     "only I and P slices supported (no B/SP/SI)"
                 )
             frames.append(luma)
+            if ref_idc:
+                ref = luma
             if qp_first is None:
                 qp_first = qp
     if sps is None or pps is None or not frames:
@@ -1301,18 +1274,20 @@ def decode_stream(data: bytes) -> dict:
     }
 
 
-def _decode_islice_body(r: BitReader, sps: dict, pps: dict,
-                        idr: bool) -> tuple[np.ndarray, int]:
+def _decode_islice_body(r: BitReader, sps: dict, pps: dict, idr: bool,
+                        ref_idc: int = 1) -> tuple[np.ndarray, int]:
     """Decode an I slice whose first_mb/slice_type were consumed — the
-    same envelope decode_iframe enforces (Intra_4x4 DC, CAVLC)."""
+    same envelope decode_iframe enforces (Intra_4x4 DC, CAVLC).
+    dec_ref_pic_marking is present only when nal_ref_idc != 0."""
     w_, h = sps["width"], sps["height"]
     r.ue()  # pps id
     r.u(sps["log2_max_frame_num"])
     if idr:
         r.ue()  # idr_pic_id
-        r.u(2)  # dec_ref_pic_marking flags
-    else:
-        if r.u(1):
+    if ref_idc:
+        if idr:
+            r.u(2)  # no_output_of_prior_pics + long_term_reference flags
+        elif r.u(1):
             raise NotImplementedError("adaptive ref-pic marking unsupported")
     qp = 26 + pps["pic_init_qp_delta"] + r.se()
     if pps["deblocking_control"]:
@@ -1331,16 +1306,15 @@ def _decode_islice_body(r: BitReader, sps: dict, pps: dict,
             raise NotImplementedError(
                 f"mb_type {mb_type} unsupported (only I_4x4)"
             )
-        modes = []
         for _blk in range(16):
-            if r.bit():
-                modes.append(None)
-            else:
-                modes.append(r.u(3))
-        if any(m is not None and m != 2 for m in modes):
-            raise NotImplementedError(
-                "directional Intra_4x4 prediction modes unsupported"
-            )
+            if not r.bit():
+                # rem_intra4x4_pred_mode skips the PREDICTED mode (DC=2
+                # here), so an explicit rem always decodes to a
+                # directional mode — no rem value can mean DC (§8.3.1.1)
+                r.u(3)
+                raise NotImplementedError(
+                    "directional Intra_4x4 prediction modes unsupported"
+                )
         if r.ue() != 0:
             raise NotImplementedError("non-DC chroma prediction unsupported")
         cbp = CBP_INTRA[r.ue()]

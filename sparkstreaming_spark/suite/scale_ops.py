@@ -689,8 +689,14 @@ def q_doremi_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.text import tokenize
     from ..operators.sampling import doremi_reweight
 
+    from pyspark.storagelevel import StorageLevel
+
     d = read_table(spark, sf_dir, "documents")
-    tok = d.select("source", F.explode(tokenize("text")).alias("w"))
+    # persisted: both the vocab count and the loss join consume it
+    # (the lm.py two-consumer convention)
+    tok = d.select("source", F.explode(tokenize("text")).alias("w")).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     uc = tok.groupBy("w").agg(F.count(F.lit(1)).alias("cnt"))
     tt = uc.agg(F.sum("cnt").alias("T"))
     model = uc.crossJoin(F.broadcast(tt)).select(

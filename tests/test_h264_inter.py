@@ -211,3 +211,81 @@ def test_edge_macroblocks_with_outward_motion_roundtrip():
     recons, _ = gop_reconstruction(frames, qp=24, search_range=6)
     for k in range(3):
         assert np.array_equal(out["frames"][k], recons[k])
+
+
+def test_non_reference_p_slice_parses_and_does_not_become_ref():
+    # ref_idc=0 P slices carry NO dec_ref_pic_marking bit (§7.3.3) and
+    # must not replace the prediction reference for later slices
+    from sparkstreaming_spark.multimodal.h264 import (
+        _build_pps_rbsp,
+        _build_sps_rbsp,
+        _encode_pslice,
+        _encode_slice,
+        _nal,
+    )
+
+    rng = np.random.default_rng(9)
+    a = rng.integers(0, 256, (32, 32)).astype(np.uint8)
+    b = np.roll(a, 2, axis=1)
+    rec_i, i_payload = _encode_slice(a, 20)
+    ref = rec_i.astype(np.int64)
+    # non-ref P coding frame b, then a ref P coding frame b AGAIN but
+    # encoded against rec_i (what a conformant decoder must use as ref)
+    rec_p1, p1, _ = _encode_pslice(ref, b, 20, 1, ref_slice=False)
+    rec_p2, p2, _ = _encode_pslice(ref, b, 20, 2)
+    stream = (_nal(7, _build_sps_rbsp(32, 32)) + _nal(8, _build_pps_rbsp())
+              + _nal(5, i_payload) + _nal(1, p1, ref_idc=0)
+              + _nal(1, p2, ref_idc=2))
+    out = decode_stream(stream)
+    assert out["frame_types"] == ["I", "P", "P"]
+    assert np.array_equal(out["frames"][1], rec_p1)
+    # if the decoder had (wrongly) used the non-ref frame as reference,
+    # frame 2 would desync from rec_p2
+    assert np.array_equal(out["frames"][2], rec_p2)
+
+
+def test_second_identical_sequence_concatenates():
+    rng = np.random.default_rng(10)
+    a = rng.integers(0, 256, (32, 32)).astype(np.uint8)
+    s1 = encode_gop([a, np.roll(a, 1, axis=0)], qp=20)
+    s2 = encode_gop([np.roll(a, 3, axis=1), a], qp=20)
+    out = decode_stream(s1 + s2)
+    assert out["frame_types"] == ["I", "P", "I", "P"]
+
+
+def test_second_differing_sps_raises():
+    a = np.zeros((32, 32), np.uint8)
+    b = np.zeros((16, 48), np.uint8)
+    with pytest.raises(NotImplementedError, match="differing SPS"):
+        decode_stream(encode_gop([a], qp=20) + encode_gop([b], qp=20))
+
+
+def test_explicit_directional_mode_raises_not_silently_dc():
+    # craft an I slice whose first 4x4 block codes an EXPLICIT mode with
+    # rem=2: with DC predicted, rem 2 means diagonal-down-left (§8.3.1.1)
+    # — the decoder must raise, never reconstruct it as DC
+    from sparkstreaming_spark.multimodal.h264 import (
+        BitWriter,
+        _build_pps_rbsp,
+        _build_sps_rbsp,
+        _nal,
+    )
+
+    w = BitWriter()
+    w.ue(0)   # first_mb_in_slice
+    w.ue(7)   # slice_type I
+    w.ue(0)   # pps id
+    w.u(0, 4)  # frame_num
+    w.ue(0)   # idr_pic_id
+    w.u(0, 2)  # dec_ref_pic_marking
+    w.se(20 - 26)
+    w.ue(1)   # deblocking off
+    w.ue(0)   # mb_type I_4x4
+    w.u(0, 1)  # prev_intra4x4_pred_mode_flag = 0 -> explicit
+    w.u(2, 3)  # rem_intra4x4_pred_mode = 2 (diagonal-down-left)
+    stream = (_nal(7, _build_sps_rbsp(16, 16)) + _nal(8, _build_pps_rbsp())
+              + _nal(5, w.rbsp()))
+    with pytest.raises(NotImplementedError, match="directional"):
+        decode_stream(stream)
+    with pytest.raises(NotImplementedError, match="directional"):
+        decode_iframe(stream)
