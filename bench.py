@@ -263,6 +263,8 @@ HEADLINE = [
     "doc_line_dedup",
     "stream_lm_gate",
     "doc_doremi_weights",
+    "doc_unigram_train",
+    "doc_unigram_encode",
 ]
 
 

@@ -460,3 +460,90 @@ QUERIES["graph_kcore"] = QuerySpec(
     None,
     "k-core dense kernel (iterative peel; planted-structure tested)",
 )
+
+
+UNIGRAM_VOCAB = 256
+UNIGRAM_ITERS = 2
+
+
+def q_unigram_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM (SentencePiece) tokenizer training (textstats/
+    unigram.py): substring seed + 2 EM rounds over the word-frequency
+    table — one corpus pass, then vocab-sized Arrow/aggregate rounds.
+    Iterative with driver-held model → rows-only (the doc_bpe_merges
+    precedent); the EM dynamics are pinned bit-for-bit against a pure-
+    Python reference in tests/test_unigram.py, and the ORACLED encode
+    contract lives in doc_unigram_encode."""
+    from ..textstats.unigram import train_unigram_vocab
+
+    d = read_table(spark, sf_dir, "documents")
+    vocab = train_unigram_vocab(
+        d, "text", vocab_size=UNIGRAM_VOCAB, iters=UNIGRAM_ITERS
+    )
+    return spark.createDataFrame(
+        vocab, "piece string, count bigint, lp_micro bigint"
+    )
+
+
+QUERIES["doc_unigram_train"] = QuerySpec(
+    q_unigram_train,
+    None,
+    "unigram-LM (SentencePiece) vocab via substring seed + EM "
+    "(rows-only; reference-parity tested)",
+)
+
+
+def q_unigram_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frozen unigram tokenizer applied to the corpus — trained on the
+    deterministic 20% sample (the offline-sample convention of
+    stream_quality_gate), encoded via the distinct-word dictionary
+    join. Oracled CONTRACT: n_words and n_chars_tok are exact SQL
+    restatements; `lossless` (every word's Viterbi pieces rejoin to
+    the word) and `pieces_in_bounds` (n_words <= n_pieces <=
+    n_chars_tok) are load-bearing booleans — a segmentation bug breaks
+    the concat identity or the bounds and flips the hash. The exact
+    piece counts are pinned by the Python-parity tests instead (the
+    Viterbi DP is not SQL-expressible)."""
+    from ..textstats.unigram import train_unigram_vocab, unigram_encode_counts
+
+    d = read_table(spark, sf_dir, "documents")
+    vocab = train_unigram_vocab(
+        d.filter(F.col("doc_id") % 5 == 0),
+        "text",
+        vocab_size=UNIGRAM_VOCAB,
+        iters=UNIGRAM_ITERS,
+    )
+    enc = unigram_encode_counts(d, "doc_id", "text", vocab)
+    return enc.select(
+        F.col("id").alias("doc_id"),
+        "n_words",
+        "n_chars_tok",
+        "lossless",
+        (
+            (F.col("n_pieces") >= F.col("n_words"))
+            & (F.col("n_pieces") <= F.col("n_chars_tok"))
+        ).alias("pieces_in_bounds"),
+    )
+
+
+from .scale_ops import _SQL_NORM as _UG_NORM  # noqa: E402
+from .scale_ops import _SQL_TOKS as _UG_TOKS  # noqa: E402
+
+ORACLE_UNIGRAM_ENCODE = rf"""
+SELECT doc_id,
+       CAST(len({_UG_TOKS}) AS BIGINT) AS n_words,
+       CAST(list_sum(list_transform({_UG_TOKS}, w -> length(w)))
+            AS BIGINT) AS n_chars_tok,
+       TRUE AS lossless,
+       TRUE AS pieces_in_bounds
+FROM documents
+WHERE {_UG_NORM} != ''
+"""
+
+
+QUERIES["doc_unigram_encode"] = QuerySpec(
+    q_unigram_encode,
+    ORACLE_UNIGRAM_ENCODE,
+    "frozen unigram tokenizer encode: lossless + bounds contract, "
+    "exact word/char restatement",
+)

@@ -57,6 +57,8 @@ def test_registry_oracles_all_parse(duck):
         "doc_cms_counts",  # sketch estimates; error bound pinned by test
         "doc_bpe_merges",  # iterative BPE; pure-Python reference parity test
         "doc_bpe_encode",  # encodes with learned merges; path-parity test
+        "doc_unigram_train",  # iterative EM; pure-Python reference parity
+        # test + ORACLED doc_unigram_encode losslessness/bounds contract
         "layout_hilbert_key",  # iterative bit rotation; xy2d parity test
         "doc_audio_bands",  # FFT; NumPy parity + oracled doc_audio_tone_detect twin
         "graph_kcore",  # iterative peel; planted K6-vs-chain test
