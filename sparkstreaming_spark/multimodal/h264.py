@@ -1,11 +1,11 @@
-"""Clean-room pure-Python H.264 intra-only (I-frame) baseline codec —
-the feasible slice of the last honest media stub (video.py's inter
-codecs). Implements the real coding stack for IDR frames per ITU-T
-H.264 (public spec): CAVLC entropy coding (coeff_token / level prefix-
-suffix with escapes / total_zeros / run_before), 4x4 integer transform
-with the standard MF/V quantization tables, Intra_4x4 spatial
-prediction, and a conformant NAL/SPS/PPS/slice-header bitstream
-(Annex-B), paired encoder + decoder.
+"""Clean-room pure-Python H.264 baseline codec: IDR I-frames AND
+motion-compensated P frames (the former "inter codecs" stub in
+video.py). Implements the real coding stack per ITU-T H.264 (public
+spec): CAVLC entropy coding (coeff_token / level prefix-suffix with
+escapes / total_zeros / run_before), 4x4 integer transform with the
+standard MF/V quantization tables, Intra_4x4 spatial prediction,
+quarter-pel motion compensation, and a conformant NAL/SPS/PPS/
+slice-header bitstream (Annex-B), paired encoder + decoder.
 
 Scope (precise, honestly guarded):
 - encoder: one IDR I-slice per frame, all macroblocks Intra_4x4 with

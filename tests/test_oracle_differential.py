@@ -98,6 +98,13 @@ CRITICAL_NEVER_SAMPLED = [
     "emb_hard_negatives",
     "graph_kcore",
     "graph_triangles",
+    # round-6 additions with the most algorithmic surface
+    "doc_ccnet_buckets",
+    "doc_doremi_weights",
+    "doc_unigram_encode",
+    "doc_line_dedup",
+    "stream_lm_gate",
+    "doc_h264_gop_probe",
 ]
 
 
