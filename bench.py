@@ -265,6 +265,7 @@ HEADLINE = [
     "doc_doremi_weights",
     "doc_unigram_train",
     "doc_unigram_encode",
+    "doc_h264_bframe_probe",
 ]
 
 

@@ -28,8 +28,13 @@ Scope (precise, honestly guarded):
   bilinear quarter, coordinate clamping at picture edges), the §8.4.1.3
   median MV predictor with the P_Skip zero-MV conditions, mb_skip_run
   coding, and the Inter coded_block_pattern mapping (Table 9-4).
-  Sub-16x16 partitions, multiple references, B slices, and weighted
-  prediction remain honest NotImplementedError guards.
+- B slices (encode_gop_b): low-delay generalized B — B_L0/B_L1/B_Bi
+  16x16 against the two most recent PAST references (the conformant
+  default list init for that DPB), default bi-prediction
+  (§8.4.2.3 (p0+p1+1)>>1), per-list median MV prediction, Main-profile
+  SPS, non-reference B NALs. Sub-16x16 partitions, B_Skip/B_Direct,
+  CABAC, and weighted prediction remain honest NotImplementedError
+  guards.
 
 Verification stance: bit-exact ROUND-TRIP is the contract — the
 decoder must reproduce the encoder's own reconstruction exactly
@@ -591,17 +596,20 @@ _CBP_INTRA_INV = {cbp: i for i, cbp in enumerate(CBP_INTRA)}
 # headers
 
 
-def _build_sps_rbsp(width: int, height: int) -> bytes:
+def _build_sps_rbsp(width: int, height: int, max_refs: int = 1,
+                    profile: int = 66) -> bytes:
+    """profile 66 (baseline) for I/P streams; B slices require Main
+    (77) and a 2-frame DPB (max_refs=2)."""
     if width % 16 or height % 16:
         raise ValueError("dimensions must be multiples of 16 in this scope")
     w = BitWriter()
-    w.u(66, 8)   # profile_idc baseline
+    w.u(profile, 8)  # profile_idc
     w.u(0, 8)    # constraint flags
     w.u(30, 8)   # level_idc
     w.ue(0)      # sps id
     w.ue(0)      # log2_max_frame_num_minus4
     w.ue(2)      # poc type 2
-    w.ue(1)      # max_num_ref_frames
+    w.ue(max_refs)  # max_num_ref_frames
     w.u(0, 1)    # gaps_in_frame_num
     w.ue(width // 16 - 1)
     w.ue(height // 16 - 1)
@@ -1217,7 +1225,7 @@ def decode_stream(data: bytes) -> dict:
     replace the prediction reference, per the spec's DPB rules."""
     sps = pps = None
     frames, types = [], []
-    ref = None  # last decoded REFERENCE frame (nal_ref_idc != 0)
+    refs: list[np.ndarray] = []  # reference frames, most recent first
     qp_first = None
     for ref_idc, nal_type, rbsp in _split_annexb(data):
         if nal_type == 7:
@@ -1249,17 +1257,27 @@ def decode_stream(data: bytes) -> dict:
                 )
                 types.append("I")
             elif slice_type == 0:
-                if ref is None:
+                if not refs:
                     raise ValueError("P slice before any decoded I frame")
-                luma, qp = _decode_pslice(r, sps, pps, ref, ref_idc)
+                luma, qp = _decode_pslice(r, sps, pps, refs[0], ref_idc)
                 types.append("P")
+            elif slice_type == 1:
+                if len(refs) < 2:
+                    raise ValueError(
+                        "B slice before two decoded reference frames"
+                    )
+                luma, qp = _decode_bslice(
+                    r, sps, pps, refs[0], refs[1], ref_idc
+                )
+                types.append("B")
             else:
                 raise NotImplementedError(
-                    "only I and P slices supported (no B/SP/SI)"
+                    "only I, P, and B slices supported (no SP/SI)"
                 )
             frames.append(luma)
             if ref_idc:
-                ref = luma
+                refs.insert(0, luma)
+                del refs[2:]
             if qp_first is None:
                 qp_first = qp
     if sps is None or pps is None or not frames:
@@ -1337,3 +1355,311 @@ def _decode_islice_body(r: BitReader, sps: dict, pps: dict, idr: bool,
                 res = 0
             recon[y : y + 4, x : x + 4] = np.clip(pred + res, 0, 255)
     return recon.astype(np.uint8), qp
+
+
+# ---------------------------------------------------------------------------
+# B slices (low-delay generalized B): B_L0/B_L1/B_Bi 16x16 partitions
+# against the TWO most recent past reference frames (L0[0] = nearest,
+# L1[0] = second-nearest — the conformant default list init for two
+# past refs after the spec's L1 first-two-swap rule), default
+# bi-prediction (§8.4.2.3: (predL0 + predL1 + 1) >> 1), Main profile.
+# B_Skip / B_Direct / sub-16x16 / weighted prediction stay honest
+# NotImplementedError guards. Entered from Table 7-14 (B mb_type:
+# 0 B_Direct_16x16, 1 B_L0_16x16, 2 B_L1_16x16, 3 B_Bi_16x16).
+
+
+def _mvp_b(mvs: np.ndarray, used: np.ndarray, mbx: int, mby: int,
+           mbs_w: int) -> tuple[int, int]:
+    """Median MV predictor for one list of a B 16x16 partition: a
+    neighbor predicts only if it exists AND used this list (else its
+    refIdx is -1, same as unavailable in §8.4.1.3)."""
+    avail_a = mbx > 0 and bool(used[mby][mbx - 1])
+    avail_b = mby > 0 and bool(used[mby - 1][mbx])
+    pos_c = (mby - 1, mbx + 1) if (mby > 0 and mbx + 1 < mbs_w) else None
+    pos_d = (mby - 1, mbx - 1) if (mby > 0 and mbx > 0) else None
+    exists_c = pos_c is not None
+    exists_d = pos_d is not None
+    mv_a = tuple(mvs[mby][mbx - 1]) if avail_a else (0, 0)
+    mv_b = tuple(mvs[mby - 1][mbx]) if avail_b else (0, 0)
+    # C substitution (D when C doesn't exist) happens on EXISTENCE; the
+    # substituted candidate then contributes only if it used the list
+    if exists_c:
+        avail_c = bool(used[pos_c])
+        mv_c = tuple(mvs[pos_c]) if avail_c else (0, 0)
+        c_exists = True
+    elif exists_d:
+        avail_c = bool(used[pos_d])
+        mv_c = tuple(mvs[pos_d]) if avail_c else (0, 0)
+        c_exists = True
+    else:
+        avail_c, mv_c, c_exists = False, (0, 0), False
+    if mby == 0 and not c_exists and mbx > 0:
+        # B and C positions don't exist -> copy A (§8.4.1.3.1)
+        return mv_a if avail_a else (0, 0)
+    refs = [avail_a, avail_b, avail_c]
+    cands = [mv_a, mv_b, mv_c]
+    if sum(refs) == 1:
+        return cands[refs.index(True)]
+    med = lambda a, b, c: a + b + c - min(a, b, c) - max(a, b, c)
+    return (med(mv_a[0], mv_b[0], mv_c[0]), med(mv_a[1], mv_b[1], mv_c[1]))
+
+
+def _search_best(ref: np.ndarray, blk_src: np.ndarray, y0: int, x0: int,
+                 search_range: int) -> tuple[tuple[int, int], int]:
+    """Exhaustive integer window + half/quarter refinement (the P-slice
+    search), returned as (mv, SAD)."""
+    best_mv, best_cost = (0, 0), None
+    for dy in range(-search_range, search_range + 1):
+        for dx in range(-search_range, search_range + 1):
+            cand = (4 * dx, 4 * dy)
+            cost = int(np.abs(blk_src - _mc_luma(ref, y0, x0, cand)).sum())
+            if best_cost is None or cost < best_cost:
+                best_mv, best_cost = cand, cost
+    for step in (2, 1):
+        base = best_mv
+        for dy in (-step, 0, step):
+            for dx in (-step, 0, step):
+                cand = (base[0] + dx, base[1] + dy)
+                if cand == base:
+                    continue
+                cost = int(np.abs(
+                    blk_src - _mc_luma(ref, y0, x0, cand)).sum())
+                if cost < best_cost:
+                    best_mv, best_cost = cand, cost
+    return best_mv, best_cost
+
+
+def _encode_bslice(
+    ref0: np.ndarray,
+    ref1: np.ndarray,
+    y_plane: np.ndarray,
+    qp: int,
+    frame_num: int,
+    search_range: int = 4,
+    ref_slice: bool = False,
+) -> tuple[np.ndarray, bytes, dict]:
+    """Encode one B slice: per MB pick the cheapest of B_L0_16x16 (vs
+    ref0), B_L1_16x16 (vs ref1), B_Bi_16x16 (their average); ties
+    prefer L0 < L1 < Bi. Returns (reconstruction, RBSP, stats)."""
+    h, w_ = y_plane.shape
+    mbs_w, mbs_h = w_ // 16, h // 16
+    w = BitWriter()
+    w.ue(0)                 # first_mb_in_slice
+    w.ue(6)                 # slice_type B (all slices)
+    w.ue(0)                 # pps id
+    w.u(frame_num & 15, 4)  # frame_num
+    w.u(1, 1)               # direct_spatial_mv_pred_flag (unused: no direct)
+    w.u(0, 1)               # num_ref_idx_active_override_flag
+    w.u(0, 1)               # ref_pic_list_modification_flag_l0
+    w.u(0, 1)               # ref_pic_list_modification_flag_l1
+    if ref_slice:
+        w.u(0, 1)           # adaptive_ref_pic_marking_mode_flag
+    w.se(qp - 26)
+    w.ue(1)                 # deblocking off
+
+    src = y_plane.astype(np.int64)
+    r0 = ref0.astype(np.int64)
+    r1 = ref1.astype(np.int64)
+    recon = np.zeros((h, w_), dtype=np.int64)
+    tc_map = np.zeros((h // 4, w_ // 4), dtype=np.int64)
+    mvs0 = np.zeros((mbs_h, mbs_w, 2), dtype=np.int64)
+    mvs1 = np.zeros((mbs_h, mbs_w, 2), dtype=np.int64)
+    used0 = np.zeros((mbs_h, mbs_w), dtype=bool)
+    used1 = np.zeros((mbs_h, mbs_w), dtype=bool)
+    stats = {"n_l0": 0, "n_l1": 0, "n_bi": 0}
+    for mby in range(mbs_h):
+        for mbx in range(mbs_w):
+            y0, x0 = mby * 16, mbx * 16
+            blk = src[y0 : y0 + 16, x0 : x0 + 16]
+            mv0, c0 = _search_best(r0, blk, y0, x0, search_range)
+            mv1, c1 = _search_best(r1, blk, y0, x0, search_range)
+            p0 = _mc_luma(r0, y0, x0, mv0)
+            p1 = _mc_luma(r1, y0, x0, mv1)
+            pbi = (p0 + p1 + 1) >> 1
+            cbi = int(np.abs(blk - pbi).sum())
+            choice = min(((c0, 0), (c1, 1), (cbi, 2)))[1]
+            pred = (p0, p1, pbi)[choice]
+            w.ue(0)  # mb_skip_run (no B_Skip in this envelope)
+            w.ue(choice + 1)  # mb_type: 1 B_L0, 2 B_L1, 3 B_Bi
+            if choice in (0, 2):
+                mvp = _mvp_b(mvs0, used0, mbx, mby, mbs_w)
+                w.se(int(mv0[0] - mvp[0]))
+                w.se(int(mv0[1] - mvp[1]))
+            if choice in (1, 2):
+                mvp = _mvp_b(mvs1, used1, mbx, mby, mbs_w)
+                w.se(int(mv1[0] - mvp[0]))
+                w.se(int(mv1[1] - mvp[1]))
+            levels, cbp = [], 0
+            for blk_i in range(16):
+                bx, by = LUMA_BLOCK_XY[blk_i]
+                res = (src[y0 + by : y0 + by + 4, x0 + bx : x0 + bx + 4]
+                       - pred[by : by + 4, bx : bx + 4])
+                lv = quantize_4x4(forward_transform_4x4(res), qp)
+                levels.append(lv)
+                if lv.any():
+                    cbp |= 1 << (2 * (by // 8) + (bx // 8))
+            w.ue(_CBP_INTER_INV[cbp])
+            if cbp:
+                w.se(0)  # mb_qp_delta
+            for blk_i in range(16):
+                bx, by = LUMA_BLOCK_XY[blk_i]
+                y, x = y0 + by, x0 + bx
+                group = 1 << (2 * (by // 8) + (bx // 8))
+                if cbp & group:
+                    nc = _neighbor_nc(tc_map, y // 4, x // 4)
+                    tc = encode_residual_block(w, levels[blk_i], nc)
+                    tc_map[y // 4, x // 4] = tc
+                    res = inverse_transform_4x4(
+                        dequantize_4x4(levels[blk_i], qp))
+                else:
+                    tc_map[y // 4, x // 4] = 0
+                    res = 0
+                recon[y : y + 4, x : x + 4] = np.clip(
+                    pred[by : by + 4, bx : bx + 4] + res, 0, 255)
+            if choice in (0, 2):
+                mvs0[mby, mbx] = mv0
+                used0[mby, mbx] = True
+            if choice in (1, 2):
+                mvs1[mby, mbx] = mv1
+                used1[mby, mbx] = True
+            stats[("n_l0", "n_l1", "n_bi")[choice]] += 1
+    return recon.astype(np.uint8), w.rbsp(), stats
+
+
+def _decode_bslice(r: BitReader, sps: dict, pps: dict, ref0: np.ndarray,
+                   ref1: np.ndarray, ref_idc: int) -> tuple[np.ndarray, int]:
+    """Decode one B slice against (L0[0]=ref0, L1[0]=ref1). first_mb and
+    slice_type are already consumed."""
+    w_, h = sps["width"], sps["height"]
+    mbs_w, mbs_h = w_ // 16, h // 16
+    r.ue()  # pps id
+    r.u(sps["log2_max_frame_num"])
+    r.u(1)  # direct_spatial_mv_pred_flag (no direct MBs in envelope)
+    if r.u(1):
+        raise NotImplementedError("num_ref_idx_active override unsupported")
+    if r.u(1):
+        raise NotImplementedError("ref_pic_list_modification unsupported")
+    if r.u(1):
+        raise NotImplementedError("ref_pic_list_modification unsupported")
+    if ref_idc and r.u(1):
+        raise NotImplementedError("adaptive ref-pic marking unsupported")
+    qp = 26 + pps["pic_init_qp_delta"] + r.se()
+    if pps["deblocking_control"]:
+        if r.ue() != 1:
+            raise NotImplementedError(
+                "deblocking filter enabled — decode-without-deblock would "
+                "not be conformant"
+            )
+    r0 = ref0.astype(np.int64)
+    r1 = ref1.astype(np.int64)
+    recon = np.zeros((h, w_), dtype=np.int64)
+    tc_map = np.zeros((h // 4, w_ // 4), dtype=np.int64)
+    mvs0 = np.zeros((mbs_h, mbs_w, 2), dtype=np.int64)
+    mvs1 = np.zeros((mbs_h, mbs_w, 2), dtype=np.int64)
+    used0 = np.zeros((mbs_h, mbs_w), dtype=bool)
+    used1 = np.zeros((mbs_h, mbs_w), dtype=bool)
+    for mb in range(mbs_h * mbs_w):
+        mbx, mby = mb % mbs_w, mb // mbs_w
+        if r.ue() != 0:
+            raise NotImplementedError("B_Skip unsupported")
+        mb_type = r.ue()
+        if mb_type == 0:
+            raise NotImplementedError("B_Direct_16x16 unsupported")
+        if mb_type > 3:
+            raise NotImplementedError(
+                f"B mb_type {mb_type} unsupported (16x16 L0/L1/Bi only)"
+            )
+        y0, x0 = mby * 16, mbx * 16
+        mv0 = mv1 = None
+        if mb_type in (1, 3):
+            mvp = _mvp_b(mvs0, used0, mbx, mby, mbs_w)
+            mvd = (r.se(), r.se())
+            mv0 = (mvp[0] + mvd[0], mvp[1] + mvd[1])
+        if mb_type in (2, 3):
+            mvp = _mvp_b(mvs1, used1, mbx, mby, mbs_w)
+            mvd = (r.se(), r.se())
+            mv1 = (mvp[0] + mvd[0], mvp[1] + mvd[1])
+        if mb_type == 1:
+            pred = _mc_luma(r0, y0, x0, mv0)
+        elif mb_type == 2:
+            pred = _mc_luma(r1, y0, x0, mv1)
+        else:
+            pred = (_mc_luma(r0, y0, x0, mv0)
+                    + _mc_luma(r1, y0, x0, mv1) + 1) >> 1
+        cbp = CBP_INTER[r.ue()]
+        if cbp & 0x30:
+            raise NotImplementedError("chroma residual unsupported")
+        if cbp and r.se() != 0:
+            raise NotImplementedError("mb_qp_delta unsupported")
+        for blk_i in range(16):
+            bx, by = LUMA_BLOCK_XY[blk_i]
+            y, x = y0 + by, x0 + bx
+            group = 1 << (2 * (by // 8) + (bx // 8))
+            if cbp & group:
+                nc = _neighbor_nc(tc_map, y // 4, x // 4)
+                levels, tc = decode_residual_block(r, nc)
+                tc_map[y // 4, x // 4] = tc
+                res = inverse_transform_4x4(dequantize_4x4(levels, qp))
+            else:
+                tc_map[y // 4, x // 4] = 0
+                res = 0
+            recon[y : y + 4, x : x + 4] = np.clip(
+                pred[by : by + 4, bx : bx + 4] + res, 0, 255)
+        if mv0 is not None:
+            mvs0[mby, mbx] = mv0
+            used0[mby, mbx] = True
+        if mv1 is not None:
+            mvs1[mby, mbx] = mv1
+            used1[mby, mbx] = True
+    return recon.astype(np.uint8), qp
+
+
+def encode_gop_b(frames, qp: int = 20, search_range: int = 4) -> bytes:
+    """Encode a low-delay GOP with B frames: I, P, then alternating
+    non-reference B (bi-predicted from the two most recent reference
+    reconstructions) and reference P. Main-profile SPS, 2-frame DPB."""
+    recons, _stats, stream = _encode_gop_b_full(frames, qp, search_range)
+    _ = recons
+    return stream
+
+
+def gop_b_reconstruction(frames, qp: int = 20, search_range: int = 4):
+    recons, stats, _stream = _encode_gop_b_full(frames, qp, search_range)
+    return recons, stats
+
+
+def _encode_gop_b_full(frames, qp, search_range):
+    if len(frames) < 3:
+        raise ValueError("a B GOP needs at least 3 frames (I, P, B)")
+    y0, _, _ = _to_yuv(np.asarray(frames[0]))
+    h, w_ = y0.shape
+    recon, payload = _encode_slice(y0, qp)
+    stream = (_nal(7, _build_sps_rbsp(w_, h, max_refs=2, profile=77))
+              + _nal(8, _build_pps_rbsp())
+              + _nal(5, payload))
+    recons, stats = [recon], []
+    refs = [recon.astype(np.int64)]  # most recent first
+    ref_fn = 0
+    for k, f in enumerate(frames[1:], start=1):
+        y, _, _ = _to_yuv(np.asarray(f))
+        if y.shape != (h, w_):
+            raise ValueError("all GOP frames must share dimensions")
+        is_b = k >= 2 and (k % 2 == 0) and len(refs) >= 2
+        if is_b:
+            rec, rbsp, st = _encode_bslice(
+                refs[0], refs[1], y, qp, (ref_fn + 1) % 16, search_range
+            )
+            stream += _nal(1, rbsp, ref_idc=0)
+            st = {"type": "B", **st}
+        else:
+            ref_fn += 1
+            rec, rbsp, st = _encode_pslice(
+                refs[0], y, qp, ref_fn % 16, search_range
+            )
+            stream += _nal(1, rbsp, ref_idc=2)
+            refs.insert(0, rec.astype(np.int64))
+            del refs[2:]
+            st = {"type": "P", **st}
+        recons.append(rec)
+        stats.append(st)
+    return recons, stats, stream

@@ -1691,3 +1691,97 @@ QUERIES["doc_h264_gop_probe"] = QuerySpec(
     ORACLE_H264_GOP,
     "H.264 P-frame GOP codec: motion comp + quarter-pel, bit-exact contract",
 )
+
+
+H264_B_IDS = 12
+
+
+def q_h264_bframe_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B-slice H.264 GOP verification (multimodal/h264.py B section —
+    B_L0/B_L1/B_Bi 16x16 against the two most recent past references,
+    default bi-prediction, Main-profile SPS, non-reference B NALs): per
+    doc (doc_id < 12) synthesize an I-P-B... low-delay GOP of panning
+    gradient frames with formula-derived dims/QP/length, encode,
+    decode, and emit exact metadata + the per-type frame counts + the
+    bit-exact round-trip boolean + a tolerance boolean on the last
+    frame. A list-selection, bi-averaging, per-list MV-prediction, or
+    DPB bug (a B frame leaking into the reference list) breaks
+    bit-exactness and flips the hash.
+
+    Spark shape: one Arrow mapInPandas pass, repartitioned across the
+    blob ids (single-row-group guard), no shuffle."""
+    import numpy as np
+    import pandas as pd
+
+    from ..multimodal.h264 import (
+        decode_stream,
+        encode_gop_b,
+        gop_b_reconstruction,
+    )
+
+    d = read_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") < H264_B_IDS
+    ).select("doc_id").repartition(H264_B_IDS)
+
+    def work(batches):
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                w_ = 16 * (2 + did % 2)
+                h = 16 * (2 + did % 3)
+                qp = 16 + did % 10
+                nf = 4 + did % 2
+                i = np.arange(h).reshape(-1, 1)
+                j = np.arange(w_).reshape(1, -1)
+                img0 = np.minimum(did + 2 * i + 3 * j, 255).astype(np.uint8)
+                frames = [np.roll(img0, k, axis=1) for k in range(nf)]
+                out = decode_stream(encode_gop_b(frames, qp=qp))
+                recons, _ = gop_b_reconstruction(frames, qp=qp)
+                bitexact = all(
+                    np.array_equal(a, b)
+                    for a, b in zip(out["frames"], recons)
+                )
+                err = np.abs(out["frames"][-1].astype(np.float64)
+                             - frames[-1].astype(np.float64))
+                rows.append({
+                    "doc_id": did,
+                    "width": out["width"],
+                    "height": out["height"],
+                    "qp": out["qp"],
+                    "n_frames": len(out["frames"]),
+                    "n_b_frames": out["frame_types"].count("B"),
+                    "n_p_frames": out["frame_types"].count("P"),
+                    "b_bitexact": bool(bitexact),
+                    "max_err_ok": bool(err.max() <= 8.0),
+                })
+            yield pd.DataFrame(rows)
+
+    return d.mapInPandas(
+        work,
+        "doc_id bigint, width int, height int, qp int, n_frames int,"
+        " n_b_frames int, n_p_frames int, b_bitexact boolean,"
+        " max_err_ok boolean",
+    )
+
+
+ORACLE_H264_B = f"""
+SELECT doc_id,
+       CAST(16 * (2 + doc_id % 2) AS INT) AS width,
+       CAST(16 * (2 + doc_id % 3) AS INT) AS height,
+       CAST(16 + doc_id % 10 AS INT) AS qp,
+       CAST(4 + doc_id % 2 AS INT) AS n_frames,
+       CAST((3 + doc_id % 2) // 2 AS INT) AS n_b_frames,
+       CAST((4 + doc_id % 2) - 1 - (3 + doc_id % 2) // 2 AS INT)
+         AS n_p_frames,
+       TRUE AS b_bitexact,
+       TRUE AS max_err_ok
+FROM documents WHERE doc_id < {H264_B_IDS}
+"""
+
+
+QUERIES["doc_h264_bframe_probe"] = QuerySpec(
+    q_h264_bframe_probe,
+    ORACLE_H264_B,
+    "H.264 B-slice GOP codec: bi-prediction + two-ref DPB, bit-exact contract",
+)

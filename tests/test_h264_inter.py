@@ -289,3 +289,116 @@ def test_explicit_directional_mode_raises_not_silently_dc():
         decode_stream(stream)
     with pytest.raises(NotImplementedError, match="directional"):
         decode_iframe(stream)
+
+
+def test_b_gop_roundtrip_bit_exact_across_qp():
+    from sparkstreaming_spark.multimodal.h264 import (
+        encode_gop_b,
+        gop_b_reconstruction,
+    )
+
+    rng = np.random.default_rng(21)
+    base = rng.integers(0, 256, (32, 48)).astype(np.uint8)
+    frames = [np.roll(base, k, axis=1) for k in range(6)]
+    for qp in (10, 24, 40):
+        out = decode_stream(encode_gop_b(frames, qp=qp))
+        recons, stats = gop_b_reconstruction(frames, qp=qp)
+        assert out["frame_types"] == ["I", "P", "B", "P", "B", "P"]
+        for k in range(6):
+            assert np.array_equal(out["frames"][k], recons[k]), (qp, k)
+        assert any(s["type"] == "B" for s in stats)
+
+
+def test_b_frame_prefers_l1_when_older_ref_matches():
+    # scene: A -> big pan -> back to A. The B frame (index 2) sees
+    # refs [P(panned), I(A)]; its content is A, so L1 must win
+    from sparkstreaming_spark.multimodal.h264 import (
+        encode_gop_b,
+        gop_b_reconstruction,
+    )
+
+    rng = np.random.default_rng(22)
+    a = rng.integers(0, 256, (32, 32)).astype(np.uint8)
+    frames = [a, np.roll(a, 11, axis=0), a, a]
+    out = decode_stream(encode_gop_b(frames, qp=20))
+    recons, stats = gop_b_reconstruction(frames, qp=20)
+    b_stats = next(s for s in stats if s["type"] == "B")
+    assert b_stats["n_l1"] > b_stats["n_l0"]
+    for k in range(4):
+        assert np.array_equal(out["frames"][k], recons[k])
+
+
+def test_b_frame_uses_bi_for_blended_content():
+    # the B frame is the average of its two references: bi-prediction
+    # models it exactly, single-list prediction can't
+    from sparkstreaming_spark.multimodal.h264 import (
+        encode_gop_b,
+        gop_b_reconstruction,
+    )
+
+    rng = np.random.default_rng(23)
+    a = rng.integers(0, 256, (32, 32)).astype(np.uint8)
+    b = rng.integers(0, 256, (32, 32)).astype(np.uint8)
+    blend = ((a.astype(int) + b.astype(int) + 1) // 2).astype(np.uint8)
+    frames = [a, b, blend, b]
+    out = decode_stream(encode_gop_b(frames, qp=16))
+    recons, stats = gop_b_reconstruction(frames, qp=16)
+    b_stats = next(s for s in stats if s["type"] == "B")
+    assert b_stats["n_bi"] > 0
+    for k in range(4):
+        assert np.array_equal(out["frames"][k], recons[k])
+
+
+def test_b_slices_never_become_references():
+    # decoding must reference around B frames: P at index 3 references
+    # P at index 1, not the B between them — a DPB bug desyncs it
+    from sparkstreaming_spark.multimodal.h264 import (
+        encode_gop_b,
+        gop_b_reconstruction,
+    )
+
+    rng = np.random.default_rng(24)
+    base = rng.integers(0, 256, (32, 32)).astype(np.uint8)
+    frames = [base, np.roll(base, 1, axis=1),
+              np.roll(base, 7, axis=0),  # B: very different content
+              np.roll(base, 2, axis=1)]
+    out = decode_stream(encode_gop_b(frames, qp=20))
+    recons, _ = gop_b_reconstruction(frames, qp=20)
+    assert np.array_equal(out["frames"][3], recons[3])
+
+
+def test_b_gop_guards():
+    from sparkstreaming_spark.multimodal.h264 import encode_gop_b
+
+    a = np.zeros((16, 16), np.uint8)
+    with pytest.raises(ValueError, match="at least 3"):
+        encode_gop_b([a, a])
+    # B slice before two refs: drop the first P NAL (second type-1 NAL
+    # is the B; the first is the P) -> ValueError
+    frames = [a, np.roll(a, 1, axis=0), a, a]
+    rng = np.random.default_rng(25)
+    base = rng.integers(0, 256, (16, 16)).astype(np.uint8)
+    frames = [base, np.roll(base, 1, axis=0), base, base]
+    stream = encode_gop_b(frames, qp=20)
+    parts = stream.split(b"\x00\x00\x00\x01")
+    kept, dropped_p = [], False
+    for p in parts:
+        if p and (p[0] & 0x1F) == 1 and not dropped_p:
+            dropped_p = True
+            continue
+        if p:
+            kept.append(p)
+    broken = b"".join(b"\x00\x00\x00\x01" + p for p in kept)
+    with pytest.raises(ValueError, match="two decoded reference"):
+        decode_stream(broken)
+
+
+def test_b_gop_sps_is_main_profile_with_two_refs():
+    from sparkstreaming_spark.multimodal.h264 import encode_gop_b
+    from sparkstreaming_spark.multimodal.mediameta import h264_probe
+
+    a = np.zeros((32, 48), np.uint8)
+    frames = [a, a, a]
+    p = h264_probe(encode_gop_b(frames, qp=20))
+    assert p["profile_idc"] == 77
+    assert (p["width"], p["height"]) == (48, 32)

@@ -105,6 +105,7 @@ CRITICAL_NEVER_SAMPLED = [
     "doc_line_dedup",
     "stream_lm_gate",
     "doc_h264_gop_probe",
+    "doc_h264_bframe_probe",
 ]
 
 
