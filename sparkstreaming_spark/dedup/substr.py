@@ -71,7 +71,12 @@ def substr_dup_spans(
     twice in the corpus. A document with no duplicated run yields no
     rows."""
     sh = _positional_shingles(df, id_col, text_col, k)
-    # persist: feeds both the occurrence count and the join back
+    # persist: feeds both the occurrence count and the join back.
+    # Lifetime note: the return value is lazy, so this function cannot
+    # unpersist — the cache is intentionally scoped to the consuming
+    # query's lifetime (MEMORY_AND_DISK blocks are LRU-evictable under
+    # pressure; a long-lived session that re-plans should call
+    # .unpersist() on its own schedule).
     sh = sh.persist()
     dup_h = (
         sh.groupBy("h")

@@ -302,6 +302,11 @@ def encode_gif_animation(
             raise ValueError("frame indices must be 2-D and within palette")
         if top + f.shape[0] > sh or left + f.shape[1] > sw:
             raise ValueError("frame rect exceeds the logical screen")
+    # same fail-fast bar as frame indices: the decoder falls back to
+    # black for an out-of-range background, so a bad value would
+    # round-trip inconsistently instead of erroring here
+    if not 0 <= background < n:
+        raise ValueError("background index must be within the palette")
 
     out = bytearray(b"GIF89a")
     packed = 0x80 | ((depth - 1) << 4) | (depth - 1)

@@ -542,11 +542,16 @@ def inverse_transform_4x4(d: np.ndarray) -> np.ndarray:
     return (h + 32) >> 6
 
 
-def quantize_4x4(w: np.ndarray, qp: int) -> np.ndarray:
+def quantize_4x4(w: np.ndarray, qp: int, intra: bool = True) -> np.ndarray:
     mf_row = _MF[qp % 6]
     mf = np.array(mf_row, dtype=np.int64)[_POS_CLASS.ravel()].reshape(4, 4)
     qbits = 15 + qp // 6
-    f = (1 << qbits) // 3  # intra rounding
+    # reference-encoder deadzones (JM): intra f = 2^qbits/3, inter
+    # f = 2^qbits/6 — inter residuals carry MC noise, so the smaller
+    # deadzone zeroes them more aggressively (fewer residual bits).
+    # Round-trip bit-exactness is unaffected either way (the decoder
+    # only ever sees the levels).
+    f = (1 << qbits) // (3 if intra else 6)
     sign = np.sign(w)
     return sign * ((np.abs(w) * mf + f) >> qbits)
 
@@ -1016,7 +1021,8 @@ def _encode_pslice(
             y, x = mby * 16 + by, mbx * 16 + bx
             res = (src[y : y + 4, x : x + 4]
                    - pred[by : by + 4, bx : bx + 4])
-            out.append(quantize_4x4(forward_transform_4x4(res), qp))
+            out.append(quantize_4x4(forward_transform_4x4(res), qp,
+                                    intra=False))
         return out
 
     for mby in range(mbs_h):
@@ -1494,7 +1500,8 @@ def _encode_bslice(
                 bx, by = LUMA_BLOCK_XY[blk_i]
                 res = (src[y0 + by : y0 + by + 4, x0 + bx : x0 + bx + 4]
                        - pred[by : by + 4, bx : bx + 4])
-                lv = quantize_4x4(forward_transform_4x4(res), qp)
+                lv = quantize_4x4(forward_transform_4x4(res), qp,
+                                  intra=False)
                 levels.append(lv)
                 if lv.any():
                     cbp |= 1 << (2 * (by // 8) + (bx // 8))

@@ -1601,8 +1601,10 @@ def q_h264_gop_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     encode a full GOP, decode it back, and emit the exact metadata plus
     the bit-exact round-trip boolean (decoded frames == the encoder's
     own reconstruction loop, every frame) and two tolerance booleans on
-    the LAST decoded frame vs its source (mean<=1.0, max<=8 — measured
-    worst case 0.74 / 5 across the id range). Any motion-search,
+    the LAST decoded frame vs its source (mean<=1.5, max<=8 — measured
+    worst case 1.04 / 5 across the id range with the inter deadzone
+    f=2^qbits/6; the intra-deadzone encoder measured 0.74 / 5). Any
+    motion-search,
     interpolation, MV-prediction, skip-reconstruction, or CBP-table
     slip breaks bit-exactness or the tolerance and flips the hash.
 
@@ -1658,7 +1660,7 @@ def q_h264_gop_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "n_frames": len(out["frames"]),
                     "n_p_frames": out["frame_types"].count("P"),
                     "p_bitexact": bool(bitexact),
-                    "mean_ok": bool(err.mean() <= 1.0),
+                    "mean_ok": bool(err.mean() <= 1.5),
                     "max_err_ok": bool(err.max() <= 8.0),
                 })
             yield pd.DataFrame(rows)

@@ -605,11 +605,13 @@ QUERIES["doc_kneser_ney_logprob"] = QuerySpec(
 def q_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet perplexity bucketing (textstats/lm.py::
     ccnet_perplexity_buckets): per language, docs ranked by KN-bigram
-    perplexity (integer micro-nats per bigram) and ntile(3)-split into
-    head/middle/tail — the keep/review/drop decision of the CCNet
-    curation recipe, applied with the suite's own LM. The oracle
-    rebuilds the full LM + the floor(-lp/n) score + the same ntile, so
-    a smoothing, scoring, or rank-order bug flips the hash."""
+    perplexity (integer micro-nats per bigram) and split into
+    head/middle/tail by the exact per-language 1/3 and 2/3 percentile
+    cut points (computed as a tiny aggregate and broadcast back — no
+    corpus-sized window; CCNet's own two-pass cut-then-apply shape).
+    The oracle rebuilds the full LM + the floor(-lp/n) score + the
+    same quantile_cont thresholds, so a smoothing, scoring, or
+    cut-point bug flips the hash."""
     from ..textstats.lm import ccnet_perplexity_buckets
 
     d = read_table(spark, sf_dir, "documents")
@@ -648,25 +650,32 @@ scored AS (
   FROM b JOIN model USING (bigram)
   GROUP BY doc_id
 ),
-ranked AS (
+withppl AS (
   SELECT d.lang,
          CAST(floor(-s.lp_micro_sum / s.n_bigrams) AS BIGINT) AS ppl_micro,
-         length(d.text) AS n_chars_txt, s.doc_id,
-         ntile(3) OVER (
-           PARTITION BY d.lang
-           ORDER BY CAST(floor(-s.lp_micro_sum / s.n_bigrams) AS BIGINT),
-                    s.doc_id) AS tile
+         length(d.text) AS n_chars_txt
   FROM scored s JOIN documents d USING (doc_id)
+),
+cuts AS (
+  SELECT lang,
+         round(quantile_cont(CAST(ppl_micro AS DOUBLE), 1.0/3.0), 6) AS c1,
+         round(quantile_cont(CAST(ppl_micro AS DOUBLE), 2.0/3.0), 6) AS c2
+  FROM withppl GROUP BY lang
+),
+bucketed AS (
+  SELECT w.lang,
+         CASE WHEN CAST(w.ppl_micro AS DOUBLE) <= c.c1 THEN 'head'
+              WHEN CAST(w.ppl_micro AS DOUBLE) <= c.c2 THEN 'middle'
+              ELSE 'tail' END AS bucket,
+         w.ppl_micro, w.n_chars_txt
+  FROM withppl w JOIN cuts c USING (lang)
 )
-SELECT lang,
-       CASE tile WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
-                 ELSE 'tail' END AS bucket,
-       count(*) AS n_docs,
+SELECT lang, bucket, count(*) AS n_docs,
        min(ppl_micro) AS ppl_lo,
        max(ppl_micro) AS ppl_hi,
        CAST(sum(n_chars_txt) AS BIGINT) AS chars
-FROM ranked
-GROUP BY lang, tile
+FROM bucketed
+GROUP BY lang, bucket
 """
 
 

@@ -56,7 +56,12 @@ def add_kneser_ney_logprob(
     with cb defaulted to 0 (the discount term vanishes and the
     continuation backoff carries the mass) — the reason KN beats MLE
     for filtering; the registered query self-scores, where every
-    bigram is seen."""
+    bigram is seen.
+
+    Persist lifetime: `pairs` and `bc` each feed two consumers, so they
+    are persisted; the return value is lazy, so they cannot be
+    unpersisted here — the cache is intentionally scoped to the
+    consuming query's lifetime (MEMORY_AND_DISK, LRU-evictable)."""
     from pyspark.storagelevel import StorageLevel
 
     toks = df.select(
@@ -132,22 +137,29 @@ def ccnet_perplexity_buckets(
 
     Determinism: the per-doc score is integer micro-nats per bigram
     (floor(-lp_micro_sum / n_bigrams) — both engines evaluate the same
-    double division then floor), the rank is ntile(3) over the total
-    order (score ASC, doc_id ASC), identical in Spark and DuckDB.
+    double division then floor); the two cut points are the exact
+    interpolated 1/3 and 2/3 per-language percentiles of that score
+    (F.percentile ≡ DuckDB quantile_cont, both rounded to 6dp before
+    the comparison), and bucketing is `ppl <= cut` — ties at a cut
+    land in the lower bucket in both engines.
 
     Scale shape (100 TB): the LM pass is lm.py's (one persisted pair
-    pass + vocab-sized marginals); bucketing adds ONE per-language
-    window sort — the same posture as evt_equidepth_hist. CCNet itself
-    computes the two cut points once on a sample and applies them
-    statelessly; this exact-rank variant is the oracle-able form, and
-    swapping the window for sampled thresholds is a one-line change
-    when a single language outgrows a sort partition range.
+    pass + vocab-sized marginals). Bucketing is CCNet's own two-pass
+    shape (Wenzek et al. compute cut points once, then apply them
+    statelessly): pass 1 reduces the scored corpus to a |languages|-row
+    cut-point table (a tiny percentile aggregate — map-side partial,
+    no sort), pass 2 broadcast-joins the cuts back and buckets every
+    row inside whole-stage codegen. No corpus-sized window: the
+    previous ntile(3) formulation needed a per-language TOTAL sort,
+    which at 100 TB makes the dominant language a single-task sort
+    (the q_length_curriculum percentile pattern, suite/llm.py, is the
+    scalable replacement used here).
 
     Reference parity: no text surface in the reference
     (FileReconstitution.scala:7-12 strips punctuation only);
     north-star extension.
     """
-    from pyspark.sql import Window
+    from pyspark.storagelevel import StorageLevel
 
     scored = add_kneser_ney_logprob(df, text_col, id_col, discount)
     docs = df.select(
@@ -155,24 +167,34 @@ def ccnet_perplexity_buckets(
         F.col(lang_col).alias("lang"),
         F.length(text_col).alias("n_chars_txt"),
     )
-    s = scored.join(docs, "doc_id").withColumn(
-        "ppl_micro",
-        F.floor(-F.col("lp_micro_sum") / F.col("n_bigrams")).cast("bigint"),
+    s = (
+        scored.join(docs, "doc_id")
+        .withColumn(
+            "ppl_micro",
+            F.floor(-F.col("lp_micro_sum") / F.col("n_bigrams")).cast(
+                "bigint"
+            ),
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK)  # cuts + bucketing pass
     )
-    w = Window.partitionBy("lang").orderBy("ppl_micro", "doc_id")
-    b = s.withColumn(
+    ppl_d = F.col("ppl_micro").cast("double")
+    cuts = s.groupBy("lang").agg(
+        F.round(F.percentile(ppl_d, F.lit(1.0 / 3.0)), 6).alias("c1"),
+        F.round(F.percentile(ppl_d, F.lit(2.0 / 3.0)), 6).alias("c2"),
+    )
+    b = s.join(F.broadcast(cuts), "lang").withColumn(
         "bucket",
-        F.element_at(
-            F.array(F.lit("head"), F.lit("middle"), F.lit("tail")),
-            F.ntile(3).over(w),
-        ),
+        F.when(ppl_d <= F.col("c1"), F.lit("head"))
+        .when(ppl_d <= F.col("c2"), F.lit("middle"))
+        .otherwise(F.lit("tail")),
     )
-    return b.groupBy("lang", "bucket").agg(
+    out = b.groupBy("lang", "bucket").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.min("ppl_micro").alias("ppl_lo"),
         F.max("ppl_micro").alias("ppl_hi"),
         F.sum("n_chars_txt").alias("chars"),
     )
+    return out
 
 
 def sketched_bigram_lm(

@@ -69,9 +69,12 @@ def viterbi_segment(
             if best[s] is None:
                 continue
             cand = best[s] + p
-            if best[e] is None or cand > best[e] or (
-                cand == best[e] and s < back[e]
-            ):
+            # ties: strict '>' plus ascending-s iteration means the
+            # FIRST (smallest-s, i.e. longest trailing piece) candidate
+            # wins — a later equal-score candidate always has larger s,
+            # so no explicit tie clause is needed (pinned by tests/
+            # test_unigram.py::test_viterbi_tie_prefers_longer_trailing_piece)
+            if best[e] is None or cand > best[e]:
                 best[e] = cand
                 back[e] = s
     out = []

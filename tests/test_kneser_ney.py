@@ -101,11 +101,20 @@ def test_ccnet_buckets_partitioned_by_lang(spark):
     # two languages bucket independently: each lang gets its own thirds
     from sparkstreaming_spark.textstats.lm import ccnet_perplexity_buckets
 
+    # three distinct difficulty tiers per language (threshold bucketing
+    # groups perplexity TIES into one bucket, so tiers must differ)
     rows = []
-    for i in range(6):
-        rows.append((i, f"alpha beta gamma delta w{i} v{i}", "en"))
-    for i in range(6, 12):
-        rows.append((i, f"un deux trois quatre m{i} n{i}", "fr"))
+    for lang, words in (("en", "alpha beta gamma delta"),
+                        ("fr", "un deux trois quatre")):
+        base = 0 if lang == "en" else 6
+        for i in range(2):
+            rows.append((base + i, words + " " + words, lang))
+        for i in range(2, 4):
+            rows.append((base + i, words + f" x{base + i} y{base + i}", lang))
+        for i in range(4, 6):
+            rows.append((base + i,
+                         f"q{base + i} r{base + i} s{base + i} t{base + i}",
+                         lang))
     df = spark.createDataFrame(
         pd.DataFrame(rows, columns=["doc_id", "text", "lang"])
     )
@@ -117,6 +126,9 @@ def test_ccnet_buckets_partitioned_by_lang(spark):
     for lang, rs in by_lang.items():
         assert sum(r["n_docs"] for r in rs) == 6
         assert {r["bucket"] for r in rs} == {"head", "middle", "tail"}
+        rng = {r["bucket"]: (r["ppl_lo"], r["ppl_hi"]) for r in rs}
+        assert rng["head"][1] <= rng["middle"][0] <= rng["middle"][1] \
+            <= rng["tail"][0]
 
 
 def test_sketched_lm_shape_and_mass(spark):

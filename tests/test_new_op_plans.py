@@ -253,6 +253,21 @@ def test_length_curriculum_bucketing_pass_has_no_sort(spark):
     assert "Sort" not in plan, plan[:3000]
 
 
+def test_ccnet_buckets_has_no_window_sort(spark):
+    """CCNet bucketing must be the two-pass cut-then-apply shape: a tiny
+    per-language percentile aggregate broadcast back to the corpus — no
+    Window node anywhere (the old ntile(3) formulation needed a
+    per-language TOTAL sort, a single-task bottleneck once one language
+    dominates the corpus)."""
+    from sparkstreaming_spark.textstats.lm import ccnet_perplexity_buckets
+    from tests.conftest import SF_DIR_SMOKE as S
+
+    docs = spark.read.parquet(f"{S}/documents.parquet")
+    plan = _plan(ccnet_perplexity_buckets(docs, "text"))
+    assert "Window" not in plan, plan[:3000]
+    assert "BroadcastHashJoin" in plan, plan[:3000]
+
+
 def test_nfc_normalize_is_arrow_eval(spark):
     """The normalizer must run as an Arrow-batched python eval (vectorized
     Series.str.normalize), not a row-at-a-time BatchEvalPython."""
