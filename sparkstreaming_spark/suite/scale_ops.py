@@ -686,6 +686,196 @@ QUERIES["doc_ccnet_buckets"] = QuerySpec(
 )
 
 
+DOMAIN_CAP = 10
+
+
+# deterministic pseudo-URL (the corpus has no url column): host =
+# lang.sourceN-site.com, path = /docs/<id> — identical expression in
+# the oracle, so host/domain extraction is fully cross-checked
+def _with_url(d: DataFrame) -> DataFrame:
+    return d.withColumn(
+        "url",
+        F.concat(
+            F.lit("https://"),
+            F.col("lang"),
+            F.lit("."),
+            F.col("source"),
+            F.lit("-site.com/docs/"),
+            F.col("doc_id").cast("string"),
+        ),
+    )
+
+
+_SQL_HOST = "lower(lang || '.' || source || '-site.com')"
+
+
+def q_domain_caps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain document caps (textstats/domains.py::domain_caps —
+    RefinedWeb/Dolma's pre-dedup URL filter) over a deterministic
+    pseudo-URL: parse_url HOST → registrable domain → hash-rate keep
+    (md5(salt‖id) mod n < cap; no per-domain window, see module
+    docstring). → per-domain ledger (domain, n_docs, n_kept,
+    chars_kept). The oracle replays host parsing, the registrable
+    extraction regex, and the exact md5-mod keep set, so a hashing or
+    cap-arithmetic bug flips the hash."""
+    from ..textstats.domains import domain_caps
+
+    d = _with_url(read_table(spark, sf_dir, "documents"))
+    out = domain_caps(d, "url", "doc_id", cap=DOMAIN_CAP)
+    return out.groupBy("domain").agg(
+        F.max("n_domain_docs").alias("n_docs"),
+        F.sum(F.when(F.col("keep"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_kept"),
+        F.coalesce(F.sum(F.when(F.col("keep"), F.col("n_chars"))), F.lit(0))
+        .cast("bigint")
+        .alias("chars_kept"),
+    )
+
+
+ORACLE_DOMAIN_CAPS = rf"""
+WITH dom AS (
+  SELECT doc_id, n_chars,
+         regexp_extract({_SQL_HOST}, '([^.]+\.[^.]+)$', 1) AS domain
+  FROM documents
+),
+counts AS (SELECT domain, count(*) AS n FROM dom GROUP BY domain),
+flagged AS (
+  SELECT dom.domain, dom.n_chars, counts.n,
+         (cast(('0x' || substr(md5(concat('domcap1',
+              CAST(doc_id AS VARCHAR))), 1, 15)) AS bigint)
+          % counts.n) < {DOMAIN_CAP} AS keep
+  FROM dom JOIN counts USING (domain)
+)
+SELECT domain, CAST(max(n) AS BIGINT) AS n_docs,
+       CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       CAST(COALESCE(sum(CASE WHEN keep THEN n_chars END), 0) AS BIGINT)
+         AS chars_kept
+FROM flagged GROUP BY domain
+"""
+
+
+QUERIES["doc_domain_caps"] = QuerySpec(
+    q_domain_caps,
+    ORACLE_DOMAIN_CAPS,
+    "per-domain doc caps: parse_url host + hash-rate keep, no window",
+)
+
+
+def q_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-mix accounting (textstats/domains.py::domain_mix): the
+    corpus-composition ledger per registrable domain — doc count, char
+    mass, and integer ppm share of the corpus (identical double math
+    both engines, floored to bigint)."""
+    from ..textstats.domains import domain_mix
+
+    d = _with_url(read_table(spark, sf_dir, "documents"))
+    return domain_mix(d, "url", "n_chars")
+
+
+ORACLE_DOMAIN_MIX = rf"""
+WITH dom AS (
+  SELECT n_chars,
+         regexp_extract({_SQL_HOST}, '([^.]+\.[^.]+)$', 1) AS domain
+  FROM documents
+),
+per AS (
+  SELECT domain, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS mass
+  FROM dom GROUP BY domain
+),
+tot AS (SELECT sum(mass) AS t FROM per)
+SELECT domain, n_docs, mass,
+       CAST(floor(CAST(mass AS DOUBLE) * 1e6 / CAST(t AS DOUBLE)) AS BIGINT)
+         AS share_ppm
+FROM per, tot
+"""
+
+
+QUERIES["doc_domain_mix"] = QuerySpec(
+    q_domain_mix,
+    ORACLE_DOMAIN_MIX,
+    "per-domain corpus composition ledger with integer ppm shares",
+)
+
+
+def q_kn_heldout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Held-out Kneser-Ney scoring (textstats/lm.py::
+    score_kneser_ney_heldout): train the KN bigram LM on the even
+    doc_ids, score the odd ones — the actual CCNet deployment shape
+    (train on trusted text, score the crawl; cb=0 for unseen bigrams,
+    full continuation backoff for unseen contexts, explicit n_oov for
+    unscorable pairs). The oracle replays the split, the model build,
+    and the three-tier probability CASE with identical integer
+    quantization, so a backoff-path or oov-accounting bug flips the
+    hash."""
+    from ..textstats.lm import score_kneser_ney_heldout
+
+    d = read_table(spark, sf_dir, "documents")
+    train = d.filter(F.col("doc_id") % 2 == 0)
+    score = d.filter(F.col("doc_id") % 2 == 1)
+    return score_kneser_ney_heldout(train, score, "text")
+
+
+ORACLE_KN_HELDOUT = rf"""
+WITH tt0 AS (
+  SELECT doc_id, unnest({_SQL_TOKS}) AS w,
+         unnest(generate_series(1, len({_SQL_TOKS}))) AS pos
+  FROM documents WHERE {_SQL_NORM} != '' AND doc_id % 2 = 0
+),
+tbg AS (
+  SELECT doc_id, w AS w1,
+         lead(w) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
+  FROM tt0
+),
+tb AS (SELECT w1, w2, w1 || ' ' || w2 AS bigram FROM tbg
+       WHERE w2 IS NOT NULL),
+bc AS (SELECT bigram, min(w1) AS w1, min(w2) AS w2, count(*) AS cb
+       FROM tb GROUP BY bigram),
+fwd AS (SELECT w1, sum(cb) AS cp, count(*) AS n1f FROM bc GROUP BY w1),
+rev AS (SELECT w2, count(*) AS n1r FROM bc GROUP BY w2),
+tt AS (SELECT count(*) AS n_types FROM bc),
+st0 AS (
+  SELECT doc_id, unnest({_SQL_TOKS}) AS w,
+         unnest(generate_series(1, len({_SQL_TOKS}))) AS pos
+  FROM documents WHERE {_SQL_NORM} != '' AND doc_id % 2 = 1
+),
+sbg AS (
+  SELECT doc_id, w AS w1,
+         lead(w) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
+  FROM st0
+),
+sb AS (SELECT doc_id, w1, w2, w1 || ' ' || w2 AS bigram FROM sbg
+       WHERE w2 IS NOT NULL),
+j AS (
+  SELECT sb.doc_id,
+         CASE WHEN rev.n1r IS NOT NULL THEN
+           CAST(round(ln(
+             CASE WHEN fwd.cp IS NOT NULL THEN
+               (greatest(COALESCE(bc.cb, 0) - 0.75, 0)
+                + 0.75 * fwd.n1f * rev.n1r / (tt.n_types * 1.0)) / fwd.cp
+             ELSE rev.n1r / (tt.n_types * 1.0) END
+           ) * 1e6) AS BIGINT)
+         END AS lp_micro
+  FROM sb
+  LEFT JOIN bc ON sb.bigram = bc.bigram
+  LEFT JOIN fwd ON sb.w1 = fwd.w1
+  LEFT JOIN rev ON sb.w2 = rev.w2, tt
+)
+SELECT doc_id, count(*) AS n_bigrams,
+       CAST(sum(CASE WHEN lp_micro IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_oov,
+       CAST(COALESCE(sum(lp_micro), 0) AS BIGINT) AS lp_micro_sum
+FROM j GROUP BY doc_id
+"""
+
+
+QUERIES["doc_kn_heldout"] = QuerySpec(
+    q_kn_heldout,
+    ORACLE_KN_HELDOUT,
+    "held-out KN scoring: train on even ids, score odd (CCNet deploy shape)",
+)
+
+
 def q_doremi_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DoReMi domain-mixture reweighting end-to-end (operators/
     sampling.py::doremi_reweight): per-source difficulty = mean

@@ -42,6 +42,29 @@ from pyspark.sql import functions as F
 from ..functions.text import tokenize
 
 
+def _bigram_pairs(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """(doc_id, w1, w2, bigram): every adjacent token pair per document
+    (docs with < 2 tokens yield no rows)."""
+    toks = df.select(
+        F.col(id_col).alias("doc_id"), tokenize(text_col).alias("__toks")
+    )
+    n = F.greatest(F.size("__toks") - 1, F.lit(0))
+    return toks.select(
+        "doc_id",
+        F.explode(
+            F.zip_with(
+                F.slice("__toks", 1, n),
+                F.slice(F.col("__toks"), 2, n),
+                lambda a, b: F.struct(
+                    a.alias("w1"),
+                    b.alias("w2"),
+                    F.concat_ws(" ", a, b).alias("bigram"),
+                ),
+            )
+        ).alias("p"),
+    ).select("doc_id", "p.w1", "p.w2", "p.bigram")
+
+
 def add_kneser_ney_logprob(
     df: DataFrame,
     text_col: str,
@@ -64,24 +87,7 @@ def add_kneser_ney_logprob(
     consuming query's lifetime (MEMORY_AND_DISK, LRU-evictable)."""
     from pyspark.storagelevel import StorageLevel
 
-    toks = df.select(
-        F.col(id_col).alias("doc_id"), tokenize(text_col).alias("__toks")
-    )
-    n = F.greatest(F.size("__toks") - 1, F.lit(0))
-    pairs = toks.select(
-        "doc_id",
-        F.explode(
-            F.zip_with(
-                F.slice("__toks", 1, n),
-                F.slice(F.col("__toks"), 2, n),
-                lambda a, b: F.struct(
-                    a.alias("w1"),
-                    b.alias("w2"),
-                    F.concat_ws(" ", a, b).alias("bigram"),
-                ),
-            )
-        ).alias("p"),
-    ).select("doc_id", "p.w1", "p.w2", "p.bigram").persist(
+    pairs = _bigram_pairs(df, text_col, id_col).persist(
         StorageLevel.MEMORY_AND_DISK
     )
     bc = pairs.groupBy("bigram").agg(
@@ -117,6 +123,97 @@ def add_kneser_ney_logprob(
         .agg(
             F.count(F.lit(1)).alias("n_bigrams"),
             F.sum("lp_micro").alias("lp_micro_sum"),
+        )
+    )
+
+
+def score_kneser_ney_heldout(
+    train_df: DataFrame,
+    score_df: DataFrame,
+    text_col: str,
+    id_col: str = "doc_id",
+    discount: float = 0.75,
+) -> DataFrame:
+    """Score HELD-OUT text under a KN bigram model trained elsewhere —
+    the actual CCNet deployment (Wenzek et al. train on Wikipedia, score
+    Common Crawl; a model never scores its own training data). This is
+    the cb=0 path add_kneser_ney_logprob's docstring describes: for an
+    unseen bigram the discount term vanishes and the continuation
+    backoff carries the mass — the reason KN beats MLE for filtering.
+
+    → (doc_id, n_bigrams, n_oov, lp_micro_sum) over score_df, where
+    per-bigram probability is, in decreasing specificity:
+      * bigram seen in training:    (cb - D + D·n1f·Pcont(w2)) / cp
+      * bigram unseen, w1 seen:     D·n1f·Pcont(w2) / cp   (cb = 0)
+      * w1 unseen, w2 seen:         Pcont(w2)              (full backoff)
+      * w2 unseen:                  unscorable — counted in n_oov and
+                                    excluded from lp_micro_sum (Pcont=0;
+                                    a real deployment maps these to a
+                                    char-level floor, a modeling choice
+                                    kept out of the exact contract)
+    with Pcont(w2) = N1+(·w2) / N1+(··). Same micro-nat integer
+    quantization as the self-scoring variant, so per-doc totals are
+    order-independent bigint sums in both engines.
+
+    Scale shape (100 TB): the model tables are bigram-vocab-sized (built
+    once from the training corpus, broadcastable when they fit); the
+    held-out corpus is touched once — three left hash joins (bigram, w1,
+    w2) and one per-doc aggregate. No window, no driver-side state
+    beyond the one scalar bigram-type count."""
+    from pyspark.storagelevel import StorageLevel
+
+    # one pass over the training corpus → the bigram-count table; all
+    # marginals derive FROM it (the add_kneser_ney_logprob convention).
+    # bc feeds fwd, rev, the type count, and the scoring join — persist.
+    bc = (
+        _bigram_pairs(train_df, text_col, id_col)
+        .groupBy("bigram")
+        .agg(
+            F.count(F.lit(1)).alias("cb"),
+            F.first("w1").alias("w1"),
+            F.first("w2").alias("w2"),
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    fwd = bc.groupBy("w1").agg(
+        F.sum("cb").alias("cp"), F.count(F.lit(1)).alias("n1f")
+    )
+    rev = bc.groupBy("w2").agg(F.count(F.lit(1)).alias("n1r"))
+    n_types = bc.count()
+    d_ = float(discount)
+    t_ = float(n_types)
+
+    sp = _bigram_pairs(score_df, text_col, id_col)
+    j = (
+        sp.join(bc.select("bigram", "cb"), "bigram", "left")
+        .join(fwd, "w1", "left")
+        .join(rev, "w2", "left")
+    )
+    seen_w1 = F.col("cp").isNotNull()
+    seen_w2 = F.col("n1r").isNotNull()
+    # operation order mirrored EXACTLY in the SQL oracle
+    p_seen_w1 = (
+        F.greatest(F.coalesce(F.col("cb"), F.lit(0)) - F.lit(d_), F.lit(0.0))
+        + F.lit(d_) * F.col("n1f") * F.col("n1r") / F.lit(t_)
+    ) / F.col("cp")
+    p_backoff = F.col("n1r") / F.lit(t_)
+    lp_micro = F.when(
+        seen_w2,
+        F.round(
+            F.log(F.when(seen_w1, p_seen_w1).otherwise(p_backoff)) * F.lit(1e6)
+        ).cast("bigint"),
+    )
+    return (
+        j.select("doc_id", lp_micro.alias("lp_micro"))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.sum(
+                F.when(F.col("lp_micro").isNull(), 1).otherwise(0)
+            ).cast("bigint").alias("n_oov"),
+            F.coalesce(F.sum("lp_micro"), F.lit(0)).cast("bigint").alias(
+                "lp_micro_sum"
+            ),
         )
     )
 

@@ -131,6 +131,44 @@ def test_ccnet_buckets_partitioned_by_lang(spark):
             <= rng["tail"][0]
 
 
+def test_kn_heldout_four_tiers(spark):
+    """Every probability tier of the held-out scorer: seen bigram,
+    unseen bigram w/ both unigrams seen, unseen context (full backoff),
+    and unscorable (w2 unseen → n_oov)."""
+    import math
+
+    from sparkstreaming_spark.textstats.lm import score_kneser_ney_heldout
+
+    train = spark.createDataFrame(
+        pd.DataFrame([(0, "a b c a b")], columns=["doc_id", "text"])
+    )
+    # train pairs: ab, bc, ca, ab → counts ab=2, bc=1, ca=1; T = 3 types
+    # fwd: cp(a)=2/n1f=1, cp(b)=1/n1f=1, cp(c)=1/n1f=1
+    # rev: n1r(a)=1 (ca), n1r(b)=1 (ab), n1r(c)=1 (bc)
+    score = spark.createDataFrame(
+        pd.DataFrame(
+            [(1, "a b"), (2, "b a"), (3, "zz c"), (4, "a zz")],
+            columns=["doc_id", "text"],
+        )
+    )
+    out = {r["doc_id"]: r.asDict()
+           for r in score_kneser_ney_heldout(train, score, "text").collect()}
+    D, T = 0.75, 3.0
+    # doc 1: seen bigram ab: (max(2-D,0) + D*1*1/T)/2
+    exp1 = round(math.log((2 - D + D * 1 * 1 / T) / 2) * 1e6)
+    assert out[1] == {"doc_id": 1, "n_bigrams": 1, "n_oov": 0,
+                      "lp_micro_sum": exp1}
+    # doc 2: unseen bigram 'b a', both seen: (0 + D*n1f(b)*n1r(a)/T)/cp(b)
+    exp2 = round(math.log((0 + D * 1 * 1 / T) / 1) * 1e6)
+    assert out[2]["lp_micro_sum"] == exp2 and out[2]["n_oov"] == 0
+    # doc 3: w1 'zz' unseen, w2 'c' seen: full backoff n1r(c)/T
+    exp3 = round(math.log(1 / T) * 1e6)
+    assert out[3]["lp_micro_sum"] == exp3 and out[3]["n_oov"] == 0
+    # doc 4: w2 'zz' unseen → unscorable, excluded from the sum
+    assert out[4] == {"doc_id": 4, "n_bigrams": 1, "n_oov": 1,
+                      "lp_micro_sum": 0}
+
+
 def test_sketched_lm_shape_and_mass(spark):
     import math
 
