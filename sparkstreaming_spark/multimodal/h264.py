@@ -28,11 +28,14 @@ Scope (precise, honestly guarded):
   bilinear quarter, coordinate clamping at picture edges), the §8.4.1.3
   median MV predictor with the P_Skip zero-MV conditions, mb_skip_run
   coding, and the Inter coded_block_pattern mapping (Table 9-4).
-- B slices (encode_gop_b): low-delay generalized B — B_L0/B_L1/B_Bi
+- B slices (encode_gop_b): low-delay generalized B — B_Skip and
+  B_Direct_16x16 in SPATIAL direct mode (§8.4.1.2.2: per-list refIdx
+  from neighbor usage, median MV, colZeroFlag against the colocated
+  MB of L1[0], whose motion field rides the DPB), plus B_L0/B_L1/B_Bi
   16x16 against the two most recent PAST references (the conformant
   default list init for that DPB), default bi-prediction
   (§8.4.2.3 (p0+p1+1)>>1), per-list median MV prediction, Main-profile
-  SPS, non-reference B NALs. Sub-16x16 partitions, B_Skip/B_Direct,
+  SPS, non-reference B NALs. Sub-16x16 partitions, temporal direct,
   CABAC, and weighted prediction remain honest NotImplementedError
   guards.
 
@@ -1097,6 +1100,10 @@ def _encode_pslice(
             stats["mvs"].append((mbx, mby, int(best_mv[0]), int(best_mv[1])))
     if skip_run:
         w.ue(skip_run)
+    # full per-MB motion field (skip MVs included) — the colocated-
+    # motion source for spatial-direct B slices that reference this
+    # frame as L1[0] (§8.4.1.2.2 colZeroFlag needs mvCol)
+    stats["mv_grid"] = mvs.copy()
     return recon.astype(np.uint8), w.rbsp(), stats
 
 
@@ -1216,7 +1223,7 @@ def _decode_pslice(r: BitReader, sps: dict, pps: dict, ref: np.ndarray,
                 pred[by : by + 4, bx : bx + 4] + res, 0, 255)
         mvs[mby, mbx] = mv
         addr += 1
-    return recon.astype(np.uint8), qp
+    return recon.astype(np.uint8), qp, mvs
 
 
 def decode_stream(data: bytes) -> dict:
@@ -1228,10 +1235,14 @@ def decode_stream(data: bytes) -> dict:
     DIFFERENT SPS/PPS mid-stream — one sequence per call), ValueError
     for malformed streams (including a P slice before any IDR).
     Non-reference slices (nal_ref_idc 0) are decoded but do not
-    replace the prediction reference, per the spec's DPB rules."""
+    replace the prediction reference, per the spec's DPB rules.
+    Each DPB entry carries the frame's per-MB motion field + intra
+    mask (the colocated-motion source for spatial-direct B slices);
+    per-B-frame mb-mode histograms come back as `b_mode_counts`."""
     sps = pps = None
     frames, types = [], []
-    refs: list[np.ndarray] = []  # reference frames, most recent first
+    refs: list[tuple[np.ndarray, dict]] = []  # (luma, motion), newest first
+    b_mode_counts: list[dict] = []
     qp_first = None
     for ref_idc, nal_type, rbsp in _split_annexb(data):
         if nal_type == 7:
@@ -1261,20 +1272,28 @@ def decode_stream(data: bytes) -> dict:
                 luma, qp = _decode_islice_body(
                     r, sps, pps, idr=(nal_type == 5), ref_idc=ref_idc
                 )
+                minfo = _intra_motion_info(
+                    sps["height"] // 16, sps["width"] // 16
+                )
                 types.append("I")
             elif slice_type == 0:
                 if not refs:
                     raise ValueError("P slice before any decoded I frame")
-                luma, qp = _decode_pslice(r, sps, pps, refs[0], ref_idc)
+                luma, qp, mvs = _decode_pslice(
+                    r, sps, pps, refs[0][0], ref_idc
+                )
+                minfo = _inter_motion_info(mvs)
                 types.append("P")
             elif slice_type == 1:
                 if len(refs) < 2:
                     raise ValueError(
                         "B slice before two decoded reference frames"
                     )
-                luma, qp = _decode_bslice(
-                    r, sps, pps, refs[0], refs[1], ref_idc
+                luma, qp, counts, minfo = _decode_bslice(
+                    r, sps, pps, refs[0][0], refs[1][0], ref_idc,
+                    col_info=refs[1][1],
                 )
+                b_mode_counts.append(counts)
                 types.append("B")
             else:
                 raise NotImplementedError(
@@ -1282,7 +1301,7 @@ def decode_stream(data: bytes) -> dict:
                 )
             frames.append(luma)
             if ref_idc:
-                refs.insert(0, luma)
+                refs.insert(0, (luma, minfo))
                 del refs[2:]
             if qp_first is None:
                 qp_first = qp
@@ -1295,6 +1314,7 @@ def decode_stream(data: bytes) -> dict:
         "n_mbs": (sps["width"] // 16) * (sps["height"] // 16),
         "frames": frames,
         "frame_types": types,
+        "b_mode_counts": b_mode_counts,
     }
 
 
@@ -1364,14 +1384,75 @@ def _decode_islice_body(r: BitReader, sps: dict, pps: dict, idr: bool,
 
 
 # ---------------------------------------------------------------------------
-# B slices (low-delay generalized B): B_L0/B_L1/B_Bi 16x16 partitions
-# against the TWO most recent past reference frames (L0[0] = nearest,
-# L1[0] = second-nearest — the conformant default list init for two
-# past refs after the spec's L1 first-two-swap rule), default
-# bi-prediction (§8.4.2.3: (predL0 + predL1 + 1) >> 1), Main profile.
-# B_Skip / B_Direct / sub-16x16 / weighted prediction stay honest
-# NotImplementedError guards. Entered from Table 7-14 (B mb_type:
-# 0 B_Direct_16x16, 1 B_L0_16x16, 2 B_L1_16x16, 3 B_Bi_16x16).
+# B slices (low-delay generalized B): B_Skip, B_Direct_16x16 (spatial
+# mode, §8.4.1.2.2) and B_L0/B_L1/B_Bi 16x16 partitions against the
+# TWO most recent past reference frames (L0[0] = nearest, L1[0] =
+# second-nearest — the conformant default list init for two past refs
+# after the spec's L1 first-two-swap rule), default bi-prediction
+# (§8.4.2.3: (predL0 + predL1 + 1) >> 1), Main profile. Spatial direct
+# derives per-list refIdx from the neighbors' usage, the MV from the
+# §8.4.1.3.1 median, and zeroes it when the colocated MB of L1[0] is
+# (near-)static (colZeroFlag) — so the DPB carries each reference's
+# per-MB motion field + intra mask. Temporal direct / sub-16x16 /
+# weighted prediction stay honest NotImplementedError guards. Entered
+# from Table 7-14 (B mb_type: 0 B_Direct_16x16, 1 B_L0_16x16,
+# 2 B_L1_16x16, 3 B_Bi_16x16).
+
+
+def _direct_spatial(mvs0, mvs1, used0, used1, mbx, mby, mbs_w,
+                    col_mvs, col_intra):
+    """Spatial-direct motion for one 16x16 MB (§8.4.1.2.2, single ref
+    per list): → (use0, use1, mv0, mv1). Per list X: refIdxLX = 0 iff
+    any existing neighbor (A, B, C with the D substitution on
+    existence) used list X, else -1; both -1 → zero-MV bi-prediction
+    (directZeroPredictionFlag). An in-use list takes the §8.4.1.3.1
+    median MVP, zeroed when the colocated MB of RefPicList1[0] is
+    non-intra with |mvCol| <= 1 quarter-pel in both components
+    (colZeroFlag; refIdxCol is always 0 in this one-ref envelope)."""
+
+    def list_ref(used) -> int:
+        a = mbx > 0 and bool(used[mby][mbx - 1])
+        b = mby > 0 and bool(used[mby - 1][mbx])
+        if mby > 0 and mbx + 1 < mbs_w:
+            c = bool(used[mby - 1][mbx + 1])
+        elif mby > 0 and mbx > 0:
+            c = bool(used[mby - 1][mbx - 1])
+        else:
+            c = False
+        return 0 if (a or b or c) else -1
+
+    ref0 = list_ref(used0)
+    ref1 = list_ref(used1)
+    if ref0 < 0 and ref1 < 0:
+        return True, True, (0, 0), (0, 0)
+    col_zero = (
+        not bool(col_intra[mby][mbx])
+        and abs(int(col_mvs[mby][mbx][0])) <= 1
+        and abs(int(col_mvs[mby][mbx][1])) <= 1
+    )
+    out = []
+    for refx, mvsx, usedx in ((ref0, mvs0, used0), (ref1, mvs1, used1)):
+        if refx < 0:
+            out.append((False, (0, 0)))
+        elif col_zero:
+            out.append((True, (0, 0)))
+        else:
+            out.append((True, _mvp_b(mvsx, usedx, mbx, mby, mbs_w)))
+    (u0, mv0), (u1, mv1) = out
+    return u0, u1, mv0, mv1
+
+
+def _intra_motion_info(mbs_h: int, mbs_w: int) -> dict:
+    """DPB motion record for an all-intra frame: zero MVs, intra mask
+    everywhere (colZeroFlag is false against an intra colocated MB)."""
+    return {
+        "mvs": np.zeros((mbs_h, mbs_w, 2), dtype=np.int64),
+        "intra": np.ones((mbs_h, mbs_w), dtype=bool),
+    }
+
+
+def _inter_motion_info(mvs: np.ndarray) -> dict:
+    return {"mvs": mvs, "intra": np.zeros(mvs.shape[:2], dtype=bool)}
 
 
 def _mvp_b(mvs: np.ndarray, used: np.ndarray, mbx: int, mby: int,
@@ -1443,18 +1524,25 @@ def _encode_bslice(
     frame_num: int,
     search_range: int = 4,
     ref_slice: bool = False,
+    col_info: dict | None = None,
 ) -> tuple[np.ndarray, bytes, dict]:
-    """Encode one B slice: per MB pick the cheapest of B_L0_16x16 (vs
-    ref0), B_L1_16x16 (vs ref1), B_Bi_16x16 (their average); ties
-    prefer L0 < L1 < Bi. Returns (reconstruction, RBSP, stats)."""
+    """Encode one B slice: per MB, derive the spatial-direct motion
+    (col_info = L1[0]'s DPB motion record) and pick the cheapest of
+    B_Direct_16x16, B_L0_16x16 (vs ref0), B_L1_16x16 (vs ref1),
+    B_Bi_16x16 (their average); ties prefer Direct < L0 < L1 < Bi
+    (Direct writes no MVD). A direct MB whose residual quantizes to
+    all-zero is emitted as B_Skip via mb_skip_run. Returns
+    (reconstruction, RBSP, stats)."""
     h, w_ = y_plane.shape
     mbs_w, mbs_h = w_ // 16, h // 16
+    if col_info is None:
+        col_info = _intra_motion_info(mbs_h, mbs_w)
     w = BitWriter()
     w.ue(0)                 # first_mb_in_slice
     w.ue(6)                 # slice_type B (all slices)
     w.ue(0)                 # pps id
     w.u(frame_num & 15, 4)  # frame_num
-    w.u(1, 1)               # direct_spatial_mv_pred_flag (unused: no direct)
+    w.u(1, 1)               # direct_spatial_mv_pred_flag = 1 (spatial)
     w.u(0, 1)               # num_ref_idx_active_override_flag
     w.u(0, 1)               # ref_pic_list_modification_flag_l0
     w.u(0, 1)               # ref_pic_list_modification_flag_l1
@@ -1472,39 +1560,80 @@ def _encode_bslice(
     mvs1 = np.zeros((mbs_h, mbs_w, 2), dtype=np.int64)
     used0 = np.zeros((mbs_h, mbs_w), dtype=bool)
     used1 = np.zeros((mbs_h, mbs_w), dtype=bool)
-    stats = {"n_l0": 0, "n_l1": 0, "n_bi": 0}
+    stats = {"n_skip": 0, "n_direct": 0, "n_l0": 0, "n_l1": 0, "n_bi": 0}
+    skip_run = 0
+
+    def mb_levels(pred: np.ndarray, y0: int, x0: int) -> tuple[list, int]:
+        levels, cbp = [], 0
+        for blk_i in range(16):
+            bx, by = LUMA_BLOCK_XY[blk_i]
+            res = (src[y0 + by : y0 + by + 4, x0 + bx : x0 + bx + 4]
+                   - pred[by : by + 4, bx : bx + 4])
+            lv = quantize_4x4(forward_transform_4x4(res), qp, intra=False)
+            levels.append(lv)
+            if lv.any():
+                cbp |= 1 << (2 * (by // 8) + (bx // 8))
+        return levels, cbp
+
+    def direct_pred(u0, u1, dmv0, dmv1, y0, x0) -> np.ndarray:
+        if u0 and u1:
+            return (_mc_luma(r0, y0, x0, dmv0)
+                    + _mc_luma(r1, y0, x0, dmv1) + 1) >> 1
+        if u0:
+            return _mc_luma(r0, y0, x0, dmv0)
+        return _mc_luma(r1, y0, x0, dmv1)
+
     for mby in range(mbs_h):
         for mbx in range(mbs_w):
             y0, x0 = mby * 16, mbx * 16
             blk = src[y0 : y0 + 16, x0 : x0 + 16]
+            u0, u1, dmv0, dmv1 = _direct_spatial(
+                mvs0, mvs1, used0, used1, mbx, mby, mbs_w,
+                col_info["mvs"], col_info["intra"],
+            )
+            pd = direct_pred(u0, u1, dmv0, dmv1, y0, x0)
+            lv_d, cbp_d = mb_levels(pd, y0, x0)
+
+            def commit_direct_motion():
+                if u0:
+                    mvs0[mby, mbx] = dmv0
+                    used0[mby, mbx] = True
+                if u1:
+                    mvs1[mby, mbx] = dmv1
+                    used1[mby, mbx] = True
+
+            if cbp_d == 0:
+                # B_Skip: direct motion, no residual, nothing but the run
+                skip_run += 1
+                stats["n_skip"] += 1
+                recon[y0 : y0 + 16, x0 : x0 + 16] = np.clip(pd, 0, 255)
+                tc_map[y0 // 4 : y0 // 4 + 4, x0 // 4 : x0 // 4 + 4] = 0
+                commit_direct_motion()
+                continue
+            cd = int(np.abs(blk - pd).sum())
             mv0, c0 = _search_best(r0, blk, y0, x0, search_range)
             mv1, c1 = _search_best(r1, blk, y0, x0, search_range)
             p0 = _mc_luma(r0, y0, x0, mv0)
             p1 = _mc_luma(r1, y0, x0, mv1)
             pbi = (p0 + p1 + 1) >> 1
             cbi = int(np.abs(blk - pbi).sum())
-            choice = min(((c0, 0), (c1, 1), (cbi, 2)))[1]
-            pred = (p0, p1, pbi)[choice]
-            w.ue(0)  # mb_skip_run (no B_Skip in this envelope)
-            w.ue(choice + 1)  # mb_type: 1 B_L0, 2 B_L1, 3 B_Bi
-            if choice in (0, 2):
+            choice = min(((cd, 0), (c0, 1), (c1, 2), (cbi, 3)))[1]
+            pred = (pd, p0, p1, pbi)[choice]
+            w.ue(skip_run)  # mb_skip_run
+            skip_run = 0
+            w.ue(choice)  # mb_type: 0 B_Direct, 1 B_L0, 2 B_L1, 3 B_Bi
+            if choice in (1, 3):
                 mvp = _mvp_b(mvs0, used0, mbx, mby, mbs_w)
                 w.se(int(mv0[0] - mvp[0]))
                 w.se(int(mv0[1] - mvp[1]))
-            if choice in (1, 2):
+            if choice in (2, 3):
                 mvp = _mvp_b(mvs1, used1, mbx, mby, mbs_w)
                 w.se(int(mv1[0] - mvp[0]))
                 w.se(int(mv1[1] - mvp[1]))
-            levels, cbp = [], 0
-            for blk_i in range(16):
-                bx, by = LUMA_BLOCK_XY[blk_i]
-                res = (src[y0 + by : y0 + by + 4, x0 + bx : x0 + bx + 4]
-                       - pred[by : by + 4, bx : bx + 4])
-                lv = quantize_4x4(forward_transform_4x4(res), qp,
-                                  intra=False)
-                levels.append(lv)
-                if lv.any():
-                    cbp |= 1 << (2 * (by // 8) + (bx // 8))
+            if choice == 0:
+                levels, cbp = lv_d, cbp_d
+            else:
+                levels, cbp = mb_levels(pred, y0, x0)
             w.ue(_CBP_INTER_INV[cbp])
             if cbp:
                 w.se(0)  # mb_qp_delta
@@ -1523,25 +1652,43 @@ def _encode_bslice(
                     res = 0
                 recon[y : y + 4, x : x + 4] = np.clip(
                     pred[by : by + 4, bx : bx + 4] + res, 0, 255)
-            if choice in (0, 2):
-                mvs0[mby, mbx] = mv0
-                used0[mby, mbx] = True
-            if choice in (1, 2):
-                mvs1[mby, mbx] = mv1
-                used1[mby, mbx] = True
-            stats[("n_l0", "n_l1", "n_bi")[choice]] += 1
+            if choice == 0:
+                commit_direct_motion()
+            else:
+                if choice in (1, 3):
+                    mvs0[mby, mbx] = mv0
+                    used0[mby, mbx] = True
+                if choice in (2, 3):
+                    mvs1[mby, mbx] = mv1
+                    used1[mby, mbx] = True
+            stats[("n_direct", "n_l0", "n_l1", "n_bi")[choice]] += 1
+    if skip_run:
+        w.ue(skip_run)
+    stats["mv_grid0"] = mvs0.copy()
+    stats["used0"] = used0.copy()
+    stats["mv_grid1"] = mvs1.copy()
+    stats["used1"] = used1.copy()
     return recon.astype(np.uint8), w.rbsp(), stats
 
 
 def _decode_bslice(r: BitReader, sps: dict, pps: dict, ref0: np.ndarray,
-                   ref1: np.ndarray, ref_idc: int) -> tuple[np.ndarray, int]:
-    """Decode one B slice against (L0[0]=ref0, L1[0]=ref1). first_mb and
-    slice_type are already consumed."""
+                   ref1: np.ndarray, ref_idc: int,
+                   col_info: dict | None = None,
+                   ) -> tuple[np.ndarray, int, dict, dict]:
+    """Decode one B slice against (L0[0]=ref0, L1[0]=ref1); col_info is
+    L1[0]'s DPB motion record for spatial direct. first_mb and
+    slice_type are already consumed. → (recon, qp, mode_counts,
+    motion_info)."""
     w_, h = sps["width"], sps["height"]
     mbs_w, mbs_h = w_ // 16, h // 16
+    if col_info is None:
+        col_info = _intra_motion_info(mbs_h, mbs_w)
     r.ue()  # pps id
     r.u(sps["log2_max_frame_num"])
-    r.u(1)  # direct_spatial_mv_pred_flag (no direct MBs in envelope)
+    if r.u(1) != 1:  # direct_spatial_mv_pred_flag
+        raise NotImplementedError(
+            "temporal direct mode unsupported (spatial only)"
+        )
     if r.u(1):
         raise NotImplementedError("num_ref_idx_active override unsupported")
     if r.u(1):
@@ -1565,34 +1712,78 @@ def _decode_bslice(r: BitReader, sps: dict, pps: dict, ref0: np.ndarray,
     mvs1 = np.zeros((mbs_h, mbs_w, 2), dtype=np.int64)
     used0 = np.zeros((mbs_h, mbs_w), dtype=bool)
     used1 = np.zeros((mbs_h, mbs_w), dtype=bool)
-    for mb in range(mbs_h * mbs_w):
-        mbx, mby = mb % mbs_w, mb // mbs_w
-        if r.ue() != 0:
-            raise NotImplementedError("B_Skip unsupported")
+    counts = {"n_skip": 0, "n_direct": 0, "n_l0": 0, "n_l1": 0, "n_bi": 0}
+    n_mbs = mbs_h * mbs_w
+
+    def direct_motion(mbx: int, mby: int):
+        return _direct_spatial(
+            mvs0, mvs1, used0, used1, mbx, mby, mbs_w,
+            col_info["mvs"], col_info["intra"],
+        )
+
+    def direct_pred(u0, u1, dmv0, dmv1, y0, x0) -> np.ndarray:
+        if u0 and u1:
+            return (_mc_luma(r0, y0, x0, dmv0)
+                    + _mc_luma(r1, y0, x0, dmv1) + 1) >> 1
+        if u0:
+            return _mc_luma(r0, y0, x0, dmv0)
+        return _mc_luma(r1, y0, x0, dmv1)
+
+    def commit(mbx, mby, u0, u1, mv0, mv1):
+        if u0:
+            mvs0[mby, mbx] = mv0
+            used0[mby, mbx] = True
+        if u1:
+            mvs1[mby, mbx] = mv1
+            used1[mby, mbx] = True
+
+    addr = 0
+    while addr < n_mbs:
+        skip_run = r.ue()
+        if addr + skip_run > n_mbs:
+            raise ValueError("mb_skip_run overruns the picture")
+        for _ in range(skip_run):
+            mbx, mby = addr % mbs_w, addr // mbs_w
+            y0, x0 = mby * 16, mbx * 16
+            u0, u1, dmv0, dmv1 = direct_motion(mbx, mby)
+            recon[y0 : y0 + 16, x0 : x0 + 16] = np.clip(
+                direct_pred(u0, u1, dmv0, dmv1, y0, x0), 0, 255)
+            tc_map[y0 // 4 : y0 // 4 + 4, x0 // 4 : x0 // 4 + 4] = 0
+            commit(mbx, mby, u0, u1, dmv0, dmv1)
+            counts["n_skip"] += 1
+            addr += 1
+        if addr >= n_mbs:
+            break
+        mbx, mby = addr % mbs_w, addr // mbs_w
         mb_type = r.ue()
-        if mb_type == 0:
-            raise NotImplementedError("B_Direct_16x16 unsupported")
         if mb_type > 3:
             raise NotImplementedError(
-                f"B mb_type {mb_type} unsupported (16x16 L0/L1/Bi only)"
+                f"B mb_type {mb_type} unsupported "
+                "(16x16 Direct/L0/L1/Bi only)"
             )
         y0, x0 = mby * 16, mbx * 16
-        mv0 = mv1 = None
-        if mb_type in (1, 3):
-            mvp = _mvp_b(mvs0, used0, mbx, mby, mbs_w)
-            mvd = (r.se(), r.se())
-            mv0 = (mvp[0] + mvd[0], mvp[1] + mvd[1])
-        if mb_type in (2, 3):
-            mvp = _mvp_b(mvs1, used1, mbx, mby, mbs_w)
-            mvd = (r.se(), r.se())
-            mv1 = (mvp[0] + mvd[0], mvp[1] + mvd[1])
-        if mb_type == 1:
-            pred = _mc_luma(r0, y0, x0, mv0)
-        elif mb_type == 2:
-            pred = _mc_luma(r1, y0, x0, mv1)
+        if mb_type == 0:
+            u0, u1, mv0, mv1 = direct_motion(mbx, mby)
+            pred = direct_pred(u0, u1, mv0, mv1, y0, x0)
         else:
-            pred = (_mc_luma(r0, y0, x0, mv0)
-                    + _mc_luma(r1, y0, x0, mv1) + 1) >> 1
+            mv0 = mv1 = (0, 0)
+            u0 = mb_type in (1, 3)
+            u1 = mb_type in (2, 3)
+            if u0:
+                mvp = _mvp_b(mvs0, used0, mbx, mby, mbs_w)
+                mvd = (r.se(), r.se())
+                mv0 = (mvp[0] + mvd[0], mvp[1] + mvd[1])
+            if u1:
+                mvp = _mvp_b(mvs1, used1, mbx, mby, mbs_w)
+                mvd = (r.se(), r.se())
+                mv1 = (mvp[0] + mvd[0], mvp[1] + mvd[1])
+            if mb_type == 1:
+                pred = _mc_luma(r0, y0, x0, mv0)
+            elif mb_type == 2:
+                pred = _mc_luma(r1, y0, x0, mv1)
+            else:
+                pred = (_mc_luma(r0, y0, x0, mv0)
+                        + _mc_luma(r1, y0, x0, mv1) + 1) >> 1
         cbp = CBP_INTER[r.ue()]
         if cbp & 0x30:
             raise NotImplementedError("chroma residual unsupported")
@@ -1612,13 +1803,14 @@ def _decode_bslice(r: BitReader, sps: dict, pps: dict, ref0: np.ndarray,
                 res = 0
             recon[y : y + 4, x : x + 4] = np.clip(
                 pred[by : by + 4, bx : bx + 4] + res, 0, 255)
-        if mv0 is not None:
-            mvs0[mby, mbx] = mv0
-            used0[mby, mbx] = True
-        if mv1 is not None:
-            mvs1[mby, mbx] = mv1
-            used1[mby, mbx] = True
-    return recon.astype(np.uint8), qp
+        commit(mbx, mby, u0, u1, mv0, mv1)
+        counts[("n_direct", "n_l0", "n_l1", "n_bi")[mb_type]] += 1
+        addr += 1
+    # a B frame's own motion record (only needed if it ever becomes a
+    # reference): per the §8.4.1.2.2 colocated rule, L0 motion wins
+    # when present, else L1
+    mvs = np.where(used0[..., None], mvs0, mvs1)
+    return recon.astype(np.uint8), qp, counts, _inter_motion_info(mvs)
 
 
 def encode_gop_b(frames, qp: int = 20, search_range: int = 4) -> bytes:
@@ -1645,7 +1837,9 @@ def _encode_gop_b_full(frames, qp, search_range):
               + _nal(8, _build_pps_rbsp())
               + _nal(5, payload))
     recons, stats = [recon], []
-    refs = [recon.astype(np.int64)]  # most recent first
+    # DPB mirror of the decoder's: (plane, motion record), newest first
+    refs = [(recon.astype(np.int64),
+             _intra_motion_info(h // 16, w_ // 16))]
     ref_fn = 0
     for k, f in enumerate(frames[1:], start=1):
         y, _, _ = _to_yuv(np.asarray(f))
@@ -1654,17 +1848,20 @@ def _encode_gop_b_full(frames, qp, search_range):
         is_b = k >= 2 and (k % 2 == 0) and len(refs) >= 2
         if is_b:
             rec, rbsp, st = _encode_bslice(
-                refs[0], refs[1], y, qp, (ref_fn + 1) % 16, search_range
+                refs[0][0], refs[1][0], y, qp, (ref_fn + 1) % 16,
+                search_range, col_info=refs[1][1],
             )
             stream += _nal(1, rbsp, ref_idc=0)
             st = {"type": "B", **st}
         else:
             ref_fn += 1
             rec, rbsp, st = _encode_pslice(
-                refs[0], y, qp, ref_fn % 16, search_range
+                refs[0][0], y, qp, ref_fn % 16, search_range
             )
             stream += _nal(1, rbsp, ref_idc=2)
-            refs.insert(0, rec.astype(np.int64))
+            refs.insert(
+                0, (rec.astype(np.int64), _inter_motion_info(st["mv_grid"]))
+            )
             del refs[2:]
             st = {"type": "P", **st}
         recons.append(rec)

@@ -14,8 +14,9 @@ real now for Annex-B elementary streams within h264.py's documented
 envelope: IDR I-frames (CAVLC + Intra_4x4 + integer transform) AND
 motion-compensated P frames (P_L0_16x16 + P_Skip, quarter-pel luma
 interpolation, median MV prediction) AND low-delay B frames
-(B_L0/B_L1/B_Bi 16x16, two-ref DPB — h264.py::decode_stream). What
-stays a documented stub: CABAC, B_Skip/B_Direct, sub-16x16
+(B_Skip + spatial B_Direct + B_L0/B_L1/B_Bi 16x16, two-ref DPB —
+h264.py::decode_stream). What stays a documented stub: CABAC,
+temporal direct, sub-16x16
 partitions, and vp9 entirely, which need an ffmpeg-class decoder
 absent from this container — `blobs.py::sample_blob_frames(fake=False)` routes AVI
 here and still raises for those. Their header-level METADATA

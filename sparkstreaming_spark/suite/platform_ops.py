@@ -1700,15 +1700,21 @@ H264_B_IDS = 12
 
 def q_h264_bframe_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """B-slice H.264 GOP verification (multimodal/h264.py B section —
-    B_L0/B_L1/B_Bi 16x16 against the two most recent past references,
-    default bi-prediction, Main-profile SPS, non-reference B NALs): per
-    doc (doc_id < 12) synthesize an I-P-B... low-delay GOP of panning
-    gradient frames with formula-derived dims/QP/length, encode,
-    decode, and emit exact metadata + the per-type frame counts + the
-    bit-exact round-trip boolean + a tolerance boolean on the last
-    frame. A list-selection, bi-averaging, per-list MV-prediction, or
-    DPB bug (a B frame leaking into the reference list) breaks
-    bit-exactness and flips the hash.
+    B_Skip + spatial B_Direct_16x16 (§8.4.1.2.2, colocated motion via
+    the DPB) + B_L0/B_L1/B_Bi 16x16 against the two most recent past
+    references, default bi-prediction, Main-profile SPS, non-reference
+    B NALs): per doc (doc_id < 12) synthesize an I-P-B... low-delay GOP
+    of panning gradient frames with formula-derived dims/QP/length,
+    encode, decode, and emit exact metadata + the per-type frame counts
+    + the bit-exact round-trip boolean + `modes_ok` (the decoder's
+    per-B-frame mb-mode histogram equals the encoder's — pins the
+    skip-run and direct-derivation bitstream paths) + `skip_direct_used`
+    (panning content must actually exercise B_Skip/B_Direct; measured
+    3-22 such MBs per id) + a tolerance boolean on the last frame. A
+    list-selection, bi-averaging, per-list MV-prediction, spatial-
+    direct, colZeroFlag, or DPB bug (a B frame leaking into the
+    reference list) breaks bit-exactness or the histograms and flips
+    the hash.
 
     Spark shape: one Arrow mapInPandas pass, repartitioned across the
     blob ids (single-row-group guard), no shuffle."""
@@ -1739,10 +1745,18 @@ def q_h264_bframe_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
                 img0 = np.minimum(did + 2 * i + 3 * j, 255).astype(np.uint8)
                 frames = [np.roll(img0, k, axis=1) for k in range(nf)]
                 out = decode_stream(encode_gop_b(frames, qp=qp))
-                recons, _ = gop_b_reconstruction(frames, qp=qp)
+                recons, stats = gop_b_reconstruction(frames, qp=qp)
                 bitexact = all(
                     np.array_equal(a, b)
                     for a, b in zip(out["frames"], recons)
+                )
+                mode_keys = ("n_skip", "n_direct", "n_l0", "n_l1", "n_bi")
+                enc_modes = [
+                    {k: s[k] for k in mode_keys}
+                    for s in stats if s["type"] == "B"
+                ]
+                n_sd = sum(
+                    m["n_skip"] + m["n_direct"] for m in enc_modes
                 )
                 err = np.abs(out["frames"][-1].astype(np.float64)
                              - frames[-1].astype(np.float64))
@@ -1755,6 +1769,10 @@ def q_h264_bframe_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "n_b_frames": out["frame_types"].count("B"),
                     "n_p_frames": out["frame_types"].count("P"),
                     "b_bitexact": bool(bitexact),
+                    "modes_ok": bool(
+                        enc_modes == out["b_mode_counts"]
+                    ),
+                    "skip_direct_used": bool(n_sd > 0),
                     "max_err_ok": bool(err.max() <= 8.0),
                 })
             yield pd.DataFrame(rows)
@@ -1763,7 +1781,7 @@ def q_h264_bframe_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         work,
         "doc_id bigint, width int, height int, qp int, n_frames int,"
         " n_b_frames int, n_p_frames int, b_bitexact boolean,"
-        " max_err_ok boolean",
+        " modes_ok boolean, skip_direct_used boolean, max_err_ok boolean",
     )
 
 
@@ -1777,6 +1795,8 @@ SELECT doc_id,
        CAST((4 + doc_id % 2) - 1 - (3 + doc_id % 2) // 2 AS INT)
          AS n_p_frames,
        TRUE AS b_bitexact,
+       TRUE AS modes_ok,
+       TRUE AS skip_direct_used,
        TRUE AS max_err_ok
 FROM documents WHERE doc_id < {H264_B_IDS}
 """

@@ -329,8 +329,12 @@ def test_b_frame_prefers_l1_when_older_ref_matches():
 
 
 def test_b_frame_uses_bi_for_blended_content():
-    # the B frame is the average of its two references: bi-prediction
-    # models it exactly, single-list prediction can't
+    # the B frame is the average of its two references SHIFTED by 3
+    # columns: single-list prediction can't model the average, and
+    # spatial direct can't model the first MB (no neighbors → zero-MV
+    # bi, wrong by the shift) — explicit B_Bi with searched MVs must
+    # appear. (The unshifted blend is now covered by B_Skip/B_Direct:
+    # directZeroPrediction IS zero-MV bi-prediction.)
     from sparkstreaming_spark.multimodal.h264 import (
         encode_gop_b,
         gop_b_reconstruction,
@@ -340,12 +344,57 @@ def test_b_frame_uses_bi_for_blended_content():
     a = rng.integers(0, 256, (32, 32)).astype(np.uint8)
     b = rng.integers(0, 256, (32, 32)).astype(np.uint8)
     blend = ((a.astype(int) + b.astype(int) + 1) // 2).astype(np.uint8)
-    frames = [a, b, blend, b]
+    frames = [a, b, np.roll(blend, 3, axis=1), b]
     out = decode_stream(encode_gop_b(frames, qp=16))
     recons, stats = gop_b_reconstruction(frames, qp=16)
     b_stats = next(s for s in stats if s["type"] == "B")
     assert b_stats["n_bi"] > 0
     for k in range(4):
+        assert np.array_equal(out["frames"][k], recons[k])
+
+
+def test_b_skip_and_direct_on_static_and_panning_content():
+    # static B content → colZeroFlag zeroes the direct MV → residual-free
+    # direct prediction → B_Skip; panning content → neighbors' searched
+    # MVs feed the spatial-direct median → B_Direct/B_Skip carry the pan
+    # without writing MVDs. Both must round-trip bit-exactly and the
+    # decoder's mode histogram must equal the encoder's.
+    from sparkstreaming_spark.multimodal.h264 import (
+        decode_stream,
+        encode_gop_b,
+        gop_b_reconstruction,
+    )
+
+    keys = ("n_skip", "n_direct", "n_l0", "n_l1", "n_bi")
+    # static: every frame identical
+    rng = np.random.default_rng(31)
+    a = rng.integers(0, 256, (32, 48)).astype(np.uint8)
+    frames = [a, a, a, a]
+    out = decode_stream(encode_gop_b(frames, qp=20))
+    recons, stats = gop_b_reconstruction(frames, qp=20)
+    b_stats = next(s for s in stats if s["type"] == "B")
+    assert b_stats["n_skip"] == 6  # every MB of the 32x48 B frame skips
+    assert out["b_mode_counts"] == [
+        {k: s[k] for k in keys} for s in stats if s["type"] == "B"
+    ]
+    for k in range(4):
+        assert np.array_equal(out["frames"][k], recons[k])
+
+    # smooth pan: direct inherits the pan MV from the neighbors/median
+    i = np.arange(48).reshape(-1, 1)
+    j = np.arange(64).reshape(1, -1)
+    img = np.minimum(3 * i + 2 * j, 255).astype(np.uint8)
+    frames = [np.roll(img, k, axis=1) for k in range(5)]
+    out = decode_stream(encode_gop_b(frames, qp=18))
+    recons, stats = gop_b_reconstruction(frames, qp=18)
+    b_tot = {
+        k: sum(s[k] for s in stats if s["type"] == "B") for k in keys
+    }
+    assert b_tot["n_skip"] + b_tot["n_direct"] > 0
+    assert out["b_mode_counts"] == [
+        {k: s[k] for k in keys} for s in stats if s["type"] == "B"
+    ]
+    for k in range(5):
         assert np.array_equal(out["frames"][k], recons[k])
 
 
