@@ -547,3 +547,94 @@ QUERIES["doc_unigram_encode"] = QuerySpec(
     "frozen unigram tokenizer encode: lossless + bounds contract, "
     "exact word/char restatement",
 )
+
+
+WORDPIECE_VOCAB = 256
+# training alphabet cap: vocab sees only pure-[a-w] words, so every
+# word containing a char outside the sampled [a-w] charset must encode
+# to [UNK] — which makes n_unk EXACTLY SQL-checkable (the greedy-match
+# DP itself is not; see textstats/wordpiece.py module docstring). At
+# sf0.01 ~93% of occurrences stay encodable and ~6.5% hit the UNK path
+# — both branches fire.
+WORDPIECE_TRAIN_PATTERN = "^[a-w]+$"
+
+
+def q_wordpiece_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frozen WordPiece tokenizer applied to the corpus (textstats/
+    wordpiece.py): vocab trained on the deterministic 20% sample,
+    restricted to pure-[a-w] words (the alphabet cap that makes the
+    [UNK] path fire), encoded via the distinct-word dictionary join +
+    greedy longest-match-first. Oracled CONTRACT: n_words, n_chars_tok
+    AND n_unk are exact SQL restatements (UNK ⇔ the word contains a
+    character absent from the sampled training charset — the coverage
+    equivalence of full per-char vocab retention); `lossless` (non-UNK
+    pieces rejoin to the word) and `pieces_in_bounds` are load-bearing
+    booleans. Exact piece counts are pinned by the Python-parity
+    tests."""
+    from ..textstats.wordpiece import (
+        build_wordpiece_vocab,
+        wordpiece_encode_counts,
+    )
+
+    d = read_table(spark, sf_dir, "documents")
+    vocab = build_wordpiece_vocab(
+        d.filter(F.col("doc_id") % 5 == 0),
+        "text",
+        vocab_size=WORDPIECE_VOCAB,
+        word_pattern=WORDPIECE_TRAIN_PATTERN,
+    )
+    enc = wordpiece_encode_counts(d, "doc_id", "text", vocab)
+    return enc.select(
+        F.col("id").alias("doc_id"),
+        "n_words",
+        "n_chars_tok",
+        "n_unk",
+        "lossless",
+        (
+            (F.col("n_pieces") >= F.col("n_words"))
+            & (F.col("n_pieces") <= F.col("n_chars_tok"))
+        ).alias("pieces_in_bounds"),
+    )
+
+
+ORACLE_WORDPIECE_ENCODE = rf"""
+WITH tw AS (
+  SELECT w FROM (
+    SELECT unnest({_UG_TOKS}) AS w FROM documents
+    WHERE {_UG_NORM} != '' AND doc_id % 5 = 0
+  ) WHERE regexp_matches(w, '{WORDPIECE_TRAIN_PATTERN}')
+),
+sc AS (
+  SELECT DISTINCT substr(w, i, 1) AS c
+  FROM (SELECT w, unnest(generate_series(1, length(w))) AS i FROM tw)
+),
+docs_w AS (
+  SELECT doc_id, unnest({_UG_TOKS}) AS w,
+         unnest(generate_series(1, len({_UG_TOKS}))) AS pos
+  FROM documents WHERE {_UG_NORM} != ''
+),
+wunk AS (
+  SELECT doc_id, pos, w,
+         max(CASE WHEN sc.c IS NULL THEN 1 ELSE 0 END) AS unk
+  FROM (SELECT doc_id, pos, w, substr(w, i, 1) AS c
+        FROM (SELECT doc_id, pos, w,
+                     unnest(generate_series(1, length(w))) AS i
+              FROM docs_w)) wc
+  LEFT JOIN sc USING (c)
+  GROUP BY doc_id, pos, w
+)
+SELECT doc_id, count(*) AS n_words,
+       CAST(sum(length(w)) AS BIGINT) AS n_chars_tok,
+       CAST(sum(unk) AS BIGINT) AS n_unk,
+       TRUE AS lossless,
+       TRUE AS pieces_in_bounds
+FROM wunk GROUP BY doc_id
+"""
+
+
+QUERIES["doc_wordpiece_encode"] = QuerySpec(
+    q_wordpiece_encode,
+    ORACLE_WORDPIECE_ENCODE,
+    "frozen WordPiece greedy encode: exact n_unk + lossless/bounds "
+    "contract",
+)
