@@ -86,15 +86,23 @@ def sq8_knn(
             norms = np.sqrt((codes * codes).sum(axis=1).astype("float64"))
             norms[norms == 0] = 1.0
             sims = dots / norms[:, None] / q_norms[None, :]
+            # per-chunk LOCAL top-k (the brute_force_knn shape): the
+            # global top-k is a subset of the per-chunk top-k's, so the
+            # downstream rank window sorts k·n_chunks rows per query
+            # instead of the full candidate set — at corpus scale the
+            # difference between shuffling k rows/task and everything
+            out_q, out_n, out_c = [], [], []
             for qi, qid in enumerate(q_ids_):
                 mask = ids != qid
-                yield pd.DataFrame(
-                    {
-                        "query_id": qid,
-                        "neighbor_id": ids[mask],
-                        "cosine": np.round(sims[mask, qi], 6),
-                    }
-                )
+                col = np.round(sims[mask, qi], 6)
+                cand = ids[mask]
+                order = np.lexsort((cand, -col))[:k]
+                out_q.extend([qid] * len(order))
+                out_n.extend(cand[order])
+                out_c.extend(col[order])
+            yield pd.DataFrame(
+                {"query_id": out_q, "neighbor_id": out_n, "cosine": out_c}
+            )
 
     scored = sq.mapInPandas(
         score, schema="query_id bigint, neighbor_id bigint, cosine double"
