@@ -21,23 +21,27 @@ Scope (precise, honestly guarded):
   outside the envelope (chroma residual, I_16x16) — those stay honest
   stubs, not silent wrong output.
 - inter coding (P slices): encode_gop/decode_stream extend the
-  envelope with motion-compensated P frames — P_L0_16x16 partitions
-  and P_Skip against a single reference (the previous decoded frame,
-  max_num_ref_frames=1 sliding window), full quarter-pel luma
-  interpolation per §8.4.2.2.1 (6-tap [1,-5,20,20,-5,1] half-pel,
-  bilinear quarter, coordinate clamping at picture edges), the §8.4.1.3
-  median MV predictor with the P_Skip zero-MV conditions, mb_skip_run
-  coding, and the Inter coded_block_pattern mapping (Table 9-4).
+  envelope with motion-compensated P frames — P_L0_16x16,
+  P_L0_L0_16x8 and P_L0_L0_8x16 partitions plus P_Skip against a
+  single reference (the previous decoded frame, max_num_ref_frames=1
+  sliding window), full quarter-pel luma interpolation per §8.4.2.2.1
+  (6-tap [1,-5,20,20,-5,1] half-pel, bilinear quarter, coordinate
+  clamping at picture edges), the §8.4.1.3 MV prediction at 4x4
+  granularity (median plus the §8.4.1.3.2 directional rules for 16x8 /
+  8x16 partitions, C→D substitution on existence) with the P_Skip
+  zero-MV conditions, mb_skip_run coding, and the Inter
+  coded_block_pattern mapping (Table 9-4).
 - B slices (encode_gop_b): low-delay generalized B — B_Skip and
   B_Direct_16x16 in SPATIAL direct mode (§8.4.1.2.2: per-list refIdx
-  from neighbor usage, median MV, colZeroFlag against the colocated
-  MB of L1[0], whose motion field rides the DPB), plus B_L0/B_L1/B_Bi
-  16x16 against the two most recent PAST references (the conformant
-  default list init for that DPB), default bi-prediction
-  (§8.4.2.3 (p0+p1+1)>>1), per-list median MV prediction, Main-profile
-  SPS, non-reference B NALs. Sub-16x16 partitions, temporal direct,
-  CABAC, and weighted prediction remain honest NotImplementedError
-  guards.
+  from neighbor usage, median MV, and per-8x8-quadrant colZeroFlag
+  from the colocated CORNER 4x4 blocks of L1[0] under
+  direct_8x8_inference — each reference's 4x4-granular motion field
+  rides the DPB), plus B_L0/B_L1/B_Bi 16x16 against the two most
+  recent PAST references (the conformant default list init for that
+  DPB), default bi-prediction (§8.4.2.3 (p0+p1+1)>>1), per-list median
+  MV prediction, Main-profile SPS, non-reference B NALs. P_8x8 /
+  B sub-partitions, temporal direct, CABAC, and weighted prediction
+  remain honest NotImplementedError guards.
 
 Verification stance: bit-exact ROUND-TRIP is the contract — the
 decoder must reproduce the encoder's own reconstruction exactly
@@ -885,23 +889,24 @@ _CBP_INTER_INV = {cbp: i for i, cbp in enumerate(CBP_INTER)}
 
 
 def _mc_luma(ref: np.ndarray, y0: int, x0: int, mv: tuple[int, int],
-             size: int = 16) -> np.ndarray:
+             size: int | tuple[int, int] = 16) -> np.ndarray:
     """Quarter-pel motion-compensated luma prediction (§8.4.2.2.1) for a
-    `size`×`size` block at (y0, x0), mv = (mvx, mvy) in quarter-pel
-    units. Out-of-picture samples use coordinate clamping (the spec's
-    Clip3 on xInt/yInt — identical to edge replication). Returns int64
-    in [0, 255]."""
+    block at (y0, x0) of `size` = side length or (height, width), mv =
+    (mvx, mvy) in quarter-pel units. Out-of-picture samples use
+    coordinate clamping (the spec's Clip3 on xInt/yInt — identical to
+    edge replication). Returns int64 in [0, 255]."""
+    sy, sx = (size, size) if isinstance(size, int) else size
     h, w_ = ref.shape
     mvx, mvy = int(mv[0]), int(mv[1])
     y_int, x_int = y0 + (mvy >> 2), x0 + (mvx >> 2)
     fy, fx = mvy & 3, mvx & 3
     if fx == 0 and fy == 0:
-        rows = np.clip(np.arange(y_int, y_int + size), 0, h - 1)
-        cols = np.clip(np.arange(x_int, x_int + size), 0, w_ - 1)
+        rows = np.clip(np.arange(y_int, y_int + sy), 0, h - 1)
+        cols = np.clip(np.arange(x_int, x_int + sx), 0, w_ - 1)
         return ref[np.ix_(rows, cols)].astype(np.int64)
-    n = size + 6  # 2 above/left, 3 below/right of the size+1 grid
-    rows = np.clip(np.arange(y_int - 2, y_int - 2 + n), 0, h - 1)
-    cols = np.clip(np.arange(x_int - 2, x_int - 2 + n), 0, w_ - 1)
+    # 2 above/left, 3 below/right of the (s+1)-sample grid, per axis
+    rows = np.clip(np.arange(y_int - 2, y_int - 2 + sy + 6), 0, h - 1)
+    cols = np.clip(np.arange(x_int - 2, x_int - 2 + sx + 6), 0, w_ - 1)
     win = ref[np.ix_(rows, cols)].astype(np.int64)
 
     def tap6(a: np.ndarray, axis: int) -> np.ndarray:
@@ -918,20 +923,20 @@ def _mc_luma(ref: np.ndarray, y0: int, x0: int, mv: tuple[int, int],
                 + 20 * sl(3, span) - 5 * sl(4, span) + sl(5, span))
 
     clip = lambda v: np.clip(v, 0, 255)
-    g_grid = win[2:2 + size + 1, 2:2 + size + 1]        # integer samples
-    b_raw_all = tap6(win, 1)                             # (n, size+1)
-    b_grid = clip((b_raw_all[2:2 + size + 1] + 16) >> 5)  # horiz half-pel
-    h_grid = clip((tap6(win[:, 2:2 + size + 1], 0) + 16) >> 5)  # vert half
+    g_grid = win[2:2 + sy + 1, 2:2 + sx + 1]            # integer samples
+    b_raw_all = tap6(win, 1)                             # (*, sx+1)
+    b_grid = clip((b_raw_all[2:2 + sy + 1] + 16) >> 5)   # horiz half-pel
+    h_grid = clip((tap6(win[:, 2:2 + sx + 1], 0) + 16) >> 5)  # vert half
     j_grid = clip((tap6(b_raw_all, 0) + 512) >> 10)      # centre half-pel
 
-    G = g_grid[:size, :size]
-    H_ = g_grid[:size, 1:size + 1]
-    M = g_grid[1:size + 1, :size]
-    b = b_grid[:size, :size]
-    s_ = b_grid[1:size + 1, :size]
-    hh = h_grid[:size, :size]
-    m = h_grid[:size, 1:size + 1]
-    j = j_grid[:size, :size]
+    G = g_grid[:sy, :sx]
+    H_ = g_grid[:sy, 1:sx + 1]
+    M = g_grid[1:sy + 1, :sx]
+    b = b_grid[:sy, :sx]
+    s_ = b_grid[1:sy + 1, :sx]
+    hh = h_grid[:sy, :sx]
+    m = h_grid[:sy, 1:sx + 1]
+    j = j_grid[:sy, :sx]
     avg = lambda p, q: (p + q + 1) >> 1
     table = {
         (0, 0): G, (1, 0): avg(G, b), (2, 0): b, (3, 0): avg(H_, b),
@@ -944,26 +949,74 @@ def _mc_luma(ref: np.ndarray, y0: int, x0: int, mv: tuple[int, int],
     return table[(fx, fy)]
 
 
-def _mvp_16x16(mvs: np.ndarray, mbx: int, mby: int,
-               mbs_w: int) -> tuple[int, int]:
-    """Median MV predictor for a 16x16 L0 partition (§8.4.1.3): A=left,
-    B=top, C=top-right (D=top-left substituted when C unavailable);
-    every decoded MB in this envelope has refIdx 0."""
-    avail_a = mbx > 0
-    avail_b = mby > 0
-    avail_c = mby > 0 and mbx + 1 < mbs_w
-    avail_d = mby > 0 and mbx > 0
-    mv_a = tuple(mvs[mby][mbx - 1]) if avail_a else (0, 0)
-    mv_b = tuple(mvs[mby - 1][mbx]) if avail_b else (0, 0)
-    if avail_c:
-        mv_c, avail_c_eff = tuple(mvs[mby - 1][mbx + 1]), True
-    elif avail_d:
-        mv_c, avail_c_eff = tuple(mvs[mby - 1][mbx - 1]), True
+class _MotionField:
+    """4x4-granular motion bookkeeping for one reference list of one
+    slice. §8.4.1.3's neighbor derivation operates on the 4x4 blocks
+    adjacent to a PARTITION, which matters once macroblock partitions
+    exist (the lower 16x8 partition's B neighbor is the upper partition
+    of the same MB). Two masks, because the spec keys different rules
+    on different conditions: `dec` marks blocks already reconstructed
+    in decoding order (existence — drives C→D substitution and the
+    all-of-B/C-missing early rule), `used` marks blocks that predicted
+    from THIS list (refIdxLX == 0 vs -1 — drives candidate validity).
+    For P slices every decoded block uses L0, so used == dec."""
+
+    def __init__(self, mbs_h: int, mbs_w: int):
+        self.h4, self.w4 = mbs_h * 4, mbs_w * 4
+        self.mv = np.zeros((self.h4, self.w4, 2), dtype=np.int64)
+        self.dec = np.zeros((self.h4, self.w4), dtype=bool)
+        self.used = np.zeros((self.h4, self.w4), dtype=bool)
+
+    def is_dec(self, y4: int, x4: int) -> bool:
+        return (0 <= y4 < self.h4 and 0 <= x4 < self.w4
+                and bool(self.dec[y4, x4]))
+
+    def get(self, y4: int, x4: int) -> tuple[bool, tuple[int, int]]:
+        """(used-this-list, mv) — an existing block that didn't use the
+        list contributes (False, (0, 0)), per refIdxLXN = -1."""
+        if 0 <= y4 < self.h4 and 0 <= x4 < self.w4 and self.used[y4, x4]:
+            return True, (int(self.mv[y4, x4, 0]), int(self.mv[y4, x4, 1]))
+        return False, (0, 0)
+
+    def fill(self, y4: int, x4: int, h4: int, w4: int,
+             mv: tuple[int, int], used: bool = True) -> None:
+        self.dec[y4 : y4 + h4, x4 : x4 + w4] = True
+        if used:
+            self.mv[y4 : y4 + h4, x4 : x4 + w4] = mv
+            self.used[y4 : y4 + h4, x4 : x4 + w4] = True
+
+
+def _mvp_partition(mf: _MotionField, x4: int, y4: int, w4: int,
+                   part: str = "16x16") -> tuple[int, int]:
+    """Luma MV prediction for one L0/L1 partition (§8.4.1.3): median
+    over the A/B/C neighbors (C→D substitution when C is not DECODED;
+    a decoded neighbor that didn't use the list stays a zero-MV
+    non-candidate), with the §8.4.1.3.2 directional overrides for
+    16x8 / 8x16 partitions (every block in this envelope has refIdx 0,
+    so 'same refIdx' reduces to used-this-list)."""
+    a_dec = mf.is_dec(y4, x4 - 1)
+    b_dec = mf.is_dec(y4 - 1, x4)
+    avail_a, mv_a = mf.get(y4, x4 - 1)
+    avail_b, mv_b = mf.get(y4 - 1, x4)
+    if mf.is_dec(y4 - 1, x4 + w4):
+        c_dec = True
+        avail_c, mv_c = mf.get(y4 - 1, x4 + w4)
+    elif mf.is_dec(y4 - 1, x4 - 1):  # D substitution on existence
+        c_dec = True
+        avail_c, mv_c = mf.get(y4 - 1, x4 - 1)
     else:
-        mv_c, avail_c_eff = (0, 0), False
-    if not avail_b and not avail_c_eff and avail_a:
+        c_dec, avail_c, mv_c = False, False, (0, 0)
+    if part == "16x8_top" and avail_b:
+        return mv_b
+    if part == "16x8_bot" and avail_a:
         return mv_a
-    refs = [avail_a, avail_b, avail_c_eff]
+    if part == "8x16_left" and avail_a:
+        return mv_a
+    if part == "8x16_right" and avail_c:
+        return mv_c
+    if not b_dec and not c_dec and a_dec:
+        return mv_a
+    refs = [avail_a, avail_b, avail_c]
     cands = [mv_a, mv_b, mv_c]
     if sum(refs) == 1:
         return cands[refs.index(True)]
@@ -971,16 +1024,18 @@ def _mvp_16x16(mvs: np.ndarray, mbx: int, mby: int,
     return (med(mv_a[0], mv_b[0], mv_c[0]), med(mv_a[1], mv_b[1], mv_c[1]))
 
 
-def _skip_mv(mvs: np.ndarray, mbx: int, mby: int,
-             mbs_w: int) -> tuple[int, int]:
-    """P_Skip motion vector (§8.4.1.1): zero when a left/top neighbor
-    is unavailable or is a zero-MV ref-0 block, else the median
-    predictor."""
-    if mbx == 0 or mby == 0:
+def _skip_mv4(mf: _MotionField, mbx: int, mby: int) -> tuple[int, int]:
+    """P_Skip motion vector (§8.4.1.1): zero when the left/top 4x4
+    neighbor of the MB is unavailable or is a zero-MV ref-0 block,
+    else the 16x16 median predictor."""
+    y4, x4 = mby * 4, mbx * 4
+    avail_a, mv_a = mf.get(y4, x4 - 1)
+    avail_b, mv_b = mf.get(y4 - 1, x4)
+    if not avail_a or not avail_b:
         return (0, 0)
-    if tuple(mvs[mby][mbx - 1]) == (0, 0) or tuple(mvs[mby - 1][mbx]) == (0, 0):
+    if mv_a == (0, 0) or mv_b == (0, 0):
         return (0, 0)
-    return _mvp_16x16(mvs, mbx, mby, mbs_w)
+    return _mvp_partition(mf, x4, y4, 4, "16x16")
 
 
 def _encode_pslice(
@@ -991,11 +1046,13 @@ def _encode_pslice(
     search_range: int = 4,
     ref_slice: bool = True,
 ) -> tuple[np.ndarray, bytes, dict]:
-    """Encode one P slice (P_L0_16x16 + P_Skip) against `ref` (the
-    previous decoded frame). Returns (reconstruction, slice RBSP,
-    stats) — the reconstruction is the decoder-exact reference.
-    `ref_slice=False` emits a non-reference slice (send with
-    nal_ref_idc 0): dec_ref_pic_marking is then absent per §7.3.3."""
+    """Encode one P slice (P_Skip, P_L0_16x16, P_L0_L0_16x8,
+    P_L0_L0_8x16 — per-MB cheapest under a qp-scaled partition
+    deadband) against `ref` (the previous decoded frame). Returns
+    (reconstruction, slice RBSP, stats) — the reconstruction is the
+    decoder-exact reference. `ref_slice=False` emits a non-reference
+    slice (send with nal_ref_idc 0): dec_ref_pic_marking is then
+    absent per §7.3.3."""
     h, w_ = y_plane.shape
     mbs_w, mbs_h = w_ // 16, h // 16
     w = BitWriter()
@@ -1013,9 +1070,14 @@ def _encode_pslice(
     src = y_plane.astype(np.int64)
     recon = np.zeros((h, w_), dtype=np.int64)
     tc_map = np.zeros((h // 4, w_ // 4), dtype=np.int64)
-    mvs = np.zeros((mbs_h, mbs_w, 2), dtype=np.int64)
-    stats = {"n_skip": 0, "n_coded": 0, "n_subpel": 0, "mvs": []}
+    mf = _MotionField(mbs_h, mbs_w)
+    stats = {"n_skip": 0, "n_coded": 0, "n_subpel": 0, "n_16x8": 0,
+             "n_8x16": 0, "mvs": []}
     skip_run = 0
+    # partition-choice deadband: a second partition costs mb_type +
+    # MVD bits, so its SAD win must beat a qp-scaled penalty (encoder
+    # policy only — any choice is conformant, the decoder takes all)
+    part_pen = 16 << (qp // 6)
 
     def block_levels(pred: np.ndarray, mby: int, mbx: int) -> list:
         out = []
@@ -1028,82 +1090,99 @@ def _encode_pslice(
                                     intra=False))
         return out
 
+    # P mb_type layouts (Table 7-13): per partition
+    # (tag, dx, dy, width, height) in luma samples within the MB
+    parts_of = {
+        0: (("16x16", 0, 0, 16, 16),),
+        1: (("16x8_top", 0, 0, 16, 8), ("16x8_bot", 0, 8, 16, 8)),
+        2: (("8x16_left", 0, 0, 8, 16), ("8x16_right", 8, 0, 8, 16)),
+    }
+
     for mby in range(mbs_h):
         for mbx in range(mbs_w):
             y0, x0 = mby * 16, mbx * 16
-            smv = _skip_mv(mvs, mbx, mby, mbs_w)
+            smv = _skip_mv4(mf, mbx, mby)
             pred_s = _mc_luma(ref, y0, x0, smv)
             lv_s = block_levels(pred_s, mby, mbx)
             if all(not lv.any() for lv in lv_s):
                 skip_run += 1
                 stats["n_skip"] += 1
-                mvs[mby, mbx] = smv
+                mf.fill(mby * 4, mbx * 4, 4, 4, smv)
                 recon[y0 : y0 + 16, x0 : x0 + 16] = pred_s
                 tc_map[y0 // 4 : y0 // 4 + 4, x0 // 4 : x0 // 4 + 4] = 0
                 continue
-            # motion search: exhaustive integer window, then half- and
-            # quarter-pel refinement around the best candidate
-            best_mv, best_cost = (0, 0), None
-            blk_src = src[y0 : y0 + 16, x0 : x0 + 16]
-            for dy in range(-search_range, search_range + 1):
-                for dx in range(-search_range, search_range + 1):
-                    cand = (4 * dx, 4 * dy)
-                    cost = int(np.abs(
-                        blk_src - _mc_luma(ref, y0, x0, cand)).sum())
-                    if best_cost is None or cost < best_cost:
-                        best_mv, best_cost = cand, cost
-            for step in (2, 1):
-                base = best_mv
-                for dy in (-step, 0, step):
-                    for dx in (-step, 0, step):
-                        cand = (base[0] + dx, base[1] + dy)
-                        if cand == base:
-                            continue
-                        cost = int(np.abs(
-                            blk_src - _mc_luma(ref, y0, x0, cand)).sum())
-                        if cost < best_cost:
-                            best_mv, best_cost = cand, cost
-            pred = _mc_luma(ref, y0, x0, best_mv)
-            levels = block_levels(pred, mby, mbx)
-            cbp = 0
-            for blk in range(16):
-                if levels[blk].any():
-                    bx, by = LUMA_BLOCK_XY[blk]
-                    cbp |= 1 << (2 * (by // 8) + (bx // 8))
-            mvp = _mvp_16x16(mvs, mbx, mby, mbs_w)
+            blk = src[y0 : y0 + 16, x0 : x0 + 16]
+            mv16, sad16 = _search_best(ref, blk, y0, x0, search_range)
+            mv_t, sad_t = _search_best(ref, blk[:8, :], y0, x0,
+                                       search_range)
+            mv_b, sad_b = _search_best(ref, blk[8:, :], y0 + 8, x0,
+                                       search_range)
+            mv_l, sad_l = _search_best(ref, blk[:, :8], y0, x0,
+                                       search_range)
+            mv_r, sad_r = _search_best(ref, blk[:, 8:], y0, x0 + 8,
+                                       search_range)
+            mb_type = min(
+                (sad16, 0),
+                (sad_t + sad_b + part_pen, 1),
+                (sad_l + sad_r + part_pen, 2),
+            )[1]
+            part_mvs = {0: (mv16,), 1: (mv_t, mv_b), 2: (mv_l, mv_r)}[
+                mb_type
+            ]
             w.ue(skip_run)
             skip_run = 0
-            w.ue(0)  # mb_type P_L0_16x16
-            w.se(int(best_mv[0] - mvp[0]))
-            w.se(int(best_mv[1] - mvp[1]))
+            w.ue(mb_type)  # 0 P_L0_16x16, 1 P_L0_L0_16x8, 2 P_L0_L0_8x16
+            pred = np.empty((16, 16), dtype=np.int64)
+            for (tag, dx, dy, pw, ph), mv in zip(
+                parts_of[mb_type], part_mvs
+            ):
+                x4, y4 = (x0 + dx) // 4, (y0 + dy) // 4
+                mvp = _mvp_partition(mf, x4, y4, pw // 4, tag)
+                w.se(int(mv[0] - mvp[0]))
+                w.se(int(mv[1] - mvp[1]))
+                pred[dy : dy + ph, dx : dx + pw] = _mc_luma(
+                    ref, y0 + dy, x0 + dx, mv, (ph, pw)
+                )
+                mf.fill(y4, x4, ph // 4, pw // 4, mv)
+                if (mv[0] | mv[1]) & 3:
+                    stats["n_subpel"] += 1
+                stats["mvs"].append((mbx, mby, int(mv[0]), int(mv[1])))
+            levels = block_levels(pred, mby, mbx)
+            cbp = 0
+            for blk_i in range(16):
+                if levels[blk_i].any():
+                    bx, by = LUMA_BLOCK_XY[blk_i]
+                    cbp |= 1 << (2 * (by // 8) + (bx // 8))
             w.ue(_CBP_INTER_INV[cbp])
             if cbp:
                 w.se(0)  # mb_qp_delta
-            for blk in range(16):
-                bx, by = LUMA_BLOCK_XY[blk]
+            for blk_i in range(16):
+                bx, by = LUMA_BLOCK_XY[blk_i]
                 y, x = y0 + by, x0 + bx
                 group = 1 << (2 * (by // 8) + (bx // 8))
                 if cbp & group:
                     nc = _neighbor_nc(tc_map, y // 4, x // 4)
-                    tc = encode_residual_block(w, levels[blk], nc)
+                    tc = encode_residual_block(w, levels[blk_i], nc)
                     tc_map[y // 4, x // 4] = tc
-                    res = inverse_transform_4x4(dequantize_4x4(levels[blk], qp))
+                    res = inverse_transform_4x4(
+                        dequantize_4x4(levels[blk_i], qp))
                 else:
                     tc_map[y // 4, x // 4] = 0
                     res = 0
                 recon[y : y + 4, x : x + 4] = np.clip(
                     pred[by : by + 4, bx : bx + 4] + res, 0, 255)
-            mvs[mby, mbx] = best_mv
             stats["n_coded"] += 1
-            if (best_mv[0] | best_mv[1]) & 3:
-                stats["n_subpel"] += 1
-            stats["mvs"].append((mbx, mby, int(best_mv[0]), int(best_mv[1])))
+            if mb_type == 1:
+                stats["n_16x8"] += 1
+            elif mb_type == 2:
+                stats["n_8x16"] += 1
     if skip_run:
         w.ue(skip_run)
-    # full per-MB motion field (skip MVs included) — the colocated-
-    # motion source for spatial-direct B slices that reference this
-    # frame as L1[0] (§8.4.1.2.2 colZeroFlag needs mvCol)
-    stats["mv_grid"] = mvs.copy()
+    # full 4x4-granular motion field (skip MVs included) — the
+    # colocated-motion source for spatial-direct B slices that
+    # reference this frame as L1[0] (§8.4.1.2.2 colZeroFlag reads the
+    # corner 4x4 blocks under direct_8x8_inference)
+    stats["mv_grid4"] = mf.mv.copy()
     return recon.astype(np.uint8), w.rbsp(), stats
 
 
@@ -1171,13 +1250,18 @@ def _decode_pslice(r: BitReader, sps: dict, pps: dict, ref: np.ndarray,
     refi = ref.astype(np.int64)
     recon = np.zeros((h, w_), dtype=np.int64)
     tc_map = np.zeros((h // 4, w_ // 4), dtype=np.int64)
-    mvs = np.zeros((mbs_h, mbs_w, 2), dtype=np.int64)
+    mf = _MotionField(mbs_h, mbs_w)
     n_mbs = mbs_h * mbs_w
+    parts_of = {
+        0: (("16x16", 0, 0, 16, 16),),
+        1: (("16x8_top", 0, 0, 16, 8), ("16x8_bot", 0, 8, 16, 8)),
+        2: (("8x16_left", 0, 0, 8, 16), ("8x16_right", 8, 0, 8, 16)),
+    }
 
     def recon_skip(addr: int) -> None:
         mby, mbx = addr // mbs_w, addr % mbs_w
-        smv = _skip_mv(mvs, mbx, mby, mbs_w)
-        mvs[mby, mbx] = smv
+        smv = _skip_mv4(mf, mbx, mby)
+        mf.fill(mby * 4, mbx * 4, 4, 4, smv)
         recon[mby * 16 : mby * 16 + 16, mbx * 16 : mbx * 16 + 16] = \
             _mc_luma(refi, mby * 16, mbx * 16, smv)
 
@@ -1193,20 +1277,26 @@ def _decode_pslice(r: BitReader, sps: dict, pps: dict, ref: np.ndarray,
             break
         mby, mbx = addr // mbs_w, addr % mbs_w
         mb_type = r.ue()
-        if mb_type != 0:
+        if mb_type > 2:
             raise NotImplementedError(
-                f"P mb_type {mb_type} unsupported (only P_L0_16x16)"
+                f"P mb_type {mb_type} unsupported (16x16/16x8/8x16 only)"
             )
-        mvd = (r.se(), r.se())
-        mvp = _mvp_16x16(mvs, mbx, mby, mbs_w)
-        mv = (mvp[0] + mvd[0], mvp[1] + mvd[1])
+        y0, x0 = mby * 16, mbx * 16
+        pred = np.empty((16, 16), dtype=np.int64)
+        for tag, dx, dy, pw, ph in parts_of[mb_type]:
+            x4, y4 = (x0 + dx) // 4, (y0 + dy) // 4
+            mvp = _mvp_partition(mf, x4, y4, pw // 4, tag)
+            mvd = (r.se(), r.se())
+            mv = (mvp[0] + mvd[0], mvp[1] + mvd[1])
+            pred[dy : dy + ph, dx : dx + pw] = _mc_luma(
+                refi, y0 + dy, x0 + dx, mv, (ph, pw)
+            )
+            mf.fill(y4, x4, ph // 4, pw // 4, mv)
         cbp = CBP_INTER[r.ue()]
         if cbp & 0x30:
             raise NotImplementedError("chroma residual unsupported")
         if cbp and r.se() != 0:
             raise NotImplementedError("mb_qp_delta unsupported")
-        y0, x0 = mby * 16, mbx * 16
-        pred = _mc_luma(refi, y0, x0, mv)
         for blk in range(16):
             bx, by = LUMA_BLOCK_XY[blk]
             y, x = y0 + by, x0 + bx
@@ -1221,9 +1311,8 @@ def _decode_pslice(r: BitReader, sps: dict, pps: dict, ref: np.ndarray,
                 res = 0
             recon[y : y + 4, x : x + 4] = np.clip(
                 pred[by : by + 4, bx : bx + 4] + res, 0, 255)
-        mvs[mby, mbx] = mv
         addr += 1
-    return recon.astype(np.uint8), qp, mvs
+    return recon.astype(np.uint8), qp, mf.mv
 
 
 def decode_stream(data: bytes) -> dict:
@@ -1399,107 +1488,81 @@ def _decode_islice_body(r: BitReader, sps: dict, pps: dict, idr: bool,
 # 2 B_L1_16x16, 3 B_Bi_16x16).
 
 
-def _direct_spatial(mvs0, mvs1, used0, used1, mbx, mby, mbs_w,
-                    col_mvs, col_intra):
-    """Spatial-direct motion for one 16x16 MB (§8.4.1.2.2, single ref
-    per list): → (use0, use1, mv0, mv1). Per list X: refIdxLX = 0 iff
-    any existing neighbor (A, B, C with the D substitution on
-    existence) used list X, else -1; both -1 → zero-MV bi-prediction
-    (directZeroPredictionFlag). An in-use list takes the §8.4.1.3.1
-    median MVP, zeroed when the colocated MB of RefPicList1[0] is
-    non-intra with |mvCol| <= 1 quarter-pel in both components
-    (colZeroFlag; refIdxCol is always 0 in this one-ref envelope)."""
+def _direct_spatial(mf0: _MotionField, mf1: _MotionField, mbx: int,
+                    mby: int, col_mv4: np.ndarray, col_intra4: np.ndarray):
+    """Spatial-direct motion for one 16x16 B MB (§8.4.1.2.2, single ref
+    per list): → (use0, use1, mv0, mv1, zero_quads). Per list X:
+    refIdxLX = 0 iff any existing neighbor (A, B, C with the D
+    substitution on existence) used list X, else -1; both -1 → zero-MV
+    bi-prediction (directZeroPredictionFlag, zero_quads all True). An
+    in-use list takes the §8.4.1.3.1 median MVP; zero_quads[qy][qx]
+    (the direct_8x8_inference rule) zeroes the MV of each 8x8 quadrant
+    whose colocated CORNER 4x4 block in RefPicList1[0] is non-intra
+    with |mvCol| <= 1 quarter-pel in both components (colZeroFlag;
+    refIdxCol is always 0 in this one-ref envelope)."""
+    y4, x4 = mby * 4, mbx * 4
 
-    def list_ref(used) -> int:
-        a = mbx > 0 and bool(used[mby][mbx - 1])
-        b = mby > 0 and bool(used[mby - 1][mbx])
-        if mby > 0 and mbx + 1 < mbs_w:
-            c = bool(used[mby - 1][mbx + 1])
-        elif mby > 0 and mbx > 0:
-            c = bool(used[mby - 1][mbx - 1])
+    def list_ref(mf: _MotionField) -> int:
+        a = mf.get(y4, x4 - 1)[0]
+        b = mf.get(y4 - 1, x4)[0]
+        if mf.is_dec(y4 - 1, x4 + 4):
+            c = mf.get(y4 - 1, x4 + 4)[0]
         else:
-            c = False
+            c = mf.get(y4 - 1, x4 - 1)[0]
         return 0 if (a or b or c) else -1
 
-    ref0 = list_ref(used0)
-    ref1 = list_ref(used1)
+    ref0 = list_ref(mf0)
+    ref1 = list_ref(mf1)
+    all_zero = np.ones((2, 2), dtype=bool)
     if ref0 < 0 and ref1 < 0:
-        return True, True, (0, 0), (0, 0)
-    col_zero = (
-        not bool(col_intra[mby][mbx])
-        and abs(int(col_mvs[mby][mbx][0])) <= 1
-        and abs(int(col_mvs[mby][mbx][1])) <= 1
-    )
+        return True, True, (0, 0), (0, 0), all_zero
+    # colZeroFlag per 8x8 quadrant from the colocated corner 4x4 block
+    # (direct_8x8_inference_flag = 1: corners 0/3/12/15 of the col MB)
+    zq = np.zeros((2, 2), dtype=bool)
+    for qy in range(2):
+        for qx in range(2):
+            cy, cx = y4 + 3 * qy, x4 + 3 * qx
+            zq[qy, qx] = (
+                not bool(col_intra4[cy, cx])
+                and abs(int(col_mv4[cy, cx, 0])) <= 1
+                and abs(int(col_mv4[cy, cx, 1])) <= 1
+            )
     out = []
-    for refx, mvsx, usedx in ((ref0, mvs0, used0), (ref1, mvs1, used1)):
+    for refx, mfx in ((ref0, mf0), (ref1, mf1)):
         if refx < 0:
             out.append((False, (0, 0)))
-        elif col_zero:
-            out.append((True, (0, 0)))
         else:
-            out.append((True, _mvp_b(mvsx, usedx, mbx, mby, mbs_w)))
+            out.append((True, _mvp_partition(mfx, x4, y4, 4, "16x16")))
     (u0, mv0), (u1, mv1) = out
-    return u0, u1, mv0, mv1
+    return u0, u1, mv0, mv1, zq
 
 
 def _intra_motion_info(mbs_h: int, mbs_w: int) -> dict:
     """DPB motion record for an all-intra frame: zero MVs, intra mask
-    everywhere (colZeroFlag is false against an intra colocated MB)."""
+    everywhere (colZeroFlag is false against an intra colocated
+    block). 4x4-granular, like every motion field."""
     return {
-        "mvs": np.zeros((mbs_h, mbs_w, 2), dtype=np.int64),
-        "intra": np.ones((mbs_h, mbs_w), dtype=bool),
+        "mv4": np.zeros((mbs_h * 4, mbs_w * 4, 2), dtype=np.int64),
+        "intra4": np.ones((mbs_h * 4, mbs_w * 4), dtype=bool),
     }
 
 
-def _inter_motion_info(mvs: np.ndarray) -> dict:
-    return {"mvs": mvs, "intra": np.zeros(mvs.shape[:2], dtype=bool)}
-
-
-def _mvp_b(mvs: np.ndarray, used: np.ndarray, mbx: int, mby: int,
-           mbs_w: int) -> tuple[int, int]:
-    """Median MV predictor for one list of a B 16x16 partition: a
-    neighbor predicts only if it exists AND used this list (else its
-    refIdx is -1, same as unavailable in §8.4.1.3)."""
-    avail_a = mbx > 0 and bool(used[mby][mbx - 1])
-    avail_b = mby > 0 and bool(used[mby - 1][mbx])
-    pos_c = (mby - 1, mbx + 1) if (mby > 0 and mbx + 1 < mbs_w) else None
-    pos_d = (mby - 1, mbx - 1) if (mby > 0 and mbx > 0) else None
-    exists_c = pos_c is not None
-    exists_d = pos_d is not None
-    mv_a = tuple(mvs[mby][mbx - 1]) if avail_a else (0, 0)
-    mv_b = tuple(mvs[mby - 1][mbx]) if avail_b else (0, 0)
-    # C substitution (D when C doesn't exist) happens on EXISTENCE; the
-    # substituted candidate then contributes only if it used the list
-    if exists_c:
-        avail_c = bool(used[pos_c])
-        mv_c = tuple(mvs[pos_c]) if avail_c else (0, 0)
-        c_exists = True
-    elif exists_d:
-        avail_c = bool(used[pos_d])
-        mv_c = tuple(mvs[pos_d]) if avail_c else (0, 0)
-        c_exists = True
-    else:
-        avail_c, mv_c, c_exists = False, (0, 0), False
-    if mby == 0 and not c_exists and mbx > 0:
-        # B and C positions don't exist -> copy A (§8.4.1.3.1)
-        return mv_a if avail_a else (0, 0)
-    refs = [avail_a, avail_b, avail_c]
-    cands = [mv_a, mv_b, mv_c]
-    if sum(refs) == 1:
-        return cands[refs.index(True)]
-    med = lambda a, b, c: a + b + c - min(a, b, c) - max(a, b, c)
-    return (med(mv_a[0], mv_b[0], mv_c[0]), med(mv_a[1], mv_b[1], mv_c[1]))
+def _inter_motion_info(mv4: np.ndarray) -> dict:
+    return {"mv4": mv4, "intra4": np.zeros(mv4.shape[:2], dtype=bool)}
 
 
 def _search_best(ref: np.ndarray, blk_src: np.ndarray, y0: int, x0: int,
                  search_range: int) -> tuple[tuple[int, int], int]:
     """Exhaustive integer window + half/quarter refinement (the P-slice
-    search), returned as (mv, SAD)."""
+    search) for a block of blk_src.shape at (y0, x0), returned as
+    (mv, SAD)."""
+    size = blk_src.shape
     best_mv, best_cost = (0, 0), None
     for dy in range(-search_range, search_range + 1):
         for dx in range(-search_range, search_range + 1):
             cand = (4 * dx, 4 * dy)
-            cost = int(np.abs(blk_src - _mc_luma(ref, y0, x0, cand)).sum())
+            cost = int(np.abs(
+                blk_src - _mc_luma(ref, y0, x0, cand, size)).sum())
             if best_cost is None or cost < best_cost:
                 best_mv, best_cost = cand, cost
     for step in (2, 1):
@@ -1510,7 +1573,7 @@ def _search_best(ref: np.ndarray, blk_src: np.ndarray, y0: int, x0: int,
                 if cand == base:
                     continue
                 cost = int(np.abs(
-                    blk_src - _mc_luma(ref, y0, x0, cand)).sum())
+                    blk_src - _mc_luma(ref, y0, x0, cand, size)).sum())
                 if cost < best_cost:
                     best_mv, best_cost = cand, cost
     return best_mv, best_cost
@@ -1527,12 +1590,13 @@ def _encode_bslice(
     col_info: dict | None = None,
 ) -> tuple[np.ndarray, bytes, dict]:
     """Encode one B slice: per MB, derive the spatial-direct motion
-    (col_info = L1[0]'s DPB motion record) and pick the cheapest of
-    B_Direct_16x16, B_L0_16x16 (vs ref0), B_L1_16x16 (vs ref1),
-    B_Bi_16x16 (their average); ties prefer Direct < L0 < L1 < Bi
-    (Direct writes no MVD). A direct MB whose residual quantizes to
-    all-zero is emitted as B_Skip via mb_skip_run. Returns
-    (reconstruction, RBSP, stats)."""
+    (col_info = L1[0]'s 4x4-granular DPB motion record; colZeroFlag
+    zeroes each 8x8 quadrant independently per direct_8x8_inference)
+    and pick the cheapest of B_Direct_16x16, B_L0_16x16 (vs ref0),
+    B_L1_16x16 (vs ref1), B_Bi_16x16 (their average); ties prefer
+    Direct < L0 < L1 < Bi (Direct writes no MVD). A direct MB whose
+    residual quantizes to all-zero is emitted as B_Skip via
+    mb_skip_run. Returns (reconstruction, RBSP, stats)."""
     h, w_ = y_plane.shape
     mbs_w, mbs_h = w_ // 16, h // 16
     if col_info is None:
@@ -1556,10 +1620,8 @@ def _encode_bslice(
     r1 = ref1.astype(np.int64)
     recon = np.zeros((h, w_), dtype=np.int64)
     tc_map = np.zeros((h // 4, w_ // 4), dtype=np.int64)
-    mvs0 = np.zeros((mbs_h, mbs_w, 2), dtype=np.int64)
-    mvs1 = np.zeros((mbs_h, mbs_w, 2), dtype=np.int64)
-    used0 = np.zeros((mbs_h, mbs_w), dtype=bool)
-    used1 = np.zeros((mbs_h, mbs_w), dtype=bool)
+    mf0 = _MotionField(mbs_h, mbs_w)
+    mf1 = _MotionField(mbs_h, mbs_w)
     stats = {"n_skip": 0, "n_direct": 0, "n_l0": 0, "n_l1": 0, "n_bi": 0}
     skip_run = 0
 
@@ -1575,32 +1637,49 @@ def _encode_bslice(
                 cbp |= 1 << (2 * (by // 8) + (bx // 8))
         return levels, cbp
 
-    def direct_pred(u0, u1, dmv0, dmv1, y0, x0) -> np.ndarray:
-        if u0 and u1:
-            return (_mc_luma(r0, y0, x0, dmv0)
-                    + _mc_luma(r1, y0, x0, dmv1) + 1) >> 1
-        if u0:
-            return _mc_luma(r0, y0, x0, dmv0)
-        return _mc_luma(r1, y0, x0, dmv1)
+    def direct_pred(u0, u1, dmv0, dmv1, zq, y0, x0) -> np.ndarray:
+        def one(m0, m1, py, px, size):
+            if u0 and u1:
+                return (_mc_luma(r0, py, px, m0, size)
+                        + _mc_luma(r1, py, px, m1, size) + 1) >> 1
+            if u0:
+                return _mc_luma(r0, py, px, m0, size)
+            return _mc_luma(r1, py, px, m1, size)
+
+        if zq.all():
+            return one((0, 0), (0, 0), y0, x0, 16)
+        if not zq.any():
+            return one(dmv0, dmv1, y0, x0, 16)
+        pred = np.empty((16, 16), dtype=np.int64)
+        for qy in range(2):
+            for qx in range(2):
+                m0 = (0, 0) if zq[qy, qx] else dmv0
+                m1 = (0, 0) if zq[qy, qx] else dmv1
+                pred[8 * qy : 8 * qy + 8, 8 * qx : 8 * qx + 8] = one(
+                    m0, m1, y0 + 8 * qy, x0 + 8 * qx, 8)
+        return pred
+
+    def commit_direct(mbx, mby, u0, u1, dmv0, dmv1, zq) -> None:
+        y4, x4 = mby * 4, mbx * 4
+        for u, mv, mf in ((u0, dmv0, mf0), (u1, dmv1, mf1)):
+            if not u:
+                mf.fill(y4, x4, 4, 4, (0, 0), used=False)
+                continue
+            for qy in range(2):
+                for qx in range(2):
+                    q = (0, 0) if zq[qy, qx] else mv
+                    mf.fill(y4 + 2 * qy, x4 + 2 * qx, 2, 2, q)
 
     for mby in range(mbs_h):
         for mbx in range(mbs_w):
             y0, x0 = mby * 16, mbx * 16
+            y4, x4 = mby * 4, mbx * 4
             blk = src[y0 : y0 + 16, x0 : x0 + 16]
-            u0, u1, dmv0, dmv1 = _direct_spatial(
-                mvs0, mvs1, used0, used1, mbx, mby, mbs_w,
-                col_info["mvs"], col_info["intra"],
+            u0, u1, dmv0, dmv1, zq = _direct_spatial(
+                mf0, mf1, mbx, mby, col_info["mv4"], col_info["intra4"]
             )
-            pd = direct_pred(u0, u1, dmv0, dmv1, y0, x0)
+            pd = direct_pred(u0, u1, dmv0, dmv1, zq, y0, x0)
             lv_d, cbp_d = mb_levels(pd, y0, x0)
-
-            def commit_direct_motion():
-                if u0:
-                    mvs0[mby, mbx] = dmv0
-                    used0[mby, mbx] = True
-                if u1:
-                    mvs1[mby, mbx] = dmv1
-                    used1[mby, mbx] = True
 
             if cbp_d == 0:
                 # B_Skip: direct motion, no residual, nothing but the run
@@ -1608,7 +1687,7 @@ def _encode_bslice(
                 stats["n_skip"] += 1
                 recon[y0 : y0 + 16, x0 : x0 + 16] = np.clip(pd, 0, 255)
                 tc_map[y0 // 4 : y0 // 4 + 4, x0 // 4 : x0 // 4 + 4] = 0
-                commit_direct_motion()
+                commit_direct(mbx, mby, u0, u1, dmv0, dmv1, zq)
                 continue
             cd = int(np.abs(blk - pd).sum())
             mv0, c0 = _search_best(r0, blk, y0, x0, search_range)
@@ -1623,11 +1702,11 @@ def _encode_bslice(
             skip_run = 0
             w.ue(choice)  # mb_type: 0 B_Direct, 1 B_L0, 2 B_L1, 3 B_Bi
             if choice in (1, 3):
-                mvp = _mvp_b(mvs0, used0, mbx, mby, mbs_w)
+                mvp = _mvp_partition(mf0, x4, y4, 4, "16x16")
                 w.se(int(mv0[0] - mvp[0]))
                 w.se(int(mv0[1] - mvp[1]))
             if choice in (2, 3):
-                mvp = _mvp_b(mvs1, used1, mbx, mby, mbs_w)
+                mvp = _mvp_partition(mf1, x4, y4, 4, "16x16")
                 w.se(int(mv1[0] - mvp[0]))
                 w.se(int(mv1[1] - mvp[1]))
             if choice == 0:
@@ -1653,21 +1732,13 @@ def _encode_bslice(
                 recon[y : y + 4, x : x + 4] = np.clip(
                     pred[by : by + 4, bx : bx + 4] + res, 0, 255)
             if choice == 0:
-                commit_direct_motion()
+                commit_direct(mbx, mby, u0, u1, dmv0, dmv1, zq)
             else:
-                if choice in (1, 3):
-                    mvs0[mby, mbx] = mv0
-                    used0[mby, mbx] = True
-                if choice in (2, 3):
-                    mvs1[mby, mbx] = mv1
-                    used1[mby, mbx] = True
+                mf0.fill(y4, x4, 4, 4, mv0, used=choice in (1, 3))
+                mf1.fill(y4, x4, 4, 4, mv1, used=choice in (2, 3))
             stats[("n_direct", "n_l0", "n_l1", "n_bi")[choice]] += 1
     if skip_run:
         w.ue(skip_run)
-    stats["mv_grid0"] = mvs0.copy()
-    stats["used0"] = used0.copy()
-    stats["mv_grid1"] = mvs1.copy()
-    stats["used1"] = used1.copy()
     return recon.astype(np.uint8), w.rbsp(), stats
 
 
@@ -1708,34 +1779,48 @@ def _decode_bslice(r: BitReader, sps: dict, pps: dict, ref0: np.ndarray,
     r1 = ref1.astype(np.int64)
     recon = np.zeros((h, w_), dtype=np.int64)
     tc_map = np.zeros((h // 4, w_ // 4), dtype=np.int64)
-    mvs0 = np.zeros((mbs_h, mbs_w, 2), dtype=np.int64)
-    mvs1 = np.zeros((mbs_h, mbs_w, 2), dtype=np.int64)
-    used0 = np.zeros((mbs_h, mbs_w), dtype=bool)
-    used1 = np.zeros((mbs_h, mbs_w), dtype=bool)
+    mf0 = _MotionField(mbs_h, mbs_w)
+    mf1 = _MotionField(mbs_h, mbs_w)
     counts = {"n_skip": 0, "n_direct": 0, "n_l0": 0, "n_l1": 0, "n_bi": 0}
     n_mbs = mbs_h * mbs_w
 
     def direct_motion(mbx: int, mby: int):
         return _direct_spatial(
-            mvs0, mvs1, used0, used1, mbx, mby, mbs_w,
-            col_info["mvs"], col_info["intra"],
+            mf0, mf1, mbx, mby, col_info["mv4"], col_info["intra4"]
         )
 
-    def direct_pred(u0, u1, dmv0, dmv1, y0, x0) -> np.ndarray:
-        if u0 and u1:
-            return (_mc_luma(r0, y0, x0, dmv0)
-                    + _mc_luma(r1, y0, x0, dmv1) + 1) >> 1
-        if u0:
-            return _mc_luma(r0, y0, x0, dmv0)
-        return _mc_luma(r1, y0, x0, dmv1)
+    def direct_pred(u0, u1, dmv0, dmv1, zq, y0, x0) -> np.ndarray:
+        def one(m0, m1, py, px, size):
+            if u0 and u1:
+                return (_mc_luma(r0, py, px, m0, size)
+                        + _mc_luma(r1, py, px, m1, size) + 1) >> 1
+            if u0:
+                return _mc_luma(r0, py, px, m0, size)
+            return _mc_luma(r1, py, px, m1, size)
 
-    def commit(mbx, mby, u0, u1, mv0, mv1):
-        if u0:
-            mvs0[mby, mbx] = mv0
-            used0[mby, mbx] = True
-        if u1:
-            mvs1[mby, mbx] = mv1
-            used1[mby, mbx] = True
+        if zq.all():
+            return one((0, 0), (0, 0), y0, x0, 16)
+        if not zq.any():
+            return one(dmv0, dmv1, y0, x0, 16)
+        pred = np.empty((16, 16), dtype=np.int64)
+        for qy in range(2):
+            for qx in range(2):
+                m0 = (0, 0) if zq[qy, qx] else dmv0
+                m1 = (0, 0) if zq[qy, qx] else dmv1
+                pred[8 * qy : 8 * qy + 8, 8 * qx : 8 * qx + 8] = one(
+                    m0, m1, y0 + 8 * qy, x0 + 8 * qx, 8)
+        return pred
+
+    def commit_direct(mbx, mby, u0, u1, dmv0, dmv1, zq) -> None:
+        y4, x4 = mby * 4, mbx * 4
+        for u, mv, mf in ((u0, dmv0, mf0), (u1, dmv1, mf1)):
+            if not u:
+                mf.fill(y4, x4, 4, 4, (0, 0), used=False)
+                continue
+            for qy in range(2):
+                for qx in range(2):
+                    q = (0, 0) if zq[qy, qx] else mv
+                    mf.fill(y4 + 2 * qy, x4 + 2 * qx, 2, 2, q)
 
     addr = 0
     while addr < n_mbs:
@@ -1745,11 +1830,11 @@ def _decode_bslice(r: BitReader, sps: dict, pps: dict, ref0: np.ndarray,
         for _ in range(skip_run):
             mbx, mby = addr % mbs_w, addr // mbs_w
             y0, x0 = mby * 16, mbx * 16
-            u0, u1, dmv0, dmv1 = direct_motion(mbx, mby)
+            u0, u1, dmv0, dmv1, zq = direct_motion(mbx, mby)
             recon[y0 : y0 + 16, x0 : x0 + 16] = np.clip(
-                direct_pred(u0, u1, dmv0, dmv1, y0, x0), 0, 255)
+                direct_pred(u0, u1, dmv0, dmv1, zq, y0, x0), 0, 255)
             tc_map[y0 // 4 : y0 // 4 + 4, x0 // 4 : x0 // 4 + 4] = 0
-            commit(mbx, mby, u0, u1, dmv0, dmv1)
+            commit_direct(mbx, mby, u0, u1, dmv0, dmv1, zq)
             counts["n_skip"] += 1
             addr += 1
         if addr >= n_mbs:
@@ -1762,19 +1847,22 @@ def _decode_bslice(r: BitReader, sps: dict, pps: dict, ref0: np.ndarray,
                 "(16x16 Direct/L0/L1/Bi only)"
             )
         y0, x0 = mby * 16, mbx * 16
+        y4, x4 = mby * 4, mbx * 4
+        direct_args = None
         if mb_type == 0:
-            u0, u1, mv0, mv1 = direct_motion(mbx, mby)
-            pred = direct_pred(u0, u1, mv0, mv1, y0, x0)
+            u0, u1, mv0, mv1, zq = direct_motion(mbx, mby)
+            direct_args = (u0, u1, mv0, mv1, zq)
+            pred = direct_pred(u0, u1, mv0, mv1, zq, y0, x0)
         else:
             mv0 = mv1 = (0, 0)
             u0 = mb_type in (1, 3)
             u1 = mb_type in (2, 3)
             if u0:
-                mvp = _mvp_b(mvs0, used0, mbx, mby, mbs_w)
+                mvp = _mvp_partition(mf0, x4, y4, 4, "16x16")
                 mvd = (r.se(), r.se())
                 mv0 = (mvp[0] + mvd[0], mvp[1] + mvd[1])
             if u1:
-                mvp = _mvp_b(mvs1, used1, mbx, mby, mbs_w)
+                mvp = _mvp_partition(mf1, x4, y4, 4, "16x16")
                 mvd = (r.se(), r.se())
                 mv1 = (mvp[0] + mvd[0], mvp[1] + mvd[1])
             if mb_type == 1:
@@ -1803,14 +1891,18 @@ def _decode_bslice(r: BitReader, sps: dict, pps: dict, ref0: np.ndarray,
                 res = 0
             recon[y : y + 4, x : x + 4] = np.clip(
                 pred[by : by + 4, bx : bx + 4] + res, 0, 255)
-        commit(mbx, mby, u0, u1, mv0, mv1)
+        if direct_args is not None:
+            commit_direct(mbx, mby, *direct_args)
+        else:
+            mf0.fill(y4, x4, 4, 4, mv0, used=u0)
+            mf1.fill(y4, x4, 4, 4, mv1, used=u1)
         counts[("n_direct", "n_l0", "n_l1", "n_bi")[mb_type]] += 1
         addr += 1
     # a B frame's own motion record (only needed if it ever becomes a
     # reference): per the §8.4.1.2.2 colocated rule, L0 motion wins
     # when present, else L1
-    mvs = np.where(used0[..., None], mvs0, mvs1)
-    return recon.astype(np.uint8), qp, counts, _inter_motion_info(mvs)
+    mv4 = np.where(mf0.used[..., None], mf0.mv, mf1.mv)
+    return recon.astype(np.uint8), qp, counts, _inter_motion_info(mv4)
 
 
 def encode_gop_b(frames, qp: int = 20, search_range: int = 4) -> bytes:
@@ -1860,7 +1952,7 @@ def _encode_gop_b_full(frames, qp, search_range):
             )
             stream += _nal(1, rbsp, ref_idc=2)
             refs.insert(
-                0, (rec.astype(np.int64), _inter_motion_info(st["mv_grid"]))
+                0, (rec.astype(np.int64), _inter_motion_info(st["mv_grid4"]))
             )
             del refs[2:]
             st = {"type": "P", **st}

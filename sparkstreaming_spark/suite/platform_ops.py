@@ -1594,19 +1594,23 @@ H264_GOP_IDS = 16
 
 def q_h264_gop_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Motion-compensated H.264 GOP verification (multimodal/h264.py
-    inter section — P_L0_16x16 + P_Skip, quarter-pel interpolation,
-    median MV prediction, mb_skip_run, Inter CBP mapping): per doc
-    (doc_id < 16) synthesize a gradient frame plus 2-4 P frames of
-    rightward integer motion with formula-derived dims/QP/length,
-    encode a full GOP, decode it back, and emit the exact metadata plus
-    the bit-exact round-trip boolean (decoded frames == the encoder's
-    own reconstruction loop, every frame) and two tolerance booleans on
-    the LAST decoded frame vs its source (mean<=1.5, max<=8 — measured
-    worst case 1.04 / 5 across the id range with the inter deadzone
-    f=2^qbits/6; the intra-deadzone encoder measured 0.74 / 5). Any
-    motion-search,
-    interpolation, MV-prediction, skip-reconstruction, or CBP-table
-    slip breaks bit-exactness or the tolerance and flips the hash.
+    inter section — P_Skip, P_L0_16x16, P_L0_L0_16x8, P_L0_L0_8x16,
+    quarter-pel interpolation, the 4x4-granular §8.4.1.3 MV prediction
+    with the directional partition rules, mb_skip_run, Inter CBP
+    mapping): per doc (doc_id < 16) synthesize a gradient frame plus
+    2-4 P frames of SPLIT motion (rows 0-7 static, the rest panning —
+    the mid-MB split forces 16x8 partitions while the static band
+    forces skips) with formula-derived dims/QP/length, encode a full
+    GOP, decode it back, and emit the exact metadata plus the bit-exact
+    round-trip boolean (decoded frames == the encoder's own
+    reconstruction loop, every frame), `parts_used`/`skip_used`
+    (partitioned and skipped MBs must actually occur — measured 2-16
+    partitioned and 2-24 skipped MBs per id) and two tolerance booleans
+    on the LAST decoded frame vs its source (mean<=1.5, max<=8 —
+    measured worst case 0.80 / 4 across the id range). Any
+    motion-search, interpolation, MV-prediction, partition,
+    skip-reconstruction, or CBP-table slip breaks bit-exactness or the
+    contract booleans and flips the hash.
 
     Spark shape: one Arrow mapInPandas pass, no shuffle."""
     import numpy as np
@@ -1637,18 +1641,21 @@ def q_h264_gop_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
                 i = np.arange(h).reshape(-1, 1)
                 j = np.arange(w_).reshape(1, -1)
                 img0 = np.minimum(did + 3 * i + 2 * j, 255).astype(np.uint8)
-                frames = [img0]
+                frames, cur = [img0], img0
                 for k in range(1, nf):
-                    f = np.empty_like(img0)
-                    f[:, k:] = img0[:, :-k]
-                    f[:, :k] = img0[:, :1]
+                    f = cur.copy()
+                    f[8:, k:] = cur[8:, :-k]
+                    f[8:, :k] = cur[8:, :1]
                     frames.append(f)
+                    cur = f
                 out = decode_stream(encode_gop(frames, qp=qp))
-                recons, _ = gop_reconstruction(frames, qp=qp)
+                recons, stats = gop_reconstruction(frames, qp=qp)
                 bitexact = all(
                     np.array_equal(a, b)
                     for a, b in zip(out["frames"], recons)
                 )
+                n_parts = sum(s["n_16x8"] + s["n_8x16"] for s in stats)
+                n_skips = sum(s["n_skip"] for s in stats)
                 err = np.abs(out["frames"][-1].astype(np.float64)
                              - frames[-1].astype(np.float64))
                 rows.append({
@@ -1660,6 +1667,8 @@ def q_h264_gop_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "n_frames": len(out["frames"]),
                     "n_p_frames": out["frame_types"].count("P"),
                     "p_bitexact": bool(bitexact),
+                    "parts_used": bool(n_parts > 0),
+                    "skip_used": bool(n_skips > 0),
                     "mean_ok": bool(err.mean() <= 1.5),
                     "max_err_ok": bool(err.max() <= 8.0),
                 })
@@ -1669,6 +1678,7 @@ def q_h264_gop_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         work,
         "doc_id bigint, width int, height int, n_mbs int, qp int,"
         " n_frames int, n_p_frames int, p_bitexact boolean,"
+        " parts_used boolean, skip_used boolean,"
         " mean_ok boolean, max_err_ok boolean",
     )
 
@@ -1682,6 +1692,8 @@ SELECT doc_id,
        CAST(3 + doc_id % 3 AS INT) AS n_frames,
        CAST(2 + doc_id % 3 AS INT) AS n_p_frames,
        TRUE AS p_bitexact,
+       TRUE AS parts_used,
+       TRUE AS skip_used,
        TRUE AS mean_ok,
        TRUE AS max_err_ok
 FROM documents WHERE doc_id < {H264_GOP_IDS}

@@ -8,8 +8,9 @@ import pytest
 from sparkstreaming_spark.multimodal.h264 import (
     CBP_INTER,
     _mc_luma,
-    _mvp_16x16,
-    _skip_mv,
+    _MotionField,
+    _mvp_partition,
+    _skip_mv4,
     decode_iframe,
     decode_stream,
     encode_gop,
@@ -71,28 +72,68 @@ def test_mc_quarter_is_average_of_neighbours():
     assert np.array_equal(d, (g + h + 1) >> 1)
 
 
+def _mf_fill_mbs(mbs_h, mbs_w, mb_mvs):
+    """Helper: a _MotionField with whole MBs filled ({(mby,mbx): mv})."""
+    mf = _MotionField(mbs_h, mbs_w)
+    for (mby, mbx), mv in mb_mvs.items():
+        mf.fill(mby * 4, mbx * 4, 4, 4, mv)
+    return mf
+
+
 def test_mvp_median_and_single_neighbour_rules():
-    mvs = np.zeros((3, 3, 2), dtype=np.int64)
-    mvs[1, 0] = (4, 0)    # A for (1,1)
-    mvs[0, 1] = (8, 4)    # B for (1,1)
-    mvs[0, 2] = (0, 12)   # C for (1,1)
-    assert _mvp_16x16(mvs, 1, 1, 3) == (4, 4)  # component medians
+    mf = _mf_fill_mbs(3, 3, {
+        (1, 0): (4, 0),    # A for (1,1)
+        (0, 1): (8, 4),    # B for (1,1)
+        (0, 2): (0, 12),   # C for (1,1)
+        (0, 0): (-4, 8),
+        (1, 1): (0, 0), (2, 0): (0, 0), (1, 2): (0, 0),
+    })
+    assert _mvp_partition(mf, 4, 4, 4) == (4, 4)  # component medians
     # row 0, only A available -> copy A
-    mvs[0, 0] = (-4, 8)
-    assert _mvp_16x16(mvs, 1, 0, 3) == (-4, 8)
+    assert _mvp_partition(mf, 4, 0, 4) == (-4, 8)
     # first MB: nothing available -> zero
-    assert _mvp_16x16(mvs, 0, 0, 3) == (0, 0)
+    empty = _MotionField(3, 3)
+    assert _mvp_partition(empty, 0, 0, 4) == (0, 0)
+
+
+def test_mvp_directional_rules_for_partitions():
+    # 16x8 top takes B, 16x8 bottom takes A, 8x16 left takes A,
+    # 8x16 right takes C — §8.4.1.3.2
+    mf = _mf_fill_mbs(2, 3, {
+        (1, 0): (4, 0),    # A of MB (1,1)
+        (0, 1): (8, 4),    # B of MB (1,1)
+        (0, 2): (0, 12),   # C of MB (1,1)
+        (0, 0): (-4, 8),
+    })
+    assert _mvp_partition(mf, 4, 4, 4, "16x8_top") == (8, 4)
+    assert _mvp_partition(mf, 4, 4, 4, "16x8_bot") == (4, 0)
+    assert _mvp_partition(mf, 4, 4, 2, "8x16_left") == (4, 0)
+    # right 8x16 half at x4=6: its C (above-right) is block (3, 8),
+    # inside the above-right MB
+    assert _mvp_partition(mf, 6, 4, 2, "8x16_right") == (0, 12)
+    # within-MB neighbors: the lower 16x8's A is the left MB at the
+    # partition row; its B is the UPPER partition of the same MB (the
+    # directional A rule picks the left MB here)
+    mf2 = _MotionField(2, 2)
+    mf2.fill(0, 0, 4, 8, (0, 0))       # top MB row
+    mf2.fill(4, 0, 4, 4, (4, 4))       # left MB
+    mf2.fill(4, 4, 2, 4, (12, -8))     # upper 16x8 of MB (1,1)
+    assert _mvp_partition(mf2, 4, 6, 4, "16x8_bot") == (4, 4)
+    # and the upper partition's directional B rule sees the top MB
+    assert _mvp_partition(mf2, 4, 4, 4, "16x8_top") == (0, 0)
 
 
 def test_skip_mv_zero_conditions():
-    mvs = np.zeros((2, 2, 2), dtype=np.int64)
-    assert _skip_mv(mvs, 0, 1, 2) == (0, 0)  # left edge
-    assert _skip_mv(mvs, 1, 0, 2) == (0, 0)  # top edge
-    mvs[1, 0] = (4, 4)
-    mvs[0, 1] = (0, 0)  # zero-MV top neighbour forces zero
-    assert _skip_mv(mvs, 1, 1, 2) == (0, 0)
-    mvs[0, 1] = (4, 0)
-    assert _skip_mv(mvs, 1, 1, 2) != (0, 0)
+    mf = _MotionField(2, 2)
+    assert _skip_mv4(mf, 0, 1) == (0, 0)  # left edge
+    assert _skip_mv4(mf, 1, 0) == (0, 0)  # top edge
+    mf.fill(0, 0, 4, 4, (0, 0))
+    mf.fill(0, 4, 4, 4, (0, 0))
+    mf.fill(4, 0, 4, 4, (4, 4))
+    # zero-MV top neighbour forces zero
+    assert _skip_mv4(mf, 1, 1) == (0, 0)
+    mf.fill(0, 4, 4, 4, (4, 0))
+    assert _skip_mv4(mf, 1, 1) != (0, 0)
 
 
 def test_gop_roundtrip_bit_exact_across_qp():
@@ -350,6 +391,66 @@ def test_b_frame_uses_bi_for_blended_content():
     b_stats = next(s for s in stats if s["type"] == "B")
     assert b_stats["n_bi"] > 0
     for k in range(4):
+        assert np.array_equal(out["frames"][k], recons[k])
+
+
+def test_p_partitions_fire_on_split_motion_and_roundtrip():
+    # top half static / bottom half panning cuts through MB row 1 →
+    # P_L0_L0_16x8 must win there; a mid-MB vertical split → 8x16.
+    # Both must round-trip bit-exactly (partition MVP rules §8.4.1.3.2
+    # + the 4x4-granular neighbor derivation are all load-bearing).
+    from sparkstreaming_spark.multimodal.h264 import (
+        decode_stream,
+        encode_gop,
+        gop_reconstruction,
+    )
+
+    rng = np.random.default_rng(7)
+    base = rng.integers(0, 256, (48, 64)).astype(np.uint8)
+    f2 = base.copy()
+    f2[24:, 2:] = base[24:, :-2]   # horizontal split at y=24 (mid-MB)
+    f2[24:, :2] = base[24:, :1]
+    f3 = f2.copy()
+    f3[2:, 40:] = f2[:-2, 40:]     # vertical split at x=40 (mid-MB)
+    f3[:2, 40:] = f2[:1, 40:]
+    frames = [base, f2, f3]
+    out = decode_stream(encode_gop(frames, qp=18))
+    recons, stats = gop_reconstruction(frames, qp=18)
+    assert stats[0]["n_16x8"] > 0
+    assert stats[1]["n_8x16"] > 0
+    for k in range(3):
+        assert np.array_equal(out["frames"][k], recons[k])
+
+
+def test_b_gop_over_partitioned_references_roundtrips():
+    # split-motion P references give the B spatial-direct derivation a
+    # NON-uniform colocated motion field — the per-quadrant colZero
+    # corners (direct_8x8_inference) and the 4x4-granular DPB records
+    # must agree between encoder and decoder bit-exactly.
+    from sparkstreaming_spark.multimodal.h264 import (
+        decode_stream,
+        encode_gop_b,
+        gop_b_reconstruction,
+    )
+
+    keys = ("n_skip", "n_direct", "n_l0", "n_l1", "n_bi")
+    rng = np.random.default_rng(9)
+    base = rng.integers(0, 256, (48, 64)).astype(np.uint8)
+    frames, cur = [base], base
+    for _ in range(4):
+        nxt = cur.copy()
+        nxt[24:, 2:] = cur[24:, :-2]
+        nxt[24:, :2] = cur[24:, :1]
+        frames.append(nxt)
+        cur = nxt
+    out = decode_stream(encode_gop_b(frames, qp=18))
+    recons, stats = gop_b_reconstruction(frames, qp=18)
+    p_stats = [s for s in stats if s["type"] == "P"]
+    assert any(s["n_16x8"] > 0 for s in p_stats)  # refs ARE partitioned
+    assert out["b_mode_counts"] == [
+        {k: s[k] for k in keys} for s in stats if s["type"] == "B"
+    ]
+    for k in range(len(frames)):
         assert np.array_equal(out["frames"][k], recons[k])
 
 
