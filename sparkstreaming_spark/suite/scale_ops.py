@@ -762,6 +762,75 @@ QUERIES["doc_domain_caps"] = QuerySpec(
 )
 
 
+def q_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl-level URL dedup (textstats/domains.py::url_dedup — the
+    first dedup of every web pipeline, before any content pass): a
+    deterministic messy URL (shared path key doc_id % 7, plus
+    query-string / fragment / trailing-slash noise keyed off the id)
+    is canonicalized to lower(host) + path-sans-noise, then one doc
+    per canonical key survives (min doc_id). The oracle replays the
+    URL synthesis, both canonicalization regexes, and the keep rule
+    exactly — a canonicalization or tie-break bug flips the hash."""
+    from ..textstats.domains import url_dedup
+
+    d = read_table(spark, sf_dir, "documents").withColumn(
+        "url",
+        F.concat(
+            F.lit("https://"),
+            F.col("source"),
+            F.lit("-site.com/page/"),
+            (F.col("doc_id") % 7).cast("string"),
+            F.when(F.col("doc_id") % 4 == 2, F.lit("/")).otherwise(
+                F.lit("")
+            ),
+            F.when(F.col("doc_id") % 2 == 1, F.lit("?ref=feed")).otherwise(
+                F.lit("")
+            ),
+            F.when(F.col("doc_id") % 3 == 1, F.lit("#frag")).otherwise(
+                F.lit("")
+            ),
+        ),
+    )
+    return url_dedup(d, "url", "doc_id").select(
+        "doc_id", "canon_url", "n_url_dups", "keep"
+    )
+
+
+ORACLE_URL_DEDUP = r"""
+WITH u AS (
+  SELECT doc_id,
+         'https://' || source || '-site.com/page/'
+           || CAST(doc_id % 7 AS VARCHAR)
+           || (CASE WHEN doc_id % 4 = 2 THEN '/' ELSE '' END)
+           || (CASE WHEN doc_id % 2 = 1 THEN '?ref=feed' ELSE '' END)
+           || (CASE WHEN doc_id % 3 = 1 THEN '#frag' ELSE '' END) AS url
+  FROM documents
+),
+canon AS (
+  SELECT doc_id,
+         lower(regexp_extract(url, '^[a-zA-Z]+://([^/?#]+)', 1))
+           || regexp_replace(
+                regexp_extract(url, '^[a-zA-Z]+://[^/?#]+([^?#]*)', 1),
+                '/+$', '') AS canon_url
+  FROM u
+),
+per AS (
+  SELECT canon_url, count(*) AS n_url_dups, min(doc_id) AS keep_id
+  FROM canon GROUP BY canon_url
+)
+SELECT c.doc_id, c.canon_url, per.n_url_dups,
+       c.doc_id = per.keep_id AS keep
+FROM canon c JOIN per USING (canon_url)
+"""
+
+
+QUERIES["doc_url_dedup"] = QuerySpec(
+    q_url_dedup,
+    ORACLE_URL_DEDUP,
+    "canonical-URL crawl dedup: strip query/fragment/slash, min-id keep",
+)
+
+
 def q_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Domain-mix accounting (textstats/domains.py::domain_mix): the
     corpus-composition ledger per registrable domain — doc count, char

@@ -80,6 +80,34 @@ def domain_mix(df: DataFrame, url_col: str, weight_col: str) -> DataFrame:
     )
 
 
+def canonical_url(url: Column | str) -> Column:
+    """Canonical URL key for crawl-level dedup (the FIRST dedup of
+    every web pipeline — RefinedWeb §3.2 dedups by URL before any
+    content pass): lower-cased host + path with the query string,
+    fragment, and any trailing slash stripped. Pure built-ins."""
+    u = F.col(url) if isinstance(url, str) else url
+    host = url_host(u)
+    path = F.regexp_extract(u, r"^[a-zA-Z]+://[^/?#]+([^?#]*)", 1)
+    path = F.regexp_replace(path, r"/+$", "")
+    return F.concat(host, path)
+
+
+def url_dedup(df: DataFrame, url_col: str, id_col: str) -> DataFrame:
+    """Keep ONE document per canonical URL (smallest id wins —
+    deterministic, the exact-dedup convention of dedup/exact.py):
+    adds `canon_url`, `n_url_dups` (total docs sharing the key) and
+    boolean `keep`. One hash aggregate + one equi-join back; no
+    window, no driver state."""
+    d = df.withColumn("canon_url", canonical_url(url_col))
+    per = d.groupBy("canon_url").agg(
+        F.count(F.lit(1)).alias("n_url_dups"),
+        F.min(F.col(id_col)).alias("__keep_id"),
+    )
+    return d.join(per, "canon_url").withColumn(
+        "keep", F.col(id_col) == F.col("__keep_id")
+    ).drop("__keep_id")
+
+
 def domain_caps(
     df: DataFrame,
     url_col: str,

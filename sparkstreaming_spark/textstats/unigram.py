@@ -44,15 +44,30 @@ from ..functions.text import tokenize
 MICRO = 1_000_000
 # unknown characters segment as single-char pieces at a fixed penalty
 UNK_LP = -20 * MICRO
+# byte-fallback pieces (SentencePiece --byte_fallback): an unknown
+# character expands to its UTF-8 bytes as <0xNN> pieces, each at
+# BYTE_LP — below any trained piece, so bytes never outcompete them
+BYTE_LP = -25 * MICRO
+
+
+def byte_pieces(ch: str) -> list[str]:
+    """SentencePiece byte-fallback spelling of one character:
+    '<0xNN>' per UTF-8 byte."""
+    return [f"<0x{b:02X}>" for b in ch.encode("utf-8")]
 
 
 def viterbi_segment(
-    word: str, lp: dict[str, int], max_len: int
+    word: str, lp: dict[str, int], max_len: int,
+    byte_fallback: bool = False,
 ) -> list[str]:
     """Best segmentation of `word` under integer micro-nat piece
     log-probs: maximize the sum; ties prefer the longer trailing piece
     (smaller split start). Characters absent from the vocab fall back
-    to single-char UNK pieces at UNK_LP, so every word segments."""
+    to single-char UNK pieces at UNK_LP, so every word segments —
+    unless `byte_fallback`, where an unknown character instead costs
+    BYTE_LP per UTF-8 byte and the backtrace spells it as <0xNN>
+    pieces (SentencePiece's --byte_fallback; lossless for any input,
+    no UNK token in the output alphabet)."""
     n = len(word)
     NEG = None
     best: list[int | None] = [NEG] * (n + 1)
@@ -65,7 +80,8 @@ def viterbi_segment(
             if p is None:
                 if e - s > 1:
                     continue
-                p = UNK_LP
+                p = (BYTE_LP * len(piece.encode("utf-8"))
+                     if byte_fallback else UNK_LP)
             if best[s] is None:
                 continue
             cand = best[s] + p
@@ -81,7 +97,11 @@ def viterbi_segment(
     e = n
     while e > 0:
         s = back[e]
-        out.append(word[s:e])
+        piece = word[s:e]
+        if byte_fallback and piece not in lp:
+            out.extend(reversed(byte_pieces(piece)))
+        else:
+            out.append(piece)
         e = s
     return out[::-1]
 
@@ -188,18 +208,32 @@ def train_unigram_vocab(
     )
 
 
+def decode_pieces(seg: list[str]) -> str:
+    """Invert a segmentation, resolving <0xNN> byte-fallback pieces —
+    the losslessness witness for byte_fallback encodes."""
+    buf = bytearray()
+    for p in seg:
+        if len(p) == 6 and p.startswith("<0x") and p.endswith(">"):
+            buf.append(int(p[3:5], 16))
+        else:
+            buf.extend(p.encode("utf-8"))
+    return buf.decode("utf-8")
+
+
 def unigram_encode_counts(
     df: DataFrame,
     id_col: str,
     text_col: str,
     vocab: list[tuple[str, int, int]],
     max_len: int = 6,
+    byte_fallback: bool = False,
 ) -> DataFrame:
     """Encode every document with a FROZEN unigram vocabulary — the
     dictionary-join shape: Viterbi runs once per DISTINCT word (one
     Arrow pass over the word table), then occurrences join back.
     → (id, n_words, n_chars_tok, n_pieces, lossless) where lossless
-    asserts every word's pieces concatenate back to it."""
+    asserts every word's pieces (byte-fallback pieces decoded back)
+    concatenate back to it."""
     spark = df.sparkSession
     lp = {p: l for p, _, l in vocab}
     blp = spark.sparkContext.broadcast(lp)
@@ -208,18 +242,21 @@ def unigram_encode_counts(
     )
     dw = toks.select("word").distinct()
 
-    def encode(batches, _max_len=max_len):
+    def encode(batches, _max_len=max_len, _bf=byte_fallback):
         for pdf in batches:
             model = blp.value
             rows = []
             for word in pdf["word"]:
                 word = str(word)
-                seg = viterbi_segment(word, model, _max_len)
+                seg = viterbi_segment(word, model, _max_len,
+                                      byte_fallback=_bf)
+                ok = (decode_pieces(seg) == word
+                      if _bf else "".join(seg) == word)
                 rows.append(
                     {
                         "word": word,
                         "n_pieces": len(seg),
-                        "ok": "".join(seg) == word,
+                        "ok": ok,
                     }
                 )
             yield pd.DataFrame(rows)

@@ -87,6 +87,32 @@ def test_domain_mix_shares_sum(spark):
     assert out["b.com"]["share_ppm"] == 500_000
 
 
+def test_canonical_url_and_dedup(spark):
+    from sparkstreaming_spark.textstats.domains import (
+        canonical_url,
+        url_dedup,
+    )
+
+    rows = [
+        (0, "https://A.com/x/y"),
+        (1, "https://a.com/x/y?utm=z"),     # query stripped
+        (2, "https://a.com/x/y/#frag"),     # fragment + trailing slash
+        (3, "https://a.com/other"),
+        (4, "https://b.com/x/y"),           # different host
+    ]
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "url"]))
+    canon = {r["doc_id"]: r["c"]
+             for r in df.select("doc_id",
+                                canonical_url("url").alias("c")).collect()}
+    assert canon[0] == canon[1] == canon[2] == "a.com/x/y"
+    assert canon[3] == "a.com/other" and canon[4] == "b.com/x/y"
+    out = {r["doc_id"]: r.asDict()
+           for r in url_dedup(df, "url", "doc_id").collect()}
+    assert out[0]["keep"] and not out[1]["keep"] and not out[2]["keep"]
+    assert out[0]["n_url_dups"] == 3
+    assert out[3]["keep"] and out[4]["keep"]
+
+
 def test_domain_caps_plan_no_window(spark):
     """The cap must stay window-free: one aggregate + one join back +
     a codegen filter (the whole point vs row_number per domain)."""

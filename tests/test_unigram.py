@@ -34,6 +34,55 @@ def test_viterbi_unknown_chars_fall_back_to_unk():
     assert viterbi_segment("axa", lp, 6) == ["a", "x", "a"]
 
 
+def test_byte_fallback_spells_unknown_chars_as_bytes():
+    from sparkstreaming_spark.textstats.unigram import (
+        byte_pieces,
+        decode_pieces,
+    )
+
+    lp = {"a": -1 * MICRO, "ab": -1 * MICRO}
+    # ASCII unknown char -> one byte piece
+    assert viterbi_segment("az", lp, 6, byte_fallback=True) == [
+        "a", "<0x7A>"]
+    # multi-byte unknown char -> its UTF-8 bytes, in order
+    assert byte_pieces("é") == ["<0xC3>", "<0xA9>"]
+    seg = viterbi_segment("abé", lp, 6, byte_fallback=True)
+    assert seg == ["ab", "<0xC3>", "<0xA9>"]
+    assert decode_pieces(seg) == "abé"
+    # without the flag the old single-char UNK behavior is unchanged
+    assert viterbi_segment("az", lp, 6) == ["a", "z"]
+
+
+def test_byte_fallback_never_beats_trained_pieces():
+    # a trained piece always outranks its byte spelling (BYTE_LP is
+    # below every trained log-prob by construction of the penalty)
+    lp = {"a": -19 * MICRO}
+    assert viterbi_segment("aa", lp, 6, byte_fallback=True) == ["a", "a"]
+
+
+def test_encode_counts_byte_fallback(spark):
+    import pandas as pd
+
+    from sparkstreaming_spark.textstats.unigram import (
+        train_unigram_vocab,
+        unigram_encode_counts,
+    )
+
+    train = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [1], "text": ["abc abc ab"]})
+    )
+    vocab = train_unigram_vocab(train, "text", vocab_size=8, iters=1)
+    score = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [1, 2], "text": ["abc xq", "ab"]})
+    )
+    out = {r["id"]: r.asDict()
+           for r in unigram_encode_counts(
+               score, "doc_id", "text", vocab, byte_fallback=True
+           ).collect()}
+    # 'xq' has no trained chars -> 2 byte pieces; still lossless
+    assert out[1]["lossless"] is True and out[2]["lossless"] is True
+
+
 def test_viterbi_respects_max_len():
     lp = {"abcdefgh": 0, "ab": -1 * MICRO, "cd": -1 * MICRO,
           "ef": -1 * MICRO, "gh": -1 * MICRO}
