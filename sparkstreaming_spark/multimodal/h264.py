@@ -9,7 +9,10 @@ slice-header bitstream (Annex-B), paired encoder + decoder.
 
 Scope (precise, honestly guarded):
 - encoder: one IDR I-slice per frame, all macroblocks Intra_4x4 with
-  DC prediction (mode 2), full luma residual coding (CBP luma = 15),
+  ALL NINE §8.3.1.2 prediction modes (V/H/DC/DDL/DDR/VR/HD/VL/HU,
+  per-block SAD selection under the §8.3.1.1 most-probable-mode
+  signaling, top-right sample substitution per the spec's derivation),
+  full luma residual coding (CBP luma = 15),
   4:2:0 chroma predicted DC-only (CBP chroma = 0 — no chroma residual,
   so chroma is exact for constant-chroma/grayscale input and
   approximate otherwise), deblocking disabled in the slice header
@@ -570,7 +573,7 @@ def dequantize_4x4(levels: np.ndarray, qp: int) -> np.ndarray:
 
 
 # ---------------------------------------------------------------------------
-# Intra_4x4 DC prediction + plane bookkeeping
+# Intra_4x4 prediction (all nine §8.3.1.2 modes) + plane bookkeeping
 
 # luma 4x4 block scan within a macroblock: (x, y) offsets, §6.4.3
 LUMA_BLOCK_XY = [(0, 0), (4, 0), (0, 4), (4, 4), (8, 0), (12, 0), (8, 4),
@@ -595,6 +598,160 @@ def _dc_predict(plane: np.ndarray, y: int, x: int, size: int) -> int:
             size.bit_length() - 1
         )
     return 128
+
+
+# The nine Intra_4x4 luma prediction modes (Table 8-2 / §8.3.1.2.1-9).
+# Sample convention below: p[x,-1] = top row (T, with the top-right
+# extension TR as T[4..7]), p[-1,y] = left column (L), p[-1,-1] = the
+# corner (X). All arithmetic is the spec's integer rounding.
+I4_V, I4_H, I4_DC, I4_DDL, I4_DDR, I4_VR, I4_HD, I4_VL, I4_HU = range(9)
+
+
+def _intra4_allowed(done4: np.ndarray, y4: int, x4: int) -> list[int]:
+    """Modes whose REQUIRED neighbor samples exist for the 4x4 block at
+    (y4, x4) in block-grid coords: V/DDL/VL need the top row, H/HU the
+    left column, DDR/VR/HD all of left+top+corner; DC always allowed
+    (it has per-availability fallbacks). Top-right unavailability does
+    NOT forbid DDL/VL — §8.3.1.2 substitutes p[3,-1]."""
+    top = y4 > 0
+    left = x4 > 0
+    allowed = [I4_DC]
+    if top:
+        allowed += [I4_V, I4_DDL, I4_VL]
+    if left:
+        allowed += [I4_H, I4_HU]
+    if top and left:
+        allowed += [I4_DDR, I4_VR, I4_HD]
+    return sorted(allowed)
+
+
+def _intra4_predict(plane: np.ndarray, done4: np.ndarray, y: int, x: int,
+                    mode: int) -> np.ndarray:
+    """Intra_4x4 prediction (§8.3.1.2) for the block at pixel (y, x)
+    from already-reconstructed samples; `done4` marks reconstructed 4x4
+    blocks (drives top-right availability — the above-right block may
+    not be decoded yet under the §6.4.3 zigzag scan, in which case
+    p[4..7,-1] take p[3,-1], the spec's substitution). Raises on a
+    mode whose required samples are unavailable (malformed stream)."""
+    y4, x4 = y // 4, x // 4
+    h4, w4 = done4.shape
+    top = y4 > 0
+    left = x4 > 0
+
+    if mode == I4_DC:
+        return np.full((4, 4), _dc_predict(plane, y, x, 4), dtype=np.int64)
+    if mode in (I4_V, I4_DDL, I4_VL) and not top:
+        raise ValueError("intra mode needs unavailable top samples")
+    if mode in (I4_H, I4_HU) and not left:
+        raise ValueError("intra mode needs unavailable left samples")
+    if mode in (I4_DDR, I4_VR, I4_HD) and not (top and left):
+        raise ValueError("intra mode needs unavailable corner samples")
+
+    T = plane[y - 1, x : x + 4].astype(np.int64) if top else None
+    L = plane[y : y + 4, x - 1].astype(np.int64) if left else None
+    X = int(plane[y - 1, x - 1]) if (top and left) else 0
+    if mode in (I4_DDL, I4_VL):
+        tr_ok = (x4 + 1 < w4 and y4 > 0 and done4[y4 - 1, x4 + 1])
+        if tr_ok:
+            TR = plane[y - 1, x + 4 : x + 8].astype(np.int64)
+        else:
+            TR = np.full(4, int(T[3]), dtype=np.int64)  # p[3,-1] subst
+        t = np.concatenate([T, TR])  # p[0..7,-1]
+
+    out = np.empty((4, 4), dtype=np.int64)
+    if mode == I4_V:
+        out[:] = T[None, :]
+    elif mode == I4_H:
+        out[:] = L[:, None]
+    elif mode == I4_DDL:
+        for r in range(4):
+            for c in range(4):
+                if r == 3 and c == 3:
+                    out[r, c] = (t[6] + 3 * t[7] + 2) >> 2
+                else:
+                    i = r + c
+                    out[r, c] = (t[i] + 2 * t[i + 1] + t[i + 2] + 2) >> 2
+    elif mode == I4_DDR:
+        for r in range(4):
+            for c in range(4):
+                if c > r:
+                    # p[c-r-2,-1], p[c-r-1,-1], p[c-r,-1] with p[-1,-1]=X
+                    k = c - r
+                    px = lambda i: X if i < 0 else int(T[i])
+                    out[r, c] = (px(k - 2) + 2 * px(k - 1) + px(k) + 2) >> 2
+                elif c < r:
+                    k = r - c
+                    pl = lambda i: X if i < 0 else int(L[i])
+                    out[r, c] = (pl(k - 2) + 2 * pl(k - 1) + pl(k) + 2) >> 2
+                else:
+                    out[r, c] = (int(T[0]) + 2 * X + int(L[0]) + 2) >> 2
+    elif mode == I4_VR:
+        px = lambda i: X if i < 0 else int(T[i])
+        for r in range(4):
+            for c in range(4):
+                z = 2 * c - r
+                if z >= 0 and z % 2 == 0:
+                    i = c - (r >> 1)
+                    out[r, c] = (px(i - 1) + px(i) + 1) >> 1
+                elif z >= 0:
+                    i = c - (r >> 1)
+                    out[r, c] = (px(i - 2) + 2 * px(i - 1) + px(i) + 2) >> 2
+                elif z == -1:
+                    out[r, c] = (int(L[0]) + 2 * X + int(T[0]) + 2) >> 2
+                else:
+                    pl = lambda i: X if i < 0 else int(L[i])
+                    out[r, c] = (pl(r - 1) + 2 * pl(r - 2)
+                                 + pl(r - 3) + 2) >> 2
+    elif mode == I4_HD:
+        pl = lambda i: X if i < 0 else int(L[i])
+        px = lambda i: X if i < 0 else int(T[i])
+        for r in range(4):
+            for c in range(4):
+                z = 2 * r - c
+                if z >= 0 and z % 2 == 0:
+                    i = r - (c >> 1)
+                    out[r, c] = (pl(i - 1) + pl(i) + 1) >> 1
+                elif z >= 0:
+                    i = r - (c >> 1)
+                    out[r, c] = (pl(i - 2) + 2 * pl(i - 1) + pl(i) + 2) >> 2
+                elif z == -1:
+                    out[r, c] = (int(L[0]) + 2 * X + int(T[0]) + 2) >> 2
+                else:
+                    out[r, c] = (px(c - 1) + 2 * px(c - 2)
+                                 + px(c - 3) + 2) >> 2
+    elif mode == I4_VL:
+        for r in range(4):
+            for c in range(4):
+                i = c + (r >> 1)
+                if r % 2 == 0:
+                    out[r, c] = (t[i] + t[i + 1] + 1) >> 1
+                else:
+                    out[r, c] = (t[i] + 2 * t[i + 1] + t[i + 2] + 2) >> 2
+    elif mode == I4_HU:
+        for r in range(4):
+            for c in range(4):
+                z = c + 2 * r
+                i = r + (c >> 1)
+                if z > 5:
+                    out[r, c] = int(L[3])
+                elif z == 5:
+                    out[r, c] = (int(L[2]) + 3 * int(L[3]) + 2) >> 2
+                elif z % 2 == 0:
+                    out[r, c] = (int(L[i]) + int(L[i + 1]) + 1) >> 1
+                else:
+                    out[r, c] = (int(L[i]) + 2 * int(L[i + 1])
+                                 + int(L[i + 2]) + 2) >> 2
+    else:
+        raise ValueError(f"unknown Intra_4x4 mode {mode}")
+    return out
+
+
+def _intra4_pred_mode(mode4: np.ndarray, y4: int, x4: int) -> int:
+    """predIntra4x4PredMode (§8.3.1.1): min of the left and above 4x4
+    blocks' modes; an out-of-picture neighbor counts as DC (2)."""
+    ma = int(mode4[y4, x4 - 1]) if x4 > 0 else 2
+    mb = int(mode4[y4 - 1, x4]) if y4 > 0 else 2
+    return min(ma, mb)
 
 
 # CBP me(v) mapping, Table 9-4 column "Intra_4x4" (codeNum -> cbp)
@@ -723,25 +880,51 @@ def _encode_slice(y_plane: np.ndarray, qp: int) -> tuple[np.ndarray, bytes]:
 
     recon = np.zeros((h, w_), dtype=np.int64)
     tc_map = np.zeros((h // 4, w_ // 4), dtype=np.int64)
+    mode4 = np.full((h // 4, w_ // 4), I4_DC, dtype=np.int64)
+    done4 = np.zeros((h // 4, w_ // 4), dtype=bool)
     for mby in range(mbs_h):
         for mbx in range(mbs_w):
-            w.ue(0)  # mb_type I_4x4
-            for _blk in range(16):
-                w.u(1, 1)  # prev_intra4x4_pred_mode_flag (pred = DC = 2)
-            w.ue(0)        # intra_chroma_pred_mode DC
-            w.ue(_CBP_INTRA_INV[15])  # CBP: luma 15, chroma 0
-            w.se(0)        # mb_qp_delta
+            # mode syntax precedes the residuals in the bitstream, but
+            # selecting block i's mode needs blocks 0..i-1 already
+            # reconstructed — so stage both bit runs and splice after
+            mode_bits, res_bits = BitWriter(), BitWriter()
             for blk in range(16):
                 bx, by = LUMA_BLOCK_XY[blk]
                 x, y = mbx * 16 + bx, mby * 16 + by
-                pred = _dc_predict(recon, y, x, 4)
-                res = y_plane[y : y + 4, x : x + 4].astype(np.int64) - pred
+                y4, x4 = y // 4, x // 4
+                src_blk = y_plane[y : y + 4, x : x + 4].astype(np.int64)
+                predm = _intra4_pred_mode(mode4, y4, x4)
+                best = None
+                for m in _intra4_allowed(done4, y4, x4):
+                    p = _intra4_predict(recon, done4, y, x, m)
+                    cost = int(np.abs(src_blk - p).sum())
+                    # ties: predicted mode (1 signaled bit) beats a
+                    # 4-bit explicit mode; then the smaller mode number
+                    key = (cost, 0 if m == predm else 1, m)
+                    if best is None or key < best[0]:
+                        best = (key, m, p)
+                _, mode, pred = best
+                if mode == predm:
+                    mode_bits.u(1, 1)  # prev_intra4x4_pred_mode_flag
+                else:
+                    mode_bits.u(0, 1)
+                    mode_bits.u(mode - (1 if mode > predm else 0), 3)
+                res = src_blk - pred
                 levels = quantize_4x4(forward_transform_4x4(res), qp)
-                nc = _neighbor_nc(tc_map, y // 4, x // 4)
-                tc = encode_residual_block(w, levels, nc)
-                tc_map[y // 4, x // 4] = tc
+                nc = _neighbor_nc(tc_map, y4, x4)
+                tc = encode_residual_block(res_bits, levels, nc)
+                tc_map[y4, x4] = tc
                 rec_res = inverse_transform_4x4(dequantize_4x4(levels, qp))
-                recon[y : y + 4, x : x + 4] = np.clip(pred + rec_res, 0, 255)
+                recon[y : y + 4, x : x + 4] = np.clip(
+                    pred + rec_res, 0, 255)
+                mode4[y4, x4] = mode
+                done4[y4, x4] = True
+            w.ue(0)  # mb_type I_4x4
+            w.bits.extend(mode_bits.bits)
+            w.ue(0)        # intra_chroma_pred_mode DC
+            w.ue(_CBP_INTRA_INV[15])  # CBP: luma 15, chroma 0
+            w.se(0)        # mb_qp_delta
+            w.bits.extend(res_bits.bits)
     return recon.astype(np.uint8), w.rbsp()
 
 
@@ -1410,7 +1593,8 @@ def decode_stream(data: bytes) -> dict:
 def _decode_islice_body(r: BitReader, sps: dict, pps: dict, idr: bool,
                         ref_idc: int = 1) -> tuple[np.ndarray, int]:
     """Decode an I slice whose first_mb/slice_type were consumed — the
-    same envelope decode_iframe enforces (Intra_4x4 DC, CAVLC).
+    same envelope decode_iframe enforces (all nine Intra_4x4 modes,
+    CAVLC).
     dec_ref_pic_marking is present only when nal_ref_idc != 0."""
     w_, h = sps["width"], sps["height"]
     r.ue()  # pps id
@@ -1431,6 +1615,8 @@ def _decode_islice_body(r: BitReader, sps: dict, pps: dict, idr: bool,
             )
     recon = np.zeros((h, w_), dtype=np.int64)
     tc_map = np.zeros((h // 4, w_ // 4), dtype=np.int64)
+    mode4 = np.full((h // 4, w_ // 4), I4_DC, dtype=np.int64)
+    done4 = np.zeros((h // 4, w_ // 4), dtype=bool)
     n_mbs = (h // 16) * (w_ // 16)
     for mb in range(n_mbs):
         mbx, mby = mb % (w_ // 16), mb // (w_ // 16)
@@ -1439,15 +1625,19 @@ def _decode_islice_body(r: BitReader, sps: dict, pps: dict, idr: bool,
             raise NotImplementedError(
                 f"mb_type {mb_type} unsupported (only I_4x4)"
             )
-        for _blk in range(16):
-            if not r.bit():
-                # rem_intra4x4_pred_mode skips the PREDICTED mode (DC=2
-                # here), so an explicit rem always decodes to a
-                # directional mode — no rem value can mean DC (§8.3.1.1)
-                r.u(3)
-                raise NotImplementedError(
-                    "directional Intra_4x4 prediction modes unsupported"
-                )
+        modes = []
+        for blk in range(16):
+            bx, by = LUMA_BLOCK_XY[blk]
+            y4, x4 = (mby * 16 + by) // 4, (mbx * 16 + bx) // 4
+            predm = _intra4_pred_mode(mode4, y4, x4)
+            if r.bit():
+                mode = predm
+            else:
+                rem = r.u(3)
+                # rem skips the predicted mode (§8.3.1.1)
+                mode = rem if rem < predm else rem + 1
+            mode4[y4, x4] = mode
+            modes.append(mode)
         if r.ue() != 0:
             raise NotImplementedError("non-DC chroma prediction unsupported")
         cbp = CBP_INTRA[r.ue()]
@@ -1459,7 +1649,7 @@ def _decode_islice_body(r: BitReader, sps: dict, pps: dict, idr: bool,
             bx, by = LUMA_BLOCK_XY[blk]
             x, y = mbx * 16 + bx, mby * 16 + by
             group = 1 << (2 * (by // 8) + (bx // 8))
-            pred = _dc_predict(recon, y, x, 4)
+            pred = _intra4_predict(recon, done4, y, x, modes[blk])
             if cbp & group:
                 nc = _neighbor_nc(tc_map, y // 4, x // 4)
                 levels, tc = decode_residual_block(r, nc)
@@ -1469,6 +1659,7 @@ def _decode_islice_body(r: BitReader, sps: dict, pps: dict, idr: bool,
                 tc_map[y // 4, x // 4] = 0
                 res = 0
             recon[y : y + 4, x : x + 4] = np.clip(pred + res, 0, 255)
+            done4[y // 4, x // 4] = True
     return recon.astype(np.uint8), qp
 
 

@@ -1598,16 +1598,17 @@ def q_h264_gop_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     quarter-pel interpolation, the 4x4-granular §8.4.1.3 MV prediction
     with the directional partition rules, mb_skip_run, Inter CBP
     mapping): per doc (doc_id < 16) synthesize a gradient frame plus
-    2-4 P frames of SPLIT motion (rows 0-7 static, the rest panning —
-    the mid-MB split forces 16x8 partitions while the static band
-    forces skips) with formula-derived dims/QP/length, encode a full
-    GOP, decode it back, and emit the exact metadata plus the bit-exact
-    round-trip boolean (decoded frames == the encoder's own
-    reconstruction loop, every frame), `parts_used`/`skip_used`
-    (partitioned and skipped MBs must actually occur — measured 2-16
-    partitioned and 2-24 skipped MBs per id) and two tolerance booleans
-    on the LAST decoded frame vs its source (mean<=1.5, max<=8 —
-    measured worst case 0.80 / 4 across the id range). Any
+    2-4 P frames of SPLIT motion (rows 8..h-16 pan, the top 8-pixel
+    band and the full LAST MB row stay static — the mid-MB split
+    forces 16x8 partitions while the static MB row forces skips) with
+    formula-derived dims/QP/length, encode a full GOP, decode it back,
+    and emit the exact metadata plus the bit-exact round-trip boolean
+    (decoded frames == the encoder's own reconstruction loop, every
+    frame), `parts_used`/`skip_used` (partitioned and skipped MBs must
+    actually occur — measured 2-16 partitioned and 2-23 skipped MBs
+    per id) and two tolerance booleans on the LAST decoded frame vs
+    its source (mean<=1.5, max<=8 — measured worst case 1.29 / 7
+    across the id range, deterministic content). Any
     motion-search, interpolation, MV-prediction, partition,
     skip-reconstruction, or CBP-table slip breaks bit-exactness or the
     contract booleans and flips the hash.
@@ -1644,8 +1645,8 @@ def q_h264_gop_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
                 frames, cur = [img0], img0
                 for k in range(1, nf):
                     f = cur.copy()
-                    f[8:, k:] = cur[8:, :-k]
-                    f[8:, :k] = cur[8:, :1]
+                    f[8 : h - 16, k:] = cur[8 : h - 16, :-k]
+                    f[8 : h - 16, :k] = cur[8 : h - 16, :1]
                     frames.append(f)
                     cur = f
                 out = decode_stream(encode_gop(frames, qp=qp))

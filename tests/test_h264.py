@@ -171,3 +171,60 @@ def test_truncated_stream_raises_value_error():
     blob = encode_iframe(img, qp=20)
     with pytest.raises(ValueError):
         decode_iframe(blob[: len(blob) - 8])
+
+
+def test_intra4_directional_prediction_properties():
+    # V copies the top row, H the left column; every mode over flat
+    # neighbors predicts flat; DDL/VL substitute p[3,-1] when the
+    # above-right block is undecoded (§8.3.1.2 sample derivation)
+    from sparkstreaming_spark.multimodal.h264 import (
+        I4_DC,
+        I4_H,
+        I4_V,
+        _intra4_allowed,
+        _intra4_predict,
+    )
+
+    rng = np.random.default_rng(11)
+    plane = rng.integers(0, 256, (16, 16)).astype(np.int64)
+    done4 = np.ones((4, 4), dtype=bool)
+    done4[1:, :] = False
+    done4[1, 1] = False  # target block at (4,4); above-right decoded?
+    done4[0, 2] = True
+    v = _intra4_predict(plane, done4, 4, 4, I4_V)
+    assert np.array_equal(v, np.tile(plane[3, 4:8], (4, 1)))
+    h = _intra4_predict(plane, done4, 4, 4, I4_H)
+    # only column 3 of the left neighbor is visible at x-1
+    assert np.array_equal(h, np.tile(plane[4:8, 3][:, None], (1, 4)))
+    # flat neighborhood -> flat prediction for every allowed mode
+    flat = np.full((16, 16), 55, dtype=np.int64)
+    for m in _intra4_allowed(done4, 1, 1):
+        p = _intra4_predict(flat, done4, 4, 4, m)
+        assert np.all(p == 55), m
+    # first block of the picture: only DC is allowed
+    assert _intra4_allowed(np.zeros((4, 4), bool), 0, 0) == [I4_DC]
+
+
+def test_directional_modes_nail_striped_content():
+    # vertically/horizontally-constant content is the directional
+    # modes' home turf: with V/H prediction the residual is (almost)
+    # pure first-row/col quantization noise, so max error stays within
+    # one quantization step at moderate QP. Roundtrips stay bit-exact.
+    from sparkstreaming_spark.multimodal.h264 import (
+        decode_iframe,
+        encode_iframe,
+        encoder_reconstruction,
+    )
+
+    stripes = np.tile((np.arange(48, dtype=np.int64) * 37 % 256)
+                      .astype(np.uint8), (32, 1))
+    out = decode_iframe(encode_iframe(stripes, qp=12))
+    assert np.array_equal(out["luma"],
+                          encoder_reconstruction(stripes, qp=12))
+    err = np.abs(out["luma"].astype(int) - stripes.astype(int))
+    assert err.max() <= 1
+    bars = np.tile((np.arange(32, dtype=np.int64) * 53 % 256)
+                   .astype(np.uint8)[:, None], (1, 48))
+    out = decode_iframe(encode_iframe(bars, qp=12))
+    err = np.abs(out["luma"].astype(int) - bars.astype(int))
+    assert err.max() <= 1

@@ -301,10 +301,12 @@ def test_second_differing_sps_raises():
         decode_stream(encode_gop([a], qp=20) + encode_gop([b], qp=20))
 
 
-def test_explicit_directional_mode_raises_not_silently_dc():
-    # craft an I slice whose first 4x4 block codes an EXPLICIT mode with
-    # rem=2: with DC predicted, rem 2 means diagonal-down-left (§8.3.1.1)
-    # — the decoder must raise, never reconstruct it as DC
+def test_directional_mode_without_samples_raises_not_silently_dc():
+    # craft an I slice whose FIRST 4x4 block (no top/left neighbors)
+    # codes an explicit rem=2: with DC predicted, rem 2 decodes to
+    # diagonal-down-left (§8.3.1.1), which needs the unavailable top
+    # row — the decoder must raise on the malformed stream, never
+    # quietly substitute DC
     from sparkstreaming_spark.multimodal.h264 import (
         BitWriter,
         _build_pps_rbsp,
@@ -323,12 +325,17 @@ def test_explicit_directional_mode_raises_not_silently_dc():
     w.ue(1)   # deblocking off
     w.ue(0)   # mb_type I_4x4
     w.u(0, 1)  # prev_intra4x4_pred_mode_flag = 0 -> explicit
-    w.u(2, 3)  # rem_intra4x4_pred_mode = 2 (diagonal-down-left)
+    w.u(2, 3)  # rem_intra4x4_pred_mode = 2 -> mode 3 (DDL, needs top)
+    for _ in range(15):
+        w.u(1, 1)  # remaining blocks: predicted mode
+    w.ue(0)   # intra_chroma_pred_mode DC
+    w.ue(3)   # CBP codeNum 3 -> cbp 0 (no residuals follow)
+    w.se(0)   # mb_qp_delta
     stream = (_nal(7, _build_sps_rbsp(16, 16)) + _nal(8, _build_pps_rbsp())
               + _nal(5, w.rbsp()))
-    with pytest.raises(NotImplementedError, match="directional"):
+    with pytest.raises(ValueError, match="unavailable"):
         decode_stream(stream)
-    with pytest.raises(NotImplementedError, match="directional"):
+    with pytest.raises(ValueError, match="unavailable"):
         decode_iframe(stream)
 
 
