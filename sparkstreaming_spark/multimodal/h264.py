@@ -658,92 +658,134 @@ def _intra4_predict(plane: np.ndarray, done4: np.ndarray, y: int, x: int,
             TR = np.full(4, int(T[3]), dtype=np.int64)  # p[3,-1] subst
         t = np.concatenate([T, TR])  # p[0..7,-1]
 
-    out = np.empty((4, 4), dtype=np.int64)
+    # every mode below is the closed vector form of the per-pixel
+    # §8.3.1.2 formulas — tests/test_h264.py pins each against an
+    # independent per-pixel reference implementation
+    _RC = np.arange(4)
     if mode == I4_V:
-        out[:] = T[None, :]
-    elif mode == I4_H:
-        out[:] = L[:, None]
-    elif mode == I4_DDL:
-        for r in range(4):
-            for c in range(4):
-                if r == 3 and c == 3:
-                    out[r, c] = (t[6] + 3 * t[7] + 2) >> 2
-                else:
-                    i = r + c
-                    out[r, c] = (t[i] + 2 * t[i + 1] + t[i + 2] + 2) >> 2
-    elif mode == I4_DDR:
-        for r in range(4):
-            for c in range(4):
-                if c > r:
-                    # p[c-r-2,-1], p[c-r-1,-1], p[c-r,-1] with p[-1,-1]=X
-                    k = c - r
-                    px = lambda i: X if i < 0 else int(T[i])
-                    out[r, c] = (px(k - 2) + 2 * px(k - 1) + px(k) + 2) >> 2
-                elif c < r:
-                    k = r - c
-                    pl = lambda i: X if i < 0 else int(L[i])
-                    out[r, c] = (pl(k - 2) + 2 * pl(k - 1) + pl(k) + 2) >> 2
-                else:
-                    out[r, c] = (int(T[0]) + 2 * X + int(L[0]) + 2) >> 2
-    elif mode == I4_VR:
-        px = lambda i: X if i < 0 else int(T[i])
-        for r in range(4):
-            for c in range(4):
-                z = 2 * c - r
-                if z >= 0 and z % 2 == 0:
-                    i = c - (r >> 1)
-                    out[r, c] = (px(i - 1) + px(i) + 1) >> 1
-                elif z >= 0:
-                    i = c - (r >> 1)
-                    out[r, c] = (px(i - 2) + 2 * px(i - 1) + px(i) + 2) >> 2
-                elif z == -1:
-                    out[r, c] = (int(L[0]) + 2 * X + int(T[0]) + 2) >> 2
-                else:
-                    pl = lambda i: X if i < 0 else int(L[i])
-                    out[r, c] = (pl(r - 1) + 2 * pl(r - 2)
-                                 + pl(r - 3) + 2) >> 2
-    elif mode == I4_HD:
-        pl = lambda i: X if i < 0 else int(L[i])
-        px = lambda i: X if i < 0 else int(T[i])
-        for r in range(4):
-            for c in range(4):
-                z = 2 * r - c
-                if z >= 0 and z % 2 == 0:
-                    i = r - (c >> 1)
-                    out[r, c] = (pl(i - 1) + pl(i) + 1) >> 1
-                elif z >= 0:
-                    i = r - (c >> 1)
-                    out[r, c] = (pl(i - 2) + 2 * pl(i - 1) + pl(i) + 2) >> 2
-                elif z == -1:
-                    out[r, c] = (int(L[0]) + 2 * X + int(T[0]) + 2) >> 2
-                else:
-                    out[r, c] = (px(c - 1) + 2 * px(c - 2)
-                                 + px(c - 3) + 2) >> 2
-    elif mode == I4_VL:
-        for r in range(4):
-            for c in range(4):
-                i = c + (r >> 1)
-                if r % 2 == 0:
-                    out[r, c] = (t[i] + t[i + 1] + 1) >> 1
-                else:
-                    out[r, c] = (t[i] + 2 * t[i + 1] + t[i + 2] + 2) >> 2
-    elif mode == I4_HU:
-        for r in range(4):
-            for c in range(4):
-                z = c + 2 * r
-                i = r + (c >> 1)
-                if z > 5:
-                    out[r, c] = int(L[3])
-                elif z == 5:
-                    out[r, c] = (int(L[2]) + 3 * int(L[3]) + 2) >> 2
-                elif z % 2 == 0:
-                    out[r, c] = (int(L[i]) + int(L[i + 1]) + 1) >> 1
-                else:
-                    out[r, c] = (int(L[i]) + 2 * int(L[i + 1])
-                                 + int(L[i + 2]) + 2) >> 2
-    else:
-        raise ValueError(f"unknown Intra_4x4 mode {mode}")
-    return out
+        return np.tile(T, (4, 1))
+    if mode == I4_H:
+        return np.tile(L[:, None], (1, 4))
+    if mode == I4_DDL:
+        u = (t[:6] + 2 * t[1:7] + t[2:8] + 2) >> 2
+        full = np.append(u, (t[6] + 3 * t[7] + 2) >> 2)
+        return full[np.add.outer(_RC, _RC)]
+    if mode == I4_DDR:
+        m = np.array([L[3], L[2], L[1], L[0], X, T[0], T[1], T[2], T[3]],
+                     dtype=np.int64)
+        diag = (m[:-2] + 2 * m[1:-1] + m[2:] + 2) >> 2  # index c-r+3
+        return diag[np.add.outer(-_RC, _RC) + 3]
+    if mode == I4_VL:
+        e = (t[:7] + t[1:8] + 1) >> 1
+        o = (t[:6] + 2 * t[1:7] + t[2:8] + 2) >> 2
+        return np.stack([e[0:4], o[0:4], e[1:5], o[1:5]])
+    if mode == I4_HU:
+        he = (L[:3] + L[1:] + 1) >> 1
+        ho = (L[:2] + 2 * L[1:3] + L[2:] + 2) >> 2
+        z5 = (int(L[2]) + 3 * int(L[3]) + 2) >> 2
+        l3 = int(L[3])
+        return np.array([
+            [he[0], ho[0], he[1], ho[1]],
+            [he[1], ho[1], he[2], z5],
+            [he[2], z5, l3, l3],
+            [l3, l3, l3, l3],
+        ], dtype=np.int64)
+    if mode == I4_VR:
+        q = np.concatenate([[X], T])          # q[j] = p[j-1, -1]
+        ve = (q[:4] + q[1:] + 1) >> 1         # i = 0..3
+        vo = (q[:3] + 2 * q[1:4] + q[2:] + 2) >> 2  # i = 1..3 at vo[i-1]
+        vz = (int(L[0]) + 2 * X + int(T[0]) + 2) >> 2
+        vl2 = (int(L[1]) + 2 * int(L[0]) + X + 2) >> 2
+        vl3 = (int(L[2]) + 2 * int(L[1]) + int(L[0]) + 2) >> 2
+        return np.array([
+            [ve[0], ve[1], ve[2], ve[3]],
+            [vz, vo[0], vo[1], vo[2]],
+            [vl2, ve[0], ve[1], ve[2]],
+            [vl3, vz, vo[0], vo[1]],
+        ], dtype=np.int64)
+    if mode == I4_HD:
+        ql = np.concatenate([[X], L])         # ql[j] = p[-1, j-1]
+        de = (ql[:4] + ql[1:] + 1) >> 1       # i = 0..3
+        do = (ql[:3] + 2 * ql[1:4] + ql[2:] + 2) >> 2  # i = 1..3 at do[i-1]
+        hz = (int(L[0]) + 2 * X + int(T[0]) + 2) >> 2
+        hl2 = (int(T[1]) + 2 * int(T[0]) + X + 2) >> 2
+        hl3 = (int(T[2]) + 2 * int(T[1]) + int(T[0]) + 2) >> 2
+        return np.array([
+            [de[0], hz, hl2, hl3],
+            [de[1], do[0], de[0], hz],
+            [de[2], do[1], de[1], do[0]],
+            [de[3], do[2], de[2], do[1]],
+        ], dtype=np.int64)
+    raise ValueError(f"unknown Intra_4x4 mode {mode}")
+
+
+def _intra4_all_preds(plane: np.ndarray, done4: np.ndarray, y: int,
+                      x: int, allowed: list[int]) -> dict[int, list[int]]:
+    """Encoder fast path: ALL allowed-mode predictions for one block as
+    flat row-major 16-int lists, sharing one sample extraction (plain
+    Python ints — at 4x4 scale the per-call numpy overhead of
+    _intra4_predict costs more than the arithmetic; measured ~2x).
+    Pinned to agree with _intra4_predict bit-for-bit by
+    tests/test_h264.py::test_intra4_all_preds_agrees."""
+    y4, x4 = y // 4, x // 4
+    h4, w4 = done4.shape
+    top, left = y4 > 0, x4 > 0
+    out: dict[int, list[int]] = {}
+    if top:
+        T = [int(v) for v in plane[y - 1, x : x + 4]]
+    if left:
+        L = [int(v) for v in plane[y : y + 4, x - 1]]
+    X = int(plane[y - 1, x - 1]) if (top and left) else 0
+
+    dc = _dc_predict(plane, y, x, 4)
+    out[I4_DC] = [dc] * 16
+    if top:
+        out[I4_V] = T * 4
+        tr_ok = (x4 + 1 < w4 and y4 > 0 and done4[y4 - 1, x4 + 1])
+        if tr_ok:
+            t = T + [int(v) for v in plane[y - 1, x + 4 : x + 8]]
+        else:
+            t = T + [T[3]] * 4
+        u = [(t[i] + 2 * t[i + 1] + t[i + 2] + 2) >> 2 for i in range(6)]
+        u.append((t[6] + 3 * t[7] + 2) >> 2)
+        out[I4_DDL] = [u[r + c] for r in range(4) for c in range(4)]
+        e = [(t[i] + t[i + 1] + 1) >> 1 for i in range(7)]
+        o = [(t[i] + 2 * t[i + 1] + t[i + 2] + 2) >> 2 for i in range(6)]
+        out[I4_VL] = e[0:4] + o[0:4] + e[1:5] + o[1:5]
+    if left:
+        out[I4_H] = [v for v in L for _ in range(4)]
+        he = [(L[i] + L[i + 1] + 1) >> 1 for i in range(3)]
+        ho = [(L[i] + 2 * L[i + 1] + L[i + 2] + 2) >> 2 for i in range(2)]
+        z5 = (L[2] + 3 * L[3] + 2) >> 2
+        out[I4_HU] = [he[0], ho[0], he[1], ho[1],
+                      he[1], ho[1], he[2], z5,
+                      he[2], z5, L[3], L[3],
+                      L[3], L[3], L[3], L[3]]
+    if top and left:
+        m = [L[3], L[2], L[1], L[0], X, T[0], T[1], T[2], T[3]]
+        dg = [(m[i] + 2 * m[i + 1] + m[i + 2] + 2) >> 2 for i in range(7)]
+        out[I4_DDR] = [dg[c - r + 3] for r in range(4) for c in range(4)]
+        q = [X] + T
+        ve = [(q[i] + q[i + 1] + 1) >> 1 for i in range(4)]
+        vo = [(q[i] + 2 * q[i + 1] + q[i + 2] + 2) >> 2 for i in range(3)]
+        vz = (L[0] + 2 * X + T[0] + 2) >> 2
+        vl2 = (L[1] + 2 * L[0] + X + 2) >> 2
+        vl3 = (L[2] + 2 * L[1] + L[0] + 2) >> 2
+        out[I4_VR] = [ve[0], ve[1], ve[2], ve[3],
+                      vz, vo[0], vo[1], vo[2],
+                      vl2, ve[0], ve[1], ve[2],
+                      vl3, vz, vo[0], vo[1]]
+        ql = [X] + L
+        de = [(ql[i] + ql[i + 1] + 1) >> 1 for i in range(4)]
+        do = [(ql[i] + 2 * ql[i + 1] + ql[i + 2] + 2) >> 2
+              for i in range(3)]
+        hl2 = (T[1] + 2 * T[0] + X + 2) >> 2
+        hl3 = (T[2] + 2 * T[1] + T[0] + 2) >> 2
+        out[I4_HD] = [de[0], vz, hl2, hl3,
+                      de[1], do[0], de[0], vz,
+                      de[2], do[1], de[1], do[0],
+                      de[3], do[2], de[2], do[1]]
+    return {m: out[m] for m in allowed}
 
 
 def _intra4_pred_mode(mode4: np.ndarray, y4: int, x4: int) -> int:
@@ -893,17 +935,24 @@ def _encode_slice(y_plane: np.ndarray, qp: int) -> tuple[np.ndarray, bytes]:
                 x, y = mbx * 16 + bx, mby * 16 + by
                 y4, x4 = y // 4, x // 4
                 src_blk = y_plane[y : y + 4, x : x + 4].astype(np.int64)
+                src_flat = [int(v) for v in src_blk.ravel()]
                 predm = _intra4_pred_mode(mode4, y4, x4)
                 best = None
-                for m in _intra4_allowed(done4, y4, x4):
-                    p = _intra4_predict(recon, done4, y, x, m)
-                    cost = int(np.abs(src_blk - p).sum())
+                preds = _intra4_all_preds(
+                    recon, done4, y, x, _intra4_allowed(done4, y4, x4)
+                )
+                for m, p in preds.items():
+                    cost = sum(
+                        a - b if a >= b else b - a
+                        for a, b in zip(src_flat, p)
+                    )
                     # ties: predicted mode (1 signaled bit) beats a
                     # 4-bit explicit mode; then the smaller mode number
                     key = (cost, 0 if m == predm else 1, m)
                     if best is None or key < best[0]:
                         best = (key, m, p)
-                _, mode, pred = best
+                _, mode, pred_flat = best
+                pred = np.array(pred_flat, dtype=np.int64).reshape(4, 4)
                 if mode == predm:
                     mode_bits.u(1, 1)  # prev_intra4x4_pred_mode_flag
                 else:
@@ -1084,13 +1133,23 @@ def _mc_luma(ref: np.ndarray, y0: int, x0: int, mv: tuple[int, int],
     y_int, x_int = y0 + (mvy >> 2), x0 + (mvx >> 2)
     fy, fx = mvy & 3, mvx & 3
     if fx == 0 and fy == 0:
+        if 0 <= y_int and y_int + sy <= h and 0 <= x_int and x_int + sx <= w_:
+            # fully in-picture: plain slice (the hot path of the
+            # integer motion-search scan — ~10x cheaper than np.ix_)
+            return ref[y_int : y_int + sy, x_int : x_int + sx].astype(
+                np.int64)
         rows = np.clip(np.arange(y_int, y_int + sy), 0, h - 1)
         cols = np.clip(np.arange(x_int, x_int + sx), 0, w_ - 1)
         return ref[np.ix_(rows, cols)].astype(np.int64)
     # 2 above/left, 3 below/right of the (s+1)-sample grid, per axis
-    rows = np.clip(np.arange(y_int - 2, y_int - 2 + sy + 6), 0, h - 1)
-    cols = np.clip(np.arange(x_int - 2, x_int - 2 + sx + 6), 0, w_ - 1)
-    win = ref[np.ix_(rows, cols)].astype(np.int64)
+    if (y_int >= 2 and y_int - 2 + sy + 6 <= h
+            and x_int >= 2 and x_int - 2 + sx + 6 <= w_):
+        win = ref[y_int - 2 : y_int - 2 + sy + 6,
+                  x_int - 2 : x_int - 2 + sx + 6].astype(np.int64)
+    else:
+        rows = np.clip(np.arange(y_int - 2, y_int - 2 + sy + 6), 0, h - 1)
+        cols = np.clip(np.arange(x_int - 2, x_int - 2 + sx + 6), 0, w_ - 1)
+        win = ref[np.ix_(rows, cols)].astype(np.int64)
 
     def tap6(a: np.ndarray, axis: int) -> np.ndarray:
         # unrounded 6-tap (1,-5,20,20,-5,1) along `axis`
@@ -1295,23 +1354,24 @@ def _encode_pslice(
                 tc_map[y0 // 4 : y0 // 4 + 4, x0 // 4 : x0 // 4 + 4] = 0
                 continue
             blk = src[y0 : y0 + 16, x0 : x0 + 16]
-            mv16, sad16 = _search_best(ref, blk, y0, x0, search_range)
-            mv_t, sad_t = _search_best(ref, blk[:8, :], y0, x0,
-                                       search_range)
-            mv_b, sad_b = _search_best(ref, blk[8:, :], y0 + 8, x0,
-                                       search_range)
-            mv_l, sad_l = _search_best(ref, blk[:, :8], y0, x0,
-                                       search_range)
-            mv_r, sad_r = _search_best(ref, blk[:, 8:], y0, x0 + 8,
-                                       search_range)
+            sr = _search_partitions(ref, blk, y0, x0, search_range)
             mb_type = min(
-                (sad16, 0),
-                (sad_t + sad_b + part_pen, 1),
-                (sad_l + sad_r + part_pen, 2),
+                (sr["full"][1], 0),
+                (sr["top"][1] + sr["bot"][1] + part_pen, 1),
+                (sr["left"][1] + sr["right"][1] + part_pen, 2),
             )[1]
-            part_mvs = {0: (mv16,), 1: (mv_t, mv_b), 2: (mv_l, mv_r)}[
-                mb_type
-            ]
+            chosen = {0: ("full",), 1: ("top", "bot"),
+                      2: ("left", "right")}[mb_type]
+            slices = {
+                "full": (blk, y0, x0),
+                "top": (blk[:8, :], y0, x0),
+                "bot": (blk[8:, :], y0 + 8, x0),
+                "left": (blk[:, :8], y0, x0),
+                "right": (blk[:, 8:], y0, x0 + 8),
+            }
+            part_mvs = tuple(
+                _refine_subpel(ref, *slices[k], *sr[k])[0] for k in chosen
+            )
             w.ue(skip_run)
             skip_run = 0
             w.ue(mb_type)  # 0 P_L0_16x16, 1 P_L0_L0_16x8, 2 P_L0_L0_8x16
@@ -1742,6 +1802,25 @@ def _inter_motion_info(mv4: np.ndarray) -> dict:
     return {"mv4": mv4, "intra4": np.zeros(mv4.shape[:2], dtype=bool)}
 
 
+def _refine_subpel(ref: np.ndarray, blk_src: np.ndarray, y0: int, x0: int,
+                   best_mv: tuple[int, int], best_cost: int,
+                   ) -> tuple[tuple[int, int], int]:
+    """Half- then quarter-pel refinement around an integer-stage best."""
+    size = blk_src.shape
+    for step in (2, 1):
+        base = best_mv
+        for dy in (-step, 0, step):
+            for dx in (-step, 0, step):
+                cand = (base[0] + dx, base[1] + dy)
+                if cand == base:
+                    continue
+                cost = int(np.abs(
+                    blk_src - _mc_luma(ref, y0, x0, cand, size)).sum())
+                if cost < best_cost:
+                    best_mv, best_cost = cand, cost
+    return best_mv, best_cost
+
+
 def _search_best(ref: np.ndarray, blk_src: np.ndarray, y0: int, x0: int,
                  search_range: int) -> tuple[tuple[int, int], int]:
     """Exhaustive integer window + half/quarter refinement (the P-slice
@@ -1756,18 +1835,35 @@ def _search_best(ref: np.ndarray, blk_src: np.ndarray, y0: int, x0: int,
                 blk_src - _mc_luma(ref, y0, x0, cand, size)).sum())
             if best_cost is None or cost < best_cost:
                 best_mv, best_cost = cand, cost
-    for step in (2, 1):
-        base = best_mv
-        for dy in (-step, 0, step):
-            for dx in (-step, 0, step):
-                cand = (base[0] + dx, base[1] + dy)
-                if cand == base:
-                    continue
-                cost = int(np.abs(
-                    blk_src - _mc_luma(ref, y0, x0, cand, size)).sum())
-                if cost < best_cost:
-                    best_mv, best_cost = cand, cost
-    return best_mv, best_cost
+    return _refine_subpel(ref, blk_src, y0, x0, best_mv, best_cost)
+
+
+def _search_partitions(ref: np.ndarray, blk: np.ndarray, y0: int, x0: int,
+                       search_range: int) -> dict:
+    """One shared integer-grid scan scoring the 16x16 AND all four half
+    partitions at once (each candidate's half-SADs are slices of the
+    same |blk - MC| map — integer-MV MC of a sub-block equals the slice
+    of the full-block MC, clamping included). Returns INTEGER-stage
+    (mv, sad) per key; the caller picks the macroblock partitioning on
+    these and refines only the chosen partitions (_refine_subpel) —
+    sub-pel refinement is ~10x the cost of an integer probe, so
+    refining all five first would triple the search bill for a
+    decision the integer SADs already settle."""
+    keys = ("full", "top", "bot", "left", "right")
+    best = {k: ((0, 0), None) for k in keys}
+    for dy in range(-search_range, search_range + 1):
+        for dx in range(-search_range, search_range + 1):
+            cand = (4 * dx, 4 * dy)
+            d = np.abs(blk - _mc_luma(ref, y0, x0, cand))
+            s_top = int(d[:8].sum())
+            s_bot = int(d[8:].sum())
+            s_left = int(d[:, :8].sum())
+            s_right = int(d[:, 8:].sum())
+            for k, s in zip(keys, (s_top + s_bot, s_top, s_bot,
+                                   s_left, s_right)):
+                if best[k][1] is None or s < best[k][1]:
+                    best[k] = (cand, s)
+    return best
 
 
 def _encode_bslice(

@@ -228,3 +228,126 @@ def test_directional_modes_nail_striped_content():
     out = decode_iframe(encode_iframe(bars, qp=12))
     err = np.abs(out["luma"].astype(int) - bars.astype(int))
     assert err.max() <= 1
+
+
+def _intra4_predict_ref(plane, done4, y, x, mode):
+    """Independent per-pixel reference of the §8.3.1.2 formulas (the
+    pre-vectorization loop forms) — pins the module's vectorized
+    implementation mode by mode."""
+    y4, x4 = y // 4, x // 4
+    h4, w4 = done4.shape
+    top, left = y4 > 0, x4 > 0
+    from sparkstreaming_spark.multimodal.h264 import _dc_predict
+
+    if mode == 2:
+        return np.full((4, 4), _dc_predict(plane, y, x, 4), dtype=np.int64)
+    T = plane[y - 1, x : x + 4].astype(np.int64) if top else None
+    L = plane[y : y + 4, x - 1].astype(np.int64) if left else None
+    X = int(plane[y - 1, x - 1]) if (top and left) else 0
+    if mode in (3, 7):
+        tr_ok = (x4 + 1 < w4 and y4 > 0 and done4[y4 - 1, x4 + 1])
+        TR = (plane[y - 1, x + 4 : x + 8].astype(np.int64) if tr_ok
+              else np.full(4, int(T[3]), dtype=np.int64))
+        t = np.concatenate([T, TR])
+    out = np.empty((4, 4), dtype=np.int64)
+    px = lambda i: X if i < 0 else int(T[i])
+    pl = lambda i: X if i < 0 else int(L[i])
+    for r in range(4):
+        for c in range(4):
+            if mode == 0:
+                out[r, c] = T[c]
+            elif mode == 1:
+                out[r, c] = L[r]
+            elif mode == 3:
+                if r == 3 and c == 3:
+                    out[r, c] = (t[6] + 3 * t[7] + 2) >> 2
+                else:
+                    i = r + c
+                    out[r, c] = (t[i] + 2 * t[i + 1] + t[i + 2] + 2) >> 2
+            elif mode == 4:
+                if c > r:
+                    k = c - r
+                    out[r, c] = (px(k - 2) + 2 * px(k - 1) + px(k) + 2) >> 2
+                elif c < r:
+                    k = r - c
+                    out[r, c] = (pl(k - 2) + 2 * pl(k - 1) + pl(k) + 2) >> 2
+                else:
+                    out[r, c] = (int(T[0]) + 2 * X + int(L[0]) + 2) >> 2
+            elif mode == 5:
+                z = 2 * c - r
+                i = c - (r >> 1)
+                if z >= 0 and z % 2 == 0:
+                    out[r, c] = (px(i - 1) + px(i) + 1) >> 1
+                elif z >= 0:
+                    out[r, c] = (px(i - 2) + 2 * px(i - 1) + px(i) + 2) >> 2
+                elif z == -1:
+                    out[r, c] = (int(L[0]) + 2 * X + int(T[0]) + 2) >> 2
+                else:
+                    out[r, c] = (pl(r - 1) + 2 * pl(r - 2) + pl(r - 3) + 2) >> 2
+            elif mode == 6:
+                z = 2 * r - c
+                i = r - (c >> 1)
+                if z >= 0 and z % 2 == 0:
+                    out[r, c] = (pl(i - 1) + pl(i) + 1) >> 1
+                elif z >= 0:
+                    out[r, c] = (pl(i - 2) + 2 * pl(i - 1) + pl(i) + 2) >> 2
+                elif z == -1:
+                    out[r, c] = (int(L[0]) + 2 * X + int(T[0]) + 2) >> 2
+                else:
+                    out[r, c] = (px(c - 1) + 2 * px(c - 2) + px(c - 3) + 2) >> 2
+            elif mode == 7:
+                i = c + (r >> 1)
+                if r % 2 == 0:
+                    out[r, c] = (t[i] + t[i + 1] + 1) >> 1
+                else:
+                    out[r, c] = (t[i] + 2 * t[i + 1] + t[i + 2] + 2) >> 2
+            elif mode == 8:
+                z = c + 2 * r
+                i = r + (c >> 1)
+                if z > 5:
+                    out[r, c] = int(L[3])
+                elif z == 5:
+                    out[r, c] = (int(L[2]) + 3 * int(L[3]) + 2) >> 2
+                elif z % 2 == 0:
+                    out[r, c] = (int(L[i]) + int(L[i + 1]) + 1) >> 1
+                else:
+                    out[r, c] = (int(L[i]) + 2 * int(L[i + 1])
+                                 + int(L[i + 2]) + 2) >> 2
+    return out
+
+
+def test_intra4_predict_matches_per_pixel_reference():
+    from sparkstreaming_spark.multimodal.h264 import (
+        _intra4_allowed,
+        _intra4_predict,
+    )
+
+    rng = np.random.default_rng(17)
+    for trial in range(30):
+        plane = rng.integers(0, 256, (16, 16)).astype(np.int64)
+        done4 = rng.random((4, 4)) < 0.7
+        y4, x4 = int(rng.integers(0, 4)), int(rng.integers(0, 4))
+        for m in _intra4_allowed(done4, y4, x4):
+            got = _intra4_predict(plane, done4, y4 * 4, x4 * 4, m)
+            ref = _intra4_predict_ref(plane, done4, y4 * 4, x4 * 4, m)
+            assert np.array_equal(got, ref), (trial, m)
+
+
+def test_intra4_all_preds_agrees_with_intra4_predict():
+    from sparkstreaming_spark.multimodal.h264 import (
+        _intra4_all_preds,
+        _intra4_allowed,
+        _intra4_predict,
+    )
+
+    rng = np.random.default_rng(23)
+    for trial in range(30):
+        plane = rng.integers(0, 256, (16, 16)).astype(np.int64)
+        done4 = rng.random((4, 4)) < 0.7
+        y4, x4 = int(rng.integers(0, 4)), int(rng.integers(0, 4))
+        allowed = _intra4_allowed(done4, y4, x4)
+        fast = _intra4_all_preds(plane, done4, y4 * 4, x4 * 4, allowed)
+        assert sorted(fast) == allowed
+        for m in allowed:
+            ref = _intra4_predict(plane, done4, y4 * 4, x4 * 4, m)
+            assert fast[m] == [int(v) for v in ref.ravel()], (trial, m)
