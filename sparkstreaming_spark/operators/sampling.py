@@ -298,3 +298,61 @@ def doremi_reweight(
             + F.lit(smooth_micro // k)
         ).cast("bigint").alias("w_micro"),
     )
+
+
+def token_budget_plan(
+    df: DataFrame,
+    text_col: str,
+    source_col: str,
+    budget_tokens: int,
+    over_epochs_milli: int = 4000,
+) -> DataFrame:
+    """Turn a token budget into a concrete per-source sampling plan —
+    the step between choosing mixture weights and actually writing
+    training shards. Per source: sqrt-flattened (temperature-2) share
+    of `budget_tokens`, the implied repetition factor in milli-epochs
+    (alloc / available), and the Muennighoff et al. 2023
+    data-constrained flag (repeating past ~4 epochs stops helping,
+    arXiv:2305.16264).
+
+    → (source, n_tokens, r_micro, alloc_tokens, epochs_milli,
+    over_epoch_limit). Integer-exact cross-engine: sqrt is correctly
+    rounded per IEEE-754 in both engines (unlike pow), it is quantized
+    to integer micro-units BEFORE summing (so the total is an
+    order-free bigint sum), and every floor-div intermediate stays
+    under 2^53 (the engine-wide double-routed-division rule).
+
+    Scale shape (100 TB): one token-count aggregate to a
+    |sources|-sized table; everything after is per-row arithmetic on
+    that bounded table."""
+    from ..functions.text import token_count
+
+    per = df.groupBy(F.col(source_col).alias("source")).agg(
+        F.sum(token_count(text_col)).alias("n_tokens")
+    )
+    per = per.withColumn(
+        "r_micro",
+        F.floor(F.sqrt(F.col("n_tokens")) * F.lit(1e6)).cast("bigint"),
+    )
+    tot = per.agg(F.sum("r_micro").alias("__t"))
+    return (
+        per.crossJoin(F.broadcast(tot))
+        .withColumn(
+            "alloc_tokens",
+            F.floor(
+                F.col("r_micro")
+                * (F.lit(float(budget_tokens)) / F.col("__t"))
+            ).cast("bigint"),
+        )
+        .withColumn(
+            "epochs_milli",
+            F.floor(F.col("alloc_tokens") * 1000 / F.col("n_tokens")).cast(
+                "bigint"
+            ),
+        )
+        .withColumn(
+            "over_epoch_limit",
+            F.col("epochs_milli") > F.lit(over_epochs_milli),
+        )
+        .drop("__t")
+    )

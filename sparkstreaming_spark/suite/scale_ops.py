@@ -831,6 +831,57 @@ QUERIES["doc_url_dedup"] = QuerySpec(
 )
 
 
+TOKEN_BUDGET = 100_000
+
+
+def q_token_budget_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget sampling plan (operators/sampling.py::
+    token_budget_plan): per-source sqrt-flattened allocation of a
+    100k-token budget, milli-epoch repetition factors, and the
+    Muennighoff >4-epoch data-constrained flag. Integer-exact: sqrt
+    (IEEE-correctly-rounded both engines) quantized to micro-units
+    before the order-free bigint total; the oracle replays every
+    floor in the identical order."""
+    from ..operators.sampling import token_budget_plan
+
+    d = read_table(spark, sf_dir, "documents")
+    return token_budget_plan(d, "text", "source", TOKEN_BUDGET)
+
+
+ORACLE_TOKEN_BUDGET = rf"""
+WITH per AS (
+  SELECT source,
+         CAST(sum(CASE WHEN {_SQL_NORM} = '' THEN 0
+                       ELSE len({_SQL_TOKS}) END) AS BIGINT) AS n_tokens
+  FROM documents GROUP BY source
+),
+q AS (
+  SELECT source, n_tokens,
+         CAST(floor(sqrt(n_tokens) * 1e6) AS BIGINT) AS r_micro
+  FROM per
+),
+tot AS (SELECT sum(r_micro) AS t FROM q),
+alloc AS (
+  SELECT source, n_tokens, r_micro,
+         CAST(floor(r_micro * ({TOKEN_BUDGET}.0 / t)) AS BIGINT)
+           AS alloc_tokens
+  FROM q, tot
+)
+SELECT source, n_tokens, r_micro, alloc_tokens,
+       CAST(floor(alloc_tokens * 1000 / n_tokens) AS BIGINT)
+         AS epochs_milli,
+       floor(alloc_tokens * 1000 / n_tokens) > 4000 AS over_epoch_limit
+FROM alloc
+"""
+
+
+QUERIES["doc_token_budget_plan"] = QuerySpec(
+    q_token_budget_plan,
+    ORACLE_TOKEN_BUDGET,
+    "token-budget sampling plan: sqrt-flattened alloc + epoch flags",
+)
+
+
 def q_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Domain-mix accounting (textstats/domains.py::domain_mix): the
     corpus-composition ledger per registrable domain — doc count, char

@@ -816,3 +816,28 @@ def test_pq_knn_recall_vs_exact(spark):
     for r in approx:
         if (r.query_id, r.neighbor_id) in exact_map:
             assert abs(r.cosine - exact_map[(r.query_id, r.neighbor_id)]) < 0.15
+
+
+def test_token_budget_plan_allocates_and_flags(spark):
+    import pandas as pd
+
+    from sparkstreaming_spark.operators.sampling import token_budget_plan
+
+    rows = [(0, "a " * 400, "big"), (1, "b " * 100, "small")]
+    df = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["doc_id", "text", "source"])
+    )
+    out = {r["source"]: r.asDict()
+           for r in token_budget_plan(df, "text", "source", 5000).collect()}
+    assert out["big"]["n_tokens"] == 400 and out["small"]["n_tokens"] == 100
+    # sqrt flattening: big gets 2x the allocation of small (sqrt 400/100)
+    assert abs(out["big"]["alloc_tokens"] - 2 * out["small"]["alloc_tokens"]) <= 2
+    # allocations sum to ~budget (floor slack < n_sources)
+    total = out["big"]["alloc_tokens"] + out["small"]["alloc_tokens"]
+    assert 4998 <= total <= 5000
+    # small source must repeat far more: epochs = alloc/n
+    assert out["small"]["epochs_milli"] > out["big"]["epochs_milli"]
+    # 5000-token budget over 500 tokens -> both far over 4 epochs
+    assert out["big"]["over_epoch_limit"] and out["small"]["over_epoch_limit"]
+    under = token_budget_plan(df, "text", "source", 500).collect()
+    assert not any(r["over_epoch_limit"] for r in under)
