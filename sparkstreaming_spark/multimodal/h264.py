@@ -25,7 +25,8 @@ Scope (precise, honestly guarded):
   stubs, not silent wrong output.
 - inter coding (P slices): encode_gop/decode_stream extend the
   envelope with motion-compensated P frames — P_L0_16x16,
-  P_L0_L0_16x8 and P_L0_L0_8x16 partitions plus P_Skip against a
+  P_L0_L0_16x8, P_L0_L0_8x16, and P_8x8 (four P_L0_8x8 sub-MBs)
+  partitions plus P_Skip against a
   single reference (the previous decoded frame, max_num_ref_frames=1
   sliding window), full quarter-pel luma interpolation per §8.4.2.2.1
   (6-tap [1,-5,20,20,-5,1] half-pel, bilinear quarter, coordinate
@@ -42,9 +43,9 @@ Scope (precise, honestly guarded):
   rides the DPB), plus B_L0/B_L1/B_Bi 16x16 against the two most
   recent PAST references (the conformant default list init for that
   DPB), default bi-prediction (§8.4.2.3 (p0+p1+1)>>1), per-list median
-  MV prediction, Main-profile SPS, non-reference B NALs. P_8x8 /
-  B sub-partitions, temporal direct, CABAC, and weighted prediction
-  remain honest NotImplementedError guards.
+  MV prediction, Main-profile SPS, non-reference B NALs. Sub-8x8
+  partitions (8x4/4x8/4x4), B sub-partitions, temporal direct, CABAC,
+  and weighted prediction remain honest NotImplementedError guards.
 
 Verification stance: bit-exact ROUND-TRIP is the contract — the
 decoder must reproduce the encoder's own reconstruction exactly
@@ -1314,7 +1315,7 @@ def _encode_pslice(
     tc_map = np.zeros((h // 4, w_ // 4), dtype=np.int64)
     mf = _MotionField(mbs_h, mbs_w)
     stats = {"n_skip": 0, "n_coded": 0, "n_subpel": 0, "n_16x8": 0,
-             "n_8x16": 0, "mvs": []}
+             "n_8x16": 0, "n_8x8": 0, "mvs": []}
     skip_run = 0
     # partition-choice deadband: a second partition costs mb_type +
     # MVD bits, so its SAD win must beat a qp-scaled penalty (encoder
@@ -1332,12 +1333,15 @@ def _encode_pslice(
                                     intra=False))
         return out
 
-    # P mb_type layouts (Table 7-13): per partition
-    # (tag, dx, dy, width, height) in luma samples within the MB
+    # P mb_type layouts (Table 7-13; 3 = P_8x8 with all four
+    # sub_mb_types = P_L0_8x8): per partition (tag, dx, dy, w, h) in
+    # luma samples within the MB, decoding order
     parts_of = {
         0: (("16x16", 0, 0, 16, 16),),
         1: (("16x8_top", 0, 0, 16, 8), ("16x8_bot", 0, 8, 16, 8)),
         2: (("8x16_left", 0, 0, 8, 16), ("8x16_right", 8, 0, 8, 16)),
+        3: (("8x8", 0, 0, 8, 8), ("8x8", 8, 0, 8, 8),
+            ("8x8", 0, 8, 8, 8), ("8x8", 8, 8, 8, 8)),
     }
 
     for mby in range(mbs_h):
@@ -1355,26 +1359,38 @@ def _encode_pslice(
                 continue
             blk = src[y0 : y0 + 16, x0 : x0 + 16]
             sr = _search_partitions(ref, blk, y0, x0, search_range)
+            q_sad = (sr["q00"][1] + sr["q01"][1]
+                     + sr["q10"][1] + sr["q11"][1])
             mb_type = min(
                 (sr["full"][1], 0),
                 (sr["top"][1] + sr["bot"][1] + part_pen, 1),
                 (sr["left"][1] + sr["right"][1] + part_pen, 2),
+                (q_sad + 3 * part_pen, 3),  # 4 sub types + 4 MVDs
             )[1]
             chosen = {0: ("full",), 1: ("top", "bot"),
-                      2: ("left", "right")}[mb_type]
+                      2: ("left", "right"),
+                      3: ("q00", "q01", "q10", "q11")}[mb_type]
             slices = {
                 "full": (blk, y0, x0),
                 "top": (blk[:8, :], y0, x0),
                 "bot": (blk[8:, :], y0 + 8, x0),
                 "left": (blk[:, :8], y0, x0),
                 "right": (blk[:, 8:], y0, x0 + 8),
+                "q00": (blk[:8, :8], y0, x0),
+                "q01": (blk[:8, 8:], y0, x0 + 8),
+                "q10": (blk[8:, :8], y0 + 8, x0),
+                "q11": (blk[8:, 8:], y0 + 8, x0 + 8),
             }
             part_mvs = tuple(
                 _refine_subpel(ref, *slices[k], *sr[k])[0] for k in chosen
             )
             w.ue(skip_run)
             skip_run = 0
-            w.ue(mb_type)  # 0 P_L0_16x16, 1 P_L0_L0_16x8, 2 P_L0_L0_8x16
+            # 0 P_L0_16x16, 1 P_L0_L0_16x8, 2 P_L0_L0_8x16, 3 P_8x8
+            w.ue(mb_type)
+            if mb_type == 3:
+                for _ in range(4):
+                    w.ue(0)  # sub_mb_type P_L0_8x8
             pred = np.empty((16, 16), dtype=np.int64)
             for (tag, dx, dy, pw, ph), mv in zip(
                 parts_of[mb_type], part_mvs
@@ -1419,6 +1435,8 @@ def _encode_pslice(
                 stats["n_16x8"] += 1
             elif mb_type == 2:
                 stats["n_8x16"] += 1
+            elif mb_type == 3:
+                stats["n_8x8"] += 1
     if skip_run:
         w.ue(skip_run)
     # full 4x4-granular motion field (skip MVs included) — the
@@ -1499,6 +1517,8 @@ def _decode_pslice(r: BitReader, sps: dict, pps: dict, ref: np.ndarray,
         0: (("16x16", 0, 0, 16, 16),),
         1: (("16x8_top", 0, 0, 16, 8), ("16x8_bot", 0, 8, 16, 8)),
         2: (("8x16_left", 0, 0, 8, 16), ("8x16_right", 8, 0, 8, 16)),
+        3: (("8x8", 0, 0, 8, 8), ("8x8", 8, 0, 8, 8),
+            ("8x8", 0, 8, 8, 8), ("8x8", 8, 8, 8, 8)),
     }
 
     def recon_skip(addr: int) -> None:
@@ -1520,10 +1540,18 @@ def _decode_pslice(r: BitReader, sps: dict, pps: dict, ref: np.ndarray,
             break
         mby, mbx = addr // mbs_w, addr % mbs_w
         mb_type = r.ue()
-        if mb_type > 2:
+        if mb_type > 3:
             raise NotImplementedError(
-                f"P mb_type {mb_type} unsupported (16x16/16x8/8x16 only)"
+                f"P mb_type {mb_type} unsupported "
+                "(16x16/16x8/8x16/8x8 only)"
             )
+        if mb_type == 3:
+            for _ in range(4):
+                if r.ue() != 0:
+                    raise NotImplementedError(
+                        "P sub_mb_type != P_L0_8x8 unsupported "
+                        "(no 8x4/4x8/4x4 sub-partitions)"
+                    )
         y0, x0 = mby * 16, mbx * 16
         pred = np.empty((16, 16), dtype=np.int64)
         for tag, dx, dy, pw, ph in parts_of[mb_type]:
@@ -1849,18 +1877,21 @@ def _search_partitions(ref: np.ndarray, blk: np.ndarray, y0: int, x0: int,
     sub-pel refinement is ~10x the cost of an integer probe, so
     refining all five first would triple the search bill for a
     decision the integer SADs already settle."""
-    keys = ("full", "top", "bot", "left", "right")
+    keys = ("full", "top", "bot", "left", "right",
+            "q00", "q01", "q10", "q11")
     best = {k: ((0, 0), None) for k in keys}
     for dy in range(-search_range, search_range + 1):
         for dx in range(-search_range, search_range + 1):
             cand = (4 * dx, 4 * dy)
             d = np.abs(blk - _mc_luma(ref, y0, x0, cand))
-            s_top = int(d[:8].sum())
-            s_bot = int(d[8:].sum())
-            s_left = int(d[:, :8].sum())
-            s_right = int(d[:, 8:].sum())
-            for k, s in zip(keys, (s_top + s_bot, s_top, s_bot,
-                                   s_left, s_right)):
+            q00 = int(d[:8, :8].sum())
+            q01 = int(d[:8, 8:].sum())
+            q10 = int(d[8:, :8].sum())
+            q11 = int(d[8:, 8:].sum())
+            for k, s in zip(keys, (q00 + q01 + q10 + q11,
+                                   q00 + q01, q10 + q11,
+                                   q00 + q10, q01 + q11,
+                                   q00, q01, q10, q11)):
                 if best[k][1] is None or s < best[k][1]:
                     best[k] = (cand, s)
     return best

@@ -1655,7 +1655,9 @@ def q_h264_gop_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
                     np.array_equal(a, b)
                     for a, b in zip(out["frames"], recons)
                 )
-                n_parts = sum(s["n_16x8"] + s["n_8x16"] for s in stats)
+                n_parts = sum(
+                    s["n_16x8"] + s["n_8x16"] + s["n_8x8"] for s in stats
+                )
                 n_skips = sum(s["n_skip"] for s in stats)
                 err = np.abs(out["frames"][-1].astype(np.float64)
                              - frames[-1].astype(np.float64))

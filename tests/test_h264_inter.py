@@ -429,6 +429,32 @@ def test_p_partitions_fire_on_split_motion_and_roundtrip():
         assert np.array_equal(out["frames"][k], recons[k])
 
 
+def test_p8x8_fires_on_quadrant_divergent_motion():
+    # four 8x8 quadrants of one MB moving in four different directions:
+    # no 16x16/16x8/8x16 split can carry that — P_8x8 (sub_mb_type
+    # P_L0_8x8 x4) must win, with per-quadrant median MVP, and the
+    # stream must round-trip bit-exactly
+    from sparkstreaming_spark.multimodal.h264 import (
+        decode_stream,
+        encode_gop,
+        gop_reconstruction,
+    )
+
+    rng = np.random.default_rng(13)
+    base = rng.integers(0, 256, (32, 32)).astype(np.uint8)
+    f2 = base.copy()
+    f2[0:8, 0:8] = np.roll(base[0:8, 0:8], 2, axis=1)
+    f2[0:8, 8:16] = np.roll(base[0:8, 8:16], -2, axis=1)
+    f2[8:16, 0:8] = np.roll(base[8:16, 0:8], 2, axis=0)
+    f2[8:16, 8:16] = np.roll(base[8:16, 8:16], -2, axis=0)
+    frames = [base, f2]
+    out = decode_stream(encode_gop(frames, qp=16))
+    recons, stats = gop_reconstruction(frames, qp=16)
+    assert stats[0]["n_8x8"] >= 1
+    for k in range(2):
+        assert np.array_equal(out["frames"][k], recons[k])
+
+
 def test_b_gop_over_partitioned_references_roundtrips():
     # split-motion P references give the B spatial-direct derivation a
     # NON-uniform colocated motion field — the per-quadrant colZero
