@@ -266,6 +266,13 @@ HEADLINE = [
     "doc_unigram_train",
     "doc_unigram_encode",
     "doc_h264_bframe_probe",
+    # round-7 additions
+    "doc_kn_heldout",
+    "doc_domain_caps",
+    "doc_domain_mix",
+    "doc_url_dedup",
+    "doc_wordpiece_encode",
+    "doc_token_budget_plan",
 ]
 
 
