@@ -273,6 +273,7 @@ HEADLINE = [
     "doc_url_dedup",
     "doc_wordpiece_encode",
     "doc_token_budget_plan",
+    "doc_ccnet_heldout",
 ]
 
 

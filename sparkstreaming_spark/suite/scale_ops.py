@@ -996,6 +996,70 @@ QUERIES["doc_kn_heldout"] = QuerySpec(
 )
 
 
+def q_ccnet_heldout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The complete CCNet deployment (textstats/lm.py::
+    ccnet_heldout_buckets): KN LM trained on the even ids, odd ids
+    scored HELD-OUT (three-tier backoff + n_oov), per-language
+    head/middle/tail split by broadcast percentile cut points over the
+    held-out perplexities. The oracle replays the split, the model,
+    the tiered scoring, the n_scored>=1 quarantine, and the
+    quantile_cont thresholds."""
+    from ..textstats.lm import ccnet_heldout_buckets
+
+    d = read_table(spark, sf_dir, "documents")
+    return ccnet_heldout_buckets(
+        d.filter(F.col("doc_id") % 2 == 0),
+        d.filter(F.col("doc_id") % 2 == 1),
+        "text",
+    )
+
+
+# reuse ORACLE_KN_HELDOUT's CTE chain up to `j`, then score + bucket
+_KN_HELDOUT_BODY = ORACLE_KN_HELDOUT.split("SELECT doc_id, count(*)")[0]
+
+ORACLE_CCNET_HELDOUT = rf"""{_KN_HELDOUT_BODY.rstrip()},
+scored AS (
+  SELECT doc_id, count(*) AS n_bigrams,
+         CAST(sum(CASE WHEN lp_micro IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_oov,
+         CAST(COALESCE(sum(lp_micro), 0) AS BIGINT) AS lp_micro_sum
+  FROM j GROUP BY doc_id
+),
+withppl AS (
+  SELECT d.lang,
+         CAST(floor(-s.lp_micro_sum / (s.n_bigrams - s.n_oov)) AS BIGINT)
+           AS ppl_micro
+  FROM scored s JOIN documents d USING (doc_id)
+  WHERE s.n_bigrams - s.n_oov >= 1
+),
+cuts AS (
+  SELECT lang,
+         round(quantile_cont(CAST(ppl_micro AS DOUBLE), 1.0/3.0), 6) AS c1,
+         round(quantile_cont(CAST(ppl_micro AS DOUBLE), 2.0/3.0), 6) AS c2
+  FROM withppl GROUP BY lang
+),
+bucketed AS (
+  SELECT w.lang,
+         CASE WHEN CAST(w.ppl_micro AS DOUBLE) <= c.c1 THEN 'head'
+              WHEN CAST(w.ppl_micro AS DOUBLE) <= c.c2 THEN 'middle'
+              ELSE 'tail' END AS bucket,
+         w.ppl_micro
+  FROM withppl w JOIN cuts c USING (lang)
+)
+SELECT lang, bucket, count(*) AS n_docs,
+       min(ppl_micro) AS ppl_lo,
+       max(ppl_micro) AS ppl_hi
+FROM bucketed GROUP BY lang, bucket
+"""
+
+
+QUERIES["doc_ccnet_heldout"] = QuerySpec(
+    q_ccnet_heldout,
+    ORACLE_CCNET_HELDOUT,
+    "end-to-end CCNet: held-out KN scoring + broadcast percentile buckets",
+)
+
+
 def q_doremi_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DoReMi domain-mixture reweighting end-to-end (operators/
     sampling.py::doremi_reweight): per-source difficulty = mean

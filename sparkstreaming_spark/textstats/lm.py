@@ -294,6 +294,63 @@ def ccnet_perplexity_buckets(
     return out
 
 
+def ccnet_heldout_buckets(
+    train_df: DataFrame,
+    score_df: DataFrame,
+    text_col: str,
+    lang_col: str = "lang",
+    id_col: str = "doc_id",
+    discount: float = 0.75,
+) -> DataFrame:
+    """The COMPLETE CCNet deployment, end to end: train the KN bigram
+    LM on trusted text (train_df), score the crawl (score_df) held-out
+    — cb=0 backoff tiers, unscorable bigrams counted out — and split
+    each language into head/middle/tail by broadcast percentile cut
+    points over the held-out perplexities. Composes
+    score_kneser_ney_heldout with the cut-then-apply bucketing of
+    ccnet_perplexity_buckets (no corpus-sized window anywhere).
+
+    Documents whose every bigram is unscorable (n_scored = 0) are
+    excluded — a real deployment quarantines them; the exact contract
+    keeps them out of both engines identically.
+
+    → (lang, bucket, n_docs, ppl_lo, ppl_hi)."""
+    from pyspark.storagelevel import StorageLevel
+
+    scored = score_kneser_ney_heldout(
+        train_df, score_df, text_col, id_col, discount
+    )
+    docs = score_df.select(
+        F.col(id_col).alias("doc_id"), F.col(lang_col).alias("lang")
+    )
+    n_scored = F.col("n_bigrams") - F.col("n_oov")
+    s = (
+        scored.filter(n_scored >= 1)
+        .withColumn(
+            "ppl_micro",
+            F.floor(-F.col("lp_micro_sum") / n_scored).cast("bigint"),
+        )
+        .join(docs, "doc_id")
+        .persist(StorageLevel.MEMORY_AND_DISK)  # cuts + bucketing pass
+    )
+    ppl_d = F.col("ppl_micro").cast("double")
+    cuts = s.groupBy("lang").agg(
+        F.round(F.percentile(ppl_d, F.lit(1.0 / 3.0)), 6).alias("c1"),
+        F.round(F.percentile(ppl_d, F.lit(2.0 / 3.0)), 6).alias("c2"),
+    )
+    b = s.join(F.broadcast(cuts), "lang").withColumn(
+        "bucket",
+        F.when(ppl_d <= F.col("c1"), F.lit("head"))
+        .when(ppl_d <= F.col("c2"), F.lit("middle"))
+        .otherwise(F.lit("tail")),
+    )
+    return b.groupBy("lang", "bucket").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.min("ppl_micro").alias("ppl_lo"),
+        F.max("ppl_micro").alias("ppl_hi"),
+    )
+
+
 def sketched_bigram_lm(
     df: DataFrame,
     text_col: str,

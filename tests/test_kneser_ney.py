@@ -169,6 +169,42 @@ def test_kn_heldout_four_tiers(spark):
                       "lp_micro_sum": 0}
 
 
+def test_ccnet_heldout_buckets_quarantines_and_splits(spark):
+    from sparkstreaming_spark.textstats.lm import ccnet_heldout_buckets
+
+    # train vocab: only 'alpha beta gamma'; score docs span three
+    # difficulty tiers, plus one all-unscorable doc (every w2 unseen)
+    train = spark.createDataFrame(
+        pd.DataFrame(
+            [(0, "alpha beta gamma alpha beta", "en")],
+            columns=["doc_id", "text", "lang"],
+        )
+    )
+    rows = []
+    for i in range(2):
+        rows.append((10 + i, "alpha beta gamma", "en"))     # all seen
+    for i in range(2, 4):
+        rows.append((10 + i, "alpha beta zz gamma", "en"))  # backoff mix
+    for i in range(4, 6):
+        rows.append((10 + i, "zz alpha qq beta", "en"))     # harder mix
+    rows.append((99, "qq zz", "en"))                        # unscorable
+    score = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["doc_id", "text", "lang"])
+    )
+    out = ccnet_heldout_buckets(train, score, "text").collect()
+    assert sum(r["n_docs"] for r in out) == 6  # doc 99 quarantined
+    got = {r["bucket"] for r in out}
+    assert got == {"head", "middle", "tail"}
+    rng = {r["bucket"]: (r["ppl_lo"], r["ppl_hi"]) for r in out}
+    assert rng["head"][1] <= rng["middle"][0] <= rng["middle"][1] \
+        <= rng["tail"][0]
+    # plan: no corpus-sized window (broadcast cut points)
+    plan = ccnet_heldout_buckets(
+        train, score, "text"
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan
+
+
 def test_sketched_lm_shape_and_mass(spark):
     import math
 
