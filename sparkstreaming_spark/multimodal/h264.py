@@ -43,9 +43,12 @@ Scope (precise, honestly guarded):
   rides the DPB), plus B_L0/B_L1/B_Bi 16x16 against the two most
   recent PAST references (the conformant default list init for that
   DPB), default bi-prediction (§8.4.2.3 (p0+p1+1)>>1), per-list median
-  MV prediction, Main-profile SPS, non-reference B NALs. Sub-8x8
-  partitions (8x4/4x8/4x4), B sub-partitions, temporal direct, CABAC,
-  and weighted prediction remain honest NotImplementedError guards.
+  MV prediction, Main-profile SPS, non-reference B NALs, plus the
+  single-list two-partition B modes (B_L0_L0/B_L1_L1 16x8 and 8x16,
+  Table 7-14 types 4-7, one-list MVD layout per §7.3.5.1). Sub-8x8
+  partitions (8x4/4x8/4x4), mixed-list and Bi B partitions
+  (types 8-21), B_8x8, temporal direct, CABAC, and weighted
+  prediction remain honest NotImplementedError guards.
 
 Verification stance: bit-exact ROUND-TRIP is the contract — the
 decoder must reproduce the encoder's own reconstruction exactly
@@ -1940,8 +1943,18 @@ def _encode_bslice(
     tc_map = np.zeros((h // 4, w_ // 4), dtype=np.int64)
     mf0 = _MotionField(mbs_h, mbs_w)
     mf1 = _MotionField(mbs_h, mbs_w)
-    stats = {"n_skip": 0, "n_direct": 0, "n_l0": 0, "n_l1": 0, "n_bi": 0}
+    stats = {"n_skip": 0, "n_direct": 0, "n_l0": 0, "n_l1": 0, "n_bi": 0,
+             "n_l0_part": 0, "n_l1_part": 0}
     skip_run = 0
+    # same qp-scaled two-partition deadband as the P encoder
+    part_pen = 16 << (qp // 6)
+    # B mb_types 4-7 (Table 7-14): single-list two-partition modes
+    b_parts = {
+        4: (0, (("16x8_top", 0, 0, 16, 8), ("16x8_bot", 0, 8, 16, 8))),
+        5: (0, (("8x16_left", 0, 0, 8, 16), ("8x16_right", 8, 0, 8, 16))),
+        6: (1, (("16x8_top", 0, 0, 16, 8), ("16x8_bot", 0, 8, 16, 8))),
+        7: (1, (("8x16_left", 0, 0, 8, 16), ("8x16_right", 8, 0, 8, 16))),
+    }
 
     def mb_levels(pred: np.ndarray, y0: int, x0: int) -> tuple[list, int]:
         levels, cbp = [], 0
@@ -2008,25 +2021,64 @@ def _encode_bslice(
                 commit_direct(mbx, mby, u0, u1, dmv0, dmv1, zq)
                 continue
             cd = int(np.abs(blk - pd).sum())
-            mv0, c0 = _search_best(r0, blk, y0, x0, search_range)
-            mv1, c1 = _search_best(r1, blk, y0, x0, search_range)
+            sr0 = _search_partitions(r0, blk, y0, x0, search_range)
+            sr1 = _search_partitions(r1, blk, y0, x0, search_range)
+            mv0, c0 = _refine_subpel(r0, blk, y0, x0, *sr0["full"])
+            mv1, c1 = _refine_subpel(r1, blk, y0, x0, *sr1["full"])
             p0 = _mc_luma(r0, y0, x0, mv0)
             p1 = _mc_luma(r1, y0, x0, mv1)
             pbi = (p0 + p1 + 1) >> 1
             cbi = int(np.abs(blk - pbi).sum())
-            choice = min(((cd, 0), (c0, 1), (c1, 2), (cbi, 3)))[1]
-            pred = (pd, p0, p1, pbi)[choice]
+            choice = min((
+                (cd, 0), (c0, 1), (c1, 2), (cbi, 3),
+                (sr0["top"][1] + sr0["bot"][1] + part_pen, 4),
+                (sr0["left"][1] + sr0["right"][1] + part_pen, 5),
+                (sr1["top"][1] + sr1["bot"][1] + part_pen, 6),
+                (sr1["left"][1] + sr1["right"][1] + part_pen, 7),
+            ))[1]
             w.ue(skip_run)  # mb_skip_run
             skip_run = 0
-            w.ue(choice)  # mb_type: 0 B_Direct, 1 B_L0, 2 B_L1, 3 B_Bi
-            if choice in (1, 3):
-                mvp = _mvp_partition(mf0, x4, y4, 4, "16x16")
-                w.se(int(mv0[0] - mvp[0]))
-                w.se(int(mv0[1] - mvp[1]))
-            if choice in (2, 3):
-                mvp = _mvp_partition(mf1, x4, y4, 4, "16x16")
-                w.se(int(mv1[0] - mvp[0]))
-                w.se(int(mv1[1] - mvp[1]))
+            # mb_type: 0 B_Direct, 1 B_L0, 2 B_L1, 3 B_Bi,
+            # 4-7 single-list 16x8/8x16 (Table 7-14)
+            w.ue(choice)
+            part_mvs = None
+            if choice >= 4:
+                lx, parts = b_parts[choice]
+                refx = r0 if lx == 0 else r1
+                srx = sr0 if lx == 0 else sr1
+                mfx = mf0 if lx == 0 else mf1
+                part_keys = (("top", "bot") if choice in (4, 6)
+                             else ("left", "right"))
+                slices = {
+                    "top": (blk[:8, :], y0, x0),
+                    "bot": (blk[8:, :], y0 + 8, x0),
+                    "left": (blk[:, :8], y0, x0),
+                    "right": (blk[:, 8:], y0, x0 + 8),
+                }
+                part_mvs = [
+                    _refine_subpel(refx, *slices[k], *srx[k])[0]
+                    for k in part_keys
+                ]
+                pred = np.empty((16, 16), dtype=np.int64)
+                # mvd loop for the one list, partition order (7.3.5.1)
+                for (tag, dx, dy, pw, ph), mv in zip(parts, part_mvs):
+                    px4, py4 = (x0 + dx) // 4, (y0 + dy) // 4
+                    mvp = _mvp_partition(mfx, px4, py4, pw // 4, tag)
+                    w.se(int(mv[0] - mvp[0]))
+                    w.se(int(mv[1] - mvp[1]))
+                    pred[dy : dy + ph, dx : dx + pw] = _mc_luma(
+                        refx, y0 + dy, x0 + dx, mv, (ph, pw))
+                    mfx.fill(py4, px4, ph // 4, pw // 4, mv)
+            else:
+                pred = (pd, p0, p1, pbi)[choice]
+                if choice in (1, 3):
+                    mvp = _mvp_partition(mf0, x4, y4, 4, "16x16")
+                    w.se(int(mv0[0] - mvp[0]))
+                    w.se(int(mv0[1] - mvp[1]))
+                if choice in (2, 3):
+                    mvp = _mvp_partition(mf1, x4, y4, 4, "16x16")
+                    w.se(int(mv1[0] - mvp[0]))
+                    w.se(int(mv1[1] - mvp[1]))
             if choice == 0:
                 levels, cbp = lv_d, cbp_d
             else:
@@ -2051,10 +2103,17 @@ def _encode_bslice(
                     pred[by : by + 4, bx : bx + 4] + res, 0, 255)
             if choice == 0:
                 commit_direct(mbx, mby, u0, u1, dmv0, dmv1, zq)
+            elif choice >= 4:
+                # partition MVs were committed per partition above;
+                # mark the unused list decoded
+                other = mf1 if choice in (4, 5) else mf0
+                other.fill(y4, x4, 4, 4, (0, 0), used=False)
             else:
                 mf0.fill(y4, x4, 4, 4, mv0, used=choice in (1, 3))
                 mf1.fill(y4, x4, 4, 4, mv1, used=choice in (2, 3))
-            stats[("n_direct", "n_l0", "n_l1", "n_bi")[choice]] += 1
+            stats[("n_direct", "n_l0", "n_l1", "n_bi",
+                   "n_l0_part", "n_l0_part",
+                   "n_l1_part", "n_l1_part")[choice]] += 1
     if skip_run:
         w.ue(skip_run)
     return recon.astype(np.uint8), w.rbsp(), stats
@@ -2099,7 +2158,14 @@ def _decode_bslice(r: BitReader, sps: dict, pps: dict, ref0: np.ndarray,
     tc_map = np.zeros((h // 4, w_ // 4), dtype=np.int64)
     mf0 = _MotionField(mbs_h, mbs_w)
     mf1 = _MotionField(mbs_h, mbs_w)
-    counts = {"n_skip": 0, "n_direct": 0, "n_l0": 0, "n_l1": 0, "n_bi": 0}
+    counts = {"n_skip": 0, "n_direct": 0, "n_l0": 0, "n_l1": 0, "n_bi": 0,
+              "n_l0_part": 0, "n_l1_part": 0}
+    b_parts = {
+        4: (0, (("16x8_top", 0, 0, 16, 8), ("16x8_bot", 0, 8, 16, 8))),
+        5: (0, (("8x16_left", 0, 0, 8, 16), ("8x16_right", 8, 0, 8, 16))),
+        6: (1, (("16x8_top", 0, 0, 16, 8), ("16x8_bot", 0, 8, 16, 8))),
+        7: (1, (("8x16_left", 0, 0, 8, 16), ("8x16_right", 8, 0, 8, 16))),
+    }
     n_mbs = mbs_h * mbs_w
 
     def direct_motion(mbx: int, mby: int):
@@ -2159,18 +2225,33 @@ def _decode_bslice(r: BitReader, sps: dict, pps: dict, ref0: np.ndarray,
             break
         mbx, mby = addr % mbs_w, addr // mbs_w
         mb_type = r.ue()
-        if mb_type > 3:
+        if mb_type > 7:
             raise NotImplementedError(
-                f"B mb_type {mb_type} unsupported "
-                "(16x16 Direct/L0/L1/Bi only)"
+                f"B mb_type {mb_type} unsupported (16x16 Direct/L0/L1/Bi"
+                " + single-list 16x8/8x16 only)"
             )
         y0, x0 = mby * 16, mbx * 16
         y4, x4 = mby * 4, mbx * 4
         direct_args = None
+        part_args = None
         if mb_type == 0:
             u0, u1, mv0, mv1, zq = direct_motion(mbx, mby)
             direct_args = (u0, u1, mv0, mv1, zq)
             pred = direct_pred(u0, u1, mv0, mv1, zq, y0, x0)
+        elif mb_type >= 4:
+            lx, parts = b_parts[mb_type]
+            refx = r0 if lx == 0 else r1
+            mfx = mf0 if lx == 0 else mf1
+            pred = np.empty((16, 16), dtype=np.int64)
+            for tag, dx, dy, pw, ph in parts:
+                px4, py4 = (x0 + dx) // 4, (y0 + dy) // 4
+                mvp = _mvp_partition(mfx, px4, py4, pw // 4, tag)
+                mvd = (r.se(), r.se())
+                mv = (mvp[0] + mvd[0], mvp[1] + mvd[1])
+                pred[dy : dy + ph, dx : dx + pw] = _mc_luma(
+                    refx, y0 + dy, x0 + dx, mv, (ph, pw))
+                mfx.fill(py4, px4, ph // 4, pw // 4, mv)
+            part_args = lx
         else:
             mv0 = mv1 = (0, 0)
             u0 = mb_type in (1, 3)
@@ -2211,10 +2292,15 @@ def _decode_bslice(r: BitReader, sps: dict, pps: dict, ref0: np.ndarray,
                 pred[by : by + 4, bx : bx + 4] + res, 0, 255)
         if direct_args is not None:
             commit_direct(mbx, mby, *direct_args)
+        elif part_args is not None:
+            other = mf1 if part_args == 0 else mf0
+            other.fill(y4, x4, 4, 4, (0, 0), used=False)
         else:
             mf0.fill(y4, x4, 4, 4, mv0, used=u0)
             mf1.fill(y4, x4, 4, 4, mv1, used=u1)
-        counts[("n_direct", "n_l0", "n_l1", "n_bi")[mb_type]] += 1
+        counts[("n_direct", "n_l0", "n_l1", "n_bi",
+                "n_l0_part", "n_l0_part",
+                "n_l1_part", "n_l1_part")[mb_type]] += 1
         addr += 1
     # a B frame's own motion record (only needed if it ever becomes a
     # reference): per the §8.4.1.2.2 colocated rule, L0 motion wins

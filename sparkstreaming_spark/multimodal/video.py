@@ -14,7 +14,8 @@ real now for Annex-B elementary streams within h264.py's documented
 envelope: IDR I-frames (CAVLC + Intra_4x4 + integer transform) AND
 motion-compensated P frames (P_Skip + 16x16/16x8/8x16/8x8 partitions,
 quarter-pel luma interpolation, 4x4-granular MV prediction) AND
-low-delay B frames (B_Skip + spatial B_Direct + B_L0/B_L1/B_Bi 16x16,
+low-delay B frames (B_Skip + spatial B_Direct + B_L0/B_L1/B_Bi 16x16
++ single-list 16x8/8x16 partitions,
 two-ref DPB — h264.py::decode_stream). What stays a documented stub:
 CABAC, temporal direct, sub-8x8/B
 sub-partitions, and vp9 entirely, which need an ffmpeg-class decoder

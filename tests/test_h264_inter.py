@@ -466,7 +466,8 @@ def test_b_gop_over_partitioned_references_roundtrips():
         gop_b_reconstruction,
     )
 
-    keys = ("n_skip", "n_direct", "n_l0", "n_l1", "n_bi")
+    keys = ("n_skip", "n_direct", "n_l0", "n_l1", "n_bi",
+            "n_l0_part", "n_l1_part")
     rng = np.random.default_rng(9)
     base = rng.integers(0, 256, (48, 64)).astype(np.uint8)
     frames, cur = [base], base
@@ -487,6 +488,44 @@ def test_b_gop_over_partitioned_references_roundtrips():
         assert np.array_equal(out["frames"][k], recons[k])
 
 
+def test_b_single_list_partitions_fire_and_roundtrip():
+    # the B frames' content splits mid-MB (rows 8-23 panning, the rest
+    # static): a single 16x16 MV can't carry both halves, so the
+    # single-list two-partition modes (B_L0_L0_16x8, Table 7-14 type 4)
+    # must win somewhere, with the §7.3.5.1 one-list MVD layout and
+    # per-partition directional MVP — and stay bit-exact
+    from sparkstreaming_spark.multimodal.h264 import (
+        decode_stream,
+        encode_gop_b,
+        gop_b_reconstruction,
+    )
+
+    keys = ("n_skip", "n_direct", "n_l0", "n_l1", "n_bi",
+            "n_l0_part", "n_l1_part")
+    rng = np.random.default_rng(21)
+    base = rng.integers(0, 256, (32, 32)).astype(np.uint8)
+
+    def shift_split(f, k):
+        g = f.copy()
+        g[8:24, k:] = f[8:24, :-k]
+        g[8:24, :k] = f[8:24, :1]
+        return g
+
+    f1 = shift_split(base, 2)
+    f2 = shift_split(f1, 2)
+    f3 = shift_split(f2, 2)
+    frames = [base, f1, f2, f3]
+    out = decode_stream(encode_gop_b(frames, qp=16))
+    recons, stats = gop_b_reconstruction(frames, qp=16)
+    b_tot = {k: sum(s[k] for s in stats if s["type"] == "B") for k in keys}
+    assert b_tot["n_l0_part"] + b_tot["n_l1_part"] > 0
+    assert out["b_mode_counts"] == [
+        {k: s[k] for k in keys} for s in stats if s["type"] == "B"
+    ]
+    for k in range(len(frames)):
+        assert np.array_equal(out["frames"][k], recons[k])
+
+
 def test_b_skip_and_direct_on_static_and_panning_content():
     # static B content → colZeroFlag zeroes the direct MV → residual-free
     # direct prediction → B_Skip; panning content → neighbors' searched
@@ -499,7 +538,8 @@ def test_b_skip_and_direct_on_static_and_panning_content():
         gop_b_reconstruction,
     )
 
-    keys = ("n_skip", "n_direct", "n_l0", "n_l1", "n_bi")
+    keys = ("n_skip", "n_direct", "n_l0", "n_l1", "n_bi",
+            "n_l0_part", "n_l1_part")
     # static: every frame identical
     rng = np.random.default_rng(31)
     a = rng.integers(0, 256, (32, 48)).astype(np.uint8)
