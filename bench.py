@@ -266,6 +266,7 @@ HEADLINE = [
     "doc_unigram_train",
     "doc_unigram_encode",
     "doc_h264_bframe_probe",
+    "doc_h264_chroma_probe",
     # round-7 additions
     "doc_kn_heldout",
     "doc_domain_caps",

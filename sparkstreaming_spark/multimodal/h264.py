@@ -12,23 +12,29 @@ Scope (precise, honestly guarded):
   ALL NINE §8.3.1.2 prediction modes (V/H/DC/DDL/DDR/VR/HD/VL/HU,
   per-block SAD selection under the §8.3.1.1 most-probable-mode
   signaling, top-right sample substitution per the spec's derivation),
-  full luma residual coding (CBP luma = 15),
-  4:2:0 chroma predicted DC-only (CBP chroma = 0 — no chroma residual,
-  so chroma is exact for constant-chroma/grayscale input and
-  approximate otherwise), deblocking disabled in the slice header
+  full luma residual coding (CBP luma = 15), and REAL 4:2:0 chroma
+  residual coding: §8.3.4 DC chroma prediction (per-4x4 availability
+  rules) plus the §8.5.11 chroma DC path (2x2 Hadamard, Table 8-15
+  QPc, the nC = -1 coeff_token and Table 9-9(a) total_zeros chroma DC
+  CAVLC tables) and 15-coefficient chroma AC blocks — CBP chroma
+  0/1/2 signaled through the full 48-entry Table 9-4 mapping.
+  Deblocking disabled in the slice header
   (disable_deblocking_filter_idc=1 — decoding without a deblocking
   pass is then conformant), fixed QP per frame.
 - decoder: parses SPS/PPS/IDR slices produced by this encoder and any
   stream within the same feature envelope; raises NotImplementedError
   with a precise reason for CABAC, 8x8 transform, or residual features
-  outside the envelope (chroma residual, I_16x16) — those stay honest
+  outside the envelope (I_16x16) — those stay honest
   stubs, not silent wrong output.
 - inter coding (P slices): encode_gop/decode_stream extend the
   envelope with motion-compensated P frames — P_L0_16x16,
   P_L0_L0_16x8, P_L0_L0_8x16, and P_8x8 (four P_L0_8x8 sub-MBs)
   partitions plus P_Skip against a
   single reference (the previous decoded frame, max_num_ref_frames=1
-  sliding window), full quarter-pel luma interpolation per §8.4.2.2.1
+  sliding window), chroma riding each partition's luma MV through the
+  §8.4.2.2.2 eighth-pel bilinear interpolation with the full inter
+  chroma residual (P_Skip requires a zero chroma residual too),
+  full quarter-pel luma interpolation per §8.4.2.2.1
   (6-tap [1,-5,20,20,-5,1] half-pel, bilinear quarter, coordinate
   clamping at picture edges), the §8.4.1.3 MV prediction at 4x4
   granularity (median plus the §8.4.1.3.2 directional rules for 16x8 /
@@ -45,7 +51,10 @@ Scope (precise, honestly guarded):
   DPB), default bi-prediction (§8.4.2.3 (p0+p1+1)>>1), per-list median
   MV prediction, Main-profile SPS, non-reference B NALs, plus the
   single-list two-partition B modes (B_L0_L0/B_L1_L1 16x8 and 8x16,
-  Table 7-14 types 4-7, one-list MVD layout per §7.3.5.1). Sub-8x8
+  Table 7-14 types 4-7, one-list MVD layout per §7.3.5.1). Chroma is
+  fully coded in B slices too (per-quadrant direct motion, §8.4.2.3
+  bi-averaged chroma MC, inter chroma residual; B_Skip additionally
+  requires the chroma residual to quantize to zero). Sub-8x8
   partitions (8x4/4x8/4x4), mixed-list and Bi B partitions
   (types 8-21), B_8x8, temporal direct, CABAC, and weighted
   prediction remain honest NotImplementedError guards.
@@ -293,6 +302,24 @@ TOTAL_ZEROS: dict[int, list[str]] = {
     15: ["0", "1"],
 }
 
+# coeff_token for chroma DC blocks (Table 9-5, the nC == -1 column —
+# 4:2:0 chroma DC 2x2 blocks, maxNumCoeff = 4)
+COEFF_TOKEN_CHROMA_DC: dict[tuple[int, int], str] = {
+    (0, 0): "01",
+    (0, 1): "000111", (1, 1): "1",
+    (0, 2): "000100", (1, 2): "000110", (2, 2): "001",
+    (0, 3): "000011", (1, 3): "0000011", (2, 3): "0000010", (3, 3): "000101",
+    (0, 4): "000010", (1, 4): "00000011", (2, 4): "00000010",
+    (3, 4): "0000000",
+}
+
+# total_zeros for chroma DC 2x2 blocks (Table 9-9(a), 4:2:0)
+TOTAL_ZEROS_CHROMA_DC: dict[int, list[str]] = {
+    1: ["1", "01", "001", "000"],
+    2: ["1", "01", "00"],
+    3: ["1", "0"],
+}
+
 # run_before[min(zeros_left, 7)][run] (Table 9-10)
 RUN_BEFORE: dict[int, list[str]] = {
     1: ["1", "0"],
@@ -316,6 +343,10 @@ def _invert(table: dict | list) -> dict[str, object]:
 _COEFF_TOKEN_DEC = [_invert(t) for t in COEFF_TOKEN]
 _TOTAL_ZEROS_DEC = {tc: _invert(t) for tc, t in TOTAL_ZEROS.items()}
 _RUN_BEFORE_DEC = {zl: _invert(t) for zl, t in RUN_BEFORE.items()}
+_COEFF_TOKEN_CDC_DEC = _invert(COEFF_TOKEN_CHROMA_DC)
+_TOTAL_ZEROS_CDC_DEC = {
+    tc: _invert(t) for tc, t in TOTAL_ZEROS_CHROMA_DC.items()
+}
 
 
 def _read_vlc(r: BitReader, table: dict[str, object], what: str):
@@ -345,14 +376,31 @@ def _nc_class(nc: int) -> int:
     return 3  # FLC
 
 
-def encode_residual_block(w: BitWriter, coeffs: np.ndarray, nc: int) -> int:
-    """CAVLC-encode one 4x4 block (coeffs in raster (4,4) int array);
-    returns TotalCoeff for the caller's nC bookkeeping."""
-    scan = [int(coeffs[i, j]) for i, j in ZIGZAG_4x4]
+# chroma DC 2x2 scan (§8.5.11 raster order for 4:2:0)
+CHROMA_DC_SCAN = [(0, 0), (0, 1), (1, 0), (1, 1)]
+
+
+def encode_residual_block(w: BitWriter, coeffs: np.ndarray, nc: int,
+                          kind: str = "full") -> int:
+    """CAVLC-encode one residual block; returns TotalCoeff for the
+    caller's nC bookkeeping. `kind`: "full" = 16-coeff 4x4 (coeffs is
+    a raster (4,4) int array); "ac" = 15-coeff AC-only 4x4 (position
+    (0,0) is carried separately — chroma AC, §7.4.5.3.3); "cdc" =
+    4-coeff chroma DC 2x2 (coeffs is (2,2), coeff_token from the
+    nC == -1 table, total_zeros from Table 9-9(a); nc is ignored)."""
+    if kind == "cdc":
+        scan = [int(coeffs[i, j]) for i, j in CHROMA_DC_SCAN]
+        max_coeff = 4
+    elif kind == "ac":
+        scan = [int(coeffs[i, j]) for i, j in ZIGZAG_4x4[1:]]
+        max_coeff = 15
+    else:
+        scan = [int(coeffs[i, j]) for i, j in ZIGZAG_4x4]
+        max_coeff = 16
     while scan and scan[-1] == 0:
         scan.pop()
     total_coeff = sum(1 for v in scan if v != 0)
-    if total_coeff > 16:
+    if total_coeff > max_coeff:
         raise ValueError("impossible coefficient count")
     # trailing ones: up to 3 consecutive +-1 at the high-frequency end
     nz = [i for i, v in enumerate(scan) if v != 0]
@@ -362,12 +410,15 @@ def encode_residual_block(w: BitWriter, coeffs: np.ndarray, nc: int) -> int:
             t1 += 1
         else:
             break
-    cls = _nc_class(nc)
-    if cls == 3:
-        code = 3 if total_coeff == 0 else ((total_coeff - 1) << 2) | t1
-        w.u(code, 6)
+    if kind == "cdc":
+        w.bitstring(COEFF_TOKEN_CHROMA_DC[(t1, total_coeff)])
     else:
-        w.bitstring(COEFF_TOKEN[cls][(t1, total_coeff)])
+        cls = _nc_class(nc)
+        if cls == 3:
+            code = 3 if total_coeff == 0 else ((total_coeff - 1) << 2) | t1
+            w.u(code, 6)
+        else:
+            w.bitstring(COEFF_TOKEN[cls][(t1, total_coeff)])
     if total_coeff == 0:
         return 0
     # trailing-one signs, high frequency first (1 = negative)
@@ -388,8 +439,9 @@ def encode_residual_block(w: BitWriter, coeffs: np.ndarray, nc: int) -> int:
             suffix_len += 1
     # total_zeros: zeros before the last nonzero coefficient
     total_zeros = len(scan) - total_coeff
-    if total_coeff < 16:
-        w.bitstring(TOTAL_ZEROS[total_coeff][total_zeros])
+    if total_coeff < max_coeff:
+        tz_table = TOTAL_ZEROS_CHROMA_DC if kind == "cdc" else TOTAL_ZEROS
+        w.bitstring(tz_table[total_coeff][total_zeros])
     # run_before per coefficient, high frequency first, except the lowest
     zeros_left = total_zeros
     for i in range(len(nz) - 1, 0, -1):
@@ -432,18 +484,32 @@ def _encode_level(w: BitWriter, level_code: int, suffix_len: int) -> None:
             w.u(lc, 12)
 
 
-def decode_residual_block(r: BitReader, nc: int) -> tuple[np.ndarray, int]:
-    """→ ((4,4) int coefficient array, TotalCoeff)."""
-    cls = _nc_class(nc)
-    if cls == 3:
-        code = r.u(6)
-        if code == 3:
-            t1, total_coeff = 0, 0
-        else:
-            t1, total_coeff = code & 3, (code >> 2) + 1
+def decode_residual_block(r: BitReader, nc: int,
+                          kind: str = "full") -> tuple[np.ndarray, int]:
+    """→ (coefficient array, TotalCoeff). `kind` as in
+    encode_residual_block: "full"/"ac" return a (4,4) raster array
+    ("ac" leaves position (0,0) zero), "cdc" returns (2,2)."""
+    if kind == "cdc":
+        t1, total_coeff = _read_vlc(
+            r, _COEFF_TOKEN_CDC_DEC, "coeff_token(chroma DC)"
+        )
+        max_coeff, scan_pos = 4, CHROMA_DC_SCAN
+        out = np.zeros((2, 2), dtype=np.int64)
     else:
-        t1, total_coeff = _read_vlc(r, _COEFF_TOKEN_DEC[cls], "coeff_token")
-    out = np.zeros((4, 4), dtype=np.int64)
+        cls = _nc_class(nc)
+        if cls == 3:
+            code = r.u(6)
+            if code == 3:
+                t1, total_coeff = 0, 0
+            else:
+                t1, total_coeff = code & 3, (code >> 2) + 1
+        else:
+            t1, total_coeff = _read_vlc(
+                r, _COEFF_TOKEN_DEC[cls], "coeff_token"
+            )
+        max_coeff = 15 if kind == "ac" else 16
+        scan_pos = ZIGZAG_4x4[1:] if kind == "ac" else ZIGZAG_4x4
+        out = np.zeros((4, 4), dtype=np.int64)
     if total_coeff == 0:
         return out, 0
     levels: list[int] = []
@@ -479,9 +545,10 @@ def decode_residual_block(r: BitReader, nc: int) -> tuple[np.ndarray, int]:
         if abs(level) > (3 << (suffix_len - 1)) and suffix_len < 6:
             suffix_len += 1
     # levels[] is high-frequency first; rebuild scan positions via runs
-    if total_coeff < 16:
+    if total_coeff < max_coeff:
+        tz_dec = _TOTAL_ZEROS_CDC_DEC if kind == "cdc" else _TOTAL_ZEROS_DEC
         total_zeros = _read_vlc(
-            r, _TOTAL_ZEROS_DEC[total_coeff], "total_zeros"
+            r, tz_dec[total_coeff], "total_zeros"
         )
     else:
         total_zeros = 0
@@ -498,11 +565,11 @@ def decode_residual_block(r: BitReader, nc: int) -> tuple[np.ndarray, int]:
         zeros_left -= run
     runs.append(zeros_left)  # lowest-frequency coefficient takes the rest
     pos = total_zeros + total_coeff - 1
-    scan = [0] * 16
+    scan = [0] * max_coeff
     for i, level in enumerate(levels):
         scan[pos] = level
         pos -= runs[i] + 1 if i < len(runs) else 1
-    for idx, (i, j) in enumerate(ZIGZAG_4x4):
+    for idx, (i, j) in enumerate(scan_pos):
         out[i, j] = scan[idx]
     return out, total_coeff
 
@@ -574,6 +641,267 @@ def dequantize_4x4(levels: np.ndarray, qp: int) -> np.ndarray:
     v_row = _V[qp % 6]
     v = np.array(v_row, dtype=np.int64)[_POS_CLASS.ravel()].reshape(4, 4)
     return (levels.astype(np.int64) * v) << (qp // 6)
+
+
+# ---------------------------------------------------------------------------
+# chroma: QPc mapping, 2x2 DC Hadamard (§8.5.11), DC intra prediction
+# (§8.3.4 mode 0), eighth-pel MC (§8.4.2.2.2)
+
+# Table 8-15: qPI -> QPc (chroma_qp_index_offset = 0 in our PPS)
+_QPC = list(range(30)) + [29, 30, 31, 32, 32, 33, 34, 34, 35, 35, 36, 36,
+                          37, 37, 37, 38, 38, 38, 39, 39, 39, 39]
+
+_H2 = np.array([[1, 1], [1, -1]], dtype=np.int64)
+
+
+def chroma_qp(qp: int) -> int:
+    return _QPC[max(0, min(51, qp))]
+
+
+def chroma_dc_forward(dc2: np.ndarray) -> np.ndarray:
+    """Forward 2x2 Hadamard over the four 4x4 DC transform
+    coefficients of one chroma component (§8.5.11 analysis side)."""
+    return _H2 @ dc2.astype(np.int64) @ _H2
+
+
+def quantize_chroma_dc(fdc: np.ndarray, qpc: int,
+                       intra: bool = True) -> np.ndarray:
+    """Encoder-side chroma DC quantization (JM-style: the 4x4 MF at
+    position (0,0) with a doubled deadzone and one extra shift for the
+    Hadamard gain — encoder policy only, any levels are conformant)."""
+    mf = _MF[qpc % 6][0]
+    qbits = 15 + qpc // 6
+    f = (1 << qbits) // (3 if intra else 6)
+    sign = np.sign(fdc)
+    return sign * ((np.abs(fdc) * mf + 2 * f) >> (qbits + 1))
+
+
+def dequantize_chroma_dc(levels: np.ndarray, qpc: int) -> np.ndarray:
+    """§8.5.11 normative scaling: inverse 2x2 Hadamard of the parsed
+    DC levels, then dcC = (f * LevelScale(QPc%6, 0, 0)) << (QPc/6 - 1)
+    (>> 1 when QPc < 6). Each dcC lands as coefficient (0,0) of its
+    4x4 block before the normal §8.5.12.2 inverse transform."""
+    f2 = _H2 @ levels.astype(np.int64) @ _H2
+    v = _V[qpc % 6][0]
+    if qpc >= 6:
+        return (f2 * v) << (qpc // 6 - 1)
+    return (f2 * v) >> 1
+
+
+def _chroma_dc_pred8(plane: np.ndarray, y: int, x: int) -> np.ndarray:
+    """Intra chroma DC prediction (§8.3.4, intra_chroma_pred_mode 0)
+    for the 8x8 chroma block of one MB at chroma-plane pixel (y, x):
+    per 4x4 sub-block, the corner blocks average both available edges;
+    block (4,0) prefers its top-edge samples, (0,4) its left-edge
+    samples, each falling back to the other edge then to 128."""
+    pred = np.empty((8, 8), dtype=np.int64)
+    top, left = y > 0, x > 0
+
+    def stop(x0: int) -> int:
+        return int(plane[y - 1, x + x0 : x + x0 + 4].sum())
+
+    def sleft(y0: int) -> int:
+        return int(plane[y + y0 : y + y0 + 4, x - 1].sum())
+
+    for xo, yo in ((0, 0), (4, 0), (0, 4), (4, 4)):
+        if (xo, yo) in ((0, 0), (4, 4)):
+            if top and left:
+                v = (stop(xo) + sleft(yo) + 4) >> 3
+            elif top:
+                v = (stop(xo) + 2) >> 2
+            elif left:
+                v = (sleft(yo) + 2) >> 2
+            else:
+                v = 128
+        elif (xo, yo) == (4, 0):
+            if top:
+                v = (stop(4) + 2) >> 2
+            elif left:
+                v = (sleft(0) + 2) >> 2
+            else:
+                v = 128
+        else:  # (0, 4)
+            if left:
+                v = (sleft(4) + 2) >> 2
+            elif top:
+                v = (stop(0) + 2) >> 2
+            else:
+                v = 128
+        pred[yo : yo + 4, xo : xo + 4] = v
+    return pred
+
+
+def _mc_chroma(refc: np.ndarray, y0: int, x0: int, mv: tuple[int, int],
+               size: int | tuple[int, int] = 8) -> np.ndarray:
+    """Eighth-pel bilinear chroma interpolation (§8.4.2.2.2) for a
+    block at chroma coords (y0, x0). `mv` is the LUMA quarter-pel MV —
+    at 4:2:0 one luma quarter-pel is one chroma eighth-pel, so the
+    same integer applies directly. Out-of-picture samples clamp."""
+    sy, sx = (size, size) if isinstance(size, int) else size
+    h, w_ = refc.shape
+    mvx, mvy = int(mv[0]), int(mv[1])
+    xf, yf = mvx & 7, mvy & 7
+    y_int, x_int = y0 + (mvy >> 3), x0 + (mvx >> 3)
+    if xf == 0 and yf == 0:
+        if 0 <= y_int and y_int + sy <= h and 0 <= x_int and x_int + sx <= w_:
+            return refc[y_int : y_int + sy, x_int : x_int + sx].astype(
+                np.int64)
+        rows = np.clip(np.arange(y_int, y_int + sy), 0, h - 1)
+        cols = np.clip(np.arange(x_int, x_int + sx), 0, w_ - 1)
+        return refc[np.ix_(rows, cols)].astype(np.int64)
+    rows = np.clip(np.arange(y_int, y_int + sy + 1), 0, h - 1)
+    cols = np.clip(np.arange(x_int, x_int + sx + 1), 0, w_ - 1)
+    win = refc[np.ix_(rows, cols)].astype(np.int64)
+    a = win[:sy, :sx]
+    b = win[:sy, 1:]
+    c = win[1:, :sx]
+    d = win[1:, 1:]
+    return ((8 - xf) * (8 - yf) * a + xf * (8 - yf) * b
+            + (8 - xf) * yf * c + xf * yf * d + 32) >> 6
+
+
+# chroma 4x4 sub-block raster order within the 8x8 MB block (§6.4.7)
+CHROMA_BLOCK_XY = [(0, 0), (4, 0), (0, 4), (4, 4)]
+
+
+def _bi_chroma(c0: np.ndarray, c1: np.ndarray, u0: bool, u1: bool,
+               m0, m1, cy: int, cx: int, size=8) -> np.ndarray:
+    """Chroma twin of the B-slice luma predictor: §8.4.2.3 default
+    bi-averaging when both lists are in use, else the one used list."""
+    if u0 and u1:
+        return (_mc_chroma(c0, cy, cx, m0, size)
+                + _mc_chroma(c1, cy, cx, m1, size) + 1) >> 1
+    if u0:
+        return _mc_chroma(c0, cy, cx, m0, size)
+    return _mc_chroma(c1, cy, cx, m1, size)
+
+
+def _direct_chroma(c0: np.ndarray, c1: np.ndarray, u0: bool, u1: bool,
+                   dmv0, dmv1, zq: np.ndarray, cy: int,
+                   cx: int) -> np.ndarray:
+    """Chroma prediction for a spatial-direct B MB: each 8x8 luma
+    quadrant is a 4x4 chroma quadrant, zeroed per its colZeroFlag —
+    identical structure to the luma direct predictor."""
+    if zq.all():
+        return _bi_chroma(c0, c1, u0, u1, (0, 0), (0, 0), cy, cx, 8)
+    if not zq.any():
+        return _bi_chroma(c0, c1, u0, u1, dmv0, dmv1, cy, cx, 8)
+    out = np.empty((8, 8), dtype=np.int64)
+    for qy in range(2):
+        for qx in range(2):
+            m0 = (0, 0) if zq[qy, qx] else dmv0
+            m1 = (0, 0) if zq[qy, qx] else dmv1
+            out[4 * qy : 4 * qy + 4, 4 * qx : 4 * qx + 4] = _bi_chroma(
+                c0, c1, u0, u1, m0, m1, cy + 4 * qy, cx + 4 * qx, 4)
+    return out
+
+
+def _quantize_chroma_mb(res_cb: np.ndarray, res_cr: np.ndarray, qpc: int,
+                        intra: bool):
+    """Transform + quantize the two 8x8 chroma residuals of one MB.
+    → (cbp_chroma, {comp: dc_levels (2,2)}, {comp: [ac_levels x4]})
+    where cbp_chroma is 0 (nothing), 1 (DC only) or 2 (DC + AC); when
+    it is < 2 the AC levels returned are all-zero (the encoder's
+    reconstruction must match a decoder that never sees them)."""
+    if not res_cb.any() and not res_cr.any():
+        # all-zero residual (grayscale / perfectly-predicted chroma):
+        # levels are zero at any QP — skip the transforms entirely
+        zero_dc = np.zeros((2, 2), dtype=np.int64)
+        zero_ac = [np.zeros((4, 4), dtype=np.int64) for _ in range(4)]
+        return 0, {"cb": zero_dc, "cr": zero_dc.copy()}, {
+            "cb": zero_ac, "cr": [a.copy() for a in zero_ac]}
+    dcs, acs = {}, {}
+    any_ac = False
+    any_dc = False
+    for comp, res in (("cb", res_cb), ("cr", res_cr)):
+        dc2 = np.zeros((2, 2), dtype=np.int64)
+        ac4 = []
+        for bi, (bx, by) in enumerate(CHROMA_BLOCK_XY):
+            wt = forward_transform_4x4(res[by : by + 4, bx : bx + 4])
+            dc2[by // 4, bx // 4] = wt[0, 0]
+            lv = quantize_4x4(wt, qpc, intra=intra)
+            lv[0, 0] = 0
+            ac4.append(lv)
+            if lv.any():
+                any_ac = True
+        dcq = quantize_chroma_dc(chroma_dc_forward(dc2), qpc, intra=intra)
+        if dcq.any():
+            any_dc = True
+        dcs[comp] = dcq
+        acs[comp] = ac4
+    cbp_chroma = 2 if any_ac else (1 if any_dc else 0)
+    if cbp_chroma < 2:
+        for comp in acs:
+            acs[comp] = [np.zeros((4, 4), dtype=np.int64) for _ in range(4)]
+    return cbp_chroma, dcs, acs
+
+
+def _recon_chroma_blocks(pred: np.ndarray, dc_levels: np.ndarray,
+                         ac_levels: list, qpc: int) -> np.ndarray:
+    """Reconstruct one 8x8 chroma component: §8.5.11 DC scaling into
+    position (0,0) of each 4x4, normal AC dequant, inverse transform,
+    clip. Shared by encoder loop and decoder (bit-exact contract)."""
+    dcc = dequantize_chroma_dc(dc_levels, qpc)
+    out = np.empty((8, 8), dtype=np.int64)
+    for bi, (bx, by) in enumerate(CHROMA_BLOCK_XY):
+        d = dequantize_4x4(ac_levels[bi], qpc)
+        d[0, 0] = dcc[by // 4, bx // 4]
+        res = inverse_transform_4x4(d)
+        out[by : by + 4, bx : bx + 4] = np.clip(
+            pred[by : by + 4, bx : bx + 4] + res, 0, 255)
+    return out
+
+
+def _write_chroma_residual(w: BitWriter, cbp_chroma: int, dcs: dict,
+                           acs: dict, tc_cb: np.ndarray, tc_cr: np.ndarray,
+                           yc4: int, xc4: int) -> None:
+    """Emit the chroma residual bits for one MB (§7.4.5.3.3 order:
+    ChromaDCLevel Cb, Cr; then ChromaACLevel Cb x4, Cr x4) and update
+    the per-component chroma-AC TotalCoeff maps ((yc4, xc4) = the
+    MB's top-left chroma 4x4 block coordinate). Callers emit these
+    bits AFTER all luma residual bits."""
+    if cbp_chroma == 0:
+        for tc in (tc_cb, tc_cr):
+            tc[yc4 : yc4 + 2, xc4 : xc4 + 2] = 0
+        return
+    for comp in ("cb", "cr"):
+        encode_residual_block(w, dcs[comp], -1, kind="cdc")
+    for comp, tc in (("cb", tc_cb), ("cr", tc_cr)):
+        for bi, (bx, by) in enumerate(CHROMA_BLOCK_XY):
+            b4y, b4x = yc4 + by // 4, xc4 + bx // 4
+            if cbp_chroma == 2:
+                nc = _neighbor_nc(tc, b4y, b4x)
+                tc[b4y, b4x] = encode_residual_block(
+                    w, acs[comp][bi], nc, kind="ac")
+            else:
+                tc[b4y, b4x] = 0
+
+
+def _read_chroma_residual(r: BitReader, cbp_chroma: int,
+                          tc_cb: np.ndarray, tc_cr: np.ndarray,
+                          yc4: int, xc4: int) -> tuple[dict, dict]:
+    """Parse one MB's chroma residual (inverse of
+    _write_chroma_residual) → (dcs, acs) keyed "cb"/"cr"."""
+    zero_dc = np.zeros((2, 2), dtype=np.int64)
+    dcs = {"cb": zero_dc, "cr": zero_dc}
+    acs = {c: [np.zeros((4, 4), dtype=np.int64) for _ in range(4)]
+           for c in ("cb", "cr")}
+    if cbp_chroma == 0:
+        for tc in (tc_cb, tc_cr):
+            tc[yc4 : yc4 + 2, xc4 : xc4 + 2] = 0
+        return dcs, acs
+    for comp in ("cb", "cr"):
+        dcs[comp], _ = decode_residual_block(r, -1, kind="cdc")
+    for comp, tc in (("cb", tc_cb), ("cr", tc_cr)):
+        for bi, (bx, by) in enumerate(CHROMA_BLOCK_XY):
+            b4y, b4x = yc4 + by // 4, xc4 + bx // 4
+            if cbp_chroma == 2:
+                nc = _neighbor_nc(tc, b4y, b4x)
+                acs[comp][bi], tcv = decode_residual_block(r, nc, kind="ac")
+                tc[b4y, b4x] = tcv
+            else:
+                tc[b4y, b4x] = 0
+    return dcs, acs
 
 
 # ---------------------------------------------------------------------------
@@ -867,11 +1195,11 @@ def encode_iframe(rgb_or_gray: np.ndarray, qp: int = 20) -> bytes:
     """(H, W) grayscale or (H, W, 3) RGB uint8 → Annex-B H.264 stream
     (SPS + PPS + one IDR I-slice). H and W must be multiples of 16.
     Luma carries full Intra_4x4 + CAVLC residual at the given QP;
-    chroma is encoded prediction-only (exact for gray input). Use
+    4:2:0 chroma carries DC prediction plus the real §8.5.11 residual
+    (2x2 DC Hadamard + AC CAVLC) at the Table 8-15 chroma QP. Use
     `encoder_reconstruction` for the decoder-exact reference pixels."""
-    y_plane, _, _ = _to_yuv(rgb_or_gray)
-    recon, payload = _encode_slice(y_plane, qp)
-    _ = recon
+    y_plane, cb, cr = _to_yuv(rgb_or_gray)
+    _recon, payload = _encode_slice(y_plane, cb, cr, qp)
     h, w_ = y_plane.shape
     return (_nal(7, _build_sps_rbsp(w_, h))
             + _nal(8, _build_pps_rbsp())
@@ -881,8 +1209,15 @@ def encode_iframe(rgb_or_gray: np.ndarray, qp: int = 20) -> bytes:
 def encoder_reconstruction(rgb_or_gray: np.ndarray, qp: int = 20) -> np.ndarray:
     """The encoder's own decoded-loop luma reconstruction — the
     bit-exact reference the decoder must reproduce."""
-    y_plane, _, _ = _to_yuv(rgb_or_gray)
-    recon, _ = _encode_slice(y_plane, qp)
+    return encoder_reconstruction_yuv(rgb_or_gray, qp)[0]
+
+
+def encoder_reconstruction_yuv(rgb_or_gray: np.ndarray, qp: int = 20,
+                               ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Full decoded-loop (luma, cb, cr) reconstruction — the bit-exact
+    reference the decoder must reproduce on all three planes."""
+    y_plane, cb, cr = _to_yuv(rgb_or_gray)
+    recon, _ = _encode_slice(y_plane, cb, cr, qp)
     return recon
 
 
@@ -904,7 +1239,10 @@ def _to_yuv(img: np.ndarray) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
             cr[::2, ::2].astype(np.uint8))
 
 
-def _encode_slice(y_plane: np.ndarray, qp: int) -> tuple[np.ndarray, bytes]:
+def _encode_slice(y_plane: np.ndarray, cb_plane: np.ndarray,
+                  cr_plane: np.ndarray, qp: int,
+                  ) -> tuple[tuple[np.ndarray, np.ndarray, np.ndarray],
+                             bytes]:
     h, w_ = y_plane.shape
     if h % 16 or w_ % 16:
         raise ValueError("dimensions must be multiples of 16 in this scope")
@@ -928,6 +1266,13 @@ def _encode_slice(y_plane: np.ndarray, qp: int) -> tuple[np.ndarray, bytes]:
     tc_map = np.zeros((h // 4, w_ // 4), dtype=np.int64)
     mode4 = np.full((h // 4, w_ // 4), I4_DC, dtype=np.int64)
     done4 = np.zeros((h // 4, w_ // 4), dtype=bool)
+    src_cb = cb_plane.astype(np.int64)
+    src_cr = cr_plane.astype(np.int64)
+    rec_cb = np.zeros((h // 2, w_ // 2), dtype=np.int64)
+    rec_cr = np.zeros((h // 2, w_ // 2), dtype=np.int64)
+    tc_cb = np.zeros((h // 8, w_ // 8), dtype=np.int64)
+    tc_cr = np.zeros((h // 8, w_ // 8), dtype=np.int64)
+    qpc = chroma_qp(qp)
     for mby in range(mbs_h):
         for mbx in range(mbs_w):
             # mode syntax precedes the residuals in the bitstream, but
@@ -972,13 +1317,30 @@ def _encode_slice(y_plane: np.ndarray, qp: int) -> tuple[np.ndarray, bytes]:
                     pred + rec_res, 0, 255)
                 mode4[y4, x4] = mode
                 done4[y4, x4] = True
+            # chroma: DC prediction from reconstructed neighbors + real
+            # residual (2x2 DC Hadamard + AC) — CBP chroma 0/1/2
+            cy, cx = mby * 8, mbx * 8
+            pred_cb = _chroma_dc_pred8(rec_cb, cy, cx)
+            pred_cr = _chroma_dc_pred8(rec_cr, cy, cx)
+            cc, dcs, acs = _quantize_chroma_mb(
+                src_cb[cy : cy + 8, cx : cx + 8] - pred_cb,
+                src_cr[cy : cy + 8, cx : cx + 8] - pred_cr,
+                qpc, intra=True,
+            )
             w.ue(0)  # mb_type I_4x4
             w.bits.extend(mode_bits.bits)
             w.ue(0)        # intra_chroma_pred_mode DC
-            w.ue(_CBP_INTRA_INV[15])  # CBP: luma 15, chroma 0
+            w.ue(_CBP_INTRA_INV[15 | (cc << 4)])
             w.se(0)        # mb_qp_delta
             w.bits.extend(res_bits.bits)
-    return recon.astype(np.uint8), w.rbsp()
+            _write_chroma_residual(w, cc, dcs, acs, tc_cb, tc_cr,
+                                   cy // 4, cx // 4)
+            rec_cb[cy : cy + 8, cx : cx + 8] = _recon_chroma_blocks(
+                pred_cb, dcs["cb"], acs["cb"], qpc)
+            rec_cr[cy : cy + 8, cx : cx + 8] = _recon_chroma_blocks(
+                pred_cr, dcs["cr"], acs["cr"], qpc)
+    return ((recon.astype(np.uint8), rec_cb.astype(np.uint8),
+             rec_cr.astype(np.uint8)), w.rbsp())
 
 
 def _neighbor_nc(tc_map: np.ndarray, by: int, bx: int) -> int:
@@ -999,7 +1361,8 @@ def _neighbor_nc(tc_map: np.ndarray, by: int, bx: int) -> int:
 
 def decode_iframe(data: bytes) -> dict:
     """Annex-B H.264 stream → {width, height, qp, luma (H,W) uint8,
-    n_mbs}. Decodes the first IDR slice (use decode_stream for GOPs
+    cb, cr (H/2,W/2) uint8, n_mbs}. Decodes the first IDR slice (use
+    decode_stream for GOPs
     with P frames); raises NotImplementedError with the exact
     unsupported feature for anything outside the intra-CAVLC envelope
     documented in the module docstring."""
@@ -1024,14 +1387,16 @@ def decode_iframe(data: bytes) -> dict:
         raise NotImplementedError("multi-slice pictures unsupported")
     if r.ue() % 5 != 2:
         raise NotImplementedError("only I slices supported")
-    luma, qp = _decode_islice_body(r, sps, pps, idr=True,
-                                   ref_idc=slice_ref_idc)
+    (luma, cb, cr), qp = _decode_islice_body(r, sps, pps, idr=True,
+                                             ref_idc=slice_ref_idc)
     return {
         "width": sps["width"],
         "height": sps["height"],
         "qp": qp,
         "n_mbs": (sps["width"] // 16) * (sps["height"] // 16),
         "luma": luma,
+        "cb": cb,
+        "cr": cr,
     }
 
 
@@ -1285,20 +1650,24 @@ def _skip_mv4(mf: _MotionField, mbx: int, mby: int) -> tuple[int, int]:
 
 
 def _encode_pslice(
-    ref: np.ndarray,
-    y_plane: np.ndarray,
+    ref: tuple[np.ndarray, np.ndarray, np.ndarray],
+    yuv: tuple[np.ndarray, np.ndarray, np.ndarray],
     qp: int,
     frame_num: int,
     search_range: int = 4,
     ref_slice: bool = True,
-) -> tuple[np.ndarray, bytes, dict]:
+) -> tuple[tuple[np.ndarray, np.ndarray, np.ndarray], bytes, dict]:
     """Encode one P slice (P_Skip, P_L0_16x16, P_L0_L0_16x8,
     P_L0_L0_8x16 — per-MB cheapest under a qp-scaled partition
-    deadband) against `ref` (the previous decoded frame). Returns
-    (reconstruction, slice RBSP, stats) — the reconstruction is the
-    decoder-exact reference. `ref_slice=False` emits a non-reference
-    slice (send with nal_ref_idc 0): dec_ref_pic_marking is then
-    absent per §7.3.3."""
+    deadband) against `ref` = the previous decoded (y, cb, cr).
+    Chroma rides each partition's luma MV through the §8.4.2.2.2
+    eighth-pel interpolation and carries the real §8.5.11 residual.
+    Returns (reconstruction (y, cb, cr), slice RBSP, stats) — the
+    reconstruction is the decoder-exact reference. `ref_slice=False`
+    emits a non-reference slice (send with nal_ref_idc 0):
+    dec_ref_pic_marking is then absent per §7.3.3."""
+    ref_y, ref_cb, ref_cr = ref
+    y_plane, cb_plane, cr_plane = yuv
     h, w_ = y_plane.shape
     mbs_w, mbs_h = w_ // 16, h // 16
     w = BitWriter()
@@ -1314,8 +1683,15 @@ def _encode_pslice(
     w.ue(1)                 # disable_deblocking_filter_idc = 1
 
     src = y_plane.astype(np.int64)
+    src_cb = cb_plane.astype(np.int64)
+    src_cr = cr_plane.astype(np.int64)
     recon = np.zeros((h, w_), dtype=np.int64)
+    rec_cb = np.zeros((h // 2, w_ // 2), dtype=np.int64)
+    rec_cr = np.zeros((h // 2, w_ // 2), dtype=np.int64)
     tc_map = np.zeros((h // 4, w_ // 4), dtype=np.int64)
+    tc_cb = np.zeros((h // 8, w_ // 8), dtype=np.int64)
+    tc_cr = np.zeros((h // 8, w_ // 8), dtype=np.int64)
+    qpc = chroma_qp(qp)
     mf = _MotionField(mbs_h, mbs_w)
     stats = {"n_skip": 0, "n_coded": 0, "n_subpel": 0, "n_16x8": 0,
              "n_8x16": 0, "n_8x8": 0, "mvs": []}
@@ -1350,18 +1726,36 @@ def _encode_pslice(
     for mby in range(mbs_h):
         for mbx in range(mbs_w):
             y0, x0 = mby * 16, mbx * 16
+            cy, cx = mby * 8, mbx * 8
             smv = _skip_mv4(mf, mbx, mby)
-            pred_s = _mc_luma(ref, y0, x0, smv)
+            pred_s = _mc_luma(ref_y, y0, x0, smv)
             lv_s = block_levels(pred_s, mby, mbx)
             if all(not lv.any() for lv in lv_s):
-                skip_run += 1
-                stats["n_skip"] += 1
-                mf.fill(mby * 4, mbx * 4, 4, 4, smv)
-                recon[y0 : y0 + 16, x0 : x0 + 16] = pred_s
-                tc_map[y0 // 4 : y0 // 4 + 4, x0 // 4 : x0 // 4 + 4] = 0
-                continue
+                # luma is residual-free under the skip MV — P_Skip also
+                # implies NO chroma residual, so only take it when the
+                # MC'd chroma quantizes to zero too (else the MB is
+                # coded with cbp luma 0 + the chroma residual)
+                pcb_s = _mc_chroma(ref_cb, cy, cx, smv)
+                pcr_s = _mc_chroma(ref_cr, cy, cx, smv)
+                cc_s, dcs_s, acs_s = _quantize_chroma_mb(
+                    src_cb[cy : cy + 8, cx : cx + 8] - pcb_s,
+                    src_cr[cy : cy + 8, cx : cx + 8] - pcr_s,
+                    qpc, intra=False,
+                )
+                if cc_s == 0:
+                    skip_run += 1
+                    stats["n_skip"] += 1
+                    mf.fill(mby * 4, mbx * 4, 4, 4, smv)
+                    recon[y0 : y0 + 16, x0 : x0 + 16] = pred_s
+                    rec_cb[cy : cy + 8, cx : cx + 8] = pcb_s
+                    rec_cr[cy : cy + 8, cx : cx + 8] = pcr_s
+                    tc_map[y0 // 4 : y0 // 4 + 4,
+                           x0 // 4 : x0 // 4 + 4] = 0
+                    tc_cb[cy // 4 : cy // 4 + 2, cx // 4 : cx // 4 + 2] = 0
+                    tc_cr[cy // 4 : cy // 4 + 2, cx // 4 : cx // 4 + 2] = 0
+                    continue
             blk = src[y0 : y0 + 16, x0 : x0 + 16]
-            sr = _search_partitions(ref, blk, y0, x0, search_range)
+            sr = _search_partitions(ref_y, blk, y0, x0, search_range)
             q_sad = (sr["q00"][1] + sr["q01"][1]
                      + sr["q10"][1] + sr["q11"][1])
             mb_type = min(
@@ -1385,7 +1779,7 @@ def _encode_pslice(
                 "q11": (blk[8:, 8:], y0 + 8, x0 + 8),
             }
             part_mvs = tuple(
-                _refine_subpel(ref, *slices[k], *sr[k])[0] for k in chosen
+                _refine_subpel(ref_y, *slices[k], *sr[k])[0] for k in chosen
             )
             w.ue(skip_run)
             skip_run = 0
@@ -1395,6 +1789,8 @@ def _encode_pslice(
                 for _ in range(4):
                     w.ue(0)  # sub_mb_type P_L0_8x8
             pred = np.empty((16, 16), dtype=np.int64)
+            pred_cb = np.empty((8, 8), dtype=np.int64)
+            pred_cr = np.empty((8, 8), dtype=np.int64)
             for (tag, dx, dy, pw, ph), mv in zip(
                 parts_of[mb_type], part_mvs
             ):
@@ -1403,14 +1799,26 @@ def _encode_pslice(
                 w.se(int(mv[0] - mvp[0]))
                 w.se(int(mv[1] - mvp[1]))
                 pred[dy : dy + ph, dx : dx + pw] = _mc_luma(
-                    ref, y0 + dy, x0 + dx, mv, (ph, pw)
+                    ref_y, y0 + dy, x0 + dx, mv, (ph, pw)
                 )
+                csz = (ph // 2, pw // 2)
+                pred_cb[dy // 2 : dy // 2 + ph // 2,
+                        dx // 2 : dx // 2 + pw // 2] = _mc_chroma(
+                    ref_cb, cy + dy // 2, cx + dx // 2, mv, csz)
+                pred_cr[dy // 2 : dy // 2 + ph // 2,
+                        dx // 2 : dx // 2 + pw // 2] = _mc_chroma(
+                    ref_cr, cy + dy // 2, cx + dx // 2, mv, csz)
                 mf.fill(y4, x4, ph // 4, pw // 4, mv)
                 if (mv[0] | mv[1]) & 3:
                     stats["n_subpel"] += 1
                 stats["mvs"].append((mbx, mby, int(mv[0]), int(mv[1])))
             levels = block_levels(pred, mby, mbx)
-            cbp = 0
+            cc, dcs, acs = _quantize_chroma_mb(
+                src_cb[cy : cy + 8, cx : cx + 8] - pred_cb,
+                src_cr[cy : cy + 8, cx : cx + 8] - pred_cr,
+                qpc, intra=False,
+            )
+            cbp = cc << 4
             for blk_i in range(16):
                 if levels[blk_i].any():
                     bx, by = LUMA_BLOCK_XY[blk_i]
@@ -1433,6 +1841,12 @@ def _encode_pslice(
                     res = 0
                 recon[y : y + 4, x : x + 4] = np.clip(
                     pred[by : by + 4, bx : bx + 4] + res, 0, 255)
+            _write_chroma_residual(w, cc, dcs, acs, tc_cb, tc_cr,
+                                   cy // 4, cx // 4)
+            rec_cb[cy : cy + 8, cx : cx + 8] = _recon_chroma_blocks(
+                pred_cb, dcs["cb"], acs["cb"], qpc)
+            rec_cr[cy : cy + 8, cx : cx + 8] = _recon_chroma_blocks(
+                pred_cr, dcs["cr"], acs["cr"], qpc)
             stats["n_coded"] += 1
             if mb_type == 1:
                 stats["n_16x8"] += 1
@@ -1447,7 +1861,8 @@ def _encode_pslice(
     # reference this frame as L1[0] (§8.4.1.2.2 colZeroFlag reads the
     # corner 4x4 blocks under direct_8x8_inference)
     stats["mv_grid4"] = mf.mv.copy()
-    return recon.astype(np.uint8), w.rbsp(), stats
+    return ((recon.astype(np.uint8), rec_cb.astype(np.uint8),
+             rec_cr.astype(np.uint8)), w.rbsp(), stats)
 
 
 def encode_gop(frames, qp: int = 20, search_range: int = 4) -> bytes:
@@ -1460,8 +1875,15 @@ def encode_gop(frames, qp: int = 20, search_range: int = 4) -> bytes:
 
 
 def gop_reconstruction(frames, qp: int = 20, search_range: int = 4):
-    """The encoder's own decoded-loop reconstructions + per-P-frame
-    stats — the bit-exact reference decode_stream must reproduce."""
+    """The encoder's own decoded-loop luma reconstructions +
+    per-P-frame stats — the bit-exact reference decode_stream must
+    reproduce (use gop_reconstruction_yuv for all three planes)."""
+    recons, stats, _stream = _encode_gop_full(frames, qp, search_range)
+    return [r[0] for r in recons], stats
+
+
+def gop_reconstruction_yuv(frames, qp: int = 20, search_range: int = 4):
+    """Full (y, cb, cr) decoded-loop reconstructions + stats."""
     recons, stats, _stream = _encode_gop_full(frames, qp, search_range)
     return recons, stats
 
@@ -1469,30 +1891,31 @@ def gop_reconstruction(frames, qp: int = 20, search_range: int = 4):
 def _encode_gop_full(frames, qp, search_range):
     if not frames:
         raise ValueError("empty GOP")
-    y0, _, _ = _to_yuv(np.asarray(frames[0]))
+    y0, cb0, cr0 = _to_yuv(np.asarray(frames[0]))
     h, w_ = y0.shape
-    recon, payload = _encode_slice(y0, qp)
+    recon, payload = _encode_slice(y0, cb0, cr0, qp)
     stream = (_nal(7, _build_sps_rbsp(w_, h))
               + _nal(8, _build_pps_rbsp())
               + _nal(5, payload))
     recons, stats = [recon], []
-    ref = recon.astype(np.int64)
+    ref = tuple(p.astype(np.int64) for p in recon)
     for k, f in enumerate(frames[1:], start=1):
-        y, _, _ = _to_yuv(np.asarray(f))
-        if y.shape != (h, w_):
+        yuv = _to_yuv(np.asarray(f))
+        if yuv[0].shape != (h, w_):
             raise ValueError("all GOP frames must share dimensions")
-        rec, rbsp, st = _encode_pslice(ref, y, qp, k, search_range)
+        rec, rbsp, st = _encode_pslice(ref, yuv, qp, k, search_range)
         stream += _nal(1, rbsp, ref_idc=2)
         recons.append(rec)
         stats.append(st)
-        ref = rec.astype(np.int64)
+        ref = tuple(p.astype(np.int64) for p in rec)
     return recons, stats, stream
 
 
-def _decode_pslice(r: BitReader, sps: dict, pps: dict, ref: np.ndarray,
-                   ref_idc: int = 1) -> tuple[np.ndarray, int]:
-    """Decode one P slice against `ref`. The header's first ue/ue
-    (first_mb_in_slice, slice_type) are already consumed;
+def _decode_pslice(r: BitReader, sps: dict, pps: dict,
+                   ref: tuple[np.ndarray, np.ndarray, np.ndarray],
+                   ref_idc: int = 1):
+    """Decode one P slice against `ref` = (y, cb, cr). The header's
+    first ue/ue (first_mb_in_slice, slice_type) are already consumed;
     dec_ref_pic_marking is present only when nal_ref_idc != 0."""
     w_, h = sps["width"], sps["height"]
     mbs_w, mbs_h = w_ // 16, h // 16
@@ -1511,9 +1934,16 @@ def _decode_pslice(r: BitReader, sps: dict, pps: dict, ref: np.ndarray,
                 "deblocking filter enabled — decode-without-deblock would "
                 "not be conformant"
             )
-    refi = ref.astype(np.int64)
+    refi = ref[0].astype(np.int64)
+    ref_cb = ref[1].astype(np.int64)
+    ref_cr = ref[2].astype(np.int64)
     recon = np.zeros((h, w_), dtype=np.int64)
+    rec_cb = np.zeros((h // 2, w_ // 2), dtype=np.int64)
+    rec_cr = np.zeros((h // 2, w_ // 2), dtype=np.int64)
     tc_map = np.zeros((h // 4, w_ // 4), dtype=np.int64)
+    tc_cb = np.zeros((h // 8, w_ // 8), dtype=np.int64)
+    tc_cr = np.zeros((h // 8, w_ // 8), dtype=np.int64)
+    qpc = chroma_qp(qp)
     mf = _MotionField(mbs_h, mbs_w)
     n_mbs = mbs_h * mbs_w
     parts_of = {
@@ -1530,6 +1960,11 @@ def _decode_pslice(r: BitReader, sps: dict, pps: dict, ref: np.ndarray,
         mf.fill(mby * 4, mbx * 4, 4, 4, smv)
         recon[mby * 16 : mby * 16 + 16, mbx * 16 : mbx * 16 + 16] = \
             _mc_luma(refi, mby * 16, mbx * 16, smv)
+        cy, cx = mby * 8, mbx * 8
+        rec_cb[cy : cy + 8, cx : cx + 8] = _mc_chroma(ref_cb, cy, cx, smv)
+        rec_cr[cy : cy + 8, cx : cx + 8] = _mc_chroma(ref_cr, cy, cx, smv)
+        tc_cb[cy // 4 : cy // 4 + 2, cx // 4 : cx // 4 + 2] = 0
+        tc_cr[cy // 4 : cy // 4 + 2, cx // 4 : cx // 4 + 2] = 0
 
     addr = 0
     while addr < n_mbs:
@@ -1556,7 +1991,10 @@ def _decode_pslice(r: BitReader, sps: dict, pps: dict, ref: np.ndarray,
                         "(no 8x4/4x8/4x4 sub-partitions)"
                     )
         y0, x0 = mby * 16, mbx * 16
+        cy, cx = mby * 8, mbx * 8
         pred = np.empty((16, 16), dtype=np.int64)
+        pred_cb = np.empty((8, 8), dtype=np.int64)
+        pred_cr = np.empty((8, 8), dtype=np.int64)
         for tag, dx, dy, pw, ph in parts_of[mb_type]:
             x4, y4 = (x0 + dx) // 4, (y0 + dy) // 4
             mvp = _mvp_partition(mf, x4, y4, pw // 4, tag)
@@ -1565,10 +2003,15 @@ def _decode_pslice(r: BitReader, sps: dict, pps: dict, ref: np.ndarray,
             pred[dy : dy + ph, dx : dx + pw] = _mc_luma(
                 refi, y0 + dy, x0 + dx, mv, (ph, pw)
             )
+            csz = (ph // 2, pw // 2)
+            pred_cb[dy // 2 : dy // 2 + ph // 2,
+                    dx // 2 : dx // 2 + pw // 2] = _mc_chroma(
+                ref_cb, cy + dy // 2, cx + dx // 2, mv, csz)
+            pred_cr[dy // 2 : dy // 2 + ph // 2,
+                    dx // 2 : dx // 2 + pw // 2] = _mc_chroma(
+                ref_cr, cy + dy // 2, cx + dx // 2, mv, csz)
             mf.fill(y4, x4, ph // 4, pw // 4, mv)
         cbp = CBP_INTER[r.ue()]
-        if cbp & 0x30:
-            raise NotImplementedError("chroma residual unsupported")
         if cbp and r.se() != 0:
             raise NotImplementedError("mb_qp_delta unsupported")
         for blk in range(16):
@@ -1585,8 +2028,15 @@ def _decode_pslice(r: BitReader, sps: dict, pps: dict, ref: np.ndarray,
                 res = 0
             recon[y : y + 4, x : x + 4] = np.clip(
                 pred[by : by + 4, bx : bx + 4] + res, 0, 255)
+        dcs, acs = _read_chroma_residual(r, cbp >> 4, tc_cb, tc_cr,
+                                         cy // 4, cx // 4)
+        rec_cb[cy : cy + 8, cx : cx + 8] = _recon_chroma_blocks(
+            pred_cb, dcs["cb"], acs["cb"], qpc)
+        rec_cr[cy : cy + 8, cx : cx + 8] = _recon_chroma_blocks(
+            pred_cr, dcs["cr"], acs["cr"], qpc)
         addr += 1
-    return recon.astype(np.uint8), qp, mf.mv
+    return ((recon.astype(np.uint8), rec_cb.astype(np.uint8),
+             rec_cr.astype(np.uint8)), qp, mf.mv)
 
 
 def decode_stream(data: bytes) -> dict:
@@ -1603,8 +2053,8 @@ def decode_stream(data: bytes) -> dict:
     mask (the colocated-motion source for spatial-direct B slices);
     per-B-frame mb-mode histograms come back as `b_mode_counts`."""
     sps = pps = None
-    frames, types = [], []
-    refs: list[tuple[np.ndarray, dict]] = []  # (luma, motion), newest first
+    frames, frames_cb, frames_cr, types = [], [], [], []
+    refs: list[tuple[tuple, dict]] = []  # ((y,cb,cr), motion), newest first
     b_mode_counts: list[dict] = []
     qp_first = None
     for ref_idc, nal_type, rbsp in _split_annexb(data):
@@ -1632,7 +2082,7 @@ def decode_stream(data: bytes) -> dict:
                 raise NotImplementedError("multi-slice pictures unsupported")
             slice_type = r.ue() % 5
             if slice_type == 2:
-                luma, qp = _decode_islice_body(
+                yuv, qp = _decode_islice_body(
                     r, sps, pps, idr=(nal_type == 5), ref_idc=ref_idc
                 )
                 minfo = _intra_motion_info(
@@ -1642,7 +2092,7 @@ def decode_stream(data: bytes) -> dict:
             elif slice_type == 0:
                 if not refs:
                     raise ValueError("P slice before any decoded I frame")
-                luma, qp, mvs = _decode_pslice(
+                yuv, qp, mvs = _decode_pslice(
                     r, sps, pps, refs[0][0], ref_idc
                 )
                 minfo = _inter_motion_info(mvs)
@@ -1652,7 +2102,7 @@ def decode_stream(data: bytes) -> dict:
                     raise ValueError(
                         "B slice before two decoded reference frames"
                     )
-                luma, qp, counts, minfo = _decode_bslice(
+                yuv, qp, counts, minfo = _decode_bslice(
                     r, sps, pps, refs[0][0], refs[1][0], ref_idc,
                     col_info=refs[1][1],
                 )
@@ -1662,9 +2112,11 @@ def decode_stream(data: bytes) -> dict:
                 raise NotImplementedError(
                     "only I, P, and B slices supported (no SP/SI)"
                 )
-            frames.append(luma)
+            frames.append(yuv[0])
+            frames_cb.append(yuv[1])
+            frames_cr.append(yuv[2])
             if ref_idc:
-                refs.insert(0, (luma, minfo))
+                refs.insert(0, (yuv, minfo))
                 del refs[2:]
             if qp_first is None:
                 qp_first = qp
@@ -1676,6 +2128,8 @@ def decode_stream(data: bytes) -> dict:
         "qp": qp_first,
         "n_mbs": (sps["width"] // 16) * (sps["height"] // 16),
         "frames": frames,
+        "frames_cb": frames_cb,
+        "frames_cr": frames_cr,
         "frame_types": types,
         "b_mode_counts": b_mode_counts,
     }
@@ -1708,6 +2162,11 @@ def _decode_islice_body(r: BitReader, sps: dict, pps: dict, idr: bool,
     tc_map = np.zeros((h // 4, w_ // 4), dtype=np.int64)
     mode4 = np.full((h // 4, w_ // 4), I4_DC, dtype=np.int64)
     done4 = np.zeros((h // 4, w_ // 4), dtype=bool)
+    rec_cb = np.zeros((h // 2, w_ // 2), dtype=np.int64)
+    rec_cr = np.zeros((h // 2, w_ // 2), dtype=np.int64)
+    tc_cb = np.zeros((h // 8, w_ // 8), dtype=np.int64)
+    tc_cr = np.zeros((h // 8, w_ // 8), dtype=np.int64)
+    qpc = chroma_qp(qp)
     n_mbs = (h // 16) * (w_ // 16)
     for mb in range(n_mbs):
         mbx, mby = mb % (w_ // 16), mb // (w_ // 16)
@@ -1732,8 +2191,6 @@ def _decode_islice_body(r: BitReader, sps: dict, pps: dict, idr: bool,
         if r.ue() != 0:
             raise NotImplementedError("non-DC chroma prediction unsupported")
         cbp = CBP_INTRA[r.ue()]
-        if cbp & 0x30:
-            raise NotImplementedError("chroma residual unsupported")
         if r.se() != 0:
             raise NotImplementedError("mb_qp_delta unsupported")
         for blk in range(16):
@@ -1751,7 +2208,15 @@ def _decode_islice_body(r: BitReader, sps: dict, pps: dict, idr: bool,
                 res = 0
             recon[y : y + 4, x : x + 4] = np.clip(pred + res, 0, 255)
             done4[y // 4, x // 4] = True
-    return recon.astype(np.uint8), qp
+        cy, cx = mby * 8, mbx * 8
+        dcs, acs = _read_chroma_residual(r, cbp >> 4, tc_cb, tc_cr,
+                                         cy // 4, cx // 4)
+        rec_cb[cy : cy + 8, cx : cx + 8] = _recon_chroma_blocks(
+            _chroma_dc_pred8(rec_cb, cy, cx), dcs["cb"], acs["cb"], qpc)
+        rec_cr[cy : cy + 8, cx : cx + 8] = _recon_chroma_blocks(
+            _chroma_dc_pred8(rec_cr, cy, cx), dcs["cr"], acs["cr"], qpc)
+    return ((recon.astype(np.uint8), rec_cb.astype(np.uint8),
+             rec_cr.astype(np.uint8)), qp)
 
 
 # ---------------------------------------------------------------------------
@@ -1901,23 +2366,27 @@ def _search_partitions(ref: np.ndarray, blk: np.ndarray, y0: int, x0: int,
 
 
 def _encode_bslice(
-    ref0: np.ndarray,
-    ref1: np.ndarray,
-    y_plane: np.ndarray,
+    ref0: tuple[np.ndarray, np.ndarray, np.ndarray],
+    ref1: tuple[np.ndarray, np.ndarray, np.ndarray],
+    yuv: tuple[np.ndarray, np.ndarray, np.ndarray],
     qp: int,
     frame_num: int,
     search_range: int = 4,
     ref_slice: bool = False,
     col_info: dict | None = None,
-) -> tuple[np.ndarray, bytes, dict]:
+) -> tuple[tuple[np.ndarray, np.ndarray, np.ndarray], bytes, dict]:
     """Encode one B slice: per MB, derive the spatial-direct motion
     (col_info = L1[0]'s 4x4-granular DPB motion record; colZeroFlag
     zeroes each 8x8 quadrant independently per direct_8x8_inference)
     and pick the cheapest of B_Direct_16x16, B_L0_16x16 (vs ref0),
     B_L1_16x16 (vs ref1), B_Bi_16x16 (their average); ties prefer
     Direct < L0 < L1 < Bi (Direct writes no MVD). A direct MB whose
-    residual quantizes to all-zero is emitted as B_Skip via
-    mb_skip_run. Returns (reconstruction, RBSP, stats)."""
+    residual quantizes to all-zero (luma AND chroma) is emitted as
+    B_Skip via mb_skip_run. Chroma rides each mode's luma motion
+    (per-quadrant for direct, per-partition for types 4-7) through
+    §8.4.2.2.2 with §8.4.2.3 bi-averaging, plus the §8.5.11 residual.
+    Returns (reconstruction (y, cb, cr), RBSP, stats)."""
+    y_plane, cb_plane, cr_plane = yuv
     h, w_ = y_plane.shape
     mbs_w, mbs_h = w_ // 16, h // 16
     if col_info is None:
@@ -1937,10 +2406,23 @@ def _encode_bslice(
     w.ue(1)                 # deblocking off
 
     src = y_plane.astype(np.int64)
-    r0 = ref0.astype(np.int64)
-    r1 = ref1.astype(np.int64)
+    src_cb = cb_plane.astype(np.int64)
+    src_cr = cr_plane.astype(np.int64)
+    r0 = ref0[0].astype(np.int64)
+    r1 = ref1[0].astype(np.int64)
+    refs_c = {  # per (list, component) chroma reference planes
+        (0, "cb"): ref0[1].astype(np.int64),
+        (0, "cr"): ref0[2].astype(np.int64),
+        (1, "cb"): ref1[1].astype(np.int64),
+        (1, "cr"): ref1[2].astype(np.int64),
+    }
     recon = np.zeros((h, w_), dtype=np.int64)
+    rec_cb = np.zeros((h // 2, w_ // 2), dtype=np.int64)
+    rec_cr = np.zeros((h // 2, w_ // 2), dtype=np.int64)
     tc_map = np.zeros((h // 4, w_ // 4), dtype=np.int64)
+    tc_cb = np.zeros((h // 8, w_ // 8), dtype=np.int64)
+    tc_cr = np.zeros((h // 8, w_ // 8), dtype=np.int64)
+    qpc = chroma_qp(qp)
     mf0 = _MotionField(mbs_h, mbs_w)
     mf1 = _MotionField(mbs_h, mbs_w)
     stats = {"n_skip": 0, "n_direct": 0, "n_l0": 0, "n_l1": 0, "n_bi": 0,
@@ -2005,19 +2487,33 @@ def _encode_bslice(
         for mbx in range(mbs_w):
             y0, x0 = mby * 16, mbx * 16
             y4, x4 = mby * 4, mbx * 4
+            cy, cx = mby * 8, mbx * 8
             blk = src[y0 : y0 + 16, x0 : x0 + 16]
             u0, u1, dmv0, dmv1, zq = _direct_spatial(
                 mf0, mf1, mbx, mby, col_info["mv4"], col_info["intra4"]
             )
             pd = direct_pred(u0, u1, dmv0, dmv1, zq, y0, x0)
             lv_d, cbp_d = mb_levels(pd, y0, x0)
+            pd_cb = _direct_chroma(refs_c[(0, "cb")], refs_c[(1, "cb")],
+                                   u0, u1, dmv0, dmv1, zq, cy, cx)
+            pd_cr = _direct_chroma(refs_c[(0, "cr")], refs_c[(1, "cr")],
+                                   u0, u1, dmv0, dmv1, zq, cy, cx)
+            cc_d, dcs_d, acs_d = _quantize_chroma_mb(
+                src_cb[cy : cy + 8, cx : cx + 8] - pd_cb,
+                src_cr[cy : cy + 8, cx : cx + 8] - pd_cr,
+                qpc, intra=False,
+            )
 
-            if cbp_d == 0:
+            if cbp_d == 0 and cc_d == 0:
                 # B_Skip: direct motion, no residual, nothing but the run
                 skip_run += 1
                 stats["n_skip"] += 1
                 recon[y0 : y0 + 16, x0 : x0 + 16] = np.clip(pd, 0, 255)
+                rec_cb[cy : cy + 8, cx : cx + 8] = np.clip(pd_cb, 0, 255)
+                rec_cr[cy : cy + 8, cx : cx + 8] = np.clip(pd_cr, 0, 255)
                 tc_map[y0 // 4 : y0 // 4 + 4, x0 // 4 : x0 // 4 + 4] = 0
+                tc_cb[cy // 4 : cy // 4 + 2, cx // 4 : cx // 4 + 2] = 0
+                tc_cr[cy // 4 : cy // 4 + 2, cx // 4 : cx // 4 + 2] = 0
                 commit_direct(mbx, mby, u0, u1, dmv0, dmv1, zq)
                 continue
             cd = int(np.abs(blk - pd).sum())
@@ -2047,6 +2543,8 @@ def _encode_bslice(
                 refx = r0 if lx == 0 else r1
                 srx = sr0 if lx == 0 else sr1
                 mfx = mf0 if lx == 0 else mf1
+                cbx = refs_c[(lx, "cb")]
+                crx = refs_c[(lx, "cr")]
                 part_keys = (("top", "bot") if choice in (4, 6)
                              else ("left", "right"))
                 slices = {
@@ -2060,6 +2558,8 @@ def _encode_bslice(
                     for k in part_keys
                 ]
                 pred = np.empty((16, 16), dtype=np.int64)
+                pred_cb = np.empty((8, 8), dtype=np.int64)
+                pred_cr = np.empty((8, 8), dtype=np.int64)
                 # mvd loop for the one list, partition order (7.3.5.1)
                 for (tag, dx, dy, pw, ph), mv in zip(parts, part_mvs):
                     px4, py4 = (x0 + dx) // 4, (y0 + dy) // 4
@@ -2068,6 +2568,13 @@ def _encode_bslice(
                     w.se(int(mv[1] - mvp[1]))
                     pred[dy : dy + ph, dx : dx + pw] = _mc_luma(
                         refx, y0 + dy, x0 + dx, mv, (ph, pw))
+                    csz = (ph // 2, pw // 2)
+                    pred_cb[dy // 2 : dy // 2 + ph // 2,
+                            dx // 2 : dx // 2 + pw // 2] = _mc_chroma(
+                        cbx, cy + dy // 2, cx + dx // 2, mv, csz)
+                    pred_cr[dy // 2 : dy // 2 + ph // 2,
+                            dx // 2 : dx // 2 + pw // 2] = _mc_chroma(
+                        crx, cy + dy // 2, cx + dx // 2, mv, csz)
                     mfx.fill(py4, px4, ph // 4, pw // 4, mv)
             else:
                 pred = (pd, p0, p1, pbi)[choice]
@@ -2079,10 +2586,27 @@ def _encode_bslice(
                     mvp = _mvp_partition(mf1, x4, y4, 4, "16x16")
                     w.se(int(mv1[0] - mvp[0]))
                     w.se(int(mv1[1] - mvp[1]))
+                if choice == 0:
+                    pred_cb, pred_cr = pd_cb, pd_cr
+                else:
+                    u0c, u1c = choice in (1, 3), choice in (2, 3)
+                    pred_cb = _bi_chroma(refs_c[(0, "cb")],
+                                         refs_c[(1, "cb")],
+                                         u0c, u1c, mv0, mv1, cy, cx)
+                    pred_cr = _bi_chroma(refs_c[(0, "cr")],
+                                         refs_c[(1, "cr")],
+                                         u0c, u1c, mv0, mv1, cy, cx)
             if choice == 0:
                 levels, cbp = lv_d, cbp_d
+                cc, dcs, acs = cc_d, dcs_d, acs_d
             else:
                 levels, cbp = mb_levels(pred, y0, x0)
+                cc, dcs, acs = _quantize_chroma_mb(
+                    src_cb[cy : cy + 8, cx : cx + 8] - pred_cb,
+                    src_cr[cy : cy + 8, cx : cx + 8] - pred_cr,
+                    qpc, intra=False,
+                )
+            cbp |= cc << 4
             w.ue(_CBP_INTER_INV[cbp])
             if cbp:
                 w.se(0)  # mb_qp_delta
@@ -2101,6 +2625,12 @@ def _encode_bslice(
                     res = 0
                 recon[y : y + 4, x : x + 4] = np.clip(
                     pred[by : by + 4, bx : bx + 4] + res, 0, 255)
+            _write_chroma_residual(w, cc, dcs, acs, tc_cb, tc_cr,
+                                   cy // 4, cx // 4)
+            rec_cb[cy : cy + 8, cx : cx + 8] = _recon_chroma_blocks(
+                pred_cb, dcs["cb"], acs["cb"], qpc)
+            rec_cr[cy : cy + 8, cx : cx + 8] = _recon_chroma_blocks(
+                pred_cr, dcs["cr"], acs["cr"], qpc)
             if choice == 0:
                 commit_direct(mbx, mby, u0, u1, dmv0, dmv1, zq)
             elif choice >= 4:
@@ -2116,13 +2646,16 @@ def _encode_bslice(
                    "n_l1_part", "n_l1_part")[choice]] += 1
     if skip_run:
         w.ue(skip_run)
-    return recon.astype(np.uint8), w.rbsp(), stats
+    return ((recon.astype(np.uint8), rec_cb.astype(np.uint8),
+             rec_cr.astype(np.uint8)), w.rbsp(), stats)
 
 
-def _decode_bslice(r: BitReader, sps: dict, pps: dict, ref0: np.ndarray,
-                   ref1: np.ndarray, ref_idc: int,
+def _decode_bslice(r: BitReader, sps: dict, pps: dict,
+                   ref0: tuple[np.ndarray, np.ndarray, np.ndarray],
+                   ref1: tuple[np.ndarray, np.ndarray, np.ndarray],
+                   ref_idc: int,
                    col_info: dict | None = None,
-                   ) -> tuple[np.ndarray, int, dict, dict]:
+                   ) -> tuple[tuple, int, dict, dict]:
     """Decode one B slice against (L0[0]=ref0, L1[0]=ref1); col_info is
     L1[0]'s DPB motion record for spatial direct. first_mb and
     slice_type are already consumed. → (recon, qp, mode_counts,
@@ -2152,10 +2685,21 @@ def _decode_bslice(r: BitReader, sps: dict, pps: dict, ref0: np.ndarray,
                 "deblocking filter enabled — decode-without-deblock would "
                 "not be conformant"
             )
-    r0 = ref0.astype(np.int64)
-    r1 = ref1.astype(np.int64)
+    r0 = ref0[0].astype(np.int64)
+    r1 = ref1[0].astype(np.int64)
+    refs_c = {
+        (0, "cb"): ref0[1].astype(np.int64),
+        (0, "cr"): ref0[2].astype(np.int64),
+        (1, "cb"): ref1[1].astype(np.int64),
+        (1, "cr"): ref1[2].astype(np.int64),
+    }
     recon = np.zeros((h, w_), dtype=np.int64)
+    rec_cb = np.zeros((h // 2, w_ // 2), dtype=np.int64)
+    rec_cr = np.zeros((h // 2, w_ // 2), dtype=np.int64)
     tc_map = np.zeros((h // 4, w_ // 4), dtype=np.int64)
+    tc_cb = np.zeros((h // 8, w_ // 8), dtype=np.int64)
+    tc_cr = np.zeros((h // 8, w_ // 8), dtype=np.int64)
+    qpc = chroma_qp(qp)
     mf0 = _MotionField(mbs_h, mbs_w)
     mf1 = _MotionField(mbs_h, mbs_w)
     counts = {"n_skip": 0, "n_direct": 0, "n_l0": 0, "n_l1": 0, "n_bi": 0,
@@ -2214,10 +2758,19 @@ def _decode_bslice(r: BitReader, sps: dict, pps: dict, ref0: np.ndarray,
         for _ in range(skip_run):
             mbx, mby = addr % mbs_w, addr // mbs_w
             y0, x0 = mby * 16, mbx * 16
+            cy, cx = mby * 8, mbx * 8
             u0, u1, dmv0, dmv1, zq = direct_motion(mbx, mby)
             recon[y0 : y0 + 16, x0 : x0 + 16] = np.clip(
                 direct_pred(u0, u1, dmv0, dmv1, zq, y0, x0), 0, 255)
+            rec_cb[cy : cy + 8, cx : cx + 8] = np.clip(_direct_chroma(
+                refs_c[(0, "cb")], refs_c[(1, "cb")],
+                u0, u1, dmv0, dmv1, zq, cy, cx), 0, 255)
+            rec_cr[cy : cy + 8, cx : cx + 8] = np.clip(_direct_chroma(
+                refs_c[(0, "cr")], refs_c[(1, "cr")],
+                u0, u1, dmv0, dmv1, zq, cy, cx), 0, 255)
             tc_map[y0 // 4 : y0 // 4 + 4, x0 // 4 : x0 // 4 + 4] = 0
+            tc_cb[cy // 4 : cy // 4 + 2, cx // 4 : cx // 4 + 2] = 0
+            tc_cr[cy // 4 : cy // 4 + 2, cx // 4 : cx // 4 + 2] = 0
             commit_direct(mbx, mby, u0, u1, dmv0, dmv1, zq)
             counts["n_skip"] += 1
             addr += 1
@@ -2232,17 +2785,26 @@ def _decode_bslice(r: BitReader, sps: dict, pps: dict, ref0: np.ndarray,
             )
         y0, x0 = mby * 16, mbx * 16
         y4, x4 = mby * 4, mbx * 4
+        cy, cx = mby * 8, mbx * 8
         direct_args = None
         part_args = None
         if mb_type == 0:
             u0, u1, mv0, mv1, zq = direct_motion(mbx, mby)
             direct_args = (u0, u1, mv0, mv1, zq)
             pred = direct_pred(u0, u1, mv0, mv1, zq, y0, x0)
+            pred_cb = _direct_chroma(refs_c[(0, "cb")], refs_c[(1, "cb")],
+                                     u0, u1, mv0, mv1, zq, cy, cx)
+            pred_cr = _direct_chroma(refs_c[(0, "cr")], refs_c[(1, "cr")],
+                                     u0, u1, mv0, mv1, zq, cy, cx)
         elif mb_type >= 4:
             lx, parts = b_parts[mb_type]
             refx = r0 if lx == 0 else r1
             mfx = mf0 if lx == 0 else mf1
+            cbx = refs_c[(lx, "cb")]
+            crx = refs_c[(lx, "cr")]
             pred = np.empty((16, 16), dtype=np.int64)
+            pred_cb = np.empty((8, 8), dtype=np.int64)
+            pred_cr = np.empty((8, 8), dtype=np.int64)
             for tag, dx, dy, pw, ph in parts:
                 px4, py4 = (x0 + dx) // 4, (y0 + dy) // 4
                 mvp = _mvp_partition(mfx, px4, py4, pw // 4, tag)
@@ -2250,6 +2812,13 @@ def _decode_bslice(r: BitReader, sps: dict, pps: dict, ref0: np.ndarray,
                 mv = (mvp[0] + mvd[0], mvp[1] + mvd[1])
                 pred[dy : dy + ph, dx : dx + pw] = _mc_luma(
                     refx, y0 + dy, x0 + dx, mv, (ph, pw))
+                csz = (ph // 2, pw // 2)
+                pred_cb[dy // 2 : dy // 2 + ph // 2,
+                        dx // 2 : dx // 2 + pw // 2] = _mc_chroma(
+                    cbx, cy + dy // 2, cx + dx // 2, mv, csz)
+                pred_cr[dy // 2 : dy // 2 + ph // 2,
+                        dx // 2 : dx // 2 + pw // 2] = _mc_chroma(
+                    crx, cy + dy // 2, cx + dx // 2, mv, csz)
                 mfx.fill(py4, px4, ph // 4, pw // 4, mv)
             part_args = lx
         else:
@@ -2271,9 +2840,11 @@ def _decode_bslice(r: BitReader, sps: dict, pps: dict, ref0: np.ndarray,
             else:
                 pred = (_mc_luma(r0, y0, x0, mv0)
                         + _mc_luma(r1, y0, x0, mv1) + 1) >> 1
+            pred_cb = _bi_chroma(refs_c[(0, "cb")], refs_c[(1, "cb")],
+                                 u0, u1, mv0, mv1, cy, cx)
+            pred_cr = _bi_chroma(refs_c[(0, "cr")], refs_c[(1, "cr")],
+                                 u0, u1, mv0, mv1, cy, cx)
         cbp = CBP_INTER[r.ue()]
-        if cbp & 0x30:
-            raise NotImplementedError("chroma residual unsupported")
         if cbp and r.se() != 0:
             raise NotImplementedError("mb_qp_delta unsupported")
         for blk_i in range(16):
@@ -2290,6 +2861,12 @@ def _decode_bslice(r: BitReader, sps: dict, pps: dict, ref0: np.ndarray,
                 res = 0
             recon[y : y + 4, x : x + 4] = np.clip(
                 pred[by : by + 4, bx : bx + 4] + res, 0, 255)
+        dcs, acs = _read_chroma_residual(r, cbp >> 4, tc_cb, tc_cr,
+                                         cy // 4, cx // 4)
+        rec_cb[cy : cy + 8, cx : cx + 8] = _recon_chroma_blocks(
+            pred_cb, dcs["cb"], acs["cb"], qpc)
+        rec_cr[cy : cy + 8, cx : cx + 8] = _recon_chroma_blocks(
+            pred_cr, dcs["cr"], acs["cr"], qpc)
         if direct_args is not None:
             commit_direct(mbx, mby, *direct_args)
         elif part_args is not None:
@@ -2306,7 +2883,9 @@ def _decode_bslice(r: BitReader, sps: dict, pps: dict, ref0: np.ndarray,
     # reference): per the §8.4.1.2.2 colocated rule, L0 motion wins
     # when present, else L1
     mv4 = np.where(mf0.used[..., None], mf0.mv, mf1.mv)
-    return recon.astype(np.uint8), qp, counts, _inter_motion_info(mv4)
+    return ((recon.astype(np.uint8), rec_cb.astype(np.uint8),
+             rec_cr.astype(np.uint8)), qp, counts,
+            _inter_motion_info(mv4))
 
 
 def encode_gop_b(frames, qp: int = 20, search_range: int = 4) -> bytes:
@@ -2319,6 +2898,14 @@ def encode_gop_b(frames, qp: int = 20, search_range: int = 4) -> bytes:
 
 
 def gop_b_reconstruction(frames, qp: int = 20, search_range: int = 4):
+    """Per-frame luma reconstructions + stats (see
+    gop_b_reconstruction_yuv for all three planes)."""
+    recons, stats, _stream = _encode_gop_b_full(frames, qp, search_range)
+    return [r[0] for r in recons], stats
+
+
+def gop_b_reconstruction_yuv(frames, qp: int = 20, search_range: int = 4):
+    """Full (y, cb, cr) decoded-loop reconstructions + stats."""
     recons, stats, _stream = _encode_gop_b_full(frames, qp, search_range)
     return recons, stats
 
@@ -2326,25 +2913,26 @@ def gop_b_reconstruction(frames, qp: int = 20, search_range: int = 4):
 def _encode_gop_b_full(frames, qp, search_range):
     if len(frames) < 3:
         raise ValueError("a B GOP needs at least 3 frames (I, P, B)")
-    y0, _, _ = _to_yuv(np.asarray(frames[0]))
+    y0, cb0, cr0 = _to_yuv(np.asarray(frames[0]))
     h, w_ = y0.shape
-    recon, payload = _encode_slice(y0, qp)
+    recon, payload = _encode_slice(y0, cb0, cr0, qp)
     stream = (_nal(7, _build_sps_rbsp(w_, h, max_refs=2, profile=77))
               + _nal(8, _build_pps_rbsp())
               + _nal(5, payload))
     recons, stats = [recon], []
-    # DPB mirror of the decoder's: (plane, motion record), newest first
-    refs = [(recon.astype(np.int64),
+    # DPB mirror of the decoder's: ((y, cb, cr), motion record),
+    # newest first
+    refs = [(tuple(p.astype(np.int64) for p in recon),
              _intra_motion_info(h // 16, w_ // 16))]
     ref_fn = 0
     for k, f in enumerate(frames[1:], start=1):
-        y, _, _ = _to_yuv(np.asarray(f))
-        if y.shape != (h, w_):
+        yuv = _to_yuv(np.asarray(f))
+        if yuv[0].shape != (h, w_):
             raise ValueError("all GOP frames must share dimensions")
         is_b = k >= 2 and (k % 2 == 0) and len(refs) >= 2
         if is_b:
             rec, rbsp, st = _encode_bslice(
-                refs[0][0], refs[1][0], y, qp, (ref_fn + 1) % 16,
+                refs[0][0], refs[1][0], yuv, qp, (ref_fn + 1) % 16,
                 search_range, col_info=refs[1][1],
             )
             stream += _nal(1, rbsp, ref_idc=0)
@@ -2352,11 +2940,12 @@ def _encode_gop_b_full(frames, qp, search_range):
         else:
             ref_fn += 1
             rec, rbsp, st = _encode_pslice(
-                refs[0][0], y, qp, ref_fn % 16, search_range
+                refs[0][0], yuv, qp, ref_fn % 16, search_range
             )
             stream += _nal(1, rbsp, ref_idc=2)
             refs.insert(
-                0, (rec.astype(np.int64), _inter_motion_info(st["mv_grid4"]))
+                0, (tuple(p.astype(np.int64) for p in rec),
+                    _inter_motion_info(st["mv_grid4"]))
             )
             del refs[2:]
             st = {"type": "P", **st}

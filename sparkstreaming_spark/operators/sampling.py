@@ -83,6 +83,40 @@ def stratified_hash_sample(
     return df.filter(hash_bucket(id_col, salt) < thr)
 
 
+def cluster_balanced_sample(
+    df: DataFrame,
+    id_col: str,
+    cluster_col: str,
+    cap: int,
+    salt: str = "cbal-v1",
+) -> DataFrame:
+    """Cluster-balanced (inverse-density) sampling — the DataComp /
+    SemDeDup-pipeline rebalancing step that keeps ~`cap` rows per
+    cluster so dense regions of embedding space stop dominating the
+    training mix: per cluster c with n_c rows, keep-rate
+    r_c = min(1, cap/n_c), gated by the engine-wide md5 hash so the
+    kept set is deterministic under re-partitioning, re-runs, and
+    corpus growth within a cluster's count. Adds `n_cluster` and
+    boolean `keep`; the integer threshold cap*10000 // n_c avoids
+    float drift cross-engine.
+
+    Spark shape (100 TB): one hash aggregate to the |clusters|-sized
+    count table, one equi-join back (AQE broadcasts it when it fits),
+    then a codegen'd hash filter — no window, no per-cluster sort, the
+    same scale discipline as domain_caps (textstats/domains.py). The
+    exact-k alternative (row_number per cluster) would make the
+    biggest cluster a single-task sort."""
+    counts = df.groupBy(cluster_col).agg(F.count("*").alias("n_cluster"))
+    # floor() on BOTH engines: Spark's cast(bigint) truncates while
+    # DuckDB's CAST rounds — floor is the one they agree on
+    thr = F.least(F.lit(_BUCKETS).cast("bigint"),
+                  F.floor(F.lit(cap * _BUCKETS) / F.col("n_cluster")))
+    return (
+        df.join(counts, cluster_col)
+        .withColumn("keep", hash_bucket(id_col, salt) < thr)
+    )
+
+
 def weighted_hash_sample(
     df: DataFrame,
     id_col: str,

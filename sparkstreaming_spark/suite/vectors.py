@@ -829,3 +829,54 @@ QUERIES["emb_matryoshka_recall"] = QuerySpec(
     ORACLE_MATRYOSHKA,
     "prefix-dim (Matryoshka) retrieval vs full-dim exact: member-set pinned recall",
 )
+
+
+CBAL_CAP = 30
+
+
+def q_cluster_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-balanced / inverse-density sampling (operators/
+    sampling.py::cluster_balanced_sample — the DataComp-style
+    rebalancing step after clustering: dense embedding regions are
+    down-sampled to ~cap rows per cluster so they stop dominating the
+    training mix). `label` stands in for the upstream k-means cluster
+    id (same convention as emb_semantic_dedup). → per-row ledger
+    (vec_id, label, n_cluster, keep). The oracle replays the cluster
+    counts, the integer keep-threshold floor(cap*10000/n), and the
+    exact md5-mod gate — a hash, join, or threshold-arithmetic bug
+    flips the hash.
+
+    Spark shape (100 TB): one hash aggregate to the |clusters|-sized
+    count table, a broadcast-able equi-join back, and a codegen'd
+    filter — no window, no per-cluster sort (the row_number
+    alternative would single-task the biggest cluster)."""
+    from ..operators.sampling import cluster_balanced_sample
+
+    emb = read_table(spark, sf_dir, "embeddings").filter(
+        F.col("label").isNotNull()
+    )
+    out = cluster_balanced_sample(
+        emb.select("vec_id", "label"), "vec_id", "label", cap=CBAL_CAP
+    )
+    return out.select("vec_id", "label", "n_cluster", "keep")
+
+
+ORACLE_CLUSTER_SAMPLE = f"""
+WITH counts AS (
+  SELECT label, CAST(count(*) AS BIGINT) AS n_cluster
+  FROM embeddings WHERE label IS NOT NULL GROUP BY label
+)
+SELECT e.vec_id, e.label, c.n_cluster,
+       (cast(('0x' || substr(md5(concat('cbal-v1',
+            CAST(e.vec_id AS VARCHAR))), 1, 15)) AS bigint) % 10000)
+         < least(10000, FLOOR({CBAL_CAP} * 10000 / c.n_cluster)) AS keep
+FROM embeddings e JOIN counts c USING (label)
+WHERE e.label IS NOT NULL
+"""
+
+
+QUERIES["emb_cluster_sample"] = QuerySpec(
+    q_cluster_sample,
+    ORACLE_CLUSTER_SAMPLE,
+    "cluster-balanced sampling: per-cluster hash-rate keep, no window",
+)

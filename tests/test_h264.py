@@ -351,3 +351,130 @@ def test_intra4_all_preds_agrees_with_intra4_predict():
         for m in allowed:
             ref = _intra4_predict(plane, done4, y4 * 4, x4 * 4, m)
             assert fast[m] == [int(v) for v in ref.ravel()], (trial, m)
+
+
+# ---------------------------------------------------------------------------
+# chroma residual (round 8): tables, CAVLC kinds, full-plane roundtrip
+
+from sparkstreaming_spark.multimodal.h264 import (  # noqa: E402
+    COEFF_TOKEN_CHROMA_DC,
+    TOTAL_ZEROS_CHROMA_DC,
+    chroma_qp,
+    encoder_reconstruction_yuv,
+)
+
+
+def test_chroma_vlc_tables_prefix_free():
+    _prefix_free(COEFF_TOKEN_CHROMA_DC.values())
+    for t in TOTAL_ZEROS_CHROMA_DC.values():
+        _prefix_free(t)
+
+
+def test_chroma_dc_coeff_token_shape():
+    keys = set(COEFF_TOKEN_CHROMA_DC)
+    assert (0, 0) in keys
+    for tc in range(1, 5):
+        for t1 in range(0, min(tc, 3) + 1):
+            assert (t1, tc) in keys, (t1, tc)
+
+
+def test_qpc_table_matches_table_8_15():
+    # identity below 30, compressive above, endpoints per the spec
+    for qp in range(30):
+        assert chroma_qp(qp) == qp
+    assert chroma_qp(30) == 29
+    assert chroma_qp(39) == 35
+    assert chroma_qp(51) == 39
+    for qp in range(51):
+        assert chroma_qp(qp) <= chroma_qp(qp + 1)  # monotone
+        assert chroma_qp(qp) <= qp or qp < 30
+
+
+@settings(max_examples=200, deadline=None)
+@given(data=st.data())
+def test_cavlc_chroma_dc_roundtrip(data):
+    k = data.draw(st.integers(0, 4))
+    pos = data.draw(
+        st.lists(st.integers(0, 3), min_size=k, max_size=k, unique=True)
+    )
+    block = np.zeros(4, np.int64)
+    for p in pos:
+        block[p] = data.draw(st.integers(1, 500)) * data.draw(
+            st.sampled_from([-1, 1])
+        )
+    block = block.reshape(2, 2)
+    w = BitWriter()
+    tc = encode_residual_block(w, block, -1, kind="cdc")
+    got, tc2 = decode_residual_block(
+        BitReader(strip_emulation(w.rbsp())), -1, kind="cdc"
+    )
+    assert np.array_equal(got, block)
+    assert tc == tc2
+
+
+@settings(max_examples=200, deadline=None)
+@given(nc=st.integers(0, 16), data=st.data())
+def test_cavlc_chroma_ac_roundtrip(nc, data):
+    # AC blocks carry 15 coefficients — position (0,0) always zero
+    k = data.draw(st.integers(0, 15))
+    pos = data.draw(
+        st.lists(st.integers(1, 15), min_size=k, max_size=k, unique=True)
+    )
+    block = np.zeros(16, np.int64)
+    for p in pos:
+        block[p] = data.draw(st.integers(1, 2000)) * data.draw(
+            st.sampled_from([-1, 1])
+        )
+    block = block.reshape(4, 4)
+    w = BitWriter()
+    tc = encode_residual_block(w, block, nc, kind="ac")
+    got, tc2 = decode_residual_block(
+        BitReader(strip_emulation(w.rbsp())), nc, kind="ac"
+    )
+    assert np.array_equal(got, block)
+    assert tc == tc2
+
+
+def _color_test_frame(h, w, t=0):
+    yy, xx = np.mgrid[0:h, 0:w]
+    return np.stack([
+        (xx * 3 + yy + 5 * t) % 256,
+        (128 + 60 * np.sin((xx + 3 * t) / 7)
+         + 40 * np.cos(yy / 5)).astype(int) % 256,
+        (xx + 2 * yy + 7 * t) % 256,
+    ], axis=-1).astype(np.uint8)
+
+
+def test_iframe_chroma_roundtrip_bit_exact_across_qp():
+    img = _color_test_frame(32, 48)
+    for qp in (0, 8, 20, 32, 44, 51):
+        out = decode_iframe(encode_iframe(img, qp=qp))
+        ry, rcb, rcr = encoder_reconstruction_yuv(img, qp=qp)
+        assert np.array_equal(out["luma"], ry), qp
+        assert np.array_equal(out["cb"], rcb), qp
+        assert np.array_equal(out["cr"], rcr), qp
+        assert out["cb"].shape == (16, 24)
+
+
+def test_chroma_fidelity_tracks_qp():
+    from sparkstreaming_spark.multimodal.h264 import _to_yuv
+
+    img = _color_test_frame(32, 48)
+    _, scb, scr = _to_yuv(img)
+    maes = []
+    for qp in (8, 26, 44):
+        out = decode_iframe(encode_iframe(img, qp=qp))
+        maes.append(np.abs(out["cb"].astype(int) - scb.astype(int)).mean()
+                    + np.abs(out["cr"].astype(int) - scr.astype(int)).mean())
+    assert maes[0] < 2.0          # near-lossless chroma at low QP
+    assert maes[0] < maes[1] < maes[2]
+
+
+def test_gray_input_has_exact_neutral_chroma():
+    # gray input -> cb = cr = 128 everywhere; DC prediction starts at
+    # 128 so every chroma residual is zero at any QP (CBP chroma 0)
+    rng = np.random.default_rng(11)
+    img = rng.integers(0, 256, (32, 32)).astype(np.uint8)
+    for qp in (0, 24, 48):
+        out = decode_iframe(encode_iframe(img, qp=qp))
+        assert (out["cb"] == 128).all() and (out["cr"] == 128).all(), qp

@@ -841,3 +841,32 @@ def test_token_budget_plan_allocates_and_flags(spark):
     assert out["big"]["over_epoch_limit"] and out["small"]["over_epoch_limit"]
     under = token_budget_plan(df, "text", "source", 500).collect()
     assert not any(r["over_epoch_limit"] for r in under)
+
+
+def test_cluster_balanced_sample_rates_and_determinism(spark):
+    """Per-cluster keep-rate ~ cap/n_c (hash-rate form), small clusters
+    keep everything (rate 1), the kept set is deterministic across
+    re-partitionings, and the plan has no window."""
+    from sparkstreaming_spark.operators.sampling import (
+        cluster_balanced_sample,
+    )
+
+    rows = ([(i, "big") for i in range(2000)]
+            + [(10_000 + i, "small") for i in range(40)])
+    df = spark.createDataFrame(rows, "id bigint, cluster string")
+    out = cluster_balanced_sample(df, "id", "cluster", cap=100)
+    got = {(r.id, r.cluster): (r.n_cluster, r.keep) for r in out.collect()}
+    assert len(got) == 2040
+    # small cluster: cap >= n -> keep all
+    assert all(got[(10_000 + i, "small")] == (40, True) for i in range(40))
+    kept_big = sum(1 for (i, c), (_, k) in got.items() if c == "big" and k)
+    # rate 100/2000 = 5%: hash-uniformity keeps this near 100
+    assert 60 <= kept_big <= 140, kept_big
+    # deterministic under re-partitioning
+    out2 = cluster_balanced_sample(
+        df.repartition(13), "id", "cluster", cap=100)
+    got2 = {(r.id, r.cluster): (r.n_cluster, r.keep)
+            for r in out2.collect()}
+    assert got == got2
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan
