@@ -267,6 +267,10 @@ HEADLINE = [
     "doc_unigram_encode",
     "doc_h264_bframe_probe",
     "doc_h264_chroma_probe",
+    "doc_h264_tdirect_probe",
+    "doc_h264_wpred_probe",
+    "emb_cluster_sample",
+    "doc_tokenizer_fertility",
     # round-7 additions
     "doc_kn_heldout",
     "doc_domain_caps",

@@ -54,10 +54,27 @@ Scope (precise, honestly guarded):
   Table 7-14 types 4-7, one-list MVD layout per §7.3.5.1). Chroma is
   fully coded in B slices too (per-quadrant direct motion, §8.4.2.3
   bi-averaged chroma MC, inter chroma residual; B_Skip additionally
-  requires the chroma residual to quantize to zero). Sub-8x8
-  partitions (8x4/4x8/4x4), mixed-list and Bi B partitions
-  (types 8-21), B_8x8, temporal direct, CABAC, and weighted
-  prediction remain honest NotImplementedError guards.
+  requires the chroma residual to quantize to zero).
+- temporal direct (encode_gop_temporal): classic display-REORDERED
+  IBP GOPs — poc_type-0 SPS with explicit pic_order_cnt_lsb
+  (§8.2.1.1 derivation incl. wraparound), POC-ordered default B
+  lists with a FUTURE RefPicList1[0], and §8.4.1.2.3 temporal direct
+  (per-quadrant mvCol from the colocated corner blocks under
+  direct_8x8_inference, mvL0 = (DistScaleFactor*mvCol + 128) >> 8,
+  mvL1 = mvL0 - mvCol, always bi-predicted); decode_stream returns
+  decode-order frames plus per-frame POCs. The derivation requires
+  refPicCol == RefPicList0[0] (always true in this GOP's geometry —
+  guarded, not assumed).
+- explicit weighted prediction (encode_gop_weighted): P slices with
+  weighted_pred_flag=1, the §7.3.3.2 pred_weight_table (per-plane
+  weight/offset for L0[0], absent flags falling back to the 2^logWD
+  identity), and the §8.4.2.3.2 sample op applied to every P inter
+  prediction including P_Skip — global fades collapse to skip rows.
+  Weights are estimated per plane by least squares (fade model).
+  Sub-8x8 partitions (8x4/4x8/4x4), mixed-list and Bi B partitions
+  (types 8-21), B_8x8, CABAC, and weighted BI-prediction
+  (weighted_bipred_idc != 0) remain honest NotImplementedError
+  guards.
 
 Verification stance: bit-exact ROUND-TRIP is the contract — the
 decoder must reproduce the encoder's own reconstruction exactly
@@ -764,6 +781,16 @@ def _mc_chroma(refc: np.ndarray, y0: int, x0: int, mv: tuple[int, int],
 CHROMA_BLOCK_XY = [(0, 0), (4, 0), (0, 4), (4, 4)]
 
 
+def _apply_weight(pred: np.ndarray, w: int, o: int,
+                  logwd: int) -> np.ndarray:
+    """Explicit weighted-prediction sample op (§8.4.2.3.2,
+    unidirectional): Clip1(((pred*w + 2^(logWD-1)) >> logWD) + o)."""
+    if logwd >= 1:
+        return np.clip(((pred * w + (1 << (logwd - 1))) >> logwd) + o,
+                       0, 255)
+    return np.clip(pred * w + o, 0, 255)
+
+
 def _bi_chroma(c0: np.ndarray, c1: np.ndarray, u0: bool, u1: bool,
                m0, m1, cy: int, cx: int, size=8) -> np.ndarray:
     """Chroma twin of the B-slice luma predictor: §8.4.2.3 default
@@ -1139,10 +1166,16 @@ _CBP_INTRA_INV = {cbp: i for i, cbp in enumerate(CBP_INTRA)}
 # headers
 
 
+_POC_LSB_BITS = 8  # log2_max_pic_order_cnt_lsb when poc_type 0
+
+
 def _build_sps_rbsp(width: int, height: int, max_refs: int = 1,
-                    profile: int = 66) -> bytes:
+                    profile: int = 66, poc_type: int = 2) -> bytes:
     """profile 66 (baseline) for I/P streams; B slices require Main
-    (77) and a 2-frame DPB (max_refs=2)."""
+    (77) and a 2-frame DPB (max_refs=2). poc_type 2 pins display order
+    to decoding order (the low-delay GOPs); the display-reordered
+    temporal-direct GOP uses poc_type 0 (explicit pic_order_cnt_lsb
+    per slice, §8.2.1.1)."""
     if width % 16 or height % 16:
         raise ValueError("dimensions must be multiples of 16 in this scope")
     w = BitWriter()
@@ -1151,7 +1184,9 @@ def _build_sps_rbsp(width: int, height: int, max_refs: int = 1,
     w.u(30, 8)   # level_idc
     w.ue(0)      # sps id
     w.ue(0)      # log2_max_frame_num_minus4
-    w.ue(2)      # poc type 2
+    w.ue(poc_type)
+    if poc_type == 0:
+        w.ue(_POC_LSB_BITS - 4)  # log2_max_pic_order_cnt_lsb_minus4
     w.ue(max_refs)  # max_num_ref_frames
     w.u(0, 1)    # gaps_in_frame_num
     w.ue(width // 16 - 1)
@@ -1163,7 +1198,7 @@ def _build_sps_rbsp(width: int, height: int, max_refs: int = 1,
     return w.rbsp()
 
 
-def _build_pps_rbsp() -> bytes:
+def _build_pps_rbsp(weighted_pred: bool = False) -> bytes:
     w = BitWriter()
     w.ue(0)      # pps id
     w.ue(0)      # sps id
@@ -1172,7 +1207,7 @@ def _build_pps_rbsp() -> bytes:
     w.ue(0)      # num_slice_groups_minus1
     w.ue(0)      # num_ref_idx_l0_default_active_minus1
     w.ue(0)      # num_ref_idx_l1_default_active_minus1
-    w.u(0, 1)    # weighted_pred
+    w.u(1 if weighted_pred else 0, 1)  # weighted_pred (P explicit WP)
     w.u(0, 2)    # weighted_bipred_idc
     w.se(0)      # pic_init_qp_minus26
     w.se(0)      # pic_init_qs_minus26
@@ -1241,6 +1276,7 @@ def _to_yuv(img: np.ndarray) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
 
 def _encode_slice(y_plane: np.ndarray, cb_plane: np.ndarray,
                   cr_plane: np.ndarray, qp: int,
+                  poc_lsb: int | None = None,
                   ) -> tuple[tuple[np.ndarray, np.ndarray, np.ndarray],
                              bytes]:
     h, w_ = y_plane.shape
@@ -1256,6 +1292,8 @@ def _encode_slice(y_plane: np.ndarray, cb_plane: np.ndarray,
     w.ue(0)            # pps id
     w.u(0, 4)          # frame_num (log2_max_frame_num = 4)
     w.ue(0)            # idr_pic_id
+    if poc_lsb is not None:  # SPS poc_type 0 (§7.3.3)
+        w.u(poc_lsb & ((1 << _POC_LSB_BITS) - 1), _POC_LSB_BITS)
     # dec_ref_pic_marking (present: IDR with nal_ref_idc != 0, §7.3.3.3)
     w.u(0, 1)          # no_output_of_prior_pics_flag
     w.u(0, 1)          # long_term_reference_flag
@@ -1387,8 +1425,8 @@ def decode_iframe(data: bytes) -> dict:
         raise NotImplementedError("multi-slice pictures unsupported")
     if r.ue() % 5 != 2:
         raise NotImplementedError("only I slices supported")
-    (luma, cb, cr), qp = _decode_islice_body(r, sps, pps, idr=True,
-                                             ref_idc=slice_ref_idc)
+    (luma, cb, cr), qp, _poc = _decode_islice_body(r, sps, pps, idr=True,
+                                                   ref_idc=slice_ref_idc)
     return {
         "width": sps["width"],
         "height": sps["height"],
@@ -1431,8 +1469,12 @@ def _parse_sps(r: BitReader) -> dict:
         raise NotImplementedError("High-profile SPS unsupported")
     log2_mfn = r.ue() + 4
     poc_type = r.ue()
-    if poc_type != 2:
-        raise NotImplementedError("POC types 0/1 unsupported")
+    if poc_type == 0:
+        log2_poc_lsb = r.ue() + 4
+    elif poc_type == 2:
+        log2_poc_lsb = 0
+    else:
+        raise NotImplementedError("POC type 1 unsupported")
     r.ue()  # max refs
     r.u(1)
     w_mbs = r.ue() + 1
@@ -1448,6 +1490,8 @@ def _parse_sps(r: BitReader) -> dict:
         "width": w_mbs * 16,
         "height": h_units * 16,
         "log2_max_frame_num": log2_mfn,
+        "poc_type": poc_type,
+        "log2_max_poc_lsb": log2_poc_lsb,
     }
 
 
@@ -1460,8 +1504,9 @@ def _parse_pps(r: BitReader) -> dict:
         raise NotImplementedError("slice groups unsupported")
     r.ue()
     r.ue()
-    r.u(1)
-    r.u(2)
+    weighted_pred = r.u(1)
+    if r.u(2) != 0:
+        raise NotImplementedError("weighted bi-prediction unsupported")
     qp_delta = r.se()
     r.se()
     r.se()
@@ -1470,6 +1515,7 @@ def _parse_pps(r: BitReader) -> dict:
     r.u(1)
     return {
         "cabac": bool(cabac),
+        "weighted_pred": bool(weighted_pred),
         "pic_init_qp_delta": qp_delta,
         "deblocking_control": bool(deblocking_control),
     }
@@ -1656,6 +1702,8 @@ def _encode_pslice(
     frame_num: int,
     search_range: int = 4,
     ref_slice: bool = True,
+    poc_lsb: int | None = None,
+    wp: dict | None = None,
 ) -> tuple[tuple[np.ndarray, np.ndarray, np.ndarray], bytes, dict]:
     """Encode one P slice (P_Skip, P_L0_16x16, P_L0_L0_16x8,
     P_L0_L0_8x16 — per-MB cheapest under a qp-scaled partition
@@ -1665,7 +1713,13 @@ def _encode_pslice(
     Returns (reconstruction (y, cb, cr), slice RBSP, stats) — the
     reconstruction is the decoder-exact reference. `ref_slice=False`
     emits a non-reference slice (send with nal_ref_idc 0):
-    dec_ref_pic_marking is then absent per §7.3.3."""
+    dec_ref_pic_marking is then absent per §7.3.3. `wp` (explicit
+    weighted prediction, §8.4.2.3.2 — must pair with a
+    weighted_pred=1 PPS) = {"logwd_y", "y": (w, o), "logwd_c",
+    "cb": (w, o), "cr": (w, o)}: every inter prediction (P_Skip
+    included) is weighted before the residual; motion search still
+    runs on unweighted samples (conformant — WP targets global fades
+    where the motion is near zero)."""
     ref_y, ref_cb, ref_cr = ref
     y_plane, cb_plane, cr_plane = yuv
     h, w_ = y_plane.shape
@@ -1675,12 +1729,44 @@ def _encode_pslice(
     w.ue(5)                 # slice_type P (all slices)
     w.ue(0)                 # pps id
     w.u(frame_num & 15, 4)  # frame_num
+    if poc_lsb is not None:  # SPS poc_type 0
+        w.u(poc_lsb & ((1 << _POC_LSB_BITS) - 1), _POC_LSB_BITS)
     w.u(0, 1)               # num_ref_idx_active_override_flag
     w.u(0, 1)               # ref_pic_list_modification_flag_l0
+    if wp is not None:
+        # pred_weight_table (§7.3.3.2) — explicit weights for L0[0]
+        w.ue(wp["logwd_y"])
+        w.ue(wp["logwd_c"])
+        w.u(1, 1)           # luma_weight_l0_flag
+        w.se(wp["y"][0])
+        w.se(wp["y"][1])
+        w.u(1, 1)           # chroma_weight_l0_flag
+        for comp in ("cb", "cr"):
+            w.se(wp[comp][0])
+            w.se(wp[comp][1])
     if ref_slice:
         w.u(0, 1)           # adaptive_ref_pic_marking_mode_flag
     w.se(qp - 26)           # slice_qp_delta
     w.ue(1)                 # disable_deblocking_filter_idc = 1
+
+    if wp is not None:
+        _lwy, (_wy, _oy) = wp["logwd_y"], wp["y"]
+        _lwc = wp["logwd_c"]
+
+        def mcl(y, x, mv, size=16):
+            return _apply_weight(_mc_luma(ref_y, y, x, mv, size),
+                                 _wy, _oy, _lwy)
+
+        def mcc(plane, comp, y, x, mv, size=8):
+            wc, oc = wp[comp]
+            return _apply_weight(_mc_chroma(plane, y, x, mv, size),
+                                 wc, oc, _lwc)
+    else:
+        def mcl(y, x, mv, size=16):
+            return _mc_luma(ref_y, y, x, mv, size)
+
+        def mcc(plane, comp, y, x, mv, size=8):
+            return _mc_chroma(plane, y, x, mv, size)
 
     src = y_plane.astype(np.int64)
     src_cb = cb_plane.astype(np.int64)
@@ -1728,15 +1814,15 @@ def _encode_pslice(
             y0, x0 = mby * 16, mbx * 16
             cy, cx = mby * 8, mbx * 8
             smv = _skip_mv4(mf, mbx, mby)
-            pred_s = _mc_luma(ref_y, y0, x0, smv)
+            pred_s = mcl(y0, x0, smv)
             lv_s = block_levels(pred_s, mby, mbx)
             if all(not lv.any() for lv in lv_s):
                 # luma is residual-free under the skip MV — P_Skip also
                 # implies NO chroma residual, so only take it when the
                 # MC'd chroma quantizes to zero too (else the MB is
                 # coded with cbp luma 0 + the chroma residual)
-                pcb_s = _mc_chroma(ref_cb, cy, cx, smv)
-                pcr_s = _mc_chroma(ref_cr, cy, cx, smv)
+                pcb_s = mcc(ref_cb, "cb", cy, cx, smv)
+                pcr_s = mcc(ref_cr, "cr", cy, cx, smv)
                 cc_s, dcs_s, acs_s = _quantize_chroma_mb(
                     src_cb[cy : cy + 8, cx : cx + 8] - pcb_s,
                     src_cr[cy : cy + 8, cx : cx + 8] - pcr_s,
@@ -1798,16 +1884,16 @@ def _encode_pslice(
                 mvp = _mvp_partition(mf, x4, y4, pw // 4, tag)
                 w.se(int(mv[0] - mvp[0]))
                 w.se(int(mv[1] - mvp[1]))
-                pred[dy : dy + ph, dx : dx + pw] = _mc_luma(
-                    ref_y, y0 + dy, x0 + dx, mv, (ph, pw)
+                pred[dy : dy + ph, dx : dx + pw] = mcl(
+                    y0 + dy, x0 + dx, mv, (ph, pw)
                 )
                 csz = (ph // 2, pw // 2)
                 pred_cb[dy // 2 : dy // 2 + ph // 2,
-                        dx // 2 : dx // 2 + pw // 2] = _mc_chroma(
-                    ref_cb, cy + dy // 2, cx + dx // 2, mv, csz)
+                        dx // 2 : dx // 2 + pw // 2] = mcc(
+                    ref_cb, "cb", cy + dy // 2, cx + dx // 2, mv, csz)
                 pred_cr[dy // 2 : dy // 2 + ph // 2,
-                        dx // 2 : dx // 2 + pw // 2] = _mc_chroma(
-                    ref_cr, cy + dy // 2, cx + dx // 2, mv, csz)
+                        dx // 2 : dx // 2 + pw // 2] = mcc(
+                    ref_cr, "cr", cy + dy // 2, cx + dx // 2, mv, csz)
                 mf.fill(y4, x4, ph // 4, pw // 4, mv)
                 if (mv[0] | mv[1]) & 3:
                     stats["n_subpel"] += 1
@@ -1911,6 +1997,77 @@ def _encode_gop_full(frames, qp, search_range):
     return recons, stats, stream
 
 
+def _estimate_wp(yuv_src, ref) -> dict:
+    """Per-plane least-squares fade model src ~ w/2^logWD * ref + o
+    (w = 2^logWD * cov(s,r)/var(r), o = the residual mean) clamped to
+    the se(v)-codable [-128, 127]. LS matters: a multiplicative RGB
+    fade is AFFINE in the chroma planes (cb' = a*cb + (1-a)*128), so
+    a mean-ratio estimate would miss the contrast term. logWD = 5.
+    Estimation only — any weights are conformant."""
+    out = {"logwd_y": 5, "logwd_c": 5}
+    for key, s, r_ in (("y", yuv_src[0], ref[0]),
+                       ("cb", yuv_src[1], ref[1]),
+                       ("cr", yuv_src[2], ref[2])):
+        sf = np.asarray(s, dtype=np.float64).ravel()
+        rf = np.asarray(r_, dtype=np.float64).ravel()
+        var = float(((rf - rf.mean()) ** 2).mean())
+        if var > 1e-9:
+            slope = float(((sf - sf.mean()) * (rf - rf.mean())).mean()) / var
+        else:
+            slope = 1.0
+        w = max(-128, min(127, int(round(slope * 32))))
+        o = max(-128, min(127, int(round(sf.mean() - rf.mean() * w / 32))))
+        out[key] = (w, o)
+    return out
+
+
+def encode_gop_weighted(frames, qp: int = 20, search_range: int = 4,
+                        ) -> bytes:
+    """Encode a GOP with EXPLICIT WEIGHTED PREDICTION (§8.4.2.3.2):
+    I then P frames whose slice headers carry a per-plane (weight,
+    offset) pair estimated from the frame/reference means — the
+    standard fade/brightness-change tool (weighted_pred_flag = 1 PPS;
+    every P inter prediction, P_Skip included, is weighted before the
+    residual). A pure global fade then collapses to P_Skip rows
+    instead of coding a residual on every MB."""
+    recons, _stats, stream = _encode_gop_w_full(frames, qp, search_range)
+    _ = recons
+    return stream
+
+
+def gop_weighted_reconstruction_yuv(frames, qp: int = 20,
+                                    search_range: int = 4):
+    """Full (y, cb, cr) decoded-loop reconstructions + stats (each P
+    stat carries the weights used as `wp`)."""
+    recons, stats, _stream = _encode_gop_w_full(frames, qp, search_range)
+    return recons, stats
+
+
+def _encode_gop_w_full(frames, qp, search_range):
+    if not frames:
+        raise ValueError("empty GOP")
+    y0, cb0, cr0 = _to_yuv(np.asarray(frames[0]))
+    h, w_ = y0.shape
+    recon, payload = _encode_slice(y0, cb0, cr0, qp)
+    stream = (_nal(7, _build_sps_rbsp(w_, h))
+              + _nal(8, _build_pps_rbsp(weighted_pred=True))
+              + _nal(5, payload))
+    recons, stats = [recon], []
+    ref = tuple(p.astype(np.int64) for p in recon)
+    for k, f in enumerate(frames[1:], start=1):
+        yuv = _to_yuv(np.asarray(f))
+        if yuv[0].shape != (h, w_):
+            raise ValueError("all GOP frames must share dimensions")
+        wp = _estimate_wp(yuv, ref)
+        rec, rbsp, st = _encode_pslice(ref, yuv, qp, k, search_range,
+                                       wp=wp)
+        stream += _nal(1, rbsp, ref_idc=2)
+        recons.append(rec)
+        stats.append({"wp": wp, **st})
+        ref = tuple(p.astype(np.int64) for p in rec)
+    return recons, stats, stream
+
+
 def _decode_pslice(r: BitReader, sps: dict, pps: dict,
                    ref: tuple[np.ndarray, np.ndarray, np.ndarray],
                    ref_idc: int = 1):
@@ -1921,10 +2078,26 @@ def _decode_pslice(r: BitReader, sps: dict, pps: dict,
     mbs_w, mbs_h = w_ // 16, h // 16
     r.ue()  # pps id
     r.u(sps["log2_max_frame_num"])  # frame_num
+    poc_lsb = (r.u(sps["log2_max_poc_lsb"])
+               if sps.get("poc_type", 2) == 0 else None)
     if r.u(1):
         raise NotImplementedError("num_ref_idx_active override unsupported")
     if r.u(1):
         raise NotImplementedError("ref_pic_list_modification unsupported")
+    wp = None
+    if pps["weighted_pred"]:
+        # pred_weight_table (§7.3.3.2); absent flags mean the default
+        # weight 2^logWD with zero offset
+        lwy, lwc = r.ue(), r.ue()
+        wy, oy = 1 << lwy, 0
+        if r.u(1):
+            wy, oy = r.se(), r.se()
+        cbw, crw = (1 << lwc, 0), (1 << lwc, 0)
+        if r.u(1):
+            cbw = (r.se(), r.se())
+            crw = (r.se(), r.se())
+        wp = {"logwd_y": lwy, "y": (wy, oy), "logwd_c": lwc,
+              "cb": cbw, "cr": crw}
     if ref_idc and r.u(1):
         raise NotImplementedError("adaptive ref-pic marking unsupported")
     qp = 26 + pps["pic_init_qp_delta"] + r.se()
@@ -1937,6 +2110,23 @@ def _decode_pslice(r: BitReader, sps: dict, pps: dict,
     refi = ref[0].astype(np.int64)
     ref_cb = ref[1].astype(np.int64)
     ref_cr = ref[2].astype(np.int64)
+
+    if wp is not None:
+        def mcl(y, x, mv, size=16):
+            return _apply_weight(_mc_luma(refi, y, x, mv, size),
+                                 wp["y"][0], wp["y"][1], wp["logwd_y"])
+
+        def mcc(plane, comp, y, x, mv, size=8):
+            wc, oc = wp[comp]
+            return _apply_weight(_mc_chroma(plane, y, x, mv, size),
+                                 wc, oc, wp["logwd_c"])
+    else:
+        def mcl(y, x, mv, size=16):
+            return _mc_luma(refi, y, x, mv, size)
+
+        def mcc(plane, comp, y, x, mv, size=8):
+            return _mc_chroma(plane, y, x, mv, size)
+
     recon = np.zeros((h, w_), dtype=np.int64)
     rec_cb = np.zeros((h // 2, w_ // 2), dtype=np.int64)
     rec_cr = np.zeros((h // 2, w_ // 2), dtype=np.int64)
@@ -1959,10 +2149,10 @@ def _decode_pslice(r: BitReader, sps: dict, pps: dict,
         smv = _skip_mv4(mf, mbx, mby)
         mf.fill(mby * 4, mbx * 4, 4, 4, smv)
         recon[mby * 16 : mby * 16 + 16, mbx * 16 : mbx * 16 + 16] = \
-            _mc_luma(refi, mby * 16, mbx * 16, smv)
+            mcl(mby * 16, mbx * 16, smv)
         cy, cx = mby * 8, mbx * 8
-        rec_cb[cy : cy + 8, cx : cx + 8] = _mc_chroma(ref_cb, cy, cx, smv)
-        rec_cr[cy : cy + 8, cx : cx + 8] = _mc_chroma(ref_cr, cy, cx, smv)
+        rec_cb[cy : cy + 8, cx : cx + 8] = mcc(ref_cb, "cb", cy, cx, smv)
+        rec_cr[cy : cy + 8, cx : cx + 8] = mcc(ref_cr, "cr", cy, cx, smv)
         tc_cb[cy // 4 : cy // 4 + 2, cx // 4 : cx // 4 + 2] = 0
         tc_cr[cy // 4 : cy // 4 + 2, cx // 4 : cx // 4 + 2] = 0
 
@@ -2000,16 +2190,16 @@ def _decode_pslice(r: BitReader, sps: dict, pps: dict,
             mvp = _mvp_partition(mf, x4, y4, pw // 4, tag)
             mvd = (r.se(), r.se())
             mv = (mvp[0] + mvd[0], mvp[1] + mvd[1])
-            pred[dy : dy + ph, dx : dx + pw] = _mc_luma(
-                refi, y0 + dy, x0 + dx, mv, (ph, pw)
+            pred[dy : dy + ph, dx : dx + pw] = mcl(
+                y0 + dy, x0 + dx, mv, (ph, pw)
             )
             csz = (ph // 2, pw // 2)
             pred_cb[dy // 2 : dy // 2 + ph // 2,
-                    dx // 2 : dx // 2 + pw // 2] = _mc_chroma(
-                ref_cb, cy + dy // 2, cx + dx // 2, mv, csz)
+                    dx // 2 : dx // 2 + pw // 2] = mcc(
+                ref_cb, "cb", cy + dy // 2, cx + dx // 2, mv, csz)
             pred_cr[dy // 2 : dy // 2 + ph // 2,
-                    dx // 2 : dx // 2 + pw // 2] = _mc_chroma(
-                ref_cr, cy + dy // 2, cx + dx // 2, mv, csz)
+                    dx // 2 : dx // 2 + pw // 2] = mcc(
+                ref_cr, "cr", cy + dy // 2, cx + dx // 2, mv, csz)
             mf.fill(y4, x4, ph // 4, pw // 4, mv)
         cbp = CBP_INTER[r.ue()]
         if cbp and r.se() != 0:
@@ -2036,7 +2226,7 @@ def _decode_pslice(r: BitReader, sps: dict, pps: dict,
             pred_cr, dcs["cr"], acs["cr"], qpc)
         addr += 1
     return ((recon.astype(np.uint8), rec_cb.astype(np.uint8),
-             rec_cr.astype(np.uint8)), qp, mf.mv)
+             rec_cr.astype(np.uint8)), qp, mf.mv, poc_lsb)
 
 
 def decode_stream(data: bytes) -> dict:
@@ -2054,9 +2244,12 @@ def decode_stream(data: bytes) -> dict:
     per-B-frame mb-mode histograms come back as `b_mode_counts`."""
     sps = pps = None
     frames, frames_cb, frames_cr, types = [], [], [], []
-    refs: list[tuple[tuple, dict]] = []  # ((y,cb,cr), motion), newest first
+    # ((y,cb,cr), motion, poc, ref_poc), newest first
+    refs: list[tuple[tuple, dict, int | None, int | None]] = []
+    pocs: list[int | None] = []
     b_mode_counts: list[dict] = []
     qp_first = None
+    prev_msb = prev_lsb = 0  # §8.2.1.1 reference-POC state (poc_type 0)
     for ref_idc, nal_type, rbsp in _split_annexb(data):
         if nal_type == 7:
             new_sps = _parse_sps(BitReader(strip_emulation(rbsp)))
@@ -2081,8 +2274,13 @@ def decode_stream(data: bytes) -> dict:
             if r.ue() != 0:
                 raise NotImplementedError("multi-slice pictures unsupported")
             slice_type = r.ue() % 5
+            poc0 = sps.get("poc_type", 2) == 0
+            max_lsb = 1 << sps.get("log2_max_poc_lsb", 0)
+            ref_poc = None
             if slice_type == 2:
-                yuv, qp = _decode_islice_body(
+                if nal_type == 5:  # IDR resets the POC state (§8.2.1.1)
+                    prev_msb = prev_lsb = 0
+                yuv, qp, lsb = _decode_islice_body(
                     r, sps, pps, idr=(nal_type == 5), ref_idc=ref_idc
                 )
                 minfo = _intra_motion_info(
@@ -2092,31 +2290,55 @@ def decode_stream(data: bytes) -> dict:
             elif slice_type == 0:
                 if not refs:
                     raise ValueError("P slice before any decoded I frame")
-                yuv, qp, mvs = _decode_pslice(
+                yuv, qp, mvs, lsb = _decode_pslice(
                     r, sps, pps, refs[0][0], ref_idc
                 )
                 minfo = _inter_motion_info(mvs)
+                ref_poc = refs[0][2]
                 types.append("P")
             elif slice_type == 1:
                 if len(refs) < 2:
                     raise ValueError(
                         "B slice before two decoded reference frames"
                     )
-                yuv, qp, counts, minfo = _decode_bslice(
-                    r, sps, pps, refs[0][0], refs[1][0], ref_idc,
-                    col_info=refs[1][1],
+                if poc0:
+                    # POC-ordered default list init: L0[0] = the past
+                    # reference, L1[0] = the future one (§8.2.4.2.3)
+                    l0, l1 = sorted(refs[:2], key=lambda e: e[2])
+                    tdir = {
+                        "max_lsb": max_lsb,
+                        "prev_msb": prev_msb,
+                        "prev_lsb": prev_lsb,
+                        "poc_l0": l0[2],
+                        "poc_col": l1[2],
+                        "col_ref_poc": l1[3],
+                    }
+                else:
+                    l0, l1 = refs[0], refs[1]
+                    tdir = None
+                yuv, qp, counts, minfo, lsb = _decode_bslice(
+                    r, sps, pps, l0[0], l1[0], ref_idc,
+                    col_info=l1[1], tdir=tdir,
                 )
+                ref_poc = l0[2]
                 b_mode_counts.append(counts)
                 types.append("B")
             else:
                 raise NotImplementedError(
                     "only I, P, and B slices supported (no SP/SI)"
                 )
+            if poc0:
+                poc = _poc_from_lsb(lsb, prev_msb, prev_lsb, max_lsb)
+                if ref_idc:
+                    prev_msb, prev_lsb = poc - lsb, lsb
+            else:
+                poc = None
+            pocs.append(poc)
             frames.append(yuv[0])
             frames_cb.append(yuv[1])
             frames_cr.append(yuv[2])
             if ref_idc:
-                refs.insert(0, (yuv, minfo))
+                refs.insert(0, (yuv, minfo, poc, ref_poc))
                 del refs[2:]
             if qp_first is None:
                 qp_first = qp
@@ -2131,6 +2353,7 @@ def decode_stream(data: bytes) -> dict:
         "frames_cb": frames_cb,
         "frames_cr": frames_cr,
         "frame_types": types,
+        "poc": pocs,
         "b_mode_counts": b_mode_counts,
     }
 
@@ -2146,6 +2369,8 @@ def _decode_islice_body(r: BitReader, sps: dict, pps: dict, idr: bool,
     r.u(sps["log2_max_frame_num"])
     if idr:
         r.ue()  # idr_pic_id
+    poc_lsb = (r.u(sps["log2_max_poc_lsb"])
+               if sps.get("poc_type", 2) == 0 else None)
     if ref_idc:
         if idr:
             r.u(2)  # no_output_of_prior_pics + long_term_reference flags
@@ -2216,7 +2441,7 @@ def _decode_islice_body(r: BitReader, sps: dict, pps: dict, idr: bool,
         rec_cr[cy : cy + 8, cx : cx + 8] = _recon_chroma_blocks(
             _chroma_dc_pred8(rec_cr, cy, cx), dcs["cr"], acs["cr"], qpc)
     return ((recon.astype(np.uint8), rec_cb.astype(np.uint8),
-             rec_cr.astype(np.uint8)), qp)
+             rec_cr.astype(np.uint8)), qp, poc_lsb)
 
 
 # ---------------------------------------------------------------------------
@@ -2298,6 +2523,97 @@ def _inter_motion_info(mv4: np.ndarray) -> dict:
     return {"mv4": mv4, "intra4": np.zeros(mv4.shape[:2], dtype=bool)}
 
 
+# ---------------------------------------------------------------------------
+# temporal direct support (§8.2.1.1 POC type 0, §8.4.1.2.3 MV scaling)
+
+
+def _poc_from_lsb(lsb: int, prev_msb: int, prev_lsb: int,
+                  max_lsb: int) -> int:
+    """§8.2.1.1 PicOrderCntMsb derivation (wraparound-aware)."""
+    if lsb < prev_lsb and prev_lsb - lsb >= max_lsb // 2:
+        msb = prev_msb + max_lsb
+    elif lsb > prev_lsb and lsb - prev_lsb > max_lsb // 2:
+        msb = prev_msb - max_lsb
+    else:
+        msb = prev_msb
+    return msb + lsb
+
+
+def _dist_scale_factor(poc_cur: int, poc_l0: int, poc_col: int) -> int:
+    """§8.4.1.2.3: tb/td clipping, tx = (16384 + |td|/2)/td (C-style
+    truncation), DistScaleFactor = Clip3(-1024, 1023, (tb*tx+32)>>6).
+    poc_l0 = POC of RefPicList0[refIdxL0] (== refPicCol here),
+    poc_col = POC of the colocated picture RefPicList1[0]."""
+    tb = max(-128, min(127, poc_cur - poc_l0))
+    td = max(-128, min(127, poc_col - poc_l0))
+    if td == 0:
+        raise ValueError("temporal direct undefined for td == 0")
+    tx = int((16384 + abs(td) // 2) / td)
+    return max(-1024, min(1023, (tb * tx + 32) >> 6))
+
+
+def _temporal_direct_mb(col_mv4: np.ndarray, col_intra4: np.ndarray,
+                        mbx: int, mby: int, dsf: int):
+    """Temporal-direct motion for one 16x16 B MB: per 8x8 quadrant
+    (direct_8x8_inference — the colocated CORNER 4x4 block supplies
+    mvCol, the same corner sampling the spatial path uses for
+    colZeroFlag), mvL0 = (DistScaleFactor*mvCol + 128) >> 8 and
+    mvL1 = mvL0 - mvCol; an intra colocated block contributes
+    mvCol = 0. Both lists are always in use (refIdxL0 = refIdxL1 = 0).
+    → (m0q, m1q): two 2x2 grids of (mvx, mvy)."""
+    y4, x4 = mby * 4, mbx * 4
+    m0q = [[None, None], [None, None]]
+    m1q = [[None, None], [None, None]]
+    for qy in range(2):
+        for qx in range(2):
+            cy4, cx4 = y4 + 3 * qy, x4 + 3 * qx  # corner 4x4 block
+            if col_intra4[cy4, cx4]:
+                mcx, mcy = 0, 0
+            else:
+                mcx, mcy = int(col_mv4[cy4, cx4, 0]), int(
+                    col_mv4[cy4, cx4, 1])
+            l0x = (dsf * mcx + 128) >> 8
+            l0y = (dsf * mcy + 128) >> 8
+            m0q[qy][qx] = (l0x, l0y)
+            m1q[qy][qx] = (l0x - mcx, l0y - mcy)
+    return m0q, m1q
+
+
+def _quad_pred16(r0: np.ndarray, r1: np.ndarray, m0q, m1q,
+                 y0: int, x0: int) -> np.ndarray:
+    """Bi-predicted 16x16 luma from per-quadrant MV pairs (§8.4.2.3
+    default averaging) — the temporal-direct prediction shape."""
+    if m0q[0][0] == m0q[0][1] == m0q[1][0] == m0q[1][1] and \
+            m1q[0][0] == m1q[0][1] == m1q[1][0] == m1q[1][1]:
+        return (_mc_luma(r0, y0, x0, m0q[0][0])
+                + _mc_luma(r1, y0, x0, m1q[0][0]) + 1) >> 1
+    pred = np.empty((16, 16), dtype=np.int64)
+    for qy in range(2):
+        for qx in range(2):
+            pred[8 * qy : 8 * qy + 8, 8 * qx : 8 * qx + 8] = (
+                _mc_luma(r0, y0 + 8 * qy, x0 + 8 * qx, m0q[qy][qx], 8)
+                + _mc_luma(r1, y0 + 8 * qy, x0 + 8 * qx, m1q[qy][qx], 8)
+                + 1) >> 1
+    return pred
+
+
+def _quad_pred_chroma8(c0: np.ndarray, c1: np.ndarray, m0q, m1q,
+                       cy: int, cx: int) -> np.ndarray:
+    """Chroma twin of _quad_pred16 (4x4 chroma per 8x8 luma quad)."""
+    if m0q[0][0] == m0q[0][1] == m0q[1][0] == m0q[1][1] and \
+            m1q[0][0] == m1q[0][1] == m1q[1][0] == m1q[1][1]:
+        return (_mc_chroma(c0, cy, cx, m0q[0][0], 8)
+                + _mc_chroma(c1, cy, cx, m1q[0][0], 8) + 1) >> 1
+    out = np.empty((8, 8), dtype=np.int64)
+    for qy in range(2):
+        for qx in range(2):
+            out[4 * qy : 4 * qy + 4, 4 * qx : 4 * qx + 4] = (
+                _mc_chroma(c0, cy + 4 * qy, cx + 4 * qx, m0q[qy][qx], 4)
+                + _mc_chroma(c1, cy + 4 * qy, cx + 4 * qx, m1q[qy][qx], 4)
+                + 1) >> 1
+    return out
+
+
 def _refine_subpel(ref: np.ndarray, blk_src: np.ndarray, y0: int, x0: int,
                    best_mv: tuple[int, int], best_cost: int,
                    ) -> tuple[tuple[int, int], int]:
@@ -2374,10 +2690,17 @@ def _encode_bslice(
     search_range: int = 4,
     ref_slice: bool = False,
     col_info: dict | None = None,
+    poc_lsb: int | None = None,
+    direct_mode: str = "spatial",
+    dsf: int | None = None,
 ) -> tuple[tuple[np.ndarray, np.ndarray, np.ndarray], bytes, dict]:
-    """Encode one B slice: per MB, derive the spatial-direct motion
-    (col_info = L1[0]'s 4x4-granular DPB motion record; colZeroFlag
-    zeroes each 8x8 quadrant independently per direct_8x8_inference)
+    """Encode one B slice: per MB, derive the direct motion — SPATIAL
+    (§8.4.1.2.2: col_info = L1[0]'s 4x4-granular DPB motion record;
+    colZeroFlag zeroes each 8x8 quadrant independently per
+    direct_8x8_inference) or TEMPORAL (direct_mode="temporal",
+    §8.4.1.2.3: per-quadrant mvCol from the colocated corner blocks
+    scaled by `dsf` = the precomputed DistScaleFactor; requires a
+    poc_type-0 stream where RefPicList1[0] is the future reference) —
     and pick the cheapest of B_Direct_16x16, B_L0_16x16 (vs ref0),
     B_L1_16x16 (vs ref1), B_Bi_16x16 (their average); ties prefer
     Direct < L0 < L1 < Bi (Direct writes no MVD). A direct MB whose
@@ -2396,7 +2719,14 @@ def _encode_bslice(
     w.ue(6)                 # slice_type B (all slices)
     w.ue(0)                 # pps id
     w.u(frame_num & 15, 4)  # frame_num
-    w.u(1, 1)               # direct_spatial_mv_pred_flag = 1 (spatial)
+    if poc_lsb is not None:  # SPS poc_type 0
+        w.u(poc_lsb & ((1 << _POC_LSB_BITS) - 1), _POC_LSB_BITS)
+    if direct_mode == "temporal":
+        if dsf is None:
+            raise ValueError("temporal direct needs a DistScaleFactor")
+        w.u(0, 1)           # direct_spatial_mv_pred_flag = 0 (temporal)
+    else:
+        w.u(1, 1)           # direct_spatial_mv_pred_flag = 1 (spatial)
     w.u(0, 1)               # num_ref_idx_active_override_flag
     w.u(0, 1)               # ref_pic_list_modification_flag_l0
     w.u(0, 1)               # ref_pic_list_modification_flag_l1
@@ -2489,15 +2819,39 @@ def _encode_bslice(
             y4, x4 = mby * 4, mbx * 4
             cy, cx = mby * 8, mbx * 8
             blk = src[y0 : y0 + 16, x0 : x0 + 16]
-            u0, u1, dmv0, dmv1, zq = _direct_spatial(
-                mf0, mf1, mbx, mby, col_info["mv4"], col_info["intra4"]
-            )
-            pd = direct_pred(u0, u1, dmv0, dmv1, zq, y0, x0)
+            if direct_mode == "temporal":
+                m0q, m1q = _temporal_direct_mb(
+                    col_info["mv4"], col_info["intra4"], mbx, mby, dsf
+                )
+                pd = _quad_pred16(r0, r1, m0q, m1q, y0, x0)
+                pd_cb = _quad_pred_chroma8(
+                    refs_c[(0, "cb")], refs_c[(1, "cb")], m0q, m1q, cy, cx)
+                pd_cr = _quad_pred_chroma8(
+                    refs_c[(0, "cr")], refs_c[(1, "cr")], m0q, m1q, cy, cx)
+
+                def commit_direct_any(y4=y4, x4=x4, m0q=m0q, m1q=m1q):
+                    for qy in range(2):
+                        for qx in range(2):
+                            mf0.fill(y4 + 2 * qy, x4 + 2 * qx, 2, 2,
+                                     m0q[qy][qx])
+                            mf1.fill(y4 + 2 * qy, x4 + 2 * qx, 2, 2,
+                                     m1q[qy][qx])
+            else:
+                u0, u1, dmv0, dmv1, zq = _direct_spatial(
+                    mf0, mf1, mbx, mby, col_info["mv4"], col_info["intra4"]
+                )
+                pd = direct_pred(u0, u1, dmv0, dmv1, zq, y0, x0)
+                pd_cb = _direct_chroma(refs_c[(0, "cb")],
+                                       refs_c[(1, "cb")],
+                                       u0, u1, dmv0, dmv1, zq, cy, cx)
+                pd_cr = _direct_chroma(refs_c[(0, "cr")],
+                                       refs_c[(1, "cr")],
+                                       u0, u1, dmv0, dmv1, zq, cy, cx)
+
+                def commit_direct_any(mbx=mbx, mby=mby, u0=u0, u1=u1,
+                                      dmv0=dmv0, dmv1=dmv1, zq=zq):
+                    commit_direct(mbx, mby, u0, u1, dmv0, dmv1, zq)
             lv_d, cbp_d = mb_levels(pd, y0, x0)
-            pd_cb = _direct_chroma(refs_c[(0, "cb")], refs_c[(1, "cb")],
-                                   u0, u1, dmv0, dmv1, zq, cy, cx)
-            pd_cr = _direct_chroma(refs_c[(0, "cr")], refs_c[(1, "cr")],
-                                   u0, u1, dmv0, dmv1, zq, cy, cx)
             cc_d, dcs_d, acs_d = _quantize_chroma_mb(
                 src_cb[cy : cy + 8, cx : cx + 8] - pd_cb,
                 src_cr[cy : cy + 8, cx : cx + 8] - pd_cr,
@@ -2514,7 +2868,7 @@ def _encode_bslice(
                 tc_map[y0 // 4 : y0 // 4 + 4, x0 // 4 : x0 // 4 + 4] = 0
                 tc_cb[cy // 4 : cy // 4 + 2, cx // 4 : cx // 4 + 2] = 0
                 tc_cr[cy // 4 : cy // 4 + 2, cx // 4 : cx // 4 + 2] = 0
-                commit_direct(mbx, mby, u0, u1, dmv0, dmv1, zq)
+                commit_direct_any()
                 continue
             cd = int(np.abs(blk - pd).sum())
             sr0 = _search_partitions(r0, blk, y0, x0, search_range)
@@ -2632,7 +2986,7 @@ def _encode_bslice(
             rec_cr[cy : cy + 8, cx : cx + 8] = _recon_chroma_blocks(
                 pred_cr, dcs["cr"], acs["cr"], qpc)
             if choice == 0:
-                commit_direct(mbx, mby, u0, u1, dmv0, dmv1, zq)
+                commit_direct_any()
             elif choice >= 4:
                 # partition MVs were committed per partition above;
                 # mark the unused list decoded
@@ -2655,21 +3009,39 @@ def _decode_bslice(r: BitReader, sps: dict, pps: dict,
                    ref1: tuple[np.ndarray, np.ndarray, np.ndarray],
                    ref_idc: int,
                    col_info: dict | None = None,
-                   ) -> tuple[tuple, int, dict, dict]:
+                   tdir: dict | None = None,
+                   ) -> tuple[tuple, int, dict, dict, int | None]:
     """Decode one B slice against (L0[0]=ref0, L1[0]=ref1); col_info is
-    L1[0]'s DPB motion record for spatial direct. first_mb and
-    slice_type are already consumed. → (recon, qp, mode_counts,
-    motion_info)."""
+    L1[0]'s DPB motion record for direct modes. `tdir` (poc_type-0
+    streams) supplies the POC context temporal direct needs:
+    {"max_lsb", "prev_msb", "prev_lsb", "poc_l0", "poc_col",
+    "col_ref_poc"}. first_mb and slice_type are already consumed.
+    → (recon, qp, mode_counts, motion_info, poc_lsb)."""
     w_, h = sps["width"], sps["height"]
     mbs_w, mbs_h = w_ // 16, h // 16
     if col_info is None:
         col_info = _intra_motion_info(mbs_h, mbs_w)
     r.ue()  # pps id
     r.u(sps["log2_max_frame_num"])
-    if r.u(1) != 1:  # direct_spatial_mv_pred_flag
-        raise NotImplementedError(
-            "temporal direct mode unsupported (spatial only)"
-        )
+    poc_lsb = (r.u(sps["log2_max_poc_lsb"])
+               if sps.get("poc_type", 2) == 0 else None)
+    spatial = r.u(1) == 1  # direct_spatial_mv_pred_flag
+    dsf = None
+    if not spatial:
+        if tdir is None or poc_lsb is None:
+            raise NotImplementedError(
+                "temporal direct requires a poc_type-0 stream with a "
+                "decoded reference on each POC side"
+            )
+        if tdir["col_ref_poc"] != tdir["poc_l0"]:
+            raise NotImplementedError(
+                "temporal direct with the colocated reference outside "
+                "list 0 unsupported"
+            )
+        poc_cur = _poc_from_lsb(poc_lsb, tdir["prev_msb"],
+                                tdir["prev_lsb"], tdir["max_lsb"])
+        dsf = _dist_scale_factor(poc_cur, tdir["poc_l0"],
+                                 tdir["poc_col"])
     if r.u(1):
         raise NotImplementedError("num_ref_idx_active override unsupported")
     if r.u(1):
@@ -2717,6 +3089,40 @@ def _decode_bslice(r: BitReader, sps: dict, pps: dict,
             mf0, mf1, mbx, mby, col_info["mv4"], col_info["intra4"]
         )
 
+    def derive_direct(mbx: int, mby: int):
+        """→ (pred, pred_cb, pred_cr, commit) for the slice's direct
+        mode — spatial (§8.4.1.2.2) or temporal (§8.4.1.2.3)."""
+        y0, x0 = mby * 16, mbx * 16
+        cy, cx = mby * 8, mbx * 8
+        if spatial:
+            u0, u1, dmv0, dmv1, zq = direct_motion(mbx, mby)
+            pred = direct_pred(u0, u1, dmv0, dmv1, zq, y0, x0)
+            pcb = _direct_chroma(refs_c[(0, "cb")], refs_c[(1, "cb")],
+                                 u0, u1, dmv0, dmv1, zq, cy, cx)
+            pcr = _direct_chroma(refs_c[(0, "cr")], refs_c[(1, "cr")],
+                                 u0, u1, dmv0, dmv1, zq, cy, cx)
+
+            def commit():
+                commit_direct(mbx, mby, u0, u1, dmv0, dmv1, zq)
+        else:
+            m0q, m1q = _temporal_direct_mb(
+                col_info["mv4"], col_info["intra4"], mbx, mby, dsf)
+            pred = _quad_pred16(r0, r1, m0q, m1q, y0, x0)
+            pcb = _quad_pred_chroma8(refs_c[(0, "cb")],
+                                     refs_c[(1, "cb")], m0q, m1q, cy, cx)
+            pcr = _quad_pred_chroma8(refs_c[(0, "cr")],
+                                     refs_c[(1, "cr")], m0q, m1q, cy, cx)
+
+            def commit():
+                y4, x4 = mby * 4, mbx * 4
+                for qy in range(2):
+                    for qx in range(2):
+                        mf0.fill(y4 + 2 * qy, x4 + 2 * qx, 2, 2,
+                                 m0q[qy][qx])
+                        mf1.fill(y4 + 2 * qy, x4 + 2 * qx, 2, 2,
+                                 m1q[qy][qx])
+        return pred, pcb, pcr, commit
+
     def direct_pred(u0, u1, dmv0, dmv1, zq, y0, x0) -> np.ndarray:
         def one(m0, m1, py, px, size):
             if u0 and u1:
@@ -2759,19 +3165,14 @@ def _decode_bslice(r: BitReader, sps: dict, pps: dict,
             mbx, mby = addr % mbs_w, addr // mbs_w
             y0, x0 = mby * 16, mbx * 16
             cy, cx = mby * 8, mbx * 8
-            u0, u1, dmv0, dmv1, zq = direct_motion(mbx, mby)
-            recon[y0 : y0 + 16, x0 : x0 + 16] = np.clip(
-                direct_pred(u0, u1, dmv0, dmv1, zq, y0, x0), 0, 255)
-            rec_cb[cy : cy + 8, cx : cx + 8] = np.clip(_direct_chroma(
-                refs_c[(0, "cb")], refs_c[(1, "cb")],
-                u0, u1, dmv0, dmv1, zq, cy, cx), 0, 255)
-            rec_cr[cy : cy + 8, cx : cx + 8] = np.clip(_direct_chroma(
-                refs_c[(0, "cr")], refs_c[(1, "cr")],
-                u0, u1, dmv0, dmv1, zq, cy, cx), 0, 255)
+            pd, pd_cb, pd_cr, commit = derive_direct(mbx, mby)
+            recon[y0 : y0 + 16, x0 : x0 + 16] = np.clip(pd, 0, 255)
+            rec_cb[cy : cy + 8, cx : cx + 8] = np.clip(pd_cb, 0, 255)
+            rec_cr[cy : cy + 8, cx : cx + 8] = np.clip(pd_cr, 0, 255)
             tc_map[y0 // 4 : y0 // 4 + 4, x0 // 4 : x0 // 4 + 4] = 0
             tc_cb[cy // 4 : cy // 4 + 2, cx // 4 : cx // 4 + 2] = 0
             tc_cr[cy // 4 : cy // 4 + 2, cx // 4 : cx // 4 + 2] = 0
-            commit_direct(mbx, mby, u0, u1, dmv0, dmv1, zq)
+            commit()
             counts["n_skip"] += 1
             addr += 1
         if addr >= n_mbs:
@@ -2786,16 +3187,10 @@ def _decode_bslice(r: BitReader, sps: dict, pps: dict,
         y0, x0 = mby * 16, mbx * 16
         y4, x4 = mby * 4, mbx * 4
         cy, cx = mby * 8, mbx * 8
-        direct_args = None
+        direct_commit = None
         part_args = None
         if mb_type == 0:
-            u0, u1, mv0, mv1, zq = direct_motion(mbx, mby)
-            direct_args = (u0, u1, mv0, mv1, zq)
-            pred = direct_pred(u0, u1, mv0, mv1, zq, y0, x0)
-            pred_cb = _direct_chroma(refs_c[(0, "cb")], refs_c[(1, "cb")],
-                                     u0, u1, mv0, mv1, zq, cy, cx)
-            pred_cr = _direct_chroma(refs_c[(0, "cr")], refs_c[(1, "cr")],
-                                     u0, u1, mv0, mv1, zq, cy, cx)
+            pred, pred_cb, pred_cr, direct_commit = derive_direct(mbx, mby)
         elif mb_type >= 4:
             lx, parts = b_parts[mb_type]
             refx = r0 if lx == 0 else r1
@@ -2867,8 +3262,8 @@ def _decode_bslice(r: BitReader, sps: dict, pps: dict,
             pred_cb, dcs["cb"], acs["cb"], qpc)
         rec_cr[cy : cy + 8, cx : cx + 8] = _recon_chroma_blocks(
             pred_cr, dcs["cr"], acs["cr"], qpc)
-        if direct_args is not None:
-            commit_direct(mbx, mby, *direct_args)
+        if direct_commit is not None:
+            direct_commit()
         elif part_args is not None:
             other = mf1 if part_args == 0 else mf0
             other.fill(y4, x4, 4, 4, (0, 0), used=False)
@@ -2885,7 +3280,7 @@ def _decode_bslice(r: BitReader, sps: dict, pps: dict,
     mv4 = np.where(mf0.used[..., None], mf0.mv, mf1.mv)
     return ((recon.astype(np.uint8), rec_cb.astype(np.uint8),
              rec_cr.astype(np.uint8)), qp, counts,
-            _inter_motion_info(mv4))
+            _inter_motion_info(mv4), poc_lsb)
 
 
 def encode_gop_b(frames, qp: int = 20, search_range: int = 4) -> bytes:
@@ -2951,4 +3346,99 @@ def _encode_gop_b_full(frames, qp, search_range):
             st = {"type": "P", **st}
         recons.append(rec)
         stats.append(st)
+    return recons, stats, stream
+
+
+def encode_gop_temporal(frames, qp: int = 20, search_range: int = 4,
+                        ) -> bytes:
+    """Encode a display-REORDERED GOP with temporal-direct B frames —
+    the classic IBP structure: display order I B P B P..., decode
+    order I P B P B... where each B sits BETWEEN its two references
+    and RefPicList1[0] is the FUTURE P (so §8.4.1.2.3 temporal direct
+    has its natural geometry: the future P's motion crosses the B
+    toward L0[0] = refPicCol, and the B inherits it scaled by the POC
+    distances). poc_type-0 SPS (explicit pic_order_cnt_lsb, §8.2.1.1);
+    `frames` are display order; decode_stream returns decode order
+    plus per-frame POCs for reordering."""
+    recons, _stats, stream = _encode_gop_t_full(frames, qp, search_range)
+    _ = recons
+    return stream
+
+
+def gop_temporal_reconstruction(frames, qp: int = 20,
+                                search_range: int = 4):
+    """Per-frame luma reconstructions in DECODE order + stats (see
+    gop_temporal_reconstruction_yuv for all planes); each stat dict
+    carries its frame's poc (2 * display index)."""
+    recons, stats, _stream = _encode_gop_t_full(frames, qp, search_range)
+    return [r[0] for r in recons], stats
+
+
+def gop_temporal_reconstruction_yuv(frames, qp: int = 20,
+                                    search_range: int = 4):
+    recons, stats, _stream = _encode_gop_t_full(frames, qp, search_range)
+    return recons, stats
+
+
+def _encode_gop_t_full(frames, qp, search_range):
+    if len(frames) < 3:
+        raise ValueError("a temporal-direct GOP needs >= 3 frames")
+    y0, cb0, cr0 = _to_yuv(np.asarray(frames[0]))
+    h, w_ = y0.shape
+    recon, payload = _encode_slice(y0, cb0, cr0, qp, poc_lsb=0)
+    stream = (_nal(7, _build_sps_rbsp(w_, h, max_refs=2, profile=77,
+                                      poc_type=0))
+              + _nal(8, _build_pps_rbsp())
+              + _nal(5, payload))
+    recons = [recon]
+    stats = [{"type": "I", "poc": 0}]
+    # DPB: ((y,cb,cr) int64, motion record, poc, ref_poc) newest-first;
+    # ref_poc = the POC this frame's own motion points to (refIdxCol
+    # is always 0 in this envelope, so it is single-valued)
+    refs = [(tuple(p.astype(np.int64) for p in recon),
+             _intra_motion_info(h // 16, w_ // 16), 0, None)]
+    ref_fn = 0
+    disp = 1
+    while disp < len(frames):
+        has_b = disp + 1 < len(frames)
+        # the next reference in decode order: the frame AFTER the B
+        # when one fits, else the trailing frame itself
+        p_disp = disp + 1 if has_b else disp
+        yuv_p = _to_yuv(np.asarray(frames[p_disp]))
+        if yuv_p[0].shape != (h, w_):
+            raise ValueError("all GOP frames must share dimensions")
+        ref_fn += 1
+        rec_p, rbsp, st = _encode_pslice(
+            refs[0][0], yuv_p, qp, ref_fn % 16, search_range,
+            poc_lsb=2 * p_disp,
+        )
+        stream += _nal(1, rbsp, ref_idc=2)
+        recons.append(rec_p)
+        stats.append({"type": "P", "poc": 2 * p_disp, **st})
+        refs.insert(0, (tuple(p.astype(np.int64) for p in rec_p),
+                        _inter_motion_info(st["mv_grid4"]),
+                        2 * p_disp, refs[0][2]))
+        del refs[2:]
+        if has_b:
+            yuv_b = _to_yuv(np.asarray(frames[disp]))
+            if yuv_b[0].shape != (h, w_):
+                raise ValueError("all GOP frames must share dimensions")
+            # L0[0] = past ref (smaller POC), L1[0] = future ref (the P
+            # just coded) — the conformant POC-ordered default lists
+            past, future = refs[1], refs[0]
+            poc_b = 2 * disp
+            # refPicCol (the colocated P's own reference) must be
+            # L0[0] for the single-entry-list derivation to be exact
+            if future[3] != past[2]:
+                raise ValueError("colocated reference is not L0[0]")
+            dsf = _dist_scale_factor(poc_b, past[2], future[2])
+            rec_b, rbsp, st = _encode_bslice(
+                past[0], future[0], yuv_b, qp, (ref_fn + 1) % 16,
+                search_range, col_info=future[1], poc_lsb=poc_b,
+                direct_mode="temporal", dsf=dsf,
+            )
+            stream += _nal(1, rbsp, ref_idc=0)
+            recons.append(rec_b)
+            stats.append({"type": "B", "poc": poc_b, "dsf": dsf, **st})
+        disp += 2
     return recons, stats, stream

@@ -638,3 +638,115 @@ QUERIES["doc_wordpiece_encode"] = QuerySpec(
     "frozen WordPiece greedy encode: exact n_unk + lossless/bounds "
     "contract",
 )
+
+
+def q_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-LANGUAGE tokenizer fertility ledger — the standard
+    multilingual tokenizer-evaluation artifact (how many pieces a word
+    costs per language decides mixture and context-budget math; cf.
+    the fertility tables in the BLOOM/XLM-R tokenizer analyses): the
+    frozen WordPiece encode (same vocab recipe as
+    doc_wordpiece_encode) aggregated by `lang`. n_docs / n_words /
+    n_chars_tok / n_unk and chars_per_word_milli = floor(1000 *
+    n_chars / n_words) are EXACT SQL restatements; per-language
+    fertility (pieces/word) rides the load-bearing
+    `fertility_in_bounds` boolean (1 <= pieces/word <= chars/word —
+    greedy WordPiece can never emit more pieces than characters or
+    fewer than one per word); exact piece counts are pinned by the
+    Python-parity tests in tests/test_wordpiece.py.
+
+    Spark shape (100 TB): encode cost is per DISTINCT word
+    (dictionary join), the ledger is one |langs|-sized aggregate —
+    nothing corpus-sized leaves the executors."""
+    from ..textstats.wordpiece import (
+        build_wordpiece_vocab,
+        wordpiece_encode_counts,
+    )
+
+    d = read_table(spark, sf_dir, "documents")
+    vocab = build_wordpiece_vocab(
+        d.filter(F.col("doc_id") % 5 == 0),
+        "text",
+        vocab_size=WORDPIECE_VOCAB,
+        word_pattern=WORDPIECE_TRAIN_PATTERN,
+    )
+    enc = wordpiece_encode_counts(d, "doc_id", "text", vocab)
+    joined = enc.join(
+        d.select(F.col("doc_id").alias("id"), "lang"), "id"
+    )
+    return (
+        joined.groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_words").cast("bigint").alias("n_words"),
+            F.sum("n_chars_tok").cast("bigint").alias("n_chars_tok"),
+            F.sum("n_unk").cast("bigint").alias("n_unk"),
+            F.sum("n_pieces").cast("bigint").alias("_pieces"),
+        )
+        .select(
+            "lang",
+            "n_docs",
+            "n_words",
+            "n_chars_tok",
+            "n_unk",
+            F.floor(F.lit(1000) * F.col("n_chars_tok")
+                    / F.col("n_words")).alias("chars_per_word_milli"),
+            (
+                (F.col("_pieces") >= F.col("n_words"))
+                & (F.col("_pieces") <= F.col("n_chars_tok"))
+            ).alias("fertility_in_bounds"),
+        )
+    )
+
+
+ORACLE_TOKENIZER_FERTILITY = rf"""
+WITH tw AS (
+  SELECT w FROM (
+    SELECT unnest({_UG_TOKS}) AS w FROM documents
+    WHERE {_UG_NORM} != '' AND doc_id % 5 = 0
+  ) WHERE regexp_matches(w, '{WORDPIECE_TRAIN_PATTERN}')
+),
+sc AS (
+  SELECT DISTINCT substr(w, i, 1) AS c
+  FROM (SELECT w, unnest(generate_series(1, length(w))) AS i FROM tw)
+),
+docs_w AS (
+  SELECT doc_id, unnest({_UG_TOKS}) AS w,
+         unnest(generate_series(1, len({_UG_TOKS}))) AS pos
+  FROM documents WHERE {_UG_NORM} != ''
+),
+wunk AS (
+  SELECT doc_id, pos, w,
+         max(CASE WHEN sc.c IS NULL THEN 1 ELSE 0 END) AS unk
+  FROM (SELECT doc_id, pos, w, substr(w, i, 1) AS c
+        FROM (SELECT doc_id, pos, w,
+                     unnest(generate_series(1, length(w))) AS i
+              FROM docs_w)) wc
+  LEFT JOIN sc USING (c)
+  GROUP BY doc_id, pos, w
+),
+per_doc AS (
+  SELECT doc_id, count(*) AS n_words,
+         CAST(sum(length(w)) AS BIGINT) AS n_chars_tok,
+         CAST(sum(unk) AS BIGINT) AS n_unk
+  FROM wunk GROUP BY doc_id
+)
+SELECT d.lang,
+       count(*) AS n_docs,
+       CAST(sum(p.n_words) AS BIGINT) AS n_words,
+       CAST(sum(p.n_chars_tok) AS BIGINT) AS n_chars_tok,
+       CAST(sum(p.n_unk) AS BIGINT) AS n_unk,
+       CAST(FLOOR(1000 * sum(p.n_chars_tok) / sum(p.n_words)) AS BIGINT)
+         AS chars_per_word_milli,
+       TRUE AS fertility_in_bounds
+FROM per_doc p JOIN documents d USING (doc_id)
+GROUP BY d.lang
+"""
+
+
+QUERIES["doc_tokenizer_fertility"] = QuerySpec(
+    q_tokenizer_fertility,
+    ORACLE_TOKENIZER_FERTILITY,
+    "per-language tokenizer fertility ledger: exact word/char/unk sums "
+    "+ bounds contract",
+)

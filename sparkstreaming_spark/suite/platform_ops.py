@@ -1941,3 +1941,260 @@ QUERIES["doc_h264_chroma_probe"] = QuerySpec(
     "H.264 4:2:0 chroma residual: Hadamard DC + AC CAVLC + 1/8-pel MC, "
     "bit-exact contract",
 )
+
+
+H264_TDIRECT_IDS = 12
+
+
+def q_h264_tdirect_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal-direct / display-reordered GOP verification
+    (multimodal/h264.py round-8 temporal layer — poc_type-0 SPS with
+    explicit pic_order_cnt_lsb, §8.2.1.1 POC derivation, POC-ordered
+    B reference lists with a FUTURE L1[0], §8.4.1.2.3 per-quadrant
+    mvCol scaling by DistScaleFactor, direct_spatial_mv_pred_flag=0):
+    per doc (doc_id < 12) synthesize a classic IBP GOP (display order
+    I B P B P... with a flat-128 top MB band — exactly representable
+    at any QP, so B_Skip through the temporal derivation is
+    guaranteed — over a panning color gradient) with formula-derived
+    dims/QP/length, encode in decode order I P B..., decode, and emit
+    exact metadata + `poc_sum` (Σ POC = nf*(nf-1) pins the §8.2.1.1
+    derivation and the display reordering) + `yuv_bitexact`
+    (three-plane decoder == encoder loop, every frame) +
+    `tdirect_used` (the temporal direct/skip path must actually fire;
+    measured 2-14 MBs per id) + tolerance booleans on the last
+    DISPLAY frame vs its source (worst measured mean 0.56 / max 5;
+    bounds 1.5 / 12). A POC, list-order, DistScaleFactor, or
+    mv-scaling slip breaks bit-exactness, the poc_sum, or the usage
+    boolean and flips the hash.
+
+    Spark shape: one Arrow mapInPandas pass, repartitioned across the
+    blob ids (single-row-group guard), no shuffle."""
+    import numpy as np
+    import pandas as pd
+
+    from ..multimodal.h264 import (
+        _to_yuv,
+        decode_stream,
+        encode_gop_temporal,
+        gop_temporal_reconstruction_yuv,
+    )
+
+    d = read_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") < H264_TDIRECT_IDS
+    ).select("doc_id").repartition(H264_TDIRECT_IDS)
+
+    def work(batches):
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                w_ = 16 * (2 + did % 2)
+                h = 16 * (2 + did % 3)
+                qp = 14 + did % 10
+                nf = 4 + did % 3
+                i = np.arange(h).reshape(-1, 1)
+                j = np.arange(w_).reshape(1, -1)
+                img0 = np.stack([
+                    np.minimum(did + 3 * i + 2 * j, 255),
+                    ((did * 5 + 2 * i + 3 * j) % 256),
+                    np.maximum(190 - i - 2 * j + did, 0),
+                ], axis=-1).astype(np.uint8)
+                img0[:16] = 128
+                frames = [img0]
+                for _k in range(1, nf):
+                    f = frames[-1].copy()
+                    f[16:, 2:] = frames[-1][16:, :-2]
+                    f[16:, :2] = frames[-1][16:, :1]
+                    frames.append(f)
+                out = decode_stream(
+                    encode_gop_temporal(frames, qp=qp, search_range=6))
+                recons, _stats = gop_temporal_reconstruction_yuv(
+                    frames, qp=qp, search_range=6)
+                bitexact = all(
+                    np.array_equal(out["frames"][k], recons[k][0])
+                    and np.array_equal(out["frames_cb"][k], recons[k][1])
+                    and np.array_equal(out["frames_cr"][k], recons[k][2])
+                    for k in range(len(recons))
+                )
+                td = sum(c["n_skip"] + c["n_direct"]
+                         for c in out["b_mode_counts"])
+                li = out["poc"].index(max(out["poc"]))
+                ys, cbs, crs = _to_yuv(frames[out["poc"][li] // 2])
+                err = np.abs(out["frames"][li].astype(np.float64)
+                             - ys.astype(np.float64))
+                errc = np.concatenate([
+                    np.abs(out["frames_cb"][li].astype(np.float64)
+                           - cbs.astype(np.float64)).ravel(),
+                    np.abs(out["frames_cr"][li].astype(np.float64)
+                           - crs.astype(np.float64)).ravel(),
+                ])
+                rows.append({
+                    "doc_id": did,
+                    "width": out["width"],
+                    "height": out["height"],
+                    "qp": out["qp"],
+                    "n_frames": len(out["frames"]),
+                    "n_b_frames": out["frame_types"].count("B"),
+                    "poc_sum": int(sum(out["poc"])),
+                    "yuv_bitexact": bool(bitexact),
+                    "tdirect_used": bool(td > 0),
+                    "mean_ok": bool(max(err.mean(), errc.mean()) <= 1.5),
+                    "max_err_ok": bool(max(err.max(), errc.max()) <= 12.0),
+                })
+            yield pd.DataFrame(rows)
+
+    return d.mapInPandas(
+        work,
+        "doc_id bigint, width int, height int, qp int, n_frames int,"
+        " n_b_frames int, poc_sum bigint, yuv_bitexact boolean,"
+        " tdirect_used boolean, mean_ok boolean, max_err_ok boolean",
+    )
+
+
+ORACLE_H264_TDIRECT = f"""
+SELECT doc_id,
+       CAST(16 * (2 + doc_id % 2) AS INT) AS width,
+       CAST(16 * (2 + doc_id % 3) AS INT) AS height,
+       CAST(14 + doc_id % 10 AS INT) AS qp,
+       CAST(4 + doc_id % 3 AS INT) AS n_frames,
+       CAST((3 + doc_id % 3) // 2 AS INT) AS n_b_frames,
+       CAST((4 + doc_id % 3) * (3 + doc_id % 3) AS BIGINT) AS poc_sum,
+       TRUE AS yuv_bitexact,
+       TRUE AS tdirect_used,
+       TRUE AS mean_ok,
+       TRUE AS max_err_ok
+FROM documents WHERE doc_id < {H264_TDIRECT_IDS}
+"""
+
+
+QUERIES["doc_h264_tdirect_probe"] = QuerySpec(
+    q_h264_tdirect_probe,
+    ORACLE_H264_TDIRECT,
+    "H.264 temporal direct: poc_type-0 reordered GOP, scaled colocated "
+    "motion, bit-exact contract",
+)
+
+
+H264_WPRED_IDS = 12
+
+
+def q_h264_wpred_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit weighted prediction verification (multimodal/h264.py
+    round-8 WP layer — weighted_pred_flag=1 PPS, §7.3.3.2
+    pred_weight_table with per-plane (weight, offset), §8.4.2.3.2
+    sample op Clip1(((p*w + 2^(logWD-1)) >> logWD) + o) applied to
+    EVERY P inter prediction including P_Skip): per doc (doc_id < 12)
+    synthesize a global-fade color GOP (per-frame brightness scale —
+    the content WP exists for) with formula-derived dims/QP/length/
+    fade-step, encode with least-squares per-plane weights, decode,
+    and emit exact metadata + `yuv_bitexact` (three-plane decoder ==
+    encoder loop) + `wp_engaged` (the estimated luma weight differs
+    from the 2^logWD identity on every P — the fade model really
+    fired) + `skip_used` (weighted P_Skip must occur: without WP a
+    fade can never skip; measured 5-48 skips per id) + fade tolerance
+    booleans on the last frame (worst measured mean 2.19 / max 19;
+    bounds 4.0 / 32). A weight-table syntax, sample-op rounding, or
+    skip-weighting slip breaks bit-exactness or the booleans and
+    flips the hash.
+
+    Spark shape: one Arrow mapInPandas pass, repartitioned across the
+    blob ids (single-row-group guard), no shuffle."""
+    import numpy as np
+    import pandas as pd
+
+    from ..multimodal.h264 import (
+        _to_yuv,
+        decode_stream,
+        encode_gop_weighted,
+        gop_weighted_reconstruction_yuv,
+    )
+
+    d = read_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") < H264_WPRED_IDS
+    ).select("doc_id").repartition(H264_WPRED_IDS)
+
+    def work(batches):
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                w_ = 16 * (2 + did % 2)
+                h = 16 * (2 + did % 3)
+                qp = 22 + did % 8
+                nf = 3 + did % 3
+                step = 0.08 + 0.01 * (did % 5)
+                i = np.arange(h).reshape(-1, 1)
+                j = np.arange(w_).reshape(1, -1)
+                base = np.stack([
+                    (did + 2 * j + i) % 200 + 30,
+                    (100 + (3 * i + 2 * j + did) % 90),
+                    (did * 3 + j + 2 * i) % 180 + 40,
+                ], axis=-1).astype(np.uint8)
+                frames = [
+                    np.clip(base.astype(np.float64) * (1.0 - step * t),
+                            0, 255).astype(np.uint8)
+                    for t in range(nf)
+                ]
+                out = decode_stream(encode_gop_weighted(frames, qp=qp))
+                recons, stats = gop_weighted_reconstruction_yuv(
+                    frames, qp=qp)
+                bitexact = all(
+                    np.array_equal(out["frames"][k], recons[k][0])
+                    and np.array_equal(out["frames_cb"][k], recons[k][1])
+                    and np.array_equal(out["frames_cr"][k], recons[k][2])
+                    for k in range(len(recons))
+                )
+                nskip = sum(s["n_skip"] for s in stats)
+                engaged = all(s["wp"]["y"][0] != 32 for s in stats)
+                ys, cbs, crs = _to_yuv(frames[-1])
+                err = np.abs(out["frames"][-1].astype(np.float64)
+                             - ys.astype(np.float64))
+                errc = np.concatenate([
+                    np.abs(out["frames_cb"][-1].astype(np.float64)
+                           - cbs.astype(np.float64)).ravel(),
+                    np.abs(out["frames_cr"][-1].astype(np.float64)
+                           - crs.astype(np.float64)).ravel(),
+                ])
+                rows.append({
+                    "doc_id": did,
+                    "width": out["width"],
+                    "height": out["height"],
+                    "qp": out["qp"],
+                    "n_frames": len(out["frames"]),
+                    "yuv_bitexact": bool(bitexact),
+                    "wp_engaged": bool(engaged),
+                    "skip_used": bool(nskip > 0),
+                    "mean_ok": bool(max(err.mean(), errc.mean()) <= 4.0),
+                    "max_err_ok": bool(max(err.max(), errc.max()) <= 32.0),
+                })
+            yield pd.DataFrame(rows)
+
+    return d.mapInPandas(
+        work,
+        "doc_id bigint, width int, height int, qp int, n_frames int,"
+        " yuv_bitexact boolean, wp_engaged boolean, skip_used boolean,"
+        " mean_ok boolean, max_err_ok boolean",
+    )
+
+
+ORACLE_H264_WPRED = f"""
+SELECT doc_id,
+       CAST(16 * (2 + doc_id % 2) AS INT) AS width,
+       CAST(16 * (2 + doc_id % 3) AS INT) AS height,
+       CAST(22 + doc_id % 8 AS INT) AS qp,
+       CAST(3 + doc_id % 3 AS INT) AS n_frames,
+       TRUE AS yuv_bitexact,
+       TRUE AS wp_engaged,
+       TRUE AS skip_used,
+       TRUE AS mean_ok,
+       TRUE AS max_err_ok
+FROM documents WHERE doc_id < {H264_WPRED_IDS}
+"""
+
+
+QUERIES["doc_h264_wpred_probe"] = QuerySpec(
+    q_h264_wpred_probe,
+    ORACLE_H264_WPRED,
+    "H.264 explicit weighted prediction: fade-collapse contract, "
+    "bit-exact round-trip",
+)

@@ -710,3 +710,209 @@ def test_static_scene_still_skips_with_chroma():
     out = decode_stream(encode_gop(frames, qp=28))
     for i in range(3):
         assert np.array_equal(out["frames_cb"][i], recons[i][1])
+
+
+# ---------------------------------------------------------------------------
+# temporal direct + display-reordered GOP (round 8)
+
+
+def test_dist_scale_factor_matches_spec_cases():
+    from sparkstreaming_spark.multimodal.h264 import _dist_scale_factor
+
+    # B halfway between refs: tb=2, td=4 -> tx=4096, DSF=128 (mv/2)
+    assert _dist_scale_factor(2, 0, 4) == 128
+    # B a quarter of the way: tb=1, td=4 -> DSF=64 (mv/4)
+    assert _dist_scale_factor(1, 0, 4) == 64
+    # degenerate distance raises
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        _dist_scale_factor(2, 0, 0)
+
+
+def test_poc_lsb_wraparound():
+    from sparkstreaming_spark.multimodal.h264 import _poc_from_lsb
+
+    # §8.2.1.1: lsb wrapped past max -> msb steps up
+    assert _poc_from_lsb(2, 0, 250, 256) == 258
+    # lsb jumped back (reordering) without wrap -> same msb
+    assert _poc_from_lsb(250, 0, 252, 256) == 250
+    # negative direction wrap
+    assert _poc_from_lsb(250, 256, 2, 256) == 250
+
+
+def test_temporal_gop_roundtrip_and_poc_order():
+    from sparkstreaming_spark.multimodal.h264 import (
+        encode_gop_temporal,
+        gop_temporal_reconstruction_yuv,
+    )
+
+    frames = _color_motion_frames(6)
+    for qp in (14, 26, 38):
+        out = decode_stream(encode_gop_temporal(frames, qp=qp))
+        recons, stats = gop_temporal_reconstruction_yuv(frames, qp=qp)
+        # decode order I P B P B P; POCs identify the display order
+        assert out["frame_types"] == ["I", "P", "B", "P", "B", "P"]
+        assert out["poc"] == [0, 4, 2, 8, 6, 10]
+        for i, (ry, rcb, rcr) in enumerate(recons):
+            assert np.array_equal(out["frames"][i], ry), (qp, i)
+            assert np.array_equal(out["frames_cb"][i], rcb), (qp, i)
+            assert np.array_equal(out["frames_cr"][i], rcr), (qp, i)
+
+
+def test_temporal_direct_mv_scaling_math():
+    # per-quadrant mvCol from the colocated CORNER blocks, halved by
+    # DSF=128 with the spec rounding, mvL1 = mvL0 - mvCol; intra
+    # colocated quadrants contribute zero motion
+    from sparkstreaming_spark.multimodal.h264 import _temporal_direct_mb
+
+    mv4 = np.zeros((8, 8, 2), dtype=np.int64)
+    intra4 = np.zeros((8, 8), dtype=bool)
+    # MB (1, 1): quadrant corners at block coords (4|7, 4|7)
+    mv4[4, 4] = (16, 8)    # q00 -> mvL0 (8, 4), mvL1 (-8, -4)
+    mv4[4, 7] = (5, -3)    # q01 -> ((128*5+128)>>8, (128*-3+128)>>8)
+    mv4[7, 4] = (-16, 2)   # q10
+    intra4[7, 7] = True    # q11 intra -> zero
+    mv4[7, 7] = (99, 99)   # must be ignored for the intra quadrant
+    m0q, m1q = _temporal_direct_mb(mv4, intra4, 1, 1, 128)
+    assert m0q[0][0] == (8, 4) and m1q[0][0] == (-8, -4)
+    assert m0q[0][1] == ((128 * 5 + 128) >> 8, (128 * -3 + 128) >> 8)
+    assert m1q[0][1] == (m0q[0][1][0] - 5, m0q[0][1][1] + 3)
+    assert m0q[1][0] == (-8, 1) and m1q[1][0] == (8, -1)
+    assert m0q[1][1] == (0, 0) and m1q[1][1] == (0, 0)
+
+
+def test_temporal_direct_wins_on_constant_pan():
+    # a constant 2 px/frame pan: the P's motion (4 px over 2 frames)
+    # scaled by DSF=128 lands exactly on the B's true 2 px offset, so
+    # temporal direct/skip is used on real MBs (lossy-recon noise may
+    # make explicit L0 marginally cheaper on some — direct just has to
+    # actually fire, proving the scaled prediction is competitive)
+    from sparkstreaming_spark.multimodal.h264 import encode_gop_temporal
+
+    rng = np.random.default_rng(5)
+    base = rng.integers(0, 256, (32, 48)).astype(np.uint8)
+    frames = []
+    for t in range(4):
+        f = np.empty_like(base)
+        s = 2 * t
+        f[:, s:] = base[:, : base.shape[1] - s] if s else base
+        if s:
+            f[:, :s] = base[:, :1]
+        frames.append(f)
+    out = decode_stream(encode_gop_temporal(frames, qp=24, search_range=6))
+    assert out["frame_types"] == ["I", "P", "B", "P"]
+    bm = out["b_mode_counts"][0]
+    assert bm["n_skip"] + bm["n_direct"] >= 2, bm
+
+
+def test_temporal_sps_agrees_with_mediameta_parser():
+    # the poc_type-0 Main-profile SPS must parse identically in the
+    # independent mediameta SPS reader (cross-implementation check)
+    from sparkstreaming_spark.multimodal.h264 import encode_gop_temporal
+    from sparkstreaming_spark.multimodal.mediameta import h264_probe
+
+    frames = _color_motion_frames(3, h=32, w=48)
+    p = h264_probe(bytes(encode_gop_temporal(frames, qp=24)))
+    assert (p["width"], p["height"]) == (48, 32)
+    assert p["profile_idc"] == 77 and p["n_idr"] == 1
+
+
+def test_spatial_streams_still_decode_after_poc_plumbing():
+    # the low-delay spatial-direct GOP (poc_type 2) must be unaffected
+    from sparkstreaming_spark.multimodal.h264 import (
+        encode_gop_b,
+        gop_b_reconstruction,
+    )
+
+    frames = _color_motion_frames(5)
+    out = decode_stream(encode_gop_b(frames, qp=24))
+    recons, _ = gop_b_reconstruction(frames, qp=24)
+    assert out["poc"] == [None] * 5
+    for i in range(5):
+        assert np.array_equal(out["frames"][i], recons[i])
+
+
+# ---------------------------------------------------------------------------
+# explicit weighted prediction (round 8)
+
+
+def _fade_frames(n, h=48, w=64, step=0.12):
+    yy, xx = np.mgrid[0:h, 0:w]
+    base = np.stack([
+        (xx * 2 + yy) % 200 + 30,
+        (100 + 40 * np.sin(xx / 9) + 30 * np.cos(yy / 6)).astype(int),
+        (xx + 2 * yy) % 180 + 40,
+    ], axis=-1).astype(np.uint8)
+    return [np.clip(base.astype(np.float64) * (1.0 - step * t),
+                    0, 255).astype(np.uint8) for t in range(n)]
+
+
+def test_weighted_gop_roundtrip_bit_exact():
+    from sparkstreaming_spark.multimodal.h264 import (
+        encode_gop_weighted,
+        gop_weighted_reconstruction_yuv,
+    )
+
+    frames = _fade_frames(4)
+    for qp in (16, 28, 40):
+        out = decode_stream(encode_gop_weighted(frames, qp=qp))
+        recons, stats = gop_weighted_reconstruction_yuv(frames, qp=qp)
+        for i, (ry, rcb, rcr) in enumerate(recons):
+            assert np.array_equal(out["frames"][i], ry), (qp, i)
+            assert np.array_equal(out["frames_cb"][i], rcb), (qp, i)
+            assert np.array_equal(out["frames_cr"][i], rcr), (qp, i)
+        # the fade model must actually engage (scaled luma weight)
+        assert all(s["wp"]["y"][0] != 32 for s in stats)
+
+
+def test_weighted_prediction_collapses_fades():
+    # a pure global fade: with explicit WP the P frames mostly skip
+    # and the stream shrinks vs the unweighted encoder; without WP no
+    # MB can skip (every prediction is off by the fade factor)
+    from sparkstreaming_spark.multimodal.h264 import (
+        encode_gop_weighted,
+        gop_weighted_reconstruction_yuv,
+    )
+
+    frames = _fade_frames(4)
+    _, stats_w = gop_weighted_reconstruction_yuv(frames, qp=28)
+    n_skip_w = sum(s["n_skip"] for s in stats_w)
+    _, stats_u = gop_reconstruction(frames, qp=28)
+    n_skip_u = sum(s["n_skip"] for s in stats_u)
+    assert n_skip_u == 0
+    assert n_skip_w >= 24, n_skip_w  # 36 measured; 3 frames x 12 MBs
+    assert (len(encode_gop_weighted(frames, qp=28))
+            < len(encode_gop(frames, qp=28)) * 0.6)
+
+
+def test_identity_weights_match_unweighted_reconstruction():
+    # w = 2^logWD, o = 0 is the exact identity: (p*32+16)>>5 == p, so
+    # an identity-weighted P slice must reconstruct exactly like the
+    # unweighted encoder given the same motion decisions
+    from sparkstreaming_spark.multimodal.h264 import (
+        _build_pps_rbsp,
+        _build_sps_rbsp,
+        _encode_pslice,
+        _encode_slice,
+        _nal,
+    )
+
+    rng = np.random.default_rng(21)
+    a = rng.integers(0, 256, (32, 32)).astype(np.uint8)
+    flat = np.full((16, 16), 128, np.uint8)
+    rec_i, i_payload = _encode_slice(a, flat, flat, 20)
+    ref = tuple(p.astype(np.int64) for p in rec_i)
+    byuv = (np.roll(a, 2, axis=1), flat, flat)
+    ident = {"logwd_y": 5, "logwd_c": 5, "y": (32, 0),
+             "cb": (32, 0), "cr": (32, 0)}
+    rec_w, pw, _ = _encode_pslice(ref, byuv, 20, 1, wp=ident)
+    rec_p, pp, _ = _encode_pslice(ref, byuv, 20, 1)
+    assert np.array_equal(rec_w[0], rec_p[0])
+    assert np.array_equal(rec_w[1], rec_p[1])
+    # and the weighted stream decodes to the same frames
+    stream = (_nal(7, _build_sps_rbsp(32, 32))
+              + _nal(8, _build_pps_rbsp(weighted_pred=True))
+              + _nal(5, i_payload) + _nal(1, pw, ref_idc=2))
+    out = decode_stream(stream)
+    assert np.array_equal(out["frames"][1], rec_w[0])
+    assert np.array_equal(out["frames_cb"][1], rec_w[1])
