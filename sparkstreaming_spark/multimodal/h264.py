@@ -50,8 +50,10 @@ Scope (precise, honestly guarded):
   recent PAST references (the conformant default list init for that
   DPB), default bi-prediction (§8.4.2.3 (p0+p1+1)>>1), per-list median
   MV prediction, Main-profile SPS, non-reference B NALs, plus the
-  single-list two-partition B modes (B_L0_L0/B_L1_L1 16x8 and 8x16,
-  Table 7-14 types 4-7, one-list MVD layout per §7.3.5.1). Chroma is
+  COMPLETE two-partition B mode family (Table 7-14 types 4-21:
+  single-list, mixed-list, and Bi 16x8/8x16 partitions, list-major
+  MVD layout per §7.3.5.1 with per-list interleaved MV prediction).
+  Chroma is
   fully coded in B slices too (per-quadrant direct motion, §8.4.2.3
   bi-averaged chroma MC, inter chroma residual; B_Skip additionally
   requires the chroma residual to quantize to zero).
@@ -71,10 +73,9 @@ Scope (precise, honestly guarded):
   identity), and the §8.4.2.3.2 sample op applied to every P inter
   prediction including P_Skip — global fades collapse to skip rows.
   Weights are estimated per plane by least squares (fade model).
-  Sub-8x8 partitions (8x4/4x8/4x4), mixed-list and Bi B partitions
-  (types 8-21), B_8x8, CABAC, and weighted BI-prediction
-  (weighted_bipred_idc != 0) remain honest NotImplementedError
-  guards.
+  Sub-8x8 partitions (8x4/4x8/4x4), B_8x8, CABAC, and weighted
+  BI-prediction (weighted_bipred_idc != 0) remain honest
+  NotImplementedError guards.
 
 Verification stance: bit-exact ROUND-TRIP is the contract — the
 decoder must reproduce the encoder's own reconstruction exactly
@@ -801,6 +802,18 @@ def _bi_chroma(c0: np.ndarray, c1: np.ndarray, u0: bool, u1: bool,
     if u0:
         return _mc_chroma(c0, cy, cx, m0, size)
     return _mc_chroma(c1, cy, cx, m1, size)
+
+
+def _bi_luma(r0: np.ndarray, r1: np.ndarray, u0: bool, u1: bool,
+             m0, m1, y: int, x: int, size=16) -> np.ndarray:
+    """B-slice luma partition predictor: §8.4.2.3 default bi-averaging
+    when both lists are in use, else the one used list."""
+    if u0 and u1:
+        return (_mc_luma(r0, y, x, m0, size)
+                + _mc_luma(r1, y, x, m1, size) + 1) >> 1
+    if u0:
+        return _mc_luma(r0, y, x, m0, size)
+    return _mc_luma(r1, y, x, m1, size)
 
 
 def _direct_chroma(c0: np.ndarray, c1: np.ndarray, u0: bool, u1: bool,
@@ -2597,6 +2610,46 @@ def _quad_pred16(r0: np.ndarray, r1: np.ndarray, m0q, m1q,
     return pred
 
 
+# Table 7-14 two-partition B macroblock modes:
+# mb_type -> (orientation, part0 mode, part1 mode); orientation 0 is
+# 16x8 (top/bottom), 1 is 8x16 (left/right); part modes 0 = Pred_L0,
+# 1 = Pred_L1, 2 = BiPred. Types 4-7 are the single-list modes, 8-11
+# mixed-list, 12-21 the Bi combinations.
+B_TWOPART = {
+    4: (0, 0, 0), 5: (1, 0, 0), 6: (0, 1, 1), 7: (1, 1, 1),
+    8: (0, 0, 1), 9: (1, 0, 1), 10: (0, 1, 0), 11: (1, 1, 0),
+    12: (0, 0, 2), 13: (1, 0, 2), 14: (0, 1, 2), 15: (1, 1, 2),
+    16: (0, 2, 0), 17: (1, 2, 0), 18: (0, 2, 1), 19: (1, 2, 1),
+    20: (0, 2, 2), 21: (1, 2, 2),
+}
+
+# partition geometry per orientation: (tag, dx, dy, w, h)
+B_PART_GEOM = (
+    (("16x8_top", 0, 0, 16, 8), ("16x8_bot", 0, 8, 16, 8)),
+    (("8x16_left", 0, 0, 8, 16), ("8x16_right", 8, 0, 8, 16)),
+)
+
+
+def _b_mode_key(mb_type: int) -> str:
+    """Histogram bucket for a B mb_type (shared by encoder stats and
+    decoder counts so the probes' modes_ok equality is well-typed)."""
+    if mb_type == 0:
+        return "n_direct"
+    if mb_type == 1:
+        return "n_l0"
+    if mb_type == 2:
+        return "n_l1"
+    if mb_type == 3:
+        return "n_bi"
+    if mb_type in (4, 5):
+        return "n_l0_part"
+    if mb_type in (6, 7):
+        return "n_l1_part"
+    if mb_type in (8, 9, 10, 11):
+        return "n_mixed_part"
+    return "n_bi_part"
+
+
 def _quad_pred_chroma8(c0: np.ndarray, c1: np.ndarray, m0q, m1q,
                        cy: int, cx: int) -> np.ndarray:
     """Chroma twin of _quad_pred16 (4x4 chroma per 8x8 luma quad)."""
@@ -2756,17 +2809,13 @@ def _encode_bslice(
     mf0 = _MotionField(mbs_h, mbs_w)
     mf1 = _MotionField(mbs_h, mbs_w)
     stats = {"n_skip": 0, "n_direct": 0, "n_l0": 0, "n_l1": 0, "n_bi": 0,
-             "n_l0_part": 0, "n_l1_part": 0}
+             "n_l0_part": 0, "n_l1_part": 0, "n_mixed_part": 0,
+             "n_bi_part": 0}
     skip_run = 0
     # same qp-scaled two-partition deadband as the P encoder
     part_pen = 16 << (qp // 6)
-    # B mb_types 4-7 (Table 7-14): single-list two-partition modes
-    b_parts = {
-        4: (0, (("16x8_top", 0, 0, 16, 8), ("16x8_bot", 0, 8, 16, 8))),
-        5: (0, (("8x16_left", 0, 0, 8, 16), ("8x16_right", 8, 0, 8, 16))),
-        6: (1, (("16x8_top", 0, 0, 16, 8), ("16x8_bot", 0, 8, 16, 8))),
-        7: (1, (("8x16_left", 0, 0, 8, 16), ("8x16_right", 8, 0, 8, 16))),
-    }
+    # integer-search partition keys per orientation (sr0/sr1 layout)
+    part_keys_of = (("top", "bot"), ("left", "right"))
 
     def mb_levels(pred: np.ndarray, y0: int, x0: int) -> tuple[list, int]:
         levels, cbp = [], 0
@@ -2879,57 +2928,93 @@ def _encode_bslice(
             p1 = _mc_luma(r1, y0, x0, mv1)
             pbi = (p0 + p1 + 1) >> 1
             cbi = int(np.abs(blk - pbi).sum())
-            choice = min((
-                (cd, 0), (c0, 1), (c1, 2), (cbi, 3),
-                (sr0["top"][1] + sr0["bot"][1] + part_pen, 4),
-                (sr0["left"][1] + sr0["right"][1] + part_pen, 5),
-                (sr1["top"][1] + sr1["bot"][1] + part_pen, 6),
-                (sr1["left"][1] + sr1["right"][1] + part_pen, 7),
-            ))[1]
+            slices = {
+                "top": (blk[:8, :], y0, x0),
+                "bot": (blk[8:, :], y0 + 8, x0),
+                "left": (blk[:, :8], y0, x0),
+                "right": (blk[:, 8:], y0, x0 + 8),
+            }
+
+            def bi_part_sad(key):
+                # bi SAD at the INTEGER search MVs (cheap slices) —
+                # refinement happens only for the chosen mode
+                sblk, py, px = slices[key]
+                sz = sblk.shape
+                pb = (_mc_luma(r0, py, px, sr0[key][0], sz)
+                      + _mc_luma(r1, py, px, sr1[key][0], sz) + 1) >> 1
+                return int(np.abs(sblk - pb).sum())
+
+            bi_sads = {}
+            cands = [(cd, 0), (c0, 1), (c1, 2), (cbi, 3)]
+            for mbt, (orient, pm0, pm1) in B_TWOPART.items():
+                keys = part_keys_of[orient]
+                cost = 0
+                for pm, key in zip((pm0, pm1), keys):
+                    if pm == 0:
+                        cost += sr0[key][1]
+                    elif pm == 1:
+                        cost += sr1[key][1]
+                    else:
+                        if key not in bi_sads:
+                            bi_sads[key] = bi_part_sad(key)
+                        cost += bi_sads[key]
+                n_mvd = (2 if pm0 == 2 else 1) + (2 if pm1 == 2 else 1)
+                cands.append((cost + part_pen * (n_mvd - 1), mbt))
+            choice = min(cands)[1]
             w.ue(skip_run)  # mb_skip_run
             skip_run = 0
             # mb_type: 0 B_Direct, 1 B_L0, 2 B_L1, 3 B_Bi,
-            # 4-7 single-list 16x8/8x16 (Table 7-14)
+            # 4-21 two-partition modes (Table 7-14)
             w.ue(choice)
-            part_mvs = None
             if choice >= 4:
-                lx, parts = b_parts[choice]
-                refx = r0 if lx == 0 else r1
-                srx = sr0 if lx == 0 else sr1
-                mfx = mf0 if lx == 0 else mf1
-                cbx = refs_c[(lx, "cb")]
-                crx = refs_c[(lx, "cr")]
-                part_keys = (("top", "bot") if choice in (4, 6)
-                             else ("left", "right"))
-                slices = {
-                    "top": (blk[:8, :], y0, x0),
-                    "bot": (blk[8:, :], y0 + 8, x0),
-                    "left": (blk[:, :8], y0, x0),
-                    "right": (blk[:, 8:], y0, x0 + 8),
-                }
-                part_mvs = [
-                    _refine_subpel(refx, *slices[k], *srx[k])[0]
-                    for k in part_keys
-                ]
+                orient, pm0, pm1 = B_TWOPART[choice]
+                parts = B_PART_GEOM[orient]
+                pmodes = (pm0, pm1)
+                keys = part_keys_of[orient]
+                # refined MV per (list, partition) actually in use
+                mvs = [[None, None], [None, None]]
+                for pi, key in enumerate(keys):
+                    if pmodes[pi] in (0, 2):
+                        mvs[0][pi] = _refine_subpel(
+                            r0, *slices[key], *sr0[key])[0]
+                    if pmodes[pi] in (1, 2):
+                        mvs[1][pi] = _refine_subpel(
+                            r1, *slices[key], *sr1[key])[0]
+                # MVDs list-major (§7.3.5.1), MVP interleaved with the
+                # list's own commits — mirror of the decoder
+                for lx, mfx in ((0, mf0), (1, mf1)):
+                    for pi, (tag, dx, dy, pw, ph) in enumerate(parts):
+                        px4, py4 = (x0 + dx) // 4, (y0 + dy) // 4
+                        if pmodes[pi] == lx or pmodes[pi] == 2:
+                            mvp = _mvp_partition(mfx, px4, py4,
+                                                 pw // 4, tag)
+                            mv = mvs[lx][pi]
+                            w.se(int(mv[0] - mvp[0]))
+                            w.se(int(mv[1] - mvp[1]))
+                            mfx.fill(py4, px4, ph // 4, pw // 4, mv)
+                        else:
+                            mfx.fill(py4, px4, ph // 4, pw // 4,
+                                     (0, 0), used=False)
                 pred = np.empty((16, 16), dtype=np.int64)
                 pred_cb = np.empty((8, 8), dtype=np.int64)
                 pred_cr = np.empty((8, 8), dtype=np.int64)
-                # mvd loop for the one list, partition order (7.3.5.1)
-                for (tag, dx, dy, pw, ph), mv in zip(parts, part_mvs):
-                    px4, py4 = (x0 + dx) // 4, (y0 + dy) // 4
-                    mvp = _mvp_partition(mfx, px4, py4, pw // 4, tag)
-                    w.se(int(mv[0] - mvp[0]))
-                    w.se(int(mv[1] - mvp[1]))
-                    pred[dy : dy + ph, dx : dx + pw] = _mc_luma(
-                        refx, y0 + dy, x0 + dx, mv, (ph, pw))
+                for pi, (tag, dx, dy, pw, ph) in enumerate(parts):
+                    u0p = pmodes[pi] in (0, 2)
+                    u1p = pmodes[pi] in (1, 2)
+                    m0p = mvs[0][pi] or (0, 0)
+                    m1p = mvs[1][pi] or (0, 0)
+                    pred[dy : dy + ph, dx : dx + pw] = _bi_luma(
+                        r0, r1, u0p, u1p, m0p, m1p,
+                        y0 + dy, x0 + dx, (ph, pw))
                     csz = (ph // 2, pw // 2)
                     pred_cb[dy // 2 : dy // 2 + ph // 2,
-                            dx // 2 : dx // 2 + pw // 2] = _mc_chroma(
-                        cbx, cy + dy // 2, cx + dx // 2, mv, csz)
+                            dx // 2 : dx // 2 + pw // 2] = _bi_chroma(
+                        refs_c[(0, "cb")], refs_c[(1, "cb")], u0p, u1p,
+                        m0p, m1p, cy + dy // 2, cx + dx // 2, csz)
                     pred_cr[dy // 2 : dy // 2 + ph // 2,
-                            dx // 2 : dx // 2 + pw // 2] = _mc_chroma(
-                        crx, cy + dy // 2, cx + dx // 2, mv, csz)
-                    mfx.fill(py4, px4, ph // 4, pw // 4, mv)
+                            dx // 2 : dx // 2 + pw // 2] = _bi_chroma(
+                        refs_c[(0, "cr")], refs_c[(1, "cr")], u0p, u1p,
+                        m0p, m1p, cy + dy // 2, cx + dx // 2, csz)
             else:
                 pred = (pd, p0, p1, pbi)[choice]
                 if choice in (1, 3):
@@ -2988,16 +3073,11 @@ def _encode_bslice(
             if choice == 0:
                 commit_direct_any()
             elif choice >= 4:
-                # partition MVs were committed per partition above;
-                # mark the unused list decoded
-                other = mf1 if choice in (4, 5) else mf0
-                other.fill(y4, x4, 4, 4, (0, 0), used=False)
+                pass  # two-partition motion committed per list above
             else:
                 mf0.fill(y4, x4, 4, 4, mv0, used=choice in (1, 3))
                 mf1.fill(y4, x4, 4, 4, mv1, used=choice in (2, 3))
-            stats[("n_direct", "n_l0", "n_l1", "n_bi",
-                   "n_l0_part", "n_l0_part",
-                   "n_l1_part", "n_l1_part")[choice]] += 1
+            stats[_b_mode_key(choice)] += 1
     if skip_run:
         w.ue(skip_run)
     return ((recon.astype(np.uint8), rec_cb.astype(np.uint8),
@@ -3075,13 +3155,8 @@ def _decode_bslice(r: BitReader, sps: dict, pps: dict,
     mf0 = _MotionField(mbs_h, mbs_w)
     mf1 = _MotionField(mbs_h, mbs_w)
     counts = {"n_skip": 0, "n_direct": 0, "n_l0": 0, "n_l1": 0, "n_bi": 0,
-              "n_l0_part": 0, "n_l1_part": 0}
-    b_parts = {
-        4: (0, (("16x8_top", 0, 0, 16, 8), ("16x8_bot", 0, 8, 16, 8))),
-        5: (0, (("8x16_left", 0, 0, 8, 16), ("8x16_right", 8, 0, 8, 16))),
-        6: (1, (("16x8_top", 0, 0, 16, 8), ("16x8_bot", 0, 8, 16, 8))),
-        7: (1, (("8x16_left", 0, 0, 8, 16), ("8x16_right", 8, 0, 8, 16))),
-    }
+              "n_l0_part": 0, "n_l1_part": 0, "n_mixed_part": 0,
+              "n_bi_part": 0}
     n_mbs = mbs_h * mbs_w
 
     def direct_motion(mbx: int, mby: int):
@@ -3179,10 +3254,10 @@ def _decode_bslice(r: BitReader, sps: dict, pps: dict,
             break
         mbx, mby = addr % mbs_w, addr // mbs_w
         mb_type = r.ue()
-        if mb_type > 7:
+        if mb_type > 21:
             raise NotImplementedError(
-                f"B mb_type {mb_type} unsupported (16x16 Direct/L0/L1/Bi"
-                " + single-list 16x8/8x16 only)"
+                f"B mb_type {mb_type} unsupported (no B_8x8 "
+                "sub-partitions)"
             )
         y0, x0 = mby * 16, mbx * 16
         y4, x4 = mby * 4, mbx * 4
@@ -3192,30 +3267,46 @@ def _decode_bslice(r: BitReader, sps: dict, pps: dict,
         if mb_type == 0:
             pred, pred_cb, pred_cr, direct_commit = derive_direct(mbx, mby)
         elif mb_type >= 4:
-            lx, parts = b_parts[mb_type]
-            refx = r0 if lx == 0 else r1
-            mfx = mf0 if lx == 0 else mf1
-            cbx = refs_c[(lx, "cb")]
-            crx = refs_c[(lx, "cr")]
+            orient, pm0, pm1 = B_TWOPART[mb_type]
+            parts = B_PART_GEOM[orient]
+            pmodes = (pm0, pm1)
+            # MVDs are LIST-major (§7.3.5.1): all L0 mvds in partition
+            # order, then all L1 mvds; each list's MVP derivation
+            # interleaves with its own commits
+            mvs = [[None, None], [None, None]]  # [list][part]
+            for lx, mfx in ((0, mf0), (1, mf1)):
+                for pi, (tag, dx, dy, pw, ph) in enumerate(parts):
+                    px4, py4 = (x0 + dx) // 4, (y0 + dy) // 4
+                    if pmodes[pi] == lx or pmodes[pi] == 2:
+                        mvp = _mvp_partition(mfx, px4, py4, pw // 4, tag)
+                        mvd = (r.se(), r.se())
+                        mv = (mvp[0] + mvd[0], mvp[1] + mvd[1])
+                        mvs[lx][pi] = mv
+                        mfx.fill(py4, px4, ph // 4, pw // 4, mv)
+                    else:
+                        mfx.fill(py4, px4, ph // 4, pw // 4, (0, 0),
+                                 used=False)
             pred = np.empty((16, 16), dtype=np.int64)
             pred_cb = np.empty((8, 8), dtype=np.int64)
             pred_cr = np.empty((8, 8), dtype=np.int64)
-            for tag, dx, dy, pw, ph in parts:
-                px4, py4 = (x0 + dx) // 4, (y0 + dy) // 4
-                mvp = _mvp_partition(mfx, px4, py4, pw // 4, tag)
-                mvd = (r.se(), r.se())
-                mv = (mvp[0] + mvd[0], mvp[1] + mvd[1])
-                pred[dy : dy + ph, dx : dx + pw] = _mc_luma(
-                    refx, y0 + dy, x0 + dx, mv, (ph, pw))
+            for pi, (tag, dx, dy, pw, ph) in enumerate(parts):
+                u0p = pmodes[pi] in (0, 2)
+                u1p = pmodes[pi] in (1, 2)
+                m0p = mvs[0][pi] or (0, 0)
+                m1p = mvs[1][pi] or (0, 0)
+                pred[dy : dy + ph, dx : dx + pw] = _bi_luma(
+                    r0, r1, u0p, u1p, m0p, m1p,
+                    y0 + dy, x0 + dx, (ph, pw))
                 csz = (ph // 2, pw // 2)
                 pred_cb[dy // 2 : dy // 2 + ph // 2,
-                        dx // 2 : dx // 2 + pw // 2] = _mc_chroma(
-                    cbx, cy + dy // 2, cx + dx // 2, mv, csz)
+                        dx // 2 : dx // 2 + pw // 2] = _bi_chroma(
+                    refs_c[(0, "cb")], refs_c[(1, "cb")], u0p, u1p,
+                    m0p, m1p, cy + dy // 2, cx + dx // 2, csz)
                 pred_cr[dy // 2 : dy // 2 + ph // 2,
-                        dx // 2 : dx // 2 + pw // 2] = _mc_chroma(
-                    crx, cy + dy // 2, cx + dx // 2, mv, csz)
-                mfx.fill(py4, px4, ph // 4, pw // 4, mv)
-            part_args = lx
+                        dx // 2 : dx // 2 + pw // 2] = _bi_chroma(
+                    refs_c[(0, "cr")], refs_c[(1, "cr")], u0p, u1p,
+                    m0p, m1p, cy + dy // 2, cx + dx // 2, csz)
+            part_args = -1  # motion already committed per list above
         else:
             mv0 = mv1 = (0, 0)
             u0 = mb_type in (1, 3)
@@ -3265,14 +3356,11 @@ def _decode_bslice(r: BitReader, sps: dict, pps: dict,
         if direct_commit is not None:
             direct_commit()
         elif part_args is not None:
-            other = mf1 if part_args == 0 else mf0
-            other.fill(y4, x4, 4, 4, (0, 0), used=False)
+            pass  # two-partition motion committed per list above
         else:
             mf0.fill(y4, x4, 4, 4, mv0, used=u0)
             mf1.fill(y4, x4, 4, 4, mv1, used=u1)
-        counts[("n_direct", "n_l0", "n_l1", "n_bi",
-                "n_l0_part", "n_l0_part",
-                "n_l1_part", "n_l1_part")[mb_type]] += 1
+        counts[_b_mode_key(mb_type)] += 1
         addr += 1
     # a B frame's own motion record (only needed if it ever becomes a
     # reference): per the §8.4.1.2.2 colocated rule, L0 motion wins

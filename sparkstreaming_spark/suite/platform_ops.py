@@ -1766,7 +1766,8 @@ def q_h264_bframe_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
                     for a, b in zip(out["frames"], recons)
                 )
                 mode_keys = ("n_skip", "n_direct", "n_l0", "n_l1", "n_bi",
-            "n_l0_part", "n_l1_part")
+                             "n_l0_part", "n_l1_part", "n_mixed_part",
+                             "n_bi_part")
                 enc_modes = [
                     {k: s[k] for k in mode_keys}
                     for s in stats if s["type"] == "B"

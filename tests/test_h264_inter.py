@@ -398,7 +398,9 @@ def test_b_frame_uses_bi_for_blended_content():
     out = decode_stream(encode_gop_b(frames, qp=16))
     recons, stats = gop_b_reconstruction(frames, qp=16)
     b_stats = next(s for s in stats if s["type"] == "B")
-    assert b_stats["n_bi"] > 0
+    # explicit bi-prediction must appear — as B_Bi_16x16 or (since the
+    # round-8 Table 7-14 completion) a Bi two-partition mode
+    assert b_stats["n_bi"] + b_stats["n_bi_part"] > 0
     for k in range(4):
         assert np.array_equal(out["frames"][k], recons[k])
 
@@ -469,7 +471,7 @@ def test_b_gop_over_partitioned_references_roundtrips():
     )
 
     keys = ("n_skip", "n_direct", "n_l0", "n_l1", "n_bi",
-            "n_l0_part", "n_l1_part")
+            "n_l0_part", "n_l1_part", "n_mixed_part", "n_bi_part")
     rng = np.random.default_rng(9)
     base = rng.integers(0, 256, (48, 64)).astype(np.uint8)
     frames, cur = [base], base
@@ -503,7 +505,7 @@ def test_b_single_list_partitions_fire_and_roundtrip():
     )
 
     keys = ("n_skip", "n_direct", "n_l0", "n_l1", "n_bi",
-            "n_l0_part", "n_l1_part")
+            "n_l0_part", "n_l1_part", "n_mixed_part", "n_bi_part")
     rng = np.random.default_rng(21)
     base = rng.integers(0, 256, (32, 32)).astype(np.uint8)
 
@@ -541,7 +543,7 @@ def test_b_skip_and_direct_on_static_and_panning_content():
     )
 
     keys = ("n_skip", "n_direct", "n_l0", "n_l1", "n_bi",
-            "n_l0_part", "n_l1_part")
+            "n_l0_part", "n_l1_part", "n_mixed_part", "n_bi_part")
     # static: every frame identical
     rng = np.random.default_rng(31)
     a = rng.integers(0, 256, (32, 48)).astype(np.uint8)
@@ -916,3 +918,78 @@ def test_identity_weights_match_unweighted_reconstruction():
     out = decode_stream(stream)
     assert np.array_equal(out["frames"][1], rec_w[0])
     assert np.array_equal(out["frames_cb"][1], rec_w[1])
+
+
+# ---------------------------------------------------------------------------
+# mixed-list / Bi two-partition B modes (Table 7-14 types 8-21, round 8)
+
+
+def test_mixed_list_b_partitions_roundtrip_and_fire():
+    # opposite motion per half: in a reordered GOP the B sits between
+    # its references, so the top half tracks one list and the bottom
+    # the other -> mixed-list types 8-11 fire; roundtrip stays exact
+    from sparkstreaming_spark.multimodal.h264 import (
+        encode_gop_temporal,
+        gop_temporal_reconstruction_yuv,
+    )
+
+    rng = np.random.default_rng(2)
+    h, w = 48, 64
+    base = np.stack([rng.integers(0, 256, (h, w)) for _ in range(3)],
+                    axis=-1).astype(np.uint8)
+
+    def frame(t):
+        f = np.empty_like(base)
+        f[: h // 2] = np.roll(base[: h // 2], 2 * t, axis=1)
+        f[h // 2 :] = np.roll(base[h // 2 :], -2 * t, axis=1)
+        return f
+
+    frames = [frame(t) for t in range(6)]
+    out = decode_stream(encode_gop_temporal(frames, qp=20, search_range=6))
+    recons, _ = gop_temporal_reconstruction_yuv(frames, qp=20,
+                                                search_range=6)
+    for i, (ry, rcb, rcr) in enumerate(recons):
+        assert np.array_equal(out["frames"][i], ry), i
+        assert np.array_equal(out["frames_cb"][i], rcb), i
+    total_mixed = sum(c["n_mixed_part"] for c in out["b_mode_counts"])
+    assert total_mixed >= 2, out["b_mode_counts"]
+
+
+def test_bi_partition_fires_on_blended_half():
+    # display frame 1's top half is the pixel average of frames 0 and
+    # 2, its bottom half tracks frame 0 exactly: the encoder should
+    # pick a Bi top / L0 bottom 16x8 split (type 16 family) and the
+    # decoder must reproduce it bit-exactly
+    from sparkstreaming_spark.multimodal.h264 import (
+        encode_gop_temporal,
+        gop_temporal_reconstruction_yuv,
+    )
+
+    rng = np.random.default_rng(9)
+    h, w = 32, 48
+    f0 = rng.integers(0, 256, (h, w)).astype(np.uint8)
+    f2 = rng.integers(0, 256, (h, w)).astype(np.uint8)
+    f1 = f0.copy()
+    f1[: h // 2] = ((f0[: h // 2].astype(int)
+                     + f2[: h // 2].astype(int) + 1) // 2)
+    frames = [f0, f1, f2]
+    out = decode_stream(encode_gop_temporal(frames, qp=16,
+                                            search_range=2))
+    recons, _ = gop_temporal_reconstruction_yuv(frames, qp=16,
+                                                search_range=2)
+    assert out["frame_types"] == ["I", "P", "B"]
+    for i in range(3):
+        assert np.array_equal(out["frames"][i], recons[i][0]), i
+    bm = out["b_mode_counts"][0]
+    assert bm["n_bi_part"] + bm["n_bi"] >= 1, bm
+
+
+def test_b_mode_histograms_cover_new_keys():
+    from sparkstreaming_spark.multimodal.h264 import _b_mode_key
+
+    assert _b_mode_key(8) == "n_mixed_part"
+    assert _b_mode_key(11) == "n_mixed_part"
+    assert _b_mode_key(12) == "n_bi_part"
+    assert _b_mode_key(21) == "n_bi_part"
+    assert _b_mode_key(4) == "n_l0_part"
+    assert _b_mode_key(7) == "n_l1_part"
