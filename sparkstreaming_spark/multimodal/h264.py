@@ -27,9 +27,11 @@ Scope (precise, honestly guarded):
   outside the envelope (I_16x16) — those stay honest
   stubs, not silent wrong output.
 - inter coding (P slices): encode_gop/decode_stream extend the
-  envelope with motion-compensated P frames — P_L0_16x16,
-  P_L0_L0_16x8, P_L0_L0_8x16, and P_8x8 (four P_L0_8x8 sub-MBs)
-  partitions plus P_Skip against a
+  envelope with motion-compensated P frames — the COMPLETE P
+  partition tree: P_L0_16x16, P_L0_L0_16x8, P_L0_L0_8x16, and P_8x8
+  with every Table 7-17 sub_mb_type (8x8 / 8x4 / 4x8 / 4x4
+  sub-partitions, chosen per quadrant from the shared integer scan's
+  per-4x4-block SAD grid) plus P_Skip against a
   single reference (the previous decoded frame, max_num_ref_frames=1
   sliding window), chroma riding each partition's luma MV through the
   §8.4.2.2.2 eighth-pel bilinear interpolation with the full inter
@@ -73,9 +75,9 @@ Scope (precise, honestly guarded):
   identity), and the §8.4.2.3.2 sample op applied to every P inter
   prediction including P_Skip — global fades collapse to skip rows.
   Weights are estimated per plane by least squares (fade model).
-  Sub-8x8 partitions (8x4/4x8/4x4), B_8x8, CABAC, and weighted
-  BI-prediction (weighted_bipred_idc != 0) remain honest
-  NotImplementedError guards.
+  B_8x8 (B sub-partitions), CABAC, and weighted BI-prediction
+  (weighted_bipred_idc != 0) remain honest NotImplementedError
+  guards.
 
 Verification stance: bit-exact ROUND-TRIP is the contract — the
 decoder must reproduce the encoder's own reconstruction exactly
@@ -1656,6 +1658,18 @@ class _MotionField:
             self.used[y4 : y4 + h4, x4 : x4 + w4] = True
 
 
+# P_8x8 sub-partition geometry (Table 7-17): sub_mb_type ->
+# ((dx, dy, w, h, search-key suffix), ...) within the 8x8 quadrant;
+# 4x4 sub-blocks in raster order
+P_SUB_GEOM = {
+    0: ((0, 0, 8, 8, ""),),
+    1: ((0, 0, 8, 4, "_84t"), (0, 4, 8, 4, "_84b")),
+    2: ((0, 0, 4, 8, "_48l"), (4, 0, 4, 8, "_48r")),
+    3: ((0, 0, 4, 4, "_44_0"), (4, 0, 4, 4, "_44_1"),
+        (0, 4, 4, 4, "_44_2"), (4, 4, 4, 4, "_44_3")),
+}
+
+
 def _mvp_partition(mf: _MotionField, x4: int, y4: int, w4: int,
                    part: str = "16x16") -> tuple[int, int]:
     """Luma MV prediction for one L0/L1 partition (§8.4.1.3): median
@@ -1793,7 +1807,7 @@ def _encode_pslice(
     qpc = chroma_qp(qp)
     mf = _MotionField(mbs_h, mbs_w)
     stats = {"n_skip": 0, "n_coded": 0, "n_subpel": 0, "n_16x8": 0,
-             "n_8x16": 0, "n_8x8": 0, "mvs": []}
+             "n_8x16": 0, "n_8x8": 0, "n_sub_split": 0, "mvs": []}
     skip_run = 0
     # partition-choice deadband: a second partition costs mb_type +
     # MVD bits, so its SAD win must beat a qp-scaled penalty (encoder
@@ -1810,17 +1824,6 @@ def _encode_pslice(
             out.append(quantize_4x4(forward_transform_4x4(res), qp,
                                     intra=False))
         return out
-
-    # P mb_type layouts (Table 7-13; 3 = P_8x8 with all four
-    # sub_mb_types = P_L0_8x8): per partition (tag, dx, dy, w, h) in
-    # luma samples within the MB, decoding order
-    parts_of = {
-        0: (("16x16", 0, 0, 16, 16),),
-        1: (("16x8_top", 0, 0, 16, 8), ("16x8_bot", 0, 8, 16, 8)),
-        2: (("8x16_left", 0, 0, 8, 16), ("8x16_right", 8, 0, 8, 16)),
-        3: (("8x8", 0, 0, 8, 8), ("8x8", 8, 0, 8, 8),
-            ("8x8", 0, 8, 8, 8), ("8x8", 8, 8, 8, 8)),
-    }
 
     for mby in range(mbs_h):
         for mbx in range(mbs_w):
@@ -1854,44 +1857,67 @@ def _encode_pslice(
                     tc_cr[cy // 4 : cy // 4 + 2, cx // 4 : cx // 4 + 2] = 0
                     continue
             blk = src[y0 : y0 + 16, x0 : x0 + 16]
-            sr = _search_partitions(ref_y, blk, y0, x0, search_range)
-            q_sad = (sr["q00"][1] + sr["q01"][1]
-                     + sr["q10"][1] + sr["q11"][1])
+            sr = _search_partitions(ref_y, blk, y0, x0, search_range,
+                                    subparts=True)
+            # per-quadrant best sub-8x8 shape (Table 7-17 sub_mb_type:
+            # 0 = 8x8, 1 = 8x4, 2 = 4x8, 3 = 4x4), priced at part_pen
+            # per MVD beyond the first — same grain as the MB level
+            sub_cfg, q_cost = [], 0
+            for p in ("q00", "q01", "q10", "q11"):
+                c, s = min((
+                    (sr[p][1], 0),
+                    (sr[p + "_84t"][1] + sr[p + "_84b"][1] + part_pen, 1),
+                    (sr[p + "_48l"][1] + sr[p + "_48r"][1] + part_pen, 2),
+                    (sum(sr[p + f"_44_{i}"][1] for i in range(4))
+                     + 3 * part_pen, 3),
+                ))
+                sub_cfg.append(s)
+                q_cost += c
             mb_type = min(
                 (sr["full"][1], 0),
                 (sr["top"][1] + sr["bot"][1] + part_pen, 1),
                 (sr["left"][1] + sr["right"][1] + part_pen, 2),
-                (q_sad + 3 * part_pen, 3),  # 4 sub types + 4 MVDs
+                (q_cost + 3 * part_pen, 3),  # 4 sub types + >=4 MVDs
             )[1]
-            chosen = {0: ("full",), 1: ("top", "bot"),
-                      2: ("left", "right"),
-                      3: ("q00", "q01", "q10", "q11")}[mb_type]
-            slices = {
-                "full": (blk, y0, x0),
-                "top": (blk[:8, :], y0, x0),
-                "bot": (blk[8:, :], y0 + 8, x0),
-                "left": (blk[:, :8], y0, x0),
-                "right": (blk[:, 8:], y0, x0 + 8),
-                "q00": (blk[:8, :8], y0, x0),
-                "q01": (blk[:8, 8:], y0, x0 + 8),
-                "q10": (blk[8:, :8], y0 + 8, x0),
-                "q11": (blk[8:, 8:], y0 + 8, x0 + 8),
-            }
+            # partition worklist: (tag, dx, dy, pw, ph, search_key)
+            if mb_type == 0:
+                work = [("16x16", 0, 0, 16, 16, "full")]
+            elif mb_type == 1:
+                work = [("16x8_top", 0, 0, 16, 8, "top"),
+                        ("16x8_bot", 0, 8, 16, 8, "bot")]
+            elif mb_type == 2:
+                work = [("8x16_left", 0, 0, 8, 16, "left"),
+                        ("8x16_right", 8, 0, 8, 16, "right")]
+            else:
+                work = []
+                for qi, p in enumerate(("q00", "q01", "q10", "q11")):
+                    dyq, dxq = 8 * (qi // 2), 8 * (qi % 2)
+                    st = sub_cfg[qi]
+                    for sdx, sdy, pw_, ph_, suf in P_SUB_GEOM[st]:
+                        work.append(("sub", dxq + sdx, dyq + sdy,
+                                     pw_, ph_, p + suf))
             part_mvs = tuple(
-                _refine_subpel(ref_y, *slices[k], *sr[k])[0] for k in chosen
+                _refine_subpel(
+                    ref_y,
+                    blk[dy : dy + ph, dx : dx + pw],
+                    y0 + dy, x0 + dx, *sr[key],
+                )[0]
+                for (_tag, dx, dy, pw, ph, key) in work
             )
             w.ue(skip_run)
             skip_run = 0
             # 0 P_L0_16x16, 1 P_L0_L0_16x8, 2 P_L0_L0_8x16, 3 P_8x8
             w.ue(mb_type)
             if mb_type == 3:
-                for _ in range(4):
-                    w.ue(0)  # sub_mb_type P_L0_8x8
+                for st in sub_cfg:
+                    w.ue(st)  # sub_mb_type (Table 7-17)
+                if any(sub_cfg):
+                    stats["n_sub_split"] += 1
             pred = np.empty((16, 16), dtype=np.int64)
             pred_cb = np.empty((8, 8), dtype=np.int64)
             pred_cr = np.empty((8, 8), dtype=np.int64)
-            for (tag, dx, dy, pw, ph), mv in zip(
-                parts_of[mb_type], part_mvs
+            for (tag, dx, dy, pw, ph, _key), mv in zip(
+                work, part_mvs
             ):
                 x4, y4 = (x0 + dx) // 4, (y0 + dy) // 4
                 mvp = _mvp_partition(mf, x4, y4, pw // 4, tag)
@@ -2187,18 +2213,24 @@ def _decode_pslice(r: BitReader, sps: dict, pps: dict,
                 "(16x16/16x8/8x16/8x8 only)"
             )
         if mb_type == 3:
-            for _ in range(4):
-                if r.ue() != 0:
-                    raise NotImplementedError(
-                        "P sub_mb_type != P_L0_8x8 unsupported "
-                        "(no 8x4/4x8/4x4 sub-partitions)"
-                    )
+            sub_types = [r.ue() for _ in range(4)]
+            if any(st > 3 for st in sub_types):
+                raise ValueError(
+                    f"invalid P sub_mb_type {max(sub_types)} (Table 7-17)"
+                )
+            work = []
+            for qi, st in enumerate(sub_types):
+                dyq, dxq = 8 * (qi // 2), 8 * (qi % 2)
+                for sdx, sdy, pw_, ph_, _suf in P_SUB_GEOM[st]:
+                    work.append(("sub", dxq + sdx, dyq + sdy, pw_, ph_))
+        else:
+            work = list(parts_of[mb_type])
         y0, x0 = mby * 16, mbx * 16
         cy, cx = mby * 8, mbx * 8
         pred = np.empty((16, 16), dtype=np.int64)
         pred_cb = np.empty((8, 8), dtype=np.int64)
         pred_cr = np.empty((8, 8), dtype=np.int64)
-        for tag, dx, dy, pw, ph in parts_of[mb_type]:
+        for tag, dx, dy, pw, ph in work:
             x4, y4 = (x0 + dx) // 4, (y0 + dy) // 4
             mvp = _mvp_partition(mf, x4, y4, pw // 4, tag)
             mvd = (r.se(), r.se())
@@ -2704,7 +2736,7 @@ def _search_best(ref: np.ndarray, blk_src: np.ndarray, y0: int, x0: int,
 
 
 def _search_partitions(ref: np.ndarray, blk: np.ndarray, y0: int, x0: int,
-                       search_range: int) -> dict:
+                       search_range: int, subparts: bool = False) -> dict:
     """One shared integer-grid scan scoring the 16x16 AND all four half
     partitions at once (each candidate's half-SADs are slices of the
     same |blk - MC| map — integer-MV MC of a sub-block equals the slice
@@ -2713,22 +2745,57 @@ def _search_partitions(ref: np.ndarray, blk: np.ndarray, y0: int, x0: int,
     these and refines only the chosen partitions (_refine_subpel) —
     sub-pel refinement is ~10x the cost of an integer probe, so
     refining all five first would triple the search bill for a
-    decision the integer SADs already settle."""
+    decision the integer SADs already settle.
+
+    subparts=True additionally tracks every sub-8x8 shape from the
+    same scan's per-4x4-block SAD grid: keys "qYX_84t"/"qYX_84b"
+    (8x4), "qYX_48l"/"qYX_48r" (4x8), and "qYX_44_i" (4x4, raster i)
+    per quadrant — the P_8x8 sub-partition decision then costs no
+    extra MC."""
     keys = ("full", "top", "bot", "left", "right",
             "q00", "q01", "q10", "q11")
     best = {k: ((0, 0), None) for k in keys}
+    if subparts:
+        for qy in range(2):
+            for qx in range(2):
+                p = f"q{qy}{qx}"
+                for suf in ("_84t", "_84b", "_48l", "_48r",
+                            "_44_0", "_44_1", "_44_2", "_44_3"):
+                    best[p + suf] = ((0, 0), None)
     for dy in range(-search_range, search_range + 1):
         for dx in range(-search_range, search_range + 1):
             cand = (4 * dx, 4 * dy)
             d = np.abs(blk - _mc_luma(ref, y0, x0, cand))
-            q00 = int(d[:8, :8].sum())
-            q01 = int(d[:8, 8:].sum())
-            q10 = int(d[8:, :8].sum())
-            q11 = int(d[8:, 8:].sum())
-            for k, s in zip(keys, (q00 + q01 + q10 + q11,
-                                   q00 + q01, q10 + q11,
-                                   q00 + q10, q01 + q11,
-                                   q00, q01, q10, q11)):
+            if subparts:
+                bg = d.reshape(4, 4, 4, 4).sum(axis=(1, 3))
+                q00 = int(bg[0, 0] + bg[0, 1] + bg[1, 0] + bg[1, 1])
+                q01 = int(bg[0, 2] + bg[0, 3] + bg[1, 2] + bg[1, 3])
+                q10 = int(bg[2, 0] + bg[2, 1] + bg[3, 0] + bg[3, 1])
+                q11 = int(bg[2, 2] + bg[2, 3] + bg[3, 2] + bg[3, 3])
+            else:
+                q00 = int(d[:8, :8].sum())
+                q01 = int(d[:8, 8:].sum())
+                q10 = int(d[8:, :8].sum())
+                q11 = int(d[8:, 8:].sum())
+            scores = list(zip(keys, (q00 + q01 + q10 + q11,
+                                     q00 + q01, q10 + q11,
+                                     q00 + q10, q01 + q11,
+                                     q00, q01, q10, q11)))
+            if subparts:
+                for qy in range(2):
+                    for qx in range(2):
+                        b00 = int(bg[2 * qy, 2 * qx])
+                        b01 = int(bg[2 * qy, 2 * qx + 1])
+                        b10 = int(bg[2 * qy + 1, 2 * qx])
+                        b11 = int(bg[2 * qy + 1, 2 * qx + 1])
+                        p = f"q{qy}{qx}"
+                        scores += [
+                            (p + "_84t", b00 + b01), (p + "_84b", b10 + b11),
+                            (p + "_48l", b00 + b10), (p + "_48r", b01 + b11),
+                            (p + "_44_0", b00), (p + "_44_1", b01),
+                            (p + "_44_2", b10), (p + "_44_3", b11),
+                        ]
+            for k, s in scores:
                 if best[k][1] is None or s < best[k][1]:
                     best[k] = (cand, s)
     return best

@@ -993,3 +993,49 @@ def test_b_mode_histograms_cover_new_keys():
     assert _b_mode_key(21) == "n_bi_part"
     assert _b_mode_key(4) == "n_l0_part"
     assert _b_mode_key(7) == "n_l1_part"
+
+
+# ---------------------------------------------------------------------------
+# P sub-8x8 partitions (Table 7-17 sub_mb_types 1-3, round 8)
+
+
+def test_p_sub8x8_partitions_fire_and_roundtrip():
+    # motion discontinuity INSIDE the 8x8 quadrants (4-row bands
+    # alternating +2/-2 px per frame): 8x4 sub-partitions are the only
+    # shape that models it, so sub splits must fire, and the decoder
+    # must reproduce the encoder loop bit-exactly on all three planes
+    from sparkstreaming_spark.multimodal.h264 import gop_reconstruction_yuv
+
+    rng = np.random.default_rng(13)
+    h, w = 48, 64
+    base = rng.integers(0, 256, (h, w, 3)).astype(np.uint8)
+
+    def frame(t):
+        f = base.copy()
+        s = 2 * t
+        for r0 in range(16, h, 8):
+            f[r0 : r0 + 4] = np.roll(base[r0 : r0 + 4], s, axis=1)
+            f[r0 + 4 : r0 + 8] = np.roll(base[r0 + 4 : r0 + 8], -s, axis=1)
+        return f
+
+    frames = [frame(t) for t in range(4)]
+    for qp in (18, 30):
+        out = decode_stream(encode_gop(frames, qp=qp, search_range=5))
+        recons, stats = gop_reconstruction_yuv(frames, qp=qp,
+                                               search_range=5)
+        for i, (ry, rcb, rcr) in enumerate(recons):
+            assert np.array_equal(out["frames"][i], ry), (qp, i)
+            assert np.array_equal(out["frames_cb"][i], rcb), (qp, i)
+        assert sum(s["n_sub_split"] for s in stats) >= 12
+
+
+def test_p_sub_geom_table_is_exhaustive():
+    from sparkstreaming_spark.multimodal.h264 import P_SUB_GEOM
+
+    for st, parts in P_SUB_GEOM.items():
+        # each sub_mb_type tiles the 8x8 quadrant exactly once
+        covered = np.zeros((8, 8), dtype=int)
+        for dx, dy, w, h, _suf in parts:
+            covered[dy : dy + h, dx : dx + w] += 1
+        assert (covered == 1).all(), st
+    assert set(P_SUB_GEOM) == {0, 1, 2, 3}
