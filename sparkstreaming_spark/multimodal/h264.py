@@ -54,7 +54,10 @@ Scope (precise, honestly guarded):
   MV prediction, Main-profile SPS, non-reference B NALs, plus the
   COMPLETE two-partition B mode family (Table 7-14 types 4-21:
   single-list, mixed-list, and Bi 16x8/8x16 partitions, list-major
-  MVD layout per §7.3.5.1 with per-list interleaved MV prediction).
+  MVD layout per §7.3.5.1 with per-list interleaved MV prediction),
+  plus B_8x8 (type 22) with the Table 7-18 whole-quadrant sub modes
+  (B_Direct_8x8 — the MB's spatial or temporal direct motion applied
+  per quadrant — and B_L0/B_L1/B_Bi 8x8 with per-quadrant MVs).
   Chroma is
   fully coded in B slices too (per-quadrant direct motion, §8.4.2.3
   bi-averaged chroma MC, inter chroma residual; B_Skip additionally
@@ -75,9 +78,9 @@ Scope (precise, honestly guarded):
   identity), and the §8.4.2.3.2 sample op applied to every P inter
   prediction including P_Skip — global fades collapse to skip rows.
   Weights are estimated per plane by least squares (fade model).
-  B_8x8 (B sub-partitions), CABAC, and weighted BI-prediction
-  (weighted_bipred_idc != 0) remain honest NotImplementedError
-  guards.
+  B sub-8x8 splits (Table 7-18 types 4-12: 8x4/4x8/4x4 inside
+  B_8x8), CABAC, and weighted BI-prediction (weighted_bipred_idc
+  != 0) remain honest NotImplementedError guards.
 
 Verification stance: bit-exact ROUND-TRIP is the contract — the
 decoder must reproduce the encoder's own reconstruction exactly
@@ -2679,6 +2682,8 @@ def _b_mode_key(mb_type: int) -> str:
         return "n_l1_part"
     if mb_type in (8, 9, 10, 11):
         return "n_mixed_part"
+    if mb_type == 22:
+        return "n_b8x8"
     return "n_bi_part"
 
 
@@ -2877,7 +2882,7 @@ def _encode_bslice(
     mf1 = _MotionField(mbs_h, mbs_w)
     stats = {"n_skip": 0, "n_direct": 0, "n_l0": 0, "n_l1": 0, "n_bi": 0,
              "n_l0_part": 0, "n_l1_part": 0, "n_mixed_part": 0,
-             "n_bi_part": 0}
+             "n_bi_part": 0, "n_b8x8": 0}
     skip_run = 0
     # same qp-scaled two-partition deadband as the P encoder
     part_pen = 16 << (qp // 6)
@@ -2952,6 +2957,11 @@ def _encode_bslice(
                                      m0q[qy][qx])
                             mf1.fill(y4 + 2 * qy, x4 + 2 * qx, 2, 2,
                                      m1q[qy][qx])
+
+                def dq_mv(lx, qy, qx, m0q=m0q, m1q=m1q):
+                    return (m0q, m1q)[lx][qy][qx]
+
+                dq_u = (True, True)
             else:
                 u0, u1, dmv0, dmv1, zq = _direct_spatial(
                     mf0, mf1, mbx, mby, col_info["mv4"], col_info["intra4"]
@@ -2967,6 +2977,14 @@ def _encode_bslice(
                 def commit_direct_any(mbx=mbx, mby=mby, u0=u0, u1=u1,
                                       dmv0=dmv0, dmv1=dmv1, zq=zq):
                     commit_direct(mbx, mby, u0, u1, dmv0, dmv1, zq)
+
+                def dq_mv(lx, qy, qx, u0=u0, u1=u1, dmv0=dmv0,
+                          dmv1=dmv1, zq=zq):
+                    if not (u0, u1)[lx]:
+                        return None
+                    return (0, 0) if zq[qy, qx] else (dmv0, dmv1)[lx]
+
+                dq_u = (u0, u1)
             lv_d, cbp_d = mb_levels(pd, y0, x0)
             cc_d, dcs_d, acs_d = _quantize_chroma_mb(
                 src_cb[cy : cy + 8, cx : cx + 8] - pd_cb,
@@ -3000,6 +3018,10 @@ def _encode_bslice(
                 "bot": (blk[8:, :], y0 + 8, x0),
                 "left": (blk[:, :8], y0, x0),
                 "right": (blk[:, 8:], y0, x0 + 8),
+                "q00": (blk[:8, :8], y0, x0),
+                "q01": (blk[:8, 8:], y0, x0 + 8),
+                "q10": (blk[8:, :8], y0 + 8, x0),
+                "q11": (blk[8:, 8:], y0 + 8, x0 + 8),
             }
 
             def bi_part_sad(key):
@@ -3027,13 +3049,102 @@ def _encode_bslice(
                         cost += bi_sads[key]
                 n_mvd = (2 if pm0 == 2 else 1) + (2 if pm1 == 2 else 1)
                 cands.append((cost + part_pen * (n_mvd - 1), mbt))
+            # B_8x8 (Table 7-18 sub 0-3): per-quadrant cheapest of
+            # Direct (8x8 slice of the MB direct pred, 0 MVDs) /
+            # L0 / L1 / Bi; priced at part_pen per MVD plus one
+            # part_pen for the four sub_mb_type fields
+            b8_cfg, b8_cost, b8_nmvd = [], 0, 0
+            for qi, qkey in enumerate(("q00", "q01", "q10", "q11")):
+                qy, qx = qi // 2, qi % 2
+                d_sad = int(np.abs(
+                    blk[8 * qy : 8 * qy + 8, 8 * qx : 8 * qx + 8]
+                    - pd[8 * qy : 8 * qy + 8, 8 * qx : 8 * qx + 8]
+                ).sum())
+                if qkey not in bi_sads:
+                    bi_sads[qkey] = bi_part_sad(qkey)
+                c, st, nm = min((
+                    (d_sad, 0, 0),
+                    (sr0[qkey][1], 1, 1),
+                    (sr1[qkey][1], 2, 1),
+                    (bi_sads[qkey], 3, 2),
+                ))
+                b8_cfg.append(st)
+                b8_cost += c
+                b8_nmvd += nm
+            cands.append((b8_cost + part_pen * (b8_nmvd + 1), 22))
             choice = min(cands)[1]
             w.ue(skip_run)  # mb_skip_run
             skip_run = 0
             # mb_type: 0 B_Direct, 1 B_L0, 2 B_L1, 3 B_Bi,
             # 4-21 two-partition modes (Table 7-14)
             w.ue(choice)
-            if choice >= 4:
+            if choice == 22:
+                for st in b8_cfg:
+                    w.ue(st)  # sub_mb_type (Table 7-18)
+                # refined MVs per (list, quadrant) in explicit use
+                qmvs = [[None] * 4, [None] * 4]
+                for qi, qkey in enumerate(("q00", "q01", "q10", "q11")):
+                    st = b8_cfg[qi]
+                    if st in (1, 3):
+                        qmvs[0][qi] = _refine_subpel(
+                            r0, *slices[qkey], *sr0[qkey])[0]
+                    if st in (2, 3):
+                        qmvs[1][qi] = _refine_subpel(
+                            r1, *slices[qkey], *sr1[qkey])[0]
+                # list-major MVD walk, mirroring the decoder
+                for lx, mfx in ((0, mf0), (1, mf1)):
+                    for qi, st in enumerate(b8_cfg):
+                        qy, qx = qi // 2, qi % 2
+                        py4, px4 = y4 + 2 * qy, x4 + 2 * qx
+                        if st == 0:
+                            dmv = dq_mv(lx, qy, qx)
+                            if dmv is None:
+                                mfx.fill(py4, px4, 2, 2, (0, 0),
+                                         used=False)
+                            else:
+                                mfx.fill(py4, px4, 2, 2, dmv)
+                        elif st == 3 or st - 1 == lx:
+                            mvp = _mvp_partition(mfx, px4, py4, 2, "sub")
+                            mv = qmvs[lx][qi]
+                            w.se(int(mv[0] - mvp[0]))
+                            w.se(int(mv[1] - mvp[1]))
+                            mfx.fill(py4, px4, 2, 2, mv)
+                        else:
+                            mfx.fill(py4, px4, 2, 2, (0, 0), used=False)
+                pred = np.empty((16, 16), dtype=np.int64)
+                pred_cb = np.empty((8, 8), dtype=np.int64)
+                pred_cr = np.empty((8, 8), dtype=np.int64)
+                for qi, st in enumerate(b8_cfg):
+                    qy, qx = qi // 2, qi % 2
+                    ly, lxo = y0 + 8 * qy, x0 + 8 * qx
+                    cyq, cxq = cy + 4 * qy, cx + 4 * qx
+                    if st == 0:
+                        # direct quadrant: slice of the MB direct pred
+                        pred[8 * qy : 8 * qy + 8,
+                             8 * qx : 8 * qx + 8] = pd[
+                            8 * qy : 8 * qy + 8, 8 * qx : 8 * qx + 8]
+                        pred_cb[4 * qy : 4 * qy + 4,
+                                4 * qx : 4 * qx + 4] = pd_cb[
+                            4 * qy : 4 * qy + 4, 4 * qx : 4 * qx + 4]
+                        pred_cr[4 * qy : 4 * qy + 4,
+                                4 * qx : 4 * qx + 4] = pd_cr[
+                            4 * qy : 4 * qy + 4, 4 * qx : 4 * qx + 4]
+                    else:
+                        u0q, u1q = st in (1, 3), st in (2, 3)
+                        m0q_ = qmvs[0][qi] or (0, 0)
+                        m1q_ = qmvs[1][qi] or (0, 0)
+                        pred[8 * qy : 8 * qy + 8, 8 * qx : 8 * qx + 8] \
+                            = _bi_luma(r0, r1, u0q, u1q, m0q_, m1q_,
+                                       ly, lxo, 8)
+                        pred_cb[4 * qy : 4 * qy + 4,
+                                4 * qx : 4 * qx + 4] = _bi_chroma(
+                            refs_c[(0, "cb")], refs_c[(1, "cb")],
+                            u0q, u1q, m0q_, m1q_, cyq, cxq, 4)
+                        pred_cr[4 * qy : 4 * qy + 4,
+                                4 * qx : 4 * qx + 4] = _bi_chroma(
+                            refs_c[(0, "cr")], refs_c[(1, "cr")],
+                            u0q, u1q, m0q_, m1q_, cyq, cxq, 4)
+            elif choice >= 4:
                 orient, pm0, pm1 = B_TWOPART[choice]
                 parts = B_PART_GEOM[orient]
                 pmodes = (pm0, pm1)
@@ -3223,7 +3334,7 @@ def _decode_bslice(r: BitReader, sps: dict, pps: dict,
     mf1 = _MotionField(mbs_h, mbs_w)
     counts = {"n_skip": 0, "n_direct": 0, "n_l0": 0, "n_l1": 0, "n_bi": 0,
               "n_l0_part": 0, "n_l1_part": 0, "n_mixed_part": 0,
-              "n_bi_part": 0}
+              "n_bi_part": 0, "n_b8x8": 0}
     n_mbs = mbs_h * mbs_w
 
     def direct_motion(mbx: int, mby: int):
@@ -3321,10 +3432,9 @@ def _decode_bslice(r: BitReader, sps: dict, pps: dict,
             break
         mbx, mby = addr % mbs_w, addr // mbs_w
         mb_type = r.ue()
-        if mb_type > 21:
+        if mb_type > 22:
             raise NotImplementedError(
-                f"B mb_type {mb_type} unsupported (no B_8x8 "
-                "sub-partitions)"
+                f"B mb_type {mb_type} unsupported"
             )
         y0, x0 = mby * 16, mbx * 16
         y4, x4 = mby * 4, mbx * 4
@@ -3333,6 +3443,100 @@ def _decode_bslice(r: BitReader, sps: dict, pps: dict,
         part_args = None
         if mb_type == 0:
             pred, pred_cb, pred_cr, direct_commit = derive_direct(mbx, mby)
+        elif mb_type == 22:
+            # B_8x8: per-quadrant sub_mb_type (Table 7-18; 0 Direct /
+            # 1 L0 / 2 L1 / 3 Bi 8x8 — sub-splits stay honest guards)
+            sub_types = [r.ue() for _ in range(4)]
+            if any(st > 3 for st in sub_types):
+                raise NotImplementedError(
+                    "B sub-partitions (8x4/4x8/4x4) unsupported"
+                )
+            # direct derivation BEFORE any of this MB's commits
+            if spatial:
+                du0, du1, ddmv0, ddmv1, dzq = direct_motion(mbx, mby)
+
+                def dq_mv(lx, qy, qx):
+                    if not (du0, du1)[lx]:
+                        return None
+                    return ((0, 0) if dzq[qy, qx]
+                            else (ddmv0, ddmv1)[lx])
+
+                def dq_pred(qy, qx, py, px, sz, planes):
+                    m0 = dq_mv(0, qy, qx) or (0, 0)
+                    m1 = dq_mv(1, qy, qx) or (0, 0)
+                    return _bi_luma(planes[0], planes[1], du0, du1,
+                                    m0, m1, py, px, sz) \
+                        if planes[2] else _bi_chroma(
+                            planes[0], planes[1], du0, du1, m0, m1,
+                            py, px, sz)
+            else:
+                tm0q, tm1q = _temporal_direct_mb(
+                    col_info["mv4"], col_info["intra4"], mbx, mby, dsf)
+
+                def dq_mv(lx, qy, qx):
+                    return (tm0q, tm1q)[lx][qy][qx]
+
+                def dq_pred(qy, qx, py, px, sz, planes):
+                    if planes[2]:
+                        return _bi_luma(planes[0], planes[1], True,
+                                        True, tm0q[qy][qx],
+                                        tm1q[qy][qx], py, px, sz)
+                    return _bi_chroma(planes[0], planes[1], True, True,
+                                      tm0q[qy][qx], tm1q[qy][qx],
+                                      py, px, sz)
+            # list-major MVDs over quadrants (§7.3.5.1); direct
+            # quadrants commit their derived motion in place
+            qmvs = [[None] * 4, [None] * 4]
+            for lx, mfx in ((0, mf0), (1, mf1)):
+                for qi, st in enumerate(sub_types):
+                    qy, qx = qi // 2, qi % 2
+                    py4, px4 = y4 + 2 * qy, x4 + 2 * qx
+                    if st == 0:
+                        dmv = dq_mv(lx, qy, qx)
+                        if dmv is None:
+                            mfx.fill(py4, px4, 2, 2, (0, 0), used=False)
+                        else:
+                            mfx.fill(py4, px4, 2, 2, dmv)
+                    elif st == 3 or st - 1 == lx:
+                        mvp = _mvp_partition(mfx, px4, py4, 2, "sub")
+                        mvd = (r.se(), r.se())
+                        mv = (mvp[0] + mvd[0], mvp[1] + mvd[1])
+                        qmvs[lx][qi] = mv
+                        mfx.fill(py4, px4, 2, 2, mv)
+                    else:
+                        mfx.fill(py4, px4, 2, 2, (0, 0), used=False)
+            pred = np.empty((16, 16), dtype=np.int64)
+            pred_cb = np.empty((8, 8), dtype=np.int64)
+            pred_cr = np.empty((8, 8), dtype=np.int64)
+            for qi, st in enumerate(sub_types):
+                qy, qx = qi // 2, qi % 2
+                ly, lxo = y0 + 8 * qy, x0 + 8 * qx
+                cyq, cxq = cy + 4 * qy, cx + 4 * qx
+                if st == 0:
+                    pred[8 * qy : 8 * qy + 8, 8 * qx : 8 * qx + 8] = \
+                        dq_pred(qy, qx, ly, lxo, 8, (r0, r1, True))
+                    pred_cb[4 * qy : 4 * qy + 4, 4 * qx : 4 * qx + 4] = \
+                        dq_pred(qy, qx, cyq, cxq, 4,
+                                (refs_c[(0, "cb")], refs_c[(1, "cb")],
+                                 False))
+                    pred_cr[4 * qy : 4 * qy + 4, 4 * qx : 4 * qx + 4] = \
+                        dq_pred(qy, qx, cyq, cxq, 4,
+                                (refs_c[(0, "cr")], refs_c[(1, "cr")],
+                                 False))
+                else:
+                    u0q, u1q = st in (1, 3), st in (2, 3)
+                    m0q_ = qmvs[0][qi] or (0, 0)
+                    m1q_ = qmvs[1][qi] or (0, 0)
+                    pred[8 * qy : 8 * qy + 8, 8 * qx : 8 * qx + 8] = \
+                        _bi_luma(r0, r1, u0q, u1q, m0q_, m1q_,
+                                 ly, lxo, 8)
+                    pred_cb[4 * qy : 4 * qy + 4, 4 * qx : 4 * qx + 4] = \
+                        _bi_chroma(refs_c[(0, "cb")], refs_c[(1, "cb")],
+                                   u0q, u1q, m0q_, m1q_, cyq, cxq, 4)
+                    pred_cr[4 * qy : 4 * qy + 4, 4 * qx : 4 * qx + 4] = \
+                        _bi_chroma(refs_c[(0, "cr")], refs_c[(1, "cr")],
+                                   u0q, u1q, m0q_, m1q_, cyq, cxq, 4)
+            part_args = -1
         elif mb_type >= 4:
             orient, pm0, pm1 = B_TWOPART[mb_type]
             parts = B_PART_GEOM[orient]

@@ -471,7 +471,8 @@ def test_b_gop_over_partitioned_references_roundtrips():
     )
 
     keys = ("n_skip", "n_direct", "n_l0", "n_l1", "n_bi",
-            "n_l0_part", "n_l1_part", "n_mixed_part", "n_bi_part")
+            "n_l0_part", "n_l1_part", "n_mixed_part", "n_bi_part",
+            "n_b8x8")
     rng = np.random.default_rng(9)
     base = rng.integers(0, 256, (48, 64)).astype(np.uint8)
     frames, cur = [base], base
@@ -505,7 +506,8 @@ def test_b_single_list_partitions_fire_and_roundtrip():
     )
 
     keys = ("n_skip", "n_direct", "n_l0", "n_l1", "n_bi",
-            "n_l0_part", "n_l1_part", "n_mixed_part", "n_bi_part")
+            "n_l0_part", "n_l1_part", "n_mixed_part", "n_bi_part",
+            "n_b8x8")
     rng = np.random.default_rng(21)
     base = rng.integers(0, 256, (32, 32)).astype(np.uint8)
 
@@ -543,7 +545,8 @@ def test_b_skip_and_direct_on_static_and_panning_content():
     )
 
     keys = ("n_skip", "n_direct", "n_l0", "n_l1", "n_bi",
-            "n_l0_part", "n_l1_part", "n_mixed_part", "n_bi_part")
+            "n_l0_part", "n_l1_part", "n_mixed_part", "n_bi_part",
+            "n_b8x8")
     # static: every frame identical
     rng = np.random.default_rng(31)
     a = rng.integers(0, 256, (32, 48)).astype(np.uint8)
@@ -1039,3 +1042,76 @@ def test_p_sub_geom_table_is_exhaustive():
             covered[dy : dy + h, dx : dx + w] += 1
         assert (covered == 1).all(), st
     assert set(P_SUB_GEOM) == {0, 1, 2, 3}
+
+
+# ---------------------------------------------------------------------------
+# B_8x8 (Table 7-18 sub_mb_types 0-3, round 8)
+
+
+def test_b8x8_fires_on_checkerboard_motion_and_roundtrips():
+    # four independent motions inside every MB (8x8 checkerboard
+    # shifts): no 16x16 or two-partition mode fits, so B_8x8 with
+    # per-quadrant MVs must win; decoder reproduces all three planes
+    # bit-exactly and the mode histograms agree
+    from sparkstreaming_spark.multimodal.h264 import (
+        encode_gop_b,
+        gop_b_reconstruction_yuv,
+    )
+
+    rng = np.random.default_rng(4)
+    h, w = 48, 64
+    base = np.stack([rng.integers(0, 256, (h, w)) for _ in range(3)],
+                    axis=-1).astype(np.uint8)
+
+    def frame(t):
+        f = base.copy()
+        for r0 in range(0, h, 8):
+            for c0 in range(0, w, 8):
+                s = 2 * t if ((r0 // 8) + (c0 // 8)) % 2 == 0 else -2 * t
+                f[r0 : r0 + 8, c0 : c0 + 8] = np.roll(
+                    base[r0 : r0 + 8, c0 : c0 + 8], s, axis=1)
+        return f
+
+    frames = [frame(t) for t in range(6)]
+    out = decode_stream(encode_gop_b(frames, qp=18, search_range=6))
+    recons, stats = gop_b_reconstruction_yuv(frames, qp=18,
+                                             search_range=6)
+    for i, (ry, rcb, rcr) in enumerate(recons):
+        assert np.array_equal(out["frames"][i], ry), i
+        assert np.array_equal(out["frames_cb"][i], rcb), i
+        assert np.array_equal(out["frames_cr"][i], rcr), i
+    total = sum(c["n_b8x8"] for c in out["b_mode_counts"])
+    assert total >= 12, out["b_mode_counts"]
+    enc_bm = [{k: s[k] for k in out["b_mode_counts"][0]}
+              for s in stats if s["type"] == "B"]
+    assert enc_bm == out["b_mode_counts"]
+
+
+def test_b8x8_direct_quadrants_in_temporal_gop():
+    # a reordered GOP where ONE quadrant region is static (flat 128 —
+    # exactly representable) and the rest pans: B_8x8 MBs on the
+    # boundary can take Direct_8x8 for the static quadrant; whatever
+    # mode mix the encoder picks, the round-trip must stay exact and
+    # the B sub-split guard must never fire on our own streams
+    from sparkstreaming_spark.multimodal.h264 import (
+        encode_gop_temporal,
+        gop_temporal_reconstruction_yuv,
+    )
+
+    rng = np.random.default_rng(6)
+    h, w = 32, 48
+    base = rng.integers(0, 256, (h, w)).astype(np.uint8)
+    base[:8] = 128
+
+    def frame(t):
+        f = base.copy()
+        f[8:] = np.roll(base[8:], 2 * t, axis=1)
+        return f
+
+    frames = [frame(t) for t in range(5)]
+    out = decode_stream(encode_gop_temporal(frames, qp=24,
+                                            search_range=4))
+    recons, _ = gop_temporal_reconstruction_yuv(frames, qp=24,
+                                                search_range=4)
+    for i in range(len(recons)):
+        assert np.array_equal(out["frames"][i], recons[i][0]), i
