@@ -55,9 +55,11 @@ Scope (precise, honestly guarded):
   COMPLETE two-partition B mode family (Table 7-14 types 4-21:
   single-list, mixed-list, and Bi 16x8/8x16 partitions, list-major
   MVD layout per §7.3.5.1 with per-list interleaved MV prediction),
-  plus B_8x8 (type 22) with the Table 7-18 whole-quadrant sub modes
-  (B_Direct_8x8 — the MB's spatial or temporal direct motion applied
-  per quadrant — and B_L0/B_L1/B_Bi 8x8 with per-quadrant MVs).
+  plus B_8x8 (type 22) with the COMPLETE Table 7-18 sub_mb_type set:
+  B_Direct_8x8 (the MB's spatial or temporal direct motion applied
+  per quadrant), B_L0/B_L1/B_Bi 8x8, and the sub-split modes 4-12
+  (L0/L1/Bi x 8x4/4x8/4x4, per-sub-partition MVs under the generic
+  §8.4.1.3 median MVP at sub-partition geometry).
   Chroma is
   fully coded in B slices too (per-quadrant direct motion, §8.4.2.3
   bi-averaged chroma MC, inter chroma residual; B_Skip additionally
@@ -78,9 +80,8 @@ Scope (precise, honestly guarded):
   identity), and the §8.4.2.3.2 sample op applied to every P inter
   prediction including P_Skip — global fades collapse to skip rows.
   Weights are estimated per plane by least squares (fade model).
-  B sub-8x8 splits (Table 7-18 types 4-12: 8x4/4x8/4x4 inside
-  B_8x8), CABAC, and weighted BI-prediction (weighted_bipred_idc
-  != 0) remain honest NotImplementedError guards.
+  CABAC and weighted BI-prediction (weighted_bipred_idc != 0)
+  remain honest NotImplementedError guards.
 
 Verification stance: bit-exact ROUND-TRIP is the contract — the
 decoder must reproduce the encoder's own reconstruction exactly
@@ -2664,6 +2665,40 @@ B_PART_GEOM = (
     (("8x16_left", 0, 0, 8, 16), ("8x16_right", 8, 0, 8, 16)),
 )
 
+# B sub-8x8 split modes (Table 7-18 sub_mb_type 4-12): sub_mb_type ->
+# (prediction mode 0=L0 / 1=L1 / 2=Bi applied to EVERY sub-partition,
+# sub-partition geometry within the 8x8 quadrant as (sdx, sdy, w, h,
+# search-key suffix) — same suffixes _search_partitions(subparts=True)
+# tracks for the P tree)
+_B8_GEOM_84 = ((0, 0, 8, 4, "_84t"), (0, 4, 8, 4, "_84b"))
+_B8_GEOM_48 = ((0, 0, 4, 8, "_48l"), (4, 0, 4, 8, "_48r"))
+_B8_GEOM_44 = ((0, 0, 4, 4, "_44_0"), (4, 0, 4, 4, "_44_1"),
+               (0, 4, 4, 4, "_44_2"), (4, 4, 4, 4, "_44_3"))
+B_SUB_SPLIT = {
+    4: (0, _B8_GEOM_84), 5: (0, _B8_GEOM_48),
+    6: (1, _B8_GEOM_84), 7: (1, _B8_GEOM_48),
+    8: (2, _B8_GEOM_84), 9: (2, _B8_GEOM_48),
+    10: (0, _B8_GEOM_44), 11: (1, _B8_GEOM_44),
+    12: (2, _B8_GEOM_44),
+}
+
+
+def _b_sub_geom(st: int):
+    """Sub-partition geometry of a Table 7-18 sub_mb_type (types 1-3
+    are one whole-quadrant 8x8 part; 4-12 split per B_SUB_SPLIT)."""
+    if st >= 4:
+        return B_SUB_SPLIT[st][1]
+    return ((0, 0, 8, 8, ""),)
+
+
+def _b_sub_uses(st: int, lx: int) -> bool:
+    """Whether Table 7-18 sub_mb_type `st` carries list-`lx` motion
+    (type 0 = Direct carries derived motion, handled separately)."""
+    if st == 0:
+        return False
+    pm = B_SUB_SPLIT[st][0] if st >= 4 else st - 1
+    return pm == 2 or pm == lx
+
 
 def _b_mode_key(mb_type: int) -> str:
     """Histogram bucket for a B mb_type (shared by encoder stats and
@@ -2882,7 +2917,7 @@ def _encode_bslice(
     mf1 = _MotionField(mbs_h, mbs_w)
     stats = {"n_skip": 0, "n_direct": 0, "n_l0": 0, "n_l1": 0, "n_bi": 0,
              "n_l0_part": 0, "n_l1_part": 0, "n_mixed_part": 0,
-             "n_bi_part": 0, "n_b8x8": 0}
+             "n_bi_part": 0, "n_b8x8": 0, "n_b8_split": 0}
     skip_run = 0
     # same qp-scaled two-partition deadband as the P encoder
     part_pen = 16 << (qp // 6)
@@ -3005,8 +3040,10 @@ def _encode_bslice(
                 commit_direct_any()
                 continue
             cd = int(np.abs(blk - pd).sum())
-            sr0 = _search_partitions(r0, blk, y0, x0, search_range)
-            sr1 = _search_partitions(r1, blk, y0, x0, search_range)
+            sr0 = _search_partitions(r0, blk, y0, x0, search_range,
+                                     subparts=True)
+            sr1 = _search_partitions(r1, blk, y0, x0, search_range,
+                                     subparts=True)
             mv0, c0 = _refine_subpel(r0, blk, y0, x0, *sr0["full"])
             mv1, c1 = _refine_subpel(r1, blk, y0, x0, *sr1["full"])
             p0 = _mc_luma(r0, y0, x0, mv0)
@@ -3049,11 +3086,24 @@ def _encode_bslice(
                         cost += bi_sads[key]
                 n_mvd = (2 if pm0 == 2 else 1) + (2 if pm1 == 2 else 1)
                 cands.append((cost + part_pen * (n_mvd - 1), mbt))
-            # B_8x8 (Table 7-18 sub 0-3): per-quadrant cheapest of
-            # Direct (8x8 slice of the MB direct pred, 0 MVDs) /
-            # L0 / L1 / Bi; priced at part_pen per MVD plus one
-            # part_pen for the four sub_mb_type fields
-            b8_cfg, b8_cost, b8_nmvd = [], 0, 0
+            # B_8x8 (Table 7-18): per-quadrant cheapest of the whole-
+            # quadrant modes (Direct / L0 / L1 / Bi 8x8, sub 0-3) AND
+            # the sub-split modes (L0/L1/Bi x 8x4/4x8/4x4, sub 4-12 —
+            # every SAD a slice of the shared integer scan, bi sub
+            # SADs at the integer search MVs); priced at part_pen per
+            # MVD plus one part_pen for the four sub_mb_type fields
+
+            def bi_sub_sad(qy, qx, sdx, sdy, pw_, ph_, skey):
+                py = y0 + 8 * qy + sdy
+                px = x0 + 8 * qx + sdx
+                sblk = blk[8 * qy + sdy : 8 * qy + sdy + ph_,
+                           8 * qx + sdx : 8 * qx + sdx + pw_]
+                pb = (_mc_luma(r0, py, px, sr0[skey][0], (ph_, pw_))
+                      + _mc_luma(r1, py, px, sr1[skey][0], (ph_, pw_))
+                      + 1) >> 1
+                return int(np.abs(sblk - pb).sum())
+
+            b8_cfg, b8_cost = [], 0
             for qi, qkey in enumerate(("q00", "q01", "q10", "q11")):
                 qy, qx = qi // 2, qi % 2
                 d_sad = int(np.abs(
@@ -3062,16 +3112,30 @@ def _encode_bslice(
                 ).sum())
                 if qkey not in bi_sads:
                     bi_sads[qkey] = bi_part_sad(qkey)
-                c, st, nm = min((
-                    (d_sad, 0, 0),
-                    (sr0[qkey][1], 1, 1),
-                    (sr1[qkey][1], 2, 1),
-                    (bi_sads[qkey], 3, 2),
-                ))
+                quad_cands = [
+                    (d_sad, 0),
+                    (sr0[qkey][1] + part_pen, 1),
+                    (sr1[qkey][1] + part_pen, 2),
+                    (bi_sads[qkey] + 2 * part_pen, 3),
+                ]
+                for st, (pm, geom) in B_SUB_SPLIT.items():
+                    cost = 0
+                    for sdx, sdy, pw_, ph_, suf in geom:
+                        skey = qkey + suf
+                        if pm == 0:
+                            cost += sr0[skey][1] + part_pen
+                        elif pm == 1:
+                            cost += sr1[skey][1] + part_pen
+                        else:
+                            if skey not in bi_sads:
+                                bi_sads[skey] = bi_sub_sad(
+                                    qy, qx, sdx, sdy, pw_, ph_, skey)
+                            cost += bi_sads[skey] + 2 * part_pen
+                    quad_cands.append((cost, st))
+                c, st = min(quad_cands)
                 b8_cfg.append(st)
                 b8_cost += c
-                b8_nmvd += nm
-            cands.append((b8_cost + part_pen * (b8_nmvd + 1), 22))
+            cands.append((b8_cost + part_pen, 22))
             choice = min(cands)[1]
             w.ue(skip_run)  # mb_skip_run
             skip_run = 0
@@ -3081,17 +3145,30 @@ def _encode_bslice(
             if choice == 22:
                 for st in b8_cfg:
                     w.ue(st)  # sub_mb_type (Table 7-18)
-                # refined MVs per (list, quadrant) in explicit use
+                stats["n_b8_split"] += sum(st >= 4 for st in b8_cfg)
+                # refined MVs per (list, quadrant, sub-part) in use
                 qmvs = [[None] * 4, [None] * 4]
                 for qi, qkey in enumerate(("q00", "q01", "q10", "q11")):
                     st = b8_cfg[qi]
-                    if st in (1, 3):
-                        qmvs[0][qi] = _refine_subpel(
-                            r0, *slices[qkey], *sr0[qkey])[0]
-                    if st in (2, 3):
-                        qmvs[1][qi] = _refine_subpel(
-                            r1, *slices[qkey], *sr1[qkey])[0]
-                # list-major MVD walk, mirroring the decoder
+                    if st == 0:
+                        continue
+                    qy, qx = qi // 2, qi % 2
+                    for lx, (srx, rx) in enumerate(((sr0, r0),
+                                                    (sr1, r1))):
+                        if not _b_sub_uses(st, lx):
+                            continue
+                        mvs_q = []
+                        for sdx, sdy, pw_, ph_, suf in _b_sub_geom(st):
+                            skey = qkey + suf
+                            sblk = blk[
+                                8 * qy + sdy : 8 * qy + sdy + ph_,
+                                8 * qx + sdx : 8 * qx + sdx + pw_]
+                            mvs_q.append(_refine_subpel(
+                                rx, sblk, y0 + 8 * qy + sdy,
+                                x0 + 8 * qx + sdx, *srx[skey])[0])
+                        qmvs[lx][qi] = mvs_q
+                # list-major MVD walk over quadrants then sub-parts
+                # (§7.3.5.1), mirroring the decoder
                 for lx, mfx in ((0, mf0), (1, mf1)):
                     for qi, st in enumerate(b8_cfg):
                         qy, qx = qi // 2, qi % 2
@@ -3103,12 +3180,18 @@ def _encode_bslice(
                                          used=False)
                             else:
                                 mfx.fill(py4, px4, 2, 2, dmv)
-                        elif st == 3 or st - 1 == lx:
-                            mvp = _mvp_partition(mfx, px4, py4, 2, "sub")
-                            mv = qmvs[lx][qi]
-                            w.se(int(mv[0] - mvp[0]))
-                            w.se(int(mv[1] - mvp[1]))
-                            mfx.fill(py4, px4, 2, 2, mv)
+                        elif _b_sub_uses(st, lx):
+                            for si, (sdx, sdy, pw_, ph_, _suf) in \
+                                    enumerate(_b_sub_geom(st)):
+                                spy4 = py4 + sdy // 4
+                                spx4 = px4 + sdx // 4
+                                mvp = _mvp_partition(
+                                    mfx, spx4, spy4, pw_ // 4, "sub")
+                                mv = qmvs[lx][qi][si]
+                                w.se(int(mv[0] - mvp[0]))
+                                w.se(int(mv[1] - mvp[1]))
+                                mfx.fill(spy4, spx4, ph_ // 4,
+                                         pw_ // 4, mv)
                         else:
                             mfx.fill(py4, px4, 2, 2, (0, 0), used=False)
                 pred = np.empty((16, 16), dtype=np.int64)
@@ -3116,8 +3199,6 @@ def _encode_bslice(
                 pred_cr = np.empty((8, 8), dtype=np.int64)
                 for qi, st in enumerate(b8_cfg):
                     qy, qx = qi // 2, qi % 2
-                    ly, lxo = y0 + 8 * qy, x0 + 8 * qx
-                    cyq, cxq = cy + 4 * qy, cx + 4 * qx
                     if st == 0:
                         # direct quadrant: slice of the MB direct pred
                         pred[8 * qy : 8 * qy + 8,
@@ -3129,21 +3210,35 @@ def _encode_bslice(
                         pred_cr[4 * qy : 4 * qy + 4,
                                 4 * qx : 4 * qx + 4] = pd_cr[
                             4 * qy : 4 * qy + 4, 4 * qx : 4 * qx + 4]
-                    else:
-                        u0q, u1q = st in (1, 3), st in (2, 3)
-                        m0q_ = qmvs[0][qi] or (0, 0)
-                        m1q_ = qmvs[1][qi] or (0, 0)
-                        pred[8 * qy : 8 * qy + 8, 8 * qx : 8 * qx + 8] \
+                        continue
+                    u0q, u1q = _b_sub_uses(st, 0), _b_sub_uses(st, 1)
+                    for si, (sdx, sdy, pw_, ph_, _suf) in \
+                            enumerate(_b_sub_geom(st)):
+                        ly = y0 + 8 * qy + sdy
+                        lxo = x0 + 8 * qx + sdx
+                        m0q_ = qmvs[0][qi][si] if u0q else (0, 0)
+                        m1q_ = qmvs[1][qi][si] if u1q else (0, 0)
+                        pred[8 * qy + sdy : 8 * qy + sdy + ph_,
+                             8 * qx + sdx : 8 * qx + sdx + pw_] \
                             = _bi_luma(r0, r1, u0q, u1q, m0q_, m1q_,
-                                       ly, lxo, 8)
-                        pred_cb[4 * qy : 4 * qy + 4,
-                                4 * qx : 4 * qx + 4] = _bi_chroma(
-                            refs_c[(0, "cb")], refs_c[(1, "cb")],
-                            u0q, u1q, m0q_, m1q_, cyq, cxq, 4)
-                        pred_cr[4 * qy : 4 * qy + 4,
-                                4 * qx : 4 * qx + 4] = _bi_chroma(
-                            refs_c[(0, "cr")], refs_c[(1, "cr")],
-                            u0q, u1q, m0q_, m1q_, cyq, cxq, 4)
+                                       ly, lxo, (ph_, pw_))
+                        csz = (ph_ // 2, pw_ // 2)
+                        cyq = cy + 4 * qy + sdy // 2
+                        cxq = cx + 4 * qx + sdx // 2
+                        pred_cb[4 * qy + sdy // 2 :
+                                4 * qy + sdy // 2 + ph_ // 2,
+                                4 * qx + sdx // 2 :
+                                4 * qx + sdx // 2 + pw_ // 2] = \
+                            _bi_chroma(
+                                refs_c[(0, "cb")], refs_c[(1, "cb")],
+                                u0q, u1q, m0q_, m1q_, cyq, cxq, csz)
+                        pred_cr[4 * qy + sdy // 2 :
+                                4 * qy + sdy // 2 + ph_ // 2,
+                                4 * qx + sdx // 2 :
+                                4 * qx + sdx // 2 + pw_ // 2] = \
+                            _bi_chroma(
+                                refs_c[(0, "cr")], refs_c[(1, "cr")],
+                                u0q, u1q, m0q_, m1q_, cyq, cxq, csz)
             elif choice >= 4:
                 orient, pm0, pm1 = B_TWOPART[choice]
                 parts = B_PART_GEOM[orient]
@@ -3334,7 +3429,7 @@ def _decode_bslice(r: BitReader, sps: dict, pps: dict,
     mf1 = _MotionField(mbs_h, mbs_w)
     counts = {"n_skip": 0, "n_direct": 0, "n_l0": 0, "n_l1": 0, "n_bi": 0,
               "n_l0_part": 0, "n_l1_part": 0, "n_mixed_part": 0,
-              "n_bi_part": 0, "n_b8x8": 0}
+              "n_bi_part": 0, "n_b8x8": 0, "n_b8_split": 0}
     n_mbs = mbs_h * mbs_w
 
     def direct_motion(mbx: int, mby: int):
@@ -3445,12 +3540,15 @@ def _decode_bslice(r: BitReader, sps: dict, pps: dict,
             pred, pred_cb, pred_cr, direct_commit = derive_direct(mbx, mby)
         elif mb_type == 22:
             # B_8x8: per-quadrant sub_mb_type (Table 7-18; 0 Direct /
-            # 1 L0 / 2 L1 / 3 Bi 8x8 — sub-splits stay honest guards)
+            # 1-3 whole-quadrant L0/L1/Bi / 4-12 the sub-split modes
+            # L0/L1/Bi x 8x4/4x8/4x4)
             sub_types = [r.ue() for _ in range(4)]
-            if any(st > 3 for st in sub_types):
+            if any(st > 12 for st in sub_types):
                 raise NotImplementedError(
-                    "B sub-partitions (8x4/4x8/4x4) unsupported"
+                    f"invalid B sub_mb_type {max(sub_types)} "
+                    "(Table 7-18)"
                 )
+            counts["n_b8_split"] += sum(st >= 4 for st in sub_types)
             # direct derivation BEFORE any of this MB's commits
             if spatial:
                 du0, du1, ddmv0, ddmv1, dzq = direct_motion(mbx, mby)
@@ -3484,8 +3582,9 @@ def _decode_bslice(r: BitReader, sps: dict, pps: dict,
                     return _bi_chroma(planes[0], planes[1], True, True,
                                       tm0q[qy][qx], tm1q[qy][qx],
                                       py, px, sz)
-            # list-major MVDs over quadrants (§7.3.5.1); direct
-            # quadrants commit their derived motion in place
+            # list-major MVDs over quadrants then sub-parts
+            # (§7.3.5.1); direct quadrants commit their derived
+            # motion in place
             qmvs = [[None] * 4, [None] * 4]
             for lx, mfx in ((0, mf0), (1, mf1)):
                 for qi, st in enumerate(sub_types):
@@ -3497,12 +3596,17 @@ def _decode_bslice(r: BitReader, sps: dict, pps: dict,
                             mfx.fill(py4, px4, 2, 2, (0, 0), used=False)
                         else:
                             mfx.fill(py4, px4, 2, 2, dmv)
-                    elif st == 3 or st - 1 == lx:
-                        mvp = _mvp_partition(mfx, px4, py4, 2, "sub")
-                        mvd = (r.se(), r.se())
-                        mv = (mvp[0] + mvd[0], mvp[1] + mvd[1])
-                        qmvs[lx][qi] = mv
-                        mfx.fill(py4, px4, 2, 2, mv)
+                    elif _b_sub_uses(st, lx):
+                        mvs_q = []
+                        for sdx, sdy, pw_, ph_, _suf in _b_sub_geom(st):
+                            spy4, spx4 = py4 + sdy // 4, px4 + sdx // 4
+                            mvp = _mvp_partition(
+                                mfx, spx4, spy4, pw_ // 4, "sub")
+                            mvd = (r.se(), r.se())
+                            mv = (mvp[0] + mvd[0], mvp[1] + mvd[1])
+                            mvs_q.append(mv)
+                            mfx.fill(spy4, spx4, ph_ // 4, pw_ // 4, mv)
+                        qmvs[lx][qi] = mvs_q
                     else:
                         mfx.fill(py4, px4, 2, 2, (0, 0), used=False)
             pred = np.empty((16, 16), dtype=np.int64)
@@ -3523,19 +3627,31 @@ def _decode_bslice(r: BitReader, sps: dict, pps: dict,
                         dq_pred(qy, qx, cyq, cxq, 4,
                                 (refs_c[(0, "cr")], refs_c[(1, "cr")],
                                  False))
-                else:
-                    u0q, u1q = st in (1, 3), st in (2, 3)
-                    m0q_ = qmvs[0][qi] or (0, 0)
-                    m1q_ = qmvs[1][qi] or (0, 0)
-                    pred[8 * qy : 8 * qy + 8, 8 * qx : 8 * qx + 8] = \
+                    continue
+                u0q, u1q = _b_sub_uses(st, 0), _b_sub_uses(st, 1)
+                for si, (sdx, sdy, pw_, ph_, _suf) in \
+                        enumerate(_b_sub_geom(st)):
+                    m0q_ = qmvs[0][qi][si] if u0q else (0, 0)
+                    m1q_ = qmvs[1][qi][si] if u1q else (0, 0)
+                    pred[8 * qy + sdy : 8 * qy + sdy + ph_,
+                         8 * qx + sdx : 8 * qx + sdx + pw_] = \
                         _bi_luma(r0, r1, u0q, u1q, m0q_, m1q_,
-                                 ly, lxo, 8)
-                    pred_cb[4 * qy : 4 * qy + 4, 4 * qx : 4 * qx + 4] = \
+                                 ly + sdy, lxo + sdx, (ph_, pw_))
+                    csz = (ph_ // 2, pw_ // 2)
+                    pred_cb[4 * qy + sdy // 2 :
+                            4 * qy + sdy // 2 + ph_ // 2,
+                            4 * qx + sdx // 2 :
+                            4 * qx + sdx // 2 + pw_ // 2] = \
                         _bi_chroma(refs_c[(0, "cb")], refs_c[(1, "cb")],
-                                   u0q, u1q, m0q_, m1q_, cyq, cxq, 4)
-                    pred_cr[4 * qy : 4 * qy + 4, 4 * qx : 4 * qx + 4] = \
+                                   u0q, u1q, m0q_, m1q_,
+                                   cyq + sdy // 2, cxq + sdx // 2, csz)
+                    pred_cr[4 * qy + sdy // 2 :
+                            4 * qy + sdy // 2 + ph_ // 2,
+                            4 * qx + sdx // 2 :
+                            4 * qx + sdx // 2 + pw_ // 2] = \
                         _bi_chroma(refs_c[(0, "cr")], refs_c[(1, "cr")],
-                                   u0q, u1q, m0q_, m1q_, cyq, cxq, 4)
+                                   u0q, u1q, m0q_, m1q_,
+                                   cyq + sdy // 2, cxq + sdx // 2, csz)
             part_args = -1
         elif mb_type >= 4:
             orient, pm0, pm1 = B_TWOPART[mb_type]

@@ -1767,7 +1767,7 @@ def q_h264_bframe_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
                 mode_keys = ("n_skip", "n_direct", "n_l0", "n_l1", "n_bi",
                              "n_l0_part", "n_l1_part", "n_mixed_part",
-                             "n_bi_part", "n_b8x8")
+                             "n_bi_part", "n_b8x8", "n_b8_split")
                 enc_modes = [
                     {k: s[k] for k in mode_keys}
                     for s in stats if s["type"] == "B"

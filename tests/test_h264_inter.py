@@ -472,7 +472,7 @@ def test_b_gop_over_partitioned_references_roundtrips():
 
     keys = ("n_skip", "n_direct", "n_l0", "n_l1", "n_bi",
             "n_l0_part", "n_l1_part", "n_mixed_part", "n_bi_part",
-            "n_b8x8")
+            "n_b8x8", "n_b8_split")
     rng = np.random.default_rng(9)
     base = rng.integers(0, 256, (48, 64)).astype(np.uint8)
     frames, cur = [base], base
@@ -507,7 +507,7 @@ def test_b_single_list_partitions_fire_and_roundtrip():
 
     keys = ("n_skip", "n_direct", "n_l0", "n_l1", "n_bi",
             "n_l0_part", "n_l1_part", "n_mixed_part", "n_bi_part",
-            "n_b8x8")
+            "n_b8x8", "n_b8_split")
     rng = np.random.default_rng(21)
     base = rng.integers(0, 256, (32, 32)).astype(np.uint8)
 
@@ -546,7 +546,7 @@ def test_b_skip_and_direct_on_static_and_panning_content():
 
     keys = ("n_skip", "n_direct", "n_l0", "n_l1", "n_bi",
             "n_l0_part", "n_l1_part", "n_mixed_part", "n_bi_part",
-            "n_b8x8")
+            "n_b8x8", "n_b8_split")
     # static: every frame identical
     rng = np.random.default_rng(31)
     a = rng.integers(0, 256, (32, 48)).astype(np.uint8)
@@ -1115,3 +1115,110 @@ def test_b8x8_direct_quadrants_in_temporal_gop():
                                                 search_range=4)
     for i in range(len(recons)):
         assert np.array_equal(out["frames"][i], recons[i][0]), i
+
+
+def test_b_sub8x8_84_split_fires_and_roundtrips():
+    # rows 4-7 of every 8-row band pan while rows 0-3 stay static: the
+    # motion discontinuity sits INSIDE each 8x8 quadrant, so neither a
+    # 16x16 MV, a two-partition mode, nor a whole-quadrant B_8x8 mode
+    # fits — the Table 7-18 sub-split modes (8x4, types 4/6/8) must
+    # win somewhere, with per-sub-partition MVDs in the list-major
+    # §7.3.5.1 layout; all three planes round-trip bit-exactly and the
+    # encoder/decoder histograms (incl. n_b8_split) agree
+    from sparkstreaming_spark.multimodal.h264 import (
+        encode_gop_b,
+        gop_b_reconstruction_yuv,
+    )
+
+    rng = np.random.default_rng(11)
+    h, w = 32, 48
+    base = rng.integers(0, 256, (h, w)).astype(np.uint8)
+
+    def frame(t):
+        f = base.copy()
+        for r0 in range(4, h, 8):
+            f[r0 : r0 + 4] = np.roll(base[r0 : r0 + 4], 2 * t, axis=1)
+        return f
+
+    frames = [frame(t) for t in range(5)]
+    out = decode_stream(encode_gop_b(frames, qp=18, search_range=6))
+    recons, stats = gop_b_reconstruction_yuv(frames, qp=18,
+                                             search_range=6)
+    for i, (ry, rcb, rcr) in enumerate(recons):
+        assert np.array_equal(out["frames"][i], ry), i
+        assert np.array_equal(out["frames_cb"][i], rcb), i
+        assert np.array_equal(out["frames_cr"][i], rcr), i
+    total_split = sum(c["n_b8_split"] for c in out["b_mode_counts"])
+    assert total_split >= 4, out["b_mode_counts"]
+    enc_bm = [{k: s[k] for k in out["b_mode_counts"][0]}
+              for s in stats if s["type"] == "B"]
+    assert enc_bm == out["b_mode_counts"]
+
+
+def test_b_sub8x8_44_split_fires_and_roundtrips():
+    # 4x4 checkerboard motion (every 4x4 cell shifts opposite its
+    # neighbors): only the 4x4 sub-split modes (Table 7-18 types
+    # 10-12) tile that; round-trip stays bit-exact and the histograms
+    # agree under the deepest MVD nesting (up to 16 MVs per MB/list)
+    from sparkstreaming_spark.multimodal.h264 import (
+        encode_gop_b,
+        gop_b_reconstruction_yuv,
+    )
+
+    rng = np.random.default_rng(13)
+    h, w = 32, 32
+    base = rng.integers(0, 256, (h, w)).astype(np.uint8)
+
+    def frame(t):
+        f = base.copy()
+        for r0 in range(0, h, 4):
+            for c0 in range(0, w, 4):
+                s = t if ((r0 // 4) + (c0 // 4)) % 2 == 0 else -t
+                f[r0 : r0 + 4, c0 : c0 + 4] = np.roll(
+                    base[r0 : r0 + 4, c0 : c0 + 4], s, axis=1)
+        return f
+
+    frames = [frame(t) for t in range(4)]
+    out = decode_stream(encode_gop_b(frames, qp=16, search_range=4))
+    recons, stats = gop_b_reconstruction_yuv(frames, qp=16,
+                                             search_range=4)
+    for i, (ry, rcb, rcr) in enumerate(recons):
+        assert np.array_equal(out["frames"][i], ry), i
+        assert np.array_equal(out["frames_cb"][i], rcb), i
+        assert np.array_equal(out["frames_cr"][i], rcr), i
+    total_split = sum(c["n_b8_split"] for c in out["b_mode_counts"])
+    assert total_split >= 2, out["b_mode_counts"]
+    enc_bm = [{k: s[k] for k in out["b_mode_counts"][0]}
+              for s in stats if s["type"] == "B"]
+    assert enc_bm == out["b_mode_counts"]
+
+
+def test_b_sub8x8_in_temporal_gop_roundtrips():
+    # the same intra-quadrant split content under a display-REORDERED
+    # temporal-direct GOP: sub-split decode shares the temporal dq_mv
+    # path (direct quadrants keep their scaled motion; split quadrants
+    # carry explicit sub-MVs) — three-plane bit-exact round-trip
+    from sparkstreaming_spark.multimodal.h264 import (
+        encode_gop_temporal,
+        gop_temporal_reconstruction_yuv,
+    )
+
+    rng = np.random.default_rng(17)
+    h, w = 32, 48
+    base = rng.integers(0, 256, (h, w)).astype(np.uint8)
+
+    def frame(t):
+        f = base.copy()
+        for r0 in range(4, h, 8):
+            f[r0 : r0 + 4] = np.roll(base[r0 : r0 + 4], 2 * t, axis=1)
+        return f
+
+    frames = [frame(t) for t in range(5)]
+    out = decode_stream(encode_gop_temporal(frames, qp=20,
+                                            search_range=6))
+    recons, _ = gop_temporal_reconstruction_yuv(frames, qp=20,
+                                                search_range=6)
+    for i in range(len(recons)):
+        assert np.array_equal(out["frames"][i], recons[i][0]), i
+        assert np.array_equal(out["frames_cb"][i], recons[i][1]), i
+        assert np.array_equal(out["frames_cr"][i], recons[i][2]), i
