@@ -269,6 +269,8 @@ HEADLINE = [
     "doc_h264_chroma_probe",
     "doc_h264_tdirect_probe",
     "doc_h264_wpred_probe",
+    "doc_h264_multiref_probe",
+    "doc_h264_i16_probe",
     "emb_cluster_sample",
     "doc_tokenizer_fertility",
     # round-7 additions

@@ -8,11 +8,16 @@ quarter-pel motion compensation, and a conformant NAL/SPS/PPS/
 slice-header bitstream (Annex-B), paired encoder + decoder.
 
 Scope (precise, honestly guarded):
-- encoder: one IDR I-slice per frame, all macroblocks Intra_4x4 with
-  ALL NINE §8.3.1.2 prediction modes (V/H/DC/DDL/DDR/VR/HD/VL/HU,
-  per-block SAD selection under the §8.3.1.1 most-probable-mode
-  signaling, top-right sample substitution per the spec's derivation),
-  full luma residual coding (CBP luma = 15), and REAL 4:2:0 chroma
+- encoder: one IDR I-slice per frame, each macroblock the cheaper of
+  Intra_4x4 with ALL NINE §8.3.1.2 prediction modes (V/H/DC/DDL/DDR/
+  VR/HD/VL/HU, per-block SAD selection under the §8.3.1.1
+  most-probable-mode signaling, top-right sample substitution per the
+  spec's derivation) and Intra_16x16 (§8.3.3 V/H/DC/Plane whole-MB
+  prediction, the §8.5.10 luma DC Hadamard path coding the MB DC at
+  4x AC precision, Table 7-11 mb_type jointly coding the prediction
+  mode and both CBPs, Intra16x16DCLevel + 15-coefficient AC CAVLC),
+  full luma residual coding (CBP luma = 15 for I_4x4), and REAL 4:2:0
+  chroma
   residual coding: §8.3.4 DC chroma prediction (per-4x4 availability
   rules) plus the §8.5.11 chroma DC path (2x2 Hadamard, Table 8-15
   QPc, the nC = -1 coeff_token and Table 9-9(a) total_zeros chroma DC
@@ -23,9 +28,8 @@ Scope (precise, honestly guarded):
   pass is then conformant), fixed QP per frame.
 - decoder: parses SPS/PPS/IDR slices produced by this encoder and any
   stream within the same feature envelope; raises NotImplementedError
-  with a precise reason for CABAC, 8x8 transform, or residual features
-  outside the envelope (I_16x16) — those stay honest
-  stubs, not silent wrong output.
+  with a precise reason for CABAC, the 8x8 transform, or I_PCM —
+  those stay honest stubs, not silent wrong output.
 - inter coding (P slices): encode_gop/decode_stream extend the
   envelope with motion-compensated P frames — the COMPLETE P
   partition tree: P_L0_16x16, P_L0_L0_16x8, P_L0_L0_8x16, and P_8x8
@@ -33,7 +37,12 @@ Scope (precise, honestly guarded):
   sub-partitions, chosen per quadrant from the shared integer scan's
   per-4x4-block SAD grid) plus P_Skip against a
   single reference (the previous decoded frame, max_num_ref_frames=1
-  sliding window), chroma riding each partition's luma MV through the
+  sliding window) — or, via encode_gop_multiref, against TWO active
+  references (active_l0=2 PPS, per-partition te(v) ref_idx_l0 per
+  §7.3.5.1/.2 — one per 8x8 quadrant in P_8x8 — with the §8.4.1.3.1
+  same-refIdx MV prediction, refIdx-0-gated P_Skip zero conditions,
+  and a slice-header active override on the first P while the DPB
+  holds one frame), chroma riding each partition's luma MV through the
   §8.4.2.2.2 eighth-pel bilinear interpolation with the full inter
   chroma residual (P_Skip requires a zero chroma residual too),
   full quarter-pel luma interpolation per §8.4.2.2.1
@@ -126,6 +135,10 @@ class BitWriter:
     def se(self, v: int) -> None:
         self.ue(2 * v - 1 if v > 0 else -2 * v)
 
+    def te1(self, v: int) -> None:
+        """te(v) with range [0, 1] (§9.1.1): one inverted bit."""
+        self.bits.append(1 - v)
+
     def bitstring(self, s: str) -> None:
         for c in s:
             self.bits.append(1 if c == "1" else 0)
@@ -182,6 +195,11 @@ class BitReader:
     def se(self) -> int:
         k = self.ue()
         return (k + 1) // 2 if k % 2 else -(k // 2)
+
+    def te1(self) -> int:
+        """te(v) with range [0, 1] (§9.1.1): one INVERTED bit — the
+        ref_idx coding when exactly two references are active."""
+        return 1 - self.bit()
 
 
 def strip_emulation(rbsp: bytes) -> bytes:
@@ -712,6 +730,92 @@ def dequantize_chroma_dc(levels: np.ndarray, qpc: int) -> np.ndarray:
     return (f2 * v) >> 1
 
 
+# Intra_16x16 luma DC path (§8.5.10): the 16 per-block DC transform
+# coefficients form a 4x4 array (element (i, j) = the block at
+# MB-relative pixel (4i, 4j)) that is 4x4-Hadamard transformed and
+# quantized separately from the 15-coefficient AC blocks.
+_H4 = np.array([[1, 1, 1, 1], [1, 1, -1, -1],
+                [1, -1, -1, 1], [1, -1, 1, -1]], dtype=np.int64)
+
+
+def luma_dc_forward(dc4: np.ndarray) -> np.ndarray:
+    """Encoder-side forward 4x4 Hadamard over the DC array (encoder
+    policy; the decoder only sees levels)."""
+    return _H4 @ dc4.astype(np.int64) @ _H4
+
+
+def quantize_luma_dc(fdc: np.ndarray, qp: int) -> np.ndarray:
+    """Encoder-side luma DC quantization: MF at position class (0,0)
+    with the shift reduced by 2 — the unity-gain pairing with the
+    §8.5.10 dequant (forward H gain 16, decoder H gain 1 per element
+    on the DC-of-DC, dequant >> (6 - qP/6)), which codes the MB DC at
+    4x the AC precision — the design intent of the DC Hadamard (the
+    chroma twin codes its DC at 2x for the same reason, gains 4/2).
+    Verified by the unity-gain property test and the smooth-frame
+    PSNR tests."""
+    mf = _MF[qp % 6][0]
+    qb2 = 13 + qp // 6
+    f = (1 << qb2) // 3
+    sign = np.sign(fdc)
+    return sign * ((np.abs(fdc) * mf + f) >> qb2)
+
+
+def dequantize_luma_dc(levels: np.ndarray, qp: int) -> np.ndarray:
+    """§8.5.10 normative scaling: inverse 4x4 Hadamard of the parsed
+    Intra16x16DCLevel array, then
+    dcY = (f * LevelScale(QP%6, 0, 0)) << (QP/6 - 6) for QP >= 36,
+    else (f * LevelScale + 2^(5 - QP/6)) >> (6 - QP/6). Each dcY
+    lands as coefficient (0,0) of its 4x4 block before the normal
+    inverse transform."""
+    f4 = _H4 @ levels.astype(np.int64) @ _H4
+    v = _V[qp % 6][0]
+    if qp >= 36:
+        return (f4 * v) << (qp // 6 - 6)
+    return (f4 * v + (1 << (5 - qp // 6))) >> (6 - qp // 6)
+
+
+def _intra16_preds(recon: np.ndarray, mbx: int, mby: int) -> dict:
+    """All AVAILABLE Intra_16x16 luma predictions (§8.3.3) for the MB
+    at (mbx, mby): {mode: (16,16) int64} with 0 = Vertical,
+    1 = Horizontal, 2 = DC (always present, with the edge fallbacks),
+    3 = Plane."""
+    y0, x0 = mby * 16, mbx * 16
+    has_t, has_l = mby > 0, mbx > 0
+    out = {}
+    if has_t:
+        top = recon[y0 - 1, x0 : x0 + 16].astype(np.int64)
+        out[0] = np.tile(top, (16, 1))
+    if has_l:
+        left = recon[y0 : y0 + 16, x0 - 1].astype(np.int64)
+        out[1] = np.tile(left.reshape(-1, 1), (1, 16))
+    if has_t and has_l:
+        dc = (int(top.sum()) + int(left.sum()) + 16) >> 5
+    elif has_t:
+        dc = (int(top.sum()) + 8) >> 4
+    elif has_l:
+        dc = (int(left.sum()) + 8) >> 4
+    else:
+        dc = 128
+    out[2] = np.full((16, 16), dc, dtype=np.int64)
+    if has_t and has_l:
+        # §8.3.3.4 plane prediction; t/l carry x,y = -1..15 with the
+        # shared corner sample at index 0
+        t = recon[y0 - 1, x0 - 1 : x0 + 16].astype(np.int64)
+        lft = recon[y0 - 1 : y0 + 16, x0 - 1].astype(np.int64)
+        hh = sum((i + 1) * (int(t[9 + i]) - int(t[7 - i]))
+                 for i in range(8))
+        vv = sum((i + 1) * (int(lft[9 + i]) - int(lft[7 - i]))
+                 for i in range(8))
+        a = 16 * (int(t[16]) + int(lft[16]))
+        b = (5 * hh + 32) >> 6
+        c = (5 * vv + 32) >> 6
+        xs = np.arange(16, dtype=np.int64)
+        out[3] = np.clip(
+            (a + b * (xs.reshape(1, -1) - 7)
+             + c * (xs.reshape(-1, 1) - 7) + 16) >> 5, 0, 255)
+    return out
+
+
 def _chroma_dc_pred8(plane: np.ndarray, y: int, x: int) -> np.ndarray:
     """Intra chroma DC prediction (§8.3.4, intra_chroma_pred_mode 0)
     for the 8x8 chroma block of one MB at chroma-plane pixel (y, x):
@@ -1217,14 +1321,15 @@ def _build_sps_rbsp(width: int, height: int, max_refs: int = 1,
     return w.rbsp()
 
 
-def _build_pps_rbsp(weighted_pred: bool = False) -> bytes:
+def _build_pps_rbsp(weighted_pred: bool = False,
+                    active_l0: int = 1) -> bytes:
     w = BitWriter()
     w.ue(0)      # pps id
     w.ue(0)      # sps id
     w.u(0, 1)    # entropy_coding_mode = CAVLC
     w.u(0, 1)    # bottom_field_pic_order_in_frame_present
     w.ue(0)      # num_slice_groups_minus1
-    w.ue(0)      # num_ref_idx_l0_default_active_minus1
+    w.ue(active_l0 - 1)  # num_ref_idx_l0_default_active_minus1
     w.ue(0)      # num_ref_idx_l1_default_active_minus1
     w.u(1 if weighted_pred else 0, 1)  # weighted_pred (P explicit WP)
     w.u(0, 2)    # weighted_bipred_idc
@@ -1296,8 +1401,16 @@ def _to_yuv(img: np.ndarray) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
 def _encode_slice(y_plane: np.ndarray, cb_plane: np.ndarray,
                   cr_plane: np.ndarray, qp: int,
                   poc_lsb: int | None = None,
+                  stats: dict | None = None,
                   ) -> tuple[tuple[np.ndarray, np.ndarray, np.ndarray],
                              bytes]:
+    """Encode one IDR I slice. Every MB picks the cheaper of I_4x4
+    (all nine §8.3.1.2 modes under most-probable-mode signaling) and
+    I_16x16 (§8.3.3 V/H/DC/Plane whole-MB prediction with the §8.5.10
+    luma DC Hadamard path, mb_type jointly coding the prediction mode
+    and both CBPs per Table 7-11) — smooth macroblocks collapse to a
+    handful of I_16x16 bits. `stats` (optional out-param) gains
+    n_i16 / n_i4 counts."""
     h, w_ = y_plane.shape
     if h % 16 or w_ % 16:
         raise ValueError("dimensions must be multiples of 16 in this scope")
@@ -1330,8 +1443,30 @@ def _encode_slice(y_plane: np.ndarray, cb_plane: np.ndarray,
     tc_cb = np.zeros((h // 8, w_ // 8), dtype=np.int64)
     tc_cr = np.zeros((h // 8, w_ // 8), dtype=np.int64)
     qpc = chroma_qp(qp)
+    if stats is None:
+        stats = {}
+    stats.setdefault("n_i16", 0)
+    stats.setdefault("n_i4", 0)
+    # I_16x16-vs-I_4x4 deadband: I_4x4 spends ~16 extra mode-signal
+    # bits plus typically more coded residual blocks, so its SAD win
+    # must clear a qp-scaled margin (~48 SAD per qp double-step —
+    # smooth near-tie MBs then take the cheaper I_16x16 coding)
+    i16_pen = 48 << (qp // 6)
     for mby in range(mbs_h):
         for mbx in range(mbs_w):
+            y0m, x0m = mby * 16, mbx * 16
+            src_mb = y_plane[y0m : y0m + 16, x0m : x0m + 16].astype(
+                np.int64)
+            p16_all = _intra16_preds(recon, mbx, mby)
+            sad16, m16 = min(
+                (int(np.abs(src_mb - p).sum()), m)
+                for m, p in p16_all.items()
+            )
+            # stage the I_4x4 coding; MB-local state snapshots allow
+            # rolling back to the I_16x16 alternative
+            snap_tc = tc_map[y0m // 4 : y0m // 4 + 4,
+                             x0m // 4 : x0m // 4 + 4].copy()
+            i4_sad = 0
             # mode syntax precedes the residuals in the bitstream, but
             # selecting block i's mode needs blocks 0..i-1 already
             # reconstructed — so stage both bit runs and splice after
@@ -1358,6 +1493,7 @@ def _encode_slice(y_plane: np.ndarray, cb_plane: np.ndarray,
                     if best is None or key < best[0]:
                         best = (key, m, p)
                 _, mode, pred_flat = best
+                i4_sad += best[0][0]
                 pred = np.array(pred_flat, dtype=np.int64).reshape(4, 4)
                 if mode == predm:
                     mode_bits.u(1, 1)  # prev_intra4x4_pred_mode_flag
@@ -1375,7 +1511,8 @@ def _encode_slice(y_plane: np.ndarray, cb_plane: np.ndarray,
                 mode4[y4, x4] = mode
                 done4[y4, x4] = True
             # chroma: DC prediction from reconstructed neighbors + real
-            # residual (2x2 DC Hadamard + AC) — CBP chroma 0/1/2
+            # residual (2x2 DC Hadamard + AC) — CBP chroma 0/1/2,
+            # common to both luma coding choices
             cy, cx = mby * 8, mbx * 8
             pred_cb = _chroma_dc_pred8(rec_cb, cy, cx)
             pred_cr = _chroma_dc_pred8(rec_cr, cy, cx)
@@ -1384,12 +1521,72 @@ def _encode_slice(y_plane: np.ndarray, cb_plane: np.ndarray,
                 src_cr[cy : cy + 8, cx : cx + 8] - pred_cr,
                 qpc, intra=True,
             )
-            w.ue(0)  # mb_type I_4x4
-            w.bits.extend(mode_bits.bits)
-            w.ue(0)        # intra_chroma_pred_mode DC
-            w.ue(_CBP_INTRA_INV[15 | (cc << 4)])
-            w.se(0)        # mb_qp_delta
-            w.bits.extend(res_bits.bits)
+            take_i16 = sad16 <= i4_sad + i16_pen
+            if take_i16:
+                p16 = p16_all[m16]
+                dc4 = np.empty((4, 4), dtype=np.int64)
+                ac_levels = []
+                cbp15 = False
+                for blk in range(16):
+                    bx, by = LUMA_BLOCK_XY[blk]
+                    res = (src_mb[by : by + 4, bx : bx + 4]
+                           - p16[by : by + 4, bx : bx + 4])
+                    w16 = forward_transform_4x4(res)
+                    dc4[by // 4, bx // 4] = w16[0, 0]
+                    lv = quantize_4x4(w16, qp, intra=True)
+                    lv[0, 0] = 0
+                    ac_levels.append(lv)
+                    if lv.any():
+                        cbp15 = True
+                dc_levels = quantize_luma_dc(luma_dc_forward(dc4), qp)
+                # the 4x-precision DC path can exceed the CAVLC
+                # level-escape range on extreme flat residuals at very
+                # low qp — fall back to the already-staged I_4x4 MB
+                # (which codes the DC per block at 1x scale) there
+                if int(np.abs(dc_levels).max()) > 2000:
+                    take_i16 = False
+            if take_i16:
+                # I_16x16 wins: roll the staged I_4x4 state back (the
+                # luma recon is rewritten in full below; neighbor
+                # Intra4x4 contexts see DC per §8.3.1.1)
+                stats["n_i16"] += 1
+                tc_map[y0m // 4 : y0m // 4 + 4,
+                       x0m // 4 : x0m // 4 + 4] = snap_tc
+                mode4[y0m // 4 : y0m // 4 + 4,
+                      x0m // 4 : x0m // 4 + 4] = I4_DC
+                # Table 7-11: mb_type jointly codes the prediction
+                # mode and both coded-block patterns
+                w.ue(1 + m16 + 4 * cc + (12 if cbp15 else 0))
+                w.ue(0)   # intra_chroma_pred_mode DC
+                w.se(0)   # mb_qp_delta (always present for I_16x16)
+                # Intra16x16DCLevel: nC as for luma block 0 (§9.2.1)
+                nc = _neighbor_nc(tc_map, y0m // 4, x0m // 4)
+                encode_residual_block(w, dc_levels, nc, "full")
+                dcy = dequantize_luma_dc(dc_levels, qp)
+                for blk in range(16):
+                    bx, by = LUMA_BLOCK_XY[blk]
+                    y4g, x4g = (y0m + by) // 4, (x0m + bx) // 4
+                    if cbp15:
+                        nc = _neighbor_nc(tc_map, y4g, x4g)
+                        tc_map[y4g, x4g] = encode_residual_block(
+                            w, ac_levels[blk], nc, "ac")
+                    else:
+                        tc_map[y4g, x4g] = 0
+                    d = dequantize_4x4(ac_levels[blk], qp)
+                    d[0, 0] = dcy[by // 4, bx // 4]
+                    resr = inverse_transform_4x4(d)
+                    recon[y0m + by : y0m + by + 4,
+                          x0m + bx : x0m + bx + 4] = np.clip(
+                        p16[by : by + 4, bx : bx + 4] + resr, 0, 255)
+                    done4[y4g, x4g] = True
+            else:
+                stats["n_i4"] += 1
+                w.ue(0)  # mb_type I_4x4
+                w.bits.extend(mode_bits.bits)
+                w.ue(0)        # intra_chroma_pred_mode DC
+                w.ue(_CBP_INTRA_INV[15 | (cc << 4)])
+                w.se(0)        # mb_qp_delta
+                w.bits.extend(res_bits.bits)
             _write_chroma_residual(w, cc, dcs, acs, tc_cb, tc_cr,
                                    cy // 4, cx // 4)
             rec_cb[cy : cy + 8, cx : cx + 8] = _recon_chroma_blocks(
@@ -1444,13 +1641,14 @@ def decode_iframe(data: bytes) -> dict:
         raise NotImplementedError("multi-slice pictures unsupported")
     if r.ue() % 5 != 2:
         raise NotImplementedError("only I slices supported")
-    (luma, cb, cr), qp, _poc = _decode_islice_body(r, sps, pps, idr=True,
-                                                   ref_idc=slice_ref_idc)
+    (luma, cb, cr), qp, _poc, n_i16 = _decode_islice_body(
+        r, sps, pps, idr=True, ref_idc=slice_ref_idc)
     return {
         "width": sps["width"],
         "height": sps["height"],
         "qp": qp,
         "n_mbs": (sps["width"] // 16) * (sps["height"] // 16),
+        "n_i16_mbs": n_i16,
         "luma": luma,
         "cb": cb,
         "cr": cr,
@@ -1521,7 +1719,7 @@ def _parse_pps(r: BitReader) -> dict:
     r.u(1)
     if r.ue() != 0:
         raise NotImplementedError("slice groups unsupported")
-    r.ue()
+    active_l0 = r.ue() + 1
     r.ue()
     weighted_pred = r.u(1)
     if r.u(2) != 0:
@@ -1534,6 +1732,7 @@ def _parse_pps(r: BitReader) -> dict:
     r.u(1)
     return {
         "cabac": bool(cabac),
+        "active_l0": active_l0,
         "weighted_pred": bool(weighted_pred),
         "pic_init_qp_delta": qp_delta,
         "deblocking_control": bool(deblocking_control),
@@ -1642,6 +1841,9 @@ class _MotionField:
         self.mv = np.zeros((self.h4, self.w4, 2), dtype=np.int64)
         self.dec = np.zeros((self.h4, self.w4), dtype=bool)
         self.used = np.zeros((self.h4, self.w4), dtype=bool)
+        # per-4x4 reference index within the list (multi-ref P); only
+        # meaningful where `used` — everywhere else refIdxLX is -1
+        self.refi = np.zeros((self.h4, self.w4), dtype=np.int8)
 
     def is_dec(self, y4: int, x4: int) -> bool:
         return (0 <= y4 < self.h4 and 0 <= x4 < self.w4
@@ -1654,12 +1856,21 @@ class _MotionField:
             return True, (int(self.mv[y4, x4, 0]), int(self.mv[y4, x4, 1]))
         return False, (0, 0)
 
+    def get_ref(self, y4: int, x4: int) -> int:
+        """refIdxLX of the 4x4 block: -1 when it didn't use the list
+        (unavailable / intra / other list), per §8.4.1.3."""
+        if 0 <= y4 < self.h4 and 0 <= x4 < self.w4 and self.used[y4, x4]:
+            return int(self.refi[y4, x4])
+        return -1
+
     def fill(self, y4: int, x4: int, h4: int, w4: int,
-             mv: tuple[int, int], used: bool = True) -> None:
+             mv: tuple[int, int], used: bool = True,
+             ref: int = 0) -> None:
         self.dec[y4 : y4 + h4, x4 : x4 + w4] = True
         if used:
             self.mv[y4 : y4 + h4, x4 : x4 + w4] = mv
             self.used[y4 : y4 + h4, x4 : x4 + w4] = True
+            self.refi[y4 : y4 + h4, x4 : x4 + w4] = ref
 
 
 # P_8x8 sub-partition geometry (Table 7-17): sub_mb_type ->
@@ -1675,53 +1886,65 @@ P_SUB_GEOM = {
 
 
 def _mvp_partition(mf: _MotionField, x4: int, y4: int, w4: int,
-                   part: str = "16x16") -> tuple[int, int]:
+                   part: str = "16x16",
+                   ref_idx: int = 0) -> tuple[int, int]:
     """Luma MV prediction for one L0/L1 partition (§8.4.1.3): median
     over the A/B/C neighbors (C→D substitution when C is not DECODED;
     a decoded neighbor that didn't use the list stays a zero-MV
-    non-candidate), with the §8.4.1.3.2 directional overrides for
-    16x8 / 8x16 partitions (every block in this envelope has refIdx 0,
-    so 'same refIdx' reduces to used-this-list)."""
+    non-candidate), with the §8.4.1.3.1 one-same-refIdx selection and
+    the §8.4.1.3.2 directional overrides for 16x8 / 8x16 partitions —
+    both keyed on refIdxLXN == `ref_idx` (single-ref slices have every
+    block at refIdx 0, so the match reduces to used-this-list)."""
     a_dec = mf.is_dec(y4, x4 - 1)
     b_dec = mf.is_dec(y4 - 1, x4)
     avail_a, mv_a = mf.get(y4, x4 - 1)
     avail_b, mv_b = mf.get(y4 - 1, x4)
+    ref_a = mf.get_ref(y4, x4 - 1)
+    ref_b = mf.get_ref(y4 - 1, x4)
     if mf.is_dec(y4 - 1, x4 + w4):
         c_dec = True
         avail_c, mv_c = mf.get(y4 - 1, x4 + w4)
+        ref_c = mf.get_ref(y4 - 1, x4 + w4)
     elif mf.is_dec(y4 - 1, x4 - 1):  # D substitution on existence
         c_dec = True
         avail_c, mv_c = mf.get(y4 - 1, x4 - 1)
+        ref_c = mf.get_ref(y4 - 1, x4 - 1)
     else:
-        c_dec, avail_c, mv_c = False, False, (0, 0)
-    if part == "16x8_top" and avail_b:
+        c_dec, avail_c, mv_c, ref_c = False, False, (0, 0), -1
+    same_a = avail_a and ref_a == ref_idx
+    same_b = avail_b and ref_b == ref_idx
+    same_c = avail_c and ref_c == ref_idx
+    if part == "16x8_top" and same_b:
         return mv_b
-    if part == "16x8_bot" and avail_a:
+    if part == "16x8_bot" and same_a:
         return mv_a
-    if part == "8x16_left" and avail_a:
+    if part == "8x16_left" and same_a:
         return mv_a
-    if part == "8x16_right" and avail_c:
+    if part == "8x16_right" and same_c:
         return mv_c
     if not b_dec and not c_dec and a_dec:
         return mv_a
-    refs = [avail_a, avail_b, avail_c]
+    sames = [same_a, same_b, same_c]
     cands = [mv_a, mv_b, mv_c]
-    if sum(refs) == 1:
-        return cands[refs.index(True)]
+    if sum(sames) == 1:
+        return cands[sames.index(True)]
     med = lambda a, b, c: a + b + c - min(a, b, c) - max(a, b, c)
     return (med(mv_a[0], mv_b[0], mv_c[0]), med(mv_a[1], mv_b[1], mv_c[1]))
 
 
 def _skip_mv4(mf: _MotionField, mbx: int, mby: int) -> tuple[int, int]:
     """P_Skip motion vector (§8.4.1.1): zero when the left/top 4x4
-    neighbor of the MB is unavailable or is a zero-MV ref-0 block,
-    else the 16x16 median predictor."""
+    neighbor of the MB is unavailable or is a zero-MV REF-0 block
+    (a zero-MV block predicting from another reference does not
+    trigger the zero condition), else the 16x16 median predictor at
+    refIdx 0 — P_Skip always references L0[0]."""
     y4, x4 = mby * 4, mbx * 4
     avail_a, mv_a = mf.get(y4, x4 - 1)
     avail_b, mv_b = mf.get(y4 - 1, x4)
     if not avail_a or not avail_b:
         return (0, 0)
-    if mv_a == (0, 0) or mv_b == (0, 0):
+    if (mv_a == (0, 0) and mf.get_ref(y4, x4 - 1) == 0) or \
+            (mv_b == (0, 0) and mf.get_ref(y4 - 1, x4) == 0):
         return (0, 0)
     return _mvp_partition(mf, x4, y4, 4, "16x16")
 
@@ -1735,6 +1958,8 @@ def _encode_pslice(
     ref_slice: bool = True,
     poc_lsb: int | None = None,
     wp: dict | None = None,
+    ref2: tuple[np.ndarray, np.ndarray, np.ndarray] | None = None,
+    override_single: bool = False,
 ) -> tuple[tuple[np.ndarray, np.ndarray, np.ndarray], bytes, dict]:
     """Encode one P slice (P_Skip, P_L0_16x16, P_L0_L0_16x8,
     P_L0_L0_8x16 — per-MB cheapest under a qp-scaled partition
@@ -1750,8 +1975,18 @@ def _encode_pslice(
     "cb": (w, o), "cr": (w, o)}: every inter prediction (P_Skip
     included) is weighted before the residual; motion search still
     runs on unweighted samples (conformant — WP targets global fades
-    where the motion is near zero)."""
+    where the motion is near zero). `ref2` = the SECOND-newest
+    decoded reference (multi-ref coding — must pair with an
+    active_l0=2 PPS): every partition searches both references and
+    signals its choice with a te(v) ref_idx_l0 per §7.3.5.1/.2
+    (ref_idx per 8x8 quadrant in P_8x8, its sub-partitions sharing
+    the quadrant's reference); P_Skip stays pinned to L0[0]."""
+    if wp is not None and ref2 is not None:
+        raise ValueError("weighted prediction + multi-ref not combined "
+                         "in this envelope")
     ref_y, ref_cb, ref_cr = ref
+    n_refs = 1 if ref2 is None else 2
+    ref_planes = [ref, ref2] if ref2 is not None else [ref]
     y_plane, cb_plane, cr_plane = yuv
     h, w_ = y_plane.shape
     mbs_w, mbs_h = w_ // 16, h // 16
@@ -1762,7 +1997,13 @@ def _encode_pslice(
     w.u(frame_num & 15, 4)  # frame_num
     if poc_lsb is not None:  # SPS poc_type 0
         w.u(poc_lsb & ((1 << _POC_LSB_BITS) - 1), _POC_LSB_BITS)
-    w.u(0, 1)               # num_ref_idx_active_override_flag
+    if override_single:
+        # first P after the IDR in a multi-ref GOP: the DPB holds one
+        # reference, so override the PPS's active_l0=2 down to 1
+        w.u(1, 1)           # num_ref_idx_active_override_flag
+        w.ue(0)             # num_ref_idx_l0_active_minus1
+    else:
+        w.u(0, 1)           # num_ref_idx_active_override_flag
     w.u(0, 1)               # ref_pic_list_modification_flag_l0
     if wp is not None:
         # pred_weight_table (§7.3.3.2) — explicit weights for L0[0]
@@ -1784,19 +2025,21 @@ def _encode_pslice(
         _lwy, (_wy, _oy) = wp["logwd_y"], wp["y"]
         _lwc = wp["logwd_c"]
 
-        def mcl(y, x, mv, size=16):
+        def mcl(y, x, mv, size=16, ri=0):
             return _apply_weight(_mc_luma(ref_y, y, x, mv, size),
                                  _wy, _oy, _lwy)
 
-        def mcc(plane, comp, y, x, mv, size=8):
+        def mcc(plane, comp, y, x, mv, size=8, ri=0):
             wc, oc = wp[comp]
             return _apply_weight(_mc_chroma(plane, y, x, mv, size),
                                  wc, oc, _lwc)
     else:
-        def mcl(y, x, mv, size=16):
-            return _mc_luma(ref_y, y, x, mv, size)
+        def mcl(y, x, mv, size=16, ri=0):
+            return _mc_luma(ref_planes[ri][0], y, x, mv, size)
 
-        def mcc(plane, comp, y, x, mv, size=8):
+        def mcc(plane, comp, y, x, mv, size=8, ri=0):
+            if ri:
+                plane = ref_planes[ri][1 if comp == "cb" else 2]
             return _mc_chroma(plane, y, x, mv, size)
 
     src = y_plane.astype(np.int64)
@@ -1811,7 +2054,8 @@ def _encode_pslice(
     qpc = chroma_qp(qp)
     mf = _MotionField(mbs_h, mbs_w)
     stats = {"n_skip": 0, "n_coded": 0, "n_subpel": 0, "n_16x8": 0,
-             "n_8x16": 0, "n_8x8": 0, "n_sub_split": 0, "mvs": []}
+             "n_8x16": 0, "n_8x8": 0, "n_sub_split": 0, "n_ref1": 0,
+             "mvs": []}
     skip_run = 0
     # partition-choice deadband: a second partition costs mb_type +
     # MVD bits, so its SAD win must beat a qp-scaled penalty (encoder
@@ -1861,37 +2105,63 @@ def _encode_pslice(
                     tc_cr[cy // 4 : cy // 4 + 2, cx // 4 : cx // 4 + 2] = 0
                     continue
             blk = src[y0 : y0 + 16, x0 : x0 + 16]
-            sr = _search_partitions(ref_y, blk, y0, x0, search_range,
-                                    subparts=True)
-            # per-quadrant best sub-8x8 shape (Table 7-17 sub_mb_type:
-            # 0 = 8x8, 1 = 8x4, 2 = 4x8, 3 = 4x4), priced at part_pen
-            # per MVD beyond the first — same grain as the MB level
-            sub_cfg, q_cost = [], 0
+            srs = [_search_partitions(ref_planes[ri][0], blk, y0, x0,
+                                      search_range, subparts=True)
+                   for ri in range(n_refs)]
+            sr = srs[0]
+
+            def key_best(key):
+                # (cost, ref) cheapest over the active references —
+                # te(v) ref_idx costs 1 bit either way at 2 active
+                # refs, so no differential penalty; ties prefer ref 0
+                return min((srs[ri][key][1], ri) for ri in range(n_refs))
+
+            # per-quadrant best (sub-8x8 shape, ref) — Table 7-17
+            # sub_mb_type 0 = 8x8, 1 = 8x4, 2 = 4x8, 3 = 4x4, priced
+            # at part_pen per MVD beyond the first; the quadrant's
+            # sub-partitions share one ref_idx (§7.3.5.2), so the
+            # shape choice is made within each ref then refs compete
+            sub_cfg, sub_ref, q_cost = [], [], 0
             for p in ("q00", "q01", "q10", "q11"):
-                c, s = min((
-                    (sr[p][1], 0),
-                    (sr[p + "_84t"][1] + sr[p + "_84b"][1] + part_pen, 1),
-                    (sr[p + "_48l"][1] + sr[p + "_48r"][1] + part_pen, 2),
-                    (sum(sr[p + f"_44_{i}"][1] for i in range(4))
-                     + 3 * part_pen, 3),
-                ))
+                c, ri, s = min(
+                    (cq, ri, sq)
+                    for ri in range(n_refs)
+                    for cq, sq in (
+                        (srs[ri][p][1], 0),
+                        (srs[ri][p + "_84t"][1]
+                         + srs[ri][p + "_84b"][1] + part_pen, 1),
+                        (srs[ri][p + "_48l"][1]
+                         + srs[ri][p + "_48r"][1] + part_pen, 2),
+                        (sum(srs[ri][p + f"_44_{i}"][1]
+                             for i in range(4)) + 3 * part_pen, 3),
+                    )
+                )
                 sub_cfg.append(s)
+                sub_ref.append(ri)
                 q_cost += c
+            full_c, full_r = key_best("full")
+            top_c, top_r = key_best("top")
+            bot_c, bot_r = key_best("bot")
+            left_c, left_r = key_best("left")
+            right_c, right_r = key_best("right")
             mb_type = min(
-                (sr["full"][1], 0),
-                (sr["top"][1] + sr["bot"][1] + part_pen, 1),
-                (sr["left"][1] + sr["right"][1] + part_pen, 2),
+                (full_c, 0),
+                (top_c + bot_c + part_pen, 1),
+                (left_c + right_c + part_pen, 2),
                 (q_cost + 3 * part_pen, 3),  # 4 sub types + >=4 MVDs
             )[1]
-            # partition worklist: (tag, dx, dy, pw, ph, search_key)
+            # partition worklist: (tag, dx, dy, pw, ph, search_key, ref)
             if mb_type == 0:
-                work = [("16x16", 0, 0, 16, 16, "full")]
+                work = [("16x16", 0, 0, 16, 16, "full", full_r)]
+                part_refs = [full_r]
             elif mb_type == 1:
-                work = [("16x8_top", 0, 0, 16, 8, "top"),
-                        ("16x8_bot", 0, 8, 16, 8, "bot")]
+                work = [("16x8_top", 0, 0, 16, 8, "top", top_r),
+                        ("16x8_bot", 0, 8, 16, 8, "bot", bot_r)]
+                part_refs = [top_r, bot_r]
             elif mb_type == 2:
-                work = [("8x16_left", 0, 0, 8, 16, "left"),
-                        ("8x16_right", 8, 0, 8, 16, "right")]
+                work = [("8x16_left", 0, 0, 8, 16, "left", left_r),
+                        ("8x16_right", 8, 0, 8, 16, "right", right_r)]
+                part_refs = [left_r, right_r]
             else:
                 work = []
                 for qi, p in enumerate(("q00", "q01", "q10", "q11")):
@@ -1899,14 +2169,15 @@ def _encode_pslice(
                     st = sub_cfg[qi]
                     for sdx, sdy, pw_, ph_, suf in P_SUB_GEOM[st]:
                         work.append(("sub", dxq + sdx, dyq + sdy,
-                                     pw_, ph_, p + suf))
+                                     pw_, ph_, p + suf, sub_ref[qi]))
+                part_refs = sub_ref
             part_mvs = tuple(
                 _refine_subpel(
-                    ref_y,
+                    ref_planes[ri][0],
                     blk[dy : dy + ph, dx : dx + pw],
-                    y0 + dy, x0 + dx, *sr[key],
+                    y0 + dy, x0 + dx, *srs[ri][key],
                 )[0]
-                for (_tag, dx, dy, pw, ph, key) in work
+                for (_tag, dx, dy, pw, ph, key, ri) in work
             )
             w.ue(skip_run)
             skip_run = 0
@@ -1917,27 +2188,35 @@ def _encode_pslice(
                     w.ue(st)  # sub_mb_type (Table 7-17)
                 if any(sub_cfg):
                     stats["n_sub_split"] += 1
+            if n_refs > 1:
+                # all ref_idx_l0 first (§7.3.5.1/.2: per partition, or
+                # per 8x8 quadrant in P_8x8), then all MVDs
+                for ri in part_refs:
+                    w.te1(ri)
+                stats["n_ref1"] += sum(part_refs)
             pred = np.empty((16, 16), dtype=np.int64)
             pred_cb = np.empty((8, 8), dtype=np.int64)
             pred_cr = np.empty((8, 8), dtype=np.int64)
-            for (tag, dx, dy, pw, ph, _key), mv in zip(
+            for (tag, dx, dy, pw, ph, _key, ri), mv in zip(
                 work, part_mvs
             ):
                 x4, y4 = (x0 + dx) // 4, (y0 + dy) // 4
-                mvp = _mvp_partition(mf, x4, y4, pw // 4, tag)
+                mvp = _mvp_partition(mf, x4, y4, pw // 4, tag, ri)
                 w.se(int(mv[0] - mvp[0]))
                 w.se(int(mv[1] - mvp[1]))
                 pred[dy : dy + ph, dx : dx + pw] = mcl(
-                    y0 + dy, x0 + dx, mv, (ph, pw)
+                    y0 + dy, x0 + dx, mv, (ph, pw), ri
                 )
                 csz = (ph // 2, pw // 2)
                 pred_cb[dy // 2 : dy // 2 + ph // 2,
                         dx // 2 : dx // 2 + pw // 2] = mcc(
-                    ref_cb, "cb", cy + dy // 2, cx + dx // 2, mv, csz)
+                    ref_cb, "cb", cy + dy // 2, cx + dx // 2, mv, csz,
+                    ri)
                 pred_cr[dy // 2 : dy // 2 + ph // 2,
                         dx // 2 : dx // 2 + pw // 2] = mcc(
-                    ref_cr, "cr", cy + dy // 2, cx + dx // 2, mv, csz)
-                mf.fill(y4, x4, ph // 4, pw // 4, mv)
+                    ref_cr, "cr", cy + dy // 2, cx + dx // 2, mv, csz,
+                    ri)
+                mf.fill(y4, x4, ph // 4, pw // 4, mv, ref=ri)
                 if (mv[0] | mv[1]) & 3:
                     stats["n_subpel"] += 1
                 stats["mvs"].append((mbx, mby, int(mv[0]), int(mv[1])))
@@ -2015,6 +2294,60 @@ def gop_reconstruction_yuv(frames, qp: int = 20, search_range: int = 4):
     """Full (y, cb, cr) decoded-loop reconstructions + stats."""
     recons, stats, _stream = _encode_gop_full(frames, qp, search_range)
     return recons, stats
+
+
+def encode_gop_multiref(frames, qp: int = 20,
+                        search_range: int = 4) -> bytes:
+    """Encode a GOP with TWO active references (max_num_ref_frames=2,
+    PPS num_ref_idx_l0_default_active_minus1=1): IDR, then P frames
+    whose partitions each signal a te(v) ref_idx_l0 choosing between
+    the two newest decoded frames (§8.2.4.2.1 default list order,
+    decreasing PicNum). The first P frame overrides active down to 1
+    in its slice header (the DPB holds one frame). Alternating or
+    briefly-occluded content picks L0[1] where the immediately
+    previous frame is the worse match."""
+    _recons, _stats, stream = _encode_gop_multiref_full(
+        frames, qp, search_range)
+    return stream
+
+
+def gop_multiref_reconstruction_yuv(frames, qp: int = 20,
+                                    search_range: int = 4):
+    """Decoded-loop (y, cb, cr) reconstructions + per-P-frame stats
+    (incl. n_ref1 = partitions predicting from L0[1]) for
+    encode_gop_multiref — the bit-exact decode_stream reference."""
+    recons, stats, _stream = _encode_gop_multiref_full(
+        frames, qp, search_range)
+    return recons, stats
+
+
+def _encode_gop_multiref_full(frames, qp, search_range):
+    if not frames:
+        raise ValueError("empty GOP")
+    y0, cb0, cr0 = _to_yuv(np.asarray(frames[0]))
+    h, w_ = y0.shape
+    recon, payload = _encode_slice(y0, cb0, cr0, qp)
+    stream = (_nal(7, _build_sps_rbsp(w_, h, max_refs=2))
+              + _nal(8, _build_pps_rbsp(active_l0=2))
+              + _nal(5, payload))
+    recons, stats = [recon], []
+    # DPB newest-first, max 2 (the §8.2.4.2.1 default P list order)
+    dpb = [tuple(p.astype(np.int64) for p in recon)]
+    for k, f in enumerate(frames[1:], start=1):
+        yuv = _to_yuv(np.asarray(f))
+        if yuv[0].shape != (h, w_):
+            raise ValueError("all GOP frames must share dimensions")
+        rec, rbsp, st = _encode_pslice(
+            dpb[0], yuv, qp, k, search_range,
+            ref2=dpb[1] if len(dpb) > 1 else None,
+            override_single=len(dpb) < 2,
+        )
+        stream += _nal(1, rbsp, ref_idc=2)
+        recons.append(rec)
+        stats.append(st)
+        dpb.insert(0, tuple(p.astype(np.int64) for p in rec))
+        del dpb[2:]
+    return recons, stats, stream
 
 
 def _encode_gop_full(frames, qp, search_range):
@@ -2112,19 +2445,33 @@ def _encode_gop_w_full(frames, qp, search_range):
 
 
 def _decode_pslice(r: BitReader, sps: dict, pps: dict,
-                   ref: tuple[np.ndarray, np.ndarray, np.ndarray],
+                   ref_list,
                    ref_idc: int = 1):
-    """Decode one P slice against `ref` = (y, cb, cr). The header's
+    """Decode one P slice against `ref_list` = RefPicList0 as
+    [(y, cb, cr), ...] newest-first (decreasing PicNum — the §8.2.4.2.1
+    default init; single-ref callers pass a 1-list). The header's
     first ue/ue (first_mb_in_slice, slice_type) are already consumed;
-    dec_ref_pic_marking is present only when nal_ref_idc != 0."""
+    dec_ref_pic_marking is present only when nal_ref_idc != 0. When
+    the active reference count (PPS default, or the slice-header
+    override) is 2, each partition carries a te(v) ref_idx_l0 per
+    §7.3.5.1/.2 (one per 8x8 quadrant in P_8x8)."""
     w_, h = sps["width"], sps["height"]
     mbs_w, mbs_h = w_ // 16, h // 16
     r.ue()  # pps id
     r.u(sps["log2_max_frame_num"])  # frame_num
     poc_lsb = (r.u(sps["log2_max_poc_lsb"])
                if sps.get("poc_type", 2) == 0 else None)
-    if r.u(1):
-        raise NotImplementedError("num_ref_idx_active override unsupported")
+    active_l0 = pps.get("active_l0", 1)
+    if r.u(1):  # num_ref_idx_active_override_flag
+        active_l0 = r.ue() + 1
+    if active_l0 > 2:
+        raise NotImplementedError(
+            f"{active_l0} active references unsupported (max 2)"
+        )
+    if active_l0 > len(ref_list):
+        raise ValueError(
+            "slice requires more references than the DPB holds"
+        )
     if r.u(1):
         raise NotImplementedError("ref_pic_list_modification unsupported")
     wp = None
@@ -2150,24 +2497,31 @@ def _decode_pslice(r: BitReader, sps: dict, pps: dict,
                 "deblocking filter enabled — decode-without-deblock would "
                 "not be conformant"
             )
-    refi = ref[0].astype(np.int64)
-    ref_cb = ref[1].astype(np.int64)
-    ref_cr = ref[2].astype(np.int64)
+    planes = [tuple(p.astype(np.int64) for p in entry)
+              for entry in ref_list]
+    refi, ref_cb, ref_cr = planes[0]
 
     if wp is not None:
-        def mcl(y, x, mv, size=16):
+        if active_l0 > 1:
+            raise NotImplementedError(
+                "weighted prediction + multi-ref unsupported"
+            )
+
+        def mcl(y, x, mv, size=16, ri=0):
             return _apply_weight(_mc_luma(refi, y, x, mv, size),
                                  wp["y"][0], wp["y"][1], wp["logwd_y"])
 
-        def mcc(plane, comp, y, x, mv, size=8):
+        def mcc(plane, comp, y, x, mv, size=8, ri=0):
             wc, oc = wp[comp]
             return _apply_weight(_mc_chroma(plane, y, x, mv, size),
                                  wc, oc, wp["logwd_c"])
     else:
-        def mcl(y, x, mv, size=16):
-            return _mc_luma(refi, y, x, mv, size)
+        def mcl(y, x, mv, size=16, ri=0):
+            return _mc_luma(planes[ri][0], y, x, mv, size)
 
-        def mcc(plane, comp, y, x, mv, size=8):
+        def mcc(plane, comp, y, x, mv, size=8, ri=0):
+            if ri:
+                plane = planes[ri][1 if comp == "cb" else 2]
             return _mc_chroma(plane, y, x, mv, size)
 
     recon = np.zeros((h, w_), dtype=np.int64)
@@ -2222,34 +2576,43 @@ def _decode_pslice(r: BitReader, sps: dict, pps: dict,
                 raise ValueError(
                     f"invalid P sub_mb_type {max(sub_types)} (Table 7-17)"
                 )
+            # ref_idx_l0 per 8x8 quadrant (§7.3.5.2), its
+            # sub-partitions sharing the quadrant's reference
+            sub_refs = ([r.te1() for _ in range(4)]
+                        if active_l0 > 1 else [0] * 4)
             work = []
             for qi, st in enumerate(sub_types):
                 dyq, dxq = 8 * (qi // 2), 8 * (qi % 2)
                 for sdx, sdy, pw_, ph_, _suf in P_SUB_GEOM[st]:
-                    work.append(("sub", dxq + sdx, dyq + sdy, pw_, ph_))
+                    work.append(("sub", dxq + sdx, dyq + sdy, pw_, ph_,
+                                 sub_refs[qi]))
         else:
-            work = list(parts_of[mb_type])
+            parts = parts_of[mb_type]
+            # all ref_idx_l0 first (§7.3.5.1), then all MVDs
+            prefs = ([r.te1() for _ in parts]
+                     if active_l0 > 1 else [0] * len(parts))
+            work = [p + (ri,) for p, ri in zip(parts, prefs)]
         y0, x0 = mby * 16, mbx * 16
         cy, cx = mby * 8, mbx * 8
         pred = np.empty((16, 16), dtype=np.int64)
         pred_cb = np.empty((8, 8), dtype=np.int64)
         pred_cr = np.empty((8, 8), dtype=np.int64)
-        for tag, dx, dy, pw, ph in work:
+        for tag, dx, dy, pw, ph, ri in work:
             x4, y4 = (x0 + dx) // 4, (y0 + dy) // 4
-            mvp = _mvp_partition(mf, x4, y4, pw // 4, tag)
+            mvp = _mvp_partition(mf, x4, y4, pw // 4, tag, ri)
             mvd = (r.se(), r.se())
             mv = (mvp[0] + mvd[0], mvp[1] + mvd[1])
             pred[dy : dy + ph, dx : dx + pw] = mcl(
-                y0 + dy, x0 + dx, mv, (ph, pw)
+                y0 + dy, x0 + dx, mv, (ph, pw), ri
             )
             csz = (ph // 2, pw // 2)
             pred_cb[dy // 2 : dy // 2 + ph // 2,
                     dx // 2 : dx // 2 + pw // 2] = mcc(
-                ref_cb, "cb", cy + dy // 2, cx + dx // 2, mv, csz)
+                ref_cb, "cb", cy + dy // 2, cx + dx // 2, mv, csz, ri)
             pred_cr[dy // 2 : dy // 2 + ph // 2,
                     dx // 2 : dx // 2 + pw // 2] = mcc(
-                ref_cr, "cr", cy + dy // 2, cx + dx // 2, mv, csz)
-            mf.fill(y4, x4, ph // 4, pw // 4, mv)
+                ref_cr, "cr", cy + dy // 2, cx + dx // 2, mv, csz, ri)
+            mf.fill(y4, x4, ph // 4, pw // 4, mv, ref=ri)
         cbp = CBP_INTER[r.ue()]
         if cbp and r.se() != 0:
             raise NotImplementedError("mb_qp_delta unsupported")
@@ -2297,6 +2660,7 @@ def decode_stream(data: bytes) -> dict:
     refs: list[tuple[tuple, dict, int | None, int | None]] = []
     pocs: list[int | None] = []
     b_mode_counts: list[dict] = []
+    i16_counts: list[int] = []  # per decoded I frame
     qp_first = None
     prev_msb = prev_lsb = 0  # §8.2.1.1 reference-POC state (poc_type 0)
     for ref_idc, nal_type, rbsp in _split_annexb(data):
@@ -2329,9 +2693,10 @@ def decode_stream(data: bytes) -> dict:
             if slice_type == 2:
                 if nal_type == 5:  # IDR resets the POC state (§8.2.1.1)
                     prev_msb = prev_lsb = 0
-                yuv, qp, lsb = _decode_islice_body(
+                yuv, qp, lsb, n_i16 = _decode_islice_body(
                     r, sps, pps, idr=(nal_type == 5), ref_idc=ref_idc
                 )
+                i16_counts.append(n_i16)
                 minfo = _intra_motion_info(
                     sps["height"] // 16, sps["width"] // 16
                 )
@@ -2340,7 +2705,7 @@ def decode_stream(data: bytes) -> dict:
                 if not refs:
                     raise ValueError("P slice before any decoded I frame")
                 yuv, qp, mvs, lsb = _decode_pslice(
-                    r, sps, pps, refs[0][0], ref_idc
+                    r, sps, pps, [e[0] for e in refs[:2]], ref_idc
                 )
                 minfo = _inter_motion_info(mvs)
                 ref_poc = refs[0][2]
@@ -2404,6 +2769,7 @@ def decode_stream(data: bytes) -> dict:
         "frame_types": types,
         "poc": pocs,
         "b_mode_counts": b_mode_counts,
+        "i16_counts": i16_counts,
     }
 
 
@@ -2442,13 +2808,64 @@ def _decode_islice_body(r: BitReader, sps: dict, pps: dict, idr: bool,
     tc_cr = np.zeros((h // 8, w_ // 8), dtype=np.int64)
     qpc = chroma_qp(qp)
     n_mbs = (h // 16) * (w_ // 16)
+    n_i16 = 0
     for mb in range(n_mbs):
         mbx, mby = mb % (w_ // 16), mb // (w_ // 16)
         mb_type = r.ue()
-        if mb_type != 0:
-            raise NotImplementedError(
-                f"mb_type {mb_type} unsupported (only I_4x4)"
-            )
+        if mb_type == 25:
+            raise NotImplementedError("I_PCM unsupported")
+        if mb_type > 25:
+            raise ValueError(f"invalid I mb_type {mb_type} (Table 7-11)")
+        if mb_type >= 1:
+            # I_16x16 (Table 7-11): mb_type jointly codes the
+            # prediction mode and both coded-block patterns
+            n_i16 += 1
+            im = (mb_type - 1) % 4
+            cbp_c = ((mb_type - 1) // 4) % 3
+            cbp15 = (mb_type - 1) >= 12
+            if r.ue() != 0:
+                raise NotImplementedError(
+                    "non-DC chroma prediction unsupported")
+            if r.se() != 0:
+                raise NotImplementedError("mb_qp_delta unsupported")
+            preds16 = _intra16_preds(recon, mbx, mby)
+            if im not in preds16:
+                raise ValueError(
+                    f"I_16x16 mode {im} needs unavailable neighbors")
+            p16 = preds16[im]
+            y0m, x0m = mby * 16, mbx * 16
+            nc = _neighbor_nc(tc_map, y0m // 4, x0m // 4)
+            dc_levels, _tc = decode_residual_block(r, nc, "full")
+            dcy = dequantize_luma_dc(dc_levels, qp)
+            for blk in range(16):
+                bx, by = LUMA_BLOCK_XY[blk]
+                y4g, x4g = (y0m + by) // 4, (x0m + bx) // 4
+                if cbp15:
+                    nc = _neighbor_nc(tc_map, y4g, x4g)
+                    ac, tc = decode_residual_block(r, nc, "ac")
+                    tc_map[y4g, x4g] = tc
+                else:
+                    ac = np.zeros((4, 4), dtype=np.int64)
+                    tc_map[y4g, x4g] = 0
+                d = dequantize_4x4(ac, qp)
+                d[0, 0] = dcy[by // 4, bx // 4]
+                res = inverse_transform_4x4(d)
+                recon[y0m + by : y0m + by + 4,
+                      x0m + bx : x0m + bx + 4] = np.clip(
+                    p16[by : by + 4, bx : bx + 4] + res, 0, 255)
+                done4[y4g, x4g] = True
+                # neighbor Intra4x4 contexts see DC (§8.3.1.1)
+                mode4[y4g, x4g] = I4_DC
+            cy, cx = mby * 8, mbx * 8
+            dcs, acs = _read_chroma_residual(r, cbp_c, tc_cb, tc_cr,
+                                             cy // 4, cx // 4)
+            rec_cb[cy : cy + 8, cx : cx + 8] = _recon_chroma_blocks(
+                _chroma_dc_pred8(rec_cb, cy, cx), dcs["cb"],
+                acs["cb"], qpc)
+            rec_cr[cy : cy + 8, cx : cx + 8] = _recon_chroma_blocks(
+                _chroma_dc_pred8(rec_cr, cy, cx), dcs["cr"],
+                acs["cr"], qpc)
+            continue
         modes = []
         for blk in range(16):
             bx, by = LUMA_BLOCK_XY[blk]
@@ -2490,7 +2907,7 @@ def _decode_islice_body(r: BitReader, sps: dict, pps: dict, idr: bool,
         rec_cr[cy : cy + 8, cx : cx + 8] = _recon_chroma_blocks(
             _chroma_dc_pred8(rec_cr, cy, cx), dcs["cr"], acs["cr"], qpc)
     return ((recon.astype(np.uint8), rec_cb.astype(np.uint8),
-             rec_cr.astype(np.uint8)), qp, poc_lsb)
+             rec_cr.astype(np.uint8)), qp, poc_lsb, n_i16)
 
 
 # ---------------------------------------------------------------------------

@@ -2199,3 +2199,218 @@ QUERIES["doc_h264_wpred_probe"] = QuerySpec(
     "H.264 explicit weighted prediction: fade-collapse contract, "
     "bit-exact round-trip",
 )
+
+
+H264_MULTIREF_IDS = 12
+
+
+def q_h264_multiref_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-reference P coding verification (multimodal/h264.py
+    round-8 multi-ref layer — max_num_ref_frames=2 SPS, active_l0=2
+    PPS, per-partition te(v) ref_idx_l0 per §7.3.5.1/.2 with the
+    §8.4.1.3.1 same-refIdx MV prediction and the refIdx-0-gated
+    P_Skip zero conditions; the first P slice overrides active down
+    to 1): per doc (doc_id < 12) synthesize a BLINKING GOP — a random
+    texture whose center region alternates with a second texture, so
+    odd/even frames match frame t-2 exactly in that region and
+    partitions must choose L0[1] — with formula-derived dims/QP/
+    length, encode, decode, and emit exact metadata + `mr_bitexact`
+    (three-plane decoder == encoder loop) + `ref1_used` (L0[1] must
+    actually win; measured 6-16 partitions per id) + tolerance
+    booleans on the last frame (worst measured mean 2.45 / max 15;
+    bounds 4.0 / 32). A te(v) inversion, ref-list ordering, same-ref
+    MVP, or DPB bug breaks bit-exactness or the booleans and flips
+    the hash.
+
+    Spark shape: one Arrow mapInPandas pass, repartitioned across the
+    blob ids (single-row-group guard), no shuffle."""
+    import numpy as np
+    import pandas as pd
+
+    from ..multimodal.h264 import (
+        _to_yuv,
+        decode_stream,
+        encode_gop_multiref,
+        gop_multiref_reconstruction_yuv,
+    )
+
+    d = read_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") < H264_MULTIREF_IDS
+    ).select("doc_id").repartition(H264_MULTIREF_IDS)
+
+    def work(batches):
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                w_ = 16 * (2 + did % 2)
+                h = 16 * (2 + did % 3)
+                qp = 16 + did % 8
+                nf = 5 + did % 2
+                rng = np.random.default_rng(1000 + did)
+                tex_a = rng.integers(0, 256, (h, w_, 3)).astype(np.uint8)
+                tex_b = rng.integers(0, 256, (h, w_, 3)).astype(np.uint8)
+                r0, c0 = h // 4, w_ // 4
+                frames = []
+                for t in range(nf):
+                    f = tex_a.copy()
+                    if t % 2 == 1:
+                        f[r0 : r0 + 16, c0 : c0 + 16] = \
+                            tex_b[r0 : r0 + 16, c0 : c0 + 16]
+                    frames.append(f)
+                out = decode_stream(encode_gop_multiref(frames, qp=qp))
+                recons, stats = gop_multiref_reconstruction_yuv(
+                    frames, qp=qp)
+                bitexact = all(
+                    np.array_equal(out["frames"][k], recons[k][0])
+                    and np.array_equal(out["frames_cb"][k], recons[k][1])
+                    and np.array_equal(out["frames_cr"][k], recons[k][2])
+                    for k in range(len(recons))
+                )
+                n_ref1 = sum(s["n_ref1"] for s in stats)
+                ys, cbs, crs = _to_yuv(frames[-1])
+                err = np.abs(out["frames"][-1].astype(np.float64)
+                             - ys.astype(np.float64))
+                errc = np.concatenate([
+                    np.abs(out["frames_cb"][-1].astype(np.float64)
+                           - cbs.astype(np.float64)).ravel(),
+                    np.abs(out["frames_cr"][-1].astype(np.float64)
+                           - crs.astype(np.float64)).ravel(),
+                ])
+                rows.append({
+                    "doc_id": did,
+                    "width": out["width"],
+                    "height": out["height"],
+                    "qp": out["qp"],
+                    "n_frames": len(out["frames"]),
+                    "n_p_frames": out["frame_types"].count("P"),
+                    "mr_bitexact": bool(bitexact),
+                    "ref1_used": bool(n_ref1 > 0),
+                    "mean_ok": bool(max(err.mean(), errc.mean()) <= 4.0),
+                    "max_err_ok": bool(max(err.max(), errc.max()) <= 32.0),
+                })
+            yield pd.DataFrame(rows)
+
+    return d.mapInPandas(
+        work,
+        "doc_id bigint, width int, height int, qp int, n_frames int,"
+        " n_p_frames int, mr_bitexact boolean, ref1_used boolean,"
+        " mean_ok boolean, max_err_ok boolean",
+    )
+
+
+ORACLE_H264_MULTIREF = f"""
+SELECT doc_id,
+       CAST(16 * (2 + doc_id % 2) AS INT) AS width,
+       CAST(16 * (2 + doc_id % 3) AS INT) AS height,
+       CAST(16 + doc_id % 8 AS INT) AS qp,
+       CAST(5 + doc_id % 2 AS INT) AS n_frames,
+       CAST(4 + doc_id % 2 AS INT) AS n_p_frames,
+       TRUE AS mr_bitexact,
+       TRUE AS ref1_used,
+       TRUE AS mean_ok,
+       TRUE AS max_err_ok
+FROM documents WHERE doc_id < {H264_MULTIREF_IDS}
+"""
+
+
+QUERIES["doc_h264_multiref_probe"] = QuerySpec(
+    q_h264_multiref_probe,
+    ORACLE_H264_MULTIREF,
+    "H.264 multi-reference P coding: te(v) ref_idx + same-refIdx MVP, "
+    "bit-exact round-trip",
+)
+
+
+H264_I16_IDS = 16
+
+
+def q_h264_i16_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Intra_16x16 verification (multimodal/h264.py round-8 I_16x16
+    layer — §8.3.3 V/H/DC/Plane whole-MB prediction, the §8.5.10 luma
+    DC Hadamard path at 4x AC precision, Table 7-11 mb_type jointly
+    coding the prediction mode and both CBPs, Intra16x16DCLevel /
+    15-coefficient AC CAVLC): per doc (doc_id < 16) synthesize a
+    non-saturating slope-2 luma ramp (the §8.3.3.4 plane predictor's
+    exact home turf) with formula-derived dims/QP, encode with the
+    I_16x16-vs-I_4x4 deadband decision, decode, and emit exact
+    metadata + `i16_used` (smooth content must actually collapse to
+    I_16x16 — measured 4-12 MBs per id) + `bitexact` (decoder ==
+    encoder loop) + tolerance booleans (worst measured mean 0.57 /
+    max 4; bounds 2.0 / 8). A Table 7-11 derivation, plane-predictor,
+    DC-Hadamard-gain, or CAVLC-nC slip breaks the booleans and flips
+    the hash.
+
+    Spark shape: one Arrow mapInPandas pass, repartitioned across the
+    blob ids (single-row-group guard), no shuffle."""
+    import numpy as np
+    import pandas as pd
+
+    from ..multimodal.h264 import (
+        decode_iframe,
+        encode_iframe,
+        encoder_reconstruction,
+    )
+
+    d = read_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") < H264_I16_IDS
+    ).select("doc_id").repartition(H264_I16_IDS)
+
+    def work(batches):
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                w_ = 16 * (2 + did % 2)
+                h = 16 * (3 - did % 2)
+                qp = 10 + did % 14
+                i = np.arange(h).reshape(-1, 1)
+                j = np.arange(w_).reshape(1, -1)
+                img = (20 + (did % 5) * 4 + 2 * i + 2 * j).astype(
+                    np.uint8)
+                out = decode_iframe(encode_iframe(img, qp=qp))
+                bitexact = np.array_equal(
+                    out["luma"], encoder_reconstruction(img, qp=qp))
+                err = np.abs(out["luma"].astype(np.float64)
+                             - img.astype(np.float64))
+                rows.append({
+                    "doc_id": did,
+                    "width": out["width"],
+                    "height": out["height"],
+                    "qp": out["qp"],
+                    "n_mbs": out["n_mbs"],
+                    "i16_used": bool(out["n_i16_mbs"] > 0),
+                    "bitexact": bool(bitexact),
+                    "mean_ok": bool(err.mean() <= 2.0),
+                    "max_err_ok": bool(err.max() <= 8.0),
+                })
+            yield pd.DataFrame(rows)
+
+    return d.mapInPandas(
+        work,
+        "doc_id bigint, width int, height int, qp int, n_mbs int,"
+        " i16_used boolean, bitexact boolean, mean_ok boolean,"
+        " max_err_ok boolean",
+    )
+
+
+ORACLE_H264_I16 = f"""
+SELECT doc_id,
+       CAST(16 * (2 + doc_id % 2) AS INT) AS width,
+       CAST(16 * (3 - doc_id % 2) AS INT) AS height,
+       CAST(10 + doc_id % 14 AS INT) AS qp,
+       CAST((2 + doc_id % 2) * (3 - doc_id % 2) AS INT) AS n_mbs,
+       TRUE AS i16_used,
+       TRUE AS bitexact,
+       TRUE AS mean_ok,
+       TRUE AS max_err_ok
+FROM documents WHERE doc_id < {H264_I16_IDS}
+"""
+
+
+QUERIES["doc_h264_i16_probe"] = QuerySpec(
+    q_h264_i16_probe,
+    ORACLE_H264_I16,
+    "H.264 Intra_16x16: plane prediction + luma DC Hadamard, "
+    "bit-exact contract",
+)

@@ -478,3 +478,159 @@ def test_gray_input_has_exact_neutral_chroma():
     for qp in (0, 24, 48):
         out = decode_iframe(encode_iframe(img, qp=qp))
         assert (out["cb"] == 128).all() and (out["cr"] == 128).all(), qp
+
+
+def test_i16_plane_prediction_exact_on_ramp():
+    # a pure linear ramp (no clipping anywhere) is reproduced exactly
+    # by the §8.3.3.4 plane predictor, so interior macroblocks collapse
+    # to I_16x16 with a near-zero residual
+    from sparkstreaming_spark.multimodal.h264 import (
+        decode_iframe,
+        encode_iframe,
+        encoder_reconstruction,
+    )
+
+    i = np.arange(48).reshape(-1, 1)
+    j = np.arange(64).reshape(1, -1)
+    img = (40 + 2 * i + j).astype(np.uint8)  # max 40+94+63 = 197
+    data = encode_iframe(img, qp=16)
+    out = decode_iframe(data)
+    assert out["n_i16_mbs"] > 0
+    assert np.array_equal(out["luma"], encoder_reconstruction(img, qp=16))
+    err = np.abs(out["luma"].astype(float) - img.astype(float))
+    assert err.max() <= 4.0
+
+
+def test_i16_dc_hadamard_roundtrip_property():
+    # the §8.5.10 luma DC path: forward Hadamard + quant + normative
+    # dequant reconstructs each block DC within the quantization step
+    from sparkstreaming_spark.multimodal.h264 import (
+        dequantize_luma_dc,
+        luma_dc_forward,
+        quantize_luma_dc,
+    )
+
+    # the reconstructed dcY sits at the DEQUANTIZED-coefficient scale:
+    # MF(0,0)*V(0,0) ~= 2^17 for every qp%6 class, so dequant(quant(x))
+    # ~= 4x, exact at qp 0 and within ~one quantization step above —
+    # the unity-gain pairing that makes the DC path 4x finer than AC
+    rng = np.random.default_rng(7)
+    for qp in (0, 11, 23, 35, 36, 47, 51):
+        dc4 = rng.integers(-2000, 2000, (4, 4)).astype(np.int64)
+        lv = quantize_luma_dc(luma_dc_forward(dc4), qp)
+        rec = dequantize_luma_dc(lv, qp)
+        step = 2.0 ** (qp / 6.0) * 2.5 + 2
+        assert np.abs(rec - 4 * dc4).max() <= step, qp
+        if qp == 0:
+            assert np.array_equal(rec, 4 * dc4)
+
+
+def test_i16_fires_per_mode_and_roundtrips():
+    # flat image -> DC mode; vertical-stripe image continued from the
+    # row above -> V mode; all still bit-exact vs the encoder loop
+    from sparkstreaming_spark.multimodal.h264 import (
+        decode_iframe,
+        encode_iframe,
+        encoder_reconstruction,
+    )
+
+    flat = np.full((32, 32), 77, dtype=np.uint8)
+    out = decode_iframe(encode_iframe(flat, qp=20))
+    # MBs with decoded neighbors collapse to I_16x16 DC (the first
+    # MB's 128-fallback DC misses the flat value, so I_4x4's
+    # neighbor-fed blocks win there)
+    assert out["n_i16_mbs"] >= 2
+    assert np.array_equal(out["luma"],
+                          encoder_reconstruction(flat, qp=20))
+
+    stripes = np.tile(
+        np.arange(48, dtype=np.uint8).reshape(1, -1) * 5, (32, 1))
+    out2 = decode_iframe(encode_iframe(stripes, qp=18))
+    assert out2["n_i16_mbs"] > 0
+    assert np.array_equal(out2["luma"],
+                          encoder_reconstruction(stripes, qp=18))
+
+
+def test_i16_random_texture_still_prefers_i4():
+    from sparkstreaming_spark.multimodal.h264 import (
+        decode_iframe,
+        encode_iframe,
+        encoder_reconstruction,
+    )
+
+    rng = np.random.default_rng(9)
+    img = rng.integers(0, 256, (48, 48)).astype(np.uint8)
+    out = decode_iframe(encode_iframe(img, qp=20))
+    # near-tie MBs may take the cheaper I_16x16 coding, but texture
+    # must stay predominantly I_4x4
+    assert out["n_i16_mbs"] <= out["n_mbs"] // 3
+    assert np.array_equal(out["luma"], encoder_reconstruction(img, qp=20))
+
+
+def test_i16_color_roundtrip_in_gop():
+    # an I_16x16-heavy smooth color I frame followed by P frames: the
+    # decode_stream path (i16_counts) agrees and all planes round-trip
+    from sparkstreaming_spark.multimodal.h264 import (
+        decode_stream,
+        encode_gop,
+        gop_reconstruction_yuv,
+    )
+
+    i = np.arange(32).reshape(-1, 1, 1)
+    j = np.arange(48).reshape(1, -1, 1)
+    k = np.arange(3).reshape(1, 1, -1)
+    img = (50 + 2 * i + j + 20 * k).astype(np.uint8)
+    frames = [np.roll(img, 2 * t, axis=1) for t in range(3)]
+    out = decode_stream(encode_gop(frames, qp=18))
+    recons, _ = gop_reconstruction_yuv(frames, qp=18)
+    assert out["i16_counts"] and out["i16_counts"][0] > 0
+    for m in range(len(frames)):
+        assert np.array_equal(out["frames"][m], recons[m][0]), m
+        assert np.array_equal(out["frames_cb"][m], recons[m][1]), m
+        assert np.array_equal(out["frames_cr"][m], recons[m][2]), m
+
+
+def test_i_pcm_mb_type_raises():
+    # mb_type 25 (I_PCM) stays an honest guard; >25 is malformed
+    from sparkstreaming_spark.multimodal.h264 import (
+        BitWriter,
+        _build_pps_rbsp,
+        _build_sps_rbsp,
+        _nal,
+    )
+
+    w = BitWriter()
+    w.ue(0)    # first_mb_in_slice
+    w.ue(7)    # slice_type I
+    w.ue(0)    # pps id
+    w.u(0, 4)  # frame_num
+    w.ue(0)    # idr_pic_id
+    w.u(0, 2)  # dec_ref_pic_marking flags
+    w.se(20 - 26)
+    w.ue(1)    # deblocking off
+    w.ue(25)   # mb_type I_PCM
+    stream = (_nal(7, _build_sps_rbsp(32, 32)) + _nal(8, _build_pps_rbsp())
+              + _nal(5, w.rbsp()))
+    from sparkstreaming_spark.multimodal.h264 import decode_iframe
+    with pytest.raises(NotImplementedError, match="I_PCM"):
+        decode_iframe(stream)
+
+
+def test_i16_dc_rich_content_reconstructs_exactly_at_low_qp():
+    # a two-level image where I_16x16 DC mode carries a LARGE flat
+    # residual: the 4x-precision DC path must reconstruct it exactly
+    # at low qp (a DC gain slip here shows up as a brightness error
+    # that good prediction would otherwise mask)
+    from sparkstreaming_spark.multimodal.h264 import (
+        decode_iframe,
+        encode_iframe,
+        encoder_reconstruction,
+    )
+
+    img = np.full((32, 32), 77, dtype=np.uint8)
+    img[16:, 16:] = 200
+    out = decode_iframe(encode_iframe(img, qp=8))
+    assert out["n_i16_mbs"] >= 1
+    assert np.array_equal(out["luma"], encoder_reconstruction(img, qp=8))
+    err = np.abs(out["luma"].astype(int) - img.astype(int))
+    assert err.max() == 0

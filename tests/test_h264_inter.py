@@ -1222,3 +1222,140 @@ def test_b_sub8x8_in_temporal_gop_roundtrips():
         assert np.array_equal(out["frames"][i], recons[i][0]), i
         assert np.array_equal(out["frames_cb"][i], recons[i][1]), i
         assert np.array_equal(out["frames_cr"][i], recons[i][2]), i
+
+
+def test_mvp_same_refidx_rules_multiref():
+    # §8.4.1.3.1 with mixed references: the one-neighbor selection and
+    # the 16x8/8x16 directional overrides key on refIdxLXN == refIdx,
+    # while the median still mixes ALL used-this-list neighbor MVs
+    mf = _MotionField(3, 3)
+    mf.fill(0, 0, 4, 12, (0, 0))              # top MB row, ref 0
+    mf.fill(4, 0, 4, 4, (4, 0), ref=0)        # A of MB (1,1): ref 0
+    mf.fill(0, 4, 4, 4, (20, 8), ref=1)       # B: ref 1
+    mf.fill(0, 8, 4, 4, (-12, 4), ref=1)      # C: ref 1
+    # ref 0 partition: A is the only same-ref neighbor -> copy A
+    assert _mvp_partition(mf, 4, 4, 4, "16x16", 0) == (4, 0)
+    # ref 1 partition: B and C share the ref -> fall through to the
+    # median over ALL list-0 neighbor MVs (A included)
+    assert _mvp_partition(mf, 4, 4, 4, "16x16", 1) == (4, 4)
+    # directional override requires the ref to match: 16x8_top's B is
+    # ref 1, so a ref-0 top partition falls through to one-same (A)
+    assert _mvp_partition(mf, 4, 4, 4, "16x8_top", 0) == (4, 0)
+    # ...and a ref-1 top partition takes B directly
+    assert _mvp_partition(mf, 4, 4, 4, "16x8_top", 1) == (20, 8)
+
+
+def test_skip_mv_zero_condition_requires_ref0():
+    # §8.4.1.1: a zero-MV neighbor only forces the zero skip MV when
+    # its refIdxL0 is 0 — a zero-MV ref-1 block does not
+    mf = _MotionField(2, 2)
+    mf.fill(0, 0, 4, 8, (4, 0), ref=0)    # top row moving, ref 0
+    mf.fill(4, 0, 4, 4, (0, 0), ref=1)    # A: zero MV but ref 1
+    assert _skip_mv4(mf, 1, 1) != (0, 0)
+    mf2 = _MotionField(2, 2)
+    mf2.fill(0, 0, 4, 8, (4, 0), ref=0)
+    mf2.fill(4, 0, 4, 4, (0, 0), ref=0)   # A: zero MV at ref 0
+    assert _skip_mv4(mf2, 1, 1) == (0, 0)
+
+
+def test_multiref_ref1_wins_on_alternating_content():
+    # frames alternate a blinking texture region: frame t matches
+    # frame t-2 exactly there, so partitions must choose L0[1]
+    # (te(v)-coded ref_idx) — and every plane round-trips bit-exactly
+    from sparkstreaming_spark.multimodal.h264 import (
+        encode_gop_multiref,
+        gop_multiref_reconstruction_yuv,
+    )
+
+    rng = np.random.default_rng(23)
+    tex_a = rng.integers(0, 256, (48, 64)).astype(np.uint8)
+    tex_b = rng.integers(0, 256, (48, 64)).astype(np.uint8)
+    frames = []
+    for t in range(6):
+        f = tex_a.copy()
+        if t % 2 == 1:
+            f[16:32, 16:48] = tex_b[16:32, 16:48]
+        frames.append(f)
+    out = decode_stream(encode_gop_multiref(frames, qp=20))
+    recons, stats = gop_multiref_reconstruction_yuv(frames, qp=20)
+    for i, (ry, rcb, rcr) in enumerate(recons):
+        assert np.array_equal(out["frames"][i], ry), i
+        assert np.array_equal(out["frames_cb"][i], rcb), i
+        assert np.array_equal(out["frames_cr"][i], rcr), i
+    assert sum(s["n_ref1"] for s in stats) > 0, stats
+    # the unchanged background still collapses to P_Skip
+    assert sum(s["n_skip"] for s in stats) > 0
+
+
+def test_multiref_two_frame_gop_uses_override():
+    # an I+P multi-ref GOP: the single P slice must override the
+    # PPS's active_l0=2 down to 1 (the DPB holds one frame) and
+    # decode identically to the encoder loop
+    from sparkstreaming_spark.multimodal.h264 import (
+        encode_gop_multiref,
+        gop_multiref_reconstruction_yuv,
+    )
+
+    rng = np.random.default_rng(29)
+    base = rng.integers(0, 256, (32, 32)).astype(np.uint8)
+    frames = [base, np.roll(base, 2, axis=1)]
+    out = decode_stream(encode_gop_multiref(frames, qp=18))
+    recons, stats = gop_multiref_reconstruction_yuv(frames, qp=18)
+    assert all(s["n_ref1"] == 0 for s in stats)
+    for i, (ry, rcb, rcr) in enumerate(recons):
+        assert np.array_equal(out["frames"][i], ry), i
+        assert np.array_equal(out["frames_cb"][i], rcb), i
+        assert np.array_equal(out["frames_cr"][i], rcr), i
+
+
+def test_multiref_partitioned_and_sub_split_mbs_roundtrip():
+    # mixed per-partition references: half of each MB blinks (matching
+    # t-2), the other half pans (matching t-1) — 16x8 partitions and
+    # P_8x8 quadrants carry DIFFERENT ref_idx values in one MB, with
+    # the quadrant's sub-partitions sharing its reference
+    from sparkstreaming_spark.multimodal.h264 import (
+        encode_gop_multiref,
+        gop_multiref_reconstruction_yuv,
+    )
+
+    rng = np.random.default_rng(31)
+    tex_a = rng.integers(0, 256, (32, 48)).astype(np.uint8)
+    tex_b = rng.integers(0, 256, (32, 48)).astype(np.uint8)
+    frames = []
+    for t in range(6):
+        f = np.roll(tex_a, 2 * t, axis=1)       # panning base: ref 0
+        if t % 2 == 1:                          # blinking bands: ref 1
+            for r0 in range(0, 32, 16):
+                f[r0 : r0 + 8] = tex_b[r0 : r0 + 8]
+        frames.append(f)
+    out = decode_stream(encode_gop_multiref(frames, qp=18,
+                                            search_range=6))
+    recons, stats = gop_multiref_reconstruction_yuv(frames, qp=18,
+                                                    search_range=6)
+    for i, (ry, rcb, rcr) in enumerate(recons):
+        assert np.array_equal(out["frames"][i], ry), i
+        assert np.array_equal(out["frames_cb"][i], rcb), i
+        assert np.array_equal(out["frames_cr"][i], rcr), i
+    assert sum(s["n_ref1"] for s in stats) > 0
+    assert sum(s["n_16x8"] + s["n_8x16"] + s["n_8x8"]
+               for s in stats) > 0
+
+
+def test_decoder_guards_three_active_refs():
+    # splice an active_l0=3 PPS into a single-ref stream: the slice's
+    # own override flag is 0, so decode must refuse with the exact
+    # reason rather than misparse the partition layout
+    from sparkstreaming_spark.multimodal.h264 import (
+        _build_pps_rbsp,
+        _nal,
+    )
+
+    rng = np.random.default_rng(37)
+    base = rng.integers(0, 256, (32, 32)).astype(np.uint8)
+    frames = [base, np.roll(base, 2, axis=1)]
+    stream = encode_gop(frames, qp=20)
+    good = _nal(8, _build_pps_rbsp())
+    bad = _nal(8, _build_pps_rbsp(active_l0=3))
+    assert good in stream
+    with pytest.raises(NotImplementedError, match="active reference"):
+        decode_stream(stream.replace(good, bad))
