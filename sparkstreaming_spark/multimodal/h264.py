@@ -16,6 +16,9 @@ Scope (precise, honestly guarded):
   prediction, the §8.5.10 luma DC Hadamard path coding the MB DC at
   4x AC precision, Table 7-11 mb_type jointly coding the prediction
   mode and both CBPs, Intra16x16DCLevel + 15-coefficient AC CAVLC),
+  — or, when even the cheaper coded form spends more luma bits than
+  the raw macroblock (entropy-defeating noise at very low qp), I_PCM
+  (mb_type 25: pcm alignment + the samples verbatim, losslessly) —
   full luma residual coding (CBP luma = 15 for I_4x4), and REAL 4:2:0
   chroma
   residual coding: §8.3.4 DC chroma prediction (per-4x4 availability
@@ -28,8 +31,8 @@ Scope (precise, honestly guarded):
   pass is then conformant), fixed QP per frame.
 - decoder: parses SPS/PPS/IDR slices produced by this encoder and any
   stream within the same feature envelope; raises NotImplementedError
-  with a precise reason for CABAC, the 8x8 transform, or I_PCM —
-  those stay honest stubs, not silent wrong output.
+  with a precise reason for CABAC or the 8x8 transform — those stay
+  honest stubs, not silent wrong output.
 - inter coding (P slices): encode_gop/decode_stream extend the
   envelope with motion-compensated P frames — the COMPLETE P
   partition tree: P_L0_16x16, P_L0_L0_16x8, P_L0_L0_8x16, and P_8x8
@@ -1447,6 +1450,7 @@ def _encode_slice(y_plane: np.ndarray, cb_plane: np.ndarray,
         stats = {}
     stats.setdefault("n_i16", 0)
     stats.setdefault("n_i4", 0)
+    stats.setdefault("n_pcm", 0)
     # I_16x16-vs-I_4x4 deadband: I_4x4 spends ~16 extra mode-signal
     # bits plus typically more coded residual blocks, so its SAD win
     # must clear a qp-scaled margin (~48 SAD per qp double-step —
@@ -1522,6 +1526,37 @@ def _encode_slice(y_plane: np.ndarray, cb_plane: np.ndarray,
                 qpc, intra=True,
             )
             take_i16 = sad16 <= i4_sad + i16_pen
+            # I_PCM (mb_type 25): when even the cheaper coded form
+            # spends more LUMA bits than the raw macroblock (384 bytes
+            # incl. chroma), transmit the samples verbatim — losslessly
+            # and strictly smaller. Only entropy-defeating content at
+            # very low qp trips this.
+            i4_bits = len(mode_bits.bits) + len(res_bits.bits)
+            if not take_i16 and i4_bits > 8 * 384 + 64:
+                stats["n_pcm"] = stats.get("n_pcm", 0) + 1
+                tc_map[y0m // 4 : y0m // 4 + 4,
+                       x0m // 4 : x0m // 4 + 4] = 16  # §9.2.1: nN = 16
+                mode4[y0m // 4 : y0m // 4 + 4,
+                      x0m // 4 : x0m // 4 + 4] = I4_DC
+                cy, cx = mby * 8, mbx * 8
+                tc_cb[cy // 4 : cy // 4 + 2, cx // 4 : cx // 4 + 2] = 16
+                tc_cr[cy // 4 : cy // 4 + 2, cx // 4 : cx // 4 + 2] = 16
+                w.ue(25)  # mb_type I_PCM
+                while len(w.bits) % 8:
+                    w.u(0, 1)  # pcm_alignment_zero_bit
+                for row in src_mb:
+                    for v in row:
+                        w.u(int(v), 8)
+                for plane in (src_cb, src_cr):
+                    for row in plane[cy : cy + 8, cx : cx + 8]:
+                        for v in row:
+                            w.u(int(v), 8)
+                recon[y0m : y0m + 16, x0m : x0m + 16] = src_mb
+                rec_cb[cy : cy + 8, cx : cx + 8] =                     src_cb[cy : cy + 8, cx : cx + 8]
+                rec_cr[cy : cy + 8, cx : cx + 8] =                     src_cr[cy : cy + 8, cx : cx + 8]
+                done4[y0m // 4 : y0m // 4 + 4,
+                      x0m // 4 : x0m // 4 + 4] = True
+                continue
             if take_i16:
                 p16 = p16_all[m16]
                 dc4 = np.empty((4, 4), dtype=np.int64)
@@ -1641,7 +1676,7 @@ def decode_iframe(data: bytes) -> dict:
         raise NotImplementedError("multi-slice pictures unsupported")
     if r.ue() % 5 != 2:
         raise NotImplementedError("only I slices supported")
-    (luma, cb, cr), qp, _poc, n_i16 = _decode_islice_body(
+    (luma, cb, cr), qp, _poc, n_i16, n_pcm = _decode_islice_body(
         r, sps, pps, idr=True, ref_idc=slice_ref_idc)
     return {
         "width": sps["width"],
@@ -1649,6 +1684,7 @@ def decode_iframe(data: bytes) -> dict:
         "qp": qp,
         "n_mbs": (sps["width"] // 16) * (sps["height"] // 16),
         "n_i16_mbs": n_i16,
+        "n_pcm_mbs": n_pcm,
         "luma": luma,
         "cb": cb,
         "cr": cr,
@@ -2693,7 +2729,7 @@ def decode_stream(data: bytes) -> dict:
             if slice_type == 2:
                 if nal_type == 5:  # IDR resets the POC state (§8.2.1.1)
                     prev_msb = prev_lsb = 0
-                yuv, qp, lsb, n_i16 = _decode_islice_body(
+                yuv, qp, lsb, n_i16, _n_pcm = _decode_islice_body(
                     r, sps, pps, idr=(nal_type == 5), ref_idc=ref_idc
                 )
                 i16_counts.append(n_i16)
@@ -2809,13 +2845,36 @@ def _decode_islice_body(r: BitReader, sps: dict, pps: dict, idr: bool,
     qpc = chroma_qp(qp)
     n_mbs = (h // 16) * (w_ // 16)
     n_i16 = 0
+    n_pcm = 0
     for mb in range(n_mbs):
         mbx, mby = mb % (w_ // 16), mb // (w_ // 16)
         mb_type = r.ue()
-        if mb_type == 25:
-            raise NotImplementedError("I_PCM unsupported")
         if mb_type > 25:
             raise ValueError(f"invalid I mb_type {mb_type} (Table 7-11)")
+        if mb_type == 25:
+            # I_PCM: byte-align, then the raw samples verbatim
+            n_pcm += 1
+            while r.pos % 8:
+                if r.bit():
+                    raise ValueError("nonzero pcm_alignment bit")
+            y0m, x0m = mby * 16, mbx * 16
+            cy, cx = mby * 8, mbx * 8
+            for ry in range(16):
+                for rx in range(16):
+                    recon[y0m + ry, x0m + rx] = r.u(8)
+            for plane in (rec_cb, rec_cr):
+                for ry in range(8):
+                    for rx in range(8):
+                        plane[cy + ry, cx + rx] = r.u(8)
+            tc_map[y0m // 4 : y0m // 4 + 4,
+                   x0m // 4 : x0m // 4 + 4] = 16  # §9.2.1: nN = 16
+            mode4[y0m // 4 : y0m // 4 + 4,
+                  x0m // 4 : x0m // 4 + 4] = I4_DC
+            tc_cb[cy // 4 : cy // 4 + 2, cx // 4 : cx // 4 + 2] = 16
+            tc_cr[cy // 4 : cy // 4 + 2, cx // 4 : cx // 4 + 2] = 16
+            done4[y0m // 4 : y0m // 4 + 4,
+                  x0m // 4 : x0m // 4 + 4] = True
+            continue
         if mb_type >= 1:
             # I_16x16 (Table 7-11): mb_type jointly codes the
             # prediction mode and both coded-block patterns
@@ -2907,7 +2966,7 @@ def _decode_islice_body(r: BitReader, sps: dict, pps: dict, idr: bool,
         rec_cr[cy : cy + 8, cx : cx + 8] = _recon_chroma_blocks(
             _chroma_dc_pred8(rec_cr, cy, cx), dcs["cr"], acs["cr"], qpc)
     return ((recon.astype(np.uint8), rec_cb.astype(np.uint8),
-             rec_cr.astype(np.uint8)), qp, poc_lsb, n_i16)
+             rec_cr.astype(np.uint8)), qp, poc_lsb, n_i16, n_pcm)
 
 
 # ---------------------------------------------------------------------------

@@ -590,8 +590,8 @@ def test_i16_color_roundtrip_in_gop():
         assert np.array_equal(out["frames_cr"][m], recons[m][2]), m
 
 
-def test_i_pcm_mb_type_raises():
-    # mb_type 25 (I_PCM) stays an honest guard; >25 is malformed
+def test_invalid_mb_type_raises():
+    # mb_type past I_PCM (>25) is malformed
     from sparkstreaming_spark.multimodal.h264 import (
         BitWriter,
         _build_pps_rbsp,
@@ -608,11 +608,11 @@ def test_i_pcm_mb_type_raises():
     w.u(0, 2)  # dec_ref_pic_marking flags
     w.se(20 - 26)
     w.ue(1)    # deblocking off
-    w.ue(25)   # mb_type I_PCM
+    w.ue(26)   # invalid mb_type past I_PCM
     stream = (_nal(7, _build_sps_rbsp(32, 32)) + _nal(8, _build_pps_rbsp())
               + _nal(5, w.rbsp()))
     from sparkstreaming_spark.multimodal.h264 import decode_iframe
-    with pytest.raises(NotImplementedError, match="I_PCM"):
+    with pytest.raises(ValueError, match="invalid I mb_type"):
         decode_iframe(stream)
 
 
@@ -634,3 +634,50 @@ def test_i16_dc_rich_content_reconstructs_exactly_at_low_qp():
     assert np.array_equal(out["luma"], encoder_reconstruction(img, qp=8))
     err = np.abs(out["luma"].astype(int) - img.astype(int))
     assert err.max() == 0
+
+
+def test_i_pcm_fires_on_qp0_noise_and_is_lossless():
+    # at qp 0, entropy-defeating noise costs more coded luma bits than
+    # the raw macroblock, so every MB takes I_PCM and the whole frame
+    # becomes LOSSLESS; the stream stays near the raw size
+    rng = np.random.default_rng(3)
+    img = rng.integers(0, 256, (48, 64)).astype(np.uint8)
+    data = encode_iframe(img, qp=0)
+    out = decode_iframe(data)
+    assert out["n_pcm_mbs"] == out["n_mbs"]
+    assert np.array_equal(out["luma"], img)          # lossless
+    assert np.array_equal(out["luma"],
+                          encoder_reconstruction(img, qp=0))
+    assert len(data) <= out["n_mbs"] * 384 + 120      # raw + headers
+
+
+def test_i_pcm_mixed_with_coded_mbs_roundtrips():
+    # noise rows force PCM, a flat region codes normally: PCM byte
+    # alignment mid-slice, the nN=16 CAVLC context for coded neighbors
+    # of PCM MBs, and the bit-exact contract all hold together
+    rng = np.random.default_rng(13)
+    img = np.full((48, 48), 90, dtype=np.uint8)
+    img[16:32] = rng.integers(0, 256, (16, 48)).astype(np.uint8)
+    data = encode_iframe(img, qp=0)
+    out = decode_iframe(data)
+    assert 0 < out["n_pcm_mbs"] < out["n_mbs"]
+    assert np.array_equal(out["luma"],
+                          encoder_reconstruction(img, qp=0))
+    # the PCM band is sample-exact
+    assert np.array_equal(out["luma"][16:32], img[16:32])
+
+
+def test_i_pcm_color_samples_roundtrip():
+    # PCM carries the chroma planes verbatim too
+    rng = np.random.default_rng(17)
+    rgb = rng.integers(0, 256, (32, 32, 3)).astype(np.uint8)
+    from sparkstreaming_spark.multimodal.h264 import _to_yuv
+    y, cb, cr = _to_yuv(rgb)
+    out = decode_iframe(encode_iframe(rgb, qp=0))
+    if out["n_pcm_mbs"] == out["n_mbs"]:
+        assert np.array_equal(out["luma"], y)
+        assert np.array_equal(out["cb"], cb)
+        assert np.array_equal(out["cr"], cr)
+    else:  # content-dependent; the contract is the encoder loop
+        assert np.array_equal(out["luma"],
+                              encoder_reconstruction(rgb, qp=0))
