@@ -280,6 +280,8 @@ HEADLINE = [
     "doc_url_dedup",
     "doc_wordpiece_encode",
     "doc_token_budget_plan",
+    "doc_chat_template",
+    "doc_dpo_pairs",
     "doc_ccnet_heldout",
 ]
 

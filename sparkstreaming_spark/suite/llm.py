@@ -3052,3 +3052,285 @@ QUERIES["doc_line_dedup"] = QuerySpec(
     ORACLE_LINE_DEDUP,
     "corpus-frequency boilerplate line dedup (CCNet line hashing)",
 )
+
+
+# ---------------------------------------------------------------------------
+# SFT chat-template rendering (training-data assembly for instruction
+# tuning): deterministic conversation construction + ChatML render +
+# LOSS-MASK character spans over the assistant turns.
+
+CHAT_WORDS_PER_TURN = 8
+CHAT_MAX_TURNS = 6
+# ChatML framing constants (public format): "<|im_start|>{role}\n" +
+# content + "<|im_end|>\n". Header lengths: system 19, user 17,
+# assistant 22; trailer 11.
+_CHAT_TRAIL = 11
+
+
+def q_chat_template(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SFT training-record assembly: build a deterministic conversation
+    from each document (consecutive CHAT_WORDS_PER_TURN-word chunks as
+    alternating user/assistant turns, capped at CHAT_MAX_TURNS, plus a
+    lang/source system turn), render it in the public ChatML format,
+    and compute the LOSS-MASK character spans — the [start, len) of
+    every assistant turn's content in the rendered string, emitted as
+    exact integer checksums (mask_start_sum / mask_len_sum) so an
+    off-by-one in any header length or offset chain flips the hash.
+    The full rendered string is also emitted and compared bit-for-bit.
+
+    Spark shape: pure in-row higher-order functions (split/slice/
+    transform/aggregate) — zero shuffle, zero Python; the offset chain
+    is a single fold over the turn array. Scale: embarrassingly
+    parallel per document, same at 100 TB.
+
+    Reference parity: the reference repo has no SFT surface (three CSV
+    KPI jobs); this is north-star LLM-pipeline extension work."""
+    d = read_table(spark, sf_dir, "documents")
+    words = F.split(F.col("text"), r"\s+")
+    n_words = F.size(words)
+    wpt = F.lit(CHAT_WORDS_PER_TURN)
+    n_turns = F.least(
+        F.floor((n_words + CHAT_WORDS_PER_TURN - 1) / wpt),
+        F.lit(CHAT_MAX_TURNS),
+    ).cast("int")
+    sysc = F.concat(F.lit("lang="), F.col("lang"),
+                    F.lit(" source="), F.col("source"))
+    idxs = F.sequence(F.lit(0), n_turns - 1)
+    turns = F.transform(
+        idxs, lambda i: F.array_join(F.slice(words, i * wpt + 1,
+                                             CHAT_WORDS_PER_TURN), " ")
+    )
+    seg = F.transform(
+        idxs,
+        lambda i: F.concat(
+            F.lit("<|im_start|>"),
+            F.when(i % 2 == 0, F.lit("user")).otherwise(F.lit("assistant")),
+            F.lit("\n"),
+            F.element_at(turns, i + 1),
+            F.lit("<|im_end|>\n"),
+        ),
+    )
+    rendered = F.concat(
+        F.lit("<|im_start|>system\n"), sysc, F.lit("<|im_end|>\n"),
+        F.array_join(seg, ""),
+    )
+    sys_block = (F.length(sysc) + F.lit(19 + _CHAT_TRAIL)).cast("long")
+    # fold the offset chain: acc.off = rendered length so far, acc.ssum
+    # = sum of assistant-content start offsets (start = off + header)
+    fold = F.aggregate(
+        idxs,
+        F.struct(sys_block.alias("off"),
+                 F.lit(0).cast("long").alias("ssum")),
+        lambda acc, i: F.struct(
+            (acc.off
+             + F.when(i % 2 == 0, F.lit(17)).otherwise(F.lit(22))
+             + F.length(F.element_at(turns, i + 1))
+             + F.lit(_CHAT_TRAIL)).alias("off"),
+            (acc.ssum + F.when(i % 2 == 1, acc.off + F.lit(22))
+             .otherwise(F.lit(0))).alias("ssum"),
+        ),
+    )
+    mask_len = F.aggregate(
+        idxs, F.lit(0).cast("long"),
+        lambda acc, i: acc + F.when(
+            i % 2 == 1, F.length(F.element_at(turns, i + 1))
+        ).otherwise(F.lit(0)),
+    )
+    return d.select(
+        "doc_id",
+        n_turns.alias("n_turns"),
+        (n_turns / 2).cast("int").alias("n_assistant"),
+        fold["off"].alias("render_len"),
+        fold["ssum"].alias("mask_start_sum"),
+        mask_len.alias("mask_len_sum"),
+        rendered.alias("rendered"),
+    )
+
+
+ORACLE_CHAT_TEMPLATE = f"""
+WITH base AS (
+  SELECT doc_id, lang, source,
+         string_split_regex(text, '\\s+') AS w,
+         'lang=' || lang || ' source=' || source AS sysc
+  FROM documents
+),
+dims AS (
+  SELECT doc_id, lang, source, w, sysc,
+         CAST(least((len(w) + {CHAT_WORDS_PER_TURN - 1})
+                    // {CHAT_WORDS_PER_TURN}, {CHAT_MAX_TURNS}) AS INT)
+           AS n_turns
+  FROM base
+),
+turns AS (
+  SELECT d.doc_id, d.n_turns, d.sysc, i.i AS ti,
+         array_to_string(d.w[i.i * {CHAT_WORDS_PER_TURN} + 1 :
+                              (i.i + 1) * {CHAT_WORDS_PER_TURN}], ' ')
+           AS content,
+         CASE WHEN i.i % 2 = 0 THEN 'user' ELSE 'assistant' END AS role
+  FROM dims d
+  JOIN generate_series(0, {CHAT_MAX_TURNS - 1}) AS i(i)
+    ON i.i < d.n_turns
+),
+segs AS (
+  SELECT doc_id, ti, role, content,
+         '<|im_start|>' || role || chr(10) || content
+           || '<|im_end|>' || chr(10) AS seg,
+         CASE WHEN role = 'user' THEN 17 ELSE 22 END AS hdr,
+         length(content) AS clen
+  FROM turns
+),
+offs AS (
+  SELECT doc_id, ti, role, seg, hdr, clen,
+         sum(hdr + clen + {_CHAT_TRAIL})
+           OVER (PARTITION BY doc_id ORDER BY ti
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           AS prior
+  FROM segs
+),
+per_doc AS (
+  SELECT o.doc_id,
+         sum(CASE WHEN o.role = 'assistant'
+                  THEN length(d2.sysc) + {19 + _CHAT_TRAIL}
+                       + coalesce(o.prior, 0) + o.hdr
+                  ELSE 0 END) AS mask_start_sum,
+         sum(CASE WHEN o.role = 'assistant' THEN o.clen ELSE 0 END)
+           AS mask_len_sum,
+         sum(o.hdr + o.clen + {_CHAT_TRAIL}) AS turns_len,
+         string_agg(o.seg, '' ORDER BY o.ti) AS body
+  FROM offs o JOIN dims d2 USING (doc_id)
+  GROUP BY o.doc_id
+)
+SELECT d.doc_id,
+       d.n_turns,
+       CAST(d.n_turns // 2 AS INT) AS n_assistant,
+       CAST(length(d.sysc) + {19 + _CHAT_TRAIL} + p.turns_len AS BIGINT)
+         AS render_len,
+       CAST(p.mask_start_sum AS BIGINT) AS mask_start_sum,
+       CAST(p.mask_len_sum AS BIGINT) AS mask_len_sum,
+       '<|im_start|>system' || chr(10) || d.sysc || '<|im_end|>'
+         || chr(10) || p.body AS rendered
+FROM dims d JOIN per_doc p USING (doc_id)
+"""
+
+
+QUERIES["doc_chat_template"] = QuerySpec(
+    q_chat_template,
+    ORACLE_CHAT_TEMPLATE,
+    "SFT chat-template render (ChatML) + exact loss-mask span offsets",
+)
+
+
+# ---------------------------------------------------------------------------
+# DPO preference-pair construction: within bounded hash buckets, pair
+# the i-th best document with the i-th worst by a deterministic
+# quality score.
+
+DPO_BUCKETS = 16
+
+
+def q_dpo_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Preference-pair assembly (DPO/RLHF reward-data shape): score
+    each document with a deterministic lexical-diversity signal
+    (distinct-word ratio in integer ppm), hash-bucket the corpus into
+    DPO_BUCKETS groups per language (the partition grain — bucket
+    count scales with the corpus the way shuffle partitions do, so no
+    per-language total sort), rank within (lang, bucket), and pair
+    rank i with rank cnt+1-i: (chosen, rejected, margin_ppm), keeping
+    strictly-positive margins.
+
+    Spark shape: one window pass over (lang, bucket) partitions + one
+    self-equi-join on the rank — both on the same bounded partition
+    key, no corpus-sized window. Ties break on doc_id both sides, so
+    the pairing is deterministic and the oracle reproduces it exactly.
+
+    Reference parity: north-star LLM-pipeline extension (the reference
+    has no preference-data surface)."""
+    d = read_table(spark, sf_dir, "documents")
+    words = F.split(F.col("text"), r"\s+")
+    score = F.floor(
+        F.lit(1000000) * F.size(F.array_distinct(words)) / F.size(words)
+    ).cast("long")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15),
+               16, 10).cast("long") % DPO_BUCKETS
+    ).alias("bucket")
+    base = d.select(
+        "doc_id", "lang", bucket, score.alias("score_ppm")
+    )
+    w = Window.partitionBy("lang", "bucket").orderBy(
+        F.col("score_ppm").desc(), F.col("doc_id").asc()
+    )
+    ranked = base.select(
+        "*",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(
+            Window.partitionBy("lang", "bucket")
+        ).alias("cnt"),
+    )
+    best = ranked.filter(F.col("rn") * 2 <= F.col("cnt")).select(
+        "lang", "bucket", "rn", "cnt",
+        F.col("doc_id").alias("chosen_id"),
+        F.col("score_ppm").alias("chosen_score"),
+    )
+    worst = ranked.select(
+        F.col("lang").alias("lang2"), F.col("bucket").alias("bucket2"),
+        F.col("rn").alias("rn2"),
+        F.col("doc_id").alias("rejected_id"),
+        F.col("score_ppm").alias("rejected_score"),
+    )
+    pairs = best.join(
+        worst,
+        (F.col("lang") == F.col("lang2"))
+        & (F.col("bucket") == F.col("bucket2"))
+        & (F.col("rn2") == F.col("cnt") + 1 - F.col("rn")),
+    )
+    return pairs.filter(
+        F.col("chosen_score") > F.col("rejected_score")
+    ).select(
+        "lang",
+        F.col("bucket").cast("int").alias("bucket"),
+        F.col("rn").cast("int").alias("pair_rank"),
+        "chosen_id",
+        "rejected_id",
+        (F.col("chosen_score") - F.col("rejected_score"))
+        .alias("margin_ppm"),
+    )
+
+
+ORACLE_DPO_PAIRS = f"""
+WITH scored AS (
+  SELECT doc_id, lang,
+         CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+              AS BIGINT) % {DPO_BUCKETS} AS bucket,
+         CAST(floor(1000000.0 * len(list_distinct(
+                 string_split_regex(text, '\\s+')))
+              / len(string_split_regex(text, '\\s+'))) AS BIGINT)
+           AS score_ppm
+  FROM documents
+),
+ranked AS (
+  SELECT *,
+         row_number() OVER (PARTITION BY lang, bucket
+                            ORDER BY score_ppm DESC, doc_id ASC) AS rn,
+         count(*) OVER (PARTITION BY lang, bucket) AS cnt
+  FROM scored
+)
+SELECT a.lang,
+       CAST(a.bucket AS INT) AS bucket,
+       CAST(a.rn AS INT) AS pair_rank,
+       a.doc_id AS chosen_id,
+       b.doc_id AS rejected_id,
+       a.score_ppm - b.score_ppm AS margin_ppm
+FROM ranked a
+JOIN ranked b
+  ON a.lang = b.lang AND a.bucket = b.bucket
+ AND b.rn = a.cnt + 1 - a.rn
+WHERE a.rn * 2 <= a.cnt AND a.score_ppm > b.score_ppm
+"""
+
+
+QUERIES["doc_dpo_pairs"] = QuerySpec(
+    q_dpo_pairs,
+    ORACLE_DPO_PAIRS,
+    "DPO preference pairs: bucketed best-vs-worst pairing, exact margins",
+)
