@@ -92,8 +92,12 @@ Scope (precise, honestly guarded):
   identity), and the §8.4.2.3.2 sample op applied to every P inter
   prediction including P_Skip — global fades collapse to skip rows.
   Weights are estimated per plane by least squares (fade model).
-  CABAC and weighted BI-prediction (weighted_bipred_idc != 0)
-  remain honest NotImplementedError guards.
+- explicit weighted BI-prediction (encode_gop_b_weighted):
+  weighted_bipred_idc=1 PPS, the §7.3.3.2 pred_weight_table for BOTH
+  lists, and the §8.4.2.3.2 weighted uni/bi sample ops on every B
+  prediction including B_Skip/B_Direct — a global fade collapses to
+  skip/direct rows in B slices too. IMPLICIT weighted bi-prediction
+  (idc=2) and CABAC remain honest NotImplementedError guards.
 
 Verification stance: bit-exact ROUND-TRIP is the contract — the
 decoder must reproduce the encoder's own reconstruction exactly
@@ -905,47 +909,82 @@ def _apply_weight(pred: np.ndarray, w: int, o: int,
     return np.clip(pred * w + o, 0, 255)
 
 
+def _wp_bi(p0: np.ndarray, p1: np.ndarray, w0: int, o0: int, w1: int,
+           o1: int, logwd: int) -> np.ndarray:
+    """Explicit weighted BI-prediction sample op (§8.4.2.3.2):
+    Clip1(((p0*w0 + p1*w1 + 2^logWD) >> (logWD+1)) + ((o0+o1+1)>>1))."""
+    return np.clip(
+        ((p0 * w0 + p1 * w1 + (1 << logwd)) >> (logwd + 1))
+        + ((o0 + o1 + 1) >> 1), 0, 255)
+
+
 def _bi_chroma(c0: np.ndarray, c1: np.ndarray, u0: bool, u1: bool,
-               m0, m1, cy: int, cx: int, size=8) -> np.ndarray:
+               m0, m1, cy: int, cx: int, size=8, wp=None) -> np.ndarray:
     """Chroma twin of the B-slice luma predictor: §8.4.2.3 default
-    bi-averaging when both lists are in use, else the one used list."""
+    bi-averaging when both lists are in use, else the one used list.
+    `wp` = ((w0, o0), (w1, o1), logWD) applies the §8.4.2.3.2 explicit
+    weighted op instead (weighted_bipred_idc = 1)."""
     if u0 and u1:
+        if wp is not None:
+            (w0, o0), (w1, o1), lwd = wp
+            return _wp_bi(_mc_chroma(c0, cy, cx, m0, size),
+                          _mc_chroma(c1, cy, cx, m1, size),
+                          w0, o0, w1, o1, lwd)
         return (_mc_chroma(c0, cy, cx, m0, size)
                 + _mc_chroma(c1, cy, cx, m1, size) + 1) >> 1
     if u0:
-        return _mc_chroma(c0, cy, cx, m0, size)
-    return _mc_chroma(c1, cy, cx, m1, size)
+        p = _mc_chroma(c0, cy, cx, m0, size)
+        if wp is not None:
+            return _apply_weight(p, wp[0][0], wp[0][1], wp[2])
+        return p
+    p = _mc_chroma(c1, cy, cx, m1, size)
+    if wp is not None:
+        return _apply_weight(p, wp[1][0], wp[1][1], wp[2])
+    return p
 
 
 def _bi_luma(r0: np.ndarray, r1: np.ndarray, u0: bool, u1: bool,
-             m0, m1, y: int, x: int, size=16) -> np.ndarray:
+             m0, m1, y: int, x: int, size=16, wp=None) -> np.ndarray:
     """B-slice luma partition predictor: §8.4.2.3 default bi-averaging
-    when both lists are in use, else the one used list."""
+    when both lists are in use, else the one used list. `wp` =
+    ((w0, o0), (w1, o1), logWD) applies the §8.4.2.3.2 explicit
+    weighted op instead (weighted_bipred_idc = 1)."""
     if u0 and u1:
+        if wp is not None:
+            (w0, o0), (w1, o1), lwd = wp
+            return _wp_bi(_mc_luma(r0, y, x, m0, size),
+                          _mc_luma(r1, y, x, m1, size),
+                          w0, o0, w1, o1, lwd)
         return (_mc_luma(r0, y, x, m0, size)
                 + _mc_luma(r1, y, x, m1, size) + 1) >> 1
     if u0:
-        return _mc_luma(r0, y, x, m0, size)
-    return _mc_luma(r1, y, x, m1, size)
+        p = _mc_luma(r0, y, x, m0, size)
+        if wp is not None:
+            return _apply_weight(p, wp[0][0], wp[0][1], wp[2])
+        return p
+    p = _mc_luma(r1, y, x, m1, size)
+    if wp is not None:
+        return _apply_weight(p, wp[1][0], wp[1][1], wp[2])
+    return p
 
 
 def _direct_chroma(c0: np.ndarray, c1: np.ndarray, u0: bool, u1: bool,
                    dmv0, dmv1, zq: np.ndarray, cy: int,
-                   cx: int) -> np.ndarray:
+                   cx: int, wp=None) -> np.ndarray:
     """Chroma prediction for a spatial-direct B MB: each 8x8 luma
     quadrant is a 4x4 chroma quadrant, zeroed per its colZeroFlag —
     identical structure to the luma direct predictor."""
     if zq.all():
-        return _bi_chroma(c0, c1, u0, u1, (0, 0), (0, 0), cy, cx, 8)
+        return _bi_chroma(c0, c1, u0, u1, (0, 0), (0, 0), cy, cx, 8, wp)
     if not zq.any():
-        return _bi_chroma(c0, c1, u0, u1, dmv0, dmv1, cy, cx, 8)
+        return _bi_chroma(c0, c1, u0, u1, dmv0, dmv1, cy, cx, 8, wp)
     out = np.empty((8, 8), dtype=np.int64)
     for qy in range(2):
         for qx in range(2):
             m0 = (0, 0) if zq[qy, qx] else dmv0
             m1 = (0, 0) if zq[qy, qx] else dmv1
             out[4 * qy : 4 * qy + 4, 4 * qx : 4 * qx + 4] = _bi_chroma(
-                c0, c1, u0, u1, m0, m1, cy + 4 * qy, cx + 4 * qx, 4)
+                c0, c1, u0, u1, m0, m1, cy + 4 * qy, cx + 4 * qx, 4, wp)
     return out
 
 
@@ -1325,7 +1364,8 @@ def _build_sps_rbsp(width: int, height: int, max_refs: int = 1,
 
 
 def _build_pps_rbsp(weighted_pred: bool = False,
-                    active_l0: int = 1) -> bytes:
+                    active_l0: int = 1,
+                    weighted_bipred: bool = False) -> bytes:
     w = BitWriter()
     w.ue(0)      # pps id
     w.ue(0)      # sps id
@@ -1335,7 +1375,7 @@ def _build_pps_rbsp(weighted_pred: bool = False,
     w.ue(active_l0 - 1)  # num_ref_idx_l0_default_active_minus1
     w.ue(0)      # num_ref_idx_l1_default_active_minus1
     w.u(1 if weighted_pred else 0, 1)  # weighted_pred (P explicit WP)
-    w.u(0, 2)    # weighted_bipred_idc
+    w.u(1 if weighted_bipred else 0, 2)  # weighted_bipred_idc
     w.se(0)      # pic_init_qp_minus26
     w.se(0)      # pic_init_qs_minus26
     w.se(0)      # chroma_qp_index_offset
@@ -1758,8 +1798,10 @@ def _parse_pps(r: BitReader) -> dict:
     active_l0 = r.ue() + 1
     r.ue()
     weighted_pred = r.u(1)
-    if r.u(2) != 0:
-        raise NotImplementedError("weighted bi-prediction unsupported")
+    wbidc = r.u(2)
+    if wbidc == 2:
+        raise NotImplementedError("IMPLICIT weighted bi-prediction "
+                                  "unsupported (weighted_bipred_idc 2)")
     qp_delta = r.se()
     r.se()
     r.se()
@@ -1770,6 +1812,7 @@ def _parse_pps(r: BitReader) -> dict:
         "cabac": bool(cabac),
         "active_l0": active_l0,
         "weighted_pred": bool(weighted_pred),
+        "weighted_bipred": wbidc == 1,
         "pic_init_qp_delta": qp_delta,
         "deblocking_control": bool(deblocking_control),
     }
@@ -3105,20 +3148,20 @@ def _temporal_direct_mb(col_mv4: np.ndarray, col_intra4: np.ndarray,
 
 
 def _quad_pred16(r0: np.ndarray, r1: np.ndarray, m0q, m1q,
-                 y0: int, x0: int) -> np.ndarray:
+                 y0: int, x0: int, wp=None) -> np.ndarray:
     """Bi-predicted 16x16 luma from per-quadrant MV pairs (§8.4.2.3
-    default averaging) — the temporal-direct prediction shape."""
+    default averaging, or the §8.4.2.3.2 explicit weighted op when
+    `wp` is set) — the temporal-direct prediction shape."""
     if m0q[0][0] == m0q[0][1] == m0q[1][0] == m0q[1][1] and \
             m1q[0][0] == m1q[0][1] == m1q[1][0] == m1q[1][1]:
-        return (_mc_luma(r0, y0, x0, m0q[0][0])
-                + _mc_luma(r1, y0, x0, m1q[0][0]) + 1) >> 1
+        return _bi_luma(r0, r1, True, True, m0q[0][0], m1q[0][0],
+                        y0, x0, 16, wp)
     pred = np.empty((16, 16), dtype=np.int64)
     for qy in range(2):
         for qx in range(2):
-            pred[8 * qy : 8 * qy + 8, 8 * qx : 8 * qx + 8] = (
-                _mc_luma(r0, y0 + 8 * qy, x0 + 8 * qx, m0q[qy][qx], 8)
-                + _mc_luma(r1, y0 + 8 * qy, x0 + 8 * qx, m1q[qy][qx], 8)
-                + 1) >> 1
+            pred[8 * qy : 8 * qy + 8, 8 * qx : 8 * qx + 8] = _bi_luma(
+                r0, r1, True, True, m0q[qy][qx], m1q[qy][qx],
+                y0 + 8 * qy, x0 + 8 * qx, 8, wp)
     return pred
 
 
@@ -3199,19 +3242,18 @@ def _b_mode_key(mb_type: int) -> str:
 
 
 def _quad_pred_chroma8(c0: np.ndarray, c1: np.ndarray, m0q, m1q,
-                       cy: int, cx: int) -> np.ndarray:
+                       cy: int, cx: int, wp=None) -> np.ndarray:
     """Chroma twin of _quad_pred16 (4x4 chroma per 8x8 luma quad)."""
     if m0q[0][0] == m0q[0][1] == m0q[1][0] == m0q[1][1] and \
             m1q[0][0] == m1q[0][1] == m1q[1][0] == m1q[1][1]:
-        return (_mc_chroma(c0, cy, cx, m0q[0][0], 8)
-                + _mc_chroma(c1, cy, cx, m1q[0][0], 8) + 1) >> 1
+        return _bi_chroma(c0, c1, True, True, m0q[0][0], m1q[0][0],
+                          cy, cx, 8, wp)
     out = np.empty((8, 8), dtype=np.int64)
     for qy in range(2):
         for qx in range(2):
-            out[4 * qy : 4 * qy + 4, 4 * qx : 4 * qx + 4] = (
-                _mc_chroma(c0, cy + 4 * qy, cx + 4 * qx, m0q[qy][qx], 4)
-                + _mc_chroma(c1, cy + 4 * qy, cx + 4 * qx, m1q[qy][qx], 4)
-                + 1) >> 1
+            out[4 * qy : 4 * qy + 4, 4 * qx : 4 * qx + 4] = _bi_chroma(
+                c0, c1, True, True, m0q[qy][qx], m1q[qy][qx],
+                cy + 4 * qy, cx + 4 * qx, 4, wp)
     return out
 
 
@@ -3329,6 +3371,7 @@ def _encode_bslice(
     poc_lsb: int | None = None,
     direct_mode: str = "spatial",
     dsf: int | None = None,
+    bwp: dict | None = None,
 ) -> tuple[tuple[np.ndarray, np.ndarray, np.ndarray], bytes, dict]:
     """Encode one B slice: per MB, derive the direct motion — SPATIAL
     (§8.4.1.2.2: col_info = L1[0]'s 4x4-granular DPB motion record;
@@ -3366,11 +3409,30 @@ def _encode_bslice(
     w.u(0, 1)               # num_ref_idx_active_override_flag
     w.u(0, 1)               # ref_pic_list_modification_flag_l0
     w.u(0, 1)               # ref_pic_list_modification_flag_l1
+    if bwp is not None:
+        # pred_weight_table (§7.3.3.2): explicit weights for BOTH
+        # lists' single references (weighted_bipred_idc = 1 PPS)
+        w.ue(bwp["logwd_y"])
+        w.ue(bwp["logwd_c"])
+        for lx in (0, 1):
+            w.u(1, 1)       # luma_weight_lX_flag
+            w.se(bwp[f"y{lx}"][0])
+            w.se(bwp[f"y{lx}"][1])
+            w.u(1, 1)       # chroma_weight_lX_flag
+            for comp in ("cb", "cr"):
+                w.se(bwp[f"{comp}{lx}"][0])
+                w.se(bwp[f"{comp}{lx}"][1])
     if ref_slice:
         w.u(0, 1)           # adaptive_ref_pic_marking_mode_flag
     w.se(qp - 26)
     w.ue(1)                 # deblocking off
 
+    if bwp is None:
+        wpy = wpcb = wpcr = None
+    else:
+        wpy = (bwp["y0"], bwp["y1"], bwp["logwd_y"])
+        wpcb = (bwp["cb0"], bwp["cb1"], bwp["logwd_c"])
+        wpcr = (bwp["cr0"], bwp["cr1"], bwp["logwd_c"])
     src = y_plane.astype(np.int64)
     src_cb = cb_plane.astype(np.int64)
     src_cr = cr_plane.astype(np.int64)
@@ -3414,12 +3476,7 @@ def _encode_bslice(
 
     def direct_pred(u0, u1, dmv0, dmv1, zq, y0, x0) -> np.ndarray:
         def one(m0, m1, py, px, size):
-            if u0 and u1:
-                return (_mc_luma(r0, py, px, m0, size)
-                        + _mc_luma(r1, py, px, m1, size) + 1) >> 1
-            if u0:
-                return _mc_luma(r0, py, px, m0, size)
-            return _mc_luma(r1, py, px, m1, size)
+            return _bi_luma(r0, r1, u0, u1, m0, m1, py, px, size, wpy)
 
         if zq.all():
             return one((0, 0), (0, 0), y0, x0, 16)
@@ -3455,11 +3512,13 @@ def _encode_bslice(
                 m0q, m1q = _temporal_direct_mb(
                     col_info["mv4"], col_info["intra4"], mbx, mby, dsf
                 )
-                pd = _quad_pred16(r0, r1, m0q, m1q, y0, x0)
+                pd = _quad_pred16(r0, r1, m0q, m1q, y0, x0, wpy)
                 pd_cb = _quad_pred_chroma8(
-                    refs_c[(0, "cb")], refs_c[(1, "cb")], m0q, m1q, cy, cx)
+                    refs_c[(0, "cb")], refs_c[(1, "cb")], m0q, m1q,
+                    cy, cx, wpcb)
                 pd_cr = _quad_pred_chroma8(
-                    refs_c[(0, "cr")], refs_c[(1, "cr")], m0q, m1q, cy, cx)
+                    refs_c[(0, "cr")], refs_c[(1, "cr")], m0q, m1q,
+                    cy, cx, wpcr)
 
                 def commit_direct_any(y4=y4, x4=x4, m0q=m0q, m1q=m1q):
                     for qy in range(2):
@@ -3480,10 +3539,12 @@ def _encode_bslice(
                 pd = direct_pred(u0, u1, dmv0, dmv1, zq, y0, x0)
                 pd_cb = _direct_chroma(refs_c[(0, "cb")],
                                        refs_c[(1, "cb")],
-                                       u0, u1, dmv0, dmv1, zq, cy, cx)
+                                       u0, u1, dmv0, dmv1, zq, cy, cx,
+                                       wpcb)
                 pd_cr = _direct_chroma(refs_c[(0, "cr")],
                                        refs_c[(1, "cr")],
-                                       u0, u1, dmv0, dmv1, zq, cy, cx)
+                                       u0, u1, dmv0, dmv1, zq, cy, cx,
+                                       wpcr)
 
                 def commit_direct_any(mbx=mbx, mby=mby, u0=u0, u1=u1,
                                       dmv0=dmv0, dmv1=dmv1, zq=zq):
@@ -3522,9 +3583,12 @@ def _encode_bslice(
                                      subparts=True)
             mv0, c0 = _refine_subpel(r0, blk, y0, x0, *sr0["full"])
             mv1, c1 = _refine_subpel(r1, blk, y0, x0, *sr1["full"])
-            p0 = _mc_luma(r0, y0, x0, mv0)
-            p1 = _mc_luma(r1, y0, x0, mv1)
-            pbi = (p0 + p1 + 1) >> 1
+            p0 = _bi_luma(r0, r1, True, False, mv0, mv1, y0, x0, 16,
+                          wpy)
+            p1 = _bi_luma(r0, r1, False, True, mv0, mv1, y0, x0, 16,
+                          wpy)
+            pbi = _bi_luma(r0, r1, True, True, mv0, mv1, y0, x0, 16,
+                           wpy)
             cbi = int(np.abs(blk - pbi).sum())
             slices = {
                 "top": (blk[:8, :], y0, x0),
@@ -3697,7 +3761,7 @@ def _encode_bslice(
                         pred[8 * qy + sdy : 8 * qy + sdy + ph_,
                              8 * qx + sdx : 8 * qx + sdx + pw_] \
                             = _bi_luma(r0, r1, u0q, u1q, m0q_, m1q_,
-                                       ly, lxo, (ph_, pw_))
+                                       ly, lxo, (ph_, pw_), wpy)
                         csz = (ph_ // 2, pw_ // 2)
                         cyq = cy + 4 * qy + sdy // 2
                         cxq = cx + 4 * qx + sdx // 2
@@ -3707,14 +3771,16 @@ def _encode_bslice(
                                 4 * qx + sdx // 2 + pw_ // 2] = \
                             _bi_chroma(
                                 refs_c[(0, "cb")], refs_c[(1, "cb")],
-                                u0q, u1q, m0q_, m1q_, cyq, cxq, csz)
+                                u0q, u1q, m0q_, m1q_, cyq, cxq, csz,
+                                wpcb)
                         pred_cr[4 * qy + sdy // 2 :
                                 4 * qy + sdy // 2 + ph_ // 2,
                                 4 * qx + sdx // 2 :
                                 4 * qx + sdx // 2 + pw_ // 2] = \
                             _bi_chroma(
                                 refs_c[(0, "cr")], refs_c[(1, "cr")],
-                                u0q, u1q, m0q_, m1q_, cyq, cxq, csz)
+                                u0q, u1q, m0q_, m1q_, cyq, cxq, csz,
+                                wpcr)
             elif choice >= 4:
                 orient, pm0, pm1 = B_TWOPART[choice]
                 parts = B_PART_GEOM[orient]
@@ -3754,16 +3820,18 @@ def _encode_bslice(
                     m1p = mvs[1][pi] or (0, 0)
                     pred[dy : dy + ph, dx : dx + pw] = _bi_luma(
                         r0, r1, u0p, u1p, m0p, m1p,
-                        y0 + dy, x0 + dx, (ph, pw))
+                        y0 + dy, x0 + dx, (ph, pw), wpy)
                     csz = (ph // 2, pw // 2)
                     pred_cb[dy // 2 : dy // 2 + ph // 2,
                             dx // 2 : dx // 2 + pw // 2] = _bi_chroma(
                         refs_c[(0, "cb")], refs_c[(1, "cb")], u0p, u1p,
-                        m0p, m1p, cy + dy // 2, cx + dx // 2, csz)
+                        m0p, m1p, cy + dy // 2, cx + dx // 2, csz,
+                        wpcb)
                     pred_cr[dy // 2 : dy // 2 + ph // 2,
                             dx // 2 : dx // 2 + pw // 2] = _bi_chroma(
                         refs_c[(0, "cr")], refs_c[(1, "cr")], u0p, u1p,
-                        m0p, m1p, cy + dy // 2, cx + dx // 2, csz)
+                        m0p, m1p, cy + dy // 2, cx + dx // 2, csz,
+                        wpcr)
             else:
                 pred = (pd, p0, p1, pbi)[choice]
                 if choice in (1, 3):
@@ -3780,10 +3848,12 @@ def _encode_bslice(
                     u0c, u1c = choice in (1, 3), choice in (2, 3)
                     pred_cb = _bi_chroma(refs_c[(0, "cb")],
                                          refs_c[(1, "cb")],
-                                         u0c, u1c, mv0, mv1, cy, cx)
+                                         u0c, u1c, mv0, mv1, cy, cx, 8,
+                                         wpcb)
                     pred_cr = _bi_chroma(refs_c[(0, "cr")],
                                          refs_c[(1, "cr")],
-                                         u0c, u1c, mv0, mv1, cy, cx)
+                                         u0c, u1c, mv0, mv1, cy, cx, 8,
+                                         wpcr)
             if choice == 0:
                 levels, cbp = lv_d, cbp_d
                 cc, dcs, acs = cc_d, dcs_d, acs_d
@@ -3877,6 +3947,26 @@ def _decode_bslice(r: BitReader, sps: dict, pps: dict,
         raise NotImplementedError("ref_pic_list_modification unsupported")
     if r.u(1):
         raise NotImplementedError("ref_pic_list_modification unsupported")
+    wpy = wpcb = wpcr = None
+    if pps.get("weighted_bipred"):
+        # pred_weight_table (§7.3.3.2) for BOTH lists; absent flags
+        # mean the 2^logWD identity with zero offset
+        lwy, lwc = r.ue(), r.ue()
+        wts = {}
+        for lx in (0, 1):
+            wy, oy = 1 << lwy, 0
+            if r.u(1):
+                wy, oy = r.se(), r.se()
+            wts[f"y{lx}"] = (wy, oy)
+            cbw, crw = (1 << lwc, 0), (1 << lwc, 0)
+            if r.u(1):
+                cbw = (r.se(), r.se())
+                crw = (r.se(), r.se())
+            wts[f"cb{lx}"] = cbw
+            wts[f"cr{lx}"] = crw
+        wpy = (wts["y0"], wts["y1"], lwy)
+        wpcb = (wts["cb0"], wts["cb1"], lwc)
+        wpcr = (wts["cr0"], wts["cr1"], lwc)
     if ref_idc and r.u(1):
         raise NotImplementedError("adaptive ref-pic marking unsupported")
     qp = 26 + pps["pic_init_qp_delta"] + r.se()
@@ -3922,20 +4012,22 @@ def _decode_bslice(r: BitReader, sps: dict, pps: dict,
             u0, u1, dmv0, dmv1, zq = direct_motion(mbx, mby)
             pred = direct_pred(u0, u1, dmv0, dmv1, zq, y0, x0)
             pcb = _direct_chroma(refs_c[(0, "cb")], refs_c[(1, "cb")],
-                                 u0, u1, dmv0, dmv1, zq, cy, cx)
+                                 u0, u1, dmv0, dmv1, zq, cy, cx, wpcb)
             pcr = _direct_chroma(refs_c[(0, "cr")], refs_c[(1, "cr")],
-                                 u0, u1, dmv0, dmv1, zq, cy, cx)
+                                 u0, u1, dmv0, dmv1, zq, cy, cx, wpcr)
 
             def commit():
                 commit_direct(mbx, mby, u0, u1, dmv0, dmv1, zq)
         else:
             m0q, m1q = _temporal_direct_mb(
                 col_info["mv4"], col_info["intra4"], mbx, mby, dsf)
-            pred = _quad_pred16(r0, r1, m0q, m1q, y0, x0)
+            pred = _quad_pred16(r0, r1, m0q, m1q, y0, x0, wpy)
             pcb = _quad_pred_chroma8(refs_c[(0, "cb")],
-                                     refs_c[(1, "cb")], m0q, m1q, cy, cx)
+                                     refs_c[(1, "cb")], m0q, m1q,
+                                     cy, cx, wpcb)
             pcr = _quad_pred_chroma8(refs_c[(0, "cr")],
-                                     refs_c[(1, "cr")], m0q, m1q, cy, cx)
+                                     refs_c[(1, "cr")], m0q, m1q,
+                                     cy, cx, wpcr)
 
             def commit():
                 y4, x4 = mby * 4, mbx * 4
@@ -3949,12 +4041,7 @@ def _decode_bslice(r: BitReader, sps: dict, pps: dict,
 
     def direct_pred(u0, u1, dmv0, dmv1, zq, y0, x0) -> np.ndarray:
         def one(m0, m1, py, px, size):
-            if u0 and u1:
-                return (_mc_luma(r0, py, px, m0, size)
-                        + _mc_luma(r1, py, px, m1, size) + 1) >> 1
-            if u0:
-                return _mc_luma(r0, py, px, m0, size)
-            return _mc_luma(r1, py, px, m1, size)
+            return _bi_luma(r0, r1, u0, u1, m0, m1, py, px, size, wpy)
 
         if zq.all():
             return one((0, 0), (0, 0), y0, x0, 16)
@@ -4039,10 +4126,10 @@ def _decode_bslice(r: BitReader, sps: dict, pps: dict,
                     m0 = dq_mv(0, qy, qx) or (0, 0)
                     m1 = dq_mv(1, qy, qx) or (0, 0)
                     return _bi_luma(planes[0], planes[1], du0, du1,
-                                    m0, m1, py, px, sz) \
+                                    m0, m1, py, px, sz, planes[3]) \
                         if planes[2] else _bi_chroma(
                             planes[0], planes[1], du0, du1, m0, m1,
-                            py, px, sz)
+                            py, px, sz, planes[3])
             else:
                 tm0q, tm1q = _temporal_direct_mb(
                     col_info["mv4"], col_info["intra4"], mbx, mby, dsf)
@@ -4054,10 +4141,11 @@ def _decode_bslice(r: BitReader, sps: dict, pps: dict,
                     if planes[2]:
                         return _bi_luma(planes[0], planes[1], True,
                                         True, tm0q[qy][qx],
-                                        tm1q[qy][qx], py, px, sz)
+                                        tm1q[qy][qx], py, px, sz,
+                                        planes[3])
                     return _bi_chroma(planes[0], planes[1], True, True,
                                       tm0q[qy][qx], tm1q[qy][qx],
-                                      py, px, sz)
+                                      py, px, sz, planes[3])
             # list-major MVDs over quadrants then sub-parts
             # (§7.3.5.1); direct quadrants commit their derived
             # motion in place
@@ -4094,15 +4182,15 @@ def _decode_bslice(r: BitReader, sps: dict, pps: dict,
                 cyq, cxq = cy + 4 * qy, cx + 4 * qx
                 if st == 0:
                     pred[8 * qy : 8 * qy + 8, 8 * qx : 8 * qx + 8] = \
-                        dq_pred(qy, qx, ly, lxo, 8, (r0, r1, True))
+                        dq_pred(qy, qx, ly, lxo, 8, (r0, r1, True, wpy))
                     pred_cb[4 * qy : 4 * qy + 4, 4 * qx : 4 * qx + 4] = \
                         dq_pred(qy, qx, cyq, cxq, 4,
                                 (refs_c[(0, "cb")], refs_c[(1, "cb")],
-                                 False))
+                                 False, wpcb))
                     pred_cr[4 * qy : 4 * qy + 4, 4 * qx : 4 * qx + 4] = \
                         dq_pred(qy, qx, cyq, cxq, 4,
                                 (refs_c[(0, "cr")], refs_c[(1, "cr")],
-                                 False))
+                                 False, wpcr))
                     continue
                 u0q, u1q = _b_sub_uses(st, 0), _b_sub_uses(st, 1)
                 for si, (sdx, sdy, pw_, ph_, _suf) in \
@@ -4112,7 +4200,7 @@ def _decode_bslice(r: BitReader, sps: dict, pps: dict,
                     pred[8 * qy + sdy : 8 * qy + sdy + ph_,
                          8 * qx + sdx : 8 * qx + sdx + pw_] = \
                         _bi_luma(r0, r1, u0q, u1q, m0q_, m1q_,
-                                 ly + sdy, lxo + sdx, (ph_, pw_))
+                                 ly + sdy, lxo + sdx, (ph_, pw_), wpy)
                     csz = (ph_ // 2, pw_ // 2)
                     pred_cb[4 * qy + sdy // 2 :
                             4 * qy + sdy // 2 + ph_ // 2,
@@ -4120,14 +4208,16 @@ def _decode_bslice(r: BitReader, sps: dict, pps: dict,
                             4 * qx + sdx // 2 + pw_ // 2] = \
                         _bi_chroma(refs_c[(0, "cb")], refs_c[(1, "cb")],
                                    u0q, u1q, m0q_, m1q_,
-                                   cyq + sdy // 2, cxq + sdx // 2, csz)
+                                   cyq + sdy // 2, cxq + sdx // 2, csz,
+                                   wpcb)
                     pred_cr[4 * qy + sdy // 2 :
                             4 * qy + sdy // 2 + ph_ // 2,
                             4 * qx + sdx // 2 :
                             4 * qx + sdx // 2 + pw_ // 2] = \
                         _bi_chroma(refs_c[(0, "cr")], refs_c[(1, "cr")],
                                    u0q, u1q, m0q_, m1q_,
-                                   cyq + sdy // 2, cxq + sdx // 2, csz)
+                                   cyq + sdy // 2, cxq + sdx // 2, csz,
+                                   wpcr)
             part_args = -1
         elif mb_type >= 4:
             orient, pm0, pm1 = B_TWOPART[mb_type]
@@ -4159,16 +4249,16 @@ def _decode_bslice(r: BitReader, sps: dict, pps: dict,
                 m1p = mvs[1][pi] or (0, 0)
                 pred[dy : dy + ph, dx : dx + pw] = _bi_luma(
                     r0, r1, u0p, u1p, m0p, m1p,
-                    y0 + dy, x0 + dx, (ph, pw))
+                    y0 + dy, x0 + dx, (ph, pw), wpy)
                 csz = (ph // 2, pw // 2)
                 pred_cb[dy // 2 : dy // 2 + ph // 2,
                         dx // 2 : dx // 2 + pw // 2] = _bi_chroma(
                     refs_c[(0, "cb")], refs_c[(1, "cb")], u0p, u1p,
-                    m0p, m1p, cy + dy // 2, cx + dx // 2, csz)
+                    m0p, m1p, cy + dy // 2, cx + dx // 2, csz, wpcb)
                 pred_cr[dy // 2 : dy // 2 + ph // 2,
                         dx // 2 : dx // 2 + pw // 2] = _bi_chroma(
                     refs_c[(0, "cr")], refs_c[(1, "cr")], u0p, u1p,
-                    m0p, m1p, cy + dy // 2, cx + dx // 2, csz)
+                    m0p, m1p, cy + dy // 2, cx + dx // 2, csz, wpcr)
             part_args = -1  # motion already committed per list above
         else:
             mv0 = mv1 = (0, 0)
@@ -4182,17 +4272,11 @@ def _decode_bslice(r: BitReader, sps: dict, pps: dict,
                 mvp = _mvp_partition(mf1, x4, y4, 4, "16x16")
                 mvd = (r.se(), r.se())
                 mv1 = (mvp[0] + mvd[0], mvp[1] + mvd[1])
-            if mb_type == 1:
-                pred = _mc_luma(r0, y0, x0, mv0)
-            elif mb_type == 2:
-                pred = _mc_luma(r1, y0, x0, mv1)
-            else:
-                pred = (_mc_luma(r0, y0, x0, mv0)
-                        + _mc_luma(r1, y0, x0, mv1) + 1) >> 1
+            pred = _bi_luma(r0, r1, u0, u1, mv0, mv1, y0, x0, 16, wpy)
             pred_cb = _bi_chroma(refs_c[(0, "cb")], refs_c[(1, "cb")],
-                                 u0, u1, mv0, mv1, cy, cx)
+                                 u0, u1, mv0, mv1, cy, cx, 8, wpcb)
             pred_cr = _bi_chroma(refs_c[(0, "cr")], refs_c[(1, "cr")],
-                                 u0, u1, mv0, mv1, cy, cx)
+                                 u0, u1, mv0, mv1, cy, cx, 8, wpcr)
         cbp = CBP_INTER[r.ue()]
         if cbp and r.se() != 0:
             raise NotImplementedError("mb_qp_delta unsupported")
@@ -4295,6 +4379,80 @@ def _encode_gop_b_full(frames, qp, search_range):
             )
             del refs[2:]
             st = {"type": "P", **st}
+        recons.append(rec)
+        stats.append(st)
+    return recons, stats, stream
+
+
+def encode_gop_b_weighted(frames, qp: int = 20,
+                          search_range: int = 4) -> bytes:
+    """Encode a low-delay B GOP under EXPLICIT WEIGHTED BI-PREDICTION
+    (weighted_bipred_idc = 1 PPS, weighted_pred_flag = 1 for the P
+    frames): every B slice carries a §7.3.3.2 pred_weight_table for
+    BOTH lists (per-plane least-squares fade weights vs each
+    reference) and every B prediction — B_Skip/Direct included — runs
+    the §8.4.2.3.2 weighted ops (uni: Clip1(((p*w + 2^(logWD-1)) >>
+    logWD) + o); bi: Clip1(((p0*w0 + p1*w1 + 2^logWD) >> (logWD+1)) +
+    ((o0+o1+1)>>1))). A global fade then collapses to B_Skip/Direct
+    rows instead of coding a residual on every B MB."""
+    _r, _s, stream = _encode_gop_bw_full(frames, qp, search_range)
+    return stream
+
+
+def gop_b_weighted_reconstruction_yuv(frames, qp: int = 20,
+                                      search_range: int = 4):
+    """Decoded-loop (y, cb, cr) reconstructions + stats (each B stat
+    carries its per-list weights as `bwp`) for encode_gop_b_weighted."""
+    recons, stats, _stream = _encode_gop_bw_full(frames, qp,
+                                                 search_range)
+    return recons, stats
+
+
+def _encode_gop_bw_full(frames, qp, search_range):
+    if len(frames) < 3:
+        raise ValueError("a B GOP needs at least 3 frames (I, P, B)")
+    y0, cb0, cr0 = _to_yuv(np.asarray(frames[0]))
+    h, w_ = y0.shape
+    recon, payload = _encode_slice(y0, cb0, cr0, qp)
+    stream = (_nal(7, _build_sps_rbsp(w_, h, max_refs=2, profile=77))
+              + _nal(8, _build_pps_rbsp(weighted_pred=True,
+                                        weighted_bipred=True))
+              + _nal(5, payload))
+    recons, stats = [recon], []
+    refs = [(tuple(p.astype(np.int64) for p in recon),
+             _intra_motion_info(h // 16, w_ // 16))]
+    ref_fn = 0
+    for k, f in enumerate(frames[1:], start=1):
+        yuv = _to_yuv(np.asarray(f))
+        if yuv[0].shape != (h, w_):
+            raise ValueError("all GOP frames must share dimensions")
+        is_b = k >= 2 and (k % 2 == 0) and len(refs) >= 2
+        if is_b:
+            e0 = _estimate_wp(yuv, refs[0][0])
+            e1 = _estimate_wp(yuv, refs[1][0])
+            bwp = {"logwd_y": e0["logwd_y"], "logwd_c": e0["logwd_c"]}
+            for comp in ("y", "cb", "cr"):
+                bwp[f"{comp}0"] = e0[comp]
+                bwp[f"{comp}1"] = e1[comp]
+            rec, rbsp, st = _encode_bslice(
+                refs[0][0], refs[1][0], yuv, qp, (ref_fn + 1) % 16,
+                search_range, col_info=refs[1][1], bwp=bwp,
+            )
+            stream += _nal(1, rbsp, ref_idc=0)
+            st = {"type": "B", "bwp": bwp, **st}
+        else:
+            ref_fn += 1
+            wp = _estimate_wp(yuv, refs[0][0])
+            rec, rbsp, st = _encode_pslice(
+                refs[0][0], yuv, qp, ref_fn % 16, search_range, wp=wp
+            )
+            stream += _nal(1, rbsp, ref_idc=2)
+            refs.insert(
+                0, (tuple(p.astype(np.int64) for p in rec),
+                    _inter_motion_info(st["mv_grid4"]))
+            )
+            del refs[2:]
+            st = {"type": "P", "wp": wp, **st}
         recons.append(rec)
         stats.append(st)
     return recons, stats, stream

@@ -2414,3 +2414,131 @@ QUERIES["doc_h264_i16_probe"] = QuerySpec(
     "H.264 Intra_16x16: plane prediction + luma DC Hadamard, "
     "bit-exact contract",
 )
+
+
+H264_BWPRED_IDS = 12
+
+
+def q_h264_bwpred_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit weighted BI-prediction verification (multimodal/
+    h264.py round-8 layer — weighted_bipred_idc=1 PPS, §7.3.3.2
+    pred_weight_table for BOTH lists, §8.4.2.3.2 weighted uni/bi
+    sample ops applied to every B prediction incl. B_Skip/B_Direct):
+    per doc (doc_id < 12) synthesize a global-fade color B GOP with
+    formula-derived dims/QP/length/fade-step, encode with per-list
+    least-squares fade weights, decode, and emit exact metadata +
+    `yuv_bitexact` (three-plane decoder == encoder loop) +
+    `wp_engaged` (the L0 luma weight differs from the 2^logWD identity
+    on every B) + `sd_dominant` (>= 3/4 of B macroblocks collapse to
+    B_Skip/B_Direct — without WP a fade can never skip; measured
+    full-or-near-full collapse per id) + fade tolerance booleans on
+    the last frame (worst measured mean 1.63 / max 13; bounds 4.0 /
+    32). A weight-table-order, bi-op rounding, or skip-weighting slip
+    breaks bit-exactness or the booleans and flips the hash.
+
+    Spark shape: one Arrow mapInPandas pass, repartitioned across the
+    blob ids (single-row-group guard), no shuffle."""
+    import numpy as np
+    import pandas as pd
+
+    from ..multimodal.h264 import (
+        _to_yuv,
+        decode_stream,
+        encode_gop_b_weighted,
+        gop_b_weighted_reconstruction_yuv,
+    )
+
+    d = read_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") < H264_BWPRED_IDS
+    ).select("doc_id").repartition(H264_BWPRED_IDS)
+
+    def work(batches):
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                w_ = 16 * (2 + did % 2)
+                h = 16 * (2 + did % 3)
+                qp = 20 + did % 8
+                nf = 5 + did % 2
+                step = 0.05 + 0.01 * (did % 4)
+                i = np.arange(h).reshape(-1, 1)
+                j = np.arange(w_).reshape(1, -1)
+                base = np.stack([
+                    (did + 2 * j + i) % 200 + 30,
+                    (100 + (3 * i + 2 * j + did) % 90),
+                    (did * 3 + j + 2 * i) % 180 + 40,
+                ], axis=-1).astype(np.uint8)
+                frames = [
+                    np.clip(base.astype(np.float64) * (1.0 - step * t),
+                            0, 255).astype(np.uint8)
+                    for t in range(nf)
+                ]
+                out = decode_stream(encode_gop_b_weighted(frames, qp=qp))
+                recons, stats = gop_b_weighted_reconstruction_yuv(
+                    frames, qp=qp)
+                bitexact = all(
+                    np.array_equal(out["frames"][k], recons[k][0])
+                    and np.array_equal(out["frames_cb"][k], recons[k][1])
+                    and np.array_equal(out["frames_cr"][k], recons[k][2])
+                    for k in range(len(recons))
+                )
+                bs = [s for s in stats if s["type"] == "B"]
+                nsd = sum(s["n_skip"] + s["n_direct"] for s in bs)
+                nmb = (w_ // 16) * (h // 16)
+                engaged = all(s["bwp"]["y0"][0] != 32 for s in bs)
+                ys, cbs, crs = _to_yuv(frames[-1])
+                err = np.abs(out["frames"][-1].astype(np.float64)
+                             - ys.astype(np.float64))
+                errc = np.concatenate([
+                    np.abs(out["frames_cb"][-1].astype(np.float64)
+                           - cbs.astype(np.float64)).ravel(),
+                    np.abs(out["frames_cr"][-1].astype(np.float64)
+                           - crs.astype(np.float64)).ravel(),
+                ])
+                rows.append({
+                    "doc_id": did,
+                    "width": out["width"],
+                    "height": out["height"],
+                    "qp": out["qp"],
+                    "n_frames": len(out["frames"]),
+                    "n_b_frames": out["frame_types"].count("B"),
+                    "yuv_bitexact": bool(bitexact),
+                    "wp_engaged": bool(engaged),
+                    "sd_dominant": bool(
+                        4 * nsd >= 3 * nmb * len(bs)),
+                    "mean_ok": bool(max(err.mean(), errc.mean()) <= 4.0),
+                    "max_err_ok": bool(max(err.max(), errc.max()) <= 32.0),
+                })
+            yield pd.DataFrame(rows)
+
+    return d.mapInPandas(
+        work,
+        "doc_id bigint, width int, height int, qp int, n_frames int,"
+        " n_b_frames int, yuv_bitexact boolean, wp_engaged boolean,"
+        " sd_dominant boolean, mean_ok boolean, max_err_ok boolean",
+    )
+
+
+ORACLE_H264_BWPRED = f"""
+SELECT doc_id,
+       CAST(16 * (2 + doc_id % 2) AS INT) AS width,
+       CAST(16 * (2 + doc_id % 3) AS INT) AS height,
+       CAST(20 + doc_id % 8 AS INT) AS qp,
+       CAST(5 + doc_id % 2 AS INT) AS n_frames,
+       CAST((4 + doc_id % 2) // 2 AS INT) AS n_b_frames,
+       TRUE AS yuv_bitexact,
+       TRUE AS wp_engaged,
+       TRUE AS sd_dominant,
+       TRUE AS mean_ok,
+       TRUE AS max_err_ok
+FROM documents WHERE doc_id < {H264_BWPRED_IDS}
+"""
+
+
+QUERIES["doc_h264_bwpred_probe"] = QuerySpec(
+    q_h264_bwpred_probe,
+    ORACLE_H264_BWPRED,
+    "H.264 explicit weighted BI-prediction: per-list weights, "
+    "fade collapse in B slices, bit-exact round-trip",
+)

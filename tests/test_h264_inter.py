@@ -1359,3 +1359,93 @@ def test_decoder_guards_three_active_refs():
     assert good in stream
     with pytest.raises(NotImplementedError, match="active reference"):
         decode_stream(stream.replace(good, bad))
+
+
+def test_weighted_bipred_fade_collapses_and_roundtrips():
+    # a global fade over a B GOP with explicit weighted bi-prediction:
+    # per-list least-squares weights engage (non-identity), every B MB
+    # collapses to B_Skip/B_Direct (no fade can skip without WP), and
+    # all three planes round-trip bit-exactly through the §8.4.2.3.2
+    # weighted uni and bi sample ops
+    from sparkstreaming_spark.multimodal.h264 import (
+        encode_gop_b,
+        encode_gop_b_weighted,
+        gop_b_weighted_reconstruction_yuv,
+    )
+
+    i = np.arange(48).reshape(-1, 1, 1)
+    j = np.arange(64).reshape(1, -1, 1)
+    k = np.arange(3).reshape(1, 1, -1)
+    base = ((30 + 2 * i + 2 * j + 25 * k) % 200 + 20).astype(np.uint8)
+    frames = [
+        np.clip(base.astype(np.float64) * (1.0 - 0.07 * t), 0,
+                255).astype(np.uint8)
+        for t in range(5)
+    ]
+    stream = encode_gop_b_weighted(frames, qp=22)
+    out = decode_stream(stream)
+    recons, stats = gop_b_weighted_reconstruction_yuv(frames, qp=22)
+    for m, (ry, rcb, rcr) in enumerate(recons):
+        assert np.array_equal(out["frames"][m], ry), m
+        assert np.array_equal(out["frames_cb"][m], rcb), m
+        assert np.array_equal(out["frames_cr"][m], rcr), m
+    bs = [s for s in stats if s["type"] == "B"]
+    assert bs
+    for s in bs:
+        # fade fully absorbed by skip/direct under the weights
+        assert s["n_l0"] + s["n_l1"] + s["n_bi"] + s["n_l0_part"] \
+            + s["n_l1_part"] + s["n_mixed_part"] + s["n_bi_part"] \
+            + s["n_b8x8"] == 0, s
+        assert s["n_skip"] + s["n_direct"] == 12
+        assert s["bwp"]["y0"][0] != 32  # weights really engaged
+    # the weighted stream is smaller than coding the same fade plain
+    assert len(stream) < len(encode_gop_b(frames, qp=22))
+
+
+def test_weighted_bipred_identity_weights_match_plain_averaging():
+    # with explicit identity weights (32/0 at logWD 5) the §8.4.2.3.2
+    # bi op reduces to ((p0+p1+32)>>6) = default-average rounding at
+    # the same precision — panning content must still round-trip
+    from sparkstreaming_spark.multimodal.h264 import (
+        _encode_bslice,
+        _encode_gop_bw_full,
+    )
+
+    rng = np.random.default_rng(41)
+    base = rng.integers(0, 256, (32, 48)).astype(np.uint8)
+    frames = [np.roll(base, 2 * t, axis=1) for t in range(5)]
+    recons, stats, stream = _encode_gop_bw_full(frames, 18, 4)
+    out = decode_stream(stream)
+    for m, (ry, rcb, rcr) in enumerate(recons):
+        assert np.array_equal(out["frames"][m], ry), m
+        assert np.array_equal(out["frames_cb"][m], rcb), m
+        assert np.array_equal(out["frames_cr"][m], rcr), m
+    _ = _encode_bslice  # imported for the API surface
+
+
+def test_weighted_bipred_implicit_idc_guard():
+    # weighted_bipred_idc = 2 (IMPLICIT) stays an honest guard
+    from sparkstreaming_spark.multimodal.h264 import (
+        _build_pps_rbsp,
+        _nal,
+        _parse_pps,
+        BitReader,
+        strip_emulation,
+    )
+
+    pps = _build_pps_rbsp(weighted_bipred=True)
+    parsed = _parse_pps(BitReader(strip_emulation(pps)))
+    assert parsed["weighted_bipred"] is True
+    # hand-build an idc=2 PPS by flipping the 2-bit field
+    import re as _re
+    _ = _re
+    from sparkstreaming_spark.multimodal.h264 import BitWriter
+
+    w = BitWriter()
+    w.ue(0); w.ue(0); w.u(0, 1); w.u(0, 1); w.ue(0); w.ue(0); w.ue(0)
+    w.u(0, 1)
+    w.u(2, 2)  # weighted_bipred_idc = 2 (implicit)
+    w.se(0); w.se(0); w.se(0); w.u(1, 1); w.u(0, 1); w.u(0, 1)
+    with pytest.raises(NotImplementedError, match="IMPLICIT"):
+        _parse_pps(BitReader(strip_emulation(w.rbsp())))
+    _ = _nal
