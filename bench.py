@@ -272,6 +272,7 @@ HEADLINE = [
     "doc_h264_multiref_probe",
     "doc_h264_i16_probe",
     "doc_h264_bwpred_probe",
+    "doc_h264_ibb_probe",
     "emb_cluster_sample",
     "doc_tokenizer_fertility",
     # round-7 additions

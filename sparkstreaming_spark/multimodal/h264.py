@@ -77,15 +77,22 @@ Scope (precise, honestly guarded):
   bi-averaged chroma MC, inter chroma residual; B_Skip additionally
   requires the chroma residual to quantize to zero).
 - temporal direct (encode_gop_temporal): classic display-REORDERED
-  IBP GOPs — poc_type-0 SPS with explicit pic_order_cnt_lsb
-  (§8.2.1.1 derivation incl. wraparound), POC-ordered default B
-  lists with a FUTURE RefPicList1[0], and §8.4.1.2.3 temporal direct
-  (per-quadrant mvCol from the colocated corner blocks under
-  direct_8x8_inference, mvL0 = (DistScaleFactor*mvCol + 128) >> 8,
-  mvL1 = mvL0 - mvCol, always bi-predicted); decode_stream returns
-  decode-order frames plus per-frame POCs. The derivation requires
-  refPicCol == RefPicList0[0] (always true in this GOP's geometry —
-  guarded, not assumed).
+  IBP — or, with n_b=2, IbbP — GOPs: poc_type-0 SPS with explicit
+  pic_order_cnt_lsb (§8.2.1.1 derivation incl. wraparound),
+  POC-ordered default B lists with a FUTURE RefPicList1[0], and
+  §8.4.1.2.3 temporal direct (per-quadrant mvCol from the colocated
+  corner blocks under direct_8x8_inference, mvL0 =
+  (DistScaleFactor*mvCol + 128) >> 8, mvL1 = mvL0 - mvCol, always
+  bi-predicted — each B carrying its own POC-distance scale factor);
+  decode_stream returns decode-order frames plus per-frame POCs. The
+  derivation requires refPicCol == RefPicList0[0] (always true in
+  this GOP's geometry — guarded, not assumed).
+  implicit_weights=True adds IMPLICIT weighted bi-prediction
+  (weighted_bipred_idc=2): §8.4.2.3.1 weights w1 = DistScaleFactor
+  >> 2, w0 = 64 - w1 at logWD 5 — derived from the POC distances on
+  BOTH sides, nothing transmitted; bi predictions run the weighted
+  op, uni predictions stay plain, and midpoint Bs derive the trivial
+  (32, 32).
 - explicit weighted prediction (encode_gop_weighted): P slices with
   weighted_pred_flag=1, the §7.3.3.2 pred_weight_table (per-plane
   weight/offset for L0[0], absent flags falling back to the 2^logWD
@@ -96,8 +103,10 @@ Scope (precise, honestly guarded):
   weighted_bipred_idc=1 PPS, the §7.3.3.2 pred_weight_table for BOTH
   lists, and the §8.4.2.3.2 weighted uni/bi sample ops on every B
   prediction including B_Skip/B_Direct — a global fade collapses to
-  skip/direct rows in B slices too. IMPLICIT weighted bi-prediction
-  (idc=2) and CABAC remain honest NotImplementedError guards.
+  skip/direct rows in B slices too. CABAC remains the one honest
+  NotImplementedError guard in the prediction/entropy toolset (with
+  the structural envelope bounds: one slice per picture, frame_mbs
+  only, no 8x8 transform / High profile).
 
 Verification stance: bit-exact ROUND-TRIP is the contract — the
 decoder must reproduce the encoder's own reconstruction exactly
@@ -923,10 +932,12 @@ def _bi_chroma(c0: np.ndarray, c1: np.ndarray, u0: bool, u1: bool,
     """Chroma twin of the B-slice luma predictor: §8.4.2.3 default
     bi-averaging when both lists are in use, else the one used list.
     `wp` = ((w0, o0), (w1, o1), logWD) applies the §8.4.2.3.2 explicit
-    weighted op instead (weighted_bipred_idc = 1)."""
+    weighted op instead (weighted_bipred_idc = 1); a 4th element "bi"
+    marks IMPLICIT weighting (idc = 2), which weights only the
+    bi-predicted case — uni predictions stay plain per §8.4.2.3.1."""
     if u0 and u1:
         if wp is not None:
-            (w0, o0), (w1, o1), lwd = wp
+            (w0, o0), (w1, o1), lwd = wp[0], wp[1], wp[2]
             return _wp_bi(_mc_chroma(c0, cy, cx, m0, size),
                           _mc_chroma(c1, cy, cx, m1, size),
                           w0, o0, w1, o1, lwd)
@@ -934,11 +945,11 @@ def _bi_chroma(c0: np.ndarray, c1: np.ndarray, u0: bool, u1: bool,
                 + _mc_chroma(c1, cy, cx, m1, size) + 1) >> 1
     if u0:
         p = _mc_chroma(c0, cy, cx, m0, size)
-        if wp is not None:
+        if wp is not None and len(wp) == 3:
             return _apply_weight(p, wp[0][0], wp[0][1], wp[2])
         return p
     p = _mc_chroma(c1, cy, cx, m1, size)
-    if wp is not None:
+    if wp is not None and len(wp) == 3:
         return _apply_weight(p, wp[1][0], wp[1][1], wp[2])
     return p
 
@@ -948,10 +959,12 @@ def _bi_luma(r0: np.ndarray, r1: np.ndarray, u0: bool, u1: bool,
     """B-slice luma partition predictor: §8.4.2.3 default bi-averaging
     when both lists are in use, else the one used list. `wp` =
     ((w0, o0), (w1, o1), logWD) applies the §8.4.2.3.2 explicit
-    weighted op instead (weighted_bipred_idc = 1)."""
+    weighted op instead (weighted_bipred_idc = 1); a 4th element "bi"
+    marks IMPLICIT weighting (idc = 2), which weights only the
+    bi-predicted case — uni predictions stay plain per §8.4.2.3.1."""
     if u0 and u1:
         if wp is not None:
-            (w0, o0), (w1, o1), lwd = wp
+            (w0, o0), (w1, o1), lwd = wp[0], wp[1], wp[2]
             return _wp_bi(_mc_luma(r0, y, x, m0, size),
                           _mc_luma(r1, y, x, m1, size),
                           w0, o0, w1, o1, lwd)
@@ -959,11 +972,11 @@ def _bi_luma(r0: np.ndarray, r1: np.ndarray, u0: bool, u1: bool,
                 + _mc_luma(r1, y, x, m1, size) + 1) >> 1
     if u0:
         p = _mc_luma(r0, y, x, m0, size)
-        if wp is not None:
+        if wp is not None and len(wp) == 3:
             return _apply_weight(p, wp[0][0], wp[0][1], wp[2])
         return p
     p = _mc_luma(r1, y, x, m1, size)
-    if wp is not None:
+    if wp is not None and len(wp) == 3:
         return _apply_weight(p, wp[1][0], wp[1][1], wp[2])
     return p
 
@@ -1375,7 +1388,7 @@ def _build_pps_rbsp(weighted_pred: bool = False,
     w.ue(active_l0 - 1)  # num_ref_idx_l0_default_active_minus1
     w.ue(0)      # num_ref_idx_l1_default_active_minus1
     w.u(1 if weighted_pred else 0, 1)  # weighted_pred (P explicit WP)
-    w.u(1 if weighted_bipred else 0, 2)  # weighted_bipred_idc
+    w.u(int(weighted_bipred), 2)  # weighted_bipred_idc (True -> 1)
     w.se(0)      # pic_init_qp_minus26
     w.se(0)      # pic_init_qs_minus26
     w.se(0)      # chroma_qp_index_offset
@@ -1799,9 +1812,6 @@ def _parse_pps(r: BitReader) -> dict:
     r.ue()
     weighted_pred = r.u(1)
     wbidc = r.u(2)
-    if wbidc == 2:
-        raise NotImplementedError("IMPLICIT weighted bi-prediction "
-                                  "unsupported (weighted_bipred_idc 2)")
     qp_delta = r.se()
     r.se()
     r.se()
@@ -1813,6 +1823,7 @@ def _parse_pps(r: BitReader) -> dict:
         "active_l0": active_l0,
         "weighted_pred": bool(weighted_pred),
         "weighted_bipred": wbidc == 1,
+        "weighted_bipred_idc": wbidc,
         "pic_init_qp_delta": qp_delta,
         "deblocking_control": bool(deblocking_control),
     }
@@ -3359,6 +3370,21 @@ def _search_partitions(ref: np.ndarray, blk: np.ndarray, y0: int, x0: int,
     return best
 
 
+def _implicit_weights(poc_cur: int, poc0: int, poc1: int
+                      ) -> tuple[int, int]:
+    """§8.4.2.3.1 implicit bi-prediction weights from POC distances:
+    w1 = DistScaleFactor >> 2, w0 = 64 - w1 (logWD 5, zero offsets),
+    falling back to the default (32, 32) when the references share a
+    POC or the scale leaves [-64, 128]. Derived on BOTH sides — the
+    bitstream carries no weight table."""
+    if poc1 == poc0:
+        return 32, 32
+    w1 = _dist_scale_factor(poc_cur, poc0, poc1) >> 2
+    if w1 < -64 or w1 > 128:
+        return 32, 32
+    return 64 - w1, w1
+
+
 def _encode_bslice(
     ref0: tuple[np.ndarray, np.ndarray, np.ndarray],
     ref1: tuple[np.ndarray, np.ndarray, np.ndarray],
@@ -3409,7 +3435,7 @@ def _encode_bslice(
     w.u(0, 1)               # num_ref_idx_active_override_flag
     w.u(0, 1)               # ref_pic_list_modification_flag_l0
     w.u(0, 1)               # ref_pic_list_modification_flag_l1
-    if bwp is not None:
+    if bwp is not None and "implicit" not in bwp:
         # pred_weight_table (§7.3.3.2): explicit weights for BOTH
         # lists' single references (weighted_bipred_idc = 1 PPS)
         w.ue(bwp["logwd_y"])
@@ -3429,6 +3455,11 @@ def _encode_bslice(
 
     if bwp is None:
         wpy = wpcb = wpcr = None
+    elif "implicit" in bwp:
+        # §8.4.2.3.1 implicit weights: derived, never transmitted —
+        # one (w0, w1) pair at logWD 5 for every plane, bi-only
+        w0i, w1i = bwp["implicit"]
+        wpy = wpcb = wpcr = ((w0i, 0), (w1i, 0), 5, "bi")
     else:
         wpy = (bwp["y0"], bwp["y1"], bwp["logwd_y"])
         wpcb = (bwp["cb0"], bwp["cb1"], bwp["logwd_c"])
@@ -3948,6 +3979,19 @@ def _decode_bslice(r: BitReader, sps: dict, pps: dict,
     if r.u(1):
         raise NotImplementedError("ref_pic_list_modification unsupported")
     wpy = wpcb = wpcr = None
+    if pps.get("weighted_bipred_idc") == 2:
+        # §8.4.2.3.1 implicit weights: derived from the POC geometry,
+        # nothing transmitted; bi-only (uni predictions stay plain)
+        if tdir is None or poc_lsb is None:
+            raise NotImplementedError(
+                "implicit weighted bi-prediction requires a poc_type-0 "
+                "stream with decoded references on both POC sides"
+            )
+        poc_cur_w = _poc_from_lsb(poc_lsb, tdir["prev_msb"],
+                                  tdir["prev_lsb"], tdir["max_lsb"])
+        w0i, w1i = _implicit_weights(poc_cur_w, tdir["poc_l0"],
+                                     tdir["poc_col"])
+        wpy = wpcb = wpcr = ((w0i, 0), (w1i, 0), 5, "bi")
     if pps.get("weighted_bipred"):
         # pred_weight_table (§7.3.3.2) for BOTH lists; absent flags
         # mean the 2^logWD identity with zero offset
@@ -4459,6 +4503,7 @@ def _encode_gop_bw_full(frames, qp, search_range):
 
 
 def encode_gop_temporal(frames, qp: int = 20, search_range: int = 4,
+                        n_b: int = 1, implicit_weights: bool = False,
                         ) -> bytes:
     """Encode a display-REORDERED GOP with temporal-direct B frames —
     the classic IBP structure: display order I B P B P..., decode
@@ -4468,8 +4513,16 @@ def encode_gop_temporal(frames, qp: int = 20, search_range: int = 4,
     toward L0[0] = refPicCol, and the B inherits it scaled by the POC
     distances). poc_type-0 SPS (explicit pic_order_cnt_lsb, §8.2.1.1);
     `frames` are display order; decode_stream returns decode order
-    plus per-frame POCs for reordering."""
-    recons, _stats, stream = _encode_gop_t_full(frames, qp, search_range)
+    plus per-frame POCs for reordering. `n_b` Bs sit between each
+    reference pair (n_b=2 gives the IbbP geometry where the Bs are
+    POC-asymmetric). `implicit_weights=True` emits a
+    weighted_bipred_idc=2 PPS: every bi prediction runs the
+    §8.4.2.3.1/§8.4.2.3.2 IMPLICIT weighted op with (w0, w1) derived
+    from the POC distances on BOTH sides — nothing transmitted; a
+    midpoint B derives the trivial (32, 32), an IbbP B derives e.g.
+    (43, 21)/(22, 42)."""
+    recons, _stats, stream = _encode_gop_t_full(
+        frames, qp, search_range, n_b=n_b, implicit=implicit_weights)
     _ = recons
     return stream
 
@@ -4484,12 +4537,16 @@ def gop_temporal_reconstruction(frames, qp: int = 20,
 
 
 def gop_temporal_reconstruction_yuv(frames, qp: int = 20,
-                                    search_range: int = 4):
-    recons, stats, _stream = _encode_gop_t_full(frames, qp, search_range)
+                                    search_range: int = 4,
+                                    n_b: int = 1,
+                                    implicit_weights: bool = False):
+    recons, stats, _stream = _encode_gop_t_full(
+        frames, qp, search_range, n_b=n_b, implicit=implicit_weights)
     return recons, stats
 
 
-def _encode_gop_t_full(frames, qp, search_range):
+def _encode_gop_t_full(frames, qp, search_range, n_b=1,
+                       implicit=False):
     if len(frames) < 3:
         raise ValueError("a temporal-direct GOP needs >= 3 frames")
     y0, cb0, cr0 = _to_yuv(np.asarray(frames[0]))
@@ -4497,7 +4554,8 @@ def _encode_gop_t_full(frames, qp, search_range):
     recon, payload = _encode_slice(y0, cb0, cr0, qp, poc_lsb=0)
     stream = (_nal(7, _build_sps_rbsp(w_, h, max_refs=2, profile=77,
                                       poc_type=0))
-              + _nal(8, _build_pps_rbsp())
+              + _nal(8, _build_pps_rbsp(weighted_bipred=2 if implicit
+                                        else 0))
               + _nal(5, payload))
     recons = [recon]
     stats = [{"type": "I", "poc": 0}]
@@ -4509,10 +4567,10 @@ def _encode_gop_t_full(frames, qp, search_range):
     ref_fn = 0
     disp = 1
     while disp < len(frames):
-        has_b = disp + 1 < len(frames)
-        # the next reference in decode order: the frame AFTER the B
-        # when one fits, else the trailing frame itself
-        p_disp = disp + 1 if has_b else disp
+        # up to n_b Bs, then the next reference in decode order (the
+        # frame after the Bs when one fits, else the trailing frame)
+        nb = min(n_b, len(frames) - 1 - disp)
+        p_disp = disp + nb
         yuv_p = _to_yuv(np.asarray(frames[p_disp]))
         if yuv_p[0].shape != (h, w_):
             raise ValueError("all GOP frames must share dimensions")
@@ -4528,26 +4586,32 @@ def _encode_gop_t_full(frames, qp, search_range):
                         _inter_motion_info(st["mv_grid4"]),
                         2 * p_disp, refs[0][2]))
         del refs[2:]
-        if has_b:
-            yuv_b = _to_yuv(np.asarray(frames[disp]))
+        for bk in range(nb):
+            yuv_b = _to_yuv(np.asarray(frames[disp + bk]))
             if yuv_b[0].shape != (h, w_):
                 raise ValueError("all GOP frames must share dimensions")
             # L0[0] = past ref (smaller POC), L1[0] = future ref (the P
             # just coded) — the conformant POC-ordered default lists
             past, future = refs[1], refs[0]
-            poc_b = 2 * disp
+            poc_b = 2 * (disp + bk)
             # refPicCol (the colocated P's own reference) must be
             # L0[0] for the single-entry-list derivation to be exact
             if future[3] != past[2]:
                 raise ValueError("colocated reference is not L0[0]")
             dsf = _dist_scale_factor(poc_b, past[2], future[2])
+            bwp = None
+            iw = None
+            if implicit:
+                iw = _implicit_weights(poc_b, past[2], future[2])
+                bwp = {"implicit": iw}
             rec_b, rbsp, st = _encode_bslice(
                 past[0], future[0], yuv_b, qp, (ref_fn + 1) % 16,
                 search_range, col_info=future[1], poc_lsb=poc_b,
-                direct_mode="temporal", dsf=dsf,
+                direct_mode="temporal", dsf=dsf, bwp=bwp,
             )
             stream += _nal(1, rbsp, ref_idc=0)
             recons.append(rec_b)
-            stats.append({"type": "B", "poc": poc_b, "dsf": dsf, **st})
-        disp += 2
+            stats.append({"type": "B", "poc": poc_b, "dsf": dsf,
+                          "iw": iw, **st})
+        disp += nb + 1
     return recons, stats, stream

@@ -2542,3 +2542,119 @@ QUERIES["doc_h264_bwpred_probe"] = QuerySpec(
     "H.264 explicit weighted BI-prediction: per-list weights, "
     "fade collapse in B slices, bit-exact round-trip",
 )
+
+
+H264_IBB_IDS = 12
+
+
+def q_h264_ibb_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IbbP + IMPLICIT weighted bi-prediction verification
+    (multimodal/h264.py round-8 layer — two Bs between each reference
+    pair, each with its own 1/3- and 2/3-gap DistScaleFactor for
+    temporal direct, under a weighted_bipred_idc=2 PPS whose §8.4.2.3.1
+    weights (w1 = DistScaleFactor >> 2, w0 = 64 - w1, logWD 5) are
+    DERIVED from the POC distances on both sides — nothing
+    transmitted): per doc (doc_id < 12) synthesize a panning-gradient
+    7-frame display-order GOP with formula-derived dims/QP, encode,
+    decode, and emit exact metadata + `poc_sum` (pins the §8.2.1.1 POC
+    derivation and the IbbP decode-order interleave) + `iw_nontrivial`
+    (BOTH non-trivial implicit pairs (43,21) and (22,42) must occur —
+    a midpoint-only geometry would derive the trivial (32,32)) +
+    `yuv_bitexact` + `skip_direct_used` + a tolerance boolean on the
+    last display frame (worst measured mean 1.23 / max 7; bounds 4.0 /
+    16). A POC, scale-factor, or implicit-derivation slip on either
+    side breaks bit-exactness or the booleans and flips the hash.
+
+    Spark shape: one Arrow mapInPandas pass, repartitioned across the
+    blob ids (single-row-group guard), no shuffle."""
+    import numpy as np
+    import pandas as pd
+
+    from ..multimodal.h264 import (
+        _to_yuv,
+        decode_stream,
+        encode_gop_temporal,
+        gop_temporal_reconstruction_yuv,
+    )
+
+    d = read_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") < H264_IBB_IDS
+    ).select("doc_id").repartition(H264_IBB_IDS)
+
+    def work(batches):
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                w_ = 16 * (2 + did % 2)
+                h = 16 * (2 + did % 3)
+                qp = 16 + did % 10
+                i = np.arange(h).reshape(-1, 1)
+                j = np.arange(w_).reshape(1, -1)
+                img0 = np.minimum(did + 2 * i + 3 * j, 255).astype(
+                    np.uint8)
+                frames = [np.roll(img0, k, axis=1) for k in range(7)]
+                out = decode_stream(encode_gop_temporal(
+                    frames, qp=qp, n_b=2, implicit_weights=True))
+                recons, stats = gop_temporal_reconstruction_yuv(
+                    frames, qp=qp, n_b=2, implicit_weights=True)
+                bitexact = all(
+                    np.array_equal(out["frames"][k], recons[k][0])
+                    and np.array_equal(out["frames_cb"][k], recons[k][1])
+                    and np.array_equal(out["frames_cr"][k], recons[k][2])
+                    for k in range(len(recons))
+                )
+                iws = set(s["iw"] for s in stats if s["type"] == "B")
+                nsd = sum(s["n_skip"] + s["n_direct"] for s in stats
+                          if s["type"] == "B")
+                li = out["poc"].index(max(out["poc"]))
+                ys, _cbs, _crs = _to_yuv(frames[out["poc"][li] // 2])
+                err = np.abs(out["frames"][li].astype(np.float64)
+                             - ys.astype(np.float64))
+                rows.append({
+                    "doc_id": did,
+                    "width": out["width"],
+                    "height": out["height"],
+                    "qp": out["qp"],
+                    "n_frames": len(out["frames"]),
+                    "n_b_frames": out["frame_types"].count("B"),
+                    "poc_sum": sum(out["poc"]),
+                    "yuv_bitexact": bool(bitexact),
+                    "iw_nontrivial": bool(
+                        (43, 21) in iws and (22, 42) in iws),
+                    "skip_direct_used": bool(nsd > 0),
+                    "max_err_ok": bool(err.max() <= 16.0),
+                })
+            yield pd.DataFrame(rows)
+
+    return d.mapInPandas(
+        work,
+        "doc_id bigint, width int, height int, qp int, n_frames int,"
+        " n_b_frames int, poc_sum bigint, yuv_bitexact boolean,"
+        " iw_nontrivial boolean, skip_direct_used boolean,"
+        " max_err_ok boolean",
+    )
+
+
+ORACLE_H264_IBB = f"""
+SELECT doc_id,
+       CAST(16 * (2 + doc_id % 2) AS INT) AS width,
+       CAST(16 * (2 + doc_id % 3) AS INT) AS height,
+       CAST(16 + doc_id % 10 AS INT) AS qp,
+       CAST(7 AS INT) AS n_frames,
+       CAST(4 AS INT) AS n_b_frames,
+       CAST(42 AS BIGINT) AS poc_sum,
+       TRUE AS yuv_bitexact,
+       TRUE AS iw_nontrivial,
+       TRUE AS skip_direct_used,
+       TRUE AS max_err_ok
+FROM documents WHERE doc_id < {H264_IBB_IDS}
+"""
+
+
+QUERIES["doc_h264_ibb_probe"] = QuerySpec(
+    q_h264_ibb_probe,
+    ORACLE_H264_IBB,
+    "H.264 IbbP + implicit weighted bi-prediction: POC-derived "
+    "weights, bit-exact round-trip",
+)

@@ -1423,29 +1423,113 @@ def test_weighted_bipred_identity_weights_match_plain_averaging():
     _ = _encode_bslice  # imported for the API surface
 
 
-def test_weighted_bipred_implicit_idc_guard():
-    # weighted_bipred_idc = 2 (IMPLICIT) stays an honest guard
+def test_weighted_bipred_idc_parse_and_pocless_guard():
+    # idc = 1 (explicit) and 2 (implicit) both parse; an idc = 2
+    # stream whose B slices lack POC context (poc_type 2) must refuse
+    # with the exact reason — implicit weights derive from POCs
     from sparkstreaming_spark.multimodal.h264 import (
         _build_pps_rbsp,
         _nal,
         _parse_pps,
         BitReader,
+        encode_gop_b,
         strip_emulation,
     )
 
-    pps = _build_pps_rbsp(weighted_bipred=True)
-    parsed = _parse_pps(BitReader(strip_emulation(pps)))
+    parsed = _parse_pps(BitReader(strip_emulation(
+        _build_pps_rbsp(weighted_bipred=True))))
     assert parsed["weighted_bipred"] is True
-    # hand-build an idc=2 PPS by flipping the 2-bit field
-    import re as _re
-    _ = _re
-    from sparkstreaming_spark.multimodal.h264 import BitWriter
+    assert parsed["weighted_bipred_idc"] == 1
+    parsed2 = _parse_pps(BitReader(strip_emulation(
+        _build_pps_rbsp(weighted_bipred=2))))
+    assert parsed2["weighted_bipred_idc"] == 2
+    # splice the idc=2 PPS into a poc_type-2 low-delay B stream
+    rng = np.random.default_rng(43)
+    base = rng.integers(0, 256, (32, 32)).astype(np.uint8)
+    frames = [np.roll(base, 2 * t, axis=1) for t in range(4)]
+    stream = encode_gop_b(frames, qp=20)
+    good = _nal(8, _build_pps_rbsp())
+    bad = _nal(8, _build_pps_rbsp(weighted_bipred=2))
+    assert good in stream
+    with pytest.raises(NotImplementedError, match="implicit weighted"):
+        decode_stream(stream.replace(good, bad))
 
-    w = BitWriter()
-    w.ue(0); w.ue(0); w.u(0, 1); w.u(0, 1); w.ue(0); w.ue(0); w.ue(0)
-    w.u(0, 1)
-    w.u(2, 2)  # weighted_bipred_idc = 2 (implicit)
-    w.se(0); w.se(0); w.se(0); w.u(1, 1); w.u(0, 1); w.u(0, 1)
-    with pytest.raises(NotImplementedError, match="IMPLICIT"):
-        _parse_pps(BitReader(strip_emulation(w.rbsp())))
-    _ = _nal
+
+def test_ibbp_gop_roundtrips_with_asymmetric_direct():
+    # two Bs between each reference pair (display I b b P): each B has
+    # its own DistScaleFactor (1/3 and 2/3 of the reference gap) for
+    # temporal direct, and decode order/POCs interleave correctly
+    from sparkstreaming_spark.multimodal.h264 import (
+        encode_gop_temporal,
+        gop_temporal_reconstruction_yuv,
+    )
+
+    rng = np.random.default_rng(47)
+    base = rng.integers(0, 256, (48, 64)).astype(np.uint8)
+    frames = [np.roll(base, 2 * t, axis=1) for t in range(7)]
+    out = decode_stream(encode_gop_temporal(frames, qp=20, n_b=2))
+    recons, stats = gop_temporal_reconstruction_yuv(frames, qp=20,
+                                                    n_b=2)
+    assert out["poc"] == [0, 6, 2, 4, 12, 8, 10]
+    dsfs = [s["dsf"] for s in stats if s["type"] == "B"]
+    assert len(set(dsfs)) == 2  # 1/3- and 2/3-gap scale factors
+    for m, (ry, rcb, rcr) in enumerate(recons):
+        assert np.array_equal(out["frames"][m], ry), m
+        assert np.array_equal(out["frames_cb"][m], rcb), m
+        assert np.array_equal(out["frames_cr"][m], rcr), m
+    # every B MB decoded something (mode histogram totals match MBs)
+    nmb = (48 // 16) * (64 // 16)
+    for c in out["b_mode_counts"]:
+        assert sum(c.values()) == nmb
+
+
+def test_implicit_weights_derive_and_roundtrip():
+    # weighted_bipred_idc = 2: the IbbP Bs derive the NON-trivial
+    # (43,21)/(22,42) POC-distance weights on both sides with nothing
+    # transmitted; bi predictions run the weighted op, uni stay plain,
+    # and every plane round-trips bit-exactly. A midpoint B (n_b=1)
+    # derives the trivial (32,32).
+    from sparkstreaming_spark.multimodal.h264 import (
+        _implicit_weights,
+        encode_gop_temporal,
+        gop_temporal_reconstruction_yuv,
+    )
+
+    # spec geometry checks
+    assert _implicit_weights(2, 0, 4) == (32, 32)
+    assert _implicit_weights(2, 0, 6) == (43, 21)
+    assert _implicit_weights(4, 0, 6) == (22, 42)
+    assert _implicit_weights(2, 0, 0) == (32, 32)  # same-POC fallback
+
+    rng = np.random.default_rng(53)
+    base = rng.integers(0, 256, (48, 48)).astype(np.uint8)
+    frames = [np.roll(base, 2 * t, axis=1) for t in range(7)]
+    out = decode_stream(encode_gop_temporal(frames, qp=18, n_b=2,
+                                            implicit_weights=True))
+    recons, stats = gop_temporal_reconstruction_yuv(
+        frames, qp=18, n_b=2, implicit_weights=True)
+    iws = [s["iw"] for s in stats if s["type"] == "B"]
+    assert (43, 21) in iws and (22, 42) in iws
+    for m, (ry, rcb, rcr) in enumerate(recons):
+        assert np.array_equal(out["frames"][m], ry), m
+        assert np.array_equal(out["frames_cb"][m], rcb), m
+        assert np.array_equal(out["frames_cr"][m], rcr), m
+
+
+def test_implicit_midpoint_equals_default_averaging():
+    # at the midpoint the implicit pair is (32, 32) and the §8.4.2.3.2
+    # bi op reduces to ((32*p0 + 32*p1 + 32) >> 6) = (p0 + p1 + 1) >> 1
+    # — the reconstruction must be IDENTICAL to the unweighted stream
+    from sparkstreaming_spark.multimodal.h264 import (
+        gop_temporal_reconstruction_yuv,
+    )
+
+    rng = np.random.default_rng(59)
+    base = rng.integers(0, 256, (32, 48)).astype(np.uint8)
+    frames = [np.roll(base, 2 * t, axis=1) for t in range(5)]
+    plain, _ = gop_temporal_reconstruction_yuv(frames, qp=20)
+    impl, _ = gop_temporal_reconstruction_yuv(frames, qp=20,
+                                              implicit_weights=True)
+    for m in range(len(plain)):
+        for pl in range(3):
+            assert np.array_equal(plain[m][pl], impl[m][pl]), (m, pl)
