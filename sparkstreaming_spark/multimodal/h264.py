@@ -1785,6 +1785,13 @@ def _parse_sps(r: BitReader) -> dict:
     r.u(1)
     w_mbs = r.ue() + 1
     h_units = r.ue() + 1
+    if w_mbs > 512 or h_units > 512:
+        # untrusted-blob guard: a forged SPS claiming huge dimensions
+        # must not become a multi-GB frame allocation downstream
+        raise ValueError(
+            f"SPS dimensions {16 * w_mbs}x{16 * h_units} exceed the "
+            "8192x8192 envelope bound"
+        )
     frame_mbs_only = r.u(1)
     if not frame_mbs_only:
         raise NotImplementedError("interlaced streams unsupported")

@@ -2,6 +2,7 @@
 hold on adversarial random inputs, not just the crafted cases."""
 
 import numpy as np
+import pytest
 from hypothesis import given, settings
 from hypothesis import strategies as st
 
@@ -121,3 +122,62 @@ def test_decoders_never_crash_on_garbage(blob):
         except (ValueError, IndexError, struct.error, KeyError,
                 NotImplementedError, EOFError, _wave.Error):
             pass
+
+
+@settings(max_examples=120, deadline=None)
+@given(data=st.data())
+def test_h264_decode_stream_never_crashes_on_garbage(data):
+    # decode_stream runs over untrusted blob columns: arbitrary bytes
+    # and bit-flipped valid streams may only raise the documented
+    # exception family — never crash, hang, or allocation-bomb (a
+    # forged SPS claiming huge dimensions is rejected at parse)
+    import numpy as np
+
+    from sparkstreaming_spark.multimodal.h264 import (
+        decode_stream,
+        encode_gop,
+    )
+
+    mode = data.draw(st.sampled_from(["raw", "prefixed", "mutated"]))
+    if mode == "mutated":
+        base = bytearray(encode_gop(
+            [np.full((32, 32), 128, np.uint8),
+             np.full((32, 32), 131, np.uint8)], qp=20))
+        i = data.draw(st.integers(0, len(base) - 1))
+        base[i] ^= data.draw(st.integers(1, 255))
+        blob = bytes(base)
+    else:
+        blob = data.draw(st.binary(min_size=0, max_size=160))
+        if mode == "prefixed":
+            blob = b"\x00\x00\x01\x67" + blob
+    try:
+        out = decode_stream(blob)
+        assert out["width"] <= 8192 and out["height"] <= 8192
+    except (ValueError, NotImplementedError):
+        pass
+
+
+def test_h264_sps_dimension_bomb_rejected():
+    from sparkstreaming_spark.multimodal.h264 import (
+        BitReader,
+        BitWriter,
+        _parse_sps,
+    )
+
+    w = BitWriter()
+    w.u(66, 8)
+    w.u(0, 8)
+    w.u(30, 8)
+    w.ue(0)
+    w.ue(0)
+    w.ue(2)
+    w.ue(1)
+    w.u(0, 1)
+    w.ue(100000)  # 1.6M-pixel-wide claim
+    w.ue(100000)
+    w.u(1, 1)
+    w.u(1, 1)
+    w.u(0, 1)
+    w.u(0, 1)
+    with pytest.raises(ValueError, match="envelope bound"):
+        _parse_sps(BitReader(w.rbsp()))
