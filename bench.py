@@ -284,6 +284,7 @@ HEADLINE = [
     "doc_token_budget_plan",
     "doc_chat_template",
     "doc_dpo_pairs",
+    "stream_neardup_gate",
     "doc_ccnet_heldout",
 ]
 

@@ -1404,3 +1404,211 @@ QUERIES["stream_lm_gate"] = QuerySpec(
     _stream_lm_gate_oracle(),
     "offline-trained sketched bigram LM gating a live stream at median ppl",
 )
+
+
+# ---------------------------------------------------------------------------
+# Streaming NEAR-duplicate gate: MinHash-LSH bands of the incoming
+# stream probed against a Bloom bitmap of the corpus bands.
+
+NEARDUP_SPLIT = 5      # doc_id % 5 == 0 is the incoming crawl slice
+NEARDUP_PERM = 16
+NEARDUP_BANDS = 4
+NEARDUP_M = 16384      # Bloom bits over the corpus band keys
+NEARDUP_K = 3
+NEARDUP_SALT = "ndgate"
+
+
+def q_stream_neardup_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental FUZZY dedup on a live stream — the crawl-ingest
+    twin of doc_minhash_pairs: the corpus (doc_id % 5 != 0) is indexed
+    OFFLINE as MinHash-LSH band keys (dedup/minhash.py — the same
+    16-perm/4-band signatures the batch pair-finder uses) compressed
+    into one 16384-bit Bloom bitmap (dedup/bloom.py), and each
+    streaming document computes its own signature IN-ROW (shingle →
+    md5 hash → per-permutation array_min, all higher-order
+    expressions — no explode, no per-doc stateful aggregation, so the
+    scorer is streaming-safe with zero state) and probes its 4 band
+    keys against the bitmap folded into the plan as a literal. A doc
+    whose ANY band hits is a near-dup suspect and is dropped; docs
+    too short to shingle are admitted unconditionally. Bloom false
+    positives drop at the designed ~1% rate — the oracle replays the
+    exact bit positions, so even which docs false-positive is
+    hash-checked. Accounting per (source, admitted) with an id_sum
+    identity pin in complete mode.
+
+    Scale shape: the index is one bounded (<= m distinct positions)
+    aggregate no matter the corpus size; the probe side is pure
+    projection. This is the 100 TB deploy shape for fuzzy
+    crawl-vs-corpus dedup: the full band table never ships to the
+    stream, only the fixed-size bitmap."""
+    from ..dedup.bloom import bloom_build_words, bloom_positions
+    from ..dedup.minhash import (
+        MERSENNE_P,
+        lsh_bands,
+        minhash_params,
+        minhash_signatures,
+    )
+    from ..functions.text import md5_64, shingles_from_tokens, tokenize
+
+    # direct path (not a pathGlobFilter on sf_dir) so both layouts
+    # work: the testdata single FILE documents.parquet and the stress
+    # harness's documents.parquet/ DIRECTORY of part files
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    corpus = d.filter(F.col("doc_id") % NEARDUP_SPLIT != 0)
+    cbands = lsh_bands(
+        minhash_signatures(corpus, "doc_id", "text",
+                           num_perm=NEARDUP_PERM, shingle_n=2),
+        num_perm=NEARDUP_PERM, bands=NEARDUP_BANDS,
+    )
+    ckeys = cbands.select(
+        F.concat_ws(":", F.col("band_id").cast("string"),
+                    "band_hash").alias("bk")
+    )
+    words = bloom_build_words(ckeys, "bk", m=NEARDUP_M, k=NEARDUP_K,
+                              salt=NEARDUP_SALT)
+    wl = F.array(*[F.lit(w).cast("bigint") for w in words])
+
+    schema = (
+        "doc_id bigint, text string, lang string, source string,"
+        " n_chars bigint"
+    )
+    # the streaming file source needs a DIRECTORY: point it at the
+    # table directory when documents.parquet is one (stress layout),
+    # else glob the single file out of sf_dir (testdata layout)
+    if os.path.isdir(os.path.join(sf_dir, "documents.parquet")):
+        rs = spark.readStream.schema(schema).parquet(
+            f"{sf_dir}/documents.parquet")
+    else:
+        rs = (spark.readStream.schema(schema)
+              .option("pathGlobFilter", "documents.parquet")
+              .parquet(sf_dir))
+    staged = (
+        rs.filter(F.col("doc_id") % NEARDUP_SPLIT == 0)
+        .repartition(32)
+        .select("doc_id", "source", tokenize(F.col("text")).alias("toks"))
+        .select(
+            "doc_id", "source",
+            F.array_distinct(shingles_from_tokens("toks", 2)).alias("sh"),
+        )
+        .select(
+            "doc_id", "source", F.size("sh").alias("nsh"),
+            F.transform(
+                "sh", lambda s: md5_64(s) % F.lit(MERSENNE_P)
+            ).alias("hs"),
+        )
+    )
+    def perm_min(a: int, b: int):
+        return F.array_min(F.transform(
+            "hs",
+            lambda h: (F.lit(a) * h + F.lit(b)) % F.lit(MERSENNE_P),
+        ))
+
+    sig = staged.select(
+        "doc_id", "source", "nsh",
+        *[
+            perm_min(a, b).alias(f"mh{i}")
+            for i, (a, b) in enumerate(minhash_params(NEARDUP_PERM))
+        ],
+    )
+    rows_per = NEARDUP_PERM // NEARDUP_BANDS
+
+    def band_hit(b: int):
+        bh = F.md5(F.concat_ws(",", *[
+            F.col(f"mh{b * rows_per + i}").cast("string")
+            for i in range(rows_per)
+        ]))
+        bk = F.concat_ws(":", F.lit(str(b)), bh)
+        hit = F.lit(True)
+        for pos in bloom_positions(bk, NEARDUP_M, NEARDUP_K,
+                                   NEARDUP_SALT):
+            word = F.element_at(wl, (pos / 32).cast("int") + 1)
+            shifted = F.floor(
+                word / F.pow(F.lit(2.0), F.pmod(pos, F.lit(32)))
+            ).cast("bigint")
+            hit = hit & (F.pmod(shifted, F.lit(2)) == 1)
+        return hit
+
+    any_hit = band_hit(0)
+    for b in range(1, NEARDUP_BANDS):
+        any_hit = any_hit | band_hit(b)
+    scored = sig.select(
+        "doc_id", "source",
+        (~((F.col("nsh") > 0) & any_hit)).alias("admitted"),
+    )
+    return run_available_now(
+        scored,
+        lambda df: df.groupBy("source", "admitted").agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("doc_id").alias("id_sum"),
+        ),
+        output_mode="complete",
+    )
+
+
+def _stream_neardup_oracle() -> str:
+    from ..dedup.minhash import MERSENNE_P, minhash_params
+    from .llm import SQL_SHINGLES2, SQL_TOKS, _sql_md5_64
+
+    mins = ",\n       ".join(
+        f"min(({a} * h + {b}) % {MERSENNE_P}) AS mh{i}"
+        for i, (a, b) in enumerate(minhash_params(NEARDUP_PERM))
+    )
+    rows_per = NEARDUP_PERM // NEARDUP_BANDS
+
+    def band_rows(src: str) -> str:
+        return "\nUNION ALL\n".join(
+            f"SELECT doc_id, CAST({b} AS VARCHAR) || ':' || "
+            "md5(concat_ws(',', "
+            + ", ".join(f"mh{b * rows_per + i}" for i in range(rows_per))
+            + f")) AS bk FROM {src}"
+            for b in range(NEARDUP_BANDS)
+        )
+
+    def pos_sql(i: int, key: str) -> str:
+        h1 = _sql_md5_64(f"'{NEARDUP_SALT}:1:' || {key}")
+        h2 = _sql_md5_64(f"'{NEARDUP_SALT}:2:' || {key}")
+        return f"(({h1}) + {i} * ({h2})) % {NEARDUP_M}"
+
+    in_ref = " AND ".join(
+        f"({pos_sql(i, 'bk')}) IN (SELECT p FROM refpos)"
+        for i in range(NEARDUP_K)
+    )
+    ref_positions = ", ".join(
+        pos_sql(i, "bk") for i in range(NEARDUP_K)
+    )
+    return rf"""
+WITH t AS (SELECT doc_id, source, {SQL_TOKS} AS toks FROM documents),
+shs AS (SELECT doc_id, source, list_distinct({SQL_SHINGLES2}) AS sh
+        FROM t),
+csh AS (SELECT doc_id, {_sql_md5_64('shingle')} % {MERSENNE_P} AS h
+        FROM (SELECT doc_id, unnest(sh) AS shingle FROM shs
+              WHERE doc_id % {NEARDUP_SPLIT} != 0)),
+csig AS (SELECT doc_id, {mins} FROM csh GROUP BY doc_id),
+cbands AS ({band_rows('csig')}),
+refpos AS (SELECT DISTINCT unnest([{ref_positions}]) AS p
+           FROM (SELECT DISTINCT bk FROM cbands)),
+ish AS (SELECT doc_id, {_sql_md5_64('shingle')} % {MERSENNE_P} AS h
+        FROM (SELECT doc_id, unnest(sh) AS shingle FROM shs
+              WHERE doc_id % {NEARDUP_SPLIT} = 0)),
+isig AS (SELECT doc_id, {mins} FROM ish GROUP BY doc_id),
+ibands AS ({band_rows('isig')}),
+ihits AS (SELECT doc_id, bool_or({in_ref}) AS near FROM ibands
+          GROUP BY doc_id),
+gated AS (
+  SELECT s.doc_id, s.source,
+         NOT (len(s.sh) > 0 AND coalesce(h.near, FALSE)) AS admitted
+  FROM shs s LEFT JOIN ihits h USING (doc_id)
+  WHERE s.doc_id % {NEARDUP_SPLIT} = 0
+)
+SELECT source, admitted, count(*) AS n_docs,
+       CAST(sum(doc_id) AS BIGINT) AS id_sum
+FROM gated GROUP BY source, admitted
+"""
+
+
+QUERIES["stream_neardup_gate"] = QuerySpec(
+    q_stream_neardup_gate,
+    _stream_neardup_oracle(),
+    "streaming MinHash-LSH near-dup gate: corpus band index as a Bloom "
+    "bitmap, in-row probe, zero state",
+)

@@ -315,3 +315,101 @@ def test_welford_state_merges_across_micro_batches(spark, tmp_path):
         assert f.n == b.n
         assert abs(f.mean - b.mean) < 1e-9
         assert abs(f.variance - b.variance) < 1e-6
+
+
+def test_stream_neardup_gate_inrow_signatures_match_batch(spark):
+    # the streaming near-dup gate computes MinHash signatures IN-ROW
+    # (array_min over HOF transforms — streaming-safe, zero state);
+    # they must equal the batch explode+groupBy signatures bit-for-bit
+    from pyspark.sql import functions as F
+
+    from sparkstreaming_spark.dedup.minhash import (
+        MERSENNE_P,
+        minhash_params,
+        minhash_signatures,
+    )
+    from sparkstreaming_spark.functions.text import (
+        md5_64,
+        shingles_from_tokens,
+        tokenize,
+    )
+    from sparkstreaming_spark.sources.batch import read_table
+    from tests.conftest import SF_DIR_CORRECT
+
+    d = read_table(spark, SF_DIR_CORRECT, "documents").filter(
+        F.col("doc_id") < 50
+    )
+    batch = {
+        r["doc_id"]: tuple(r[f"mh{i}"] for i in range(16))
+        for r in minhash_signatures(d, "doc_id", "text").collect()
+    }
+    staged = d.select(
+        "doc_id", tokenize(F.col("text")).alias("toks")
+    ).select(
+        "doc_id",
+        F.transform(
+            F.array_distinct(shingles_from_tokens("toks", 2)),
+            lambda s: md5_64(s) % F.lit(MERSENNE_P),
+        ).alias("hs"),
+    )
+
+    def perm_min(a, b):
+        return F.array_min(F.transform(
+            "hs", lambda h: (F.lit(a) * h + F.lit(b)) % F.lit(MERSENNE_P)
+        ))
+
+    inrow = {
+        r["doc_id"]: tuple(r[f"mh{i}"] for i in range(16))
+        for r in staged.select(
+            "doc_id",
+            *[perm_min(a, b).alias(f"mh{i}")
+              for i, (a, b) in enumerate(minhash_params(16))],
+        ).collect()
+    }
+    assert set(batch) == {k for k, v in inrow.items() if v[0] is not None}
+    for k, sig in batch.items():
+        assert inrow[k] == sig, k
+
+
+def test_stream_neardup_gate_drops_planted_exact_dup(spark, tmp_path):
+    # plant an EXACT duplicate across the corpus/stream split: its 4
+    # band keys are identical to the corpus doc's, and a Bloom filter
+    # has no false negatives, so the gate MUST drop it; novel docs in
+    # this fixture admit (verified against the same deterministic
+    # hashes the oracle replays)
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from sparkstreaming_spark.suite.streaming_suite import (
+        q_stream_neardup_gate,
+    )
+
+    dup_text = "alpha beta gamma delta epsilon zeta eta theta " * 4
+    novel = [
+        "one unique stream document about spark shuffles and joins",
+        "another novel page mentioning watermarks and state stores",
+    ]
+    rows = {
+        "doc_id": [1, 2, 3, 4, 0, 5, 10],
+        "text": [
+            dup_text,
+            "corpus filler page counting rows and columns quickly",
+            "a second corpus page on parquet footers and row groups",
+            "third corpus entry covering broadcast joins at scale",
+            novel[0],
+            dup_text,          # doc 5: exact dup of corpus doc 1
+            novel[1],
+        ],
+        "lang": ["en"] * 7,
+        "source": ["s0"] * 7,
+        "n_chars": [len(dup_text), 52, 54, 52, len(novel[0]),
+                    len(dup_text), len(novel[1])],
+    }
+    pq.write_table(pa.table(rows), str(tmp_path / "documents.parquet"))
+    out = {
+        (r["source"], bool(r["admitted"])): (r["n_docs"], r["id_sum"])
+        for r in q_stream_neardup_gate(spark, str(tmp_path)).collect()
+    }
+    # incoming = ids 0, 5, 10; id 5 dropped, 0 and 10 admitted
+    assert out[("s0", False)] == (1, 5)
+    assert out[("s0", True)] == (2, 10)
