@@ -285,6 +285,7 @@ HEADLINE = [
     "doc_chat_template",
     "doc_dpo_pairs",
     "stream_neardup_gate",
+    "doc_span_corruption",
     "doc_ccnet_heldout",
 ]
 

@@ -3334,3 +3334,150 @@ QUERIES["doc_dpo_pairs"] = QuerySpec(
     ORACLE_DPO_PAIRS,
     "DPO preference pairs: bucketed best-vs-worst pairing, exact margins",
 )
+
+
+# ---------------------------------------------------------------------------
+# T5/UL2 span-corruption objective prep: deterministic span selection,
+# sentinel substitution, and (input, target) rendering.
+
+SPANC_W = 16   # window size in tokens; one corrupted span per window
+SPANC_L = 3    # corrupted span length
+
+
+def q_span_corruption(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Denoising-objective training-pair assembly (the T5/UL2 span
+    corruption shape): each full SPANC_W-token window of a document
+    gets one SPANC_L-token span corrupted, the span start drawn
+    DETERMINISTICALLY from md5(doc_id:window) so the oracle replays
+    the exact selection (no RNG); the input swaps each span for its
+    <extra_id_w> sentinel and the target lists sentinel + the removed
+    tokens, per the published objective. Both rendered strings are
+    emitted and compared bit-for-bit, plus exact counts and the
+    span-start checksum. Trailing tokens past the last full window
+    stay uncorrupted input, as do sub-window documents.
+
+    Spark shape: pure in-row higher-order functions (slice / flatten /
+    transform over the window sequence) — zero shuffle, zero Python;
+    embarrassingly parallel per document at any corpus size."""
+    d = read_table(spark, sf_dir, "documents")
+    words = F.split(F.col("text"), r"\s+")
+    n = F.size(words)
+    nw = F.floor(n / SPANC_W).cast("int")
+    # guard the empty case: sequence(0, -1) would DESCEND, not empty
+    widx = F.when(nw > 0, F.sequence(F.lit(0), nw - 1)).otherwise(
+        F.array().cast("array<int>"))
+
+    def local_start(w):
+        return F.conv(
+            F.substring(
+                F.md5(F.concat(F.col("doc_id").cast("string"),
+                               F.lit(":"), w.cast("string"))),
+                1, 15,
+            ), 16, 10,
+        ).cast("bigint") % (SPANC_W - SPANC_L + 1)
+
+    def g_start(w):  # 0-based global span start
+        return w * SPANC_W + local_start(w)
+
+    def sentinel(w):
+        return F.concat(F.lit("<extra_id_"), w.cast("string"),
+                        F.lit(">"))
+
+    input_toks = F.concat(
+        F.flatten(F.transform(
+            widx,
+            lambda w: F.concat(
+                F.slice(words, w * SPANC_W + 1,
+                        local_start(w).cast("int")),
+                F.array(sentinel(w)),
+                F.slice(
+                    words,
+                    (g_start(w) + SPANC_L + 1).cast("int"),
+                    (SPANC_W - local_start(w) - SPANC_L).cast("int"),
+                ),
+            ),
+        )),
+        F.slice(words, nw * SPANC_W + 1, n - nw * SPANC_W),
+    )
+    target_toks = F.flatten(F.transform(
+        widx,
+        lambda w: F.concat(
+            F.array(sentinel(w)),
+            F.slice(words, (g_start(w) + 1).cast("int"), SPANC_L),
+        ),
+    ))
+    start_sum = F.aggregate(
+        widx, F.lit(0).cast("bigint"), lambda acc, w: acc + g_start(w)
+    )
+    return d.select(
+        "doc_id",
+        n.cast("int").alias("n_tokens"),
+        nw.alias("n_windows"),
+        (nw * SPANC_L).cast("int").alias("n_corrupted"),
+        start_sum.alias("span_start_sum"),
+        F.array_join(input_toks, " ").alias("input_text"),
+        F.array_join(target_toks, " ").alias("target_text"),
+    )
+
+
+def _oracle_span_corruption() -> str:
+    hexpr = _sql_md5_64("CAST(doc_id AS VARCHAR) || ':' || "
+                        "CAST(i.i AS VARCHAR)")
+    return rf"""
+WITH t AS (
+  SELECT doc_id, string_split_regex(text, '\s+') AS w,
+         len(string_split_regex(text, '\s+')) AS n
+  FROM documents
+),
+dims AS (
+  SELECT doc_id, w, n, CAST(n // {SPANC_W} AS INT) AS nw FROM t
+),
+wins AS (
+  SELECT d.doc_id, i.i AS wi,
+         i.i * {SPANC_W} + ({hexpr}) % {SPANC_W - SPANC_L + 1} AS gs
+  FROM dims d
+  JOIN generate_series(0, 100000) AS i(i) ON i.i < d.nw
+),
+parts AS (
+  SELECT w2.doc_id, w2.wi, w2.gs,
+         list_concat(list_concat(
+             d.w[w2.wi * {SPANC_W} + 1 : CAST(w2.gs AS INT)],
+             ['<extra_id_' || w2.wi || '>']),
+             d.w[CAST(w2.gs AS INT) + {SPANC_L} + 1 :
+                 (w2.wi + 1) * {SPANC_W}]) AS in_toks,
+         list_concat(['<extra_id_' || w2.wi || '>'],
+                     d.w[CAST(w2.gs AS INT) + 1 :
+                         CAST(w2.gs AS INT) + {SPANC_L}]) AS tg_toks
+  FROM wins w2 JOIN dims d USING (doc_id)
+),
+per_doc AS (
+  SELECT doc_id,
+         CAST(sum(gs) AS BIGINT) AS span_start_sum,
+         string_agg(array_to_string(in_toks, ' '), ' ' ORDER BY wi)
+           AS in_body,
+         string_agg(array_to_string(tg_toks, ' '), ' ' ORDER BY wi)
+           AS target_text
+  FROM parts GROUP BY doc_id
+)
+SELECT d.doc_id,
+       CAST(d.n AS INT) AS n_tokens,
+       d.nw AS n_windows,
+       CAST(d.nw * {SPANC_L} AS INT) AS n_corrupted,
+       coalesce(p.span_start_sum, 0) AS span_start_sum,
+       CASE
+         WHEN d.nw = 0 THEN array_to_string(d.w, ' ')
+         WHEN d.n > d.nw * {SPANC_W} THEN p.in_body || ' ' ||
+           array_to_string(d.w[d.nw * {SPANC_W} + 1 : d.n], ' ')
+         ELSE p.in_body
+       END AS input_text,
+       coalesce(p.target_text, '') AS target_text
+FROM dims d LEFT JOIN per_doc p USING (doc_id)
+"""
+
+
+QUERIES["doc_span_corruption"] = QuerySpec(
+    q_span_corruption,
+    _oracle_span_corruption(),
+    "T5/UL2 span corruption: deterministic spans, sentinel render, "
+    "exact (input, target) pair",
+)

@@ -951,3 +951,50 @@ def test_dpo_pairs_properties(spark):
         grp.sort(key=lambda r: r["pair_rank"])
         margins = [r["margin_ppm"] for r in grp]
         assert margins == sorted(margins, reverse=True), grp
+
+
+def test_span_corruption_pairs_rederive_in_python(spark):
+    # independent python re-derivation of the T5-style corruption:
+    # the sentinel positions, removed tokens, and both rendered
+    # strings must match the Spark HOF construction exactly
+    import hashlib
+    import re as _re
+
+    from sparkstreaming_spark.suite.llm import (
+        SPANC_L,
+        SPANC_W,
+        q_span_corruption,
+    )
+
+    rows = (q_span_corruption(spark, SF_DIR_CORRECT)
+            .filter(F.col("doc_id") < 30).collect())
+    docs = {
+        r["doc_id"]: r["text"]
+        for r in read_table(spark, SF_DIR_CORRECT, "documents")
+        .filter(F.col("doc_id") < 30).collect()
+    }
+    for r in rows:
+        words = _re.split(r"\s+", docs[r["doc_id"]])
+        n = len(words)
+        nw = n // SPANC_W
+        inp, tgt, ssum = [], [], 0
+        for w in range(nw):
+            h = int(hashlib.md5(
+                f"{r['doc_id']}:{w}".encode()).hexdigest()[:15], 16)
+            ls = h % (SPANC_W - SPANC_L + 1)
+            gs = w * SPANC_W + ls
+            ssum += gs
+            sent = f"<extra_id_{w}>"
+            inp += words[w * SPANC_W : gs] + [sent] \
+                + words[gs + SPANC_L : (w + 1) * SPANC_W]
+            tgt += [sent] + words[gs : gs + SPANC_L]
+        inp += words[nw * SPANC_W :]
+        assert r["n_tokens"] == n
+        assert r["n_windows"] == nw
+        assert r["n_corrupted"] == nw * SPANC_L
+        assert r["span_start_sum"] == ssum
+        assert r["input_text"] == " ".join(inp)
+        assert r["target_text"] == " ".join(tgt)
+        # objective invariants: token conservation and sentinel parity
+        assert len(inp) + nw * SPANC_L == n + nw
+        assert r["target_text"].count("<extra_id_") == nw

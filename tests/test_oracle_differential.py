@@ -114,6 +114,7 @@ CRITICAL_NEVER_SAMPLED = [
     "doc_chat_template",
     "doc_dpo_pairs",
     "stream_neardup_gate",
+    "doc_span_corruption",
 ]
 
 
