@@ -286,6 +286,7 @@ HEADLINE = [
     "doc_dpo_pairs",
     "stream_neardup_gate",
     "doc_span_corruption",
+    "doc_length_batching",
     "doc_ccnet_heldout",
 ]
 

@@ -3481,3 +3481,97 @@ QUERIES["doc_span_corruption"] = QuerySpec(
     "T5/UL2 span corruption: deterministic spans, sentinel render, "
     "exact (input, target) pair",
 )
+
+
+# ---------------------------------------------------------------------------
+# Length-bucketed batching plan: padding-waste accounting for a fixed
+# per-batch token budget.
+
+BATCH_TOKENS = 4096
+BUCKET_STEP = 32
+
+
+def q_length_batching(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-efficiency ledger for length-bucketed batching: every
+    document pads to the next BUCKET_STEP multiple of its token count;
+    each bucket packs floor(BATCH_TOKENS / bucket_len) sequences per
+    batch (min 1). Emits per bucket: docs, batches, exact padding
+    waste in ppm of the bucket's padded volume — and the waste the
+    corpus would pay UNBUCKETED (everything padded to the global max)
+    as a broadcast scalar column, so the bucketing win is read
+    directly off the result. All integer arithmetic; the shuffle is
+    one |buckets|-sized aggregate plus a scalar cross join.
+
+    Reference parity: north-star LLM-pipeline extension (the packing
+    twin is doc_pack_sequences; this is the padding-regime
+    accounting)."""
+    d = read_table(spark, sf_dir, "documents")
+    n = F.size(F.split(F.col("text"), r"\s+")).cast("bigint")
+    step = F.lit(BUCKET_STEP).cast("bigint")
+    blen = ((n + step - 1) / step).cast("bigint") * step
+    per = d.select(n.alias("n_toks"), blen.alias("bucket_len"))
+    gmax = per.agg(
+        F.max("bucket_len").alias("gmax"),
+        F.sum("n_toks").alias("gtok"),
+        F.count(F.lit(1)).alias("gdocs"),
+    )
+    buckets = per.groupBy("bucket_len").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_toks").alias("sum_toks"),
+    )
+    spb = F.greatest(
+        F.lit(1).cast("bigint"),
+        (F.lit(BATCH_TOKENS) / F.col("bucket_len")).cast("bigint"),
+    )
+    out = buckets.crossJoin(F.broadcast(gmax)).select(
+        F.col("bucket_len").cast("int").alias("bucket_len"),
+        F.col("n_docs").cast("bigint").alias("n_docs"),
+        (((F.col("n_docs") + spb - 1) / spb).cast("bigint"))
+        .alias("n_batches"),
+        (
+            (F.col("bucket_len") * F.col("n_docs") - F.col("sum_toks"))
+            * 1000000 / (F.col("bucket_len") * F.col("n_docs"))
+        ).cast("bigint").alias("pad_waste_ppm"),
+        (
+            (F.col("gmax") * F.col("gdocs") - F.col("gtok"))
+            * 1000000 / (F.col("gmax") * F.col("gdocs"))
+        ).cast("bigint").alias("unbucketed_waste_ppm"),
+    )
+    return out
+
+
+ORACLE_LENGTH_BATCHING = f"""
+WITH per AS (
+  SELECT len(string_split_regex(text, '\\s+')) AS n_toks,
+         ((len(string_split_regex(text, '\\s+')) + {BUCKET_STEP - 1})
+          // {BUCKET_STEP}) * {BUCKET_STEP} AS bucket_len
+  FROM documents
+),
+g AS (
+  SELECT max(bucket_len) AS gmax, sum(n_toks) AS gtok,
+         count(*) AS gdocs
+  FROM per
+),
+b AS (
+  SELECT bucket_len, count(*) AS n_docs, sum(n_toks) AS sum_toks
+  FROM per GROUP BY bucket_len
+)
+SELECT CAST(b.bucket_len AS INT) AS bucket_len,
+       CAST(b.n_docs AS BIGINT) AS n_docs,
+       CAST((b.n_docs + greatest(1, {BATCH_TOKENS} // b.bucket_len) - 1)
+            // greatest(1, {BATCH_TOKENS} // b.bucket_len) AS BIGINT)
+         AS n_batches,
+       CAST((b.bucket_len * b.n_docs - b.sum_toks) * 1000000
+            // (b.bucket_len * b.n_docs) AS BIGINT) AS pad_waste_ppm,
+       CAST((g.gmax * g.gdocs - g.gtok) * 1000000
+            // (g.gmax * g.gdocs) AS BIGINT) AS unbucketed_waste_ppm
+FROM b, g
+"""
+
+
+QUERIES["doc_length_batching"] = QuerySpec(
+    q_length_batching,
+    ORACLE_LENGTH_BATCHING,
+    "length-bucketed batching plan: exact padding-waste ledger vs "
+    "unbucketed padding",
+)

@@ -998,3 +998,23 @@ def test_span_corruption_pairs_rederive_in_python(spark):
         # objective invariants: token conservation and sentinel parity
         assert len(inp) + nw * SPANC_L == n + nw
         assert r["target_text"].count("<extra_id_") == nw
+
+
+def test_length_batching_ledger_properties(spark):
+    from sparkstreaming_spark.suite.llm import (
+        BATCH_TOKENS,
+        BUCKET_STEP,
+        q_length_batching,
+    )
+
+    rows = q_length_batching(spark, SF_DIR_CORRECT).collect()
+    assert rows
+    for r in rows:
+        assert r["bucket_len"] % BUCKET_STEP == 0
+        # padding to the next step multiple wastes < one step per seq
+        assert 0 <= r["pad_waste_ppm"] < 1000000 * BUCKET_STEP / (
+            r["bucket_len"] - BUCKET_STEP + 1)
+        spb = max(1, BATCH_TOKENS // r["bucket_len"])
+        assert r["n_batches"] == -(-r["n_docs"] // spb)
+        # bucketing never wastes more than the unbucketed regime
+        assert r["pad_waste_ppm"] <= r["unbucketed_waste_ppm"]

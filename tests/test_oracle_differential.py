@@ -115,6 +115,7 @@ CRITICAL_NEVER_SAMPLED = [
     "doc_dpo_pairs",
     "stream_neardup_gate",
     "doc_span_corruption",
+    "doc_length_batching",
 ]
 
 
