@@ -3436,7 +3436,7 @@ wins AS (
   SELECT d.doc_id, i.i AS wi,
          i.i * {SPANC_W} + ({hexpr}) % {SPANC_W - SPANC_L + 1} AS gs
   FROM dims d
-  JOIN generate_series(0, 100000) AS i(i) ON i.i < d.nw
+  CROSS JOIN LATERAL (SELECT unnest(range(d.nw)) AS i) AS i
 ),
 parts AS (
   SELECT w2.doc_id, w2.wi, w2.gs,
@@ -3507,9 +3507,16 @@ def q_length_batching(spark: SparkSession, sf_dir: str) -> DataFrame:
     accounting)."""
     d = read_table(spark, sf_dir, "documents")
     n = F.size(F.split(F.col("text"), r"\s+")).cast("bigint")
-    step = F.lit(BUCKET_STEP).cast("bigint")
-    blen = ((n + step - 1) / step).cast("bigint") * step
-    per = d.select(n.alias("n_toks"), blen.alias("bucket_len"))
+    # `div` keeps every quotient in exact 64-bit integer arithmetic —
+    # double division + cast would silently truncate wrong once the
+    # intermediate products pass 2^53 at large corpus scale.
+    per = d.select(n.alias("n_toks")).withColumn(
+        "bucket_len",
+        F.expr(
+            f"((n_toks + {BUCKET_STEP - 1}) div {BUCKET_STEP})"
+            f" * {BUCKET_STEP}"
+        ),
+    )
     gmax = per.agg(
         F.max("bucket_len").alias("gmax"),
         F.sum("n_toks").alias("gtok"),
@@ -3519,23 +3526,31 @@ def q_length_batching(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_toks").alias("sum_toks"),
     )
-    spb = F.greatest(
-        F.lit(1).cast("bigint"),
-        (F.lit(BATCH_TOKENS) / F.col("bucket_len")).cast("bigint"),
-    )
-    out = buckets.crossJoin(F.broadcast(gmax)).select(
-        F.col("bucket_len").cast("int").alias("bucket_len"),
-        F.col("n_docs").cast("bigint").alias("n_docs"),
-        (((F.col("n_docs") + spb - 1) / spb).cast("bigint"))
-        .alias("n_batches"),
-        (
-            (F.col("bucket_len") * F.col("n_docs") - F.col("sum_toks"))
-            * 1000000 / (F.col("bucket_len") * F.col("n_docs"))
-        ).cast("bigint").alias("pad_waste_ppm"),
-        (
-            (F.col("gmax") * F.col("gdocs") - F.col("gtok"))
-            * 1000000 / (F.col("gmax") * F.col("gdocs"))
-        ).cast("bigint").alias("unbucketed_waste_ppm"),
+    out = (
+        buckets.crossJoin(F.broadcast(gmax))
+        .withColumn(
+            "spb",
+            F.expr(
+                f"greatest(CAST(1 AS BIGINT),"
+                f" CAST({BATCH_TOKENS} AS BIGINT) div bucket_len)"
+            ),
+        )
+        .select(
+            F.col("bucket_len").cast("int").alias("bucket_len"),
+            F.col("n_docs").cast("bigint").alias("n_docs"),
+            F.expr("(n_docs + spb - 1) div spb")
+            .cast("bigint")
+            .alias("n_batches"),
+            F.expr(
+                "((bucket_len * n_docs - sum_toks)"
+                " * CAST(1000000 AS BIGINT))"
+                " div (bucket_len * n_docs)"
+            ).cast("bigint").alias("pad_waste_ppm"),
+            F.expr(
+                "((gmax * gdocs - gtok) * CAST(1000000 AS BIGINT))"
+                " div (gmax * gdocs)"
+            ).cast("bigint").alias("unbucketed_waste_ppm"),
+        )
     )
     return out
 
