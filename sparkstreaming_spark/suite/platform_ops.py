@@ -2658,3 +2658,125 @@ QUERIES["doc_h264_ibb_probe"] = QuerySpec(
     "H.264 IbbP + implicit weighted bi-prediction: POC-derived "
     "weights, bit-exact round-trip",
 )
+
+
+# ---------------------------------------------------------------------------
+# image perceptual near-dup (pHash + Hamming band-join)
+# ---------------------------------------------------------------------------
+
+PHASH_IDS = 144
+
+
+def q_image_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LAION/DataComp-style perceptual image dedup, fully oracled: per
+    doc (doc_id < 144, 48 groups of 3 variants) a 64x64 grayscale image
+    is synthesized by formula — variants within a group differ only in
+    one 8x8 tile — then round-tripped through the REAL GIF/LZW codec
+    (multimodal/gif.py, identity gray palette so decoded R == pixel
+    value; GIF is lossless, so an LZW width-bump/dictionary bug changes
+    the decoded pixels and flips the hash). The decoded image feeds the
+    integer-exact 64-bit DCT pHash (dedup/phash.py: 2x2 block mean ->
+    fixed-point DCT -> 32nd-smallest threshold), and pairs within
+    Hamming <= 3 surface via the 4x16-bit banding equi-join.
+
+    Recall contract: the oracle replays pixel formula + DCT table +
+    threshold bit-for-bit and compares ALL pairs brute-force, while the
+    Spark side only examines band-sharing candidates — the pigeonhole
+    guarantee (hamming <= bands-1 implies a shared band) makes the two
+    result sets EQUAL, so the hash match IS the recall=1.0 proof.
+
+    Spark shape / 100 TB: hashing is one narrow Arrow mapInPandas pass
+    per blob (embarrassingly parallel, no shuffle); pairing shuffles 4
+    16-bit-keyed rows per image (no O(n^2) anywhere)."""
+    import numpy as np
+    import pandas as pd
+
+    from ..dedup.phash import phash64, phash_near_dup_pairs
+    from ..multimodal.gif import decode_gif_rgb, encode_gif
+
+    d = read_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") < PHASH_IDS
+    ).select("doc_id")
+
+    pal = np.stack([np.arange(256)] * 3, axis=1).astype(np.uint8)
+
+    def work(batches):
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                base, r = did // 3, did % 3
+                fi, fj = 3 + base % 5, 2 + base % 7
+                i = np.arange(64).reshape(-1, 1)
+                j = np.arange(64).reshape(1, -1)
+                v = (
+                    base * 7 + (i * fi) // 4 * 16 + (j * fj) // 4 * 8
+                    + (i * j * (1 + base % 3)) // 32 * 4
+                ) % 256
+                tile = (i // 8) * 8 + (j // 8)
+                v = np.where(tile == base % 64, (v + 6 * r) % 256, v)
+                rgb = decode_gif_rgb(encode_gif(v.astype(np.uint8), pal))
+                rows.append({"doc_id": did, "phash": phash64(rgb[:, :, 0])})
+            yield pd.DataFrame(rows)
+
+    fp = d.repartition(8).mapInPandas(work, "doc_id bigint, phash bigint")
+    return phash_near_dup_pairs(fp, "doc_id", "phash", max_hamming=3, bands=4)
+
+
+def _oracle_image_neardup() -> str:
+    from ..dedup.phash import dct_table_sql
+
+    return f"""
+WITH d AS (
+  SELECT doc_id, doc_id // 3 AS base, doc_id % 3 AS r
+  FROM documents WHERE doc_id < {PHASH_IDS}
+),
+px AS (
+  SELECT d.doc_id, i.i AS i, j.j AS j,
+         (d.base * 7 + ((i.i * (3 + d.base % 5)) // 4) * 16
+          + ((j.j * (2 + d.base % 7)) // 4) * 8
+          + ((i.i * j.j * (1 + d.base % 3)) // 32) * 4
+          + CASE WHEN (i.i // 8) * 8 + (j.j // 8) = d.base % 64
+                 THEN 6 * d.r ELSE 0 END) % 256 AS v
+  FROM d, generate_series(0, 63) AS i(i), generate_series(0, 63) AS j(j)
+),
+m AS (
+  SELECT doc_id, i // 2 AS x, j // 2 AS y,
+         CAST(sum(v) // 4 AS BIGINT) AS m
+  FROM px GROUP BY doc_id, i // 2, j // 2
+),
+coef AS (
+  SELECT m.doc_id, cu.u AS u, cv.u AS v,
+         CAST(sum(m.m * cu.c * cv.c) AS BIGINT) AS coef
+  FROM m
+  JOIN {dct_table_sql("cu")} ON cu.x = m.x
+  JOIN {dct_table_sql("cv")} ON cv.x = m.y
+  GROUP BY m.doc_id, cu.u, cv.u
+),
+thr AS (
+  SELECT doc_id, coef AS thr
+  FROM (SELECT doc_id, coef,
+               row_number() OVER (PARTITION BY doc_id ORDER BY coef) AS rn
+        FROM coef)
+  WHERE rn = 32
+),
+bits AS (
+  SELECT c.doc_id, c.u, c.v,
+         CASE WHEN c.coef > t.thr THEN 1 ELSE 0 END AS b
+  FROM coef c JOIN thr t USING (doc_id)
+)
+SELECT a.doc_id AS doc_a, b2.doc_id AS doc_b,
+       CAST(sum(CASE WHEN a.b <> b2.b THEN 1 ELSE 0 END) AS INT) AS hamming
+FROM bits a
+JOIN bits b2 ON a.u = b2.u AND a.v = b2.v AND a.doc_id < b2.doc_id
+GROUP BY 1, 2
+HAVING sum(CASE WHEN a.b <> b2.b THEN 1 ELSE 0 END) <= 3
+"""
+
+
+QUERIES["doc_image_neardup"] = QuerySpec(
+    q_image_neardup,
+    _oracle_image_neardup(),
+    "perceptual image near-dup: GIF roundtrip -> integer-exact 64-bit "
+    "DCT pHash -> Hamming<=3 band-join with pigeonhole-exact recall",
+)
