@@ -119,6 +119,9 @@ def phash_near_dup_pairs(
         )
     width = 64 // bands
     mask = (1 << width) - 1
+    # persist: the hash DF feeds both sides of the band self-join — without
+    # it the (expensive) decode+hash Arrow pass would execute twice
+    fp = fp.persist()
     slices = F.array(
         *[
             F.struct(

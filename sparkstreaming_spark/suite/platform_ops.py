@@ -2664,12 +2664,11 @@ QUERIES["doc_h264_ibb_probe"] = QuerySpec(
 # image perceptual near-dup (pHash + Hamming band-join)
 # ---------------------------------------------------------------------------
 
-PHASH_IDS = 144
-
-
 def q_image_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LAION/DataComp-style perceptual image dedup, fully oracled: per
-    doc (doc_id < 144, 48 groups of 3 variants) a 64x64 grayscale image
+    doc (the WHOLE documents table — the workload scales with the
+    corpus, unlike the fixed-id codec probes; groups of 3 perturbed
+    variants via base = doc_id//3) a 64x64 grayscale image
     is synthesized by formula — variants within a group differ only in
     one 8x8 tile — then round-tripped through the REAL GIF/LZW codec
     (multimodal/gif.py, identity gray palette so decoded R == pixel
@@ -2694,9 +2693,7 @@ def q_image_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..dedup.phash import phash64, phash_near_dup_pairs
     from ..multimodal.gif import decode_gif_rgb, encode_gif
 
-    d = read_table(spark, sf_dir, "documents").filter(
-        F.col("doc_id") < PHASH_IDS
-    ).select("doc_id")
+    d = read_table(spark, sf_dir, "documents").select("doc_id")
 
     pal = np.stack([np.arange(256)] * 3, axis=1).astype(np.uint8)
 
@@ -2706,20 +2703,23 @@ def q_image_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
             for did in pdf["doc_id"]:
                 did = int(did)
                 base, r = did // 3, did % 3
-                fi, fj = 3 + base % 5, 2 + base % 7
+                seed = (base * 2654435761) % 1000003
+                fi, fj = 3 + seed % 5, 2 + seed % 7
+                k, k2 = 1 + seed % 3, 1 + (seed // 7) % 7
                 i = np.arange(64).reshape(-1, 1)
                 j = np.arange(64).reshape(1, -1)
                 v = (
-                    base * 7 + (i * fi) // 4 * 16 + (j * fj) // 4 * 8
-                    + (i * j * (1 + base % 3)) // 32 * 4
+                    seed % 251 + (i * fi) // 4 * 16 + (j * fj) // 4 * 8
+                    + (i * j * k) // 32 * 4 + (i * i * k2) // 64 * 4
                 ) % 256
                 tile = (i // 8) * 8 + (j // 8)
-                v = np.where(tile == base % 64, (v + 6 * r) % 256, v)
+                v = np.where(tile == seed % 64, (v + 6 * r) % 256, v)
                 rgb = decode_gif_rgb(encode_gif(v.astype(np.uint8), pal))
                 rows.append({"doc_id": did, "phash": phash64(rgb[:, :, 0])})
             yield pd.DataFrame(rows)
 
-    fp = d.repartition(8).mapInPandas(work, "doc_id bigint, phash bigint")
+    par = spark.sparkContext.defaultParallelism
+    fp = d.repartition(par).mapInPandas(work, "doc_id bigint, phash bigint")
     return phash_near_dup_pairs(fp, "doc_id", "phash", max_hamming=3, bands=4)
 
 
@@ -2728,15 +2728,17 @@ def _oracle_image_neardup() -> str:
 
     return f"""
 WITH d AS (
-  SELECT doc_id, doc_id // 3 AS base, doc_id % 3 AS r
-  FROM documents WHERE doc_id < {PHASH_IDS}
+  SELECT doc_id, ((doc_id // 3) * 2654435761) % 1000003 AS seed,
+         doc_id % 3 AS r
+  FROM documents
 ),
 px AS (
   SELECT d.doc_id, i.i AS i, j.j AS j,
-         (d.base * 7 + ((i.i * (3 + d.base % 5)) // 4) * 16
-          + ((j.j * (2 + d.base % 7)) // 4) * 8
-          + ((i.i * j.j * (1 + d.base % 3)) // 32) * 4
-          + CASE WHEN (i.i // 8) * 8 + (j.j // 8) = d.base % 64
+         (d.seed % 251 + ((i.i * (3 + d.seed % 5)) // 4) * 16
+          + ((j.j * (2 + d.seed % 7)) // 4) * 8
+          + ((i.i * j.j * (1 + d.seed % 3)) // 32) * 4
+          + ((i.i * i.i * (1 + (d.seed // 7) % 7)) // 64) * 4
+          + CASE WHEN (i.i // 8) * 8 + (j.j // 8) = d.seed % 64
                  THEN 6 * d.r ELSE 0 END) % 256 AS v
   FROM d, generate_series(0, 63) AS i(i), generate_series(0, 63) AS j(j)
 ),
@@ -2779,4 +2781,129 @@ QUERIES["doc_image_neardup"] = QuerySpec(
     _oracle_image_neardup(),
     "perceptual image near-dup: GIF roundtrip -> integer-exact 64-bit "
     "DCT pHash -> Hamming<=3 band-join with pigeonhole-exact recall",
+)
+
+
+# ---------------------------------------------------------------------------
+# audio acoustic-fingerprint near-dup (completes the multimodal dedup triad)
+# ---------------------------------------------------------------------------
+
+def q_audio_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Acoustic-fingerprint near-dup, fully oracled: per doc
+    (doc_id < 144, 48 groups of 3 variants) a 2048-sample PCM clip is
+    synthesized from an 8-band amplitude profile (per-frame amplitudes
+    formula-derived from base = doc_id//3; the doc_id%3 variants nudge
+    band amplitudes by at most +/-2 — a tiny remaster-style change),
+    round-tripped through the REAL FLAC codec (multimodal/flac.py —
+    lossless, so a rice/fixed-predictor/CRC bug changes the decoded
+    samples and flips the fingerprint), then hashed with the
+    integer-exact chromaprint-shaped fingerprint (dedup/audiofp.py).
+    Pairs within Hamming <= 3 surface via the same 4x16-bit banding
+    equi-join the image pass uses (dedup/phash.py).
+
+    Recall contract: the oracle replays PCM formula + Goertzel tables +
+    comparison bits exactly and brute-forces ALL pairs; pigeonhole
+    makes the banded result EQUAL to it, so the value hash proves
+    recall = 1.0.
+
+    Spark shape / 100 TB: decode+fingerprint is one narrow Arrow
+    mapInPandas pass per blob; pairing shuffles 4 16-bit-keyed rows
+    per clip. No O(n^2) anywhere."""
+    import numpy as np
+    import pandas as pd
+
+    from ..dedup.audiofp import _COS, audio_fingerprint64
+    from ..dedup.phash import phash_near_dup_pairs
+    from ..multimodal.flac import decode_flac, encode_flac
+
+    d = read_table(spark, sf_dir, "documents").select("doc_id")
+
+    def work(batches):
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                base, r = did // 3, did % 3
+                seed = (base * 2654435761) % 1000003
+                f = np.arange(16).reshape(-1, 1)
+                b = np.arange(8).reshape(1, -1)
+                cell = seed + b * 7919 + f * 104729
+                h = (cell * cell % 1000003) * 2654435761 % 1000003
+                a = 40 + h % 97 + r * ((b * 5 + seed) % 3 - 1)
+                n = np.arange(128)
+                noise = (n * n * (1 + seed % 5)) % 31
+                raw = a @ _COS.T  # (16, 128)
+                x = ((raw + (1 << 20)) // 16 - (1 << 16) + noise).astype(
+                    np.int16
+                ).reshape(-1)
+                blob = encode_flac(x, 16000, blocksize=256)
+                dec, _rate = decode_flac(blob)
+                rows.append(
+                    {"doc_id": did, "afp": audio_fingerprint64(dec)}
+                )
+            yield pd.DataFrame(rows)
+
+    par = spark.sparkContext.defaultParallelism
+    fp = d.repartition(par).mapInPandas(work, "doc_id bigint, afp bigint")
+    return phash_near_dup_pairs(fp, "doc_id", "afp", max_hamming=3, bands=4)
+
+
+def _oracle_audio_neardup() -> str:
+    from ..dedup.audiofp import afp_table_sql
+
+    return f"""
+WITH d AS (
+  SELECT doc_id, ((doc_id // 3) * 2654435761) % 1000003 AS seed,
+         doc_id % 3 AS r
+  FROM documents
+),
+amp AS (
+  SELECT d.doc_id, f.f, b.b,
+         40 + (((d.seed + b.b * 7919 + f.f * 104729)
+                * (d.seed + b.b * 7919 + f.f * 104729) % 1000003)
+               * 2654435761 % 1000003) % 97
+            + d.r * ((b.b * 5 + d.seed) % 3 - 1) AS a
+  FROM d, generate_series(0, 15) AS f(f), generate_series(0, 7) AS b(b)
+),
+raw AS (
+  SELECT a.doc_id, a.f, t.n, CAST(sum(a.a * t.c) AS BIGINT) AS s
+  FROM amp a JOIN {afp_table_sql("t")} ON t.b = a.b
+  GROUP BY a.doc_id, a.f, t.n
+),
+pcm AS (
+  SELECT raw.doc_id, raw.f, raw.n,
+         (raw.s + 1048576) // 16 - 65536
+         + (raw.n * raw.n * (1 + d.seed % 5)) % 31 AS x
+  FROM raw JOIN d ON d.doc_id = raw.doc_id
+),
+er AS (
+  SELECT p.doc_id, p.f, t.b,
+         CAST(sum(p.x * t.c) AS BIGINT) AS re,
+         CAST(sum(p.x * t.s) AS BIGINT) AS im
+  FROM pcm p JOIN {afp_table_sql("t")} ON t.n = p.n
+  GROUP BY p.doc_id, p.f, t.b
+),
+bits AS (
+  SELECT e1.doc_id, e1.f, e1.b // 2 AS c,
+         CASE WHEN e1.re * e1.re + e1.im * e1.im
+                   > e2.re * e2.re + e2.im * e2.im
+              THEN 1 ELSE 0 END AS bit
+  FROM er e1
+  JOIN er e2 ON e2.doc_id = e1.doc_id AND e2.f = e1.f AND e2.b = e1.b + 1
+  WHERE e1.b % 2 = 0
+)
+SELECT a.doc_id AS doc_a, b2.doc_id AS doc_b,
+       CAST(sum(CASE WHEN a.bit <> b2.bit THEN 1 ELSE 0 END) AS INT) AS hamming
+FROM bits a
+JOIN bits b2 ON a.f = b2.f AND a.c = b2.c AND a.doc_id < b2.doc_id
+GROUP BY 1, 2
+HAVING sum(CASE WHEN a.bit <> b2.bit THEN 1 ELSE 0 END) <= 3
+"""
+
+
+QUERIES["doc_audio_neardup"] = QuerySpec(
+    q_audio_neardup,
+    _oracle_audio_neardup(),
+    "acoustic near-dup: FLAC roundtrip -> integer-exact chromaprint-"
+    "shaped 64-bit fingerprint -> Hamming<=3 band-join, exact recall",
 )
