@@ -1,0 +1,63 @@
+"""Full-suite sf1 (10x bench-sf) scale run: build the 10x corpus via
+tools/stress.py::build into /tmp/stress_10x, then time EVERY registry
+query against it (single timed run per query — the point is the shape
+of the per-family scaling curve vs the sf0.1 driver stamps, not
+median-precision absolutes).
+
+Writes BENCH_SF1.json at the repo root:
+{"sf": "0.1x10", "total_sec": ..., "queries": {name: sec}}.
+
+Usage: python tools/sf1_bench.py [--skip-streaming]
+"""
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from sparkstreaming_spark.session import get_spark  # noqa: E402
+from sparkstreaming_spark.suite import all_queries  # noqa: E402
+from stress import BASE, build  # noqa: E402
+
+
+def main() -> None:
+    skip_streaming = "--skip-streaming" in sys.argv
+    out_dir = "/tmp/stress_10x"
+    spark = get_spark("sf1-bench")
+    if not os.path.exists(f"{out_dir}/orders.parquet"):
+        t0 = time.perf_counter()
+        build(spark, 10, out_dir)
+        print(f"built 10x corpus in {time.perf_counter() - t0:.1f}s", flush=True)
+    registry = all_queries()
+    names = sorted(registry)
+    if skip_streaming:
+        names = [n for n in names if not n.startswith(("stream", "streamck"))]
+    # warm-up: JVM + parquet footers
+    registry[names[0]].fn(spark, out_dir).count()
+    timings: dict[str, float] = {}
+    for name in names:
+        t0 = time.perf_counter()
+        try:
+            registry[name].fn(spark, out_dir).count()
+            timings[name] = round(time.perf_counter() - t0, 4)
+        except Exception as exc:  # record, don't abort the sweep
+            timings[name] = -1.0
+            print(f"ERR {name}: {exc}", flush=True)
+        print(f"{name}: {timings[name]:.2f}s", flush=True)
+    total = round(sum(t for t in timings.values() if t > 0), 2)
+    path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "BENCH_SF1.json",
+    )
+    with open(path, "w") as fh:
+        json.dump(
+            {"sf": "0.1x10", "total_sec": total, "queries": timings}, fh, indent=1
+        )
+        fh.write("\n")
+    print(f"TOTAL {total}s over {len(timings)} queries -> {path}", flush=True)
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
