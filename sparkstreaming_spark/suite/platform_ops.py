@@ -2664,70 +2664,44 @@ QUERIES["doc_h264_ibb_probe"] = QuerySpec(
 # image perceptual near-dup (pHash + Hamming band-join)
 # ---------------------------------------------------------------------------
 
-def q_image_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LAION/DataComp-style perceptual image dedup, fully oracled: per
-    doc (the WHOLE documents table — the workload scales with the
-    corpus, unlike the fixed-id codec probes; groups of 3 perturbed
-    variants via base = doc_id//3) a 64x64 grayscale image
-    is synthesized by formula — variants within a group differ only in
-    one 8x8 tile — then round-tripped through the REAL GIF/LZW codec
-    (multimodal/gif.py, identity gray palette so decoded R == pixel
-    value; GIF is lossless, so an LZW width-bump/dictionary bug changes
-    the decoded pixels and flips the hash). The decoded image feeds the
-    integer-exact 64-bit DCT pHash (dedup/phash.py: 2x2 block mean ->
-    fixed-point DCT -> 32nd-smallest threshold), and pairs within
-    Hamming <= 3 surface via the 4x16-bit banding equi-join.
-
-    Recall contract: the oracle replays pixel formula + DCT table +
-    threshold bit-for-bit and compares ALL pairs brute-force, while the
-    Spark side only examines band-sharing candidates — the pigeonhole
-    guarantee (hamming <= bands-1 implies a shared band) makes the two
-    result sets EQUAL, so the hash match IS the recall=1.0 proof.
-
-    Spark shape / 100 TB: hashing is one narrow Arrow mapInPandas pass
-    per blob (embarrassingly parallel, no shuffle); pairing shuffles 4
-    16-bit-keyed rows per image (no O(n^2) anywhere)."""
+def phash_image_map(batches):
+    """mapInPandas worker shared by doc_image_neardup and the streaming
+    image gate: doc_id -> formula image -> REAL GIF/LZW round-trip ->
+    integer-exact 64-bit pHash. Stateless, so it is streaming-safe."""
     import numpy as np
     import pandas as pd
 
-    from ..dedup.phash import phash64, phash_near_dup_pairs
+    from ..dedup.phash import phash64
     from ..multimodal.gif import decode_gif_rgb, encode_gif
 
-    d = read_table(spark, sf_dir, "documents").select("doc_id")
-
     pal = np.stack([np.arange(256)] * 3, axis=1).astype(np.uint8)
-
-    def work(batches):
-        for pdf in batches:
-            rows = []
-            for did in pdf["doc_id"]:
-                did = int(did)
-                base, r = did // 3, did % 3
-                seed = (base * 2654435761) % 1000003
-                fi, fj = 3 + seed % 5, 2 + seed % 7
-                k, k2 = 1 + seed % 3, 1 + (seed // 7) % 7
-                i = np.arange(64).reshape(-1, 1)
-                j = np.arange(64).reshape(1, -1)
-                v = (
-                    seed % 251 + (i * fi) // 4 * 16 + (j * fj) // 4 * 8
-                    + (i * j * k) // 32 * 4 + (i * i * k2) // 64 * 4
-                ) % 256
-                tile = (i // 8) * 8 + (j // 8)
-                v = np.where(tile == seed % 64, (v + 6 * r) % 256, v)
-                rgb = decode_gif_rgb(encode_gif(v.astype(np.uint8), pal))
-                rows.append({"doc_id": did, "phash": phash64(rgb[:, :, 0])})
-            yield pd.DataFrame(rows)
-
-    par = spark.sparkContext.defaultParallelism
-    fp = d.repartition(par).mapInPandas(work, "doc_id bigint, phash bigint")
-    return phash_near_dup_pairs(fp, "doc_id", "phash", max_hamming=3, bands=4)
+    for pdf in batches:
+        rows = []
+        for did in pdf["doc_id"]:
+            did = int(did)
+            base, r = did // 3, did % 3
+            seed = (base * 2654435761) % 1000003
+            fi, fj = 3 + seed % 5, 2 + seed % 7
+            k, k2 = 1 + seed % 3, 1 + (seed // 7) % 7
+            i = np.arange(64).reshape(-1, 1)
+            j = np.arange(64).reshape(1, -1)
+            v = (
+                seed % 251 + (i * fi) // 4 * 16 + (j * fj) // 4 * 8
+                + (i * j * k) // 32 * 4 + (i * i * k2) // 64 * 4
+            ) % 256
+            tile = (i // 8) * 8 + (j // 8)
+            v = np.where(tile == seed % 64, (v + 6 * r) % 256, v)
+            rgb = decode_gif_rgb(encode_gif(v.astype(np.uint8), pal))
+            rows.append({"doc_id": did, "phash": phash64(rgb[:, :, 0])})
+        yield pd.DataFrame(rows)
 
 
-def _oracle_image_neardup() -> str:
+def phash_bits_cte() -> str:
+    """Shared oracle CTE chain: documents -> per-doc 64 pHash bits
+    (d/px/m/coef/thr/bits), the formulas `phash_image_map` replays."""
     from ..dedup.phash import dct_table_sql
 
-    return f"""
-WITH d AS (
+    return f"""d AS (
   SELECT doc_id, ((doc_id // 3) * 2654435761) % 1000003 AS seed,
          doc_id % 3 AS r
   FROM documents
@@ -2766,7 +2740,45 @@ bits AS (
   SELECT c.doc_id, c.u, c.v,
          CASE WHEN c.coef > t.thr THEN 1 ELSE 0 END AS b
   FROM coef c JOIN thr t USING (doc_id)
-)
+)"""
+
+
+def q_image_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LAION/DataComp-style perceptual image dedup, fully oracled: per
+    doc (the WHOLE documents table — the workload scales with the
+    corpus, unlike the fixed-id codec probes; groups of 3 perturbed
+    variants via base = doc_id//3) a 64x64 grayscale image
+    is synthesized by formula — variants within a group differ only in
+    one 8x8 tile — then round-tripped through the REAL GIF/LZW codec
+    (multimodal/gif.py, identity gray palette so decoded R == pixel
+    value; GIF is lossless, so an LZW width-bump/dictionary bug changes
+    the decoded pixels and flips the hash). The decoded image feeds the
+    integer-exact 64-bit DCT pHash (dedup/phash.py: 2x2 block mean ->
+    fixed-point DCT -> 32nd-smallest threshold), and pairs within
+    Hamming <= 3 surface via the 4x16-bit banding equi-join.
+
+    Recall contract: the oracle replays pixel formula + DCT table +
+    threshold bit-for-bit and compares ALL pairs brute-force, while the
+    Spark side only examines band-sharing candidates — the pigeonhole
+    guarantee (hamming <= bands-1 implies a shared band) makes the two
+    result sets EQUAL, so the hash match IS the recall=1.0 proof.
+
+    Spark shape / 100 TB: hashing is one narrow Arrow mapInPandas pass
+    per blob (embarrassingly parallel, no shuffle); pairing shuffles 4
+    16-bit-keyed rows per image (no O(n^2) anywhere)."""
+    from ..dedup.phash import phash_near_dup_pairs
+
+    d = read_table(spark, sf_dir, "documents").select("doc_id")
+    par = spark.sparkContext.defaultParallelism
+    fp = d.repartition(par).mapInPandas(
+        phash_image_map, "doc_id bigint, phash bigint"
+    )
+    return phash_near_dup_pairs(fp, "doc_id", "phash", max_hamming=3, bands=4)
+
+
+def _oracle_image_neardup() -> str:
+    return f"""
+WITH {phash_bits_cte()}
 SELECT a.doc_id AS doc_a, b2.doc_id AS doc_b,
        CAST(sum(CASE WHEN a.b <> b2.b THEN 1 ELSE 0 END) AS INT) AS hamming
 FROM bits a
@@ -2788,71 +2800,46 @@ QUERIES["doc_image_neardup"] = QuerySpec(
 # audio acoustic-fingerprint near-dup (completes the multimodal dedup triad)
 # ---------------------------------------------------------------------------
 
-def q_audio_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Acoustic-fingerprint near-dup, fully oracled: per doc
-    (doc_id < 144, 48 groups of 3 variants) a 2048-sample PCM clip is
-    synthesized from an 8-band amplitude profile (per-frame amplitudes
-    formula-derived from base = doc_id//3; the doc_id%3 variants nudge
-    band amplitudes by at most +/-2 — a tiny remaster-style change),
-    round-tripped through the REAL FLAC codec (multimodal/flac.py —
-    lossless, so a rice/fixed-predictor/CRC bug changes the decoded
-    samples and flips the fingerprint), then hashed with the
-    integer-exact chromaprint-shaped fingerprint (dedup/audiofp.py).
-    Pairs within Hamming <= 3 surface via the same 4x16-bit banding
-    equi-join the image pass uses (dedup/phash.py).
-
-    Recall contract: the oracle replays PCM formula + Goertzel tables +
-    comparison bits exactly and brute-forces ALL pairs; pigeonhole
-    makes the banded result EQUAL to it, so the value hash proves
-    recall = 1.0.
-
-    Spark shape / 100 TB: decode+fingerprint is one narrow Arrow
-    mapInPandas pass per blob; pairing shuffles 4 16-bit-keyed rows
-    per clip. No O(n^2) anywhere."""
+def afp_audio_map(batches):
+    """mapInPandas worker shared by doc_audio_neardup and the streaming
+    audio gate: doc_id -> formula PCM -> REAL FLAC round-trip ->
+    integer-exact 64-bit fingerprint. Stateless, streaming-safe."""
     import numpy as np
     import pandas as pd
 
     from ..dedup.audiofp import _COS, audio_fingerprint64
-    from ..dedup.phash import phash_near_dup_pairs
     from ..multimodal.flac import decode_flac, encode_flac
 
-    d = read_table(spark, sf_dir, "documents").select("doc_id")
-
-    def work(batches):
-        for pdf in batches:
-            rows = []
-            for did in pdf["doc_id"]:
-                did = int(did)
-                base, r = did // 3, did % 3
-                seed = (base * 2654435761) % 1000003
-                f = np.arange(16).reshape(-1, 1)
-                b = np.arange(8).reshape(1, -1)
-                cell = seed + b * 7919 + f * 104729
-                h = (cell * cell % 1000003) * 2654435761 % 1000003
-                a = 40 + h % 97 + r * ((b * 5 + seed) % 3 - 1)
-                n = np.arange(128)
-                noise = (n * n * (1 + seed % 5)) % 31
-                raw = a @ _COS.T  # (16, 128)
-                x = ((raw + (1 << 20)) // 16 - (1 << 16) + noise).astype(
-                    np.int16
-                ).reshape(-1)
-                blob = encode_flac(x, 16000, blocksize=256)
-                dec, _rate = decode_flac(blob)
-                rows.append(
-                    {"doc_id": did, "afp": audio_fingerprint64(dec)}
-                )
-            yield pd.DataFrame(rows)
-
-    par = spark.sparkContext.defaultParallelism
-    fp = d.repartition(par).mapInPandas(work, "doc_id bigint, afp bigint")
-    return phash_near_dup_pairs(fp, "doc_id", "afp", max_hamming=3, bands=4)
+    for pdf in batches:
+        rows = []
+        for did in pdf["doc_id"]:
+            did = int(did)
+            base, r = did // 3, did % 3
+            seed = (base * 2654435761) % 1000003
+            f = np.arange(16).reshape(-1, 1)
+            b = np.arange(8).reshape(1, -1)
+            cell = seed + b * 7919 + f * 104729
+            h = (cell * cell % 1000003) * 2654435761 % 1000003
+            a = 40 + h % 97 + r * ((b * 5 + seed) % 3 - 1)
+            n = np.arange(128)
+            noise = (n * n * (1 + seed % 5)) % 31
+            raw = a @ _COS.T  # (16, 128)
+            x = ((raw + (1 << 20)) // 16 - (1 << 16) + noise).astype(
+                np.int16
+            ).reshape(-1)
+            blob = encode_flac(x, 16000, blocksize=256)
+            dec, _rate = decode_flac(blob)
+            rows.append({"doc_id": did, "afp": audio_fingerprint64(dec)})
+        yield pd.DataFrame(rows)
 
 
-def _oracle_audio_neardup() -> str:
+def afp_bits_cte() -> str:
+    """Shared oracle CTE chain: documents -> per-doc 64 fingerprint
+    bits (d/amp/raw/pcm/er/bits), the formulas `afp_audio_map`
+    replays."""
     from ..dedup.audiofp import afp_table_sql
 
-    return f"""
-WITH d AS (
+    return f"""d AS (
   SELECT doc_id, ((doc_id // 3) * 2654435761) % 1000003 AS seed,
          doc_id % 3 AS r
   FROM documents
@@ -2891,7 +2878,44 @@ bits AS (
   FROM er e1
   JOIN er e2 ON e2.doc_id = e1.doc_id AND e2.f = e1.f AND e2.b = e1.b + 1
   WHERE e1.b % 2 = 0
-)
+)"""
+
+
+def q_audio_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Acoustic-fingerprint near-dup, fully oracled: per doc (the
+    WHOLE documents table — corpus-scaled workload; groups of 3
+    variants via base = doc_id//3) a 2048-sample PCM clip is
+    synthesized from an 8-band amplitude profile (per-frame amplitudes
+    formula-derived from base = doc_id//3; the doc_id%3 variants nudge
+    band amplitudes by at most +/-2 — a tiny remaster-style change),
+    round-tripped through the REAL FLAC codec (multimodal/flac.py —
+    lossless, so a rice/fixed-predictor/CRC bug changes the decoded
+    samples and flips the fingerprint), then hashed with the
+    integer-exact chromaprint-shaped fingerprint (dedup/audiofp.py).
+    Pairs within Hamming <= 3 surface via the same 4x16-bit banding
+    equi-join the image pass uses (dedup/phash.py).
+
+    Recall contract: the oracle replays PCM formula + Goertzel tables +
+    comparison bits exactly and brute-forces ALL pairs; pigeonhole
+    makes the banded result EQUAL to it, so the value hash proves
+    recall = 1.0.
+
+    Spark shape / 100 TB: decode+fingerprint is one narrow Arrow
+    mapInPandas pass per blob; pairing shuffles 4 16-bit-keyed rows
+    per clip. No O(n^2) anywhere."""
+    from ..dedup.phash import phash_near_dup_pairs
+
+    d = read_table(spark, sf_dir, "documents").select("doc_id")
+    par = spark.sparkContext.defaultParallelism
+    fp = d.repartition(par).mapInPandas(
+        afp_audio_map, "doc_id bigint, afp bigint"
+    )
+    return phash_near_dup_pairs(fp, "doc_id", "afp", max_hamming=3, bands=4)
+
+
+def _oracle_audio_neardup() -> str:
+    return f"""
+WITH {afp_bits_cte()}
 SELECT a.doc_id AS doc_a, b2.doc_id AS doc_b,
        CAST(sum(CASE WHEN a.bit <> b2.bit THEN 1 ELSE 0 END) AS INT) AS hamming
 FROM bits a

@@ -1612,3 +1612,317 @@ QUERIES["stream_neardup_gate"] = QuerySpec(
     "streaming MinHash-LSH near-dup gate: corpus band index as a Bloom "
     "bitmap, in-row probe, zero state",
 )
+
+
+# ---------------------------------------------------------------------------
+# streaming perceptual-image near-dup gate (crawl images vs corpus pHash)
+# ---------------------------------------------------------------------------
+
+IMGGATE_SPLIT = 5       # doc_id % 5 == 0 is the incoming crawl slice
+IMGGATE_BANDS = 4       # 4 x 16-bit pHash bands
+IMGGATE_M = 16384       # Bloom bits over the corpus band keys
+IMGGATE_K = 3
+IMGGATE_SALT = "imggate"
+
+
+def q_stream_image_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental PERCEPTUAL image dedup on a live stream — the
+    crawl-ingest twin of doc_image_neardup, and the image member of the
+    streaming-gate family (text: stream_neardup_gate): the corpus
+    (doc_id % 5 != 0) is hashed OFFLINE with the integer-exact 64-bit
+    DCT pHash (each image decoded through the real GIF/LZW codec by the
+    SAME shared worker the batch pass uses), its 4x16-bit band keys are
+    compressed into one 16384-bit Bloom bitmap, and each streaming
+    image is decoded + hashed by a STATELESS Arrow mapInPandas pass,
+    then probes its 4 band keys against the bitmap folded into the plan
+    as a literal. Any band hit -> near-dup suspect -> dropped. Bloom
+    false positives drop at the designed ~1% rate; the oracle replays
+    hash bits AND bloom positions exactly, so even which images
+    false-positive is value-hash-checked. Accounting per (admitted,)
+    with an id_sum identity pin in complete mode.
+
+    Scale shape (100 TB crawl): the index is one bounded aggregate
+    (<= m distinct positions) no matter the corpus size; the probe
+    side is decode + projection with zero streaming state — the band
+    table never ships to the stream, only the fixed-size bitmap."""
+    from ..dedup.bloom import bloom_build_words, bloom_positions
+    from .platform_ops import phash_image_map
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    par = spark.sparkContext.defaultParallelism
+    # corpus: non-crawl ids, minus every 4th variant GROUP — those
+    # groups' crawl images are genuinely novel and must be admitted,
+    # so the gate exercises both outcomes
+    corpus_fp = (
+        d.filter(
+            (F.col("doc_id") % IMGGATE_SPLIT != 0)
+            & (F.expr("doc_id div 3") % 4 != 0)
+        )
+        .select("doc_id")
+        .repartition(par)
+        .mapInPandas(phash_image_map, "doc_id bigint, phash bigint")
+    )
+
+    def band_key(b: int):
+        return F.concat_ws(
+            ":",
+            F.lit(str(b)),
+            F.shiftrightunsigned(F.col("phash"), b * 16)
+            .bitwiseAND(F.lit(0xFFFF))
+            .cast("string"),
+        )
+
+    ckeys = corpus_fp.select(
+        F.explode(
+            F.array(*[band_key(b) for b in range(IMGGATE_BANDS)])
+        ).alias("bk")
+    )
+    words = bloom_build_words(
+        ckeys, "bk", m=IMGGATE_M, k=IMGGATE_K, salt=IMGGATE_SALT
+    )
+    wl = F.array(*[F.lit(w).cast("bigint") for w in words])
+
+    schema = (
+        "doc_id bigint, text string, lang string, source string,"
+        " n_chars bigint"
+    )
+    if os.path.isdir(os.path.join(sf_dir, "documents.parquet")):
+        rs = spark.readStream.schema(schema).parquet(
+            f"{sf_dir}/documents.parquet")
+    else:
+        rs = (spark.readStream.schema(schema)
+              .option("pathGlobFilter", "documents.parquet")
+              .parquet(sf_dir))
+    probe_fp = (
+        rs.filter(F.col("doc_id") % IMGGATE_SPLIT == 0)
+        .select("doc_id")
+        .repartition(32)
+        .mapInPandas(phash_image_map, "doc_id bigint, phash bigint")
+    )
+
+    def band_hit(b: int):
+        bk = band_key(b)
+        hit = F.lit(True)
+        for pos in bloom_positions(bk, IMGGATE_M, IMGGATE_K, IMGGATE_SALT):
+            word = F.element_at(wl, (pos / 32).cast("int") + 1)
+            shifted = F.floor(
+                word / F.pow(F.lit(2.0), F.pmod(pos, F.lit(32)))
+            ).cast("bigint")
+            hit = hit & (F.pmod(shifted, F.lit(2)) == 1)
+        return hit
+
+    any_hit = band_hit(0)
+    for b in range(1, IMGGATE_BANDS):
+        any_hit = any_hit | band_hit(b)
+    scored = probe_fp.select("doc_id", (~any_hit).alias("admitted"))
+    return run_available_now(
+        scored,
+        lambda df: df.groupBy("admitted").agg(
+            F.count(F.lit(1)).alias("n_imgs"),
+            F.sum("doc_id").alias("id_sum"),
+        ),
+        output_mode="complete",
+    )
+
+
+def _stream_image_gate_oracle() -> str:
+    from .llm import _sql_md5_64
+    from .platform_ops import phash_bits_cte
+
+    # pack the 64 bits into 4 16-bit band values: bit index 8u+v,
+    # band k holds indices [16k, 16k+16)
+    band_val = (
+        "CAST(sum(CASE WHEN (8 * u + v) // 16 = {k} "
+        "THEN b * CAST(pow(2, (8 * u + v) % 16) AS BIGINT) "
+        "ELSE 0 END) AS BIGINT)"
+    )
+    band_rows = "\nUNION ALL\n".join(
+        f"SELECT doc_id, CAST({k} AS VARCHAR) || ':' || "
+        f"CAST({band_val.format(k=k)} AS VARCHAR) AS bk "
+        f"FROM bits GROUP BY doc_id"
+        for k in range(IMGGATE_BANDS)
+    )
+
+    def pos_sql(i: int, key: str) -> str:
+        h1 = _sql_md5_64(f"'{IMGGATE_SALT}:1:' || {key}")
+        h2 = _sql_md5_64(f"'{IMGGATE_SALT}:2:' || {key}")
+        return f"(({h1}) + {i} * ({h2})) % {IMGGATE_M}"
+
+    in_ref = " AND ".join(
+        f"({pos_sql(i, 'bk')}) IN (SELECT p FROM refpos)"
+        for i in range(IMGGATE_K)
+    )
+    ref_positions = ", ".join(pos_sql(i, "bk") for i in range(IMGGATE_K))
+    return f"""
+WITH {phash_bits_cte()},
+allbands AS ({band_rows}),
+refpos AS (SELECT DISTINCT unnest([{ref_positions}]) AS p
+           FROM (SELECT DISTINCT bk FROM allbands
+                 WHERE doc_id % {IMGGATE_SPLIT} != 0
+                   AND (doc_id // 3) % 4 != 0)),
+ihits AS (SELECT doc_id, bool_or({in_ref}) AS near
+          FROM allbands WHERE doc_id % {IMGGATE_SPLIT} = 0
+          GROUP BY doc_id)
+SELECT NOT near AS admitted, count(*) AS n_imgs,
+       CAST(sum(doc_id) AS BIGINT) AS id_sum
+FROM ihits GROUP BY NOT near
+"""
+
+
+QUERIES["stream_image_gate"] = QuerySpec(
+    q_stream_image_gate,
+    _stream_image_gate_oracle(),
+    "streaming perceptual-image near-dup gate: corpus pHash band index "
+    "as a Bloom bitmap, stateless decode+hash probe",
+)
+
+
+# ---------------------------------------------------------------------------
+# streaming acoustic near-dup gate (crawl audio vs corpus fingerprints)
+# ---------------------------------------------------------------------------
+
+AUDGATE_SALT = "audgate"
+
+
+def q_stream_audio_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental ACOUSTIC near-dup gate — the audio member of the
+    streaming-gate triad (text: stream_neardup_gate, image:
+    stream_image_gate): corpus clips (doc_id % 5 != 0, minus every 4th
+    variant group so novel crawl audio exists) are FLAC-decoded and
+    fingerprinted OFFLINE by the same shared worker doc_audio_neardup
+    uses (dedup/audiofp.py), their 4x16-bit band keys compressed into
+    one 16384-bit Bloom bitmap folded into the plan; each streaming
+    clip decodes + fingerprints in a STATELESS Arrow mapInPandas pass
+    and probes its band keys. Any hit -> dropped. The oracle replays
+    fingerprint bits and bloom positions exactly (even false positives
+    are value-hash-checked). Accounting per (admitted,) with id_sum.
+
+    Scale shape: identical to the image gate — bounded index
+    aggregate, stateless linear probe, no band table on the stream."""
+    from ..dedup.bloom import bloom_build_words, bloom_positions
+    from .platform_ops import afp_audio_map
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    par = spark.sparkContext.defaultParallelism
+    corpus_fp = (
+        d.filter(
+            (F.col("doc_id") % IMGGATE_SPLIT != 0)
+            & (F.expr("doc_id div 3") % 4 != 0)
+        )
+        .select("doc_id")
+        .repartition(par)
+        .mapInPandas(afp_audio_map, "doc_id bigint, afp bigint")
+    )
+
+    def band_key(b: int):
+        return F.concat_ws(
+            ":",
+            F.lit(str(b)),
+            F.shiftrightunsigned(F.col("afp"), b * 16)
+            .bitwiseAND(F.lit(0xFFFF))
+            .cast("string"),
+        )
+
+    ckeys = corpus_fp.select(
+        F.explode(
+            F.array(*[band_key(b) for b in range(IMGGATE_BANDS)])
+        ).alias("bk")
+    )
+    words = bloom_build_words(
+        ckeys, "bk", m=IMGGATE_M, k=IMGGATE_K, salt=AUDGATE_SALT
+    )
+    wl = F.array(*[F.lit(w).cast("bigint") for w in words])
+
+    schema = (
+        "doc_id bigint, text string, lang string, source string,"
+        " n_chars bigint"
+    )
+    if os.path.isdir(os.path.join(sf_dir, "documents.parquet")):
+        rs = spark.readStream.schema(schema).parquet(
+            f"{sf_dir}/documents.parquet")
+    else:
+        rs = (spark.readStream.schema(schema)
+              .option("pathGlobFilter", "documents.parquet")
+              .parquet(sf_dir))
+    probe_fp = (
+        rs.filter(F.col("doc_id") % IMGGATE_SPLIT == 0)
+        .select("doc_id")
+        .repartition(32)
+        .mapInPandas(afp_audio_map, "doc_id bigint, afp bigint")
+    )
+
+    def band_hit(b: int):
+        bk = band_key(b)
+        hit = F.lit(True)
+        for pos in bloom_positions(bk, IMGGATE_M, IMGGATE_K, AUDGATE_SALT):
+            word = F.element_at(wl, (pos / 32).cast("int") + 1)
+            shifted = F.floor(
+                word / F.pow(F.lit(2.0), F.pmod(pos, F.lit(32)))
+            ).cast("bigint")
+            hit = hit & (F.pmod(shifted, F.lit(2)) == 1)
+        return hit
+
+    any_hit = band_hit(0)
+    for b in range(1, IMGGATE_BANDS):
+        any_hit = any_hit | band_hit(b)
+    scored = probe_fp.select("doc_id", (~any_hit).alias("admitted"))
+    return run_available_now(
+        scored,
+        lambda df: df.groupBy("admitted").agg(
+            F.count(F.lit(1)).alias("n_clips"),
+            F.sum("doc_id").alias("id_sum"),
+        ),
+        output_mode="complete",
+    )
+
+
+def _stream_audio_gate_oracle() -> str:
+    from .llm import _sql_md5_64
+    from .platform_ops import afp_bits_cte
+
+    # pack the 64 bits into 4 16-bit band values: bit index f*4+c,
+    # band k holds indices [16k, 16k+16)
+    band_val = (
+        "CAST(sum(CASE WHEN (f * 4 + c) // 16 = {k} "
+        "THEN bit * CAST(pow(2, (f * 4 + c) % 16) AS BIGINT) "
+        "ELSE 0 END) AS BIGINT)"
+    )
+    band_rows = "\nUNION ALL\n".join(
+        f"SELECT doc_id, CAST({k} AS VARCHAR) || ':' || "
+        f"CAST({band_val.format(k=k)} AS VARCHAR) AS bk "
+        f"FROM bits GROUP BY doc_id"
+        for k in range(IMGGATE_BANDS)
+    )
+
+    def pos_sql(i: int, key: str) -> str:
+        h1 = _sql_md5_64(f"'{AUDGATE_SALT}:1:' || {key}")
+        h2 = _sql_md5_64(f"'{AUDGATE_SALT}:2:' || {key}")
+        return f"(({h1}) + {i} * ({h2})) % {IMGGATE_M}"
+
+    in_ref = " AND ".join(
+        f"({pos_sql(i, 'bk')}) IN (SELECT p FROM refpos)"
+        for i in range(IMGGATE_K)
+    )
+    ref_positions = ", ".join(pos_sql(i, "bk") for i in range(IMGGATE_K))
+    return f"""
+WITH {afp_bits_cte()},
+allbands AS ({band_rows}),
+refpos AS (SELECT DISTINCT unnest([{ref_positions}]) AS p
+           FROM (SELECT DISTINCT bk FROM allbands
+                 WHERE doc_id % {IMGGATE_SPLIT} != 0
+                   AND (doc_id // 3) % 4 != 0)),
+ihits AS (SELECT doc_id, bool_or({in_ref}) AS near
+          FROM allbands WHERE doc_id % {IMGGATE_SPLIT} = 0
+          GROUP BY doc_id)
+SELECT NOT near AS admitted, count(*) AS n_clips,
+       CAST(sum(doc_id) AS BIGINT) AS id_sum
+FROM ihits GROUP BY NOT near
+"""
+
+
+QUERIES["stream_audio_gate"] = QuerySpec(
+    q_stream_audio_gate,
+    _stream_audio_gate_oracle(),
+    "streaming acoustic near-dup gate: corpus fingerprint band index "
+    "as a Bloom bitmap, stateless decode+fingerprint probe",
+)

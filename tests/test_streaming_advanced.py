@@ -413,3 +413,85 @@ def test_stream_neardup_gate_drops_planted_exact_dup(spark, tmp_path):
     # incoming = ids 0, 5, 10; id 5 dropped, 0 and 10 admitted
     assert out[("s0", False)] == (1, 5)
     assert out[("s0", True)] == (2, 10)
+
+
+def test_stream_image_gate_drops_planted_identical_image(spark, tmp_path):
+    # seed = (base * 2654435761) % 1000003, so bases b and b + 1000003
+    # synthesize IDENTICAL images: corpus id 16 (base 5, r 1) and crawl
+    # id 3000025 (base 1000008, r 1) share every pHash bit, all 4 band
+    # keys match, and a Bloom filter has no false negatives -> the gate
+    # MUST drop the crawl copy. Crawl id 0 sits in a group excluded
+    # from the corpus (base 0 % 4 == 0) -> admitted.
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from sparkstreaming_spark.suite.platform_ops import phash_image_map
+    from sparkstreaming_spark.suite.streaming_suite import (
+        q_stream_image_gate,
+    )
+
+    hashes = {
+        r["doc_id"]: r["phash"]
+        for chunk in phash_image_map(
+            [pd.DataFrame({"doc_id": [16, 3000025, 0]})]
+        )
+        for r in chunk.to_dict("records")
+    }
+    assert hashes[16] == hashes[3000025]  # the planted identical pair
+    assert hashes[0] != hashes[16]
+
+    ids = [16, 17, 0, 3000025]
+    rows = {
+        "doc_id": ids,
+        "text": ["img"] * len(ids),
+        "lang": ["en"] * len(ids),
+        "source": ["s0"] * len(ids),
+        "n_chars": [3] * len(ids),
+    }
+    pq.write_table(pa.table(rows), str(tmp_path / "documents.parquet"))
+    out = {
+        bool(r["admitted"]): (r["n_imgs"], r["id_sum"])
+        for r in q_stream_image_gate(spark, str(tmp_path)).collect()
+    }
+    assert out[False] == (1, 3000025)
+    assert out[True] == (1, 0)
+
+
+def test_stream_audio_gate_drops_planted_identical_clip(spark, tmp_path):
+    # same seed-wraparound plant as the image gate: bases b and
+    # b + 1000003 synthesize IDENTICAL PCM, so corpus id 16 and crawl
+    # id 3000025 share every fingerprint bit -> MUST drop; crawl id 0
+    # (group excluded from the corpus) admits.
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from sparkstreaming_spark.suite.platform_ops import afp_audio_map
+    from sparkstreaming_spark.suite.streaming_suite import (
+        q_stream_audio_gate,
+    )
+
+    hashes = {
+        r["doc_id"]: r["afp"]
+        for chunk in afp_audio_map([pd.DataFrame({"doc_id": [16, 3000025, 0]})])
+        for r in chunk.to_dict("records")
+    }
+    assert hashes[16] == hashes[3000025]
+    assert hashes[0] != hashes[16]
+
+    ids = [16, 17, 0, 3000025]
+    rows = {
+        "doc_id": ids,
+        "text": ["clip"] * len(ids),
+        "lang": ["en"] * len(ids),
+        "source": ["s0"] * len(ids),
+        "n_chars": [4] * len(ids),
+    }
+    pq.write_table(pa.table(rows), str(tmp_path / "documents.parquet"))
+    out = {
+        bool(r["admitted"]): (r["n_clips"], r["id_sum"])
+        for r in q_stream_audio_gate(spark, str(tmp_path)).collect()
+    }
+    assert out[False] == (1, 3000025)
+    assert out[True] == (1, 0)

@@ -102,6 +102,8 @@ DEFAULT_OPS = [
     "evt_mom_change",
     "doc_dup_rate_by_source",
     "evt_user_growth",
+    "doc_image_neardup",
+    "doc_audio_neardup",
 ]
 
 
