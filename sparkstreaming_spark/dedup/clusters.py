@@ -70,7 +70,13 @@ def connected_components(
         )
         .localCheckpoint()
     )
-    prev_sum = labels.agg(F.sum("label")).collect()[0][0]
+    # decimal(38,0) sum: labels are 60-bit md5 ids, so an int64 sum
+    # overflows (ANSI error) once the node count passes ~a dozen rows;
+    # decimal keeps the strictly-decreasing convergence metric exact up
+    # to 10^38 — enough for 10^18 nodes
+    prev_sum = labels.agg(
+        F.sum(F.col("label").cast("decimal(38,0)"))
+    ).collect()[0][0]
     for _ in range(max_iter):
         nbr = edges.join(labels, edges.v == labels.node).select(
             F.col("u").alias("node"), "label"
@@ -81,7 +87,9 @@ def connected_components(
             .agg(F.min("label").alias("label"))
             .localCheckpoint()
         )
-        cur_sum = labels.agg(F.sum("label")).collect()[0][0]
+        cur_sum = labels.agg(
+            F.sum(F.col("label").cast("decimal(38,0)"))
+        ).collect()[0][0]
         if cur_sum == prev_sum:
             break
         prev_sum = cur_sum

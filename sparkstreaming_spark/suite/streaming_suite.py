@@ -25,6 +25,26 @@ from pyspark.sql import types as T
 from ..sinks.upsert import UpsertSink
 from ..streaming.pipeline import run_available_now
 from ..streaming.producer import produce_segments
+
+
+def stream_table_source(
+    spark: SparkSession, sf_dir: str, table: str, schema
+) -> DataFrame:
+    """Streaming file source over testdata table `table` in EITHER
+    layout: the driver testdata ships one FILE <sf_dir>/<table>.parquet
+    (streaming sources need a directory, so glob it out of sf_dir),
+    while the stress harness — and any real production table — is a
+    DIRECTORY <table>.parquet/ of part files (point the source at it
+    directly). Every stream twin must work against both; a 100 TB
+    table is always the directory layout."""
+    path = os.path.join(sf_dir, f"{table}.parquet")
+    if os.path.isdir(path):
+        return spark.readStream.schema(schema).parquet(path)
+    return (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", f"{table}.parquet")
+        .parquet(sf_dir)
+    )
 from . import QuerySpec
 from .events import ORACLE_SESSION as _ORACLE_SESSION
 
@@ -44,11 +64,7 @@ def _orders_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S1 modernized: unbounded parquet table over the orders file with an
     explicit schema (required for streaming file sources, like the
     reference's hand-built StructType, Consumer.scala:22-46)."""
-    return (
-        spark.readStream.schema(ORDERS_SCHEMA)
-        .option("pathGlobFilter", "orders.parquet")
-        .parquet(sf_dir)
-    )
+    return stream_table_source(spark, sf_dir, "orders", ORDERS_SCHEMA)
 
 
 def q_stream_kpi_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -139,7 +155,13 @@ def q_stream_producer_consumer(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = read_table(spark, sf_dir, "orders").select(
         "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "o_orderpriority"
     )
-    produce_segments(orders, "o_orderkey", seg_dir, rows_per_segment=500)
+    # bounded segment count (see q_stream_matview): ~30 segments at any
+    # corpus size keeps the micro-batch count an arrival-rate constant
+    n_rows = orders.count()
+    produce_segments(
+        orders, "o_orderkey", seg_dir,
+        rows_per_segment=max(500, -(-n_rows // 30)),
+    )
 
     csv_schema = T.StructType(
         [
@@ -210,7 +232,16 @@ def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     import pyarrow.parquet as pq
 
-    ts_field = pq.read_schema(os.path.join(sf_dir, "events.parquet")).field("ts")
+    path = os.path.join(sf_dir, "events.parquet")
+    if os.path.isdir(path):  # directory layout: probe any part file
+        part = next(
+            os.path.join(path, f)
+            for f in sorted(os.listdir(path))
+            if f.endswith(".parquet")
+        )
+        ts_field = pq.read_schema(part).field("ts")
+    else:
+        ts_field = pq.read_schema(path).field("ts")
     nanos = getattr(ts_field.type, "unit", None) == "ns"
     ts_decl = "ts bigint" if nanos else "ts timestamp_ntz"
     schema = (
@@ -219,11 +250,7 @@ def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     if nanos:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    stream = (
-        spark.readStream.schema(schema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-    )
+    stream = stream_table_source(spark, sf_dir, "events", schema)
     if nanos:
         return stream.withColumn(
             "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
@@ -382,7 +409,16 @@ def q_stream_matview(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = read_table(spark, sf_dir, "orders").select(
         "o_orderkey", "o_orderstatus", "o_totalprice"
     )
-    produce_segments(orders, "o_orderkey", seg_dir, rows_per_segment=400)
+    # bound the SEGMENT COUNT, not the segment size: micro-batch count is
+    # an arrival-rate property, not a corpus-size property — a fixed
+    # 400-row segment turned 10x data into ~940 micro-batches, each
+    # paying a snapshot merge (O(batches x view) total). ~24 segments ->
+    # 6 micro-batches at maxFilesPerTrigger=4, at any corpus size.
+    n_rows = orders.count()
+    produce_segments(
+        orders, "o_orderkey", seg_dir,
+        rows_per_segment=max(400, -(-n_rows // 24)),
+    )
 
     csv_schema = "o_orderkey bigint, o_orderstatus string, o_totalprice double"
     stream = (
@@ -470,11 +506,7 @@ def q_stream_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .llm import QUALITY_MIN
 
     schema = "doc_id bigint, text string, lang string, source string, n_chars bigint"
-    stream = (
-        spark.readStream.schema(schema)
-        .option("pathGlobFilter", "documents.parquet")
-        .parquet(sf_dir)
-    )
+    stream = stream_table_source(spark, sf_dir, "documents", schema)
     scrubbed = stream.select("doc_id", "lang", redact_pii("text").alias("text"))
     scored = add_quality_scores(scrubbed, "text").filter(
         F.col("quality_score") >= QUALITY_MIN
@@ -740,11 +772,7 @@ def q_stream_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..sources.batch import read_table
 
     schema = "doc_id bigint, text string, lang string, source string, n_chars bigint"
-    stream = (
-        spark.readStream.schema(schema)
-        .option("pathGlobFilter", "documents.parquet")
-        .parquet(sf_dir)
-    )
+    stream = stream_table_source(spark, sf_dir, "documents", schema)
     incoming = (
         stream.filter(F.col("doc_id") % 10 == 0)
         .select("lang", F.md5(normalize_text("text")).alias("ch"))
@@ -1120,11 +1148,7 @@ def q_stream_gopher_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..textstats.rules import gopher_quality_rules
 
     schema = "doc_id bigint, text string, lang string, source string, n_chars bigint"
-    stream = (
-        spark.readStream.schema(schema)
-        .option("pathGlobFilter", "documents.parquet")
-        .parquet(sf_dir)
-    )
+    stream = stream_table_source(spark, sf_dir, "documents", schema)
     ruled = gopher_quality_rules(stream, "doc_id", "text", carry_cols=("lang",))
     gated = ruled.filter(F.col("ok_word_count"))
     return run_available_now(
@@ -1187,9 +1211,7 @@ def q_stream_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.text import md5_64, shingles_from_tokens, tokenize
     from ..textstats.quality_clf import MICRO, train_quality_classifier
 
-    d = spark.read.option("pathGlobFilter", "documents.parquet").parquet(
-        sf_dir
-    )
+    d = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
     # offline-sample training (the CCNet pattern: the model is fit on a
     # curated sample, not the full firehose) — 20% deterministic slice
     wdf, bias = train_quality_classifier(
@@ -1207,11 +1229,7 @@ def q_stream_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id bigint, text string, lang string, source string,"
         " n_chars bigint"
     )
-    stream = (
-        spark.readStream.schema(schema)
-        .option("pathGlobFilter", "documents.parquet")
-        .parquet(sf_dir)
-    )
+    stream = stream_table_source(spark, sf_dir, "documents", schema)
     staged = stream.repartition(32).select(
         "doc_id", "lang", tokenize(F.col("text")).alias("toks")
     ).withColumn(
@@ -1295,9 +1313,7 @@ def q_stream_lm_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.text import md5_64, tokenize
     from ..textstats.lm import sketched_bigram_lm
 
-    d = spark.read.option("pathGlobFilter", "documents.parquet").parquet(
-        sf_dir
-    )
+    d = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
     weights, oov, _total = sketched_bigram_lm(d, "text", LM_GATE_BUCKETS)
     warr = F.array(*[F.lit(w).cast("bigint") for w in weights])
 
@@ -1305,11 +1321,7 @@ def q_stream_lm_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id bigint, text string, lang string, source string,"
         " n_chars bigint"
     )
-    stream = (
-        spark.readStream.schema(schema)
-        .option("pathGlobFilter", "documents.parquet")
-        .parquet(sf_dir)
-    )
+    stream = stream_table_source(spark, sf_dir, "documents", schema)
     staged = stream.repartition(32).select(
         "doc_id", "lang", tokenize(F.col("text")).alias("toks")
     )
@@ -1463,8 +1475,15 @@ def q_stream_neardup_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     ckeys = cbands.select(
         F.concat_ws(":", F.col("band_id").cast("string"),
                     "band_hash").alias("bk")
-    )
-    words = bloom_build_words(ckeys, "bk", m=NEARDUP_M, k=NEARDUP_K,
+    ).persist()
+    # corpus-adaptive bitmap: ~10 bits per distinct band key holds the
+    # false-positive rate at the designed ~1% at ANY corpus size — a
+    # fixed m saturates to all-ones at ~10x corpus and drops every
+    # incoming doc. NEARDUP_M stays the floor, so small-corpus (driver
+    # testdata) results are unchanged.
+    n_keys = ckeys.distinct().count()
+    m = ((max(NEARDUP_M, 10 * n_keys) + 31) // 32) * 32
+    words = bloom_build_words(ckeys, "bk", m=m, k=NEARDUP_K,
                               salt=NEARDUP_SALT)
     wl = F.array(*[F.lit(w).cast("bigint") for w in words])
 
@@ -1475,13 +1494,7 @@ def q_stream_neardup_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the streaming file source needs a DIRECTORY: point it at the
     # table directory when documents.parquet is one (stress layout),
     # else glob the single file out of sf_dir (testdata layout)
-    if os.path.isdir(os.path.join(sf_dir, "documents.parquet")):
-        rs = spark.readStream.schema(schema).parquet(
-            f"{sf_dir}/documents.parquet")
-    else:
-        rs = (spark.readStream.schema(schema)
-              .option("pathGlobFilter", "documents.parquet")
-              .parquet(sf_dir))
+    rs = stream_table_source(spark, sf_dir, "documents", schema)
     staged = (
         rs.filter(F.col("doc_id") % NEARDUP_SPLIT == 0)
         .repartition(32)
@@ -1519,7 +1532,7 @@ def q_stream_neardup_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]))
         bk = F.concat_ws(":", F.lit(str(b)), bh)
         hit = F.lit(True)
-        for pos in bloom_positions(bk, NEARDUP_M, NEARDUP_K,
+        for pos in bloom_positions(bk, m, NEARDUP_K,
                                    NEARDUP_SALT):
             word = F.element_at(wl, (pos / 32).cast("int") + 1)
             shifted = F.floor(
@@ -1567,7 +1580,7 @@ def _stream_neardup_oracle() -> str:
     def pos_sql(i: int, key: str) -> str:
         h1 = _sql_md5_64(f"'{NEARDUP_SALT}:1:' || {key}")
         h2 = _sql_md5_64(f"'{NEARDUP_SALT}:2:' || {key}")
-        return f"(({h1}) + {i} * ({h2})) % {NEARDUP_M}"
+        return f"(({h1}) + {i} * ({h2})) % (SELECT m FROM mx)"
 
     in_ref = " AND ".join(
         f"({pos_sql(i, 'bk')}) IN (SELECT p FROM refpos)"
@@ -1584,9 +1597,13 @@ csh AS (SELECT doc_id, {_sql_md5_64('shingle')} % {MERSENNE_P} AS h
         FROM (SELECT doc_id, unnest(sh) AS shingle FROM shs
               WHERE doc_id % {NEARDUP_SPLIT} != 0)),
 csig AS (SELECT doc_id, {mins} FROM csh GROUP BY doc_id),
-cbands AS ({band_rows('csig')}),
-refpos AS (SELECT DISTINCT unnest([{ref_positions}]) AS p
-           FROM (SELECT DISTINCT bk FROM cbands)),
+cbands AS MATERIALIZED ({band_rows('csig')}),
+nk AS (SELECT count(DISTINCT bk) AS c FROM cbands),
+mx AS MATERIALIZED (
+  SELECT ((greatest({NEARDUP_M}, 10 * c) + 31) // 32) * 32 AS m FROM nk),
+refpos AS MATERIALIZED (
+  SELECT DISTINCT unnest([{ref_positions}]) AS p
+  FROM (SELECT DISTINCT bk FROM cbands)),
 ish AS (SELECT doc_id, {_sql_md5_64('shingle')} % {MERSENNE_P} AS h
         FROM (SELECT doc_id, unnest(sh) AS shingle FROM shs
               WHERE doc_id % {NEARDUP_SPLIT} = 0)),
@@ -1677,8 +1694,13 @@ def q_stream_image_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.array(*[band_key(b) for b in range(IMGGATE_BANDS)])
         ).alias("bk")
     )
+    ckeys = ckeys.persist()
+    # corpus-adaptive bitmap (see stream_neardup_gate): ~10 bits per
+    # distinct band key, floored at IMGGATE_M for small corpora
+    n_keys = ckeys.distinct().count()
+    m = ((max(IMGGATE_M, 10 * n_keys) + 31) // 32) * 32
     words = bloom_build_words(
-        ckeys, "bk", m=IMGGATE_M, k=IMGGATE_K, salt=IMGGATE_SALT
+        ckeys, "bk", m=m, k=IMGGATE_K, salt=IMGGATE_SALT
     )
     wl = F.array(*[F.lit(w).cast("bigint") for w in words])
 
@@ -1686,13 +1708,7 @@ def q_stream_image_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id bigint, text string, lang string, source string,"
         " n_chars bigint"
     )
-    if os.path.isdir(os.path.join(sf_dir, "documents.parquet")):
-        rs = spark.readStream.schema(schema).parquet(
-            f"{sf_dir}/documents.parquet")
-    else:
-        rs = (spark.readStream.schema(schema)
-              .option("pathGlobFilter", "documents.parquet")
-              .parquet(sf_dir))
+    rs = stream_table_source(spark, sf_dir, "documents", schema)
     probe_fp = (
         rs.filter(F.col("doc_id") % IMGGATE_SPLIT == 0)
         .select("doc_id")
@@ -1703,7 +1719,7 @@ def q_stream_image_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     def band_hit(b: int):
         bk = band_key(b)
         hit = F.lit(True)
-        for pos in bloom_positions(bk, IMGGATE_M, IMGGATE_K, IMGGATE_SALT):
+        for pos in bloom_positions(bk, m, IMGGATE_K, IMGGATE_SALT):
             word = F.element_at(wl, (pos / 32).cast("int") + 1)
             shifted = F.floor(
                 word / F.pow(F.lit(2.0), F.pmod(pos, F.lit(32)))
@@ -1746,7 +1762,7 @@ def _stream_image_gate_oracle() -> str:
     def pos_sql(i: int, key: str) -> str:
         h1 = _sql_md5_64(f"'{IMGGATE_SALT}:1:' || {key}")
         h2 = _sql_md5_64(f"'{IMGGATE_SALT}:2:' || {key}")
-        return f"(({h1}) + {i} * ({h2})) % {IMGGATE_M}"
+        return f"(({h1}) + {i} * ({h2})) % (SELECT m FROM mx)"
 
     in_ref = " AND ".join(
         f"({pos_sql(i, 'bk')}) IN (SELECT p FROM refpos)"
@@ -1755,8 +1771,14 @@ def _stream_image_gate_oracle() -> str:
     ref_positions = ", ".join(pos_sql(i, "bk") for i in range(IMGGATE_K))
     return f"""
 WITH {phash_bits_cte()},
-allbands AS ({band_rows}),
-refpos AS (SELECT DISTINCT unnest([{ref_positions}]) AS p
+allbands AS MATERIALIZED ({band_rows}),
+nk AS (SELECT count(DISTINCT bk) AS c FROM allbands
+       WHERE doc_id % {IMGGATE_SPLIT} != 0
+         AND (doc_id // 3) % 4 != 0),
+mx AS MATERIALIZED (
+  SELECT ((greatest({IMGGATE_M}, 10 * c) + 31) // 32) * 32 AS m FROM nk),
+refpos AS MATERIALIZED (
+  SELECT DISTINCT unnest([{ref_positions}]) AS p
            FROM (SELECT DISTINCT bk FROM allbands
                  WHERE doc_id % {IMGGATE_SPLIT} != 0
                    AND (doc_id // 3) % 4 != 0)),
@@ -1828,8 +1850,13 @@ def q_stream_audio_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.array(*[band_key(b) for b in range(IMGGATE_BANDS)])
         ).alias("bk")
     )
+    ckeys = ckeys.persist()
+    # corpus-adaptive bitmap (see stream_neardup_gate): ~10 bits per
+    # distinct band key, floored at IMGGATE_M for small corpora
+    n_keys = ckeys.distinct().count()
+    m = ((max(IMGGATE_M, 10 * n_keys) + 31) // 32) * 32
     words = bloom_build_words(
-        ckeys, "bk", m=IMGGATE_M, k=IMGGATE_K, salt=AUDGATE_SALT
+        ckeys, "bk", m=m, k=IMGGATE_K, salt=AUDGATE_SALT
     )
     wl = F.array(*[F.lit(w).cast("bigint") for w in words])
 
@@ -1837,13 +1864,7 @@ def q_stream_audio_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id bigint, text string, lang string, source string,"
         " n_chars bigint"
     )
-    if os.path.isdir(os.path.join(sf_dir, "documents.parquet")):
-        rs = spark.readStream.schema(schema).parquet(
-            f"{sf_dir}/documents.parquet")
-    else:
-        rs = (spark.readStream.schema(schema)
-              .option("pathGlobFilter", "documents.parquet")
-              .parquet(sf_dir))
+    rs = stream_table_source(spark, sf_dir, "documents", schema)
     probe_fp = (
         rs.filter(F.col("doc_id") % IMGGATE_SPLIT == 0)
         .select("doc_id")
@@ -1854,7 +1875,7 @@ def q_stream_audio_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     def band_hit(b: int):
         bk = band_key(b)
         hit = F.lit(True)
-        for pos in bloom_positions(bk, IMGGATE_M, IMGGATE_K, AUDGATE_SALT):
+        for pos in bloom_positions(bk, m, IMGGATE_K, AUDGATE_SALT):
             word = F.element_at(wl, (pos / 32).cast("int") + 1)
             shifted = F.floor(
                 word / F.pow(F.lit(2.0), F.pmod(pos, F.lit(32)))
@@ -1897,7 +1918,7 @@ def _stream_audio_gate_oracle() -> str:
     def pos_sql(i: int, key: str) -> str:
         h1 = _sql_md5_64(f"'{AUDGATE_SALT}:1:' || {key}")
         h2 = _sql_md5_64(f"'{AUDGATE_SALT}:2:' || {key}")
-        return f"(({h1}) + {i} * ({h2})) % {IMGGATE_M}"
+        return f"(({h1}) + {i} * ({h2})) % (SELECT m FROM mx)"
 
     in_ref = " AND ".join(
         f"({pos_sql(i, 'bk')}) IN (SELECT p FROM refpos)"
@@ -1906,8 +1927,14 @@ def _stream_audio_gate_oracle() -> str:
     ref_positions = ", ".join(pos_sql(i, "bk") for i in range(IMGGATE_K))
     return f"""
 WITH {afp_bits_cte()},
-allbands AS ({band_rows}),
-refpos AS (SELECT DISTINCT unnest([{ref_positions}]) AS p
+allbands AS MATERIALIZED ({band_rows}),
+nk AS (SELECT count(DISTINCT bk) AS c FROM allbands
+       WHERE doc_id % {IMGGATE_SPLIT} != 0
+         AND (doc_id // 3) % 4 != 0),
+mx AS MATERIALIZED (
+  SELECT ((greatest({IMGGATE_M}, 10 * c) + 31) // 32) * 32 AS m FROM nk),
+refpos AS MATERIALIZED (
+  SELECT DISTINCT unnest([{ref_positions}]) AS p
            FROM (SELECT DISTINCT bk FROM allbands
                  WHERE doc_id % {IMGGATE_SPLIT} != 0
                    AND (doc_id // 3) % 4 != 0)),
