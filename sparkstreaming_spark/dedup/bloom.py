@@ -87,3 +87,13 @@ def bloom_gate(
         ).cast("bigint")
         hit = hit & (F.pmod(shifted, F.lit(2)) == 1)
     return probe.withColumn("bloom_hit", hit)
+
+
+def adaptive_bits(n_keys: int, floor_m: int = 16384) -> int:
+    """Corpus-adaptive Bloom size: ~10 bits per key (≈1% FPR at k=3),
+    floored at `floor_m` and rounded up to a 32-bit word boundary.
+    A FIXED m saturates to all-ones once the corpus outgrows it and the
+    filter degenerates to 'drop everything'; this keeps the designed
+    FPR at any corpus size while staying byte-identical to the floor
+    for small corpora (so differential oracles replay unchanged)."""
+    return ((max(floor_m, 10 * n_keys) + 31) // 32) * 32

@@ -1481,8 +1481,9 @@ def q_stream_neardup_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     # fixed m saturates to all-ones at ~10x corpus and drops every
     # incoming doc. NEARDUP_M stays the floor, so small-corpus (driver
     # testdata) results are unchanged.
-    n_keys = ckeys.distinct().count()
-    m = ((max(NEARDUP_M, 10 * n_keys) + 31) // 32) * 32
+    from ..dedup.bloom import adaptive_bits
+
+    m = adaptive_bits(ckeys.distinct().count(), NEARDUP_M)
     words = bloom_build_words(ckeys, "bk", m=m, k=NEARDUP_K,
                               salt=NEARDUP_SALT)
     wl = F.array(*[F.lit(w).cast("bigint") for w in words])
@@ -1662,7 +1663,7 @@ def q_stream_image_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     (<= m distinct positions) no matter the corpus size; the probe
     side is decode + projection with zero streaming state — the band
     table never ships to the stream, only the fixed-size bitmap."""
-    from ..dedup.bloom import bloom_build_words, bloom_positions
+    from ..dedup.bloom import adaptive_bits, bloom_build_words, bloom_positions
     from .platform_ops import phash_image_map
 
     d = spark.read.parquet(f"{sf_dir}/documents.parquet")
@@ -1697,8 +1698,7 @@ def q_stream_image_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     ckeys = ckeys.persist()
     # corpus-adaptive bitmap (see stream_neardup_gate): ~10 bits per
     # distinct band key, floored at IMGGATE_M for small corpora
-    n_keys = ckeys.distinct().count()
-    m = ((max(IMGGATE_M, 10 * n_keys) + 31) // 32) * 32
+    m = adaptive_bits(ckeys.distinct().count(), IMGGATE_M)
     words = bloom_build_words(
         ckeys, "bk", m=m, k=IMGGATE_K, salt=IMGGATE_SALT
     )
@@ -1821,7 +1821,7 @@ def q_stream_audio_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: identical to the image gate — bounded index
     aggregate, stateless linear probe, no band table on the stream."""
-    from ..dedup.bloom import bloom_build_words, bloom_positions
+    from ..dedup.bloom import adaptive_bits, bloom_build_words, bloom_positions
     from .platform_ops import afp_audio_map
 
     d = spark.read.parquet(f"{sf_dir}/documents.parquet")
@@ -1853,8 +1853,7 @@ def q_stream_audio_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     ckeys = ckeys.persist()
     # corpus-adaptive bitmap (see stream_neardup_gate): ~10 bits per
     # distinct band key, floored at IMGGATE_M for small corpora
-    n_keys = ckeys.distinct().count()
-    m = ((max(IMGGATE_M, 10 * n_keys) + 31) // 32) * 32
+    m = adaptive_bits(ckeys.distinct().count(), IMGGATE_M)
     words = bloom_build_words(
         ckeys, "bk", m=m, k=IMGGATE_K, salt=AUDGATE_SALT
     )

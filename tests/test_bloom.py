@@ -42,3 +42,17 @@ def test_bitmap_is_bounded_and_deterministic(spark):
 def test_m_must_be_word_aligned(spark):
     with pytest.raises(ValueError, match="multiple of 32"):
         bloom_build_words(_df(spark, ["x"]), "key", m=100)
+
+
+def test_adaptive_bits_floor_and_growth():
+    from sparkstreaming_spark.dedup.bloom import adaptive_bits
+
+    # small corpora stay at the floor (oracle-stable)
+    assert adaptive_bits(0) == 16384
+    assert adaptive_bits(1600) == 16384
+    # past the floor: ~10 bits/key, 32-bit word aligned
+    assert adaptive_bits(1639) == 16416  # 16390 -> next multiple of 32
+    m = adaptive_bits(130_000)
+    assert m >= 1_300_000 and m % 32 == 0
+    # custom floor honored
+    assert adaptive_bits(10, floor_m=4096) == 4096
