@@ -1486,7 +1486,12 @@ def q_stream_neardup_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     m = adaptive_bits(ckeys.distinct().count(), NEARDUP_M)
     words = bloom_build_words(ckeys, "bk", m=m, k=NEARDUP_K,
                               salt=NEARDUP_SALT)
-    wl = F.array(*[F.lit(w).cast("bigint") for w in words])
+    # ONE hex-string literal (8 chars per 32-bit word): a per-word
+    # F.array literal is rebuilt as an expression tree of m/32 nodes
+    # referenced once per probe position — at the adaptive m it tripled
+    # the gate's wall time in plan/codegen cost alone. The string is a
+    # single plan node; bits extract with substring+conv per position.
+    bitmap_hex = "".join(f"{w & 0xFFFFFFFF:08x}" for w in words)
 
     schema = (
         "doc_id bigint, text string, lang string, source string,"
@@ -1535,7 +1540,10 @@ def q_stream_neardup_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         hit = F.lit(True)
         for pos in bloom_positions(bk, m, NEARDUP_K,
                                    NEARDUP_SALT):
-            word = F.element_at(wl, (pos / 32).cast("int") + 1)
+            start = (F.floor(pos / 32).cast("int") * 8 + 1).cast("int")
+            word = F.conv(
+                F.substring(F.col("__bm"), start, F.lit(8)), 16, 10
+            ).cast("bigint")
             shifted = F.floor(
                 word / F.pow(F.lit(2.0), F.pmod(pos, F.lit(32)))
             ).cast("bigint")
@@ -1545,6 +1553,7 @@ def q_stream_neardup_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     any_hit = band_hit(0)
     for b in range(1, NEARDUP_BANDS):
         any_hit = any_hit | band_hit(b)
+    sig = sig.withColumn("__bm", F.lit(bitmap_hex))
     scored = sig.select(
         "doc_id", "source",
         (~((F.col("nsh") > 0) & any_hit)).alias("admitted"),
@@ -1702,7 +1711,8 @@ def q_stream_image_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     words = bloom_build_words(
         ckeys, "bk", m=m, k=IMGGATE_K, salt=IMGGATE_SALT
     )
-    wl = F.array(*[F.lit(w).cast("bigint") for w in words])
+    # single hex-string bitmap literal (see stream_neardup_gate)
+    bitmap_hex = "".join(f"{w & 0xFFFFFFFF:08x}" for w in words)
 
     schema = (
         "doc_id bigint, text string, lang string, source string,"
@@ -1720,7 +1730,10 @@ def q_stream_image_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         bk = band_key(b)
         hit = F.lit(True)
         for pos in bloom_positions(bk, m, IMGGATE_K, IMGGATE_SALT):
-            word = F.element_at(wl, (pos / 32).cast("int") + 1)
+            start = (F.floor(pos / 32).cast("int") * 8 + 1).cast("int")
+            word = F.conv(
+                F.substring(F.col("__bm"), start, F.lit(8)), 16, 10
+            ).cast("bigint")
             shifted = F.floor(
                 word / F.pow(F.lit(2.0), F.pmod(pos, F.lit(32)))
             ).cast("bigint")
@@ -1730,6 +1743,7 @@ def q_stream_image_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     any_hit = band_hit(0)
     for b in range(1, IMGGATE_BANDS):
         any_hit = any_hit | band_hit(b)
+    probe_fp = probe_fp.withColumn("__bm", F.lit(bitmap_hex))
     scored = probe_fp.select("doc_id", (~any_hit).alias("admitted"))
     return run_available_now(
         scored,
@@ -1857,7 +1871,8 @@ def q_stream_audio_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     words = bloom_build_words(
         ckeys, "bk", m=m, k=IMGGATE_K, salt=AUDGATE_SALT
     )
-    wl = F.array(*[F.lit(w).cast("bigint") for w in words])
+    # single hex-string bitmap literal (see stream_neardup_gate)
+    bitmap_hex = "".join(f"{w & 0xFFFFFFFF:08x}" for w in words)
 
     schema = (
         "doc_id bigint, text string, lang string, source string,"
@@ -1875,7 +1890,10 @@ def q_stream_audio_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         bk = band_key(b)
         hit = F.lit(True)
         for pos in bloom_positions(bk, m, IMGGATE_K, AUDGATE_SALT):
-            word = F.element_at(wl, (pos / 32).cast("int") + 1)
+            start = (F.floor(pos / 32).cast("int") * 8 + 1).cast("int")
+            word = F.conv(
+                F.substring(F.col("__bm"), start, F.lit(8)), 16, 10
+            ).cast("bigint")
             shifted = F.floor(
                 word / F.pow(F.lit(2.0), F.pmod(pos, F.lit(32)))
             ).cast("bigint")
@@ -1885,6 +1903,7 @@ def q_stream_audio_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     any_hit = band_hit(0)
     for b in range(1, IMGGATE_BANDS):
         any_hit = any_hit | band_hit(b)
+    probe_fp = probe_fp.withColumn("__bm", F.lit(bitmap_hex))
     scored = probe_fp.select("doc_id", (~any_hit).alias("admitted"))
     return run_available_now(
         scored,
