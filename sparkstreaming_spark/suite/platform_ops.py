@@ -2931,3 +2931,63 @@ QUERIES["doc_audio_neardup"] = QuerySpec(
     "acoustic near-dup: FLAC roundtrip -> integer-exact chromaprint-"
     "shaped 64-bit fingerprint -> Hamming<=3 band-join, exact recall",
 )
+
+
+def q_image_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image near-dup pairs -> connected components -> one survivor per
+    cluster — the LAION-style 'keep one copy per perceptual cluster'
+    pass, composing doc_image_neardup's verified pHash pairing with the
+    same min-label closure doc_dup_clusters uses for text
+    (dedup/clusters.py). Every image gets (cluster_id, cluster_size,
+    is_survivor); filtering is_survivor yields the deduplicated set.
+
+    Scale shape: the components frame only holds images that appear in
+    some pair (tiny vs the corpus), so both label and size joins
+    broadcast; the closure iterates on a pair-sized frame with
+    localCheckpoint lineage truncation."""
+    from ..dedup.clusters import dup_clusters
+    from ..dedup.phash import phash_near_dup_pairs
+
+    d = read_table(spark, sf_dir, "documents")
+    par = spark.sparkContext.defaultParallelism
+    fp = d.select("doc_id").repartition(par).mapInPandas(
+        phash_image_map, "doc_id bigint, phash bigint"
+    )
+    pairs = phash_near_dup_pairs(fp, "doc_id", "phash", max_hamming=3, bands=4)
+    return dup_clusters(d, pairs, "doc_id")
+
+
+def _oracle_image_dup_clusters() -> str:
+    return f"""
+WITH RECURSIVE {phash_bits_cte()},
+pairs AS (
+  SELECT a.doc_id AS doc_a, b2.doc_id AS doc_b
+  FROM bits a
+  JOIN bits b2 ON a.u = b2.u AND a.v = b2.v AND a.doc_id < b2.doc_id
+  GROUP BY 1, 2
+  HAVING sum(CASE WHEN a.b <> b2.b THEN 1 ELSE 0 END) <= 3
+),
+edges AS (SELECT doc_a AS u, doc_b AS v FROM pairs
+          UNION SELECT doc_b AS u, doc_a AS v FROM pairs),
+reach(node, lbl) AS (
+  SELECT u, u FROM (SELECT DISTINCT u FROM edges)
+  UNION
+  SELECT e.u, r.lbl FROM edges e JOIN reach r ON e.v = r.node
+),
+cc AS (SELECT node, min(lbl) AS cluster_id FROM reach GROUP BY node),
+labeled AS (SELECT d.doc_id, coalesce(cc.cluster_id, d.doc_id) AS cluster_id
+            FROM documents d LEFT JOIN cc ON d.doc_id = cc.node),
+sizes AS (SELECT cluster_id, count(*) AS cluster_size
+          FROM labeled GROUP BY cluster_id)
+SELECT l.doc_id, l.cluster_id, s.cluster_size,
+       (l.doc_id = l.cluster_id) AS is_survivor
+FROM labeled l JOIN sizes s USING (cluster_id)
+"""
+
+
+QUERIES["doc_image_dup_clusters"] = QuerySpec(
+    q_image_dup_clusters,
+    _oracle_image_dup_clusters(),
+    "perceptual image dup clusters + survivor selection: pHash pairs "
+    "-> min-label closure -> one representative per cluster",
+)
