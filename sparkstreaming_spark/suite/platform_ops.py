@@ -2991,3 +2991,92 @@ QUERIES["doc_image_dup_clusters"] = QuerySpec(
     "perceptual image dup clusters + survivor selection: pHash pairs "
     "-> min-label closure -> one representative per cluster",
 )
+
+
+def q_image_dedup_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The engine evaluating its own IMAGE dedup (the doc_dedup_eval
+    twin for the perceptual modality): pHash Hamming<=3 banded pairs
+    scored against the PLANTED ground truth — images in the same
+    variant group (base = doc_id div 3) are true duplicates by
+    construction of the fixture. One output row: tp/fp/fn + precision
+    + recall — the dashboard a LAION-style image-dedup pass publishes.
+    Both legs are independently oracled (doc_image_neardup for the
+    detector); here the composition is oracled too: the oracle replays
+    hash bits AND group membership, so the exact confusion counts are
+    value-hash-checked.
+
+    Scale shape: detector = one Arrow hash pass + banded equi-join;
+    truth = an equi-join on the group key; the confusion aggregate is
+    a single scalar row."""
+    from ..dedup.phash import phash_near_dup_pairs
+
+    d = read_table(spark, sf_dir, "documents").select("doc_id")
+    par = spark.sparkContext.defaultParallelism
+    fp = d.repartition(par).mapInPandas(
+        phash_image_map, "doc_id bigint, phash bigint"
+    )
+    pred = phash_near_dup_pairs(
+        fp, "doc_id", "phash", max_hamming=3, bands=4
+    ).select("doc_a", "doc_b", F.lit(1).alias("p"))
+    a = d.select(
+        F.col("doc_id").alias("doc_a"),
+        F.expr("doc_id div 3").alias("grp"),
+    )
+    b = d.select(
+        F.col("doc_id").alias("doc_b"),
+        F.expr("doc_id div 3").alias("grp"),
+    )
+    truth = (
+        a.join(b, "grp")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", F.lit(1).alias("t"))
+    )
+    j = truth.join(pred, ["doc_a", "doc_b"], "full_outer")
+    tp = F.sum(F.when(F.col("t").isNotNull() & F.col("p").isNotNull(), 1))
+    return j.agg(
+        tp.alias("tp"),
+        F.sum(F.when(F.col("t").isNull() & F.col("p").isNotNull(), 1)).alias("fp"),
+        F.sum(F.when(F.col("t").isNotNull() & F.col("p").isNull(), 1)).alias("fn"),
+        F.round(tp / F.sum(F.when(F.col("p").isNotNull(), 1)), 6).alias("precision"),
+        F.round(tp / F.sum(F.when(F.col("t").isNotNull(), 1)), 6).alias("recall"),
+    )
+
+
+def _oracle_image_dedup_eval() -> str:
+    return f"""
+WITH {phash_bits_cte()},
+pred AS (
+  SELECT a.doc_id AS doc_a, b2.doc_id AS doc_b
+  FROM bits a
+  JOIN bits b2 ON a.u = b2.u AND a.v = b2.v AND a.doc_id < b2.doc_id
+  GROUP BY 1, 2
+  HAVING sum(CASE WHEN a.b <> b2.b THEN 1 ELSE 0 END) <= 3
+),
+truth AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM documents a JOIN documents b
+    ON a.doc_id // 3 = b.doc_id // 3 AND a.doc_id < b.doc_id
+),
+j AS (
+  SELECT coalesce(t.doc_a, p.doc_a) AS doc_a,
+         t.doc_a IS NOT NULL AS is_t, p.doc_a IS NOT NULL AS is_p
+  FROM truth t FULL OUTER JOIN pred p
+    ON t.doc_a = p.doc_a AND t.doc_b = p.doc_b
+)
+SELECT CAST(sum(CASE WHEN is_t AND is_p THEN 1 END) AS BIGINT) AS tp,
+       CAST(sum(CASE WHEN NOT is_t AND is_p THEN 1 END) AS BIGINT) AS fp,
+       CAST(sum(CASE WHEN is_t AND NOT is_p THEN 1 END) AS BIGINT) AS fn,
+       round(sum(CASE WHEN is_t AND is_p THEN 1 END)::DOUBLE
+             / sum(CASE WHEN is_p THEN 1 END), 6) AS precision,
+       round(sum(CASE WHEN is_t AND is_p THEN 1 END)::DOUBLE
+             / sum(CASE WHEN is_t THEN 1 END), 6) AS recall
+FROM j
+"""
+
+
+QUERIES["doc_image_dedup_eval"] = QuerySpec(
+    q_image_dedup_eval,
+    _oracle_image_dedup_eval(),
+    "image-dedup quality ledger: pHash detector vs planted variant-"
+    "group ground truth, exact tp/fp/fn + precision/recall",
+)
