@@ -116,6 +116,13 @@ CRITICAL_NEVER_SAMPLED = [
     "stream_neardup_gate",
     "doc_span_corruption",
     "doc_length_batching",
+    # round-9 additions with the most algorithmic surface
+    "doc_image_neardup",
+    "doc_audio_neardup",
+    "doc_image_dup_clusters",
+    "doc_image_dedup_eval",
+    "stream_image_gate",
+    "stream_audio_gate",
 ]
 
 
