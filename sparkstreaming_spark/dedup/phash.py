@@ -16,8 +16,8 @@ arithmetic so a SQL oracle can replay every bit:
   round(2^15 · cos((2x+1)·u·π / 64)) computed ONCE here in Python and
   embedded as integer literals into both the Spark path and the SQL
   oracle, so there is no libm drift between engines;
-- coefficient magnitude bound: 255 · 2^15 · 2^15 · 1024 ≈ 2.8e17 <
-  2^63, so the Σ g·C·C accumulation never overflows int64;
+- coefficient magnitude bound: 255 · 2^15 · 2^15 · 1024 = 255 · 2^40
+  ≈ 2.8e14 < 2^63, so the Σ g·C·C accumulation never overflows int64;
 - the threshold is the 32nd-smallest of the 64 low-frequency
   coefficients (a tie-order-independent order statistic — NOT a
   float median), and bit b=8u+v is set iff coef[u,v] > threshold.
@@ -119,9 +119,13 @@ def phash_near_dup_pairs(
         )
     width = 64 // bands
     mask = (1 << width) - 1
-    # persist: the hash DF feeds both sides of the band self-join — without
-    # it the (expensive) decode+hash Arrow pass would execute twice
-    fp = fp.persist()
+    # localCheckpoint (lazy): the hash DF feeds both sides of the band
+    # self-join — without materialization the (expensive) decode+hash
+    # Arrow pass would execute twice. Unlike persist(), the checkpoint
+    # blocks are NOT pinned by the CacheManager: they are reclaimed by
+    # the ContextCleaner as soon as the frame is garbage-collected, so
+    # long multi-query sessions don't accumulate cached hash frames.
+    fp = fp.localCheckpoint(eager=False)
     slices = F.array(
         *[
             F.struct(

@@ -2680,7 +2680,10 @@ def phash_image_map(batches):
         for did in pdf["doc_id"]:
             did = int(did)
             base, r = did // 3, did % 3
-            seed = (base * 2654435761) % 1000003
+            # reduce mod 1000003 BEFORE the Knuth multiply: same value
+            # (congruence), but the product stays < 2^63 so the DuckDB
+            # oracle's BIGINT replay never diverges at extreme doc_id
+            seed = ((base % 1000003) * 2654435761) % 1000003
             fi, fj = 3 + seed % 5, 2 + seed % 7
             k, k2 = 1 + seed % 3, 1 + (seed // 7) % 7
             i = np.arange(64).reshape(-1, 1)
@@ -2702,7 +2705,7 @@ def phash_bits_cte() -> str:
     from ..dedup.phash import dct_table_sql
 
     return f"""d AS (
-  SELECT doc_id, ((doc_id // 3) * 2654435761) % 1000003 AS seed,
+  SELECT doc_id, (((doc_id // 3) % 1000003) * 2654435761) % 1000003 AS seed,
          doc_id % 3 AS r
   FROM documents
 ),
@@ -2815,7 +2818,9 @@ def afp_audio_map(batches):
         for did in pdf["doc_id"]:
             did = int(did)
             base, r = did // 3, did % 3
-            seed = (base * 2654435761) % 1000003
+            # mod-reduced pre-multiply (see phash_image_map): keeps the
+            # oracle's int64 replay exact for arbitrarily large doc_id
+            seed = ((base % 1000003) * 2654435761) % 1000003
             f = np.arange(16).reshape(-1, 1)
             b = np.arange(8).reshape(1, -1)
             cell = seed + b * 7919 + f * 104729
@@ -2840,7 +2845,7 @@ def afp_bits_cte() -> str:
     from ..dedup.audiofp import afp_table_sql
 
     return f"""d AS (
-  SELECT doc_id, ((doc_id // 3) * 2654435761) % 1000003 AS seed,
+  SELECT doc_id, (((doc_id // 3) % 1000003) * 2654435761) % 1000003 AS seed,
          doc_id % 3 AS r
   FROM documents
 ),

@@ -25,6 +25,8 @@ from pyspark.sql import types as T
 from ..sinks.upsert import UpsertSink
 from ..streaming.pipeline import run_available_now
 from ..streaming.producer import produce_segments
+from . import QuerySpec
+from .events import ORACLE_SESSION as _ORACLE_SESSION
 
 
 def stream_table_source(
@@ -45,8 +47,6 @@ def stream_table_source(
         .option("pathGlobFilter", f"{table}.parquet")
         .parquet(sf_dir)
     )
-from . import QuerySpec
-from .events import ORACLE_SESSION as _ORACLE_SESSION
 
 ORDERS_SCHEMA = T.StructType(
     [
@@ -1711,6 +1711,9 @@ def q_stream_image_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     words = bloom_build_words(
         ckeys, "bk", m=m, k=IMGGATE_K, salt=IMGGATE_SALT
     )
+    # both consumers (count + word aggregate) have collected — release
+    # the cached band keys so multi-query sessions don't accumulate them
+    ckeys.unpersist()
     # single hex-string bitmap literal (see stream_neardup_gate)
     bitmap_hex = "".join(f"{w & 0xFFFFFFFF:08x}" for w in words)
 
@@ -1871,6 +1874,8 @@ def q_stream_audio_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     words = bloom_build_words(
         ckeys, "bk", m=m, k=IMGGATE_K, salt=AUDGATE_SALT
     )
+    # both consumers have collected — release the cached band keys
+    ckeys.unpersist()
     # single hex-string bitmap literal (see stream_neardup_gate)
     bitmap_hex = "".join(f"{w & 0xFFFFFFFF:08x}" for w in words)
 

@@ -18,7 +18,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from sparkstreaming_spark.session import get_spark  # noqa: E402
 from sparkstreaming_spark.suite import all_queries  # noqa: E402
-from stress import BASE, build  # noqa: E402
+from stress import build  # noqa: E402
 
 
 def main() -> None:
@@ -44,6 +44,10 @@ def main() -> None:
         except Exception as exc:  # record, don't abort the sweep
             timings[name] = -1.0
             print(f"ERR {name}: {exc}", flush=True)
+        # drop frames queries persisted: without this, cached frames
+        # accumulate across the 339-query session and memory pressure
+        # inflates later rows (same fix as bench.py)
+        spark.catalog.clearCache()
         print(f"{name}: {timings[name]:.2f}s", flush=True)
     total = round(sum(t for t in timings.values() if t > 0), 2)
     path = os.path.join(
