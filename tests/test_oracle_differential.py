@@ -123,6 +123,10 @@ CRITICAL_NEVER_SAMPLED = [
     "doc_image_dedup_eval",
     "stream_image_gate",
     "stream_audio_gate",
+    # round-10 additions with the most algorithmic surface
+    "doc_image_neardup_hq",
+    "doc_audio_dup_clusters",
+    "doc_audio_dedup_eval",
 ]
 
 

@@ -9,6 +9,8 @@ import pytest
 from sparkstreaming_spark.dedup.phash import (
     DCT_SCALE,
     DCT_TABLE,
+    banded_pair_candidates,
+    dhash64,
     phash64,
     phash_near_dup_pairs,
 )
@@ -107,3 +109,92 @@ def test_band_join_equals_brute_force(spark):
 def test_band_join_guard():
     with pytest.raises(ValueError):
         phash_near_dup_pairs(None, max_hamming=4, bands=4)
+
+
+def test_dhash_deterministic_and_64bit():
+    g = _img(3)
+    h1, h2 = dhash64(g), dhash64(g.copy())
+    assert h1 == h2
+    assert -(1 << 63) <= h1 < (1 << 63)
+
+
+def test_dhash_matches_defining_formula():
+    # independent replay: 8x8 grid of 4x4 block sums over the 32x32
+    # block means, bit r*8+c = g[r][c] > g[r][(c+1) % 8]
+    g = _img(11)
+    m = (g[0::2, 0::2] + g[0::2, 1::2] + g[1::2, 0::2] + g[1::2, 1::2]) // 4
+    want = 0
+    for r in range(8):
+        for c in range(8):
+            s1 = int(m[4 * r : 4 * r + 4, 4 * c : 4 * c + 4].sum())
+            c2 = (c + 1) % 8
+            s2 = int(m[4 * r : 4 * r + 4, 4 * c2 : 4 * c2 + 4].sum())
+            if s1 > s2:
+                want |= 1 << (r * 8 + c)
+    if want >= 1 << 63:
+        want -= 1 << 64
+    assert dhash64(g) == want
+
+
+def test_dhash_local_edit_flips_at_most_two_bits():
+    # the composite detector's load-bearing property: an edit confined
+    # to ONE 8x8 source tile (one 4x4 grid cell) can only flip the two
+    # comparisons that touch that cell
+    g = _smooth(5)
+    for tile in ((0, 0), (3, 4), (7, 7)):
+        p = g.copy()
+        r0, c0 = tile[0] * 8, tile[1] * 8
+        p[r0 : r0 + 8, c0 : c0 + 8] = (p[r0 : r0 + 8, c0 : c0 + 8] + 97) % 256
+        assert _ham(dhash64(g), dhash64(p)) <= 2
+
+
+def test_banded_pair_join_equals_brute_force(spark):
+    # band-PAIR pigeonhole: 8x8-bit slices joined on all C(8,2) 16-bit
+    # pair keys == all-pairs at hamming <= bands-2 = 6
+    hashes = {}
+    for s in range(12):
+        g = _smooth(s)
+        hashes[2 * s] = phash64(g)
+        p = g.copy()
+        p[0:8, 0:8] = (p[0:8, 0:8] + 3) % 256
+        p[8:16, 0:8] = (p[8:16, 0:8] + 2) % 256
+        hashes[2 * s + 1] = phash64(p)
+    fp = spark.createDataFrame(
+        pd.DataFrame(
+            [(k, v) for k, v in hashes.items()], columns=["doc_id", "phash"]
+        )
+    )
+    got = {
+        (r.doc_a, r.doc_b): r.hamming
+        for r in banded_pair_candidates(fp, "doc_id", "phash", 6, 8).collect()
+    }
+    want = {}
+    ids = sorted(hashes)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            d = _ham(hashes[a], hashes[b])
+            if d <= 6:
+                want[(a, b)] = d
+    assert got == want
+    assert want
+
+
+def test_banded_pair_carry_columns(spark):
+    # secondary hashes ride the explode and come back paired
+    fp = spark.createDataFrame(
+        pd.DataFrame(
+            {"doc_id": [1, 2], "phash": [0, 1], "dhash": [10, 20]}
+        )
+    )
+    rows = banded_pair_candidates(
+        fp, "doc_id", "phash", 6, 8, carry=("dhash",)
+    ).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r.doc_a, r.doc_b, r.hamming) == (1, 2, 1)
+    assert (r.dhash_a, r.dhash_b) == (10, 20)
+
+
+def test_banded_pair_guard():
+    with pytest.raises(ValueError):
+        banded_pair_candidates(None, max_hamming=7, bands=8)
