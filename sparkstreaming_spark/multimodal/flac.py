@@ -198,15 +198,25 @@ def _fixed_residual(x: np.ndarray, order: int) -> np.ndarray:
 
 
 def _fixed_restore(res: np.ndarray, warmup: list[int], order: int) -> np.ndarray:
-    out = np.empty(order + len(res), dtype=np.int64)
-    out[:order] = warmup
-    coefs = _FIXED_COEFS[order]
-    for i in range(len(res)):
-        acc = int(res[i])
-        for j, c in enumerate(coefs):
-            acc += c * int(out[order + i - 1 - j])
-        out[order + i] = acc
-    return out
+    """Invert the order-k difference: k cumulative sums (one per order
+    level) instead of a per-sample predictor loop. Level j of the
+    difference pyramid satisfies D^j[i+1] = D^j[i] + D^{j+1}[i]; its
+    first (order-j) values come from the warmup samples, the rest is
+    one np.cumsum over the already-reconstructed level j+1 — identical
+    integer arithmetic to the sequential predictor, vectorized."""
+    if order == 0:
+        return np.asarray(res, dtype=np.int64)
+    res = np.asarray(res, dtype=np.int64)
+    w = np.asarray(warmup, dtype=np.int64)
+    heads = [w]
+    for _ in range(order - 1):
+        heads.append(np.diff(heads[-1]))
+    seq = res
+    for j in range(order - 1, -1, -1):
+        head = heads[j]  # first (order - j) values of D^j, from warmup
+        tail = seq[order - j - 1 :]
+        seq = np.concatenate([head, head[-1] + np.cumsum(tail)])
+    return seq
 
 
 # ---------------------------------------------------------------------------
@@ -214,34 +224,79 @@ def _fixed_restore(res: np.ndarray, warmup: list[int], order: int) -> np.ndarray
 
 
 def _best_rice_param(u: np.ndarray) -> tuple[int, int]:
-    """(param, cost_bits) minimizing unary+remainder length; u = folded."""
+    """(param, cost_bits) minimizing unary+remainder length; u = folded.
+
+    Vectorized over all 19 candidate parameters at once; np.argmin's
+    first-minimum tie-break reproduces the sequential ascending scan
+    (costs are strictly increasing once u >> p reaches all-zero, so the
+    old early-break can never have skipped a better p)."""
     if len(u) == 0:
         return 0, 0
-    best_p, best_cost = 0, None
-    total = int(u.sum())
-    n = len(u)
-    for p in range(0, 19):
-        # cost = sum(u >> p) + n * (1 + p)
-        cost = int((u >> p).sum()) + n * (1 + p)
-        if best_cost is None or cost < best_cost:
-            best_p, best_cost = p, cost
-        if total >> p == 0 and p > 0:
-            break
-    return best_p, best_cost
+    ps = np.arange(19)
+    costs = (u[:, None] >> ps).sum(axis=0) + len(u) * (1 + ps)
+    best_p = int(np.argmin(costs))
+    return best_p, int(costs[best_p])
 
 
-def _write_residual(bw: _BitWriter, res: np.ndarray, order: int, blocksize: int) -> None:
-    # choose the deepest partition order in {2,1,0} that divides evenly
+def _bits_of(value: int, nbits: int) -> np.ndarray:
+    """MSB-first uint8 bit array of `value` (masked to nbits)."""
+    if nbits == 0:
+        return np.zeros(0, dtype=np.uint8)
+    v = value & ((1 << nbits) - 1)
+    return ((v >> np.arange(nbits - 1, -1, -1)) & 1).astype(np.uint8)
+
+
+def _signed_bits(vals: np.ndarray, width: int) -> np.ndarray:
+    """MSB-first two's-complement bits of each value, concatenated."""
+    if width == 0 or len(vals) == 0:
+        return np.zeros(0, dtype=np.uint8)
+    v = np.asarray(vals, dtype=np.int64) & ((1 << width) - 1)
+    return (
+        ((v[:, None] >> np.arange(width - 1, -1, -1)) & 1)
+        .astype(np.uint8)
+        .ravel()
+    )
+
+
+def _rice_bits(u: np.ndarray, p: int) -> np.ndarray:
+    """Rice-code the folded values as one scattered bit array: terminator
+    ones land at offset+quotient, remainder bits fill the p positions
+    after each — the whole partition in O(total_bits) numpy ops instead
+    of a per-sample write_unary loop."""
+    if len(u) == 0:
+        return np.zeros(0, dtype=np.uint8)
+    q = u >> p
+    lens = q + 1 + p
+    offs = np.zeros(len(u), dtype=np.int64)
+    np.cumsum(lens[:-1], out=offs[1:])
+    bits = np.zeros(int(offs[-1] + lens[-1]), dtype=np.uint8)
+    bits[offs + q] = 1
+    if p:
+        pos = (offs + q + 1)[:, None] + np.arange(p)
+        vals = (u[:, None] >> np.arange(p - 1, -1, -1)) & 1
+        bits[pos.ravel()] = vals.astype(np.uint8).ravel()
+    return bits
+
+
+def _residual_plan(
+    res: np.ndarray, order: int, blocksize: int
+) -> tuple[int, list[tuple[int, int, np.ndarray, np.ndarray]], int]:
+    """(partition_order, parts, total_bits) for the residual section —
+    the cost model `_encode_frame` uses to pick the winning subframe
+    BEFORE building any bitstream. Each part is (rice_p, escape_width,
+    folded_slice, res_slice); total_bits includes the 2+4 method/order
+    header. Partition layout and parameter choice are identical to the
+    historical sequential writer, so emitted bytes are unchanged."""
     po = 0
     for cand in (2, 1):
         if blocksize % (1 << cand) == 0 and (blocksize >> cand) > order:
             po = cand
             break
-    bw.write(0, 2)  # coding method 0: 4-bit rice params
-    bw.write(po, 4)
     nparts = 1 << po
     psize = blocksize >> po
     folded = np.where(res >= 0, 2 * res, -2 * res - 1)  # zigzag, fits int64
+    parts: list[tuple[int, int, np.ndarray, np.ndarray]] = []
+    total = 2 + 4
     start = 0
     for part in range(nparts):
         cnt = psize - order if part == 0 else psize
@@ -250,47 +305,140 @@ def _write_residual(bw: _BitWriter, res: np.ndarray, order: int, blocksize: int)
         start += cnt
         p, rice_cost = _best_rice_param(u)
         if p > 14:
-            # escape: raw signed residuals at a fixed bit width
             width = 1
             if len(rpart):
                 width = min(max(int(np.abs(rpart).max()).bit_length() + 1, 1), 31)
-            bw.write(0xF, 4)
-            bw.write(width, 5)
-            for r in rpart:
-                bw.write_signed(int(r), width)
+            parts.append((p, width, u, rpart))
+            total += 4 + 5 + cnt * width
         else:
-            bw.write(p, 4)
-            for uv in u:
-                uv = int(uv)
-                bw.write_unary(uv >> p)
-                bw.write(uv & ((1 << p) - 1), p)
+            parts.append((p, 0, u, rpart))
+            total += 4 + rice_cost
+    return po, parts, total
 
 
-def _read_residual(br: _BitReader, order: int, blocksize: int) -> np.ndarray:
-    method = br.read(2)
+def _residual_section_bits(
+    po: int, parts: list[tuple[int, int, np.ndarray, np.ndarray]]
+) -> list[np.ndarray]:
+    """Bit-array chunks for a planned residual section (method 0)."""
+    chunks = [_bits_of(0, 2), _bits_of(po, 4)]
+    for p, width, u, rpart in parts:
+        if p > 14:
+            chunks.append(_bits_of(0xF, 4))
+            chunks.append(_bits_of(width, 5))
+            chunks.append(_signed_bits(rpart, width))
+        else:
+            chunks.append(_bits_of(p, 4))
+            chunks.append(_rice_bits(u, p))
+    return chunks
+
+
+def _bits_val(bits: np.ndarray, pos: int, nbits: int) -> int:
+    """Small MSB-first field read from an unpacked bit array."""
+    v = 0
+    for b in bits[pos : pos + nbits]:
+        v = (v << 1) | int(b)
+    return v
+
+
+def _gather_signed(bits: np.ndarray, pos: int, cnt: int, width: int) -> np.ndarray:
+    """cnt two's-complement `width`-bit integers starting at `pos` —
+    one reshape + matmul instead of a per-sample bit loop."""
+    if width == 0 or cnt == 0:
+        return np.zeros(cnt, dtype=np.int64)
+    seg = bits[pos : pos + cnt * width]
+    if len(seg) < cnt * width:
+        raise IndexError("bitstream truncated")
+    pow2 = 1 << np.arange(width - 1, -1, -1, dtype=np.int64)
+    v = seg.reshape(cnt, width).astype(np.int64) @ pow2
+    return v - ((v >= (1 << (width - 1))).astype(np.int64) << width)
+
+
+def _rice_read(
+    bits: np.ndarray, pos: int, cnt: int, p: int
+) -> tuple[np.ndarray, int]:
+    """Decode cnt Rice(p) codes starting at bit `pos`; returns (zigzag-
+    unfolded residuals, next bit position).
+
+    Vectorized around the one sequential dependency: terminator t_{i+1}
+    is the first set bit at or after t_i + 1 + p (everything in the p
+    remainder slots is skipped, everything between is unary zeros). A
+    searchsorted over the set-bit positions precomputes that jump for
+    EVERY candidate at once; following the cnt-step orbit is then pure
+    list indexing, and quotients/remainders fall out as array math."""
+    if cnt == 0:
+        return np.zeros(0, dtype=np.int64), pos
+    # scan a bounded window (typical partitions fit on the first try —
+    # quotients average ~1-2 bits — and pathological ones double until
+    # they do) so the set-bit scan is O(partition), not O(rest of
+    # stream) for every partition
+    win = cnt * (3 + p) + 64
+    t = None
+    while True:
+        ones = np.flatnonzero(bits[pos : pos + win])
+        if p == 0:
+            if len(ones) >= cnt:
+                t = ones[:cnt].astype(np.int64)
+                break
+        else:
+            nxt = np.searchsorted(ones, ones + 1 + p).tolist()
+            idxs: list[int] = []
+            cur = 0
+            while cur < len(ones) and len(idxs) < cnt:
+                idxs.append(cur)
+                cur = nxt[cur]
+            if len(idxs) == cnt:
+                t = ones[idxs].astype(np.int64)
+                break
+        if pos + win >= len(bits):
+            raise IndexError("rice bitstream truncated")
+        win *= 2
+    starts = np.empty(cnt, dtype=np.int64)
+    starts[0] = 0
+    if cnt > 1:
+        starts[1:] = t[:-1] + 1 + p
+    q = t - starts
+    if p:
+        rem_idx = (pos + t + 1)[:, None] + np.arange(p)
+        if int(rem_idx[-1, -1]) >= len(bits):
+            raise IndexError("rice bitstream truncated")
+        pow2 = 1 << np.arange(p - 1, -1, -1, dtype=np.int64)
+        rem = bits[rem_idx].astype(np.int64) @ pow2
+        u = (q << p) | rem
+    else:
+        u = q
+    res = (u >> 1) ^ -(u & 1)
+    return res, pos + int(t[-1]) + 1 + p
+
+
+def _read_residual(bits: np.ndarray, pos: int, order: int, blocksize: int):
+    """Residual section at bit `pos` → (int64 residuals, next position)."""
+    method = _bits_val(bits, pos, 2)
+    pos += 2
     if method > 1:
         raise ValueError(f"reserved residual coding method {method}")
     pbits = 4 if method == 0 else 5
     escape = (1 << pbits) - 1
-    po = br.read(4)
+    po = _bits_val(bits, pos, 4)
+    pos += 4
     nparts = 1 << po
     if blocksize % nparts:
         raise ValueError("partition order does not divide block size")
     psize = blocksize >> po
-    out: list[int] = []
+    chunks: list[np.ndarray] = []
     for part in range(nparts):
         cnt = psize - order if part == 0 else psize
-        p = br.read(pbits)
+        p = _bits_val(bits, pos, pbits)
+        pos += pbits
         if p == escape:
-            width = br.read(5)
-            for _ in range(cnt):
-                out.append(br.read_signed(width) if width else 0)
+            width = _bits_val(bits, pos, 5)
+            pos += 5
+            chunks.append(_gather_signed(bits, pos, cnt, width))
+            pos += cnt * width
         else:
-            for _ in range(cnt):
-                q = br.read_unary()
-                u = (q << p) | br.read(p)
-                out.append((u >> 1) ^ -(u & 1))
-    return np.asarray(out, dtype=np.int64)
+            vals, pos = _rice_read(bits, pos, cnt, p)
+            chunks.append(vals)
+    out = np.concatenate(chunks) if chunks else np.zeros(0, dtype=np.int64)
+    return out, pos
 
 
 # ---------------------------------------------------------------------------
@@ -343,32 +491,37 @@ def _encode_frame(blk: np.ndarray, frame_no: int, rate: int, bps: int) -> bytes:
     head += struct.pack(">H", n - 1)
     head.append(_crc8(bytes(head)))
 
-    candidates: list[bytes] = []
+    # Plan every candidate subframe's BYTE length analytically, then
+    # build only the winner (the historical code built all candidates
+    # and min()'d the bytes; same tie-break — first minimum in
+    # [CONSTANT] / [FIXED 0,1,2] + [VERBATIM] order — so the emitted
+    # stream is byte-identical, at a third of the work).
+    verbatim_len = (8 + n * bps + 7) // 8
     if n and (blk == blk[0]).all():
-        bw = _BitWriter()
-        bw.write(0b000000, 8)  # pad + CONSTANT + no wasted bits
-        bw.write_signed(int(blk[0]), bps)
-        bw.align()
-        candidates.append(bw.getvalue())
+        const_len = (8 + bps + 7) // 8
+        if const_len <= verbatim_len:
+            chunks = [_bits_of(0b000000, 8), _signed_bits(blk[:1], bps)]
+        else:  # unreachable for bps >= 1, kept for symmetry
+            chunks = [_bits_of(0b000001 << 1, 8), _signed_bits(blk, bps)]
     else:
+        plans = []
         for order in (0, 1, 2):
             if n <= order:
                 continue
-            bw = _BitWriter()
-            bw.write((0b001000 | order) << 1, 8)  # pad + FIXED(order) + wasted 0
-            for w in blk[:order]:
-                bw.write_signed(int(w), bps)
-            _write_residual(bw, _fixed_residual(blk, order), order, n)
-            bw.align()
-            candidates.append(bw.getvalue())
-    bw = _BitWriter()
-    bw.write(0b000001 << 1, 8)  # VERBATIM
-    for s in blk:
-        bw.write_signed(int(s), bps)
-    bw.align()
-    candidates.append(bw.getvalue())
-
-    body = min(candidates, key=len)
+            po, parts, res_bits = _residual_plan(
+                _fixed_residual(blk, order), order, n
+            )
+            nbits = 8 + order * bps + res_bits
+            plans.append(((nbits + 7) // 8, order, po, parts))
+        best = min(plans, key=lambda t: t[0], default=None)
+        if best is not None and best[0] <= verbatim_len:
+            _, order, po, parts = best
+            chunks = [_bits_of((0b001000 | order) << 1, 8)]
+            chunks.append(_signed_bits(blk[:order], bps))
+            chunks.extend(_residual_section_bits(po, parts))
+        else:
+            chunks = [_bits_of(0b000001 << 1, 8), _signed_bits(blk, bps)]
+    body = np.packbits(np.concatenate(chunks)).tobytes()
     frame = bytes(head) + body
     return frame + struct.pack(">H", _crc16(frame))
 
@@ -408,10 +561,13 @@ def decode_flac(data: bytes) -> tuple[np.ndarray, int]:
     if channels != 1:
         raise NotImplementedError("only mono FLAC streams supported")
 
+    # one bulk bit-unpack for the whole stream: every subframe decode
+    # below is numpy slicing over this array instead of per-bit reads
+    bitarr = np.unpackbits(np.frombuffer(data, dtype=np.uint8))
     out: list[np.ndarray] = []
     got = 0
     while off < len(data) and (total == 0 or got < total):
-        samples, off = _decode_frame(data, off, rate, bps_si)
+        samples, off = _decode_frame(data, off, rate, bps_si, bitarr)
         out.append(samples)
         got += len(samples)
     x = np.concatenate(out) if out else np.zeros(0, dtype=np.int64)
@@ -423,7 +579,11 @@ def decode_flac(data: bytes) -> tuple[np.ndarray, int]:
     return x.astype(np.int32), rate
 
 
-def _decode_frame(data: bytes, off: int, si_rate: int, si_bps: int) -> tuple[np.ndarray, int]:
+def _decode_frame(
+    data: bytes, off: int, si_rate: int, si_bps: int, bitarr: np.ndarray | None = None
+) -> tuple[np.ndarray, int]:
+    if bitarr is None:
+        bitarr = np.unpackbits(np.frombuffer(data, dtype=np.uint8))
     br = _BitReader(data, off)
     sync = br.read(14)
     if sync != _SYNC:
@@ -458,7 +618,7 @@ def _decode_frame(data: bytes, off: int, si_rate: int, si_bps: int) -> tuple[np.
     if _crc8(data[off : br.byte_pos() - 1]) != hdr_crc:
         raise ValueError("frame header CRC-8 mismatch")
 
-    samples = _decode_subframe(br, blocksize, bps)
+    samples = _decode_subframe(br, blocksize, bps, bitarr)
 
     br.align()
     crc_pos = br.byte_pos()
@@ -468,7 +628,9 @@ def _decode_frame(data: bytes, off: int, si_rate: int, si_bps: int) -> tuple[np.
     return samples, crc_pos + 2
 
 
-def _decode_subframe(br: _BitReader, blocksize: int, bps: int) -> np.ndarray:
+def _decode_subframe(
+    br: _BitReader, blocksize: int, bps: int, bitarr: np.ndarray
+) -> np.ndarray:
     if br.read(1):
         raise ValueError("subframe padding bit set")
     stype = br.read(6)
@@ -480,11 +642,12 @@ def _decode_subframe(br: _BitReader, blocksize: int, bps: int) -> np.ndarray:
         v = br.read_signed(bps)
         out = np.full(blocksize, v, dtype=np.int64)
     elif stype == 1:  # VERBATIM
-        out = np.asarray([br.read_signed(bps) for _ in range(blocksize)], dtype=np.int64)
+        out = _gather_signed(bitarr, br.pos, blocksize, bps)
+        br.pos += blocksize * bps
     elif 8 <= stype <= 12:  # FIXED order 0-4
         order = stype - 8
         warmup = [br.read_signed(bps) for _ in range(order)]
-        res = _read_residual(br, order, blocksize)
+        res, br.pos = _read_residual(bitarr, br.pos, order, blocksize)
         out = _fixed_restore(res, warmup, order)
     elif stype >= 32:  # LPC
         order = (stype & 0x1F) + 1
@@ -494,7 +657,10 @@ def _decode_subframe(br: _BitReader, blocksize: int, bps: int) -> np.ndarray:
             raise ValueError("invalid LPC precision code")
         shift = br.read_signed(5)
         coefs = [br.read_signed(prec) for _ in range(order)]
-        res = _read_residual(br, order, blocksize)
+        res, br.pos = _read_residual(bitarr, br.pos, order, blocksize)
+        # LPC stays sequential (general coefficients have no cumsum
+        # form); the encoder never emits LPC, so this is a
+        # compatibility path, not the hot path
         out = np.empty(order + len(res), dtype=np.int64)
         out[:order] = warmup
         for i in range(len(res)):

@@ -40,92 +40,133 @@ _MAX_CODE_WIDTH = 12
 
 
 def _lzw_encode(indices: np.ndarray, min_code_size: int) -> bytes:
+    """GIF LZW. The dictionary is keyed by (prefix_code << 8) | symbol
+    instead of materialized byte strings — the standard constant-time
+    formulation (every multi-symbol string is its prefix's code plus one
+    symbol, and roots ARE their own codes), byte-identical output to the
+    string-keyed version at a fraction of the per-pixel cost."""
     clear = 1 << min_code_size
     eoi = clear + 1
     out = bytearray()
+    out_append = out.append
     acc = 0
     nbits = 0
+    cap = 1 << _MAX_CODE_WIDTH
 
-    def emit(code: int, width: int) -> None:
-        nonlocal acc, nbits
-        acc |= code << nbits
-        nbits += width
-        while nbits >= 8:
-            out.append(acc & 0xFF)
-            acc >>= 8
-            nbits -= 8
-
-    table: dict[bytes, int] = {bytes([i]): i for i in range(clear)}
+    table: dict[int, int] = {}
+    get = table.get
     next_code = eoi + 1
     width = min_code_size + 1
-    emit(clear, width)
-    prefix = b""
-    for idx in indices.ravel():
-        sym = bytes([int(idx)])
-        cand = prefix + sym
-        if cand in table:
-            prefix = cand
+    # emit(clear)
+    acc |= clear << nbits
+    nbits += width
+    while nbits >= 8:
+        out_append(acc & 0xFF)
+        acc >>= 8
+        nbits -= 8
+    prefix = -1  # no-prefix sentinel (code 0 is a valid prefix)
+    for idx in indices.ravel().tolist():
+        if prefix < 0:
+            prefix = idx
             continue
-        emit(table[prefix], width)
-        table[cand] = next_code
+        key = (prefix << 8) | idx
+        hit = get(key)
+        if hit is not None:
+            prefix = hit
+            continue
+        acc |= prefix << nbits
+        nbits += width
+        while nbits >= 8:
+            out_append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+        table[key] = next_code
         next_code += 1
         if next_code > (1 << width) and width < _MAX_CODE_WIDTH:
             width += 1
-        elif next_code == (1 << _MAX_CODE_WIDTH) + 1:
-            emit(clear, width)
-            table = {bytes([i]): i for i in range(clear)}
+        elif next_code == cap + 1:
+            acc |= clear << nbits
+            nbits += width
+            while nbits >= 8:
+                out_append(acc & 0xFF)
+                acc >>= 8
+                nbits -= 8
+            table = {}
+            get = table.get
             next_code = eoi + 1
             width = min_code_size + 1
-        prefix = sym
-    if prefix:
-        emit(table[prefix], width)
-    emit(eoi, width)
+        prefix = idx
+    if prefix >= 0:
+        acc |= prefix << nbits
+        nbits += width
+        while nbits >= 8:
+            out_append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+    acc |= eoi << nbits
+    nbits += width
+    while nbits >= 8:
+        out_append(acc & 0xFF)
+        acc >>= 8
+        nbits -= 8
     if nbits:
-        out.append(acc & 0xFF)
+        out_append(acc & 0xFF)
     return bytes(out)
 
 
 def _lzw_decode(data: bytes, min_code_size: int, n_pixels: int) -> np.ndarray:
+    """GIF LZW decode. Codes are pulled with ONE arithmetic op each from
+    a precomputed 3-byte little-endian window table (max 12-bit code +
+    7-bit phase = 19 bits < 24) instead of a per-bit loop; the table
+    stores byte strings as before — entry expansion dominates and is
+    already C-speed bytearray appends."""
     clear = 1 << min_code_size
     eoi = clear + 1
+    # wins[i] = data[i] | data[i+1] << 8 | data[i+2] << 16
+    arr = np.frombuffer(data + b"\x00\x00", dtype=np.uint8).astype(np.int32)
+    wins = (arr[:-2] | (arr[1:-1] << 8) | (arr[2:] << 16)).tolist()
     pos = 0
 
-    def read(width: int) -> int:
-        nonlocal pos
-        out = 0
-        for i in range(width):
-            byte = data[(pos + i) >> 3]
-            out |= ((byte >> ((pos + i) & 7)) & 1) << i
-        pos += width
-        return out
-
-    table: list[bytes] = [bytes([i]) for i in range(clear)] + [b"", b""]
+    roots = [bytes([i]) for i in range(clear)] + [b"", b""]
+    table: list[bytes] = list(roots)
+    append = table.append
+    tlen = len(table)
+    cap = 1 << _MAX_CODE_WIDTH
     width = min_code_size + 1
+    mask = (1 << width) - 1
     out = bytearray()
+    outlen = 0
     prev: bytes | None = None
     total_bits = len(data) * 8
-    while pos + width <= total_bits and len(out) < n_pixels:
-        code = read(width)
-        if code == clear:
-            table = [bytes([i]) for i in range(clear)] + [b"", b""]
+    while pos + width <= total_bits and outlen < n_pixels:
+        code = (wins[pos >> 3] >> (pos & 7)) & mask
+        pos += width
+        if code < tlen and (code < clear or table[code]):
+            entry = table[code]
+        elif code == clear:
+            table = list(roots)
+            append = table.append
+            tlen = len(table)
             width = min_code_size + 1
+            mask = (1 << width) - 1
             prev = None
             continue
-        if code == eoi:
+        elif code == eoi:
             break
-        if code < len(table) and (code < clear or table[code]):
-            entry = table[code]
-        elif code == len(table) and prev is not None:
+        elif code == tlen and prev is not None:
             entry = prev + prev[:1]
         else:
             raise ValueError(f"corrupt LZW stream: code {code} out of range")
         out += entry
-        if prev is not None and len(table) < (1 << _MAX_CODE_WIDTH):
-            table.append(prev + entry[:1])
-            if len(table) == (1 << width) and width < _MAX_CODE_WIDTH:
+        outlen += len(entry)
+        if prev is not None and tlen < cap:
+            append(prev + entry[:1])
+            tlen += 1
+            if tlen == mask + 1 and width < _MAX_CODE_WIDTH:
                 width += 1
+                mask = (1 << width) - 1
         prev = entry
-    if len(out) < n_pixels:
+    if outlen < n_pixels:
         raise ValueError("LZW stream ended before the image was complete")
     return np.frombuffer(bytes(out[:n_pixels]), dtype=np.uint8)
 
