@@ -30,6 +30,32 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from sparkstreaming_spark.session import get_spark  # noqa: E402
 from sparkstreaming_spark.suite import all_queries  # noqa: E402
 
+# --- timing protocol (asserted by tests/test_bench_coverage.py) ------------
+# Sub-second rows swing 2-5x between sessions on this shared container
+# (BASELINE.md "bench noise model"), which made per-row 2x adjudication
+# noisy: a 0.6s row is ~60% fixed scheduling/JIT jitter. Protocol: every
+# row gets RUNS_BASE warm runs; if the median lands under SUBSEC_THRESHOLD
+# seconds the row gets topped up to RUNS_SUBSEC runs and re-medianed, so
+# the stamped number for exactly the noise-dominated rows is a median of 5.
+RUNS_BASE = 3
+RUNS_SUBSEC = 5
+SUBSEC_THRESHOLD = 1.0
+
+
+def measure_query(run_once) -> float:
+    """Median wall time per the adaptive protocol: median of RUNS_BASE
+    runs, topped up to RUNS_SUBSEC when the first median is sub-second."""
+    runs = []
+    for _ in range(RUNS_BASE):
+        runs.append(run_once())
+    med = sorted(runs)[len(runs) // 2]
+    if med < SUBSEC_THRESHOLD:
+        while len(runs) < RUNS_SUBSEC:
+            runs.append(run_once())
+        med = sorted(runs)[len(runs) // 2]
+    return med
+
+
 # Headline set: one per operator family; extend as the suite grows.
 HEADLINE = [
     "flagship_pricing_summary",
@@ -445,13 +471,13 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     for name in names:
-        runs = []
-        for _ in range(3):
+
+        def run_once(name: str = name) -> float:
             t0 = time.perf_counter()
-            df = registry[name].fn(spark, sf_dir)
-            df.count()
-            runs.append(time.perf_counter() - t0)
-        timings[name] = round(sorted(runs)[1], 4)  # median of 3
+            registry[name].fn(spark, sf_dir).count()
+            return time.perf_counter() - t0
+
+        timings[name] = round(measure_query(run_once), 4)
         # drop caches BETWEEN queries (not between a query's runs, so
         # warm-median semantics stay): persisted frames from dedup/gate
         # queries otherwise accumulate across the 300+-query session

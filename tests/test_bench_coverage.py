@@ -34,3 +34,41 @@ def test_headline_has_no_stale_names():
 def test_core_subset_is_benched():
     bench = _load_bench()
     assert set(bench.CORE) <= set(bench.HEADLINE)
+
+
+def test_adaptive_run_protocol_constants():
+    """BASELINE.md's noise model rests on this protocol: sub-second rows
+    (the noise-dominated ones) must be stamped from a deeper median."""
+    bench = _load_bench()
+    assert bench.RUNS_BASE >= 3
+    assert bench.RUNS_SUBSEC >= 5
+    assert bench.SUBSEC_THRESHOLD == 1.0
+
+
+def test_measure_query_tops_up_subsecond_rows():
+    bench = _load_bench()
+    calls = []
+
+    def fast():
+        calls.append(1)
+        return 0.2
+
+    assert bench.measure_query(fast) == 0.2
+    assert len(calls) == bench.RUNS_SUBSEC
+
+    calls.clear()
+
+    def slow():
+        calls.append(1)
+        return 5.0
+
+    assert bench.measure_query(slow) == 5.0
+    assert len(calls) == bench.RUNS_BASE
+
+
+def test_measure_query_median_semantics():
+    bench = _load_bench()
+    seq = iter([3.0, 9.0, 6.0])  # median 6.0, no top-up
+    assert bench.measure_query(lambda: next(seq)) == 6.0
+    seq5 = iter([0.1, 0.9, 0.5, 0.3, 0.7])  # subsec -> median of 5
+    assert bench.measure_query(lambda: next(seq5)) == 0.5
