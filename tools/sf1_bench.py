@@ -8,6 +8,12 @@ Writes BENCH_SF1.json at the repo root:
 {"sf": "0.1x10", "total_sec": ..., "queries": {name: sec}}.
 
 Usage: python tools/sf1_bench.py [--skip-streaming]
+                                 [--data DIR] [--out FILE] [--sf LABEL]
+
+--data/--out/--sf point the sweep at a different corpus — e.g. the TRUE
+sf1 generation (tools/gen_sf1.py -> /tmp/sf1_true, out BENCH_SF1_TRUE
+.json, label "1.0-true"), which carries honest document-frequency
+statistics instead of 10x-replicated ones.
 """
 import json
 import os
@@ -21,11 +27,23 @@ from sparkstreaming_spark.suite import all_queries  # noqa: E402
 from stress import build  # noqa: E402
 
 
+def _arg(flag: str, default: str) -> str:
+    if flag in sys.argv:
+        return sys.argv[sys.argv.index(flag) + 1]
+    return default
+
+
 def main() -> None:
     skip_streaming = "--skip-streaming" in sys.argv
-    out_dir = "/tmp/stress_10x"
+    out_dir = _arg("--data", "/tmp/stress_10x")
+    out_file = _arg("--out", "BENCH_SF1.json")
+    sf_label = _arg("--sf", "0.1x10")
     spark = get_spark("sf1-bench")
     if not os.path.exists(f"{out_dir}/orders.parquet"):
+        if out_dir != "/tmp/stress_10x":
+            raise SystemExit(
+                f"{out_dir} has no data; generate it first (tools/gen_sf1.py)"
+            )
         t0 = time.perf_counter()
         build(spark, 10, out_dir)
         print(f"built 10x corpus in {time.perf_counter() - t0:.1f}s", flush=True)
@@ -52,11 +70,11 @@ def main() -> None:
     total = round(sum(t for t in timings.values() if t > 0), 2)
     path = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-        "BENCH_SF1.json",
+        out_file,
     )
     with open(path, "w") as fh:
         json.dump(
-            {"sf": "0.1x10", "total_sec": total, "queries": timings}, fh, indent=1
+            {"sf": sf_label, "total_sec": total, "queries": timings}, fh, indent=1
         )
         fh.write("\n")
     print(f"TOTAL {total}s over {len(timings)} queries -> {path}", flush=True)
