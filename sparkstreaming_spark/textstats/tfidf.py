@@ -49,7 +49,14 @@ def tfidf_cosine_pairs(
     terms = toks.select(
         "doc_id", F.explode(shingles_from_tokens("toks", shingle_n)).alias("term")
     )
-    tf = terms.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    # tf feeds BOTH the df aggregate and the weight join; materialize it
+    # once (lazy localCheckpoint: blocks are GC-reclaimed, unlike persist)
+    # so the corpus-wide shingle explosion runs a single time
+    tf = (
+        terms.groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .localCheckpoint(eager=False)
+    )
 
     # Document frequency per term; prune unpairable (df=1) and boilerplate
     # (df>max_df) terms before anything expensive touches them.
@@ -66,10 +73,13 @@ def tfidf_cosine_pairs(
         (F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df"))).alias("w"),
     )
     norm = w.groupBy("doc_id").agg(F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("nrm"))
+    # wn feeds both sides of the inverted-index self-join — without
+    # materialization the tf->df->weight->norm chain executes twice
     wn = (
         w.join(norm, "doc_id")
         .filter(F.col("nrm") > 0)
         .select("doc_id", "term", (F.col("w") / F.col("nrm")).alias("wn"))
+        .localCheckpoint(eager=False)
     )
 
     a = wn.select(
