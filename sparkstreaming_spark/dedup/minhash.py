@@ -151,13 +151,17 @@ def minhash_near_dup_pairs(
     """Full pipeline: LSH candidates verified with exact Jaccard ≥ threshold.
 
     Returns (doc_a, doc_b, jaccard) with jaccard rounded to 6 dp.
-    ONE shingle pass: the shingle-set frame is persisted and feeds the
-    signature lineage, the band self-join, AND the exact-Jaccard verify
-    join — without the persist Spark would re-run tokenize+shingle once
-    per consumer (three times total).
+    ONE shingle pass: the shingle-set frame is materialized once (lazy
+    localCheckpoint — blocks are GC-reclaimed when the frame goes out of
+    scope, unlike CacheManager-pinned persist) and feeds the signature
+    lineage, the band self-join, AND the exact-Jaccard verify join —
+    without it Spark would re-run tokenize+shingle once per consumer
+    (three times total).
     """
-    sets_df = _shingle_sets(df, id_col, text_col, shingle_n).persist()
-    sigs = signatures_from_sets(sets_df, num_perm).persist()
+    sets_df = _shingle_sets(df, id_col, text_col, shingle_n).localCheckpoint(
+        eager=False
+    )
+    sigs = signatures_from_sets(sets_df, num_perm).localCheckpoint(eager=False)
     cands = candidate_pairs(lsh_bands(sigs, num_perm, bands))
     a = sets_df.alias("sa")
     b = sets_df.alias("sb")

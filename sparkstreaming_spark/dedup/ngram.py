@@ -46,17 +46,21 @@ def ngram_jaccard_pairs(
     """(doc_a, doc_b, jaccard) for pairs with shingle-set Jaccard ≥ threshold."""
     from .minhash import _explode_shingles, _shingle_sets
 
-    # persist the exploded shingles: they feed the doc-frequency pass
-    # (when capping), the per-doc sizes, and BOTH sides of the self-join —
-    # without it Spark re-runs the tokenize+shingle+hash projection per
-    # consumer (~1.6x wall-clock measured at sf0.1)
+    # materialize the exploded shingles once (lazy localCheckpoint, so
+    # the blocks are GC-reclaimed instead of CacheManager-pinned): they
+    # feed the doc-frequency pass (when capping), the per-doc sizes, and
+    # BOTH sides of the self-join — without it Spark re-runs the
+    # tokenize+shingle+hash projection per consumer (~1.6x wall-clock
+    # measured at sf0.1)
     max_doc_freq = _resolve_doc_freq_cap(df, max_doc_freq)
-    sh = _explode_shingles(_shingle_sets(df, id_col, text_col, shingle_n)).persist()
+    sh = _explode_shingles(
+        _shingle_sets(df, id_col, text_col, shingle_n)
+    ).localCheckpoint(eager=False)
     if max_doc_freq is not None:
         freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
         sh = sh.join(freq.filter(F.col("df") <= max_doc_freq), "shingle").select(
             "doc_id", "shingle"
-        ).persist()
+        ).localCheckpoint(eager=False)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -106,17 +110,21 @@ def ngram_containment_pairs(
     ngram_jaccard_pairs above."""
     from .minhash import _explode_shingles, _shingle_sets
 
-    # persist the exploded shingles: they feed the doc-frequency pass
-    # (when capping), the per-doc sizes, and BOTH sides of the self-join —
-    # without it Spark re-runs the tokenize+shingle+hash projection per
-    # consumer (~1.6x wall-clock measured at sf0.1)
+    # materialize the exploded shingles once (lazy localCheckpoint, so
+    # the blocks are GC-reclaimed instead of CacheManager-pinned): they
+    # feed the doc-frequency pass (when capping), the per-doc sizes, and
+    # BOTH sides of the self-join — without it Spark re-runs the
+    # tokenize+shingle+hash projection per consumer (~1.6x wall-clock
+    # measured at sf0.1)
     max_doc_freq = _resolve_doc_freq_cap(df, max_doc_freq)
-    sh = _explode_shingles(_shingle_sets(df, id_col, text_col, shingle_n)).persist()
+    sh = _explode_shingles(
+        _shingle_sets(df, id_col, text_col, shingle_n)
+    ).localCheckpoint(eager=False)
     if max_doc_freq is not None:
         freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
         sh = sh.join(freq.filter(F.col("df") <= max_doc_freq), "shingle").select(
             "doc_id", "shingle"
-        ).persist()
+        ).localCheckpoint(eager=False)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     a = sh.alias("a")
     b = sh.alias("b")

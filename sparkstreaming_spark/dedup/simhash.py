@@ -64,8 +64,9 @@ def simhash_near_dup_pairs(
     """
     assert max_hamming <= bands - 1, "pigeonhole guarantee requires max_hamming <= bands-1"
     width = N_BITS // bands
-    # persist: the fingerprint DF feeds both sides of the band self-join
-    sig = simhash_fingerprints(df, id_col, text_col).persist()
+    # materialize once (lazy localCheckpoint, GC-reclaimed): the
+    # fingerprint DF feeds both sides of the band self-join
+    sig = simhash_fingerprints(df, id_col, text_col).localCheckpoint(eager=False)
     band_structs = [
         F.struct(
             F.lit(b).alias("band_id"),
