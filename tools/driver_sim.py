@@ -42,5 +42,8 @@ for name, fn in sorted(qs.items()):
         print(f"{status} {name}: rows {len(spdf)}/{len(dpdf)} cols={cols} hash={h}")
     else:
         print(f"rows-only {name}: {len(spdf)} rows")
+    # drop frames queries cached: without this the 300+-query session
+    # accumulates memory pressure (same fix as bench.py / sf1_bench.py)
+    spark.catalog.clearCache()
 print("FAILURES:", fails)
 sys.exit(1 if fails else 0)
