@@ -205,3 +205,26 @@ def test_decoder_handles_wasted_bits():
 
     dec, _ = decode_flac(stream)
     assert np.array_equal(dec, samples)
+
+
+def test_truncated_stream_raises():
+    x = (np.arange(5000) % 997).astype(np.int16) * 13
+    blob = encode_flac(x, 8000)
+    for cut in (len(blob) - 7, len(blob) // 2, 60):
+        with pytest.raises((ValueError, IndexError)):
+            decode_flac(blob[:cut])
+
+
+def test_rice_escape_partition_roundtrip():
+    # alternating extremes force residuals past the 4-bit rice cap into
+    # the raw-width escape path on every partition
+    x = np.tile([32767, -32768], 3000).astype(np.int16)
+    dec, _ = decode_flac(encode_flac(x, 8000, blocksize=256))
+    assert np.array_equal(dec, x)
+
+
+def test_single_sample_and_tiny_blocks():
+    for n in (1, 2, 3, 5, 17):
+        x = (np.arange(n) * 911 % 4099 - 2048).astype(np.int16)
+        dec, _ = decode_flac(encode_flac(x, 8000, blocksize=16))
+        assert np.array_equal(dec, x), n

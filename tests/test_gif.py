@@ -260,3 +260,26 @@ def test_animation_validates_rects_and_lists():
         encode_gif_animation([f], _anim_pal(), offsets=[(3, 3)], screen=(5, 5))
     with pytest.raises(ValueError, match="match the frame count"):
         encode_gif_animation([f, f], _anim_pal(), delays_cs=[1])
+
+
+def test_lzw_dictionary_reset_roundtrip():
+    # >4096 distinct-ish codes force the 12-bit dictionary reset mid-stream
+    import numpy as np
+
+    rng = np.random.default_rng(3)
+    img = rng.integers(0, 256, size=(160, 160)).astype(np.uint8)
+    pal = np.stack([np.arange(256)] * 3, axis=1).astype(np.uint8)
+    idx, _ = decode_gif(encode_gif(img, pal))
+    assert np.array_equal(idx, img)
+
+
+def test_lzw_code_zero_prefix_roundtrip():
+    # prefix code 0 is falsy — regression guard for the int-keyed
+    # encoder's no-prefix sentinel
+    import numpy as np
+
+    img = np.zeros((40, 40), dtype=np.uint8)
+    img[0, 1] = 1
+    pal = np.stack([np.arange(256)] * 3, axis=1).astype(np.uint8)
+    idx, _ = decode_gif(encode_gif(img, pal))
+    assert np.array_equal(idx, img)
