@@ -295,6 +295,18 @@ def _residual_plan(
     nparts = 1 << po
     psize = blocksize >> po
     folded = np.where(res >= 0, 2 * res, -2 * res - 1)  # zigzag, fits int64
+    # one (n, 19) shift matrix + reduceat gives every partition's rice
+    # cost for every candidate parameter in a single pass (vs one matrix
+    # per partition); argmin's first-minimum tie-break matches
+    # _best_rice_param's sequential scan exactly
+    ps = np.arange(19)
+    psums = np.add.reduceat(
+        folded[:, None] >> ps,
+        np.cumsum([0] + [psize - order] + [psize] * (nparts - 2))
+        if nparts > 1
+        else [0],
+        axis=0,
+    )
     parts: list[tuple[int, int, np.ndarray, np.ndarray]] = []
     total = 2 + 4
     start = 0
@@ -303,7 +315,8 @@ def _residual_plan(
         u = folded[start : start + cnt]
         rpart = res[start : start + cnt]
         start += cnt
-        p, rice_cost = _best_rice_param(u)
+        costs = psums[part] + cnt * (1 + ps)
+        p = int(np.argmin(costs))
         if p > 14:
             width = 1
             if len(rpart):
@@ -312,7 +325,7 @@ def _residual_plan(
             total += 4 + 5 + cnt * width
         else:
             parts.append((p, 0, u, rpart))
-            total += 4 + rice_cost
+            total += 4 + int(costs[p])
     return po, parts, total
 
 
