@@ -179,11 +179,15 @@ def kcore_nodes(
     detection, robust-seed selection).
 
     Spark shape (same discipline as the CC loop, clusters.py): each
-    round is ONE degree aggregate + two semi-joins on the surviving
-    node set; `localCheckpoint` truncates lineage so round N doesn't
-    re-run rounds 1..N-1; the driver reads ONE scalar (edge count) per
-    round for the fixpoint test. Rounds are bounded by the graph's
-    degeneracy, small for real co-occurrence graphs.
+    round is ONE degree aggregate + two ANTI-joins against the nodes
+    peeled THIS round — the removed set shrinks rapidly (it is the
+    peel frontier, not the surviving graph), so AQE turns both
+    anti-joins into broadcasts and the big edge list never re-shuffles
+    on a join key; `localCheckpoint` truncates lineage so round N
+    doesn't re-run rounds 1..N-1; the driver reads ONE scalar (the
+    frontier size, not an edge count) per round for the fixpoint test.
+    Rounds are bounded by the graph's degeneracy, small for real
+    co-occurrence graphs.
 
     Returns (node, core_degree) for the surviving nodes.
     """
@@ -196,21 +200,17 @@ def kcore_nodes(
     both = und.unionAll(
         und.select(F.col("v").alias("u"), F.col("u").alias("v"))
     ).localCheckpoint()
-    n_edges = both.count()
     for _ in range(max_iter):
         deg = both.groupBy("u").agg(F.count(F.lit(1)).alias("d"))
-        keep = deg.filter(F.col("d") >= k).select("u")
-        pruned = (
-            both.join(keep, "u", "left_semi")
-            .join(keep.select(F.col("u").alias("v")), "v", "left_semi")
+        removed = deg.filter(F.col("d") < k).select("u").localCheckpoint()
+        if removed.count() == 0:
+            break
+        both = (
+            both.join(removed, "u", "left_anti")
+            .join(removed.select(F.col("u").alias("v")), "v", "left_anti")
             .select("u", "v")
             .localCheckpoint()
         )
-        n_new = pruned.count()
-        both = pruned
-        if n_new == n_edges:
-            break
-        n_edges = n_new
     return both.groupBy("u").agg(F.count(F.lit(1)).alias("core_degree")).select(
         F.col("u").alias("node"), "core_degree"
     )
