@@ -198,3 +198,40 @@ def test_banded_pair_carry_columns(spark):
 def test_banded_pair_guard():
     with pytest.raises(ValueError):
         banded_pair_candidates(None, max_hamming=7, bands=8)
+
+
+def test_banded_pair_join_random_hashes_property(spark):
+    # brute-force equality on RANDOM 64-bit hashes (not just the smooth
+    # image fixtures): pigeonhole recall must be exact at hamming <= 6
+    rng = np.random.RandomState(99)
+    base = rng.randint(-(2**63), 2**63 - 1, size=20, dtype=np.int64)
+    hashes = {}
+    for i, h in enumerate(base):
+        hashes[2 * i] = int(h)
+        flips = rng.choice(64, size=rng.randint(0, 7), replace=False)
+        # flip bits in the UNSIGNED domain, then view as signed int64
+        # (xor on a negative python int escapes the 64-bit range)
+        m = int(h) & (2**64 - 1)
+        for f in flips:
+            m ^= 1 << int(f)
+        if m >= 2**63:
+            m -= 2**64
+        hashes[2 * i + 1] = m
+    fp = spark.createDataFrame(
+        pd.DataFrame(
+            [(k, v) for k, v in hashes.items()], columns=["doc_id", "phash"]
+        )
+    )
+    got = {
+        (r.doc_a, r.doc_b): r.hamming
+        for r in banded_pair_candidates(fp, "doc_id", "phash", 6, 8).collect()
+    }
+    want = {}
+    ids = sorted(hashes)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            d = _ham(hashes[a], hashes[b])
+            if d <= 6:
+                want[(a, b)] = d
+    assert got == want
+    assert want
