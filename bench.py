@@ -475,14 +475,18 @@ def main() -> None:
         def run_once(name: str = name) -> float:
             t0 = time.perf_counter()
             registry[name].fn(spark, sf_dir).count()
-            return time.perf_counter() - t0
+            elapsed = time.perf_counter() - t0
+            # drop result caches between RUNS too: Spark's CacheManager
+            # matches persisted frames by canonicalized logical plan, so
+            # without this, runs 2+ of a query that persist()s an
+            # intermediate silently reuse run 1's cached frame and the
+            # "median" measures cached-result cost (doc_audio_neardup
+            # read 0.74s cached vs 2.15s honest). JVM/JIT/page-cache
+            # warmth is preserved — only result caches drop.
+            spark.catalog.clearCache()
+            return elapsed
 
         timings[name] = round(measure_query(run_once), 4)
-        # drop caches BETWEEN queries (not between a query's runs, so
-        # warm-median semantics stay): persisted frames from dedup/gate
-        # queries otherwise accumulate across the 300+-query session
-        # and inflate unrelated rows' timings by memory pressure
-        spark.catalog.clearCache()
 
     total = round(sum(timings.values()), 4)
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
