@@ -27,6 +27,12 @@ Three paths, all computing (id_a, id_b, cosine) for cosine >= threshold:
 Exact paths are deterministic: cosine in float64, rounded to 6 dp before
 the threshold, matching the DuckDB oracle (BLAS vs sequential summation
 differ at ~1e-15, far below the rounding grain).
+
+``mode='auto'`` picks the path from a cheap corpus count: blocked exact
+GEMM up to ``auto_exact_ceiling`` vectors (default 10^6 — past that the
+O(n^2) FLOPs of ANY exact mode stop being worth it, not just driver
+memory), capped-bucket LSH beyond. The count is reused as the blocked
+path's block-count input, so auto costs no extra job over 'blocked'.
 """
 
 from __future__ import annotations
@@ -40,6 +46,10 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 DEFAULT_ROWS_PER_BLOCK = 8192
+# past this corpus size exact all-pairs (O(n^2) FLOPs) is no longer the
+# right tool regardless of layout; auto mode escalates to bucketed LSH
+AUTO_EXACT_CEILING = 1_000_000
+AUTO_LSH_PLANES = 16
 
 
 def _hyperplane(plane_idx: int, dim: int) -> list[float]:
@@ -63,16 +73,21 @@ def embedding_near_dup_pairs(
     vec_col: str,
     threshold: float = 0.4,
     lsh_planes: int | None = None,
-    mode: str = "blocked",
+    mode: str = "auto",
     rows_per_block: int = DEFAULT_ROWS_PER_BLOCK,
     n_blocks: int | None = None,
     max_bucket_size: int = 10_000,
+    auto_exact_ceiling: int = AUTO_EXACT_CEILING,
 ) -> DataFrame:
     """(id_a, id_b, cosine) for pairs with cosine >= threshold, id_a < id_b.
 
-    ``mode='blocked'`` (default) is exact and scale-safe; ``mode='driver'``
-    is the broadcast small-corpus path; ``lsh_planes`` switches to the
-    approximate bucketed search regardless of ``mode``.
+    ``mode='auto'`` (default) counts the corpus and picks exact blocked
+    GEMM at or below ``auto_exact_ceiling`` vectors, capped-bucket LSH
+    (``AUTO_LSH_PLANES`` hyperplanes) beyond — so callers never have to
+    know the corpus size in advance. ``mode='blocked'`` forces the exact
+    path; ``mode='driver'`` is the broadcast small-corpus path;
+    ``lsh_planes`` switches to the approximate bucketed search
+    regardless of ``mode``.
     """
     base = df.select(
         F.col(id_col).cast("bigint").alias("vid"), F.col(vec_col).alias("v")
@@ -80,11 +95,21 @@ def embedding_near_dup_pairs(
 
     if lsh_planes:
         return _lsh_pairs(base, threshold, lsh_planes, max_bucket_size)
+    if mode == "auto":
+        n = base.count()
+        if n > auto_exact_ceiling:
+            return _lsh_pairs(base, threshold, AUTO_LSH_PLANES,
+                              max_bucket_size)
+        if n_blocks is None:
+            n_blocks = max(1, -(-n // rows_per_block))
+        return _blocked_pairs(base, threshold, rows_per_block, n_blocks)
     if mode == "blocked":
         return _blocked_pairs(base, threshold, rows_per_block, n_blocks)
     if mode == "driver":
         return _driver_broadcast_pairs(base, threshold)
-    raise ValueError(f"unknown mode {mode!r}; use 'blocked' or 'driver'")
+    raise ValueError(
+        f"unknown mode {mode!r}; use 'auto', 'blocked' or 'driver'"
+    )
 
 
 def _blocked_pairs(

@@ -136,7 +136,6 @@ modes will be added; codec budget goes to pipeline breadth instead.
 
 from __future__ import annotations
 
-import struct
 
 import numpy as np
 

@@ -27,6 +27,24 @@ ensure_protobuf()
 
 DEFAULT_SHUFFLE_PARTITIONS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 
+ROCKSDB_PROVIDER = (
+    "org.apache.spark.sql.execution.streaming.state."
+    "RocksDBStateStoreProvider"
+)
+
+
+def _state_store_provider() -> str | None:
+    """Session default for the streaming state store (SURVEY §4: RocksDB
+    is the at-scale config — state lives off-heap/on-disk per executor
+    instead of in JVM heap, so stateful operators survive key counts
+    that would OOM the default HDFSBackedStateStoreProvider). Flag:
+    SPARKSTREAMING_STATE_PROVIDER=rocksdb (default) | hdfs (Spark's
+    built-in heap-backed provider, for A/B or debugging)."""
+    flag = os.environ.get("SPARKSTREAMING_STATE_PROVIDER", "rocksdb").lower()
+    if flag in ("hdfs", "default", "heap"):
+        return None
+    return ROCKSDB_PROVIDER
+
 
 def get_spark(
     app_name: str = "sparkstreaming_spark",
@@ -63,6 +81,11 @@ def get_spark(
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
     )
+    provider = _state_store_provider()
+    if provider:
+        builder = builder.config(
+            "spark.sql.streaming.stateStore.providerClass", provider
+        )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()

@@ -16,7 +16,6 @@ from __future__ import annotations
 import os
 
 from pyspark.sql import DataFrame
-from pyspark.sql import functions as F
 
 
 def write_csv_segments(df_with_segment: DataFrame, out_dir: str, header: bool = True) -> None:

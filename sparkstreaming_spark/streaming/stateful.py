@@ -279,6 +279,7 @@ def quota_gate(
     ts_col: str,
     id_col: str,
     quota: int,
+    retention_days: int = 7,
 ) -> DataFrame:
     """Per-(user, day) admission quota over an unbounded stream — the
     rate-limiting/backpressure gate an ingestion edge enforces (at most
@@ -288,9 +289,14 @@ def quota_gate(
     the cross product multiplies the state-store key count and, worse,
     shreds each micro-batch into near-singleton pandas groups whose
     per-group Arrow overhead dominates (measured ~2x the whole query at
-    10x scale). Per-user state stays bounded: a long-running deployment
-    prunes old days by watermark TTL exactly as it would expire
-    (user, day) keys.
+    10x scale). Per-user state stays bounded because update() itself
+    prunes the day map: entries older than `retention_days` behind the
+    newest day the user has produced are dropped after each batch.
+    (GroupState TTL cannot do this — it expires WHOLE keys, so an
+    active user's map would otherwise grow one entry per day for the
+    stream's lifetime.) Pruned days that recur later restart at 0 —
+    acceptable by contract, since a quota window that matters is far
+    inside the retention horizon.
 
     Events within a micro-batch are admitted in (ts, id) order: ALL
     Arrow chunks of the group are accumulated and sorted ONCE before the
@@ -341,6 +347,17 @@ def quota_gate(
                     "admitted": admitted,
                 }
             )
+        if n_by_day:
+            # prune: keep only days within retention_days of the user's
+            # newest day — ISO yyyy-MM-dd strings compare correctly, so
+            # the cutoff is plain date arithmetic on the max key
+            from datetime import date, timedelta
+
+            mx = max(n_by_day)
+            cutoff = (
+                date.fromisoformat(mx) - timedelta(days=retention_days)
+            ).isoformat()
+            n_by_day = {d: c for d, c in n_by_day.items() if d >= cutoff}
         state.update(
             (list(n_by_day.keys()), [int(v) for v in n_by_day.values()])
         )

@@ -27,6 +27,8 @@ from ..textstats.tfidf import tfidf_cosine_pairs
 from ..textstats.vocab import vocab_encode
 from . import QuerySpec
 from .llm import SQL_TOKS
+from .scale_ops import _SQL_NORM as _UG_NORM
+from .scale_ops import _SQL_TOKS as _UG_TOKS
 
 PR_ITERS = 3
 PR_DAMPING = 0.85
@@ -419,18 +421,13 @@ QUERIES["doc_bpe_encode"] = QuerySpec(
 KCORE_K = 12
 
 
-def q_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Dense-kernel profile of the part co-purchase graph: the k-core
-    (operators/graph.py::kcore_nodes) summarized as node count, edge
-    count, and min/max surviving degree. Iterative peeling is not
-    SQL-expressible (per-round aggregates inside the fixpoint), so this
-    is rows-only; the peeling semantics are pinned by the planted
-    K6-vs-chain test in tests/test_graph_quality_ops.py."""
-    from ..operators.graph import kcore_nodes
-
+def copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Undirected part co-purchase edges (src < dst, one row per edge):
+    in-row pair expansion of each order's part set — shared by q_kcore
+    and the driver-sim k-core invariant (suite/invariants.py)."""
     li = read_table(spark, sf_dir, "lineitem")
     sets = li.groupBy("l_orderkey").agg(F.collect_set("l_partkey").alias("ps"))
-    edges = sets.select(
+    return sets.select(
         F.explode(
             F.flatten(
                 F.transform(
@@ -446,6 +443,19 @@ def q_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("e")
     ).select("e.src", "e.dst")
+
+
+def q_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense-kernel profile of the part co-purchase graph: the k-core
+    (operators/graph.py::kcore_nodes) summarized as node count, edge
+    count, and min/max surviving degree. Iterative peeling is not
+    SQL-expressible (per-round aggregates inside the fixpoint), so this
+    is rows-only; the peeling semantics are pinned by the planted
+    K6-vs-chain test in tests/test_graph_quality_ops.py and the
+    induced-degree invariant re-proved in-sim (suite/invariants.py)."""
+    from ..operators.graph import kcore_nodes
+
+    edges = copurchase_edges(spark, sf_dir)
     core = kcore_nodes(edges, KCORE_K)
     return core.agg(
         F.count(F.lit(1)).alias("n_core_nodes"),
@@ -525,9 +535,6 @@ def q_unigram_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("pieces_in_bounds"),
     )
 
-
-from .scale_ops import _SQL_NORM as _UG_NORM  # noqa: E402
-from .scale_ops import _SQL_TOKS as _UG_TOKS  # noqa: E402
 
 ORACLE_UNIGRAM_ENCODE = rf"""
 SELECT doc_id,

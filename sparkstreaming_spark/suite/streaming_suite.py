@@ -1486,6 +1486,9 @@ def q_stream_neardup_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     m = adaptive_bits(ckeys.distinct().count(), NEARDUP_M)
     words = bloom_build_words(ckeys, "bk", m=m, k=NEARDUP_K,
                               salt=NEARDUP_SALT)
+    # both consumers (count + word aggregate) have collected — release
+    # the cached band keys so multi-query sessions don't accumulate them
+    ckeys.unpersist()
     # ONE hex-string literal (8 chars per 32-bit word): a per-word
     # F.array literal is rebuilt as an expression tree of m/32 nodes
     # referenced once per probe position — at the adaptive m it tripled

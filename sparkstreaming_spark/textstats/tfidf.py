@@ -28,23 +28,20 @@ from pyspark.sql import functions as F
 from ..functions.text import shingles_from_tokens, tokenize
 
 
-def tfidf_cosine_pairs(
+def pruned_postings(
     df: DataFrame,
     id_col: str,
     text_col: str,
     shingle_n: int = 3,
     max_df: int = 1000,
-    min_cosine: float = 0.2,
-    round_scale: int = 6,
 ) -> DataFrame:
-    """All document pairs with TF-IDF cosine >= min_cosine.
-
-    Returns (doc_a, doc_b, cosine) with doc_a < doc_b; cosine is
-    rounded to `round_scale` BEFORE the threshold filter so the kept
-    row set is identical across engines (the DuckDB oracle mirrors the
-    same vector space: terms with 2 <= df <= max_df, idf = ln(N/df),
-    weight = tf * idf, L2-normalized per document).
-    """
+    """L2-normalized TF-IDF postings (doc_id, term, wn) with the df-band
+    prune applied: terms with df=1 (unpairable) or df>max_df
+    (boilerplate) never leave this function. The cap is THE guard that
+    keeps the downstream inverted-index self-join sub-quadratic — join
+    work per term is df^2, so the pair-join input obeys
+    sum(C(df_t, 2)) <= kept_terms * C(max_df, 2) by construction
+    (tests/test_llm_ops.py asserts the bound on a heavy-tail corpus)."""
     toks = df.select(F.col(id_col).alias("doc_id"), tokenize(text_col).alias("toks"))
     terms = toks.select(
         "doc_id", F.explode(shingles_from_tokens("toks", shingle_n)).alias("term")
@@ -75,12 +72,32 @@ def tfidf_cosine_pairs(
     norm = w.groupBy("doc_id").agg(F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("nrm"))
     # wn feeds both sides of the inverted-index self-join — without
     # materialization the tf->df->weight->norm chain executes twice
-    wn = (
+    return (
         w.join(norm, "doc_id")
         .filter(F.col("nrm") > 0)
         .select("doc_id", "term", (F.col("w") / F.col("nrm")).alias("wn"))
         .localCheckpoint(eager=False)
     )
+
+
+def tfidf_cosine_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_n: int = 3,
+    max_df: int = 1000,
+    min_cosine: float = 0.2,
+    round_scale: int = 6,
+) -> DataFrame:
+    """All document pairs with TF-IDF cosine >= min_cosine.
+
+    Returns (doc_a, doc_b, cosine) with doc_a < doc_b; cosine is
+    rounded to `round_scale` BEFORE the threshold filter so the kept
+    row set is identical across engines (the DuckDB oracle mirrors the
+    same vector space: terms with 2 <= df <= max_df, idf = ln(N/df),
+    weight = tf * idf, L2-normalized per document).
+    """
+    wn = pruned_postings(df, id_col, text_col, shingle_n, max_df)
 
     a = wn.select(
         F.col("term"), F.col("doc_id").alias("doc_a"), F.col("wn").alias("wa")

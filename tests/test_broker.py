@@ -213,3 +213,58 @@ def test_quota_gate_sorts_across_arrow_chunks(spark):
     got = spark.read.parquet(out).toPandas()
     admitted = sorted(got[got["admitted"]]["event_id"].tolist())
     assert admitted == [1, 2, 3], admitted
+
+
+def test_quota_gate_prunes_stale_days(spark):
+    """Per-user state must stay bounded: update() drops day-map entries
+    older than retention_days behind the user's newest day (GroupState
+    TTL can't — it expires whole keys, and an active user's key never
+    expires). Observable contract: a pruned day that recurs restarts
+    its counter at 0, so with quota=1 the same old-day event is
+    admitted again after the map was pruned by a far-newer day."""
+    import pandas as pd
+
+    from sparkstreaming_spark.streaming.stateful import quota_gate
+
+    root = tempfile.mkdtemp(prefix="quotaprune_")
+    src, out, ckpt = (os.path.join(root, d) for d in ("src", "out", "ckpt"))
+    os.makedirs(src)
+
+    def write_slice(name, ids, days):
+        pdf = pd.DataFrame(
+            {
+                "event_id": ids,
+                "user_id": [7] * len(ids),
+                "ts": pd.to_datetime([f"{d} 00:00:00" for d in days]),
+            }
+        )
+        spark.createDataFrame(pdf).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(src, name))
+
+    # batch 1: day D fills its quota of 1
+    write_slice("a", [1], ["2024-01-01"])
+    # batch 2: a day far past retention — pruning drops D from the map
+    write_slice("b", [2], ["2024-03-01"])
+    # batch 3: day D recurs — counter restarted, so it is admitted again
+    write_slice("c", [3], ["2024-01-01"])
+    st = (
+        spark.readStream.schema(
+            "event_id bigint, user_id bigint, ts timestamp"
+        )
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src + "/*")
+    )
+    q = (
+        quota_gate(st, "user_id", "ts", "event_id", quota=1,
+                   retention_days=7)
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.read.parquet(out).toPandas().sort_values("event_id")
+    assert len(got) == 3
+    assert got["admitted"].tolist() == [True, True, True]

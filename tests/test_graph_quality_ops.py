@@ -335,3 +335,44 @@ def test_kcore_cascading_peel(spark):
     edges = spark.createDataFrame(tri + chain, "src int, dst int")
     core = {r.node for r in kcore_nodes(edges, 2).collect()}
     assert core == {0, 1, 2}
+
+
+def test_tfidf_postings_cap_bounds_join_size(spark):
+    """The df<=max_df prune is the ONLY thing standing between the
+    inverted-index self-join and quadratic blowup on boilerplate terms
+    (doc_tfidf_cosine is the top honest batch row at true-sf1; sum(df^2)
+    is its cost law). On a heavy-tail corpus — every doc sharing one
+    boilerplate line — the pruned postings must (a) contain no term
+    with df > max_df and (b) keep the pair-join input under the
+    cap-derived bound kept_terms * C(max_df, 2)."""
+    from pyspark.sql import functions as F
+
+    from sparkstreaming_spark.textstats.tfidf import pruned_postings
+
+    n, max_df = 200, 10
+    # every doc: identical boilerplate header (df = n >> max_df) plus a
+    # small-df payload shared with its neighbor (df = 2, survives)
+    rows = [
+        (
+            i,
+            "all rights reserved contact the webmaster for details "
+            f"payload group{i // 2} token{i // 2} marker{i // 2}",
+        )
+        for i in range(n)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    wn = pruned_postings(docs, "doc_id", "text", shingle_n=3, max_df=max_df)
+    dfc = wn.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    stats = dfc.agg(
+        F.max("df").alias("max_df_seen"),
+        F.count(F.lit(1)).alias("kept_terms"),
+        F.sum(F.col("df") * (F.col("df") - 1) / 2).alias("join_pairs"),
+    ).first()
+    assert stats.max_df_seen <= max_df, (
+        f"df cap regressed: a term with df={stats.max_df_seen} entered "
+        "the self-join input"
+    )
+    assert stats.join_pairs <= stats.kept_terms * max_df * (max_df - 1) / 2
+    # and the boilerplate really was the heavy tail: uncapped, the header
+    # shingles alone would contribute >= C(n, 2) join pairs
+    assert n * (n - 1) / 2 > stats.join_pairs

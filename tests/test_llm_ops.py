@@ -1018,3 +1018,37 @@ def test_length_batching_ledger_properties(spark):
         assert r["n_batches"] == -(-r["n_docs"] // spb)
         # bucketing never wastes more than the unbucketed regime
         assert r["pad_waste_ppm"] <= r["unbucketed_waste_ppm"]
+
+
+def test_near_dup_auto_mode_routes_by_corpus_size(spark):
+    """mode='auto' (the default) must pick the exact blocked GEMM at or
+    below auto_exact_ceiling and escalate to capped-bucket LSH past it —
+    verified by equality with each explicitly-forced path on the same
+    corpus (the LSH hyperplanes are seeded, so its output is
+    deterministic)."""
+    from sparkstreaming_spark.dedup.embedding import (
+        AUTO_LSH_PLANES,
+        embedding_near_dup_pairs,
+    )
+
+    emb = read_table(spark, SF_DIR_CORRECT, "embeddings")
+
+    def pairs(**kw):
+        return {
+            (r.id_a, r.id_b): r.cosine
+            for r in embedding_near_dup_pairs(
+                emb, "vec_id", "embedding", threshold=0.4, **kw
+            ).collect()
+        }
+
+    exact = pairs(mode="blocked")
+    assert exact, "fixture should contain near-dup pairs at 0.4"
+    # below the ceiling: auto == exact blocked
+    assert pairs(mode="auto") == exact
+    # past the ceiling (forced tiny): auto == the LSH path it escalates to
+    lsh = pairs(lsh_planes=AUTO_LSH_PLANES)
+    auto_big = pairs(mode="auto", auto_exact_ceiling=1)
+    assert auto_big == lsh
+    # and the escalated result is genuinely the approximate one: a subset
+    # of the exact pair set (recall <= 1 by construction)
+    assert set(auto_big) <= set(exact)

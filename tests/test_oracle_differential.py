@@ -135,3 +135,20 @@ def test_critical_smoke_list_is_registered():
     dropped query here silently un-pins its coverage."""
     missing = [n for n in CRITICAL_NEVER_SAMPLED if n not in REGISTRY]
     assert not missing, missing
+
+
+def test_rows_only_queries_all_have_invariants(spark):
+    """Every rows-only registry entry must carry an executable in-sim
+    invariant (suite/invariants.py) — the driver's correctness run
+    reports a real verdict for them, never a bare row count. Executes
+    one cheap invariant end-to-end as a smoke of the harness contract
+    (signature, None-on-pass)."""
+    from sparkstreaming_spark.suite import all_queries
+    from sparkstreaming_spark.suite.invariants import INVARIANTS
+
+    specs = all_queries()
+    rows_only = {n for n, s in specs.items() if s.oracle is None}
+    assert rows_only == set(INVARIANTS), rows_only ^ set(INVARIANTS)
+
+    pdf = specs["layout_hilbert_key"].fn(spark, SF_DIR_CORRECT).toPandas()
+    assert INVARIANTS["layout_hilbert_key"](spark, SF_DIR_CORRECT, pdf) is None

@@ -91,3 +91,22 @@ def test_no_cartesian_and_no_row_python(spark, name):
             f"{name}: unpartitioned Window over a raw fact scan "
             f"(single-task sort at scale): {offenders}"
         )
+
+
+# The three Bloom-gate stream queries persist their corpus band keys for
+# the (count, word-aggregate) double consumption and MUST unpersist before
+# returning — a leaked cache accumulates across queries in a multi-query
+# session (the round-10 defect at stream_image_gate's sibling). Run each
+# gate end-to-end at smoke scale and assert no NEW persistent RDDs remain.
+@pytest.mark.parametrize(
+    "name", ["stream_neardup_gate", "stream_image_gate", "stream_audio_gate"]
+)
+def test_bloom_gates_leave_no_cached_frames(spark, name):
+    jsc = spark.sparkContext._jsc.sc()
+    before = jsc.getPersistentRDDs().size()
+    REGISTRY[name].fn(spark, SF_DIR_SMOKE).collect()
+    after = jsc.getPersistentRDDs().size()
+    assert after <= before, (
+        f"{name} leaked {after - before} persisted frame(s) — "
+        "missing unpersist() after bloom_build_words"
+    )

@@ -87,6 +87,24 @@ def test_rocksdb_state_store_provider(spark, tmp_path):
         spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
 
 
+def test_rocksdb_is_session_default(spark):
+    """The session factory must set RocksDB as the state store provider
+    (SURVEY §4's at-scale backend) unless the flag opts out — so every
+    stateful streaming test in this suite already runs under it."""
+    import os
+
+    from sparkstreaming_spark.session import ROCKSDB_PROVIDER
+
+    if os.environ.get("SPARKSTREAMING_STATE_PROVIDER", "rocksdb").lower() in (
+        "hdfs", "default", "heap"
+    ):  # pragma: no cover - opt-out escape hatch
+        return
+    assert (
+        spark.conf.get("spark.sql.streaming.stateStore.providerClass")
+        == ROCKSDB_PROVIDER
+    )
+
+
 def test_json_source_roundtrip(spark, tmp_path):
     """JSON batch source with explicit schema (sources/batch.py::read_json)."""
     from sparkstreaming_spark.sources.batch import read_json

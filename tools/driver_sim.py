@@ -28,6 +28,8 @@ def valhash(pdf):
     rows = sorted(tuple(str(v) for v in r) for r in pdf.itertuples(index=False))
     return hashlib.sha256(str(rows).encode()).hexdigest()[:16]
 
+from sparkstreaming_spark.suite.invariants import INVARIANTS
+
 qs, oracles = e.queries(), e.oracle_sql()
 fails = 0
 for name, fn in sorted(qs.items()):
@@ -40,6 +42,19 @@ for name, fn in sorted(qs.items()):
         status = "OK " if (cnt and cols and h) else "FAIL"
         if status == "FAIL": fails += 1
         print(f"{status} {name}: rows {len(spdf)}/{len(dpdf)} cols={cols} hash={h}")
+    elif name in INVARIANTS:
+        # rows-only entry WITH an executable invariant: independent
+        # reference recomputation (suite/invariants.py) replaces the
+        # bare row count, so these report a real verdict too
+        try:
+            msg = INVARIANTS[name](spark, SF, spdf)
+        except Exception as ex:  # invariant crash = failure, not a skip
+            msg = f"invariant raised {type(ex).__name__}: {ex}"
+        if msg is None:
+            print(f"OK  {name}: rows {len(spdf)} [invariant]")
+        else:
+            fails += 1
+            print(f"FAIL {name}: [invariant] {msg}")
     else:
         print(f"rows-only {name}: {len(spdf)} rows")
     # drop frames queries cached: without this the 300+-query session

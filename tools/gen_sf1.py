@@ -70,7 +70,11 @@ def gen_documents(rng: np.random.Generator, out_dir: str, n: int) -> None:
     n_clusters = (6 * n) // 1000
     cluster_ids = rng.choice(n, size=(n_clusters, 10), replace=False)
     for row in cluster_ids:
-        base = VOCAB[int(rng.integers(0, len(VOCAB)))]  # noqa: F841
+        # one RNG draw kept INTENTIONALLY (result unused): removing it
+        # would shift the seeded stream and silently regenerate a corpus
+        # different from the one behind the published BENCH_SF1_TRUE
+        # numbers. Remove only together with a full sf1 re-baseline.
+        rng.integers(0, len(VOCAB))
         base_toks = np.array(VOCAB)[rng.integers(0, len(VOCAB), size=60)]
         for j, did in enumerate(row):
             rot = np.roll(base_toks, 7 * j)

@@ -29,7 +29,10 @@ from stress import build  # noqa: E402
 
 def _arg(flag: str, default: str) -> str:
     if flag in sys.argv:
-        return sys.argv[sys.argv.index(flag) + 1]
+        idx = sys.argv.index(flag)
+        if idx + 1 >= len(sys.argv):
+            raise SystemExit(f"usage: {flag} <value> (no value given)")
+        return sys.argv[idx + 1]
     return default
 
 
@@ -47,10 +50,16 @@ def main() -> None:
         t0 = time.perf_counter()
         build(spark, 10, out_dir)
         print(f"built 10x corpus in {time.perf_counter() - t0:.1f}s", flush=True)
+    only = _arg("--only", "")  # comma-separated name prefixes
     registry = all_queries()
     names = sorted(registry)
     if skip_streaming:
         names = [n for n in names if not n.startswith(("stream", "streamck"))]
+    if only:
+        prefixes = tuple(p for p in only.split(",") if p)
+        names = [n for n in names if n.startswith(prefixes)]
+        if not names:
+            raise SystemExit(f"--only {only!r} matched no queries")
     # warm-up: JVM + parquet footers
     registry[names[0]].fn(spark, out_dir).count()
     timings: dict[str, float] = {}
