@@ -455,6 +455,11 @@ CORE = [
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    # Host-load honesty stamp: this container shares its host; external
+    # load (invisible in local ps) has been measured inflating identical
+    # HEADs 316s -> 401s. Recording 1-min load at start/end lets drift
+    # adjudication distinguish "code got slower" from "host was busy".
+    load_start = round(os.getloadavg()[0], 1)
     spark = get_spark("bench")
     registry = all_queries()
     names = [n for n in HEADLINE if n in registry]
@@ -501,6 +506,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf_val,
+                "host_load_1min": [load_start, round(os.getloadavg()[0], 1)],
             },
             fh,
             indent=1,

