@@ -513,3 +513,51 @@ def test_stream_audio_gate_drops_planted_identical_clip(spark, tmp_path):
     }
     assert out[False] == (1, 3000025)
     assert out[True] == (1, 0)
+
+
+def test_stream_state_partitions_scoping(spark, tmp_path, monkeypatch):
+    """The state-partition knob (pipeline.stream_state_partitions): a
+    drained stateful query runs with the scoped partition count — one
+    state-store directory per partition in the checkpoint — while the
+    session's batch shuffle-partition conf is restored afterwards, and
+    $SPARKSTREAMING_STREAM_PARTITIONS overrides the default."""
+    import os
+
+    from sparkstreaming_spark.streaming.pipeline import (
+        STREAM_PARTITIONS_ENV,
+        stream_state_partitions,
+    )
+
+    key = "spark.sql.shuffle.partitions"
+    before = spark.conf.get(key)
+
+    src = str(tmp_path / "src")
+    _write(
+        spark, src,
+        [("a", 1), ("b", 2), ("a", 3)],
+        "k string, v int",
+    )
+    stream = spark.readStream.schema("k string, v int").parquet(src)
+    monkeypatch.setenv(STREAM_PARTITIONS_ENV, "4")
+    out = run_available_now(
+        stream,
+        lambda df: df.groupBy("k").agg(F.sum("v").alias("s")),
+        checkpoint_base=str(tmp_path / "ck"),
+        query_name="ssp_scope",
+    )
+    assert {(r.k, r.s) for r in out.collect()} == {("a", 4), ("b", 2)}
+    # conf restored for batch plans after the drain
+    assert spark.conf.get(key) == before
+    # the aggregation's state operator committed exactly 4 partitions
+    state_root = os.path.join(
+        str(tmp_path / "ck"), os.listdir(str(tmp_path / "ck"))[0], "state", "0"
+    )
+    parts = sorted(d for d in os.listdir(state_root) if d.isdigit())
+    assert parts == ["0", "1", "2", "3"], parts
+
+    # exception inside the scope still restores the conf
+    with pytest.raises(RuntimeError):
+        with stream_state_partitions(spark, n=2):
+            assert spark.conf.get(key) == "2"
+            raise RuntimeError("boom")
+    assert spark.conf.get(key) == before
