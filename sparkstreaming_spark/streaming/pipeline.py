@@ -129,15 +129,20 @@ def run_available_now(
     query_name: str | None = None,
     checkpoint_base: str | None = None,
     timeout_sec: float = 300.0,
+    state_partitions: int | None = None,
 ) -> DataFrame:
     """Run a streaming plan to completion over the currently-available
     input (availableNow trigger + memory sink) and return the final result
     as a batch DataFrame — the test/correctness harness for every
-    streaming operator."""
+    streaming operator.
+
+    `state_partitions` overrides the scoped state-partition default for
+    queries whose state cardinality is known to the caller (see
+    stream_state_partitions: size to state, not CPUs)."""
     spark = stream_df.sparkSession
     name = query_name or f"run_{uuid.uuid4().hex[:8]}"
     plan = transform(stream_df) if transform else stream_df
-    with stream_state_partitions(spark):
+    with stream_state_partitions(spark, state_partitions):
         q = (
             plan.writeStream.outputMode(output_mode)
             .format("memory")

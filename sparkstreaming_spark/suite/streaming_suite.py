@@ -215,7 +215,15 @@ def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     into memory, then counted per status in batch — streaming dedup's
     output must equal the batch distinct."""
     stream = _orders_stream(spark, sf_dir).dropDuplicates(["o_orderkey"])
-    deduped = run_available_now(stream, output_mode="append")
+    # State here is one row per orderkey EVER SEEN (the unbounded-state
+    # anti-pattern this row demonstrates vs its watermarked twin), so
+    # unlike the low-cardinality KPI drains it wants the session's full
+    # parallelism for the per-key state writes, not the small default.
+    deduped = run_available_now(
+        stream,
+        output_mode="append",
+        state_partitions=spark.sparkContext.defaultParallelism,
+    )
     return deduped.groupBy("o_orderstatus").agg(F.count(F.lit(1)).alias("cnt"))
 
 
