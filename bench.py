@@ -523,6 +523,7 @@ def main() -> None:
                 "n_queries": len(timings),
                 "detail": "BENCH_DETAIL.json",
                 "sf": sf_val,
+                "host_load_1min": [load_start, round(os.getloadavg()[0], 1)],
             }
         )
     )
