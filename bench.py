@@ -42,9 +42,14 @@ RUNS_SUBSEC = 5
 SUBSEC_THRESHOLD = 1.0
 
 
-def measure_query(run_once) -> float:
+def measure_query(run_once, runs_out: list | None = None) -> float:
     """Median wall time per the adaptive protocol: median of RUNS_BASE
-    runs, topped up to RUNS_SUBSEC when the first median is sub-second."""
+    runs, topped up to RUNS_SUBSEC when the first median is sub-second.
+
+    `runs_out`, if given, receives every raw run time — BENCH_DETAIL
+    records them so drift adjudication can see WITHIN-row spread (a
+    shared-host load spike shows as a 3x run spread, a real code
+    regression as a uniformly shifted triple)."""
     runs = []
     for _ in range(RUNS_BASE):
         runs.append(run_once())
@@ -53,6 +58,8 @@ def measure_query(run_once) -> float:
         while len(runs) < RUNS_SUBSEC:
             runs.append(run_once())
         med = sorted(runs)[len(runs) // 2]
+    if runs_out is not None:
+        runs_out.extend(round(r, 4) for r in runs)
     return med
 
 
@@ -475,6 +482,7 @@ def main() -> None:
     registry[names[0]].fn(spark, sf_dir).count()
 
     timings: dict[str, float] = {}
+    raw_runs: dict[str, list] = {}
     for name in names:
 
         def run_once(name: str = name) -> float:
@@ -491,7 +499,8 @@ def main() -> None:
             spark.catalog.clearCache()
             return elapsed
 
-        timings[name] = round(measure_query(run_once), 4)
+        raw_runs[name] = []
+        timings[name] = round(measure_query(run_once, raw_runs[name]), 4)
 
     total = round(sum(timings.values()), 4)
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
@@ -507,6 +516,7 @@ def main() -> None:
                 "queries": timings,
                 "sf": sf_val,
                 "host_load_1min": [load_start, round(os.getloadavg()[0], 1)],
+                "runs": raw_runs,
             },
             fh,
             indent=1,

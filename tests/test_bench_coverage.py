@@ -72,3 +72,13 @@ def test_measure_query_median_semantics():
     assert bench.measure_query(lambda: next(seq)) == 6.0
     seq5 = iter([0.1, 0.9, 0.5, 0.3, 0.7])  # subsec -> median of 5
     assert bench.measure_query(lambda: next(seq5)) == 0.5
+
+
+def test_measure_query_records_raw_runs():
+    """runs_out receives every raw run so BENCH_DETAIL can expose
+    within-row spread (load spike vs uniform shift)."""
+    bench = _load_bench()
+    vals = iter([2.0, 3.0, 4.0])
+    out = []
+    assert bench.measure_query(lambda: next(vals), out) == 3.0
+    assert out == [2.0, 3.0, 4.0]
