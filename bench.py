@@ -516,6 +516,7 @@ def main() -> None:
                 "queries": timings,
                 "sf": sf_val,
                 "host_load_1min": [load_start, round(os.getloadavg()[0], 1)],
+                "host_cpus": os.cpu_count(),
                 "runs": raw_runs,
             },
             fh,

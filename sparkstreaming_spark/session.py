@@ -43,6 +43,13 @@ def _state_store_provider() -> str | None:
     flag = os.environ.get("SPARKSTREAMING_STATE_PROVIDER", "rocksdb").lower()
     if flag in ("hdfs", "default", "heap"):
         return None
+    if flag != "rocksdb":
+        # A typo'd opt-out silently running RocksDB would make an A/B
+        # compare a provider against itself — fail loudly instead.
+        raise ValueError(
+            f"SPARKSTREAMING_STATE_PROVIDER={flag!r}: expected 'rocksdb' "
+            "or one of 'hdfs'/'default'/'heap'"
+        )
     return ROCKSDB_PROVIDER
 
 

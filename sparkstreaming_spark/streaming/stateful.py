@@ -290,13 +290,18 @@ def quota_gate(
     shreds each micro-batch into near-singleton pandas groups whose
     per-group Arrow overhead dominates (measured ~2x the whole query at
     10x scale). Per-user state stays bounded because update() itself
-    prunes the day map: entries older than `retention_days` behind the
-    newest day the user has produced are dropped after each batch.
-    (GroupState TTL cannot do this — it expires WHOLE keys, so an
-    active user's map would otherwise grow one entry per day for the
-    stream's lifetime.) Pruned days that recur later restart at 0 —
-    acceptable by contract, since a quota window that matters is far
-    inside the retention horizon.
+    prunes the day map to the newest `retention_days` DISTINCT days
+    after each batch. (GroupState TTL cannot do this — it expires WHOLE
+    keys, so an active user's map would otherwise grow one entry per
+    day for the stream's lifetime.) The prune is count-bounded rather
+    than a date window off the newest day seen, so a single event with
+    a skewed or forged far-future timestamp cannot evict the user's
+    live counters and reset their quota — it occupies one slot until
+    retention_days genuinely newer days displace the rest. Pruned days
+    that recur later restart at 0 — acceptable by contract, since a
+    quota window that matters is far inside the retention horizon.
+    Ingestion edges should still reject event times implausibly ahead
+    of processing time upstream of this gate.
 
     Events within a micro-batch are admitted in (ts, id) order: ALL
     Arrow chunks of the group are accumulated and sorted ONCE before the
@@ -347,17 +352,19 @@ def quota_gate(
                     "admitted": admitted,
                 }
             )
-        if n_by_day:
-            # prune: keep only days within retention_days of the user's
-            # newest day — ISO yyyy-MM-dd strings compare correctly, so
-            # the cutoff is plain date arithmetic on the max key
-            from datetime import date, timedelta
-
-            mx = max(n_by_day)
-            cutoff = (
-                date.fromisoformat(mx) - timedelta(days=retention_days)
-            ).isoformat()
-            n_by_day = {d: c for d, c in n_by_day.items() if d >= cutoff}
+        if len(n_by_day) > retention_days:
+            # prune: keep the newest `retention_days` DISTINCT day
+            # entries (ISO yyyy-MM-dd strings sort chronologically).
+            # Count-bounded on purpose, NOT date arithmetic off the max
+            # day: a date cutoff keyed to the newest day seen lets ONE
+            # event with a forged/skewed far-future timestamp wipe every
+            # real counter and reset the user's live quotas, whereas
+            # here a bogus day costs one map slot and real days stay
+            # until `retention_days` genuinely newer distinct days have
+            # arrived. State stays bounded at retention_days entries
+            # per user either way.
+            keep = sorted(n_by_day, reverse=True)[:retention_days]
+            n_by_day = {d: n_by_day[d] for d in keep}
         state.update(
             (list(n_by_day.keys()), [int(v) for v in n_by_day.values()])
         )

@@ -83,8 +83,12 @@ def q_near_dup_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     scale (sf0.01: 2 blocks, sf0.1: 8), so the driver oracle exercises
     the same distributed shape a 100 TB run would use."""
     emb = read_table(spark, sf_dir, "embeddings")
+    # mode pinned: this query's CONTRACT is exactness (the oracle is the
+    # all-pairs join), so it must not ride mode='auto' into the
+    # approximate LSH path past the corpus-count ceiling.
     return embedding_near_dup_pairs(
-        emb, "vec_id", "embedding", threshold=0.4, rows_per_block=256
+        emb, "vec_id", "embedding", threshold=0.4, rows_per_block=256,
+        mode="blocked",
     )
 
 

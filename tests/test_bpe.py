@@ -3,41 +3,7 @@
 
 from __future__ import annotations
 
-from collections import Counter
-
-
-def _reference_bpe(word_counts: dict[str, int], n_merges: int):
-    """Clean-room textbook BPE: count adjacent pairs weighted by word
-    frequency, merge the most frequent greedily leftmost, repeat.
-    Ties: count desc, then (a, b) lexicographic asc."""
-    vocab = {tuple(list(w) + ["</w>"]): c for w, c in word_counts.items()}
-    merges = []
-    for _ in range(n_merges):
-        pairs: Counter = Counter()
-        for syms, c in vocab.items():
-            for i in range(len(syms) - 1):
-                pairs[(syms[i], syms[i + 1])] += c
-        if not pairs:
-            break
-        (a, b), cnt = min(
-            pairs.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
-        )
-        if cnt < 2:
-            break
-        merges.append((a, b, cnt))
-        new_vocab = {}
-        for syms, c in vocab.items():
-            out, fused = [], False
-            for s in syms:
-                if s == b and out and out[-1] == a and not fused:
-                    out[-1] = a + b
-                    fused = True
-                else:
-                    out.append(s)
-                    fused = False
-            new_vocab[tuple(out)] = new_vocab.get(tuple(out), 0) + c
-        vocab = new_vocab
-    return merges
+from sparkstreaming_spark.suite.refimpl import reference_bpe as _reference_bpe
 
 
 def test_bpe_matches_reference_on_classic_corpus(spark):

@@ -216,12 +216,16 @@ def test_quota_gate_sorts_across_arrow_chunks(spark):
 
 
 def test_quota_gate_prunes_stale_days(spark):
-    """Per-user state must stay bounded: update() drops day-map entries
-    older than retention_days behind the user's newest day (GroupState
-    TTL can't — it expires whole keys, and an active user's key never
-    expires). Observable contract: a pruned day that recurs restarts
-    its counter at 0, so with quota=1 the same old-day event is
-    admitted again after the map was pruned by a far-newer day."""
+    """Per-user state must stay bounded: update() keeps only the newest
+    retention_days DISTINCT day entries (GroupState TTL can't — it
+    expires whole keys, and an active user's key never expires).
+    Observable contract, both directions:
+    - a day displaced by retention_days genuinely newer distinct days
+      restarts its counter at 0, so with quota=1 the same old-day event
+      is admitted again after displacement;
+    - ONE far-future day must NOT evict live counters (the forged-
+      timestamp hazard of a date-window prune keyed to the max day), so
+      an old-day recurrence after a single future event stays rejected."""
     import pandas as pd
 
     from sparkstreaming_spark.streaming.stateful import quota_gate
@@ -244,10 +248,15 @@ def test_quota_gate_prunes_stale_days(spark):
 
     # batch 1: day D fills its quota of 1
     write_slice("a", [1], ["2024-01-01"])
-    # batch 2: a day far past retention — pruning drops D from the map
-    write_slice("b", [2], ["2024-03-01"])
-    # batch 3: day D recurs — counter restarted, so it is admitted again
+    # batch 2: ONE far-future day — must NOT evict D (map has 2 entries,
+    # retention 2 keeps both)
+    write_slice("b", [2], ["2099-03-01"])
+    # batch 3: day D recurs — counter survived, so it is REJECTED
     write_slice("c", [3], ["2024-01-01"])
+    # batch 4: two genuinely newer days displace D (map > retention 2)
+    write_slice("d", [4, 5], ["2024-01-02", "2024-01-03"])
+    # batch 5: day D recurs after displacement — restarted, admitted
+    write_slice("e", [6], ["2024-01-01"])
     st = (
         spark.readStream.schema(
             "event_id bigint, user_id bigint, ts timestamp"
@@ -257,7 +266,7 @@ def test_quota_gate_prunes_stale_days(spark):
     )
     q = (
         quota_gate(st, "user_id", "ts", "event_id", quota=1,
-                   retention_days=7)
+                   retention_days=2)
         .writeStream.format("parquet")
         .option("path", out)
         .option("checkpointLocation", ckpt)
@@ -266,5 +275,5 @@ def test_quota_gate_prunes_stale_days(spark):
     )
     q.awaitTermination(120)
     got = spark.read.parquet(out).toPandas().sort_values("event_id")
-    assert len(got) == 3
-    assert got["admitted"].tolist() == [True, True, True]
+    assert len(got) == 6
+    assert got["admitted"].tolist() == [True, True, False, True, True, True]

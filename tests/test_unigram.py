@@ -89,33 +89,9 @@ def test_viterbi_respects_max_len():
     assert viterbi_segment("abcdefgh", lp, 2) == ["ab", "cd", "ef", "gh"]
 
 
-def _reference_em(word_counts, vocab_size, max_len, iters):
-    """Independent plain-dict implementation of the same seed + EM."""
-    sub_w = {}
-    for w, c in word_counts.items():
-        for s in range(len(w)):
-            for l in range(1, min(max_len, len(w) - s) + 1):
-                sub_w[w[s:s + l]] = sub_w.get(w[s:s + l], 0) + c
-    seed = sorted(sub_w.items(), key=lambda t: (-t[1], t[0]))[:vocab_size]
-    counts = dict(seed)
-    chars = {p: w for p, w in sub_w.items() if len(p) == 1}
-    for ch, w in chars.items():
-        counts.setdefault(ch, w)
-    for _ in range(iters):
-        total = sum(counts.values())
-        lp = {p: round(math.log(c / total) * MICRO)
-              for p, c in counts.items()}
-        new = {}
-        for w, c in word_counts.items():
-            for piece in viterbi_segment(w, lp, max_len):
-                new[piece] = new.get(piece, 0) + c
-        for ch in chars:
-            new.setdefault(ch, 1)
-        counts = new
-    total = sum(counts.values())
-    lp = {p: round(math.log(c / total) * MICRO) for p, c in counts.items()}
-    return sorted(((p, c, lp[p]) for p, c in counts.items()),
-                  key=lambda t: (-t[1], t[0]))
+from sparkstreaming_spark.suite.refimpl import (  # noqa: E402
+    reference_unigram_em as _reference_em,
+)
 
 
 def test_train_matches_pure_python_reference(spark):

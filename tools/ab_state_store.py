@@ -1,9 +1,12 @@
 #!/usr/bin/env python
-"""A/B a subset of registry queries under the current state-store config.
+"""A/B a subset of registry queries under the current session config
+(state-store provider, state partitions, ...).
 
 Usage: SPARKSTREAMING_STATE_PROVIDER=rocksdb python tools/ab_state_store.py q1 q2 ...
-Prints one JSON line {query: median_sec}. Same adaptive-median protocol as
-bench.py (3 warm runs, result caches dropped between runs).
+Prints one JSON line {query: median_sec}. Reuses bench.py's
+measure_query, so the adaptive-median protocol (3 warm runs, 5 when
+sub-second, result caches dropped between runs) matches the baseline
+stamps being compared against.
 """
 from __future__ import annotations
 
@@ -12,8 +15,10 @@ import os
 import sys
 import time
 
-sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
 
+from bench import measure_query  # noqa: E402
 from sparkstreaming_spark.session import get_spark  # noqa: E402
 from sparkstreaming_spark.suite import all_queries  # noqa: E402
 
@@ -28,14 +33,26 @@ def main() -> None:
         fn = registry[name].fn
         fn(spark, sf_dir).count()  # warm
         spark.catalog.clearCache()
-        runs = []
-        for _ in range(3):
+
+        def run_once(fn=fn):
             t0 = time.perf_counter()
             fn(spark, sf_dir).count()
-            runs.append(round(time.perf_counter() - t0, 3))
+            elapsed = time.perf_counter() - t0
             spark.catalog.clearCache()
-        timings[name] = sorted(runs)[1]
-    print(json.dumps({"provider": os.environ.get("SPARKSTREAMING_STATE_PROVIDER", "rocksdb"), "timings": timings}))
+            return elapsed
+
+        timings[name] = round(measure_query(run_once), 3)
+    print(
+        json.dumps(
+            {
+                "provider": os.environ.get(
+                    "SPARKSTREAMING_STATE_PROVIDER", "rocksdb"
+                ),
+                "host_load_1min": round(os.getloadavg()[0], 1),
+                "timings": timings,
+            }
+        )
+    )
     spark.stop()
 
 
