@@ -60,7 +60,12 @@ def connected_components(
     )
     # Seed = round 1 fused: label(v) = min(v, min neighbors) comes out of
     # the same aggregate that would otherwise just dedup the node list, so
-    # one whole join+checkpoint round disappears.
+    # one whole join+checkpoint round disappears. Checkpoints are LAZY
+    # (eager=False): the convergence-sum action right below is what
+    # writes the checkpoint blocks, so each round costs ONE Spark job
+    # instead of two (eager checkpoint job + sum job) — the sum reads
+    # the just-written blocks, later rounds' joins reuse them, and the
+    # truncated lineage is identical to the eager form.
     labels = (
         edges.groupBy("u")
         .agg(F.min("v").alias("min_nbr"))
@@ -68,7 +73,7 @@ def connected_components(
             F.col("u").alias("node"),
             F.least(F.col("u"), F.col("min_nbr")).alias("label"),
         )
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     # decimal(38,0) sum: labels are 60-bit md5 ids, so an int64 sum
     # overflows (ANSI error) once the node count passes ~a dozen rows;
@@ -85,7 +90,7 @@ def connected_components(
             labels.unionByName(nbr)
             .groupBy("node")
             .agg(F.min("label").alias("label"))
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
         cur_sum = labels.agg(
             F.sum(F.col("label").cast("decimal(38,0)"))

@@ -43,6 +43,7 @@ def pagerank(
     damping: float = 0.85,
     directed: bool = False,
     round_scale: int = 8,
+    broadcast_ranks: bool = False,
 ) -> DataFrame:
     """PageRank over an edge-list DataFrame -> (node, rank).
 
@@ -56,22 +57,44 @@ def pagerank(
 
     The returned `rank` is rounded to `round_scale` so the value is
     hash-comparable across engines despite float summation order.
+
+    Join shape per iteration: the degree-annotated edge table is cached
+    HASH-PARTITIONED ON src, so the per-iteration sort-merge join reads
+    it exchange-free (only the |V|-sized rank vector shuffles — the big
+    table moves once at cache build, not once per iteration).
+    `broadcast_ranks=True` goes further and broadcasts the rank vector,
+    removing the per-iteration sort entirely; use it when |V| is
+    dimension-bounded (a part/supplier-keyed graph at any fact scale —
+    one float row per vertex), leave it False for web-scale graphs
+    where the rank vector itself outgrows a broadcast.
     """
     e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).distinct()
     if not directed:
         e = e.unionAll(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
-    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    # deg is one row per node: persisting it makes N a cheap count and
+    # seeds the rank vector without another pass over the edge list.
+    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg")).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    n = deg.count()  # one scalar to the driver (|V| = one row per source)
     # Edge table annotated with the source degree; persisted because every
     # iteration re-joins against it (MEMORY_AND_DISK: at 100 TB this is
-    # the big table and must be allowed to spill).
-    adj = e.join(deg, "src").persist(StorageLevel.MEMORY_AND_DISK)
-    n = adj.select("src").distinct().count()  # one scalar to the driver
+    # the big table and must be allowed to spill). On the sort-merge
+    # path, repartition("src") pins the CACHED partitioning to the
+    # per-iteration join key, so iterations reuse it without
+    # re-exchanging the edge list; under broadcast_ranks the join never
+    # needs that partitioning, so the extra exchange is skipped.
+    adj = e.join(deg, "src")
+    if not broadcast_ranks:
+        adj = adj.repartition("src")
+    adj = adj.persist(StorageLevel.MEMORY_AND_DISK)
     base = (1.0 - damping) / n
 
     ranks = deg.select(F.col("src").alias("node"), F.lit(1.0 / n).alias("rank"))
     for _ in range(iterations):
+        r = F.broadcast(ranks) if broadcast_ranks else ranks
         ranks = (
-            adj.join(ranks, adj.src == ranks.node)
+            adj.join(r, adj.src == r.node)
             .groupBy("dst")
             .agg(
                 (F.lit(base) + F.lit(damping) * F.sum(F.col("rank") / F.col("deg"))).alias(
@@ -80,10 +103,11 @@ def pagerank(
             )
             .select(F.col("dst").alias("node"), "rank")
         )
-    # NOTE: `adj` stays persisted until the returned plan is executed —
-    # unpersisting here would evict it before the first action ever reads
-    # it (the count() above materialized it, so iterations reuse the
-    # cached copy). Spark drops it with the session / under LRU pressure.
+    # NOTE: `adj`/`deg` stay persisted until the returned plan is executed
+    # — unpersisting here would evict them before the first action ever
+    # reads them (deg.count() materialized deg; adj is cached by the
+    # first iteration's stage and reused by the rest). Spark drops them
+    # with the session / under LRU pressure.
     return ranks.select("node", F.round("rank", round_scale).alias("rank"))
 
 
@@ -197,19 +221,25 @@ def kcore_nodes(
     und = e.select(
         F.least("a", "b").alias("u"), F.greatest("a", "b").alias("v")
     ).distinct()
+    # Lazy checkpoints: the frontier count() below is the action that
+    # writes each round's checkpoint blocks, so a peel round is ONE job
+    # (count on the frontier, whose lineage materializes the new edge
+    # checkpoint) instead of three eager-checkpoint jobs + a count.
     both = und.unionAll(
         und.select(F.col("v").alias("u"), F.col("u").alias("v"))
-    ).localCheckpoint()
+    ).localCheckpoint(eager=False)
     for _ in range(max_iter):
         deg = both.groupBy("u").agg(F.count(F.lit(1)).alias("d"))
-        removed = deg.filter(F.col("d") < k).select("u").localCheckpoint()
+        removed = deg.filter(F.col("d") < k).select("u").localCheckpoint(
+            eager=False
+        )
         if removed.count() == 0:
             break
         both = (
             both.join(removed, "u", "left_anti")
             .join(removed.select(F.col("u").alias("v")), "v", "left_anti")
             .select("u", "v")
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
     return both.groupBy("u").agg(F.count(F.lit(1)).alias("core_degree")).select(
         F.col("u").alias("node"), "core_degree"

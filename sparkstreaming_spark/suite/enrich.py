@@ -45,7 +45,11 @@ def q_pagerank_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat(F.lit("p:"), F.col("l_partkey")).alias("src"),
         F.concat(F.lit("s:"), F.col("l_suppkey")).alias("dst"),
     )
-    return pagerank(edges, iterations=PR_ITERS, damping=PR_DAMPING)
+    # |V| = |parts| + |suppliers| — dimension-bounded at any fact scale,
+    # so the rank vector broadcasts (operators/graph.py join-shape note)
+    return pagerank(
+        edges, iterations=PR_ITERS, damping=PR_DAMPING, broadcast_ranks=True
+    )
 
 
 def _oracle_pagerank() -> str:
