@@ -56,7 +56,7 @@ def _positional_shingles(
     # single-row-group parquet would run the md5-per-shingle explode as
     # one task; spread it (no-op at real scale where inputs have splits)
     if toks.rdd.getNumPartitions() < 8:
-        toks = toks.repartition(16)
+        toks = toks.repartition(toks.sparkSession.sparkContext.defaultParallelism)
     return toks.select(
         "doc_id",
         F.posexplode(shingles_from_tokens("toks", k)).alias("pos", "shingle"),

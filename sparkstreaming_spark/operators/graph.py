@@ -68,9 +68,27 @@ def pagerank(
     one float row per vertex), leave it False for web-scale graphs
     where the rank vector itself outgrows a broadcast.
     """
-    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).distinct()
-    if not directed:
-        e = e.unionAll(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    # Distinct directed pairs are cached ONCE; undirected mirroring is an
+    # explode of a 2-struct array over that cache rather than
+    # unionAll(e, e.mirror) — the union form evaluates the whole
+    # scan+distinct subtree once per branch per consumer (4 evaluations
+    # here: deg job + adj build), the explode form once per consumer.
+    e0 = edges.select(
+        F.col(src).alias("src"), F.col(dst).alias("dst")
+    ).distinct().persist(StorageLevel.MEMORY_AND_DISK)
+    if directed:
+        e = e0
+    else:
+        e = e0.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col("src"), F.col("dst")),
+                    F.struct(
+                        F.col("dst").alias("src"), F.col("src").alias("dst")
+                    ),
+                )
+            ).alias("p")
+        ).select("p.src", "p.dst")
     # deg is one row per node: persisting it makes N a cheap count and
     # seeds the rank vector without another pass over the edge list.
     deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg")).persist(
@@ -152,11 +170,22 @@ def triangle_count(
     e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).filter(
         F.col("a") != F.col("b")
     )
-    # canonical undirected edge set (one row per unordered pair)
+    # canonical undirected edge set (one row per unordered pair), cached:
+    # it feeds the degree aggregate AND the orientation join, and the
+    # old unionAll mirroring evaluated the scan+distinct subtree once
+    # per branch per consumer (4x; the explode-over-cache form is 1x —
+    # same fix as dedup/clusters.py's symmetrize).
     und = e.select(
         F.least("a", "b").alias("u"), F.greatest("a", "b").alias("v")
-    ).distinct()
-    both = und.unionAll(und.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    ).distinct().persist(StorageLevel.MEMORY_AND_DISK)
+    both = und.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("u"), F.col("v")),
+                F.struct(F.col("v").alias("u"), F.col("u").alias("v")),
+            )
+        ).alias("p")
+    ).select("p.u", "p.v")
     deg = both.groupBy("u").agg(F.count(F.lit(1)).alias("d"))
     # orient: keep (x -> y) iff (deg(x), x) < (deg(y), y)
     du = deg.select(F.col("u").alias("x"), F.col("d").alias("dx"))
@@ -225,9 +254,16 @@ def kcore_nodes(
     # writes each round's checkpoint blocks, so a peel round is ONE job
     # (count on the frontier, whose lineage materializes the new edge
     # checkpoint) instead of three eager-checkpoint jobs + a count.
-    both = und.unionAll(
-        und.select(F.col("v").alias("u"), F.col("u").alias("v"))
-    ).localCheckpoint(eager=False)
+    # Mirroring is an explode of a 2-struct array so the scan+distinct
+    # subtree is evaluated once, not once per union branch.
+    both = und.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("u"), F.col("v")),
+                F.struct(F.col("v").alias("u"), F.col("u").alias("v")),
+            )
+        ).alias("p")
+    ).select("p.u", "p.v").localCheckpoint(eager=False)
     for _ in range(max_iter):
         deg = both.groupBy("u").agg(F.count(F.lit(1)).alias("d"))
         removed = deg.filter(F.col("d") < k).select("u").localCheckpoint(

@@ -1240,7 +1240,7 @@ def q_stream_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         " n_chars bigint"
     )
     stream = stream_table_source(spark, sf_dir, "documents", schema)
-    staged = stream.repartition(32).select(
+    staged = stream.repartition(spark.sparkContext.defaultParallelism).select(
         "doc_id", "lang", tokenize(F.col("text")).alias("toks")
     ).withColumn(
         "feats", F.concat(F.col("toks"), shingles_from_tokens("toks", 2))
@@ -1332,7 +1332,7 @@ def q_stream_lm_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         " n_chars bigint"
     )
     stream = stream_table_source(spark, sf_dir, "documents", schema)
-    staged = stream.repartition(32).select(
+    staged = stream.repartition(spark.sparkContext.defaultParallelism).select(
         "doc_id", "lang", tokenize(F.col("text")).alias("toks")
     )
     n = F.greatest(F.size("toks") - 1, F.lit(0))
@@ -1516,7 +1516,7 @@ def q_stream_neardup_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     rs = stream_table_source(spark, sf_dir, "documents", schema)
     staged = (
         rs.filter(F.col("doc_id") % NEARDUP_SPLIT == 0)
-        .repartition(32)
+        .repartition(spark.sparkContext.defaultParallelism)
         .select("doc_id", "source", tokenize(F.col("text")).alias("toks"))
         .select(
             "doc_id", "source",
@@ -1738,7 +1738,7 @@ def q_stream_image_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     probe_fp = (
         rs.filter(F.col("doc_id") % IMGGATE_SPLIT == 0)
         .select("doc_id")
-        .repartition(32)
+        .repartition(spark.sparkContext.defaultParallelism)
         .mapInPandas(phash_image_map, "doc_id bigint, phash bigint, dhash bigint")
     )
 
@@ -1900,7 +1900,7 @@ def q_stream_audio_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     probe_fp = (
         rs.filter(F.col("doc_id") % IMGGATE_SPLIT == 0)
         .select("doc_id")
-        .repartition(32)
+        .repartition(spark.sparkContext.defaultParallelism)
         .mapInPandas(afp_audio_map, "doc_id bigint, afp bigint")
     )
 

@@ -228,13 +228,27 @@ def add_unigram_logprob(
     fits and a plain shuffle join when a web-scale vocab doesn't.
     Returns (doc_id, n_tokens, avg_logprob) for docs with ≥1 token.
     """
-    toks = df.select(
-        F.col(id_col).alias("doc_id"), tokenize(text_col).alias("__toks")
-    ).select("doc_id", F.explode("__toks").alias("token"))
+    from pyspark.sql import Window
+
+    # The exploded token stream feeds the vocab build AND the scoring
+    # join — checkpoint it so tokenization runs once, not once per
+    # consumer (the same persisted-pairs posture as the bigram/KN LMs
+    # below). The corpus total folds into an unpartitioned window over
+    # the vocab-BOUNDED frame (sketched_bigram_lm's pattern), removing
+    # the separate total-collect action: same float, zero extra pass.
+    toks = (
+        df.select(
+            F.col(id_col).alias("doc_id"), tokenize(text_col).alias("__toks")
+        )
+        .select("doc_id", F.explode("__toks").alias("token"))
+        .localCheckpoint(eager=False)
+    )
     vocab = toks.groupBy("token").agg(F.count(F.lit(1)).alias("cnt"))
-    total = vocab.agg(F.sum("cnt")).first()[0]
+    total = F.sum("cnt").over(Window.partitionBy())
     probs = F.broadcast(
-        vocab.select("token", F.log(F.col("cnt") / F.lit(float(total))).alias("lp"))
+        vocab.select(
+            "token", F.log(F.col("cnt") / total.cast("double")).alias("lp")
+        )
     )
     return (
         toks.join(probs, "token")

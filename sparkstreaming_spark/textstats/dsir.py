@@ -58,7 +58,7 @@ def dsir_importance(
     # explode as a single task; spread it. At real scale the input has
     # many splits and this shuffle is a sub-% of the feature hashing.
     if base.rdd.getNumPartitions() < 8:
-        base = base.repartition(16)
+        base = base.repartition(base.sparkSession.sparkContext.defaultParallelism)
     # hash features straight to bucket ids and MATERIALIZE the compact
     # (id, is_target, b) stream once (lazy localCheckpoint): both
     # consumers below — the bucket-count multinomials and the per-doc

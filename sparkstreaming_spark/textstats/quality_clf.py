@@ -53,7 +53,7 @@ def hashed_gram_counts(
     )
     if base.rdd.getNumPartitions() < 8:
         # single-row-group parquet would hash every feature in one task
-        base = base.repartition(16)
+        base = base.repartition(base.sparkSession.sparkContext.defaultParallelism)
     return (
         base.select(
             "id",
@@ -82,6 +82,7 @@ def train_quality_classifier(
     label: Column,
     dim: int = 1024,
     iters: int = 3,
+    feats: DataFrame | None = None,
 ) -> DataFrame:
     """Train the hard-sigmoid logistic model; → ((b, w_micro) weights
     DataFrame, bias_micro int).
@@ -89,11 +90,17 @@ def train_quality_classifier(
     `label` is a boolean Column over df's columns marking the curated
     positives (e.g. F.col("source") == "src0"). Learning rate is fixed
     at 1; weights and bias start at zero, so iteration 1's p is exactly
-    0.5 everywhere — a property the oracle relies on."""
+    0.5 everywhere — a property the oracle relies on.
+
+    `feats` optionally supplies a prebuilt (id, b, cnt) feature frame
+    over df (hashed_gram_counts output, ideally checkpointed) so a
+    caller that also SCORES with the model pays the corpus
+    featurization pass once, not twice."""
     spark = df.sparkSession
-    feats = hashed_gram_counts(df, id_col, text_col, dim).localCheckpoint(
-        eager=False
-    )
+    if feats is None:
+        feats = hashed_gram_counts(df, id_col, text_col, dim).localCheckpoint(
+            eager=False
+        )
     labels = df.select(
         F.col(id_col).alias("id"),
         (label.cast("boolean").cast("int") * MICRO).alias("y_micro"),
@@ -133,26 +140,39 @@ def train_quality_classifier(
                 ),
             ).cast("bigint"),
         ).persist()
-        grad = (
+        # ONE job per iteration: the bias gradient Σ_doc (p − y) rides the
+        # per-bucket gradient aggregate as a sentinel bucket b = −1 (real
+        # buckets are pmod(..) ∈ [0, dim)), so the collect returns ≤ dim+1
+        # rows and the old separate bias job disappears. Python `//` is
+        # mathematical floor on exact bigints — identical arithmetic to
+        # the previous Spark-side _floor_div per bucket.
+        contrib = (
             joined.join(
                 p.select("id", "p_micro", F.col("y_micro").alias("ym")), "id"
             )
-            .groupBy("b")
-            .agg(
-                F.sum((F.col("p_micro") - F.col("ym")) * F.col("cnt")).alias(
-                    "gs"
-                )
+            .select(
+                "b",
+                ((F.col("p_micro") - F.col("ym")) * F.col("cnt")).alias("c"),
             )
-            .withColumn("delta", _floor_div(F.col("gs"), F.lit(n_docs)))
         )
-        # dim-bounded collect (<= `dim` rows) — the k-means-centroid
+        bias_contrib = p.select(
+            F.lit(-1).cast("bigint").alias("b"),
+            (F.col("p_micro") - F.col("y_micro")).alias("c"),
+        )
+        grad = (
+            contrib.unionByName(bias_contrib)
+            .groupBy("b")
+            .agg(F.sum("c").alias("gs"))
+        )
+        # dim-bounded collect (<= `dim`+1 rows) — the k-means-centroid
         # pattern, not a hot-path corpus collect
         for row in grad.collect():
-            weights[row["b"]] = weights.get(row["b"], 0) - row["delta"]
-        bias_gs = p.agg(
-            F.sum(F.col("p_micro") - F.col("y_micro")).alias("g")
-        ).collect()[0]["g"]
-        bias -= bias_gs // n_docs  # Python // is already mathematical floor
+            if row["b"] == -1:
+                bias -= row["gs"] // n_docs
+            else:
+                weights[row["b"]] = (
+                    weights.get(row["b"], 0) - row["gs"] // n_docs
+                )
         p.unpersist()
 
     return (
@@ -174,11 +194,18 @@ def quality_classifier_scores(
     """Train on the corpus, then score every document with the final
     model: → (id, y, score_micro, pred). score_micro is the hard-sigmoid
     probability in micros; pred = score >= 0.5. Docs whose features all
-    hash to zero-weight buckets score at the bias point."""
-    weights, bias = train_quality_classifier(
-        df, id_col, text_col, label, dim=dim, iters=iters
+    hash to zero-weight buckets score at the bias point.
+
+    The feature frame is built and checkpointed ONCE and shared between
+    the training iterations and the final scoring join — previously the
+    scorer re-ran the full tokenize+hash+aggregate corpus pass that
+    training had already materialized."""
+    feats = hashed_gram_counts(df, id_col, text_col, dim).localCheckpoint(
+        eager=False
     )
-    feats = hashed_gram_counts(df, id_col, text_col, dim)
+    weights, bias = train_quality_classifier(
+        df, id_col, text_col, label, dim=dim, iters=iters, feats=feats
+    )
     z = (
         feats.join(F.broadcast(weights), "b", "left")
         .withColumn("wm", F.coalesce("w_micro", F.lit(0)))
