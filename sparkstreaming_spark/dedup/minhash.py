@@ -40,15 +40,31 @@ from ..functions.text import md5_64, shingles_from_tokens, tokenize
 MERSENNE_P = (1 << 31) - 1  # 2^31 - 1, prime
 
 
-def _shingle_sets(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
+def token_arrays(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(doc_id, toks: array<string>) — the tokenized corpus, spread over
+    the default parallelism. The shared entry point for pipelines that
+    feed SEVERAL tokenization consumers (e.g. doc_dedup_eval's exact-
+    Jaccard truth leg + SimHash prediction leg): build this once,
+    `localCheckpoint(eager=False)` it, and pass it to each consumer's
+    `toks_df` parameter so the corpus is tokenized once, not per leg."""
+    return _parallel(df).select(
+        F.col(id_col).cast("bigint").alias("doc_id"),
+        tokenize(text_col).alias("toks"),
+    )
+
+
+def _shingle_sets(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int,
+    toks_df: DataFrame | None = None,
+) -> DataFrame:
     """(doc_id, sh: array<string>) — distinct shingle sets, with the token
     array STAGED in its own select so interpreted lambdas read a row value
     instead of re-running tokenization per shingle (see
     functions/text.py::shingles_from_tokens)."""
-    toks = _parallel(df).select(
-        F.col(id_col).cast("bigint").alias("doc_id"),
-        tokenize(text_col).alias("toks"),
-    )
+    toks = toks_df if toks_df is not None else token_arrays(df, id_col, text_col)
     return toks.select(
         "doc_id", F.array_distinct(shingles_from_tokens("toks", n)).alias("sh")
     )

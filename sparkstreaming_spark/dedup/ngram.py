@@ -42,8 +42,14 @@ def ngram_jaccard_pairs(
     shingle_n: int = 2,
     threshold: float = 0.5,
     max_doc_freq: int | str | None = "auto",
+    toks_df: DataFrame | None = None,
 ) -> DataFrame:
-    """(doc_a, doc_b, jaccard) for pairs with shingle-set Jaccard ≥ threshold."""
+    """(doc_a, doc_b, jaccard) for pairs with shingle-set Jaccard ≥ threshold.
+
+    `toks_df` optionally supplies a prebuilt (doc_id, toks) token-array
+    frame over df (minhash.token_arrays output, ideally checkpointed) so
+    a caller running SEVERAL tokenization consumers over the same corpus
+    pays the tokenize pass once."""
     from .minhash import _explode_shingles, _shingle_sets
 
     # materialize the exploded shingles once (lazy localCheckpoint, so
@@ -54,7 +60,7 @@ def ngram_jaccard_pairs(
     # measured at sf0.1)
     max_doc_freq = _resolve_doc_freq_cap(df, max_doc_freq)
     sh = _explode_shingles(
-        _shingle_sets(df, id_col, text_col, shingle_n)
+        _shingle_sets(df, id_col, text_col, shingle_n, toks_df=toks_df)
     ).localCheckpoint(eager=False)
     if max_doc_freq is not None:
         freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))

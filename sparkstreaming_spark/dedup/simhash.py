@@ -23,18 +23,26 @@ from ..functions.text import md5_64, tokenize
 N_BITS = 60
 
 
-def simhash_fingerprints(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+def simhash_fingerprints(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    toks_df: DataFrame | None = None,
+) -> DataFrame:
     """(doc_id, simhash) — sign-of-weighted-bit-sum over token hashes.
     Token multiplicity weights naturally (no array_distinct).
 
     Repartitions first: a single small parquet file scans as one
-    partition, which would serialize tokenization + 60 bit-sum aggs."""
-    from .minhash import _parallel
+    partition, which would serialize tokenization + 60 bit-sum aggs.
+    `toks_df` optionally supplies a prebuilt (doc_id, toks) token-array
+    frame (minhash.token_arrays output, ideally checkpointed) so a
+    caller sharing tokenization across consumers pays it once."""
+    from .minhash import token_arrays
 
-    df = _parallel(df)
-    tok = df.select(
-        F.col(id_col).cast("bigint").alias("doc_id"),
-        F.explode(tokenize(text_col)).alias("w"),
+    toks = toks_df if toks_df is not None else token_arrays(df, id_col, text_col)
+    tok = toks.select(
+        "doc_id",
+        F.explode("toks").alias("w"),
     ).withColumn("h", md5_64(F.col("w")))
     bit_sums = [
         F.sum(
@@ -56,17 +64,21 @@ def simhash_near_dup_pairs(
     text_col: str,
     max_hamming: int = 5,
     bands: int = 6,
+    toks_df: DataFrame | None = None,
 ) -> DataFrame:
     """(doc_a, doc_b, hamming) for pairs within max_hamming.
 
     Guaranteed-complete only for max_hamming ≤ bands - 1 (pigeonhole);
     callers wanting a looser threshold trade recall, as usual for LSH.
+    `toks_df`: see simhash_fingerprints.
     """
     assert max_hamming <= bands - 1, "pigeonhole guarantee requires max_hamming <= bands-1"
     width = N_BITS // bands
     # materialize once (lazy localCheckpoint, GC-reclaimed): the
     # fingerprint DF feeds both sides of the band self-join
-    sig = simhash_fingerprints(df, id_col, text_col).localCheckpoint(eager=False)
+    sig = simhash_fingerprints(
+        df, id_col, text_col, toks_df=toks_df
+    ).localCheckpoint(eager=False)
     band_structs = [
         F.struct(
             F.lit(b).alias("band_id"),

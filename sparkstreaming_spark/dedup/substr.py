@@ -56,7 +56,11 @@ def _positional_shingles(
     # single-row-group parquet would run the md5-per-shingle explode as
     # one task; spread it (no-op at real scale where inputs have splits)
     if toks.rdd.getNumPartitions() < 8:
-        toks = toks.repartition(toks.sparkSession.sparkContext.defaultParallelism)
+        # floor of 8 so a small-core session still honors the guard
+        # threshold (ADVICE r11)
+        toks = toks.repartition(
+            max(toks.sparkSession.sparkContext.defaultParallelism, 8)
+        )
     return toks.select(
         "doc_id",
         F.posexplode(shingles_from_tokens("toks", k)).alias("pos", "shingle"),

@@ -44,6 +44,7 @@ def pagerank(
     directed: bool = False,
     round_scale: int = 8,
     broadcast_ranks: bool = False,
+    persisted_out: list[DataFrame] | None = None,
 ) -> DataFrame:
     """PageRank over an edge-list DataFrame -> (node, rank).
 
@@ -125,7 +126,11 @@ def pagerank(
     # — unpersisting here would evict them before the first action ever
     # reads them (deg.count() materialized deg; adj is cached by the
     # first iteration's stage and reused by the rest). Spark drops them
-    # with the session / under LRU pressure.
+    # with the session / under LRU pressure; a long-lived session making
+    # repeated calls passes `persisted_out` and unpersists the collected
+    # handles after consuming the result (VERDICT r11 item 9).
+    if persisted_out is not None:
+        persisted_out.extend([e0, deg, adj])
     return ranks.select("node", F.round("rank", round_scale).alias("rank"))
 
 
@@ -134,6 +139,7 @@ def triangle_count(
     src: str = "src",
     dst: str = "dst",
     broadcast_degrees: bool = False,
+    persisted_out: list[DataFrame] | None = None,
 ) -> DataFrame:
     """Exact global triangle count over an undirected edge list →
     one row (n_triangles bigint).
@@ -214,6 +220,8 @@ def triangle_count(
     per_edge = F.when(F.col("ny").isNull(), F.lit(0)).otherwise(
         F.size(F.array_intersect("nx", "ny"))
     )
+    if persisted_out is not None:
+        persisted_out.extend([und, oriented])
     return probed.agg(
         F.coalesce(F.sum(per_edge), F.lit(0)).cast("bigint").alias("n_triangles")
     )

@@ -1923,14 +1923,20 @@ def q_dedup_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     the FULL-corpus exact op takes 243 s at 10x replica stress).
     Both pair queries are independently oracle-checked; here the
     COMPOSITION on the identical sample is oracled too."""
+    from ..dedup.minhash import token_arrays
+
     d = read_table(spark, sf_dir, "documents").filter(
         _sql_expr_md5_mod("doc_id") == 0
     )
+    # ONE tokenize pass over the sampled corpus (lazy localCheckpoint):
+    # the truth leg shingles it, the prediction leg hashes its tokens —
+    # previously each leg re-ran scan+filter+tokenize independently
+    toks = token_arrays(d, "doc_id", "text").localCheckpoint(eager=False)
     truth = ngram_jaccard_pairs(
-        d, "doc_id", "text", shingle_n=2, threshold=0.5
+        d, "doc_id", "text", shingle_n=2, threshold=0.5, toks_df=toks
     ).select("doc_a", "doc_b", F.lit(1).alias("t"))
     pred = simhash_near_dup_pairs(
-        d, "doc_id", "text", max_hamming=5, bands=6
+        d, "doc_id", "text", max_hamming=5, bands=6, toks_df=toks
     ).select("doc_a", "doc_b", F.lit(1).alias("p"))
     j = truth.join(pred, ["doc_a", "doc_b"], "full_outer")
     return j.agg(

@@ -246,10 +246,14 @@ def bpe_encode_counts(
     8-byte-ish word key) → one groupBy(id) partial agg. The corpus text
     is scanned once; the O(|word| * n_merges) encode cost is paid
     per DISTINCT word, not per occurrence."""
+    # materialize the exploded occurrence stream ONCE (lazy
+    # localCheckpoint): it feeds the distinct-word dictionary AND the
+    # occurrence join below — without it the corpus tokenize+explode
+    # subtree is evaluated once per consumer (2 full corpus passes)
     words = df.select(
         F.col(id_col).alias("id"),
         F.explode(tokenize(F.col(text_col))).alias("word"),
-    ).filter(F.length("word") > 0)
+    ).filter(F.length("word") > 0).localCheckpoint(eager=False)
     enc = bpe_encode_words(
         words.select("word").distinct(), merges, use_arrow=use_arrow
     ).select("word", F.size("symbols").cast("bigint").alias("n_sym"))

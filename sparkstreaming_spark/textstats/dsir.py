@@ -58,7 +58,11 @@ def dsir_importance(
     # explode as a single task; spread it. At real scale the input has
     # many splits and this shuffle is a sub-% of the feature hashing.
     if base.rdd.getNumPartitions() < 8:
-        base = base.repartition(base.sparkSession.sparkContext.defaultParallelism)
+        # floor of 8 so a small-core session still honors the guard
+        # threshold (ADVICE r11)
+        base = base.repartition(
+            max(base.sparkSession.sparkContext.defaultParallelism, 8)
+        )
     # hash features straight to bucket ids and MATERIALIZE the compact
     # (id, is_target, b) stream once (lazy localCheckpoint): both
     # consumers below — the bucket-count multinomials and the per-doc

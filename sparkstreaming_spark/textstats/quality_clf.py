@@ -52,8 +52,12 @@ def hashed_gram_counts(
         F.col(id_col).alias("id"), tokenize(F.col(text_col)).alias("toks")
     )
     if base.rdd.getNumPartitions() < 8:
-        # single-row-group parquet would hash every feature in one task
-        base = base.repartition(base.sparkSession.sparkContext.defaultParallelism)
+        # single-row-group parquet would hash every feature in one task;
+        # floor of 8 so a small-core session still honors the guard
+        # threshold (ADVICE r11)
+        base = base.repartition(
+            max(base.sparkSession.sparkContext.defaultParallelism, 8)
+        )
     return (
         base.select(
             "id",
@@ -95,7 +99,10 @@ def train_quality_classifier(
     `feats` optionally supplies a prebuilt (id, b, cnt) feature frame
     over df (hashed_gram_counts output, ideally checkpointed) so a
     caller that also SCORES with the model pays the corpus
-    featurization pass once, not twice."""
+    featurization pass once, not twice. Bucket ids must be non-negative
+    (hashed_gram_counts' pmod guarantees [0, dim)): the bias gradient
+    rides the same aggregate as a sentinel bucket b = -1, so a caller-
+    supplied -1 bucket would silently fold into the bias (ADVICE r11)."""
     spark = df.sparkSession
     if feats is None:
         feats = hashed_gram_counts(df, id_col, text_col, dim).localCheckpoint(

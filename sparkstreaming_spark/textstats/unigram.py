@@ -237,9 +237,11 @@ def unigram_encode_counts(
     spark = df.sparkSession
     lp = {p: l for p, _, l in vocab}
     blp = spark.sparkContext.broadcast(lp)
+    # one corpus tokenize pass (lazy localCheckpoint): the exploded
+    # stream feeds both the distinct-word dictionary and the join below
     toks = df.select(
         F.col(id_col).alias("id"), F.explode(tokenize(text_col)).alias("word")
-    )
+    ).localCheckpoint(eager=False)
     dw = toks.select("word").distinct()
 
     def encode(batches, _max_len=max_len, _bf=byte_fallback):

@@ -145,10 +145,12 @@ def wordpiece_encode_counts(
     stripped) concatenate back to the word."""
     spark = df.sparkSession
     bset = spark.sparkContext.broadcast(set(vocab))
+    # one corpus tokenize pass (lazy localCheckpoint): the exploded
+    # stream feeds both the distinct-word dictionary and the join below
     toks = df.select(
         F.col(id_col).alias("id"),
         F.explode(tokenize(text_col)).alias("word"),
-    )
+    ).localCheckpoint(eager=False)
     dw = toks.select("word").distinct()
 
     def encode(batches, _max_len=max_len):

@@ -72,6 +72,29 @@ def test_pagerank_iteration_has_partial_aggregate(spark):
     assert "partial_sum" in plan or "HashAggregate" in plan, plan[:3000]
 
 
+def test_pagerank_persisted_out_cleanup(spark):
+    """Repeated pagerank calls in one session must not accumulate cached
+    blocks when the caller uses the persisted_out cleanup path: storage
+    returns to its baseline RDD count after each call's unpersist."""
+    from sparkstreaming_spark.operators.graph import pagerank
+
+    jsc = spark.sparkContext._jsc.sc()
+    spark.catalog.clearCache()
+    baseline = len(jsc.getRDDStorageInfo())
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "a")], "src string, dst string"
+    )
+    for _ in range(3):
+        handles = []
+        result = pagerank(edges, iterations=2, persisted_out=handles).collect()
+        assert len(result) == 3
+        assert len(handles) == 3  # e0, deg, adj
+        for h in handles:
+            h.unpersist(blocking=True)
+        assert len(jsc.getRDDStorageInfo()) == baseline
+
+
 # ------------------------------------------------------------ tfidf cosine
 
 

@@ -1,5 +1,6 @@
 """Capture `.explain("formatted")` for named registry queries into
-plans/r11/<query>_<tag>.txt (the round-11 optimization evidence files).
+plans/$PLANS_ROUND/<query>_<tag>.txt (optimization evidence files;
+PLANS_ROUND defaults to r12).
 
 Usage: python tools/capture_plans.py <tag> <query> [<query> ...]
        e.g. python tools/capture_plans.py before graph_pagerank doc_bpe_merges
@@ -12,6 +13,8 @@ evidence is the batch-build phase plan plus the code.
 """
 from __future__ import annotations
 
+import contextlib
+import io
 import os
 import sys
 
@@ -21,7 +24,7 @@ from sparkstreaming_spark.session import get_spark  # noqa: E402
 from sparkstreaming_spark.suite import all_queries  # noqa: E402
 
 OUT = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-                   "plans", "r11")
+                   "plans", os.environ.get("PLANS_ROUND", "r12"))
 
 
 def main() -> None:
@@ -33,9 +36,12 @@ def main() -> None:
     registry = all_queries()
     for name in names:
         df = registry[name].fn(spark, sf_dir)
-        plan = df._sc._jvm.PythonSQLUtils.explainString(
-            df._jdf.queryExecution(), "formatted"
-        )
+        # public API (ADVICE r11: the PythonSQLUtils internals break
+        # across Spark versions) — explain prints, so capture stdout
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            df.explain(mode="formatted")
+        plan = buf.getvalue()
         path = os.path.join(OUT, f"{name}_{tag}.txt")
         with open(path, "w") as fh:
             fh.write(plan)

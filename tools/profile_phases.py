@@ -5,9 +5,10 @@ with job descriptions set so any future UI inspection maps back.
 Usage: python tools/profile_phases.py <query> [<query> ...]
        SPARK_GRAFT_SF_DIR overrides the data dir (default sf0.1).
 
-Each query is run twice after a warm-up (median-ish signal without the
-full bench protocol); prints per-run seconds. Result caches are dropped
-between runs exactly like bench.py so persisted intermediates are paid.
+Each query is run three times after a warm-up (median-ish signal without
+the full bench protocol); prints per-run seconds. Result caches are
+dropped between runs exactly like bench.py so persisted intermediates
+are paid.
 """
 from __future__ import annotations
 
